@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver corpus (TESTDATA.md): TPC-H-ish star schema +
+  * `events` + `documents` + `embeddings`, one parquet per table under
+  * `/root/testdata/sf{0.001,0.01,0.1}/`.
+  *
+  * All engine queries read through here so that filter/projection pushdown
+  * reaches the parquet scan (verify with `.explain("formatted")` →
+  * `PushedFilters` / `ReadSchema`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default;
+    // read it as epoch-nanos long and truncate to micros (what the DuckDB
+    // oracle does when it reads the same file).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) if name == "events" =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      case _ => df
+    }
+  }
+
+  /** Register every corpus table as a temp view (for spark.sql paths). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bio-domain scalar functions (SURVEY §2.8 "Bio domain").
+  *
+  * Semantics from the reference:
+  *   - reverse_complement: lib/BIGSdb/Utils.pm:39-48 (tr/GATCgatc/CTAGctag/ + reverse)
+  *   - is_complete_cds:    lib/BIGSdb/Utils.pm:74-103 (ATG/GTG/TTG start, in-frame
+  *                         stop only at end, length % 3 == 0)
+  *   - translate:          standard codon table 11-ish path
+  *                         (lib/BIGSdb/SequenceTranslatePage.pm)
+  *   - DNA validation:     lib/BIGSdb/Utils.pm:50-72
+  *
+  * Hot-path functions are native Catalyst `Expression`s with `doGenCode`
+  * (whole-stage-codegen-friendly — these run per contig over 100 TB of
+  * sequence bins, a Scala UDF's row-at-a-time boxing would dominate).
+  */
+object Bio {
+
+  // ---- reverse complement: codegen'd unary expression ----
+  case class ReverseComplement(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      UTF8String.fromString(Bio.reverseComplementString(s))
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"UTF8String.fromString(graft.functions.Bio.reverseComplementString($c.toString()))")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** Complement map per Utils.pm:43 (tr/GATCgatc/CTAGctag/); non-ACGT
+    * characters pass through unchanged, as in the reference's tr///.
+    */
+  def reverseComplementString(s: String): String = {
+    val n = s.length
+    val out = new Array[Char](n)
+    var i = 0
+    while (i < n) {
+      out(n - 1 - i) = (s.charAt(i): @annotation.switch) match {
+        case 'G' => 'C'; case 'A' => 'T'; case 'T' => 'A'; case 'C' => 'G'
+        case 'g' => 'c'; case 'a' => 't'; case 't' => 'a'; case 'c' => 'g'
+        case other => other
+      }
+      i += 1
+    }
+    new String(out)
+  }
+
+  def reverseComplement(c: Column): Column =
+    ExpressionUtils.column(ReverseComplement(ExpressionUtils.expression(c)))
+
+  // ---- complete CDS check (Utils.pm:74-103) ----
+  case class IsCompleteCds(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(input: Any): Any =
+      Bio.isCompleteCdsString(input.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Bio.isCompleteCdsString($c.toString())")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  private val StartCodons = Set("ATG", "GTG", "TTG")
+  private val StopCodons = Set("TAA", "TGA", "TAG")
+
+  def isCompleteCdsString(seq0: String): Boolean = {
+    val seq = seq0.toUpperCase
+    if (seq.length < 6 || seq.length % 3 != 0) return false
+    if (!StartCodons.contains(seq.substring(0, 3))) return false
+    if (!StopCodons.contains(seq.substring(seq.length - 3))) return false
+    // no in-frame stop before the terminal codon
+    var i = 3
+    while (i < seq.length - 3) {
+      if (StopCodons.contains(seq.substring(i, i + 3))) return false
+      i += 3
+    }
+    true
+  }
+
+  def isCompleteCds(c: Column): Column =
+    ExpressionUtils.column(IsCompleteCds(ExpressionUtils.expression(c)))
+
+  // ---- translation (standard genetic code; table 11 start handling is the
+  //      caller's concern — BIGSdb translates with BioPerl defaults) ----
+  private val CodonTable: Map[String, Char] = {
+    val bases = "TCAG"
+    val aas = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+    (for {
+      (b1, i) <- bases.zipWithIndex
+      (b2, j) <- bases.zipWithIndex
+      (b3, k) <- bases.zipWithIndex
+    } yield s"$b1$b2$b3" -> aas(i * 16 + j * 4 + k)).toMap
+  }
+
+  def translateString(seq0: String): String = {
+    val seq = seq0.toUpperCase
+    val sb = new StringBuilder(seq.length / 3)
+    var i = 0
+    while (i + 3 <= seq.length) {
+      sb += CodonTable.getOrElse(seq.substring(i, i + 3), 'X')
+      i += 3
+    }
+    sb.toString
+  }
+
+  case class Translate(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(Bio.translateString(input.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"UTF8String.fromString(graft.functions.Bio.translateString($c.toString()))")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  def translateDna(c: Column): Column =
+    ExpressionUtils.column(Translate(ExpressionUtils.expression(c)))
+
+  /** DNA validation (Utils.pm:50-60): non-empty, only ACGTU + ambiguity N. */
+  def isValidDna(c: Column): Column =
+    upper(c).rlike("^[ACGTUN]+$")
+
+  /** GC content as a fraction — composition stat used by seqbin views. */
+  def gcContent(c: Column): Column = {
+    val u = upper(c)
+    val gc = length(u) - length(regexp_replace(u, "[GC]", ""))
+    (gc.cast("double") / length(u).cast("double"))
+  }
+
+  /** Register the bio functions for SQL use. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("reverse_complement",
+      exprs => ReverseComplement(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("is_complete_cds",
+      exprs => IsCompleteCds(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("translate_dna",
+      exprs => Translate(exprs.head), "scala_udf")
+  }
+}

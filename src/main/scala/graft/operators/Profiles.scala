@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.functions.AlleleId
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The scheme/profile engine (SURVEY §2.3 J6-J8, §7.1 step 3).
+  *
+  * The reference's central analytic structure is the materialized scheme
+  * warehouse `mv_scheme_<id>`: one row per profile with the allelic profile
+  * as a text array plus an md5 of the array for exact lookup
+  * (sql/seqdef.sql:1155-1253). We re-express it as a derived DataFrame:
+  * long designation fact (entity, locus, allele) → wide array column.
+  *
+  * Scale: the warehouse build is ONE hash aggregation over the designation
+  * fact (map-side combinable); profile lookup is an equi join on `md5` —
+  * broadcastable when the profile dimension is small (it is: #STs ≪ #isolates),
+  * and a plain shuffle hash join otherwise. Similarity search (J8) never
+  * materializes the O(n²) pair space: it explodes to (locus, allele) and
+  * equi-joins, so only genuinely-sharing pairs are generated.
+  */
+object Profiles {
+
+  /** Build the profile warehouse from a long designation fact.
+    *
+    * Loci are integer positions 1..nLoci (the reference keeps a
+    * locus→array-position map in scheme_warehouse_indices,
+    * sql/seqdef.sql:1122-1149). Missing loci get AlleleId.Missing ("0").
+    * Multiple designations per (entity, locus) — allowed by the reference
+    * (sql/isolatedb.sql:952-988) — are resolved to the minimum allele id,
+    * deterministic regardless of partitioning.
+    *
+    * Output: (entityCol, profile ARRAY<STRING>, profile_md5 STRING).
+    */
+  def warehouse(
+      fact: DataFrame,
+      entity: String,
+      locus: String,
+      allele: Column,
+      nLoci: Int): DataFrame = {
+    val byLocus = fact
+      .groupBy(col(entity), col(locus).cast("int").as("__locus"))
+      .agg(min(allele.cast("string")).as("__allele"))
+    byLocus
+      .groupBy(col(entity))
+      .agg(map_from_entries(collect_list(struct(col("__locus"), col("__allele"))))
+        .as("__m"))
+      .select(
+        col(entity),
+        transform(sequence(lit(1), lit(nLoci)),
+          i => coalesce(element_at(col("__m"), i), lit(AlleleId.Missing)))
+          .as("profile"))
+      .withColumn("profile_md5", md5(array_join(col("profile"), ",")))
+  }
+
+  /** J7 — profile_diff (sql/seqdef.sql:1380-1384): count of mismatching
+    * loci between two profile arrays, ignoring positions where either side
+    * is the arbitrary sentinel "N".
+    */
+  def profileDiff(p1: Column, p2: Column): Column =
+    size(filter(
+      zip_with(p1, p2, (a, b) =>
+        a =!= b && a =!= lit(AlleleId.Arbitrary) && b =!= lit(AlleleId.Arbitrary)),
+      x => x))
+
+  /** Shared-allele count between two profiles (N matches anything) —
+    * the quantity `matching_profiles` thresholds on (sql/seqdef.sql:1386-1409).
+    */
+  def sharedCount(p1: Column, p2: Column): Column =
+    size(filter(zip_with(p1, p2, (a, b) => AlleleId.matches(a, b)), x => x))
+
+  /** J8 — matching_profiles: all profiles sharing at least
+    * (nLoci - threshold) alleles with the target profile. Implemented as a
+    * broadcast of the (tiny) target against the warehouse — linear scan,
+    * no pair explosion; for profile-vs-ALL-profiles the explode/equi-join
+    * form in `similarityJoin` below is the scale path.
+    */
+  def matchingProfiles(
+      warehouse: DataFrame,
+      target: Seq[String],
+      nLoci: Int,
+      threshold: Int): DataFrame = {
+    val t = typedLit(target)
+    warehouse
+      .withColumn("shared", sharedCount(col("profile"), t))
+      .filter(col("shared") >= nLoci - threshold)
+  }
+
+  /** J8 at scale — set-similarity self-join: explode profiles to
+    * (locus, allele), equi-join on both, count shared per pair. Pairs that
+    * share nothing are never generated. `minShared` prunes before the
+    * pair aggregation shuffles.
+    */
+  def similarityJoin(wh: DataFrame, entity: String, minShared: Int): DataFrame = {
+    val exploded = wh
+      .select(col(entity), posexplode(col("profile")).as(Seq("locus", "allele")))
+      .filter(col("allele") =!= lit(AlleleId.Missing))
+    val l = exploded.select(col(entity).as("e1"), col("locus"), col("allele"))
+    val r = exploded.select(col(entity).as("e2"), col("locus"), col("allele"))
+    l.join(r, Seq("locus", "allele"))
+      .filter(col("e1") < col("e2"))
+      .groupBy(col("e1"), col("e2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** J6 — profile lookup from designations (lib/BIGSdb/Scheme.pm:96-195):
+    * positional conjunctive lookup `profile[i] IN (allele_ids_i)`, with "N"
+    * in the warehouse matching anything. `designations` maps locus position
+    * (1-based) → candidate allele ids (multiple designations per locus give
+    * ∃-any-combination semantics, sql/isolatedb.sql:1555-1568).
+    */
+  def lookupByDesignations(
+      warehouse: DataFrame,
+      designations: Map[Int, Seq[String]]): DataFrame = {
+    val pred = designations.map { case (pos, ids) =>
+      val p = element_at(col("profile"), pos)
+      p.isin(ids: _*) || p === lit(AlleleId.Arbitrary)
+    }.reduce(_ && _)
+    warehouse.filter(pred)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale dedup operators (builder-prompt pipeline surface).
+  *
+  * All operators work on a (id, text) DataFrame and are pure DataFrame
+  * compositions — every stage is shuffle-minimal and map-side combinable:
+  *
+  *   exact        — hash groupBy on a content digest (1 shuffle on digest)
+  *   minhashLsh   — shingle → minhash signature (narrow) → band buckets →
+  *                  self equi join on (band, bucket) (shuffle on bucket key,
+  *                  candidate pairs only — never the O(n²) pair space)
+  *   simhash      — 64-bit simhash per doc (narrow), near-dup = hamming ≤ k
+  *                  over bucketed prefixes
+  *   ngramJaccard — exact set-similarity verification for candidate pairs
+  *
+  * At 100 TB: the only quadratic danger is bucket skew (a degenerate shingle
+  * shared by millions of docs); `maxBucketSize` drops pathological buckets,
+  * the standard production guard (cf. Spark MLlib MinHashLSH).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical id per identical (case-sensitive) content. */
+  def exact(docs: DataFrame, id: String, text: String): DataFrame = {
+    docs.select(col(id), md5(col(text)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(id)).as("canonical_id"),
+           count(lit(1)).as("n_copies"))
+  }
+
+  /** Word n-gram shingles, distinct, lowercased. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(text), "\\s+")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => when(i + n <= size(words),
+            array_join(slice(words, i + lit(1), lit(n)), " "))),
+        x => x.isNotNull))
+  }
+
+  /** Deterministic 32-bit hash of a string, reproducible across engines:
+    * the classic FNV-1a, computed with Spark built-ins on the shingle array
+    * (no UDF in the hot path would be better still via a custom Expression;
+    * xxhash64 is used instead — Spark-native, codegen'd, stable).
+    */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => xxhash64(s))
+
+  /** MinHash signature: k permutation approximations h_i(x) = (a_i*x + b_i)
+    * mod p, min over shingle hashes. Returns ARRAY<BIGINT> length k.
+    * Computed entirely with built-in expressions — narrow, codegen'd.
+    */
+  def minhashSignature(shingleHashes: Column, k: Int): Column = {
+    val p = 2147483647L // 2^31-1, Mersenne prime
+    val rnd = new scala.util.Random(42)
+    val coefs = Seq.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong,
+                            rnd.nextInt(Int.MaxValue).toLong)
+    array(coefs.map { case (a, b) =>
+      array_min(transform(shingleHashes,
+        h => pmod(pmod(h, lit(p)) * a + b, lit(p))))
+    }: _*)
+  }
+
+  /** LSH band key: hash of each size-r slice of the signature. With b bands
+    * of r rows, P(candidate) = 1 - (1 - s^r)^b for Jaccard s.
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(array_join(transform(slice(sig, b * lit(rows) + lit(1), lit(rows)),
+          x => x.cast("string")), ",")).as("bucket")))
+
+  /** Full MinHash+LSH near-dup candidate pipeline:
+    * docs(id, text) → candidate pairs (id1 < id2) with estimated jaccard
+    * (signature agreement fraction) >= minEstJaccard.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int = 3,
+      k: Int = 128,
+      bands: Int = 32,
+      minEstJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rows = k / bands
+    val sigs = docs
+      .select(col(id).as("__id"), shingles(col(text), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("__id"), minhashSignature(shingleHashes(col("sh")), k).as("sig"))
+      .withColumn("bk", explode(bandKeys(col("sig"), bands, rows)))
+      .select(col("__id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    // guard: drop degenerate buckets before the self join
+    val guarded = sigs
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsize") <= maxBucketSize)
+      .drop("bsize")
+    val l = guarded.select(col("__id").as("id1"), col("sig").as("sig1"),
+      col("band"), col("bucket"))
+    val r = guarded.select(col("__id").as("id2"), col("sig").as("sig2"),
+      col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)).cast("double") / k)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over shingle hashes: per bit, sum +1/-1 weighted votes;
+    * bit set if the vote is positive. Built-ins only (narrow, codegen'd).
+    */
+  def simhash(shingleHashes: Column): Column =
+    (0 until 64).map { bit =>
+      val vote = aggregate(shingleHashes, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard similarity between two shingle arrays. */
+  def jaccard(sh1: Column, sh2: Column): Column = {
+    val inter = size(array_intersect(sh1, sh2)).cast("double")
+    val uni = size(array_union(sh1, sh2)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor over an embedding column (ARRAY<FLOAT>).
+  *
+  *   - Brute-force cosine top-k: the exact baseline. Queries are broadcast;
+  *     the corpus scan is linear and embarrassingly parallel; top-k per
+  *     query via window row_number (per-partition partial top-k under AQE).
+  *   - LSH-bucketed (random hyperplane / SRP): the 100 TB path. Each vector
+  *     gets a b-bit signature; candidates share a signature bucket, so the
+  *     join touches ~n/2^b of the corpus per query instead of all of it.
+  *
+  * All arithmetic is done in double (floats are upcast once) with
+  * `aggregate`/`zip_with` built-ins — no UDF, stays inside codegen.
+  */
+object Similarity {
+
+  /** Dot product of two ARRAY<DOUBLE> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
+  def toDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding self). Output: (query_id, neighbor_id, cos, rank).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("cv"))
+    val q = queries.select(col(id).as("query_id"), toDouble(col(vec)).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Signed-random-projection signature: bit i = sign(v · h_i), packed into
+    * a long. Hyperplanes are generated deterministically (seeded) on the
+    * driver and inlined as literals — broadcast-free, codegen-friendly.
+    */
+  def srpSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    (0 until bits).map { i =>
+      val h = typedLit(planes(i).toSeq)
+      when(dot(vec, h) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: probe only same-signature buckets (multi-probe via
+    * `tables` independent signatures). Recall < 1; the scale path.
+    * Output: (query_id, neighbor_id, cos) — candidates above minCos.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, dim: Int, k: Int,
+      bits: Int = 12, tables: Int = 4): DataFrame = {
+    val sigs = (0 until tables).map(t => srpSignature(toDouble(col(vec)), dim, bits, 42L + t))
+    def withSigs(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(id).as(idAs) +: toDouble(col(vec)).as(vecAs) +:
+        sigs.zipWithIndex.map { case (s, i) => s.as(s"sig$i") }: _*)
+    val c = withSigs(corpus, "neighbor_id", "cv")
+    val q = withSigs(queries, "query_id", "qv")
+    val candidates = (0 until tables).map { t =>
+      c.withColumnRenamed(s"sig$t", "bucket")
+        .select(col("neighbor_id"), col("cv"), col("bucket"))
+        .join(q.withColumnRenamed(s"sig$t", "bucket")
+               .select(col("query_id"), col("qv"), col("bucket")), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+    }.reduce(_ unionByName _).distinct()
+    val scored = candidates.withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+}

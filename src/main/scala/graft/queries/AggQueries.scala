@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.4 — aggregation surface (A1-A13).
+  *
+  * Scale notes: every groupBy here is a hash aggregate with map-side partial
+  * aggregation (Spark's default), so the shuffle carries pre-reduced keys,
+  * not raw rows. Window-based running sums partition by the group key —
+  * no global sort, no driver collection.
+  */
+object AggQueries extends QueryModule {
+
+  // A1: field frequency breakdown (FieldBreakdown.pm:851-1024).
+  private val a1Breakdown = Q(
+    "a1_breakdown",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.groupBy(col("o_orderpriority").as("label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    },
+    Some("""SELECT o_orderpriority AS label, count(1) AS n
+            FROM orders GROUP BY label ORDER BY label"""))
+
+  // A2: two-field crosstab / contingency table (TwoFieldBreakdown.pm).
+  // groupBy + pivot: the Spark-native form of the reference's pair hashes.
+  private val a2Crosstab = Q(
+    "a2_crosstab",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+                   count(1) FILTER (WHERE l_linestatus = 'F') AS F,
+                   count(1) FILTER (WHERE l_linestatus = 'O') AS O
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // A3: designation-count predicates — GROUP BY HAVING count op N, with the
+  // zero case unioned in for `<` ops (IsolateQueryPage.pm:3686-3817).
+  private val a3CountHaving = Q(
+    "a3_count_having",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+      // "< 3" must include the zero case: left join + coalesce
+      o.join(counts, o("o_orderkey") === counts("l_orderkey"), "left")
+        .withColumn("n_lines", coalesce(col("n_lines"), lit(0L)))
+        .filter(col("n_lines") < 3)
+        .select(col("o_orderkey"), col("n_lines"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, coalesce(n_lines, 0) AS n_lines
+            FROM orders LEFT JOIN (
+              SELECT l_orderkey, count(1) AS n_lines
+              FROM lineitem GROUP BY l_orderkey) t ON o_orderkey = l_orderkey
+            WHERE coalesce(n_lines, 0) < 3
+            ORDER BY o_orderkey"""))
+
+  // A4: scheme completion status — per-isolate COUNT(DISTINCT locus) vs
+  // scheme size (sql/isolatedb.sql:1590-1661): complete = all 7 loci present.
+  private val a4Completion = Q(
+    "a4_completion",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_linenumber")).as("n_loci"))
+        .withColumn("complete", col("n_loci") === 7)
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""SELECT l_orderkey, count(DISTINCT l_linenumber) AS n_loci,
+                   count(DISTINCT l_linenumber) = 7 AS complete
+            FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  // A5: seqbin-stats maintenance aggregate (count + sum per isolate,
+  // sql/isolatedb.sql:510-610) — the batch form of the trigger-maintained
+  // incremental aggregate (streaming form in graft.streaming).
+  private val a5SeqbinStats = Q(
+    "a5_seqbin_stats",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("contigs"),
+          round(sum(col("l_quantity")), 4).as("total_length"),
+          round(max(col("l_quantity")), 4).as("max_length"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""SELECT l_orderkey, count(1) AS contigs,
+                   round(sum(l_quantity), 4) AS total_length,
+                   round(max(l_quantity), 4) AS max_length
+            FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  // A6: N50 — sort lengths desc within group, running sum, first value whose
+  // cumulative sum reaches 50% of the total (Utils.pm:873-898). Window-based:
+  // no collect, partitions by group key. Here: per returnflag over quantities.
+  private val a6N50 = Q(
+    "a6_n50",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("l_returnflag"))
+      li.withColumn("cum", sum(col("l_quantity")).over(w))
+        .withColumn("half", sum(col("l_quantity")).over(tot) / 2.0)
+        .filter(col("cum") >= col("half"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(max(col("l_quantity")), 4).as("n50"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, round(max(l_quantity), 4) AS n50 FROM (
+              SELECT l_returnflag, l_quantity,
+                     sum(l_quantity) OVER (PARTITION BY l_returnflag
+                       ORDER BY l_quantity DESC, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(l_quantity) OVER (PARTITION BY l_returnflag) / 2.0 AS half
+              FROM lineitem) t
+            WHERE cum >= half
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // A7: basic stats + histogram (Utils.pm:295-333).
+  private val a7Stats = Q(
+    "a7_stats",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag")).agg(
+          round(avg(col("l_extendedprice")), 4).as("mean_price"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(min(col("l_extendedprice")), 4).as("min_price"),
+          round(max(col("l_extendedprice")), 4).as("max_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+                   round(avg(l_extendedprice), 4) AS mean_price,
+                   round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                   round(min(l_extendedprice), 4) AS min_price,
+                   round(max(l_extendedprice), 4) AS max_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val a7Histogram = Q(
+    "a7_histogram",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.withColumn("bucket", floor(col("o_totalprice") / 50000.0).cast("long"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+                   count(1) AS n
+            FROM orders GROUP BY bucket ORDER BY bucket"""))
+
+  // A8: unique combination counts (Combinations.pm:137-340).
+  private val a8Combinations = Q(
+    "a8_combinations",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"),
+                 year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+                   count(1) AS n
+            FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  // A9: dashboard top-N with deterministic tiebreak
+  // (conf/dashboard_primary.toml:57-62 top_values).
+  private val a9Top5 = Q(
+    "a9_top5",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("o_custkey"))
+        .limit(5)
+    },
+    Some("""SELECT o_custkey, count(1) AS n_orders FROM orders
+            GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 5"""))
+
+  // A12: growth curve — cumulative count over date (date_entered index
+  // pattern, sql/isolatedb.sql:160). Daily counts + running total.
+  private val a12Growth = Q(
+    "a12_growth",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val daily = o.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.withColumn("cum_n",
+          sum(col("n")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("day"))
+    },
+    Some("""SELECT day, n, sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_n
+            FROM (SELECT CAST(o_orderdate AS DATE) AS day, count(1) AS n
+                  FROM orders GROUP BY day) t
+            ORDER BY day"""))
+
+  // A13 upgrade: approx distinct (HLL) — absent in the reference (exact
+  // only); included as the scale path with an exact oracle on a column
+  // where HLL is exact at this cardinality is NOT guaranteed, so the
+  // declared query uses exact countDistinct and we expose approx in the
+  // library (graft.operators.Aggregations).
+  private val a13Distinct = Q(
+    "a13_distinct",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val qs: Seq[Q] = Seq(
+    a1Breakdown, a2Crosstab, a3CountHaving, a4Completion, a5SeqbinStats,
+    a6N50, a7Stats, a7Histogram, a8Combinations, a9Top5, a12Growth,
+    a13Distinct)
+}

@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — join shapes (J1-J13). The fact↔dimension mapping onto the
+  * corpus: `lineitem` plays allele_designations (orderkey=isolate,
+  * linenumber=locus, suppkey=allele id), `orders` plays isolates,
+  * `part`/`supplier`/`nation`/`region` play broadcastable dimensions.
+  *
+  * Scale notes (100 TB): dimensions are broadcast (no shuffle of the fact);
+  * the ∃/∀ designation predicates compile to semi/anti joins + a single
+  * hash aggregation on the fact's natural key, all map-side combinable.
+  */
+object JoinQueries extends QueryModule {
+
+  // J1: isolate ⋈ designations with OR'd predicates giving ∃-semantics, and
+  // AND emulated via GROUP BY id HAVING count = n_predicates
+  // (IsolateQueryPage.pm:2973-3103). Two designation predicates, AND'd.
+  private val j1DesignationAnd = Q(
+    "j1_designation_and",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val p1 = col("l_linenumber") === 1 && col("l_quantity") >= 30.0
+      val p2 = col("l_linenumber") === 2 && col("l_discount") >= 0.05
+      li.filter(p1 || p2)
+        .withColumn("pred", when(p1, 1).otherwise(2))
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("pred")).as("npred"))
+        .filter(col("npred") === 2)
+        .select(col("l_orderkey"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""SELECT l_orderkey FROM (
+              SELECT l_orderkey,
+                     count(DISTINCT CASE WHEN l_linenumber = 1 AND l_quantity >= 30.0 THEN 1
+                                         ELSE 2 END) AS npred
+              FROM lineitem
+              WHERE (l_linenumber = 1 AND l_quantity >= 30.0)
+                 OR (l_linenumber = 2 AND l_discount >= 0.05)
+              GROUP BY l_orderkey) t
+            WHERE npred = 2
+            ORDER BY l_orderkey"""))
+
+  // J2: NULL designation (locus missing) — NOT EXISTS → anti join
+  // (IsolateQueryPage.pm:3070-3073): orders with no line at locus 5.
+  private val j2NullDesignation = Q(
+    "j2_null_designation",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      o.join(li.filter(col("l_linenumber") === 5).select(col("l_orderkey")),
+             o("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_orderkey = o_orderkey AND l_linenumber = 5)
+            ORDER BY o_orderkey"""))
+
+  // J3: isolate ⋈ materialized scheme-field cache, operator applied to the
+  // scheme field; `contains` is regex ~* (IsolateQueryPage.pm:3199-3304).
+  // The "cache" is a derived per-order aggregate (a persisted DF in prod).
+  private val j3SchemeFieldCache = Q(
+    "j3_scheme_field_cache",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val cache = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+      o.join(cache, o("o_orderkey") === cache("l_orderkey"), "inner")
+        .filter(col("total_qty").cast("string").rlike("(?i)^1.*\\.0$"))
+        .select(col("o_orderkey"), col("total_qty"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, total_qty FROM (
+              SELECT o_orderkey, sum(l_quantity) AS total_qty
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              GROUP BY o_orderkey) t
+            WHERE regexp_matches(CAST(total_qty AS VARCHAR), '^1.*\.0$')
+            ORDER BY o_orderkey"""))
+
+  // J4: two-hop join (isolate → scheme field → classification group)
+  // (IsolateQueryPage.pm:3307-3400). Analog: order → customer → nation-group.
+  private val j4TwoHop = Q(
+    "j4_two_hop",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .filter(col("n_regionkey") === 2)
+        .select(col("o_orderkey"), col("n_name"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, n_name
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_regionkey = 2
+            ORDER BY o_orderkey"""))
+
+  // J9: isolate ⋈ seqbin_stats with size filter (REST genomes route,
+  // Isolates.pm:86-95): orders whose aggregate "assembly" passes a minimum.
+  private val j9SizeFilter = Q(
+    "j9_size_filter",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val stats = li.groupBy(col("l_orderkey")).agg(
+        count(lit(1)).as("contigs"),
+        round(sum(col("l_extendedprice")), 4).as("total_length"))
+      o.join(stats, o("o_orderkey") === stats("l_orderkey"))
+        .filter(col("total_length") >= 200000.0)
+        .select(col("o_orderkey"), col("contigs"), col("total_length"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, contigs, total_length FROM (
+              SELECT l_orderkey, count(1) AS contigs,
+                     round(sum(l_extendedprice), 4) AS total_length
+              FROM lineitem GROUP BY l_orderkey) st
+            JOIN orders ON o_orderkey = st.l_orderkey
+            WHERE total_length >= 200000.0
+            ORDER BY o_orderkey"""))
+
+  // J11: fact ⋈ broadcast citation-style dimension chain; revenue rollup to
+  // region (Datastore.pm:3260-3326 pattern). Dims are broadcast — the only
+  // shuffle is the final aggregation on the already-reduced keys.
+  private val j11BroadcastDims = Q(
+    "j11_broadcast_dims",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+               .as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                   count(1) AS n_lines
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY r_name"""))
+
+  // §2.7 set operations: UNION ALL + INTERSECT-style id-set algebra
+  // (temp list intersection, IsolateQueryPage.pm:1035-1117).
+  private val setIntersect = Q(
+    "set_intersect",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val a = o.filter(year(col("o_orderdate")) === 1994).select(col("o_custkey"))
+      val b = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      a.intersect(b).orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            ORDER BY o_custkey"""))
+
+  // A11: merged-view GROUP BY + bool_or over UNION ALL
+  // (sql/isolatedb.sql:296-299).
+  private val a11BoolOr = Q(
+    "a11_bool_or_union",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val big = o.select(col("o_custkey"),
+        (col("o_totalprice") > 300000.0).as("flag"))
+      val urgent = o.select(col("o_custkey"),
+        (col("o_orderpriority") === "1-URGENT").as("flag"))
+      big.unionByName(urgent)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("flag")).as("any_flag"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, bool_or(flag) AS any_flag FROM (
+              SELECT o_custkey, o_totalprice > 300000.0 AS flag FROM orders
+              UNION ALL
+              SELECT o_custkey, o_orderpriority = '1-URGENT' AS flag FROM orders) t
+            GROUP BY o_custkey
+            ORDER BY o_custkey"""))
+
+  val qs: Seq[Q] = Seq(
+    j1DesignationAnd, j2NullDesignation, j3SchemeFieldCache, j4TwoHop,
+    j9SizeFilter, j11BroadcastDims, setIntersect, a11BoolOr)
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Profiles
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 J6-J8 + §2.10 G1/G6 — the scheme/profile engine over the
+  * corpus. Mapping: lineitem = allele_designations (l_orderkey=isolate,
+  * l_linenumber=locus 1..7, l_suppkey=allele id as text). Duplicate
+  * (orderkey, linenumber) rows in the corpus play BIGSdb's multiple
+  * designations per locus, resolved deterministically (min allele).
+  */
+object ProfileQueries extends QueryModule {
+
+  private val NLoci = 7
+
+  // Shared oracle fragment: the profile warehouse as SQL — min allele per
+  // locus, dense 1..7 array with '0' for missing, md5 of the joined array.
+  private val whSql =
+    """SELECT l_orderkey,
+              md5(array_to_string(list_transform(range(1, 8),
+                i -> coalesce(m[i][1], '0')), ',')) AS profile_md5
+       FROM (SELECT l_orderkey,
+                    map(list(l_linenumber ORDER BY l_linenumber),
+                        list(a ORDER BY l_linenumber)) AS m
+             FROM (SELECT l_orderkey, l_linenumber,
+                          min(CAST(l_suppkey AS VARCHAR)) AS a
+                   FROM lineitem GROUP BY 1, 2) d
+             GROUP BY l_orderkey) g"""
+
+  private def wh(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Profiles.warehouse(Tables.load(s, dir, "lineitem"),
+      "l_orderkey", "l_linenumber", col("l_suppkey"), NLoci)
+
+  // The warehouse build itself (mv_scheme_<id>, sql/seqdef.sql:1155-1253):
+  // one row per isolate with md5(profile) — the exact-lookup key.
+  private val j6Warehouse = Q(
+    "j6_warehouse",
+    (s, dir) => wh(s, dir)
+      .select(col("l_orderkey"), col("profile_md5"))
+      .orderBy(col("l_orderkey")),
+    Some(s"""SELECT l_orderkey, profile_md5 FROM ($whSql) wh
+             ORDER BY l_orderkey"""))
+
+  // J6: exact profile lookup — all isolates sharing the profile of isolate 7
+  // (md5 equi join against the warehouse = the mv_scheme md5 unique index).
+  private val j6ProfileLookup = Q(
+    "j6_profile_lookup",
+    (s, dir) => {
+      val w = wh(s, dir).cache()
+      val target = w.filter(col("l_orderkey") === 7)
+        .select(col("profile_md5").as("target_md5"))
+      val out = w.join(broadcast(target),
+          w("profile_md5") === col("target_md5"), "left_semi")
+        .select(col("l_orderkey"), col("profile_md5"))
+        .orderBy(col("l_orderkey"))
+      out
+    },
+    Some(s"""WITH wh AS ($whSql)
+             SELECT l_orderkey, profile_md5 FROM wh
+             WHERE profile_md5 IN (SELECT profile_md5 FROM wh WHERE l_orderkey = 7)
+             ORDER BY l_orderkey"""))
+
+  // ST assignment (Q5 resolution chain): profile → ST id. ST numbering is
+  // deterministic: dense rank of first-appearing isolate per distinct
+  // profile (the reference assigns on definition order; we fix the ordering
+  // rule to min isolate id — SURVEY §7.4 hard-part 1 applies).
+  private val j6StAssign = Q(
+    "j6_st_assign",
+    (s, dir) => {
+      val w = wh(s, dir).cache()
+      val defs = w.groupBy(col("profile_md5"))
+        .agg(min(col("l_orderkey")).as("first_iso"))
+      val sts = defs.select(col("profile_md5"), col("first_iso"),
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("first_iso"))).cast("long").as("st"))
+      w.join(sts.select(col("profile_md5"), col("st")), Seq("profile_md5"))
+        .select(col("l_orderkey"), col("st"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some(s"""WITH wh AS ($whSql),
+             defs AS (SELECT profile_md5, min(l_orderkey) AS first_iso
+                      FROM wh GROUP BY profile_md5),
+             sts AS (SELECT profile_md5,
+                            dense_rank() OVER (ORDER BY first_iso) AS st
+                     FROM defs)
+             SELECT l_orderkey, st FROM wh JOIN sts USING (profile_md5)
+             ORDER BY l_orderkey"""))
+
+  // J7: profile_diff — pairwise mismatch count between profiles of a fixed
+  // isolate subset (zip_with form; sql/seqdef.sql:1380-1384).
+  private val j7ProfileDiff = Q(
+    "j7_profile_diff",
+    (s, dir) => {
+      val w = wh(s, dir).filter(col("l_orderkey") < 40).cache()
+      val a = w.select(col("l_orderkey").as("iso1"), col("profile").as("p1"))
+      val b = w.select(col("l_orderkey").as("iso2"), col("profile").as("p2"))
+      a.join(b, col("iso1") < col("iso2"))
+        .select(col("iso1"), col("iso2"),
+          Profiles.profileDiff(col("p1"), col("p2")).cast("long").as("ndiff"))
+        .orderBy(col("iso1"), col("iso2"))
+    },
+    Some("""WITH d AS (SELECT l_orderkey, l_linenumber,
+                              min(CAST(l_suppkey AS VARCHAR)) AS a
+                       FROM lineitem WHERE l_orderkey < 40 GROUP BY 1, 2),
+            p AS (SELECT l_orderkey,
+                         list_transform(range(1, 8),
+                           i -> coalesce(map(list(l_linenumber ORDER BY l_linenumber),
+                                             list(a ORDER BY l_linenumber))[i][1], '0'))
+                           AS profile
+                  FROM d GROUP BY l_orderkey)
+            SELECT a.l_orderkey AS iso1, b.l_orderkey AS iso2,
+                   len(list_filter(range(1, 8),
+                     i -> a.profile[i] != b.profile[i]
+                          AND a.profile[i] != 'N' AND b.profile[i] != 'N'))
+                     AS ndiff
+            FROM p a JOIN p b ON a.l_orderkey < b.l_orderkey
+            ORDER BY iso1, iso2"""))
+
+  // J8: matching_profiles — isolates sharing >= nLoci - threshold alleles
+  // with isolate 7's profile (broadcast target, linear scan; seqdef.sql:1386).
+  private val j8MatchingProfiles = Q(
+    "j8_matching_profiles",
+    (s, dir) => {
+      val w = wh(s, dir).cache()
+      val target = w.filter(col("l_orderkey") === 7)
+        .select(col("profile").as("tp"))
+      w.join(broadcast(target))
+        .withColumn("shared",
+          Profiles.sharedCount(col("profile"), col("tp")).cast("long"))
+        .filter(col("shared") >= NLoci - 3)
+        .select(col("l_orderkey"), col("shared"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""WITH d AS (SELECT l_orderkey, l_linenumber,
+                              min(CAST(l_suppkey AS VARCHAR)) AS a
+                       FROM lineitem GROUP BY 1, 2),
+            p AS (SELECT l_orderkey,
+                         list_transform(range(1, 8),
+                           i -> coalesce(map(list(l_linenumber ORDER BY l_linenumber),
+                                             list(a ORDER BY l_linenumber))[i][1], '0'))
+                           AS profile
+                  FROM d GROUP BY l_orderkey),
+            t AS (SELECT profile AS tp FROM p WHERE l_orderkey = 7)
+            SELECT l_orderkey,
+                   len(list_filter(range(1, 8),
+                     i -> p.profile[i] = t.tp[i] OR p.profile[i] = 'N'
+                          OR t.tp[i] = 'N')) AS shared
+            FROM p, t
+            WHERE len(list_filter(range(1, 8),
+                    i -> p.profile[i] = t.tp[i] OR p.profile[i] = 'N'
+                         OR t.tp[i] = 'N')) >= 4
+            ORDER BY l_orderkey"""))
+
+  // G1: pairwise allelic distance matrix on a bounded taxa set (the
+  // reference caps at MAX_SPLITS_TAXA=150) — explode/equi-join form so only
+  // sharing pairs are generated, then distance = nLoci - shared.
+  private val g1DistanceMatrix = Q(
+    "g1_distance_matrix",
+    (s, dir) => {
+      val w = wh(s, dir).filter(col("l_orderkey") < 150)
+      val sim = Profiles.similarityJoin(w, "l_orderkey", 1)
+      sim.select(col("e1").as("iso1"), col("e2").as("iso2"),
+          (lit(NLoci) - col("shared")).cast("long").as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy(col("iso1"), col("iso2"))
+    },
+    Some("""WITH d AS (SELECT l_orderkey, l_linenumber,
+                              min(CAST(l_suppkey AS VARCHAR)) AS a
+                       FROM lineitem WHERE l_orderkey < 150 GROUP BY 1, 2),
+            pairs AS (
+              SELECT x.l_orderkey AS iso1, y.l_orderkey AS iso2,
+                     count(1) AS shared
+              FROM d x JOIN d y
+                ON x.l_linenumber = y.l_linenumber AND x.a = y.a
+                   AND x.l_orderkey < y.l_orderkey
+              GROUP BY 1, 2)
+            SELECT iso1, iso2, 7 - shared AS dist FROM pairs
+            WHERE 7 - shared <= 3
+            ORDER BY iso1, iso2"""))
+
+  // G6: gene presence/absence matrix (GenePresence.pm:390-535) — pivot of
+  // designation existence to one boolean column per locus.
+  private val g6PresenceMatrix = Q(
+    "g6_presence_matrix",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_orderkey"))
+        .pivot("l_linenumber", (1 to NLoci).map(_.toString))
+        .agg(count(lit(1)))
+        .select(col("l_orderkey") +:
+          (1 to NLoci).map(i => (col(i.toString) > 0).as(s"locus$i")): _*)
+        .na.fill(false)
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""SELECT l_orderkey,
+                   count(1) FILTER (WHERE l_linenumber = 1) > 0 AS locus1,
+                   count(1) FILTER (WHERE l_linenumber = 2) > 0 AS locus2,
+                   count(1) FILTER (WHERE l_linenumber = 3) > 0 AS locus3,
+                   count(1) FILTER (WHERE l_linenumber = 4) > 0 AS locus4,
+                   count(1) FILTER (WHERE l_linenumber = 5) > 0 AS locus5,
+                   count(1) FILTER (WHERE l_linenumber = 6) > 0 AS locus6,
+                   count(1) FILTER (WHERE l_linenumber = 7) > 0 AS locus7
+            FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  val qs: Seq[Q] = Seq(
+    j6Warehouse, j6ProfileLookup, j6StAssign, j7ProfileDiff,
+    j8MatchingProfiles, g1DistanceMatrix, g6PresenceMatrix)
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Bio
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.9 — sequence-search operators (Q1/Q2/Q6) + §2.8 bio scalar
+  * functions, over `documents` as the sequence library (text = sequence).
+  *
+  * Q1 (exact identification) is the content-addressed md5 join — the
+  * reference's unique `md5(sequence)` index (sql/seqdef.sql:358) — which
+  * needs NO alignment and NO external tool: a broadcast/hash equi join.
+  * Q2 (closest partial match) uses edit distance as the in-engine scoring
+  * core (the BLAST externality is isolated behind this interface —
+  * SURVEY §7.4 hard-part 8).
+  */
+object SeqSearchQueries extends QueryModule {
+
+  // Q1: exact sequence identification via content hash. Case-insensitive,
+  // as the reference hashes the uppercased sequence.
+  private val q1ExactMatch = Q(
+    "q1_exact_md5",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lib = docs.select(col("doc_id").as("lib_id"),
+        md5(upper(col("text"))).as("h"))
+      val queries = docs.filter(col("doc_id") < 25)
+        .select(col("doc_id").as("query_id"), md5(upper(col("text"))).as("h"))
+      queries.join(lib, "h")
+        .select(col("query_id"), col("lib_id"))
+        .orderBy(col("query_id"), col("lib_id"))
+    },
+    Some("""SELECT q.doc_id AS query_id, l.doc_id AS lib_id
+            FROM documents q JOIN documents l
+              ON md5(upper(q.text)) = md5(upper(l.text))
+            WHERE q.doc_id < 25
+            ORDER BY query_id, lib_id"""))
+
+  // Q2: best partial match — min edit distance of the sequence prefix
+  // against the library, best-by-score with deterministic tiebreak
+  // (get_best_partial_match keeps max bitscore, Blast.pm:201-231; here the
+  // score is -levenshtein). Query set is tiny (broadcast); library scan is
+  // linear and parallel.
+  private val q2BestPartial = Q(
+    "q2_best_partial",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lib = docs.select(col("doc_id").as("lib_id"),
+        substring(col("text"), 1, 40).as("lib_seq"))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("q_seq"))
+      val scored = lib.join(broadcast(queries), col("query_id") =!= col("lib_id"))
+        .withColumn("dist", levenshtein(col("q_seq"), col("lib_seq")).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("lib_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("lib_id"), col("dist"))
+        .orderBy(col("query_id"))
+    },
+    Some("""SELECT query_id, lib_id, dist FROM (
+              SELECT q.doc_id AS query_id, l.doc_id AS lib_id,
+                     levenshtein(substring(q.text, 1, 40),
+                                 substring(l.text, 1, 40)) AS dist,
+                     row_number() OVER (
+                       PARTITION BY q.doc_id
+                       ORDER BY levenshtein(substring(q.text, 1, 40),
+                                            substring(l.text, 1, 40)),
+                                l.doc_id) AS rn
+              FROM documents q JOIN documents l ON q.doc_id != l.doc_id
+              WHERE q.doc_id < 5) t
+            WHERE rn = 1
+            ORDER BY query_id"""))
+
+  // §2.8 bio: reverse complement as a codegen'd Catalyst Expression.
+  // DNA is derived deterministically from the doc text so the oracle can
+  // replicate with reverse+translate.
+  private val bioRevcomp = Q(
+    "bio_revcomp",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.filter(col("doc_id") < 200)
+        .withColumn("dna", regexp_replace(upper(col("text")), "[^ACGT]", ""))
+        .withColumn("revcomp", Bio.reverseComplement(col("dna")))
+        .select(col("doc_id"), col("dna"), col("revcomp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+                   regexp_replace(upper(text), '[^ACGT]', '', 'g') AS dna,
+                   reverse(translate(
+                     regexp_replace(upper(text), '[^ACGT]', '', 'g'),
+                     'ACGT', 'TGCA')) AS revcomp
+            FROM documents WHERE doc_id < 200
+            ORDER BY doc_id"""))
+
+  // §2.8 bio: GC content + validity — composition stats (seqbin views).
+  private val bioComposition = Q(
+    "bio_composition",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.withColumn("dna", regexp_replace(upper(col("text")), "[^ACGT]", ""))
+        .filter(length(col("dna")) > 0)
+        .select(col("doc_id"),
+          Bio.isValidDna(col("dna")).as("valid"),
+          round(Bio.gcContent(col("dna")), 4).as("gc"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, regexp_matches(dna, '^[ACGTUN]+$') AS valid,
+                   round((length(dna) - length(regexp_replace(dna, '[GC]', '', 'g')))
+                         / CAST(length(dna) AS DOUBLE), 4) AS gc
+            FROM (SELECT doc_id,
+                         regexp_replace(upper(text), '[^ACGT]', '', 'g') AS dna
+                  FROM documents) t
+            WHERE length(dna) > 0
+            ORDER BY doc_id"""))
+
+  // §2.8 bio: translation + complete-CDS check — no SQL oracle (codon table
+  // not expressible tersely in DuckDB); covered by BioSpec golden tests.
+  // Driver records the weaker rows-only check.
+  private val bioTranslate = Q(
+    "bio_translate",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.withColumn("dna", regexp_replace(upper(col("text")), "[^ACGT]", ""))
+        .filter(length(col("dna")) >= 3)
+        .select(col("doc_id"),
+          Bio.translateDna(col("dna")).as("protein"),
+          Bio.isCompleteCds(col("dna")).as("complete_cds"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(q1ExactMatch, q2BestPartial, bioRevcomp,
+    bioComposition, bioTranslate)
+}

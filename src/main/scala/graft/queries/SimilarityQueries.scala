@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+
+/** ANN over `embeddings` (ARRAY<FLOAT> 64-dim): brute-force cosine top-k
+  * (exact baseline, DuckDB oracle) and SRP-LSH bucketed variant (scale path).
+  */
+object SimilarityQueries extends QueryModule {
+
+  private val simCosineTopk = Q(
+    "sim_cosine_topk",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""SELECT query_id, neighbor_id, cos, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]), 4) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                       c.embedding::DOUBLE[]) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 8) t
+            WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
+  // Centroid similarity per label group: mean embedding per label, cosine of
+  // each vector to its own label centroid — the embedding-cosine near-dup /
+  // clustering primitive, aggregation-shaped (scales as one groupBy + one
+  // broadcast join).
+  private val simCentroid = Q(
+    "sim_label_centroid",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Similarity.toDouble(col("embedding")).as("v"))
+      val dim = 64
+      val sums = emb.groupBy(col("label")).agg(
+        array((0 until dim).map(i =>
+          sum(element_at(col("v"), i + 1))): _*).as("vsum"),
+        count(lit(1)).as("n"))
+      val centroids = sums.select(col("label"),
+        transform(col("vsum"), x => x / col("n")).as("centroid"))
+      emb.join(broadcast(centroids), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosine(col("v"), col("centroid")), 4).as("cos_to_centroid"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH exploded AS (
+              SELECT vec_id, label, i, embedding[i]::DOUBLE AS x
+              FROM embeddings, range(1, 65) t(i)),
+            cent AS (
+              SELECT label, i, avg(x) AS cx
+              FROM exploded GROUP BY label, i),
+            joined AS (
+              SELECT e.vec_id, e.label,
+                     sum(e.x * c.cx) AS dot,
+                     sqrt(sum(e.x * e.x)) AS ne,
+                     sqrt(sum(c.cx * c.cx)) AS nc
+              FROM exploded e JOIN cent c ON e.label = c.label AND e.i = c.i
+              GROUP BY e.vec_id, e.label)
+            SELECT vec_id, label,
+                   round(CASE WHEN ne * nc > 0 THEN dot / (ne * nc) ELSE 0.0 END, 4)
+                     AS cos_to_centroid
+            FROM joined ORDER BY vec_id"""))
+
+  // SRP-LSH bucketed ANN — engine-defined hyperplanes → no SQL oracle;
+  // SimilaritySpec checks recall against the brute-force baseline.
+  private val simLsh = Q(
+    "sim_lsh_ann",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          dim = 64, k = 5, bits = 8, tables = 4)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh)
+}

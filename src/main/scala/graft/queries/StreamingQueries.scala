@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.IncrementalStats
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.11 — incremental aggregate maintenance re-expressed as
+  * Structured Streaming. The batch path below runs the SAME aggregation
+  * definition the streaming path uses (IncrementalStats), so the oracle
+  * validates both; StreamingSpec replays the table through readStream and
+  * diffs against this batch result.
+  */
+object StreamingQueries extends QueryModule {
+
+  // seqbin_stats-shaped per-key aggregate (sql/isolatedb.sql:522-610):
+  // count + sum + max per isolate, maintained incrementally in the ref.
+  private val eventStats = Q(
+    "stream_event_stats",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      IncrementalStats.eventStats(events).orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, count(1) AS n_events,
+                   round(sum(value), 4) AS total_value,
+                   round(max(value), 4) AS max_value
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // Tumbling 1h windows (dashboard change-over-duration counts,
+  // conf/dashboard_primary.toml:18-62) — batch run of the watermarked
+  // streaming aggregation; window struct flattened for the oracle.
+  private val windowed = Q(
+    "stream_windowed_counts",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      IncrementalStats.windowedCounts(events)
+        .select(col("window.start").as("win_start"),
+          col("event_type"), col("n"), col("v"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+                   event_type, count(1) AS n, round(sum(value), 4) AS v
+            FROM events GROUP BY win_start, event_type
+            ORDER BY win_start, event_type"""))
+
+  val qs: Seq[Q] = Seq(eventStats, windowed)
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family over `documents`: token counting, quality
+  * scoring, language ID, fingerprinting (builder-prompt pipeline surface).
+  */
+object TextQueries extends QueryModule {
+
+  // Token + char counting (whitespace tokenizer) with a DuckDB oracle.
+  private val textTokens = Q(
+    "text_tokens",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, length(text) AS n_chars,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  // Quality scoring: punctuation / stopword / shape features + a composite
+  // keep/drop signal (the C4/Gopher-style filter shape).
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+
+  private val textQuality = Q(
+    "text_quality",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TextAnalysis.qualityFeatures(col("text"), stopwords).as("f"))
+        .select(col("doc_id"),
+          col("f.n_tokens").cast("long").as("n_tokens"),
+          round(col("f.mean_word_len"), 4).as("mean_word_len"),
+          round(col("f.stopword_ratio"), 4).as("stopword_ratio"),
+          (col("f.n_tokens") >= 10 && col("f.mean_word_len") < 12.0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+                     CAST(length(text) AS DOUBLE) AS chars,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       w -> w IN ('the','a','an','and','or','of','to','in')))
+                       AS DOUBLE) AS stops
+              FROM documents)
+            SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens,
+                   round(CASE WHEN toks > 0 THEN chars / toks ELSE 0.0 END, 4)
+                     AS mean_word_len,
+                   round(CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END, 4)
+                     AS stopword_ratio,
+                   toks >= 10 AND (CASE WHEN toks > 0 THEN chars / toks ELSE 0.0 END) < 12.0
+                     AS keep
+            FROM t ORDER BY doc_id"""))
+
+  // Language ID by marker-word voting, crosstabbed against the labeled
+  // `lang` column (the heuristic's confusion view). Deterministic rule →
+  // SQL-replicable oracle.
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "los", "de"),
+    "fr" -> Seq("le", "les", "des"),
+    "zh" -> Seq("shi", "de", "le"))
+
+  private val textLangId = Q(
+    "text_lang_id",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("lang"),
+          TextAnalysis.languageId(col("text"), markers).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, lang,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents),
+            scored AS (
+              SELECT doc_id, lang,
+                     len(list_filter(ws, x -> x IN ('der','und','die'))) AS h_de,
+                     len(list_filter(ws, x -> x IN ('the','and','of'))) AS h_en,
+                     len(list_filter(ws, x -> x IN ('el','los','de'))) AS h_es,
+                     len(list_filter(ws, x -> x IN ('le','les','des'))) AS h_fr,
+                     len(list_filter(ws, x -> x IN ('shi','de','le'))) AS h_zh
+              FROM w),
+            pred AS (
+              SELECT doc_id, lang,
+                     (SELECT l FROM (VALUES ('de', h_de), ('en', h_en),
+                                            ('es', h_es), ('fr', h_fr),
+                                            ('zh', h_zh)) AS v(l, h)
+                      ORDER BY h DESC, l ASC LIMIT 1) AS predicted
+              FROM scored)
+            SELECT lang, predicted, count(1) AS n FROM pred
+            GROUP BY lang, predicted ORDER BY lang, predicted"""))
+
+  // Document fingerprint (rolling polynomial hash) — engine-defined arith
+  // is SQL-replicable in principle but brittle; covered by TextSpec.
+  private val textFingerprint = Q(
+    "text_fingerprint",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint)
+}

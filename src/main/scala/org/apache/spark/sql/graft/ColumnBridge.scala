@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 moved `Column` to a ColumnNode facade (sql-api); the
+  * Expression<->Column bridge lives in `private[sql]` ExpressionUtils. This
+  * object, compiled inside the spark.sql package tree, re-exports it for
+  * graft's custom Catalyst expressions (SURVEY §2.8/§2.12).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
