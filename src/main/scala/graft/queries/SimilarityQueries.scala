@@ -80,7 +80,7 @@ object SimilarityQueries extends QueryModule {
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
       Similarity.lshTopK(emb, queries, "vec_id", "embedding",
-          dim = 64, k = 5, bits = 8, tables = 4)
+          dim = 64, k = 5, bits = 4, tables = 8)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))
     },

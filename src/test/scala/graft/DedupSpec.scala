@@ -1,0 +1,77 @@
+package graft
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup family: exact, shingles, MinHash+LSH (planted near-dups), SimHash. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical content, keeps min id") {
+    val docs = Seq((1L, "hello world"), (2L, "HELLO world"), (3L, "hello world"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 1L))) // case-sensitive: doc2 alone
+  }
+
+  test("shingles: distinct lowercase word n-grams") {
+    val df = Seq("The quick the QUICK fox").toDF("t")
+      .select(Dedup.shingles(col("t"), 2).as("sh"))
+    val sh = df.as[Seq[String]].collect().head.toSet
+    assert(sh == Set("the quick", "quick the", "quick fox"))
+  }
+
+  test("shingles: doc shorter than n yields empty (dropped from LSH)") {
+    val df = Seq("single word").toDF("t").select(Dedup.shingles(col("t"), 3).as("sh"))
+    assert(df.as[Seq[String]].collect().head.isEmpty)
+  }
+
+  test("minhashLsh finds planted near-duplicates, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight") // high jaccard
+    val other = "completely different content with no overlapping shingles at all whatsoever in any position"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signature estimates jaccard within tolerance") {
+    val a = "a b c d e f g h i j k l m n o p"
+    val b = "a b c d e f g h i j k l x y z w" // 12-gram overlap of 2-grams
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val withSh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
+    val trueJac = withSh.as[(Long, Seq[String])].collect().toMap match {
+      case m => val s1 = m(1L).toSet; val s2 = m(2L).toSet
+        s1.intersect(s2).size.toDouble / s1.union(s2).size
+    }
+    val est = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleN = 2, k = 128, bands = 32, minEstJaccard = 0.0)
+      .select("est_jaccard").as[Double].collect().head
+    assert(math.abs(est - trueJac) < 0.2, s"est=$est true=$trueJac")
+  }
+
+  test("simhash: identical docs agree; near-dups close in hamming; distinct far") {
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, base.replace("river", "stream")),
+      (4L, "zebra xylophone quartz vortex jigsaw blimp krypton wumpus")).toDF("doc_id", "text")
+    val sig = docs.select(col("doc_id"),
+      Dedup.simhash(Dedup.shingleHashes(Dedup.shingles(col("text"), 2))).as("s"))
+    val m = sig.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(m(a) ^ m(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 3L) < ham(1L, 4L))
+    assert(ham(1L, 3L) <= 16)
+  }
+
+  test("jaccard built-in matches set arithmetic") {
+    val df = spark.range(1).select(
+      Dedup.jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))).as("j"))
+    assert(math.abs(rows(df).head.head.asInstanceOf[Double] - 0.5) < 1e-12)
+  }
+}

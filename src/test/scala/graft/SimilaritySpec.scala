@@ -1,0 +1,39 @@
+package graft
+
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+
+/** ANN: cosine arithmetic, brute-force top-k exactness, LSH recall. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / norm / cosine golden values") {
+    val df = spark.range(1).select(
+      Similarity.dot(typedLit(Seq(1.0, 2.0, 3.0)), typedLit(Seq(4.0, 5.0, 6.0))).as("d"),
+      round(Similarity.cosine(typedLit(Seq(1.0, 0.0)), typedLit(Seq(0.0, 1.0))), 6).as("c0"),
+      round(Similarity.cosine(typedLit(Seq(2.0, 0.0)), typedLit(Seq(5.0, 0.0))), 6).as("c1"),
+      Similarity.cosine(typedLit(Seq(0.0, 0.0)), typedLit(Seq(1.0, 1.0))).as("cz"))
+    assert(rows(df).head == Seq(32.0, 0.0, 1.0, 0.0)) // zero-norm -> 0, not NaN
+  }
+
+  test("bruteForceTopK returns exact nearest neighbors in rank order") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f))).toDF("id", "v")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("id") === 1), "id", "v", 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(out == Seq((2L, 1L), (3L, 2L))) // 2 closest, then orthogonal 3, never -v 4
+  }
+
+  test("LSH ANN achieves >=0.6 recall@5 vs brute force on the sf0.001 corpus") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, bits = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+}

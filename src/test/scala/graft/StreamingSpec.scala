@@ -1,0 +1,33 @@
+package graft
+
+import graft.streaming.IncrementalStats
+
+/** Batch/streaming equivalence: replaying the events table through
+  * Structured Streaming must produce exactly the batch aggregate
+  * (SURVEY §2.11 — the trigger-maintained incremental aggregate).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streamed eventStats equals batch eventStats on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val batchIn = Tables.load(spark, dir, "events")
+    val batch = IncrementalStats.eventStats(batchIn)
+
+    // pruned schema: the aggregation only needs (user_id, value); omitting
+    // `ts` sidesteps the TIMESTAMP(NANOS) column in the raw file
+    val schema = org.apache.spark.sql.types.StructType(
+      batchIn.schema.filter(f => Set("user_id", "value")(f.name)))
+    // the streaming file source monitors a DIRECTORY; stage the single file
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-test")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val q = IncrementalStats.replayAsStream(
+      spark, stage.toString, schema, "stream_sink_test")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_sink_test")
+
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}

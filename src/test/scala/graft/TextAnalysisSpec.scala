@@ -1,0 +1,61 @@
+package graft
+
+import graft.pipeline.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace tokens, robust to padding") {
+    val df = Seq("one two  three", "  lead trail  ", "single").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n"))
+    assert(rows(df).map(_.head) == Seq(3, 2, 1))
+  }
+
+  test("qualityFeatures: golden ratios") {
+    val df = Seq("The cat, the hat.").toDF("t")
+      .select(TextAnalysis.qualityFeatures(col("t"),
+        Seq("the", "a", "an")).as("f"))
+      .select(col("f.n_tokens"), round(col("f.stopword_ratio"), 4),
+        round(col("f.punct_ratio"), 4))
+    // tokens: [The, "cat,", the, "hat."] = 4; lowered bare "the" matches
+    // twice -> 2/4; punct chars "," "." -> 2/17
+    assert(rows(df).head == Seq(4.0, 0.5, BigDecimal(2.0 / 17)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("qualityFeatures stopword ratio counts exact lowercase word matches") {
+    val df = Seq("the THE the, banana").toDF("t")
+      .select(TextAnalysis.qualityFeatures(col("t"), Seq("the")).as("f"))
+      .select(round(col("f.stopword_ratio"), 4))
+    // tokens: [the, the, "the,", banana] — "the," does not exact-match
+    assert(rows(df).head.head == 0.5)
+  }
+
+  test("languageId: highest marker-hit language wins; ties break ascending") {
+    val markers = Map("en" -> Seq("the", "and"), "de" -> Seq("der", "und"))
+    val df = Seq("the cat and the dog", "der hund und die katze", "x y z")
+      .toDF("t").select(TextAnalysis.languageId(col("t"), markers).as("l"))
+    assert(rows(df).map(_.head) == Seq("en", "de", "de")) // 0-0 tie -> "de" first
+  }
+
+  test("fingerprint: deterministic, order-sensitive, prefix-bound") {
+    val df = Seq("abc", "abc", "acb", "abc" + ("x" * 100)).toDF("t")
+      .select(TextAnalysis.fingerprint(col("t")).as("fp"))
+    val fps = rows(df).map(_.head.asInstanceOf[Long])
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    // only first 64 chars contribute
+    val df2 = Seq("abc" + ("x" * 100), "abc" + ("x" * 61) + "ZZZ").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t")).as("fp"))
+    val f2 = rows(df2).map(_.head.asInstanceOf[Long])
+    assert(f2(0) == f2(1))
+  }
+
+  test("subwordCount splits on punctuation boundaries") {
+    val df = Seq("don't stop-me now").toDF("t")
+      .select(TextAnalysis.subwordCount(col("t")).as("n"))
+    // pieces: don | ' | t | stop | - | me | now
+    assert(rows(df).head.head == 7)
+  }
+}
