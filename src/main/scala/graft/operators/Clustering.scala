@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Clustering / graph analytics (SURVEY §2.10 G2/G3/G4).
+  *
+  * The reference computes single-linkage classification groups by a
+  * sequential merge loop (scripts/automation/cluster.pl:107-360) and BURST
+  * clonal complexes by DFS over a shared-allele-count matrix
+  * (lib/BIGSdb/Plugins/BURST.pm:238-608). Both reduce to connected
+  * components over a threshold-similarity edge set; we fix the reference's
+  * order-dependent merge naming to the deterministic rule "component id =
+  * min member id" (SURVEY §7.4 hard-part 2).
+  *
+  * Scale: components run as iterative min-label propagation — each round is
+  * one shuffle on the edge key, rounds = graph diameter in the worst case
+  * but O(log n) for the short, fat clusters similarity graphs produce. Edges
+  * come from the explode/equi-join similarity join (no O(n²) pair space).
+  */
+object Clustering {
+
+  /** Minimum-label connected components over an undirected edge list.
+    *
+    * Input: edges(src, dst) — any integral type. Output: (node, component)
+    * with component = min node id reachable. Isolated nodes of `nodes` (if
+    * given) map to themselves.
+    *
+    * Label propagation: labels(n) = min(labels over neighbors ∪ self),
+    * iterated to fixpoint. Each iteration: one join edges⋈labels + one
+    * groupBy — both shuffle on the node key, so co-partitioning is reused
+    * across rounds; the label frontier shrinks monotonically.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      nodes: Option[DataFrame] = None,
+      maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    val allNodes = nodes.map(_.select(col("node")))
+      .getOrElse(sym.select(col("src").as("node")).distinct())
+    // localCheckpoint each round: truncates the compounding plan lineage
+    // (without it the logical plan doubles per iteration and planning OOMs)
+    var labels = allNodes.select(col("node"), col("node").as("component"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label for each node: min over neighbor labels and own
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("component"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node"))
+        .filter(col("component") =!= col("old"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** G3 — single-linkage classification groups (cluster.pl + seqdef.sql
+    * matching_profiles): profiles within `threshold` mismatches are linked;
+    * groups are the connected components. `wh` is a Profiles.warehouse
+    * output; group id = min entity id in the component.
+    */
+  def singleLinkage(wh: DataFrame, entity: String, nLoci: Int, threshold: Int): DataFrame = {
+    val edges = Profiles.similarityJoin(wh, entity, nLoci - threshold)
+      .select(col("e1").as("src"), col("e2").as("dst"))
+    val nodes = wh.select(col(entity).as("node"))
+    connectedComponents(edges, Some(nodes))
+      .withColumnRenamed("node", entity)
+      .withColumnRenamed("component", "group_id")
+  }
+
+  /** G2 — BURST clonal complexes (BURST.pm:238-608): group profiles sharing
+    * >= grpdef alleles (default nLoci - 2); within each group the founder is
+    * the member with the most single-locus variants (SLVs = pairs sharing
+    * exactly nLoci - 1), min id on ties.
+    *
+    * Output: (entity, group_id, slv_count, is_founder).
+    */
+  def burst(wh: DataFrame, entity: String, nLoci: Int, grpdef: Int): DataFrame = {
+    val sim = Profiles.similarityJoin(wh, entity, 1).cache()
+    val edges = sim.filter(col("shared") >= grpdef)
+      .select(col("e1").as("src"), col("e2").as("dst"))
+    val groups = connectedComponents(edges, Some(wh.select(col(entity).as("node"))))
+    // SLV degree per node (count both directions of each SLV pair)
+    val slvPairs = sim.filter(col("shared") === nLoci - 1)
+    val slvDeg = slvPairs.select(col("e1").as("node"))
+      .unionByName(slvPairs.select(col("e2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("slv_count"))
+    val withDeg = groups.join(slvDeg, Seq("node"), "left")
+      .na.fill(0L, Seq("slv_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("slv_count").desc, col("node"))
+    withDeg
+      .withColumn("is_founder", row_number().over(w) === 1)
+      .select(col("node").as(entity), col("component").as("group_id"),
+        col("slv_count"), col("is_founder"))
+  }
+
+  /** G4 — LIN code assignment (scripts/maintenance/lincodes.pl:177-331).
+    *
+    * Inherently order-dependent and sequential (SURVEY §7.4 hard-part 1):
+    * each profile, in assignment order, inherits the code prefix of its
+    * nearest already-assigned profile down to the deepest threshold level
+    * its %-identity clears, then takes the next free integer at the level
+    * below. We fix the assignment order to ascending entity id and break
+    * nearest ties by lowest id — deterministic re-runs.
+    *
+    * `thresholds` are ascending minimum %-identity per level (e.g.
+    * Seq(50.0, 75.0, 90.0)); identity is computed over shared non-missing
+    * loci (lincodes.pl:236-289). Runs on the driver over the collected
+    * profile matrix: the profile dimension (#STs) is orders of magnitude
+    * smaller than the isolate fact — the same argument the reference uses
+    * for its in-memory PDL matrix. The 100 TB-side join (isolate→ST) stays
+    * in Spark.
+    *
+    * Input rows: (entity: Long-castable, profile: Seq[String]).
+    * Output: (entity, lincode ARRAY<INT>).
+    */
+  def assignLinCodes(
+      wh: DataFrame,
+      entity: String,
+      thresholds: Seq[Double]): DataFrame = {
+    val spark = wh.sparkSession
+    import spark.implicits._
+    val profiles = wh
+      .select(col(entity).cast("long"), col("profile"))
+      .as[(Long, Seq[String])]
+      .collect()
+      .sortBy(_._1) // assignment order: ascending id
+    val levels = thresholds.length
+    val assigned = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String], Vector[Int])]
+    val out = profiles.map { case (id, prof) =>
+      val code: Vector[Int] =
+        if (assigned.isEmpty) Vector.fill(levels)(0)
+        else {
+          // nearest assigned by %identity over shared non-missing loci
+          val (_, bestProf, bestCode, bestPid) = assigned.iterator.map { case (pid, p, c) =>
+            (identityPct(prof, p), p, c, pid)
+          }.maxBy { case (pct, _, _, pid) => (pct, -pid) }
+          val pct = identityPct(prof, bestProf)
+          // deepest level whose threshold the identity clears
+          val depth = thresholds.lastIndexWhere(t => pct >= t) + 1 // 0 = none
+          if (depth >= levels) bestCode // identical at the finest level
+          else {
+            val prefix = bestCode.take(depth)
+            // next free integer at position `depth` among codes sharing prefix
+            val used = assigned.iterator
+              .filter(_._3.take(depth) == prefix)
+              .map(_._3(depth)).toSet
+            val nxt = Iterator.from(0).find(!used(_)).get
+            (prefix :+ nxt) ++ Vector.fill(levels - depth - 1)(0)
+          }
+        }
+      assigned += ((id, prof, code))
+      (id, code)
+    }
+    spark.createDataset(out.toSeq).toDF(entity, "lincode")
+  }
+
+  /** %-identity over loci where neither side is missing ("0"); "N" matches
+    * anything (lincodes.pl identity rule).
+    */
+  def identityPct(a: Seq[String], b: Seq[String]): Double = {
+    var shared = 0; var comparable = 0; var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      if (x != AlleleIdS.Missing && y != AlleleIdS.Missing) {
+        comparable += 1
+        if (x == y || x == AlleleIdS.Arbitrary || y == AlleleIdS.Arbitrary) shared += 1
+      }
+      i += 1
+    }
+    if (comparable == 0) 0.0 else 100.0 * shared / comparable
+  }
+
+  private object AlleleIdS {
+    val Missing = graft.functions.AlleleId.Missing
+    val Arbitrary = graft.functions.AlleleId.Arbitrary
+  }
+}

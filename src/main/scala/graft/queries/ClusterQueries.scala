@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Clustering, Profiles}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.10 — clustering over the profile warehouse built from lineitem
+  * (l_orderkey=isolate, l_linenumber=locus, l_suppkey=allele).
+  */
+object ClusterQueries extends QueryModule {
+
+  private val NLoci = 7
+
+  private def wh(s: org.apache.spark.sql.SparkSession, dir: String, maxId: Int) =
+    Profiles.warehouse(
+      Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < maxId),
+      "l_orderkey", "l_linenumber", col("l_suppkey"), NLoci)
+
+  // Shared oracle fragment: threshold-similarity edges between profiles of
+  // isolates < 300 — pairs sharing >= 5 of 7 (locus, allele) designations.
+  // (DuckDB: same explode/equi-join shape the engine uses.)
+  private def edgesSql(minShared: Int) =
+    s"""SELECT x.l_orderkey AS src, y.l_orderkey AS dst
+        FROM (SELECT l_orderkey, l_linenumber,
+                     min(CAST(l_suppkey AS VARCHAR)) AS a
+              FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2) x
+        JOIN (SELECT l_orderkey, l_linenumber,
+                     min(CAST(l_suppkey AS VARCHAR)) AS a
+              FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2) y
+          ON x.l_linenumber = y.l_linenumber AND x.a = y.a
+             AND x.l_orderkey < y.l_orderkey
+        GROUP BY 1, 2
+        HAVING count(1) >= $minShared"""
+
+  // G3: single-linkage classification groups at threshold 2 (profiles within
+  // 2 mismatches linked). Oracle: transitive closure by recursive CTE,
+  // component id = min reachable node — the same deterministic naming rule.
+  private val g3SingleLinkage = Q(
+    "g3_single_linkage",
+    (s, dir) => {
+      val w = wh(s, dir, 300)
+      Clustering.singleLinkage(w, "l_orderkey", NLoci, 2)
+        .orderBy(col("l_orderkey"))
+    },
+    Some(s"""WITH RECURSIVE
+             edges AS (
+               SELECT src, dst FROM (${edgesSql(5)}) e
+               UNION SELECT dst, src FROM (${edgesSql(5)}) e2),
+             nodes AS (SELECT DISTINCT l_orderkey AS node
+                       FROM lineitem WHERE l_orderkey < 300),
+             reach AS (
+               SELECT node AS src, node AS dst FROM nodes
+               UNION
+               SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+             SELECT src AS l_orderkey, min(dst) AS group_id
+             FROM reach GROUP BY src ORDER BY l_orderkey"""))
+
+  // G2: BURST clonal complexes with grpdef = nLoci - 2 = 5. Groups have the
+  // same closure oracle; SLV counts and founder flags are checked in
+  // ClusteringSpec (the windowed founder pick is engine-side semantics).
+  private val g2Burst = Q(
+    "g2_burst",
+    (s, dir) => {
+      val w = wh(s, dir, 300)
+      Clustering.burst(w, "l_orderkey", NLoci, grpdef = NLoci - 2)
+        .select(col("l_orderkey"), col("group_id"), col("slv_count"),
+          col("is_founder"))
+        .orderBy(col("l_orderkey"))
+    },
+    None)
+
+  // G4: LIN codes — order-dependent sequential assignment, no SQL oracle
+  // (ClusteringSpec carries the hand-computed golden); 3-level scheme.
+  private val g4Lincode = Q(
+    "g4_lincode",
+    (s, dir) => {
+      val w = wh(s, dir, 300)
+      Clustering.assignLinCodes(w, "l_orderkey", Seq(30.0, 60.0, 90.0))
+        .select(col("l_orderkey"),
+          concat_ws("_", col("lincode")).as("lincode"))
+        .orderBy(col("l_orderkey"))
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(g3SingleLinkage, g2Burst, g4Lincode)
+}

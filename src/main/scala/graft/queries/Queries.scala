@@ -28,6 +28,7 @@ object AllQueries {
     AggQueries,
     SortQueries,
     ProfileQueries,
+    ClusterQueries,
     SeqSearchQueries,
     DedupQueries,
     TextQueries,

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Clustering, Profiles}
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: min-label components, isolated nodes kept") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("node")
+    val got = Clustering.connectedComponents(edges, Some(nodes))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("connectedComponents: long chain converges (diameter > 1 round)") {
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Clustering.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L))
+  }
+
+  // mini-MLST universe: 3 loci; A/B identical, C one mismatch from B,
+  // D unrelated
+  private lazy val fact = Seq(
+    (1, 1, "1"), (1, 2, "1"), (1, 3, "1"),  // A = [1,1,1]
+    (2, 1, "1"), (2, 2, "1"), (2, 3, "1"),  // B = [1,1,1]
+    (3, 1, "1"), (3, 2, "1"), (3, 3, "9"),  // C = [1,1,9] (SLV of A/B)
+    (4, 1, "7"), (4, 2, "8"), (4, 3, "6"))  // D = [7,8,6]
+    .toDF("iso", "locus", "allele")
+  private lazy val wh = Profiles.warehouse(fact, "iso", "locus", col("allele"), 3)
+
+  test("singleLinkage groups within threshold, leaves outliers alone") {
+    val groups = Clustering.singleLinkage(wh, "iso", 3, threshold = 1)
+      .as[(Int, Int)].collect().toMap
+    assert(groups == Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4))
+  }
+
+  test("burst: SLV counts and founder = most SLVs, min id on tie") {
+    val out = Clustering.burst(wh, "iso", 3, grpdef = 2)
+      .select("iso", "group_id", "slv_count", "is_founder")
+      .as[(Int, Int, Long, Boolean)].collect().toSet
+    // SLV pairs (shared == 2): (1,3), (2,3). Group {1,2,3}; D isolated.
+    // C has 2 SLVs -> founder of group 1; D founder of its own group.
+    assert(out == Set(
+      (1, 1, 1L, false), (2, 1, 1L, false), (3, 1, 2L, true), (4, 4, 0L, true)))
+  }
+
+  test("identityPct: non-missing denominator, N wildcard") {
+    assert(Clustering.identityPct(Seq("1", "2", "3"), Seq("1", "2", "9")) == 100.0 * 2 / 3)
+    assert(Clustering.identityPct(Seq("1", "0", "3"), Seq("1", "2", "3")) == 100.0)
+    assert(Clustering.identityPct(Seq("1", "N", "3"), Seq("1", "2", "9")) == 100.0 * 2 / 3)
+    assert(Clustering.identityPct(Seq("0", "0"), Seq("1", "2")) == 0.0)
+  }
+
+  test("assignLinCodes: hand-computed golden (thresholds 50/100)") {
+    // order: 1=[1,1,1,1] first -> [0,0]
+    // 2=[1,1,1,1]: 100% to 1 -> clears both levels -> inherits [0,0]
+    // 3=[1,1,9,9]: 50% to 1 -> clears level 1 only -> prefix [0], next free
+    //              at level 2 among [0,*]: 0 used -> [0,1]
+    // 4=[7,8,6,5]: 0% -> clears nothing -> next free at level 1: [1,0]
+    // 5=[1,1,9,8]: 75% to 3 -> prefix [0], used {0,1} -> [0,2]
+    val f = Seq(
+      (1, Seq("1", "1", "1", "1")), (2, Seq("1", "1", "1", "1")),
+      (3, Seq("1", "1", "9", "9")), (4, Seq("7", "8", "6", "5")),
+      (5, Seq("1", "1", "9", "8")))
+      .toDF("iso", "profile")
+    val got = Clustering.assignLinCodes(f, "iso", Seq(50.0, 100.0))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got == Map(
+      1L -> Seq(0, 0), 2L -> Seq(0, 0), 3L -> Seq(0, 1),
+      4L -> Seq(1, 0), 5L -> Seq(0, 2)))
+  }
+
+  test("assignLinCodes is deterministic across re-runs") {
+    val f = Seq(
+      (10, Seq("1", "2", "3")), (20, Seq("1", "2", "4")), (30, Seq("9", "9", "9")))
+      .toDF("iso", "profile")
+    val a = Clustering.assignLinCodes(f, "iso", Seq(40.0, 80.0))
+      .as[(Long, Seq[Int])].collect().toMap
+    val b = Clustering.assignLinCodes(f, "iso", Seq(40.0, 80.0))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a == b)
+  }
+}
