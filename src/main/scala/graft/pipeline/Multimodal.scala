@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column pipeline for training-data prep.
+  *
+  * Media are opaque BINARY columns plus a typed metadata struct — the
+  * Spark-side plumbing (schema, partition-preserving mapPartitions, batch
+  * shape) is real; the actual codec call is STUBBED behind `Decoder`
+  * (image/audio libraries are not available in this environment) with a
+  * deterministic fake so the pipeline is testable end-to-end. Swap
+  * `StubDecoder` for a real implementation (JNI codec / subprocess) without
+  * touching the Spark plumbing.
+  *
+  * Scale notes: decode runs per-partition (one `Decoder` instance per task,
+  * amortizing codec init), rows stream through an iterator (no partition
+  * materialization), and media bytes are never shuffled — derive features
+  * first, then join/aggregate on the small feature output.
+  */
+object Multimodal {
+
+  /** media metadata struct: (format, width, height, duration_ms) */
+  val metaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val featureType: StructType = StructType(Seq(
+    StructField("n_bytes", LongType),
+    StructField("content_hash", LongType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** The codec boundary. decode() returns a small fixed-size feature vector
+    * (the embedding/thumbnail/frame-sample stand-in).
+    */
+  trait Decoder extends Serializable {
+    def decode(media: Array[Byte], meta: Row): Array[Float]
+  }
+
+  /** Deterministic fake decoder: features derived from byte statistics.
+    * STUB — replace with a real codec (e.g. via JNI or a sidecar process).
+    */
+  object StubDecoder extends Decoder {
+    def decode(media: Array[Byte], meta: Row): Array[Float] = {
+      var h = 1125899906842597L
+      var sum = 0L
+      var i = 0
+      while (i < media.length) {
+        h = 31 * h + media(i)
+        sum += media(i) & 0xff
+        i += 1
+      }
+      Array(
+        media.length.toFloat,
+        (if (media.length > 0) sum.toFloat / media.length else 0f),
+        (h & 0xffff).toFloat)
+    }
+  }
+
+  /** Attach a media column to a text corpus (the test harness's stand-in
+    * for real image bytes): media = utf-8 bytes, meta derived from length.
+    */
+  def syntheticMedia(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(
+      col(id),
+      encode(col(text), "UTF-8").as("media"),
+      struct(
+        lit("fake/raw").as("format"),
+        (length(col(text)) % 1024).cast("int").as("width"),
+        (length(col(text)) % 768).cast("int").as("height"),
+        (length(col(text)).cast("long") * 10L).as("duration_ms")).as("meta"))
+
+  /** Decode + feature-extract over (id, media, meta) — partition-preserving
+    * mapPartitions; one decoder per partition, streaming iterator.
+    * Output: (id, n_bytes, content_hash, feature ARRAY<FLOAT>).
+    */
+  def decodeFeatures(media: DataFrame, id: String,
+      decoder: Decoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    val inSchema = media.schema
+    val idIdx = inSchema.fieldIndex(id)
+    val mediaIdx = inSchema.fieldIndex("media")
+    val metaIdx = inSchema.fieldIndex("meta")
+    val outSchema = StructType(
+      inSchema(idIdx) +: featureType.fields.toSeq)
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      // decoder init happens once per task here (amortized codec setup)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val feat = decoder.decode(bytes, r.getAs[Row](metaIdx))
+        var h = 1125899906842597L
+        var i = 0
+        while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+        Row(r.get(idIdx), bytes.length.toLong, h, feat.toSeq)
+      }
+    }(outEncoder)
+  }
+
+  /** Frame sampling stub: every `stride`-th byte window stands in for video
+    * frame extraction — demonstrates the one-to-many (media → frames)
+    * explode shape with bounded output per row.
+    */
+  def frameSample(media: DataFrame, id: String, stride: Int, maxFrames: Int): DataFrame =
+    media.select(
+      col(id),
+      posexplode(slice(
+        transform(
+          sequence(lit(0), greatest(
+            least((length(col("media")) / stride).cast("int") - 1,
+              lit(maxFrames - 1)), lit(0))),
+          i => substr(base64(col("media")), (i * 8 + 1).cast("int"), lit(8))),
+        1, maxFrames)).as(Seq("frame_no", "frame_token")))
+}

@@ -30,6 +30,7 @@ object AllQueries {
     ProfileQueries,
     ClusterQueries,
     SeqSearchQueries,
+    ScanQueries,
     DedupQueries,
     TextQueries,
     SimilarityQueries,

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.SeqScan
+import graft.pipeline.Multimodal
+import graft.sources.Fasta
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.9 Q4/Q6 scan operators, §2.1 S3/S4 FASTA source/sink, and the
+  * multimodal pipeline — over DNA derived from `documents` text (the same
+  * derivation bio_revcomp uses, so oracles can replicate it).
+  */
+object ScanQueries extends QueryModule {
+
+  private def dnaDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+      .withColumn("dna", regexp_replace(upper(col("text")), "[^ACGT]", ""))
+
+  private val dnaSql = "regexp_replace(upper(text), '[^ACGT]', '', 'g')"
+
+  // Q4: exact tag scan — library = 8-mers cut from docs 0-2, scanned against
+  // every contig on both strands (overlapping hit semantics to match the
+  // position-scan oracle).
+  private val q4TagScan = Q(
+    "q4_tag_scan",
+    (s, dir) => {
+      val docs = dnaDocs(s, dir)
+      val lib = docs.filter(col("doc_id") < 3 && length(col("dna")) >= 12)
+        .select(concat(lit("L"), col("doc_id")).as("locus"),
+          lit("1").as("allele_id"),
+          substring(col("dna"), 3, 8).as("allele_seq"))
+      SeqScan.exactTagScan(
+          docs.filter(length(col("dna")) >= 8), "doc_id", "dna",
+          lib, "locus", "allele_id", "allele_seq", overlapping = true)
+        .select(col("doc_id"), col("locus"), col("start_pos"),
+          col("end_pos"), col("reverse"))
+        .orderBy(col("doc_id"), col("locus"), col("start_pos"), col("reverse"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, $dnaSql AS dna FROM documents),
+             lib AS (SELECT 'L' || doc_id AS locus,
+                            substring(dna, 3, 8) AS fwd,
+                            reverse(translate(substring(dna, 3, 8), 'ACGT', 'TGCA')) AS rev
+                     FROM d WHERE doc_id < 3 AND length(dna) >= 12),
+             contigs AS (SELECT doc_id, dna FROM d WHERE length(dna) >= 8),
+             hits AS (
+               SELECT c.doc_id, l.locus, CAST(p AS BIGINT) AS start_pos,
+                      CAST(p + 7 AS BIGINT) AS end_pos, false AS reverse
+               FROM contigs c, lib l,
+                    unnest(list_filter(range(1, length(c.dna) - 6),
+                      p -> substring(c.dna, p, 8) = l.fwd)) t(p)
+               UNION ALL
+               SELECT c.doc_id, l.locus, CAST(p AS BIGINT), CAST(p + 7 AS BIGINT), true
+               FROM contigs c, lib l,
+                    unnest(list_filter(range(1, length(c.dna) - 6),
+                      p -> substring(c.dna, p, 8) = l.rev)) t(p)
+               WHERE l.rev != l.fwd)
+             SELECT doc_id, locus, start_pos, end_pos, reverse FROM hits
+             ORDER BY doc_id, locus, start_pos, reverse"""))
+
+  // Q6: mutation scan — three defined point variants at fixed positions.
+  private val q6MutationScan = Q(
+    "q6_mutation_scan",
+    (s, dir) => {
+      import s.implicits._
+      val muts = Seq(("m1", 5, "A", "G"), ("m2", 10, "C", "T"), ("m3", 20, "G", "A"))
+        .toDF("mut_id", "position", "wild_type", "variant")
+      SeqScan.mutationScan(
+          dnaDocs(s, dir).filter(length(col("dna")) >= 20), "doc_id", "dna",
+          muts, "mut_id", "position", "wild_type", "variant")
+        .orderBy(col("doc_id"), col("mut_id"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, $dnaSql AS dna FROM documents),
+             m(mut_id, position, wild_type, variant) AS (
+               VALUES ('m1', 5, 'A', 'G'), ('m2', 10, 'C', 'T'),
+                      ('m3', 20, 'G', 'A'))
+             SELECT doc_id, mut_id, position,
+                    substring(dna, position, 1) AS observed,
+                    CASE WHEN substring(dna, position, 1) = wild_type THEN 'wild_type'
+                         WHEN substring(dna, position, 1) = variant THEN 'variant'
+                         ELSE 'other' END AS status
+             FROM d, m
+             WHERE length(dna) >= 20 AND length(dna) >= position
+             ORDER BY doc_id, mut_id"""))
+
+  // S3/S4: FASTA sink + source round trip — write the derived DNA as
+  // wrapped FASTA, re-read it distributed, verify content by md5.
+  private val s3FastaRoundtrip = Q(
+    "s3_fasta_roundtrip",
+    (s, dir) => {
+      val docs = dnaDocs(s, dir).filter(length(col("dna")) > 0)
+        .select(col("doc_id").cast("string").as("id"),
+          col("lang").as("desc"), col("dna"))
+      val path = s"/tmp/graft_fasta_${dir.replaceAll("[^0-9.]", "")}"
+      Fasta.write(docs, "id", "dna", path, desc = Some("desc"))
+      Fasta.read(s, path)
+        .select(col("id").cast("long").as("doc_id"),
+          col("description"),
+          length(col("sequence")).cast("long").as("seq_len"),
+          md5(col("sequence")).as("seq_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, lang AS description,
+                    length($dnaSql) AS seq_len, md5($dnaSql) AS seq_md5
+             FROM documents WHERE length($dnaSql) > 0
+             ORDER BY doc_id"""))
+
+  // Multimodal: binary media column through the partition-preserving decode
+  // (mapPartitions) — byte length checked against the oracle; hash/feature
+  // columns are engine-defined (MultimodalSpec).
+  private val mmDecode = Q(
+    "mm_decode_features",
+    (s, dir) => {
+      val media = Multimodal.syntheticMedia(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeFeatures(media, "doc_id")
+        .select(col("doc_id"), col("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents ORDER BY doc_id"""))
+
+  // Multimodal frame sampling (video frame-extraction shape): bounded
+  // one-to-many explode per media row.
+  private val mmFrames = Q(
+    "mm_frame_sample",
+    (s, dir) => {
+      val media = Multimodal.syntheticMedia(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text")
+      Multimodal.frameSample(media, "doc_id", stride = 64, maxFrames = 4)
+        .orderBy(col("doc_id"), col("frame_no"))
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(q4TagScan, q6MutationScan, s3FastaRoundtrip,
+    mmDecode, mmFrames)
+}

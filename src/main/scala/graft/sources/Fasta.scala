@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FASTA source/sink (SURVEY §2.1 S3/S4/S5; reference parser
+  * lib/BIGSdb/Utils.pm:270-293).
+  *
+  * Distributed read without a custom FileFormat: set the line separator to
+  * ">" so each text record is one FASTA entry ("id desc\nseq\nseq..."),
+  * then split header/sequence with built-ins. Records never span Spark
+  * rows, so the parse is embarrassingly parallel and the file can be any
+  * size (Spark splits on the separator).
+  */
+object Fasta {
+
+  /** Read a FASTA file/dir into (id, description, sequence). Sequence
+    * whitespace/newlines are stripped, case preserved (the reference
+    * uppercases at comparison time, not ingest).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    spark.read.option("lineSep", ">").text(path)
+      .filter(trim(col("value")) =!= "")
+      .select(
+        // header = text before first newline; id = first token
+        substring_index(col("value"), "\n", 1).as("header"),
+        // sequence = the rest, newlines and CRs removed
+        regexp_replace(
+          expr("substring(value, instr(value, '\n') + 1)"),
+          "[\r\n\\s]", "").as("sequence"))
+      .select(
+        substring_index(trim(col("header")), " ", 1).as("id"),
+        when(instr(trim(col("header")), " ") > 0,
+          expr("substring(trim(header), instr(trim(header), ' ') + 1)"))
+          .otherwise(lit("")).as("description"),
+        col("sequence"))
+      .filter(col("id") =!= "")
+  }
+
+  /** Format (id, description, sequence) rows as FASTA text lines, wrapped at
+    * `width` characters (the reference's BigsDB downloads wrap at 60).
+    * Returns a single-column DataFrame ready for df.write.text — the bulk
+    * allele/profile download sink (DownloadAllelesPage).
+    */
+  def format(df: DataFrame, id: String, seq: String,
+      desc: Option[String] = None, width: Int = 60): DataFrame = {
+    val header = desc match {
+      case Some(d) => concat(lit(">"), col(id),
+        when(col(d).isNotNull && col(d) =!= "", concat(lit(" "), col(d)))
+          .otherwise(lit("")))
+      case None => concat(lit(">"), col(id))
+    }
+    val wrapped = array_join(
+      transform(
+        sequence(lit(0), floor((length(col(seq)) - 1) / width).cast("int")),
+        i => substr(col(seq), (i * width + 1).cast("int"), lit(width))),
+      "\n")
+    df.select(concat(header, lit("\n"), wrapped).as("value"))
+  }
+
+  /** Write FASTA to `path` (one part per partition; repartition upstream to
+    * control file count — partitioned by locus for the per-locus download
+    * layout, S5).
+    */
+  def write(df: DataFrame, id: String, seq: String, path: String,
+      desc: Option[String] = None): Unit =
+    format(df, id, seq, desc).write.mode("overwrite").text(path)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.sources.Fasta
+import org.apache.spark.sql.functions._
+
+class FastaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("write → read round trip preserves id, description, sequence") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fasta").toString
+    val in = Seq(
+      ("a1", "first allele", "ACGT" * 40),  // 160 chars: wraps at 60
+      ("a2", "", "TTTT"),
+      ("a3", "multi word desc", "G" * 61))
+      .toDF("id", "desc", "seq")
+    Fasta.write(in, "id", "seq", dir, desc = Some("desc"))
+    val back = Fasta.read(spark, dir)
+      .select("id", "description", "sequence")
+      .as[(String, String, String)].collect().toSet
+    assert(back == Set(
+      ("a1", "first allele", "ACGT" * 40),
+      ("a2", "", "TTTT"),
+      ("a3", "multi word desc", "G" * 61)))
+  }
+
+  test("format wraps sequence lines at the requested width") {
+    val out = Fasta.format(Seq(("x", "A" * 130)).toDF("id", "seq"), "id", "seq")
+      .as[String].collect().head
+    val lines = out.split("\n")
+    assert(lines.head == ">x")
+    assert(lines.tail.map(_.length).toSeq == Seq(60, 60, 10))
+  }
+
+  test("read parses headers without descriptions and multi-line sequences") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fasta2")
+    java.nio.file.Files.writeString(dir.resolve("f.fa"),
+      ">seq1\nACGT\nACGT\n>seq2 with desc\nTTTT\n")
+    val got = Fasta.read(spark, dir.toString)
+      .select("id", "description", "sequence")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("seq1", "", "ACGTACGT"), ("seq2", "with desc", "TTTT")))
+  }
+}

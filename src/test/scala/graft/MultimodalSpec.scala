@@ -1,0 +1,53 @@
+package graft
+
+import graft.pipeline.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq((1L, "hello"), (2L, ""), (3L, "wörld"))
+    .toDF("doc_id", "text")
+
+  test("syntheticMedia: binary column + typed metadata struct") {
+    val m = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    assert(m.schema("media").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val metaFields = m.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields ==
+      Multimodal.metaType.fields.map(f => (f.name, f.dataType)).toSeq)
+    val meta = m.filter(col("doc_id") === 1)
+      .select("meta.format", "meta.duration_ms").collect().head
+    assert(meta.getString(0) == "fake/raw" && meta.getLong(1) == 50L)
+  }
+
+  test("decodeFeatures: mapPartitions output matches driver-side decoder") {
+    val m = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val out = Multimodal.decodeFeatures(m, "doc_id")
+      .select("doc_id", "n_bytes", "feature")
+      .as[(Long, Long, Seq[Float])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val expect1 = Multimodal.StubDecoder.decode("hello".getBytes("UTF-8"), null).toSeq
+    assert(out(1L) == ((5L, expect1)))
+    assert(out(2L)._1 == 0L)
+    assert(out(3L)._1 == 6L) // ö is 2 bytes in UTF-8
+  }
+
+  test("decodeFeatures preserves partitioning (no shuffle of media bytes)") {
+    val m = Multimodal.syntheticMedia(docs, "doc_id", "text").repartition(3)
+    val out = Multimodal.decodeFeatures(m, "doc_id")
+    assert(out.rdd.getNumPartitions == 3)
+  }
+
+  test("frameSample: bounded one-to-many explode") {
+    val m = Multimodal.syntheticMedia(
+      Seq((1L, "x" * 300), (2L, "y")).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = Multimodal.frameSample(m, "doc_id", stride = 64, maxFrames = 4)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(frames(1L) == 4L) // 300/64 = 4 (capped)
+    assert(frames(2L) == 1L) // minimum one frame
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.SeqScan
+import org.apache.spark.sql.functions._
+
+class SeqScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("occurrencePositions: non-overlapping starts, 1-based") {
+    val df = Seq(("ACGTACGTAA", "ACGT"), ("AAAA", "AA"), ("ACGT", "TTT"))
+      .toDF("hay", "needle")
+      .select(SeqScan.occurrencePositions(col("hay"), col("needle")).as("p"))
+    assert(rows(df).map(_.head) == Seq(Seq(1L, 5L), Seq(1L, 3L), Seq()))
+  }
+
+  test("allOccurrencePositions: includes overlapping hits") {
+    val df = Seq(("AAAA", "AA")).toDF("hay", "needle")
+      .select(SeqScan.allOccurrencePositions(col("hay"), col("needle")).as("p"))
+    assert(rows(df).map(_.head) == Seq(Seq(1L, 2L, 3L)))
+  }
+
+  test("exactTagScan finds forward and reverse-complement hits") {
+    // contig contains GGGTTT fwd at 3 and its revcomp AAACCC at 12
+    val contigs = Seq((1L, "ACGGGTTTACGAAACCCGT")).toDF("cid", "seq")
+    val lib = Seq(("locusA", "1", "GGGTTT")).toDF("locus", "allele_id", "aseq")
+    val out = SeqScan.exactTagScan(contigs, "cid", "seq", lib,
+        "locus", "allele_id", "aseq")
+      .select("cid", "locus", "start_pos", "end_pos", "reverse")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, "locusA", 3L, 8L, false),
+      (1L, "locusA", 12L, 17L, true)))
+  }
+
+  test("exactTagScan does not double-tag palindromic alleles") {
+    val contigs = Seq((1L, "TTGAATTCTT")).toDF("cid", "seq")
+    val lib = Seq(("pal", "1", "GAATTC")).toDF("locus", "allele_id", "aseq")
+    val out = SeqScan.exactTagScan(contigs, "cid", "seq", lib,
+        "locus", "allele_id", "aseq").collect()
+    assert(out.length == 1) // GAATTC is its own revcomp
+  }
+
+  test("mutationScan classifies wild-type / variant / other") {
+    val seqs = Seq((1L, "ACGTA"), (2L, "ACGTG"), (3L, "ACGTC"), (4L, "AC"))
+      .toDF("sid", "seq")
+    val muts = Seq(("m1", 5, "A", "G")).toDF("mut_id", "position", "wild_type", "variant")
+    val out = SeqScan.mutationScan(seqs, "sid", "seq", muts,
+        "mut_id", "position", "wild_type", "variant")
+      .select("sid", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "wild_type", 2L -> "variant", 3L -> "other"))
+    // sid 4 too short: filtered
+  }
+}
