@@ -23,6 +23,7 @@ trait QueryModule {
 
 object AllQueries {
   val modules: Seq[QueryModule] = Seq(
+    ApiQueries,
     FilterQueries,
     JoinQueries,
     AggQueries,

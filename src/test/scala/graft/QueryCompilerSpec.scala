@@ -1,0 +1,98 @@
+package graft
+
+import graft.api.QueryCompiler._
+import graft.api.SecurityView
+import graft.api.SecurityView.SecurityContext
+import graft.operators.Predicates.{Contains, Eq, Ge, Lt, NotEq}
+import org.apache.spark.sql.functions._
+
+class QueryCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val entities = Seq(
+    (1L, "Alpha", "urgent"), (2L, "beta", "low"), (3L, null.asInstanceOf[String], "urgent"),
+    (4L, "gamma", "LOW"))
+    .toDF("id", "name", "priority")
+
+  private lazy val facts = Seq(
+    (1L, 1, "10"), (1L, 2, "20"),
+    (2L, 1, "10"),
+    (4L, 1, "99"), (4L, 2, "20"), (4L, 3, "30"))
+    .toDF("entity_id", "locus", "allele")
+
+  private lazy val eav = Seq(
+    (1L, "color", "red"), (2L, "color", "blue"), (4L, "size", "12"))
+    .toDF("entity_id", "field", "value")
+
+  private lazy val cat = Catalog(entities, "id",
+    facts = Some(facts), eav = Some(eav))
+
+  private def run(spec: QuerySpec): Seq[Long] =
+    compile(spec, cat).select("id").as[Long].collect().toSeq.sorted
+
+  test("provenance clauses AND together, NULL-inclusive NOT") {
+    assert(run(QuerySpec(provenance = Seq(
+      FieldClause("priority", Eq, "URGENT")))) == Seq(1, 3))
+    assert(run(QuerySpec(provenance = Seq(
+      FieldClause("name", NotEq, "beta"),
+      FieldClause("priority", Eq, "urgent")))) == Seq(1, 3)) // null name kept
+  }
+
+  test("id list becomes a semi join") {
+    assert(run(QuerySpec(idList = Some(Seq(2L, 4L, 77L)))) == Seq(2, 4))
+  }
+
+  test("EAV semi and anti joins") {
+    assert(run(QuerySpec(eav = Seq(EavClause("color", Eq, "red")))) == Seq(1))
+    assert(run(QuerySpec(eav = Seq(
+      EavClause("color", Eq, "red", negate = true)))) == Seq(2, 3, 4))
+    assert(run(QuerySpec(eav = Seq(
+      EavClause("size", Ge, "10", isText = false)))) == Seq(4))
+  }
+
+  test("designation exists / missing") {
+    assert(run(QuerySpec(designations = Seq(HasAllele(2, Eq, "20")))) == Seq(1, 4))
+    assert(run(QuerySpec(designations = Seq(LocusMissing(2)))) == Seq(2, 3))
+    assert(run(QuerySpec(designations = Seq(
+      HasAllele(1, Eq, "10"), HasAllele(2, Eq, "20")))) == Seq(1)) // AND across clauses
+  }
+
+  test("count predicates include the zero case") {
+    assert(run(QuerySpec(counts = Seq(CountClause(Lt, 2)))) == Seq(2, 3)) // 3 has 0
+    assert(run(QuerySpec(counts = Seq(CountClause(Ge, 3)))) == Seq(4))
+  }
+
+  test("paged: count on unsorted plan, stable tiebreak, offset/limit") {
+    val spec = QuerySpec(
+      orderBy = Seq(SortSpec("priority")), page = Some(PageSpec(1, 2)))
+    val (total, pageDf) = paged(spec, cat)
+    assert(total == 4)
+    // priority asc: LOW(4), low(2)? — Spark string sort: "LOW" < "low" < "urgent"
+    assert(pageDf.select("id").as[Long].collect().toSeq == Seq(4, 2))
+    val (_, page2) = paged(spec.copy(page = Some(PageSpec(2, 2))), cat)
+    assert(page2.select("id").as[Long].collect().toSeq == Seq(1, 3))
+  }
+
+  test("clause families compose (the full mutator chain)") {
+    val spec = QuerySpec(
+      provenance = Seq(FieldClause("priority", Contains, "o")),  // low/LOW
+      designations = Seq(HasAllele(1, Eq, "10")),
+      counts = Seq(CountClause(Lt, 3)))
+    assert(run(spec) == Seq(2))
+  }
+
+  test("security view: public ∪ own ∪ project-shared, date cap") {
+    val rowsDf = Seq(
+      (1L, 100L, false, 1L, "2020-01-01"),
+      (2L, 100L, true, 1L, "2020-01-01"),   // private, owner 100
+      (3L, 200L, true, 5L, "2020-01-01"),   // private, project 5
+      (4L, 200L, true, 9L, "2020-01-01"),   // private, invisible
+      (5L, 100L, false, 1L, "2030-01-01"))  // public but future-dated
+      .toDF("id", "owner_id", "is_private", "project_id", "date_entered")
+    val ctx = SecurityContext(userId = Some(100L), memberProjects = Set(5L),
+      maxDate = Some("2025-01-01"))
+    val got = SecurityView.view(rowsDf, ctx)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1, 2, 3))
+  }
+}
