@@ -30,15 +30,22 @@ object Dedup {
            count(lit(1)).as("n_copies"))
   }
 
-  /** Word n-gram shingles, distinct, lowercased. */
+  /** Word n-gram shingles, distinct, lowercased.
+    *
+    * Built by zipping the word array with its own shifted copies — one pass
+    * of n-1 zip_with steps — instead of a per-position slice+join (which
+    * costs O(words × n) array copies and dominated the profile: higher-order
+    * functions are interpreted, so every avoided allocation counts).
+    * zip_with pads the shorter side with null and concat propagates null, so
+    * the trailing (n-1) partial grams drop in the final filter.
+    */
   def shingles(text: Column, n: Int): Column = {
     val words = split(lower(text), "\\s+")
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-          i => when(i + n <= size(words),
-            array_join(slice(words, i + lit(1), lit(n)), " "))),
-        x => x.isNotNull))
+    val grams = (1 until n).foldLeft(words) { (acc, k) =>
+      val shifted = slice(words, lit(k + 1), greatest(size(words) - k, lit(0)))
+      zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(grams, x => x.isNotNull))
   }
 
   /** Deterministic 32-bit hash of a string, reproducible across engines:
@@ -87,26 +94,33 @@ object Dedup {
       minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
     val rows = k / bands
+    // signatures once, cached: reused by the band join and the final
+    // estimate join (signatures are k longs per doc — small)
     val sigs = docs
       .select(col(id).as("__id"), shingles(col(text), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("__id"), minhashSignature(shingleHashes(col("sh")), k).as("sig"))
-      .withColumn("bk", explode(bandKeys(col("sig"), bands, rows)))
-      .select(col("__id"), col("sig"), col("bk.band"), col("bk.bucket"))
+      .cache()
+    // only (id, band, bucket) flows through the shuffle — the signature
+    // arrays are re-attached after pair dedup, not dragged through the join
+    val banded = sigs
+      .select(col("__id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("__id"), col("bk.band"), col("bk.bucket"))
     // guard: drop degenerate buckets before the self join
-    val guarded = sigs
+    val guarded = banded
       .withColumn("bsize", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bsize") <= maxBucketSize)
       .drop("bsize")
-    val l = guarded.select(col("__id").as("id1"), col("sig").as("sig1"),
-      col("band"), col("bucket"))
-    val r = guarded.select(col("__id").as("id2"), col("sig").as("sig2"),
-      col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket"))
+    val pairs = guarded.select(col("__id").as("id1"), col("band"), col("bucket"))
+      .join(guarded.select(col("__id").as("id2"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .select(col("id1"), col("id2"))
       .distinct()
+    pairs
+      .join(sigs.select(col("__id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sigs.select(col("__id").as("id2"), col("sig").as("sig2")), Seq("id2"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
           x => x)).cast("double") / k)

@@ -74,17 +74,20 @@ object Similarity {
     def withSigs(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col(id).as(idAs) +: toDouble(col(vec)).as(vecAs) +:
         sigs.zipWithIndex.map { case (s, i) => s.as(s"sig$i") }: _*)
-    val c = withSigs(corpus, "neighbor_id", "cv")
-    val q = withSigs(queries, "query_id", "qv")
+    val c = withSigs(corpus, "neighbor_id", "cv").cache()
+    val q = withSigs(queries, "query_id", "qv").cache()
+    // candidate generation carries IDS ONLY — the d-dim vectors are joined
+    // back once per surviving pair, not dragged through union+distinct
     val candidates = (0 until tables).map { t =>
-      c.withColumnRenamed(s"sig$t", "bucket")
-        .select(col("neighbor_id"), col("cv"), col("bucket"))
-        .join(q.withColumnRenamed(s"sig$t", "bucket")
-               .select(col("query_id"), col("qv"), col("bucket")), Seq("bucket"))
+      c.select(col("neighbor_id"), col(s"sig$t").as("bucket"))
+        .join(q.select(col("query_id"), col(s"sig$t").as("bucket")), Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+        .select(col("query_id"), col("neighbor_id"))
     }.reduce(_ unionByName _).distinct()
-    val scored = candidates.withColumn("cos", cosine(col("qv"), col("cv")))
+    val scored = candidates
+      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .join(c.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

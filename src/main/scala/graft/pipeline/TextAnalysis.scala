@@ -43,9 +43,17 @@ object TextAnalysis {
 
   /** Language-ID by stopword-set voting: the language whose marker-word set
     * has the highest hit count wins (n-gram heuristic family). Deterministic
-    * tie-break: language name ascending. */
-  def languageId(text: Column, markers: Map[String, Seq[String]]): Column = {
-    val words = split(lower(trim(text)), "\\s+")
+    * tie-break: language name ascending.
+    *
+    * Prefer projecting the word array once and calling `languageIdFromWords`
+    * over that column: higher-order functions are interpreted, and inlining
+    * `split` into every per-language score re-tokenizes the text N times.
+    */
+  def languageId(text: Column, markers: Map[String, Seq[String]]): Column =
+    languageIdFromWords(split(lower(trim(text)), "\\s+"), markers)
+
+  /** languageId over a pre-tokenized lowercase word array. */
+  def languageIdFromWords(words: Column, markers: Map[String, Seq[String]]): Column = {
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
       struct(size(filter(words, w => w.isin(ws: _*))).as("hits"),
              lit(lang).as("lang"))

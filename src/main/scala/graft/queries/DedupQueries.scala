@@ -29,8 +29,10 @@ object DedupQueries extends QueryModule {
     "dedup_ngram_jaccard",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+      // cache: the corpus side and the broadcast query side share one
+      // shingle computation instead of two full scans
       val withSh = docs.select(col("doc_id"),
-        Dedup.shingles(col("text"), 2).as("sh"))
+        Dedup.shingles(col("text"), 2).as("sh")).cache()
       val q = withSh.filter(col("doc_id") < 10)
         .select(col("doc_id").as("id1"), col("sh").as("sh1"))
       val c = withSh.select(col("doc_id").as("id2"), col("sh").as("sh2"))

@@ -71,8 +71,11 @@ object TextQueries extends QueryModule {
     "text_lang_id",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+      // tokenize once; the per-language scoring reads the word-array column
       docs.select(col("lang"),
-          TextAnalysis.languageId(col("text"), markers).as("predicted"))
+          split(lower(trim(col("text"))), "\\s+").as("words"))
+        .select(col("lang"),
+          TextAnalysis.languageIdFromWords(col("words"), markers).as("predicted"))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
