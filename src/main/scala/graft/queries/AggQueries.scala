@@ -219,8 +219,41 @@ object AggQueries extends QueryModule {
                    count(DISTINCT l_suppkey) AS n_supps
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // A6 via the typed Aggregator (§2.12): single-pass N-stats with map-side
+  // partial merge — the groupBy-friendly form of a6_n50's window approach.
+  private val a6NStatsAgg = Q(
+    "a6_nstats_aggregator",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.NStats.agg(
+          col("l_quantity").cast("long")).as("st"))
+        .select(col("l_returnflag"),
+          col("st.contigs").as("contigs"),
+          col("st.totalLength").as("total_length"),
+          col("st.n50").as("n50"), col("st.l50").as("l50"),
+          col("st.n90").as("n90"), col("st.l90").as("l90"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH t AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS len
+                       FROM lineitem),
+            w AS (SELECT l_returnflag, len,
+                         sum(len) OVER (PARTITION BY l_returnflag
+                           ORDER BY len DESC ROWS UNBOUNDED PRECEDING) AS cum,
+                         row_number() OVER (PARTITION BY l_returnflag
+                           ORDER BY len DESC) AS rn,
+                         sum(len) OVER (PARTITION BY l_returnflag) AS tot
+                  FROM t)
+            SELECT l_returnflag,
+                   count(1) AS contigs, max(tot) AS total_length,
+                   max(CASE WHEN cum >= tot * 0.5 THEN len END) AS n50,
+                   min(CASE WHEN cum >= tot * 0.5 THEN rn END) AS l50,
+                   max(CASE WHEN cum >= tot * 0.9 THEN len END) AS n90,
+                   min(CASE WHEN cum >= tot * 0.9 THEN rn END) AS l90
+            FROM w GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val qs: Seq[Q] = Seq(
     a1Breakdown, a2Crosstab, a3CountHaving, a4Completion, a5SeqbinStats,
-    a6N50, a7Stats, a7Histogram, a8Combinations, a9Top5, a12Growth,
-    a13Distinct)
+    a6N50, a6NStatsAgg, a7Stats, a7Histogram, a8Combinations, a9Top5,
+    a12Growth, a13Distinct)
 }

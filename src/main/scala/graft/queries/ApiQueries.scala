@@ -88,5 +88,24 @@ object ApiQueries extends QueryModule {
               AND o_orderdate <= TIMESTAMP '1997-06-30'
             ORDER BY o_orderkey"""))
 
-  val qs: Seq[Q] = Seq(apiCompiled, apiMissing, s1Security)
+  // F13/§3.2: the REST JSON search grammar parsed into the same compiler —
+  // one parser in front of the identical predicate semantics.
+  private val restParsed = Q(
+    "f13_rest_query",
+    (s, dir) => {
+      val spec = graft.api.RestQuery.parse(
+        """{"field.o_orderstatus": "f", "locus.3": "42",
+            "oper": "=", "page": 1, "page_size": 100}""")
+      paged(spec, catalog(s, dir))._2
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE upper(o_orderstatus) = 'F'
+              AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_linenumber = 3
+                                   AND upper(CAST(l_suppkey AS VARCHAR)) = '42')
+            ORDER BY o_orderkey
+            LIMIT 100 OFFSET 0"""))
+
+  val qs: Seq[Q] = Seq(apiCompiled, apiMissing, s1Security, restParsed)
 }

@@ -82,5 +82,20 @@ object ClusterQueries extends QueryModule {
     },
     None)
 
-  val qs: Seq[Q] = Seq(g3SingleLinkage, g2Burst, g4Lincode)
+  // J5: LIN code prefix join — isolates whose assigned code starts with the
+  // prefix (positional element equality, IsolateQueryPage.pm:3402-3506).
+  // Codes are engine-assigned (order-dependent) → ClusteringSpec carries the
+  // semantics; this declares the join shape (rows-only check).
+  private val j5LincodePrefix = Q(
+    "j5_lincode_prefix",
+    (s, dir) => {
+      val codes = Clustering.assignLinCodes(
+        wh(s, dir, 300), "l_orderkey", Seq(30.0, 60.0, 90.0))
+      codes.filter(element_at(col("lincode"), 1) === 0)
+        .select(col("l_orderkey"), concat_ws("_", col("lincode")).as("lincode"))
+        .orderBy(col("l_orderkey"))
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(g3SingleLinkage, g2Burst, g4Lincode, j5LincodePrefix)
 }

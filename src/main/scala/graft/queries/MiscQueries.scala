@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{AlleleId, Geo}
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 singletons: F9 geography predicates, O5 dictionary
+  * sort, A10 publication breakdown, composite display fields
+  * (Datastore.pm:261-360).
+  */
+object MiscQueries extends QueryModule {
+
+  // F9: geography point predicate — point synthesized deterministically from
+  // corpus columns (the corpus has no native geo column), then filtered via
+  // ST_X/ST_Y struct access.
+  private val f9Geo = Q(
+    "f9_geo_point",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .withColumn("gp", Geo.point(
+          pmod(col("c_acctbal"), lit(180.0)) - 90.0,
+          pmod(col("c_custkey") * 7, lit(360)) - 180.0))
+      c.filter(Geo.stY(col("gp")) > 60.0 && Geo.stX(col("gp")) < 0.0)
+        .select(col("c_custkey"),
+          round(Geo.stY(col("gp")), 4).as("lat"),
+          round(Geo.stX(col("gp")), 4).as("lon"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+                   round((c_acctbal - 180.0 * floor(c_acctbal / 180.0)) - 90.0, 4) AS lat,
+                   round(((c_custkey * 7) % 360 + 360) % 360 - 180.0, 4) AS lon
+            FROM customer
+            WHERE (c_acctbal - 180.0 * floor(c_acctbal / 180.0)) - 90.0 > 60.0
+              AND ((c_custkey * 7) % 360 + 360) % 360 - 180.0 < 0.0
+            ORDER BY c_custkey"""))
+
+  // Geo distance + dashboard map buckets: haversine to a fixed origin and
+  // grid-cell aggregation (A9 map widget shape).
+  private val geoDistance = Q(
+    "geo_distance_buckets",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .withColumn("gp", Geo.point(
+          pmod(col("c_acctbal"), lit(180.0)) - 90.0,
+          pmod(col("c_custkey") * 7, lit(360)) - 180.0))
+        .withColumn("origin", Geo.point(lit(51.75), lit(-1.26))) // Oxford
+      c.withColumn("km", Geo.haversineKm(col("gp"), col("origin")))
+        .withColumn("cell", Geo.gridCell(col("gp"), 30.0))
+        .groupBy(col("cell.cell_lat").as("cell_lat"),
+          col("cell.cell_lon").as("cell_lon"))
+        .agg(count(lit(1)).as("n"), round(avg(col("km")), 2).as("avg_km"))
+        .orderBy(col("cell_lat"), col("cell_lon"))
+    },
+    Some("""WITH pts AS (
+              SELECT (c_acctbal - 180.0 * floor(c_acctbal / 180.0)) - 90.0 AS lat,
+                     ((c_custkey * 7) % 360 + 360) % 360 - 180.0 AS lon
+              FROM customer),
+            d AS (
+              SELECT lat, lon,
+                     2 * 6371.0088 * asin(sqrt(
+                       pow(sin(radians(51.75 - lat) / 2), 2) +
+                       cos(radians(lat)) * cos(radians(51.75)) *
+                       pow(sin(radians(-1.26 - lon) / 2), 2))) AS km
+              FROM pts)
+            SELECT CAST(floor(lat / 30.0) AS INT) AS cell_lat,
+                   CAST(floor(lon / 30.0) AS INT) AS cell_lon,
+                   count(1) AS n, round(avg(km), 2) AS avg_km
+            FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // O5: dictionary (case-insensitive, digit-aware) sort — the reference's
+  // natural sort (Utils.pm:1017-1039) re-expressed as a computed sort key;
+  // numeric-when-numeric uses the AlleleId sort key rule.
+  private val o5DictSort = Q(
+    "o5_dict_sort",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      c.select(col("c_custkey"), col("c_name"))
+        .orderBy(lower(col("c_name")), AlleleId.sortKey(col("c_name")),
+          col("c_custkey"))
+        .limit(100)
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            ORDER BY lower(c_name),
+                     CASE WHEN regexp_matches(c_name, '^[0-9]+$')
+                          THEN lpad(c_name, 10, '0') ELSE c_name END,
+                     c_custkey
+            LIMIT 100"""))
+
+  // A10: publication breakdown — citations ranked by linked-record counts
+  // (PublicationBreakdown.pm): nation dim plays the citation table.
+  private val a10PubBreakdown = Q(
+    "a10_pub_breakdown",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name").as("citation"))
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct(col("o_custkey")).as("n_entities"))
+        .orderBy(col("n_records").desc, col("citation"))
+    },
+    Some("""SELECT n_name AS citation, count(1) AS n_records,
+                   count(DISTINCT o_custkey) AS n_entities
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY n_records DESC, citation"""))
+
+  // Composite display fields (Datastore.pm:261-360): template of provenance
+  // parts + regex transforms evaluated per row — scalar expression land.
+  private val compositeField = Q(
+    "composite_field",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      c.select(col("c_custkey"),
+          concat(
+            regexp_replace(col("c_name"), "^Customer#", ""), lit(" ["),
+            lower(col("c_mktsegment")), lit("/"),
+            col("c_nationkey").cast("string"), lit("]")).as("display"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+                   regexp_replace(c_name, '^Customer#', '') || ' [' ||
+                   lower(c_mktsegment) || '/' ||
+                   CAST(c_nationkey AS VARCHAR) || ']' AS display
+            FROM customer ORDER BY c_custkey"""))
+
+  val qs: Seq[Q] = Seq(f9Geo, geoDistance, o5DictSort, a10PubBreakdown,
+    compositeField)
+}

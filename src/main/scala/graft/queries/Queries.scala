@@ -32,6 +32,7 @@ object AllQueries {
     ClusterQueries,
     SeqSearchQueries,
     ScanQueries,
+    MiscQueries,
     DedupQueries,
     TextQueries,
     SimilarityQueries,

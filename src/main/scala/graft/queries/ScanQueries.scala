@@ -132,6 +132,26 @@ object ScanQueries extends QueryModule {
     },
     None)
 
+  // G7: per-site character frequency table (LocusExplorer get_freq_table /
+  // SNPsites) — positions 1..20 of each derived DNA sequence.
+  private val g7SiteFreq = Q(
+    "g7_site_freq",
+    (s, dir) => {
+      val docs = dnaDocs(s, dir).filter(length(col("dna")) > 0)
+      docs.select(posexplode(split(substring(col("dna"), 1, 20), "")))
+        .select((col("pos") + 1).cast("long").as("position"), col("col").as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy(col("position"), col("ch"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("position"), col("ch"))
+    },
+    Some(s"""WITH d AS (SELECT $dnaSql AS dna FROM documents
+                        WHERE length($dnaSql) > 0)
+             SELECT CAST(p AS BIGINT) AS position, substring(dna, p, 1) AS ch,
+                    count(1) AS n
+             FROM d, unnest(range(1, least(length(dna), 20) + 1)) t(p)
+             GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val qs: Seq[Q] = Seq(q4TagScan, q6MutationScan, s3FastaRoundtrip,
-    mmDecode, mmFrames)
+    mmDecode, mmFrames, g7SiteFreq)
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.api.RestQuery
+import graft.functions.NStats
+import graft.sources.{Gff3, SchemaConfig}
+import graft.operators.Predicates
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S2 schema config, S8 GFF3 sink, F13 REST grammar, N-stats aggregator. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SchemaConfig: XML field declarations → StructType") {
+    val xml =
+      """<fields>
+        |  <field type="text" required="yes">isolate</field>
+        |  <field type="int">year</field>
+        |  <field type="geography_point">location</field>
+        |  <field type="text" multiple="yes">continent
+        |    <optlist><option>Africa</option><option>Europe</option></optlist>
+        |  </field>
+        |</fields>""".stripMargin
+    val fields = SchemaConfig.parse(xml)
+    assert(fields.map(_.name) == Seq("isolate", "year", "location", "continent"))
+    assert(fields(3).multiple && fields(3).optlist == Seq("Africa", "Europe"))
+    val st = SchemaConfig.toStructType(fields)
+    assert(st("isolate") == StructField("isolate", StringType, nullable = false))
+    assert(st("year").dataType == IntegerType)
+    assert(st("continent").dataType == ArrayType(StringType))
+    assert(st("location").dataType.isInstanceOf[StructType])
+  }
+
+  test("Gff3: formats tag rows as valid feature lines") {
+    val tags = Seq((("ctg1"), 5L, 10L, false, "abcZ"), (("ctg2"), 3L, 9L, true, "adk"))
+      .toDF("seqid", "start_pos", "end_pos", "reverse", "locus")
+    val lines = Gff3.format(tags, "seqid", "gene", "start_pos", "end_pos",
+      "reverse", Map("ID" -> "locus")).as[String].collect().toSet
+    assert(lines == Set(
+      "ctg1\tgraft\tgene\t5\t10\t.\t+\t0\tID=abcZ",
+      "ctg2\tgraft\tgene\t3\t9\t.\t-\t0\tID=adk"))
+  }
+
+  test("RestQuery: field/locus/operator/page grammar → QuerySpec") {
+    val spec = RestQuery.parse(
+      """{"field.country": "UK", "field.year": 2020,
+          "locus.3": "42", "oper": ">=", "page": 2, "page_size": 25}""")
+    assert(spec.provenance.toSet == Set(
+      graft.api.QueryCompiler.FieldClause("country", Predicates.Ge, "UK"),
+      graft.api.QueryCompiler.FieldClause("year", Predicates.Ge, "2020",
+        isText = false)))
+    assert(spec.designations ==
+      Seq(graft.api.QueryCompiler.HasAllele(3, Predicates.Ge, "42")))
+    assert(spec.page.contains(graft.api.QueryCompiler.PageSpec(2, 25)))
+    intercept[IllegalArgumentException] {
+      RestQuery.parse("""{"oper": "bogus"}""")
+    }
+  }
+
+  test("NStats.compute matches the reference algorithm") {
+    // lengths 10,8,6,4,2 total 30; half=15: 10+8=18>=15 -> n50=8, l50=2
+    // 90% = 27: 10+8+6+4=28 >= 27 -> n90=4, l90=4
+    val r = NStats.compute(Seq(4L, 10L, 2L, 8L, 6L))
+    assert(r == NStats.Result(5, 30, 8, 2, 4, 4))
+    assert(NStats.compute(Nil) == NStats.Result(0, 0, 0, 0, 0, 0))
+  }
+
+  test("NStats aggregator: distributed result equals driver compute") {
+    val df = Seq(("a", 10L), ("a", 8L), ("a", 6L), ("a", 4L), ("a", 2L),
+      ("b", 5L)).toDF("g", "len")
+    val got = df.groupBy(col("g")).agg(NStats.agg(col("len")).as("st"))
+      .select(col("g"), col("st.n50"), col("st.l50"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map("a" -> ((8L, 2L)), "b" -> ((5L, 1L))))
+  }
+}
