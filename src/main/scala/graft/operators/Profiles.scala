@@ -21,6 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object Profiles {
 
+  /** Session-scoped materialized warehouses, keyed by (session, source id):
+    * the reference persists `mv_scheme_<id>` once and every query reads it
+    * (sql/seqdef.sql:1155-1253); the Spark equivalent is a cached DataFrame
+    * shared by every profile/cluster query of the session instead of each
+    * rebuilding the same two-shuffle aggregation.
+    */
+  private val warehouseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Cached variant of `warehouse` — one build per (session, key). */
+  def cachedWarehouse(
+      key: String,
+      fact: DataFrame,
+      entity: String,
+      locus: String,
+      allele: Column,
+      nLoci: Int): DataFrame =
+    warehouseCache.computeIfAbsent(
+      fact.sparkSession.hashCode() + "|" + key,
+      _ => warehouse(fact, entity, locus, allele, nLoci).cache())
+
   /** Build the profile warehouse from a long designation fact.
     *
     * Loci are integer positions 1..nLoci (the reference keeps a

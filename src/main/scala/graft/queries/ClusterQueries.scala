@@ -12,7 +12,7 @@ object ClusterQueries extends QueryModule {
   private val NLoci = 7
 
   private def wh(s: org.apache.spark.sql.SparkSession, dir: String, maxId: Int) =
-    Profiles.warehouse(
+    Profiles.cachedWarehouse(s"$dir/$maxId",
       Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < maxId),
       "l_orderkey", "l_linenumber", col("l_suppkey"), NLoci)
 

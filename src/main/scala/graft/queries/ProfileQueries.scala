@@ -29,7 +29,7 @@ object ProfileQueries extends QueryModule {
              GROUP BY l_orderkey) g"""
 
   private def wh(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Profiles.warehouse(Tables.load(s, dir, "lineitem"),
+    Profiles.cachedWarehouse(s"$dir/full", Tables.load(s, dir, "lineitem"),
       "l_orderkey", "l_linenumber", col("l_suppkey"), NLoci)
 
   // The warehouse build itself (mv_scheme_<id>, sql/seqdef.sql:1155-1253):
@@ -47,7 +47,7 @@ object ProfileQueries extends QueryModule {
   private val j6ProfileLookup = Q(
     "j6_profile_lookup",
     (s, dir) => {
-      val w = wh(s, dir).cache()
+      val w = wh(s, dir)
       val target = w.filter(col("l_orderkey") === 7)
         .select(col("profile_md5").as("target_md5"))
       val out = w.join(broadcast(target),
@@ -68,7 +68,7 @@ object ProfileQueries extends QueryModule {
   private val j6StAssign = Q(
     "j6_st_assign",
     (s, dir) => {
-      val w = wh(s, dir).cache()
+      val w = wh(s, dir)
       val defs = w.groupBy(col("profile_md5"))
         .agg(min(col("l_orderkey")).as("first_iso"))
       val sts = defs.select(col("profile_md5"), col("first_iso"),
@@ -92,7 +92,7 @@ object ProfileQueries extends QueryModule {
   private val j7ProfileDiff = Q(
     "j7_profile_diff",
     (s, dir) => {
-      val w = wh(s, dir).filter(col("l_orderkey") < 40).cache()
+      val w = wh(s, dir).filter(col("l_orderkey") < 40)
       val a = w.select(col("l_orderkey").as("iso1"), col("profile").as("p1"))
       val b = w.select(col("l_orderkey").as("iso2"), col("profile").as("p2"))
       a.join(b, col("iso1") < col("iso2"))
@@ -122,7 +122,7 @@ object ProfileQueries extends QueryModule {
   private val j8MatchingProfiles = Q(
     "j8_matching_profiles",
     (s, dir) => {
-      val w = wh(s, dir).cache()
+      val w = wh(s, dir)
       val target = w.filter(col("l_orderkey") === 7)
         .select(col("profile").as("tp"))
       w.join(broadcast(target))

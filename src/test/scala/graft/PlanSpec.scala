@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.AllQueries
+
+/** Physical-plan audits (builder-prompt: ".explain the plan and iterate
+  * until it's the plan you'd want"): filters reach the parquet scan,
+  * dimension joins broadcast, aggregations partial-aggregate map-side.
+  * Pinned here so a regression in plan shape fails CI, not just the bench.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = AllQueries.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("f1_range: filter is pushed into the parquet scan") {
+    val plan = planOf("f1_range")
+    assert(plan.contains("PushedFilters:"), "expected PushedFilters in scan")
+    assert(plan.contains("GreaterThanOrEqual(o_totalprice,450000.0)"),
+      s"totalprice filter not pushed:\n$plan")
+  }
+
+  test("f1_range: scan reads only the needed columns") {
+    val plan = planOf("f1_range")
+    // ReadSchema must not include o_custkey / o_orderpriority
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_custkey"), readSchema)
+    assert(!readSchema.contains("o_orderpriority"), readSchema)
+  }
+
+  test("j11_broadcast_dims: all three dimension joins broadcast") {
+    val plan = planOf("j11_broadcast_dims")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts == 3, s"expected 3 broadcast joins, got $broadcasts")
+    assert(!plan.contains("SortMergeJoin"), "fact should never sort-merge here")
+  }
+
+  test("a1_breakdown: hash aggregate with map-side partial aggregation") {
+    val plan = planOf("a1_breakdown")
+    val hashAggs = "HashAggregate".r.findAllIn(plan).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("s7_list_semi: pasted list becomes a broadcast semi join") {
+    val plan = planOf("s7_list_semi")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi:\n$plan")
+  }
+
+  test("whole-stage codegen covers the predicate pipeline") {
+    // AQE only finalizes codegen wrapping at execution time
+    val df = AllQueries.queries("f11_composed")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"expected codegen spans in final plan:\n${plan.take(2000)}")
+  }
+}
