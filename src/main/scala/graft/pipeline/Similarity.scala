@@ -62,6 +62,62 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN — the other standard scale path: vectors are
+    * assigned to their nearest of `nlist` centroids; a query probes only the
+    * `nprobe` closest lists, so the scored candidate set is ~nprobe/nlist of
+    * the corpus. Centroids here are deterministic samples of the corpus
+    * (seeded ids) — one k-means sweep would refine them without changing
+    * the query-side plan shape.
+    *
+    * Plan shape at 100 TB: centroid assignment is a broadcast nested-loop
+    * over `nlist` centroids (tiny) + one shuffle on list id; the probe join
+    * is an equi join on list id — no all-pairs work anywhere.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic centroid sample: first nlist corpus vectors by id
+    val centroids = corpus.orderBy(col(id)).limit(nlist)
+      .select(col(id).as("cid"), toDouble(col(vec)).as("cvec"))
+      .withColumn("list_id", row_number().over(Window.orderBy(col("cid"))))
+      .select(col("list_id"), col("cvec"))
+    def assign(df: DataFrame, idAs: String, vecAs: String, topLists: Int) = {
+      val scored = df.select(col(id).as(idAs), toDouble(col(vec)).as(vecAs))
+        .join(broadcast(centroids))
+        .withColumn("cd", cosine(col(vecAs), col("cvec")))
+      val w = Window.partitionBy(col(idAs)).orderBy(col("cd").desc, col("list_id"))
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= topLists)
+        .select(col(idAs), col(vecAs), col("list_id"))
+    }
+    val assigned = assign(corpus, "neighbor_id", "cv", 1)   // each vector: 1 list
+    val probes = assign(queries, "query_id", "qv", nprobe)  // each query: nprobe lists
+    val scored = assigned.join(probes, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (i<j) pairs above
+    * `minCos` — the dedup-family verification form (exact over a bounded
+    * set; compose with `lshTopK`/`ivfTopK` candidates at scale).
+    */
+  def cosineNearDupPairs(vecs: DataFrame, id: String, vec: String,
+      minCos: Double): DataFrame = {
+    val a = vecs.select(col(id).as("id1"), toDouble(col(vec)).as("v1"))
+    val b = vecs.select(col(id).as("id2"), toDouble(col(vec)).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: probe only same-signature buckets (multi-probe via
     * `tables` independent signatures). Recall < 1; the scale path.
     * Output: (query_id, neighbor_id, cos) — candidates above minCos.

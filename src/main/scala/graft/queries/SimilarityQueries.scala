@@ -86,5 +86,39 @@ object SimilarityQueries extends QueryModule {
     },
     None)
 
-  val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh)
+  // IVF-bucketed ANN (the inverted-file scale path) — engine-defined
+  // centroid lists → no SQL oracle; SimilaritySpec checks recall.
+  private val simIvf = Q(
+    "sim_ivf_ann",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  // Embedding-cosine near-dup pairs (dedup family) on a bounded subset,
+  // exact — DuckDB replicates with list_cosine_similarity.
+  private val dedupEmbedding = Q(
+    "dedup_embedding_cosine",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 300)
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.8)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 300 AND b.vec_id < 300
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.8
+            ORDER BY id1, id2"""))
+
+  val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
+    dedupEmbedding)
 }

@@ -25,6 +25,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((2L, 1L), (3L, 2L))) // 2 closest, then orthogonal 3, never -v 4
   }
 
+  test("IVF ANN achieves >=0.5 recall@5 vs brute force; exact within probed lists") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("cosineNearDupPairs finds planted near-identical vectors") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.99f, 0.05f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("id", "v")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "id", "v", 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("LSH ANN achieves >=0.6 recall@5 vs brute force on the sf0.001 corpus") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 8)
