@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{ColumnBridge => Bridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Vector arithmetic as native codegen'd Catalyst expressions.
+  *
+  * The built-in higher-order-function form
+  * (`aggregate(zip_with(a,b,_*_), 0.0, _+_)`) is interpreted — three array
+  * traversals with per-element boxing per pair. These expressions run the
+  * whole similarity kernel as one generated loop over the unsafe array
+  * data, keeping ANN scoring inside whole-stage codegen (the builder
+  * prompt's "custom Expression beats UDF" tier).
+  */
+object Vectors {
+
+  /** cosine(a, b) over ARRAY<DOUBLE>: dot and both norms in ONE loop;
+    * zero-norm → 0.0 (never NaN). Arrays of different lengths compare over
+    * the shorter prefix.
+    */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val d = na * nb
+      if (d > 0) dot / math.sqrt(d) else 0.0
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val xi = ctx.freshName("xi")
+        val yi = ctx.freshName("yi")
+        val d = ctx.freshName("d")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.getDouble($i);
+          double $yi = $b.getDouble($i);
+          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        }
+        double $d = $na * $nb;
+        ${ev.value} = ($d > 0) ? $dot / java.lang.Math.sqrt($d) : 0.0;
+        """
+      })
+  }
+
+  /** Dot product over ARRAY<DOUBLE> — same fused-loop treatment. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += $a.getDouble($i) * $b.getDouble($i);
+        }
+        ${ev.value} = $dot;
+        """
+      })
+  }
+
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** MinHash signature over an ARRAY<BIGINT> of element hashes: k universal
+    * hashes h_i(x) = (a_i·(x mod p) + b_i) mod p, min per i — all k mins in
+    * ONE fused loop over the input (the HOF form re-traverses the array k
+    * times, interpreted). Same (seeded) coefficients and arithmetic as the
+    * built-in-expression form, so signatures are stable across engines.
+    */
+  case class MinHashSig(child: Expression, k: Int, seed: Long)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    private val P = 2147483647L // 2^31-1
+
+    @transient private lazy val coefs: (Array[Long], Array[Long]) = {
+      val rnd = new scala.util.Random(seed)
+      val as = Array.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong)
+      val bs = Array.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
+      (as, bs)
+    }
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val (as, bs) = coefs
+      val mins = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      val m = arr.numElements()
+      while (j < m) {
+        val hm = { val r = arr.getLong(j) % P; if (r < 0) r + P else r }
+        var i = 0
+        while (i < k) {
+          val v = (hm * as(i) + bs(i)) % P
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("minhashA", coefs._1, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashB", coefs._2, "long[]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val mins = ctx.freshName("mins")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val hm = ctx.freshName("hm")
+        val v = ctx.freshName("v")
+        s"""
+        long[] $mins = new long[$k];
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        for (int $j = 0; $j < $c.numElements(); $j++) {
+          long $hm = $c.getLong($j) % ${P}L;
+          if ($hm < 0) $hm += ${P}L;
+          for (int $i = 0; $i < $k; $i++) {
+            long $v = ($hm * $asRef[$i] + $bsRef[$i]) % ${P}L;
+            if ($v < $mins[$i]) $mins[$i] = $v;
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($mins);
+        """
+      })
+    }
+  }
+
+  def minhashSignature(hashes: Column, k: Int, seed: Long = 42L): Column =
+    Bridge.column(MinHashSig(Bridge.expression(hashes), k, seed))
+}

@@ -56,20 +56,14 @@ object Dedup {
   def shingleHashes(sh: Column): Column =
     transform(sh, s => xxhash64(s))
 
-  /** MinHash signature: k permutation approximations h_i(x) = (a_i*x + b_i)
-    * mod p, min over shingle hashes. Returns ARRAY<BIGINT> length k.
-    * Computed entirely with built-in expressions — narrow, codegen'd.
+  /** MinHash signature: k universal hashes h_i(x) = (a_i*x + b_i) mod p,
+    * min over shingle hashes. Returns ARRAY<BIGINT> length k. A fused
+    * codegen'd expression (graft.functions.Vectors.MinHashSig): one loop
+    * computes all k mins, vs k interpreted array traversals for the
+    * built-in transform/array_min form.
     */
-  def minhashSignature(shingleHashes: Column, k: Int): Column = {
-    val p = 2147483647L // 2^31-1, Mersenne prime
-    val rnd = new scala.util.Random(42)
-    val coefs = Seq.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong,
-                            rnd.nextInt(Int.MaxValue).toLong)
-    array(coefs.map { case (a, b) =>
-      array_min(transform(shingleHashes,
-        h => pmod(pmod(h, lit(p)) * a + b, lit(p))))
-    }: _*)
-  }
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
+    graft.functions.Vectors.minhashSignature(shingleHashes, k)
 
   /** LSH band key: hash of each size-r slice of the signature. With b bands
     * of r rows, P(candidate) = 1 - (1 - s^r)^b for Jaccard s.

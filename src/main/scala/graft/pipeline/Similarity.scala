@@ -18,17 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two ARRAY<DOUBLE> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two ARRAY<DOUBLE> columns — fused codegen'd loop
+    * (graft.functions.Vectors), not the interpreted zip_with/aggregate form.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.Vectors.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n > 0, d / n).otherwise(lit(0.0))
-  }
+  /** Cosine similarity: one generated loop for dot + both norms;
+    * zero-norm → 0.0.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.Vectors.cosine(a, b)
 
   def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
