@@ -173,4 +173,53 @@ object Vectors {
 
   def minhashSignature(hashes: Column, k: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSig(Bridge.expression(hashes), k, seed))
+
+  /** Jaccard similarity of two DISTINCT-element arrays: one hash-set build
+    * + one probe pass, vs array_intersect + array_union (two interpreted
+    * set constructions each). Inputs must be duplicate-free (shingles are
+    * array_distinct'd); |A∪B| = |A|+|B|−|A∩B|.
+    */
+  case class JaccardSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val na = x.numElements(); val nb = y.numElements()
+      if (na == 0 && nb == 0) return 0.0
+      val set = new java.util.HashSet[Any](na * 2)
+      var i = 0
+      while (i < na) { set.add(x.getUTF8String(i)); i += 1 }
+      var inter = 0; var j = 0
+      while (j < nb) { if (set.contains(y.getUTF8String(j))) inter += 1; j += 1 }
+      val union = na + nb - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val set = ctx.freshName("set")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter")
+        val union = ctx.freshName("union")
+        s"""
+        int ${i}n = $a.numElements(); int ${j}n = $b.numElements();
+        java.util.HashSet $set = new java.util.HashSet(${i}n * 2);
+        for (int $i = 0; $i < ${i}n; $i++) { $set.add($a.getUTF8String($i)); }
+        int $inter = 0;
+        for (int $j = 0; $j < ${j}n; $j++) {
+          if ($set.contains($b.getUTF8String($j))) $inter++;
+        }
+        int $union = ${i}n + ${j}n - $inter;
+        ${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
+        """
+      })
+  }
+
+  def jaccard(a: Column, b: Column): Column =
+    Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -138,10 +138,9 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Exact n-gram Jaccard similarity between two shingle arrays. */
-  def jaccard(sh1: Column, sh2: Column): Column = {
-    val inter = size(array_intersect(sh1, sh2)).cast("double")
-    val uni = size(array_union(sh1, sh2)).cast("double")
-    when(uni > 0, inter / uni).otherwise(lit(0.0))
-  }
+  /** Exact n-gram Jaccard similarity between two (distinct-element) shingle
+    * arrays — fused codegen'd set kernel (graft.functions.Vectors.JaccardSim).
+    */
+  def jaccard(sh1: Column, sh2: Column): Column =
+    graft.functions.Vectors.jaccard(sh1, sh2)
 }
