@@ -11,10 +11,13 @@ object ClusterQueries extends QueryModule {
 
   private val NLoci = 7
 
+  // Reuses the session's FULL cached warehouse and filters it: the entity
+  // filter commutes with the per-(entity, locus) min-allele aggregation,
+  // and one shared build beats a second shuffle pass over the fact.
   private def wh(s: org.apache.spark.sql.SparkSession, dir: String, maxId: Int) =
-    Profiles.cachedWarehouse(s"$dir/$maxId",
-      Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < maxId),
+    Profiles.cachedWarehouse(s"$dir/full", Tables.load(s, dir, "lineitem"),
       "l_orderkey", "l_linenumber", col("l_suppkey"), NLoci)
+      .filter(col("l_orderkey") < maxId)
 
   // Shared oracle fragment: threshold-similarity edges between profiles of
   // isolates < 300 — pairs sharing >= 5 of 7 (locus, allele) designations.

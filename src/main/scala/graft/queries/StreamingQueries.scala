@@ -32,12 +32,16 @@ object StreamingQueries extends QueryModule {
     "stream_windowed_counts",
     (s, dir) => {
       val events = Tables.load(s, dir, "events")
+      // win_start rendered as a string: timestamp physical types differ
+      // between engines (ns vs us) even when values agree
       IncrementalStats.windowedCounts(events)
-        .select(col("window.start").as("win_start"),
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
           col("event_type"), col("n"), col("v"))
         .orderBy(col("win_start"), col("event_type"))
     },
-    Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+    Some("""SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                            '%Y-%m-%d %H:%M:%S') AS win_start,
                    event_type, count(1) AS n, round(sum(value), 4) AS v
             FROM events GROUP BY win_start, event_type
             ORDER BY win_start, event_type"""))
