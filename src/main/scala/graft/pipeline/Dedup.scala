@@ -30,6 +30,18 @@ object Dedup {
            count(lit(1)).as("n_copies"))
   }
 
+  /** Streaming exact dedup: emit each distinct content exactly once across
+    * micro-batches (the online form of `exact` for an ingest pipeline).
+    * The watermark bounds the dedup state: duplicates arriving later than
+    * `lateness` past the max seen event time may re-emit — the standard
+    * Structured Streaming state/completeness trade.
+    */
+  def streamingExact(docs: DataFrame, id: String, text: String,
+      eventTime: String, lateness: String): DataFrame =
+    docs.select(col(id), col(eventTime), md5(col(text)).as("content_hash"))
+      .withWatermark(eventTime, lateness)
+      .dropDuplicates("content_hash")
+
   /** Word n-gram shingles, distinct, lowercased.
     *
     * Built by zipping the word array with its own shifted copies — one pass

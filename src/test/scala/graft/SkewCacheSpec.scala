@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{CacheRefresh, Skew}
+import graft.pipeline.Dedup
+import graft.streaming.IncrementalWarehouse
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Salted skew joins, cache refresh modes, streaming dedup. */
+class SkewCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join (hot key spread over reducers)") {
+    // one hot key (0) with 1000 rows + a long tail
+    val large = ((1 to 1000).map(i => (0L, i)) ++ (1 to 50).map(i => (i.toLong, i)))
+      .toDF("k", "v")
+    val small = Seq((0L, "hot"), (7L, "seven"), (99L, "absent-in-large"))
+      .toDF("k", "name")
+    val plain = large.join(small, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(large, small, "k", factor = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.size == 1001)
+  }
+
+  test("saltedCount equals groupBy count") {
+    val df = ((1 to 500).map(_ => "hot") ++ Seq("a", "b", "b")).toDF("k")
+    val got = Skew.saltedCount(df, "k", factor = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("hot" -> 500L, "a" -> 1L, "b" -> 2L))
+  }
+
+  test("upsert: updates replace matching keys, others carry over") {
+    val current = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("id", "v", "ver")
+    val updates = Seq((2L, "B", 2), (4L, "d", 2)).toDF("id", "v", "ver")
+    val merged = CacheRefresh.upsert(current, updates, "id")
+      .as[(Long, String, Int)].collect().toSet
+    assert(merged == Set((1L, "a", 1), (2L, "B", 2), (3L, "c", 1), (4L, "d", 2)))
+  }
+
+  test("fullSwap: readers see complete snapshots across refreshes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-swap").toString + "/cache"
+    CacheRefresh.fullSwap(Seq((1, "v1")).toDF("id", "v"), dir)
+    assert(spark.read.parquet(dir).as[(Int, String)].collect().toSeq == Seq((1, "v1")))
+    CacheRefresh.fullSwap(Seq((1, "v2"), (2, "v2")).toDF("id", "v"), dir)
+    val after = spark.read.parquet(dir).as[(Int, String)].collect().toSet
+    assert(after == Set((1, "v2"), (2, "v2")))
+  }
+
+  test("streamingExact dedup emits each distinct content once across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = stream.toDS().toDF("doc_id", "ts", "text")
+    val q = Dedup.streamingExact(docs, "doc_id", "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      stream.addData((1L, ts, "same"), (2L, ts, "same"), (3L, ts, "other"))
+      q.processAllAvailable()
+      stream.addData((4L, ts, "same"), (5L, ts, "third"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream").select("doc_id")
+        .as[Long].collect().toSet
+      // one winner for "same" (2 never emits, 4 suppressed cross-batch)
+      assert(out.intersect(Set(1L, 2L, 4L)).size == 1)
+      assert(out.contains(3L) && out.contains(5L))
+    } finally q.stop()
+  }
+}
