@@ -222,4 +222,61 @@ object Vectors {
 
   def jaccard(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Banded Levenshtein distance over STRING inputs: cells farther than
+    * `band` off the diagonal are never computed, so cost is O(n·band)
+    * instead of O(n·m) — the closest-match prefilter for Q2-style partial
+    * matching at scale. Returns the exact distance when it is ≤ band,
+    * otherwise band+1 (a "too far" clamp — callers threshold, never rank
+    * beyond the band).
+    */
+  case class BandedLevenshtein(left: Expression, right: Expression, band: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val s = a.toString; val t = b.toString
+      Vectors.bandedLevenshtein(s, t, band)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""${ev.value} = graft.functions.Vectors.bandedLevenshtein(
+              $a.toString(), $b.toString(), $band);""")
+  }
+
+  /** The banded DP kernel (shared by interpreted and generated paths). */
+  def bandedLevenshtein(s: String, t: String, band: Int): Int = {
+    val n = s.length; val m = t.length
+    if (math.abs(n - m) > band) return band + 1
+    val INF = band + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, INF)
+    var j = 0
+    while (j <= math.min(m, band)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, INF)
+      val lo = math.max(1, i - band); val hi = math.min(m, i + band)
+      if (lo == 1) cur(0) = if (i <= band) i else INF
+      var k = lo
+      while (k <= hi) {
+        val sub = prev(k - 1) + (if (s.charAt(i - 1) == t.charAt(k - 1)) 0 else 1)
+        val del = if (prev(k) < INF) prev(k) + 1 else INF
+        val ins = if (cur(k - 1) < INF) cur(k - 1) + 1 else INF
+        cur(k) = math.min(sub, math.min(del, ins))
+        if (cur(k) > INF) cur(k) = INF
+        k += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    math.min(prev(m), INF)
+  }
+
+  def bandedLevenshtein(a: Column, b: Column, band: Int): Column =
+    Bridge.column(BandedLevenshtein(Bridge.expression(a), Bridge.expression(b), band))
 }

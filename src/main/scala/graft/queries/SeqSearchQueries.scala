@@ -132,6 +132,34 @@ object SeqSearchQueries extends QueryModule {
     },
     None)
 
-  val qs: Seq[Q] = Seq(q1ExactMatch, q2BestPartial, bioRevcomp,
+  // Q2 scale path: banded edit distance (O(n·band) per pair, codegen'd)
+  // thresholded at the band — within the band it returns the EXACT
+  // distance, so the unbanded-levenshtein oracle replicates it.
+  private val q2Banded = Q(
+    "q2_banded_threshold",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lib = docs.select(col("doc_id").as("lib_id"),
+        substring(col("text"), 1, 40).as("lib_seq"))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("q_seq"))
+      lib.join(broadcast(queries), col("query_id") =!= col("lib_id"))
+        .withColumn("dist", graft.functions.Vectors
+          .bandedLevenshtein(col("q_seq"), col("lib_seq"), 24).cast("long"))
+        .filter(col("dist") <= 24)
+        .select(col("query_id"), col("lib_id"), col("dist"))
+        .orderBy(col("query_id"), col("lib_id"))
+    },
+    Some("""SELECT q.doc_id AS query_id, l.doc_id AS lib_id,
+                   levenshtein(substring(q.text, 1, 40),
+                               substring(l.text, 1, 40)) AS dist
+            FROM documents q JOIN documents l ON q.doc_id != l.doc_id
+            WHERE q.doc_id < 5
+              AND levenshtein(substring(q.text, 1, 40),
+                              substring(l.text, 1, 40)) <= 24
+            ORDER BY query_id, lib_id"""))
+
+  val qs: Seq[Q] = Seq(q1ExactMatch, q2BestPartial, q2Banded, bioRevcomp,
     bioComposition, bioTranslate)
 }

@@ -65,6 +65,24 @@ class SourcesSpec extends SparkSpec {
     assert(NStats.compute(Nil) == NStats.Result(0, 0, 0, 0, 0, 0))
   }
 
+  test("bandedLevenshtein: exact within band, clamped beyond") {
+    import graft.functions.Vectors.bandedLevenshtein
+    assert(bandedLevenshtein("kitten", "sitting", 5) == 3)
+    assert(bandedLevenshtein("abc", "abc", 2) == 0)
+    assert(bandedLevenshtein("abc", "xyz", 2) == 3) // clamp: band+1
+    assert(bandedLevenshtein("", "abcd", 2) == 3)   // length gap > band
+    assert(bandedLevenshtein("abcdef", "abdcef", 4) == 2) // transposed pair
+    // agreement with Spark's exact levenshtein whenever dist <= band
+    val pairs = Seq(("ACGTACGTAA", "ACGTTCGTAA"), ("hello world", "help word"),
+      ("aaaa", "aaab"), ("abcdefgh", "hgfedcba"))
+    val df = pairs.toDF("a", "b").select(
+      levenshtein(col("a"), col("b")).as("exact"),
+      graft.functions.Vectors.bandedLevenshtein(col("a"), col("b"), 8).as("banded"))
+    rows(df).foreach { case Seq(e: Int, bd: Int) =>
+      if (e <= 8) assert(bd == e) else assert(bd == 9)
+    }
+  }
+
   test("NStats aggregator: distributed result equals driver compute") {
     val df = Seq(("a", 10L), ("a", 8L), ("a", 6L), ("a", 4L), ("a", 2L),
       ("b", 5L)).toDF("g", "len")
