@@ -100,6 +100,33 @@ object Multimodal {
     }(outEncoder)
   }
 
+  /** Resize stub: media → fixed-budget thumbnail bytes + updated metadata.
+    * The byte transform is a deterministic fake (truncate/cycle to the
+    * target budget); the plumbing — binary in/out through mapPartitions,
+    * metadata recomputed alongside — is the real pipeline shape. Swap the
+    * kernel for a real scaler without touching the plan.
+    */
+  def resize(media: DataFrame, id: String, targetW: Int, targetH: Int): DataFrame = {
+    val inSchema = media.schema
+    val idIdx = inSchema.fieldIndex(id)
+    val mediaIdx = inSchema.fieldIndex("media")
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("media", BinaryType),
+      StructField("meta", metaType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val budget = math.max(1, targetW * targetH / 64) // stand-in byte budget
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val out = new Array[Byte](math.min(budget, math.max(1, bytes.length)))
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i % math.max(1, bytes.length)); i += 1 }
+        Row(r.get(idIdx), out, Row("fake/thumb", targetW, targetH, 0L))
+      }
+    }(outEncoder)
+  }
+
   /** Frame sampling stub: every `stride`-th byte window stands in for video
     * frame extraction — demonstrates the one-to-many (media → frames)
     * explode shape with bounded output per row.

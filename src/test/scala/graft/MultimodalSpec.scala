@@ -41,6 +41,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == 3)
   }
 
+  test("resize: thumbnail bytes within budget, metadata updated") {
+    val m = Multimodal.syntheticMedia(
+      Seq((1L, "x" * 5000), (2L, "y")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.resize(m, "doc_id", 256, 256)
+    val got = out.select(col("doc_id"), length(col("media")).as("n"),
+        col("meta.format"), col("meta.width"))
+      .as[(Long, Int, String, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(1L) == ((256 * 256 / 64, "fake/thumb", 256)))
+    assert(got(2L)._1 == 1) // tiny input stays tiny
+  }
+
   test("frameSample: bounded one-to-many explode") {
     val m = Multimodal.syntheticMedia(
       Seq((1L, "x" * 300), (2L, "y")).toDF("doc_id", "text"), "doc_id", "text")
