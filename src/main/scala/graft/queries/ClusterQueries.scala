@@ -58,9 +58,9 @@ object ClusterQueries extends QueryModule {
              SELECT src AS l_orderkey, min(dst) AS group_id
              FROM reach GROUP BY src ORDER BY l_orderkey"""))
 
-  // G2: BURST clonal complexes with grpdef = nLoci - 2 = 5. Groups have the
-  // same closure oracle; SLV counts and founder flags are checked in
-  // ClusteringSpec (the windowed founder pick is engine-side semantics).
+  // G2: BURST clonal complexes with grpdef = nLoci - 2 = 5: closure groups
+  // + SLV degrees (pairs sharing exactly 6) + founder = most SLVs per
+  // group, min id tiebreak — all replicated in the oracle.
   private val g2Burst = Q(
     "g2_burst",
     (s, dir) => {
@@ -70,7 +70,41 @@ object ClusterQueries extends QueryModule {
           col("is_founder"))
         .orderBy(col("l_orderkey"))
     },
-    None)
+    Some(s"""WITH RECURSIVE
+             pairs AS (
+               SELECT x.l_orderkey AS src, y.l_orderkey AS dst,
+                      count(1) AS shared
+               FROM (SELECT l_orderkey, l_linenumber,
+                            min(CAST(l_suppkey AS VARCHAR)) AS a
+                     FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2) x
+               JOIN (SELECT l_orderkey, l_linenumber,
+                            min(CAST(l_suppkey AS VARCHAR)) AS a
+                     FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2) y
+                 ON x.l_linenumber = y.l_linenumber AND x.a = y.a
+                    AND x.l_orderkey < y.l_orderkey
+               GROUP BY 1, 2),
+             edges AS (
+               SELECT src, dst FROM pairs WHERE shared >= 5
+               UNION SELECT dst, src FROM pairs WHERE shared >= 5),
+             nodes AS (SELECT DISTINCT l_orderkey AS node
+                       FROM lineitem WHERE l_orderkey < 300),
+             reach AS (
+               SELECT node AS src, node AS dst FROM nodes
+               UNION
+               SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             comp AS (SELECT src AS node, min(dst) AS group_id
+                      FROM reach GROUP BY src),
+             slv AS (
+               SELECT node, count(1) AS n FROM (
+                 SELECT src AS node FROM pairs WHERE shared = 6
+                 UNION ALL SELECT dst FROM pairs WHERE shared = 6) t
+               GROUP BY node)
+             SELECT c.node AS l_orderkey, c.group_id,
+                    coalesce(s.n, 0) AS slv_count,
+                    row_number() OVER (PARTITION BY c.group_id
+                      ORDER BY coalesce(s.n, 0) DESC, c.node) = 1 AS is_founder
+             FROM comp c LEFT JOIN slv s ON c.node = s.node
+             ORDER BY l_orderkey"""))
 
   // G4: LIN codes — order-dependent sequential assignment, no SQL oracle
   // (ClusteringSpec carries the hand-computed golden); 3-level scheme.
