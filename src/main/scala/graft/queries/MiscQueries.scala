@@ -127,6 +127,21 @@ object MiscQueries extends QueryModule {
                    CAST(c_nationkey AS VARCHAR) || ']' AS display
             FROM customer ORDER BY c_custkey"""))
 
+  // JSON shredding (analysis_results_cache): events.props flattened to the
+  // long (entity, json_path, value) cache the F10 predicates query.
+  private val jsonShred = Q(
+    "json_shred_cache",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      graft.operators.JsonShred.flatten(e, "event_id", "props")
+        .orderBy(col("event_id"), col("json_path"))
+    },
+    Some("""SELECT event_id, 'k' AS json_path,
+                   json_extract_string(props, '$.k') AS value
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            ORDER BY event_id, json_path"""))
+
   val qs: Seq[Q] = Seq(f9Geo, geoDistance, o5DictSort, a10PubBreakdown,
-    compositeField)
+    compositeField, jsonShred)
 }
