@@ -24,9 +24,12 @@ object Tables {
     df.schema.fields.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) if name == "events" =>
+        // integer div, not `/` (double): epoch-nanos exceed double's 53-bit
+        // exact range, so float division can land 1µs off the oracle's
+        // integer truncation
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => df
     }
   }

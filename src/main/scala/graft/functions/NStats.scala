@@ -28,6 +28,8 @@ object NStats {
     if (lengths.isEmpty) return Result(0, 0, 0, 0, 0, 0)
     val sorted = lengths.sortBy(-_)
     val total = sorted.sum
+    // all-zero lengths: threshold 0 never enters the cum loop → i-1 = -1
+    if (total == 0) return Result(lengths.length.toLong, 0, 0, 0, 0, 0)
     def at(frac: Double): (Long, Long) = {
       val threshold = total * frac
       var cum = 0L; var i = 0

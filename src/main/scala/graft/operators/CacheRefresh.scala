@@ -28,21 +28,57 @@ object CacheRefresh {
     current.join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates)
 
-  /** Full refresh with atomic swap: write the rebuilt cache next to the
-    * live directory, then rename over it — readers see either the old or
-    * the new snapshot, never a partial one (the reference's rename-swap,
-    * Datastore.pm:2165-2172).
+  /** Full refresh published through a pointer file — the snapshot-isolation
+    * form of the reference's rename-swap (Datastore.pm:2165-2172).
+    *
+    * A directory-rename swap (live → old, staging → live) has a window
+    * where `livePath` does not exist, and a crash inside it strands the
+    * cache at `livePath + ".old"`. Instead each rebuild writes a fresh
+    * versioned directory `livePath.vN` and then atomically replaces the
+    * one-line pointer file `livePath.current` (single-file rename — atomic
+    * on POSIX and HDFS). Readers resolve through [[resolveLive]], so they
+    * always see a complete snapshot: either vN-1 or vN, never a partial or
+    * missing directory. Older versions are pruned only after the pointer
+    * moves on.
     */
   def fullSwap(rebuilt: DataFrame, livePath: String): Unit = {
-    val tmp = livePath + ".staging"
-    rebuilt.write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       rebuilt.sparkSession.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(livePath)
-    val old = new org.apache.hadoop.fs.Path(livePath + ".old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
-    fs.delete(old, true)
+    val pointer = new org.apache.hadoop.fs.Path(livePath + ".current")
+    val prev = readPointer(fs, pointer)
+    val nextV = prev.flatMap(p => "\\.v(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toInt + 1))
+      .getOrElse(1)
+    val versioned = s"$livePath.v$nextV"
+    rebuilt.write.mode("overwrite").parquet(versioned)
+    // single-file atomic publish: write pointer.tmp, rename over pointer
+    val tmp = new org.apache.hadoop.fs.Path(livePath + ".current.tmp")
+    val out = fs.create(tmp, true)
+    out.write(versioned.getBytes("UTF-8")); out.close()
+    if (fs.exists(pointer)) fs.delete(pointer, false)
+    fs.rename(tmp, pointer)
+    prev.filter(_ != versioned)
+      .foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
   }
+
+  /** Resolve the live snapshot directory for a cache published by
+    * [[fullSwap]] (falls back to `livePath` itself for caches written
+    * directly, pre-pointer).
+    */
+  def resolveLive(spark: org.apache.spark.sql.SparkSession, livePath: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    readPointer(fs, new org.apache.hadoop.fs.Path(livePath + ".current"))
+      .getOrElse(livePath)
+  }
+
+  private def readPointer(
+      fs: org.apache.hadoop.fs.FileSystem,
+      pointer: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(pointer)) None
+    else {
+      val in = fs.open(pointer)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (s.isEmpty) None else Some(s)
+      } finally in.close()
+    }
 }

@@ -53,9 +53,17 @@ object Clustering {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("component"))
-      val next = labels.unionByName(viaNeighbors)
+      val propagated = labels.unionByName(viaNeighbors)
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"))
+      // pointer jumping (label shortcut): component ids are themselves node
+      // ids, so re-resolving each label through the label table halves the
+      // remaining chain length — neighbor propagation alone needs
+      // diameter rounds on a path graph, propagate+jump needs O(log n).
+      val next = propagated
+        .join(propagated.select(col("node").as("component"), col("component").as("__cc")),
+          Seq("component"), "left")
+        .select(col("node"), coalesce(col("__cc"), col("component")).as("component"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node"))
         .filter(col("component") =!= col("old"))
@@ -65,6 +73,10 @@ object Clustering {
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          "component ids would be incorrect; raise maxIter")
     labels
   }
 

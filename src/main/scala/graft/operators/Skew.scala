@@ -24,6 +24,14 @@ object Skew {
   def saltedJoin(
       large: DataFrame, small: DataFrame, key: String,
       factor: Int, joinType: String = "inner"): DataFrame = {
+    // Only large-side-preserving types are correct: the small side is
+    // exploded once per salt value, so right/full outer would emit each
+    // unmatched small-side row `factor` times.
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed(joinType.toLowerCase),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side " +
+        s"rows ${factor}x; use one of ${allowed.mkString(", ")}")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(factor)).cast("int"))
     val exploded = small

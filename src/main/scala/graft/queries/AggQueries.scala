@@ -189,15 +189,20 @@ object AggQueries extends QueryModule {
     "a12_growth",
     (s, dir) => {
       val o = Tables.load(s, dir, "orders")
-      val daily = o.groupBy(to_date(col("o_orderdate")).as("day"))
+      // `day` as yyyy-MM-dd STRING: DuckDB DATE surfaces as a timestamp in
+      // the driver's pandas compare, so a native date column hash-mismatches
+      // even when values agree.
+      val daily = o.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n"))
       daily.withColumn("cum_n",
           sum(col("n")).over(Window.orderBy(col("day"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy(col("day"))
     },
-    Some("""SELECT day, n, sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_n
-            FROM (SELECT CAST(o_orderdate AS DATE) AS day, count(1) AS n
+    Some("""SELECT day, n,
+                   CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+            FROM (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+                         count(1) AS n
                   FROM orders GROUP BY day) t
             ORDER BY day"""))
 
@@ -245,7 +250,7 @@ object AggQueries extends QueryModule {
                          sum(len) OVER (PARTITION BY l_returnflag) AS tot
                   FROM t)
             SELECT l_returnflag,
-                   count(1) AS contigs, max(tot) AS total_length,
+                   count(1) AS contigs, CAST(max(tot) AS BIGINT) AS total_length,
                    max(CASE WHEN cum >= tot * 0.5 THEN len END) AS n50,
                    min(CASE WHEN cum >= tot * 0.5 THEN rn END) AS l50,
                    max(CASE WHEN cum >= tot * 0.9 THEN len END) AS n90,

@@ -21,6 +21,20 @@ class ClusteringSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("connectedComponents: 256-chain converges in O(log n) rounds (pointer jumping)") {
+    val chain = (1L until 256L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Clustering.connectedComponents(chain, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 256 && got.values.toSet == Set(1L))
+  }
+
+  test("connectedComponents: throws instead of returning non-converged labels") {
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Clustering.connectedComponents(chain, maxIter = 2)
+    }
+  }
+
   // mini-MLST universe: 3 loci; A/B identical, C one mismatch from B,
   // D unrelated
   private lazy val fact = Seq(

@@ -23,6 +23,17 @@ class SkewCacheSpec extends SparkSpec {
     assert(salted == plain && plain.size == 1001)
   }
 
+  test("saltedJoin rejects small-side-duplicating join types") {
+    val large = Seq((1L, 1)).toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(large, small, "k", factor = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(large, small, "k", factor = 4, joinType = "full_outer")
+    }
+  }
+
   test("saltedCount equals groupBy count") {
     val df = ((1 to 500).map(_ => "hot") ++ Seq("a", "b", "b")).toDF("k")
     val got = Skew.saltedCount(df, "k", factor = 4)
@@ -41,10 +52,15 @@ class SkewCacheSpec extends SparkSpec {
   test("fullSwap: readers see complete snapshots across refreshes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-swap").toString + "/cache"
     CacheRefresh.fullSwap(Seq((1, "v1")).toDF("id", "v"), dir)
-    assert(spark.read.parquet(dir).as[(Int, String)].collect().toSeq == Seq((1, "v1")))
+    val live1 = CacheRefresh.resolveLive(spark, dir)
+    assert(spark.read.parquet(live1).as[(Int, String)].collect().toSeq == Seq((1, "v1")))
     CacheRefresh.fullSwap(Seq((1, "v2"), (2, "v2")).toDF("id", "v"), dir)
-    val after = spark.read.parquet(dir).as[(Int, String)].collect().toSet
+    val live2 = CacheRefresh.resolveLive(spark, dir)
+    assert(live2 != live1, "pointer must move to a fresh versioned dir")
+    val after = spark.read.parquet(live2).as[(Int, String)].collect().toSet
     assert(after == Set((1, "v2"), (2, "v2")))
+    // the superseded version is pruned once the pointer has moved on
+    assert(!new java.io.File(live1).exists)
   }
 
   test("streamingExact dedup emits each distinct content once across batches") {

@@ -63,6 +63,7 @@ class SourcesSpec extends SparkSpec {
     val r = NStats.compute(Seq(4L, 10L, 2L, 8L, 6L))
     assert(r == NStats.Result(5, 30, 8, 2, 4, 4))
     assert(NStats.compute(Nil) == NStats.Result(0, 0, 0, 0, 0, 0))
+    assert(NStats.compute(Seq(0L, 0L, 0L)) == NStats.Result(3, 0, 0, 0, 0, 0))
   }
 
   test("bandedLevenshtein: exact within band, clamped beyond") {
