@@ -130,7 +130,16 @@ object ScanQueries extends QueryModule {
       Multimodal.frameSample(media, "doc_id", stride = 64, maxFrames = 4)
         .orderBy(col("doc_id"), col("frame_no"))
     },
-    None)
+    // synthetic media = utf-8 text bytes, so the oracle reproduces the frame
+    // tokens from base64 of the same bytes with the same stride/cap arithmetic
+    Some("""WITH m AS (
+              SELECT doc_id, to_base64(CAST(text AS BLOB)) AS b64,
+                     greatest(least(CAST(floor(octet_length(CAST(text AS BLOB))/64.0) AS INT) - 1, 3), 0) AS maxi
+              FROM documents WHERE doc_id < 50),
+            e AS (SELECT doc_id, b64, unnest(generate_series(0, maxi)) AS i FROM m)
+            SELECT doc_id, CAST(i AS INT) AS frame_no,
+                   substr(b64, CAST(i*8+1 AS INT), 8) AS frame_token
+            FROM e ORDER BY doc_id, frame_no"""))
 
   // G7: per-site character frequency table (LocusExplorer get_freq_table /
   // SNPsites) — positions 1..20 of each derived DNA sequence.

@@ -116,9 +116,10 @@ object SeqSearchQueries extends QueryModule {
             WHERE length(dna) > 0
             ORDER BY doc_id"""))
 
-  // §2.8 bio: translation + complete-CDS check — no SQL oracle (codon table
-  // not expressible tersely in DuckDB); covered by BioSpec golden tests.
-  // Driver records the weaker rows-only check.
+  // §2.8 bio: translation + complete-CDS check. The oracle rebuilds the
+  // standard codon table in SQL (TCAG × TCAG × TCAG indexed into the amino
+  // string) and derives complete_cds from the dna ends + internal-stop scan
+  // of the protein — same rules as Utils.pm:74-103.
   private val bioTranslate = Q(
     "bio_translate",
     (s, dir) => {
@@ -130,7 +131,33 @@ object SeqSearchQueries extends QueryModule {
           Bio.isCompleteCds(col("dna")).as("complete_cds"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""WITH b(ch, i) AS (VALUES ('T',0),('C',1),('A',2),('G',3)),
+            codons AS (
+              SELECT b1.ch || b2.ch || b3.ch AS codon,
+                     substr('FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG',
+                            b1.i*16 + b2.i*4 + b3.i + 1, 1) AS aa
+              FROM b b1, b b2, b b3),
+            f AS (
+              SELECT doc_id, dna FROM (
+                SELECT doc_id, regexp_replace(upper(text), '[^ACGT]', '', 'g') AS dna
+                FROM documents) t
+              WHERE length(dna) >= 3),
+            pos AS (
+              SELECT doc_id, dna,
+                     unnest(generate_series(0, CAST(floor(length(dna)/3.0) AS INT) - 1)) AS i
+              FROM f),
+            tr AS (
+              SELECT p.doc_id, string_agg(c.aa, '' ORDER BY p.i) AS protein
+              FROM (SELECT doc_id, i, substr(dna, CAST(i*3+1 AS INT), 3) AS codon FROM pos) p
+              JOIN codons c USING (codon)
+              GROUP BY p.doc_id)
+            SELECT f.doc_id, tr.protein,
+                   (length(f.dna) >= 6 AND length(f.dna) % 3 = 0
+                    AND substr(f.dna, 1, 3) IN ('ATG','GTG','TTG')
+                    AND substr(f.dna, CAST(length(f.dna) AS INT) - 2, 3) IN ('TAA','TGA','TAG')
+                    AND strpos(substr(tr.protein, 2, CAST(length(tr.protein) AS INT) - 2), '*') = 0) AS complete_cds
+            FROM f JOIN tr USING (doc_id)
+            ORDER BY doc_id"""))
 
   // Q2 scale path: banded edit distance (O(n·band) per pair, codegen'd)
   // thresholded at the band — within the band it returns the EXACT

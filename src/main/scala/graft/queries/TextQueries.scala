@@ -102,8 +102,10 @@ object TextQueries extends QueryModule {
             SELECT lang, predicted, count(1) AS n FROM pred
             GROUP BY lang, predicted ORDER BY lang, predicted"""))
 
-  // Document fingerprint (rolling polynomial hash) — engine-defined arith
-  // is SQL-replicable in principle but brittle; covered by TextSpec.
+  // Document fingerprint (rolling polynomial hash). The oracle replays the
+  // same arithmetic: sum(ascii_i * 131^i) mod 1e9+7 over the first 64
+  // chars, with the power sequence from a recursive CTE — every term stays
+  // below 2^53 so BIGINT arithmetic is exact on both sides.
   private val textFingerprint = Q(
     "text_fingerprint",
     (s, dir) => {
@@ -112,7 +114,15 @@ object TextQueries extends QueryModule {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""WITH RECURSIVE pw(i, f) AS (
+              SELECT 0, CAST(1 AS BIGINT)
+              UNION ALL SELECT i+1, (f*131) % 1000000007 FROM pw WHERE i < 63
+            ), d AS (SELECT doc_id, substr(text, 1, 64) AS t FROM documents)
+            SELECT d.doc_id,
+                   CAST(COALESCE(SUM((unicode(substr(d.t, CAST(pw.i+1 AS INT), 1)) * pw.f)
+                                     % 1000000007) % 1000000007, 0) AS BIGINT) AS fp
+            FROM d LEFT JOIN pw ON pw.i < length(d.t)
+            GROUP BY d.doc_id ORDER BY d.doc_id"""))
 
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint)
 }
