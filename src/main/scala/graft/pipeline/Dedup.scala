@@ -112,17 +112,20 @@ object Dedup {
     val banded = sigs
       .select(col("__id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("__id"), col("bk.band"), col("bk.bucket"))
-    // guard: drop degenerate buckets before the self join
-    val guarded = banded
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsize") <= maxBucketSize)
-      .drop("bsize")
-    val pairs = guarded.select(col("__id").as("id1"), col("band"), col("bucket"))
-      .join(guarded.select(col("__id").as("id2"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+    // ONE aggregation replaces window-count guard + self-join + filter:
+    // collect each bucket's ids, drop degenerate (oversized) buckets, and
+    // expand the in-bucket pairs locally from the sorted id list. Saves two
+    // full shuffles and a window sort; bucket sizes are bounded by
+    // maxBucketSize so the local expansion is at most quadratic in that cap.
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("__id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+    val sortedIds = array_sort(col("ids"))
+    val bucketPairs = flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + lit(2), size(sortedIds) - i - 1),
+        y => struct(x.as("id1"), y.as("id2")))))
+    val pairs = buckets.select(explode(bucketPairs).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .distinct()
     pairs
       .join(sigs.select(col("__id").as("id1"), col("sig").as("sig1")), Seq("id1"))
