@@ -15,7 +15,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Session-scoped table cache. The corpus files are written as a SINGLE
+  // parquet row group each, so an uncached scan is serial no matter how
+  // maxPartitionBytes is set — every query would pay a ~1 s single-threaded
+  // decode of lineitem. Caching once per (session, dir, table) is the same
+  // posture as the reference's scheme/dataset caches; disable with
+  // SPARK_GRAFT_NO_CACHE=1 (e.g. when inputs exceed cluster memory).
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (sys.env.contains("SPARK_GRAFT_NO_CACHE")) loadUncached(spark, dir, name)
+    else tableCache.computeIfAbsent(
+      spark.hashCode() + "|" + dir + "|" + name,
+      // repartition before caching: the cache preserves partitioning, and a
+      // one-row-group file is one partition — without this, every cached
+      // scan would still be serial. One shuffle at materialization buys
+      // full-width parallelism for every later query.
+      _ => loadUncached(spark, dir, name)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache())
+
+  /** Direct parquet read, no session cache — the path a cluster job over
+    * data that exceeds memory uses; filter/projection pushdown reaches the
+    * parquet scan here (asserted by PlanSpec).
+    */
+  def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default;
     // read it as epoch-nanos long and truncate to micros (what the DuckDB
     // oracle does when it reads the same file).

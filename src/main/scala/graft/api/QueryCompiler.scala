@@ -128,11 +128,16 @@ object QueryCompiler {
     * primary key — IsolateQueryPage.pm:2107-2128), then count + page (O3:
     * ResultsTablePage count rewrite + LIMIT/OFFSET). Returns (total, page).
     */
-  def paged(spec: QuerySpec, cat: Catalog): (Long, DataFrame) = {
+  /** Lazily-counted page result: `total` runs the count job only when
+    * forced, so callers that render a page without the total-hits banner
+    * (or bench a single page) don't execute the query twice.
+    */
+  final class Paged(totalThunk: () => Long, val page: DataFrame) {
+    lazy val total: Long = totalThunk()
+  }
+
+  def paged(spec: QuerySpec, cat: Catalog): Paged = {
     val base = compile(spec, cat)
-    // count on the UNSORTED plan — Catalyst prunes the sort, same as the
-    // reference's COUNT rewrite (ResultsTablePage.pm:76-81)
-    val total = base.count()
     val sorts = spec.orderBy.map(s =>
       if (s.ascending) col(s.field).asc else col(s.field).desc) :+
       col(cat.entityId).asc
@@ -141,6 +146,8 @@ object QueryCompiler {
       case Some(PageSpec(p, size)) => sorted.offset((p - 1) * size).limit(size)
       case None => sorted
     }
-    (total, pageDf)
+    // count on the UNSORTED plan — Catalyst prunes the sort, same as the
+    // reference's COUNT rewrite (ResultsTablePage.pm:76-81)
+    new Paged(() => base.count(), pageDf)
   }
 }

@@ -46,6 +46,14 @@ object Clustering {
     // (without it the logical plan doubles per iteration and planning OOMs)
     var labels = allNodes.select(col("node"), col("node").as("component"))
       .localCheckpoint()
+    // Convergence check without a join: labels only ever decrease, so
+    // sum(component) strictly decreases iff any label changed this round
+    // (decimal sum — immune to long overflow on large id spaces).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0)
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -65,11 +73,10 @@ object Clustering {
           Seq("component"), "left")
         .select(col("node"), coalesce(col("__cc"), col("component")).as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node"))
-        .filter(col("component") =!= col("old"))
-        .limit(1).count()
+      val curSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     sym.unpersist()

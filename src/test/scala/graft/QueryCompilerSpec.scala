@@ -65,11 +65,11 @@ class QueryCompilerSpec extends SparkSpec {
   test("paged: count on unsorted plan, stable tiebreak, offset/limit") {
     val spec = QuerySpec(
       orderBy = Seq(SortSpec("priority")), page = Some(PageSpec(1, 2)))
-    val (total, pageDf) = paged(spec, cat)
+    val r = paged(spec, cat); val (total, pageDf) = (r.total, r.page)
     assert(total == 4)
     // priority asc: LOW(4), low(2)? — Spark string sort: "LOW" < "low" < "urgent"
     assert(pageDf.select("id").as[Long].collect().toSeq == Seq(4, 2))
-    val (_, page2) = paged(spec.copy(page = Some(PageSpec(2, 2))), cat)
+    val page2 = paged(spec.copy(page = Some(PageSpec(2, 2))), cat).page
     assert(page2.select("id").as[Long].collect().toSeq == Seq(1, 3))
   }
 
