@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: makes the graft scalar functions available
+  * to ANY SparkSession — including pure-SQL clients (JDBC/Thrift, notebooks)
+  * that never touch the Scala API — via
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * This is the Spark-native analogue of the reference installing its
+  * plpgsql/domain functions into every database it manages
+  * (sql/isolatedb.sql, sql/seqdef.sql): the capability travels with the
+  * session configuration, not with call sites.
+  *
+  * All injected functions are native Catalyst `Expression`s with codegen
+  * (graft.functions.Bio / Vectors), so SQL callers get the same
+  * whole-stage-codegen'd kernels as DataFrame callers.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    inject(ext, "reverse_complement", "reverse-complements a DNA sequence",
+      { case Seq(c) => functions.Bio.ReverseComplement(c) })
+    inject(ext, "is_complete_cds", "start codon, in-frame terminal stop, no internal stop",
+      { case Seq(c) => functions.Bio.IsCompleteCds(c) })
+    inject(ext, "translate_dna", "translates DNA to protein (standard codon table)",
+      { case Seq(c) => functions.Bio.Translate(c) })
+    inject(ext, "vec_cosine", "cosine similarity of two double arrays",
+      { case Seq(a, b) => functions.Vectors.CosineSimilarity(a, b) })
+    inject(ext, "vec_dot", "dot product of two double arrays",
+      { case Seq(a, b) => functions.Vectors.DotProduct(a, b) })
+    inject(ext, "jaccard_sim", "Jaccard similarity of two distinct-element arrays",
+      { case Seq(a, b) => functions.Vectors.JaccardSim(a, b) })
+  }
+}
+
+object GraftExtensions {
+  private def inject(
+      ext: SparkSessionExtensions,
+      name: String,
+      usage: String,
+      builder: PartialFunction[Seq[Expression], Expression]): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      (exprs: Seq[Expression]) =>
+        builder.applyOrElse(exprs, (es: Seq[Expression]) =>
+          throw new IllegalArgumentException(
+            s"$name: unexpected argument count ${es.length}"))))
+}

@@ -114,10 +114,12 @@ object Vectors {
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     private val P = 2147483647L // 2^31-1
 
+    // Universal-hash coefficients derived from md5 of a seed-and-index tag,
+    // not from a JVM PRNG: any engine with md5 can replay the identical
+    // signature (the DuckDB oracle for dedup_minhash_lsh does exactly that).
     @transient private lazy val coefs: (Array[Long], Array[Long]) = {
-      val rnd = new scala.util.Random(seed)
-      val as = Array.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong)
-      val bs = Array.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
+      val as = Array.tabulate(k)(i => (MinHashSig.md5Long60(s"graft-mh-a-$seed-$i") % (P - 1)) + 1)
+      val bs = Array.tabulate(k)(i => MinHashSig.md5Long60(s"graft-mh-b-$seed-$i") % P)
       (as, bs)
     }
 
@@ -168,6 +170,18 @@ object Vectors {
         ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($mins);
         """
       })
+    }
+  }
+
+  object MinHashSig {
+    /** First 15 hex chars (60 bits) of md5(s) as a non-negative Long —
+      * matches SQL `('0x' || substr(md5(s),1,15))::BIGINT`.
+      */
+    def md5Long60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(8).map("%02x".format(_)).mkString.take(15).foldLeft(0L)(
+        (acc, c) => acc * 16 + Character.digit(c, 16))
     }
   }
 

@@ -68,6 +68,14 @@ object Dedup {
   def shingleHashes(sh: Column): Column =
     transform(sh, s => xxhash64(s))
 
+  /** Cross-engine-reproducible shingle hashes: the top 60 bits of md5(s),
+    * decoded from hex. Slower than xxhash64 (md5 + string conv), but every
+    * SQL engine computes the identical value — used where an external
+    * oracle must replay the pipeline; xxhash64 stays the fast path.
+    */
+  def portableShingleHashes(sh: Column): Column =
+    transform(sh, s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+
   /** MinHash signature: k universal hashes h_i(x) = (a_i*x + b_i) mod p,
     * min over shingle hashes. Returns ARRAY<BIGINT> length k. A fused
     * codegen'd expression (graft.functions.Vectors.MinHashSig): one loop
@@ -98,14 +106,15 @@ object Dedup {
       k: Int = 128,
       bands: Int = 32,
       minEstJaccard: Double = 0.5,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      hasher: Column => Column = shingleHashes): DataFrame = {
     val rows = k / bands
     // signatures once, cached: reused by the band join and the final
     // estimate join (signatures are k longs per doc — small)
     val sigs = docs
       .select(col(id).as("__id"), shingles(col(text), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("__id"), minhashSignature(shingleHashes(col("sh")), k).as("sig"))
+      .select(col("__id"), minhashSignature(hasher(col("sh")), k).as("sig"))
       .cache()
     // only (id, band, bucket) flows through the shuffle — the signature
     // arrays are re-attached after pair dedup, not dragged through the join

@@ -59,32 +59,96 @@ object DedupQueries extends QueryModule {
                         / len(list_distinct(a.grams || b.grams)), 4) >= 0.05
             ORDER BY id1, id2"""))
 
-  // MinHash + LSH near-dup candidates (xxhash64-based — no SQL oracle;
-  // validated by DedupSpec with planted near-duplicates).
+  // MinHash + LSH near-dup candidates over portable (md5-derived) shingle
+  // hashes and md5-derived universal-hash coefficients: the oracle replays
+  // shingling, the k=64 signature, 16-band bucketing (bucket equality =
+  // signature-slice equality), pair generation, and the agreement estimate.
   private val dedupMinhash = Q(
     "dedup_minhash_lsh",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Dedup.minhashLsh(docs, "doc_id", "text",
-          shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.1)
+          shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.1,
+          hasher = Dedup.portableShingleHashes)
         .withColumn("est_jaccard", round(col("est_jaccard"), 4))
         .orderBy(col("id1"), col("id2"))
     },
-    None)
+    Some("""WITH words AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1])) AS g
+              FROM words
+              WHERE len(w) >= 2),
+            hm AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT) % 2147483647 AS hm
+              FROM grams),
+            coefs AS (
+              SELECT i,
+                     ((('0x' || substr(md5('graft-mh-a-42-' || i), 1, 15))::BIGINT) % 2147483646) + 1 AS a,
+                     (('0x' || substr(md5('graft-mh-b-42-' || i), 1, 15))::BIGINT) % 2147483647 AS b
+              FROM range(0, 64) r(i)),
+            sigvals AS (
+              SELECT doc_id, i, min((hm * a + b) % 2147483647) AS s
+              FROM hm, coefs GROUP BY doc_id, i),
+            sigs AS (
+              SELECT doc_id, list(s ORDER BY i) AS sig FROM sigvals GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, t.t AS t,
+                     array_to_string(sig[t.t*4+1 : t.t*4+4], ',') AS key
+              FROM sigs, range(0, 16) t(t)),
+            pairs AS (
+              SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+              FROM banded x JOIN banded y
+                ON x.t = y.t AND x.key = y.key AND x.doc_id < y.doc_id),
+            est AS (
+              SELECT p.id1, p.id2,
+                     round(list_sum(list_transform(generate_series(1, 64),
+                         i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) / 64.0, 4) AS est_jaccard
+              FROM pairs p
+              JOIN sigs s1 ON p.id1 = s1.doc_id
+              JOIN sigs s2 ON p.id2 = s2.doc_id)
+            SELECT id1, id2, est_jaccard FROM est
+            WHERE est_jaccard >= 0.1
+            ORDER BY id1, id2"""))
 
-  // SimHash signatures + near-dup pairs at hamming <= 16 among a bounded
-  // candidate set (prefix-bucketed). Signature column itself is engine-
-  // specific → no SQL oracle; DedupSpec covers the semantics.
+  // SimHash signatures over md5-derived (cross-engine-reproducible) shingle
+  // hashes: the oracle replays shingling, hashing, and the per-bit vote in
+  // SQL. Bits 60-63 are structurally 0 on both sides (60-bit hashes).
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       docs.select(col("doc_id"),
-          Dedup.simhash(Dedup.shingleHashes(
+          Dedup.simhash(Dedup.portableShingleHashes(
             Dedup.shingles(col("text"), 2))).as("simhash"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""WITH words AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1])) AS g
+              FROM words),
+            hv AS (
+              SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT AS h
+              FROM grams),
+            votes AS (
+              SELECT doc_id, r.b AS b,
+                     SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hv, range(0, 60) r(b)
+              GROUP BY doc_id, r.b),
+            sim AS (
+              SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+              FROM votes GROUP BY doc_id)
+            SELECT d.doc_id, CAST(COALESCE(sim.simhash, 0) AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sim USING (doc_id)
+            ORDER BY doc_id"""))
 
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash)
 }

@@ -48,9 +48,13 @@ class DedupSpec extends SparkSpec {
       case m => val s1 = m(1L).toSet; val s2 = m(2L).toSet
         s1.intersect(s2).size.toDouble / s1.union(s2).size
     }
-    val est = Dedup.minhashLsh(docs, "doc_id", "text",
-        shingleN = 2, k = 128, bands = 32, minEstJaccard = 0.0)
-      .select("est_jaccard").as[Double].collect().head
+    // compare signatures directly (k=256 for tight variance) — routing
+    // through LSH banding would make the assertion hostage to whether a
+    // band holds, which is probabilistic by design
+    val sigs = withSh.select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingleHashes(col("sh")), 256).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }.toDouble / 256
     assert(math.abs(est - trueJac) < 0.2, s"est=$est true=$trueJac")
   }
 

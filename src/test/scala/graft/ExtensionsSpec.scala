@@ -1,0 +1,29 @@
+package graft
+
+/** GraftExtensions: functions injected via spark.sql.extensions resolve for
+  * pure-SQL callers. The shared spec session is built with
+  * spark.sql.extensions=graft.GraftExtensions (SparkSpec), exactly how a
+  * deployment would configure it.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("bio functions resolve and compute in SQL") {
+    val r = spark.sql(
+      """SELECT reverse_complement('ACGT') AS rc,
+                is_complete_cds('ATGAAATAA') AS cds,
+                translate_dna('ATGAAATAA') AS prot""").collect()(0)
+    assert(r.getString(0) == "ACGT") // ACGT is its own reverse complement
+    assert(r.getBoolean(1))
+    assert(r.getString(2) == "MK*")
+  }
+
+  test("vector functions resolve and compute in SQL") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                round(vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c,
+                jaccard_sim(array('a','b'), array('b','c')) AS j""").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(math.abs(r.getDouble(2) - 1.0 / 3.0) < 1e-9)
+  }
+}

@@ -11,6 +11,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // suites run in parallel and all converge on one session via
+    // getOrCreate — declare the extensions here so whichever suite builds
+    // it first produces the session ExtensionsSpec asserts against
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 
   def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
