@@ -51,12 +51,16 @@ object Similarity {
   }
 
   /** Signed-random-projection signature: bit i = sign(v · h_i), packed into
-    * a long. Hyperplanes are generated deterministically (seeded) on the
-    * driver and inlined as literals — broadcast-free, codegen-friendly.
+    * a long. Hyperplane components derive from md5 of a seed-and-index tag
+    * (uniform in [-1,1), symmetric — the SRP collision bound only needs a
+    * sign-symmetric distribution), inlined as literals — broadcast-free,
+    * codegen-friendly, and replayable by any engine with md5 (the DuckDB
+    * oracle for sim_lsh_ann recomputes the identical planes).
     */
   def srpSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val planes = Array.tabulate(bits)(b => Array.tabulate(dim)(d =>
+      graft.functions.Vectors.MinHashSig.md5Long60(s"graft-srp-$seed-$b-$d")
+        / 5.76460752303423488e17 - 1.0))
     (0 until bits).map { i =>
       val h = typedLit(planes(i).toSeq)
       when(dot(vec, h) > 0, lit(1L << i)).otherwise(lit(0L))

@@ -72,8 +72,10 @@ object SimilarityQueries extends QueryModule {
                      AS cos_to_centroid
             FROM joined ORDER BY vec_id"""))
 
-  // SRP-LSH bucketed ANN — engine-defined hyperplanes → no SQL oracle;
-  // SimilaritySpec checks recall against the brute-force baseline.
+  // SRP-LSH bucketed ANN. Hyperplanes are md5-derived, so the oracle
+  // recomputes the identical planes, signatures (list_dot_product matches
+  // the expression's sequential summation), buckets, candidates, and ranks.
+  // SimilaritySpec additionally checks recall against brute force.
   private val simLsh = Q(
     "sim_lsh_ann",
     (s, dir) => {
@@ -84,10 +86,42 @@ object SimilarityQueries extends QueryModule {
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            planes AS (
+              SELECT t, b, list(h ORDER BY d) AS plane
+              FROM (SELECT t.t AS t, b.b AS b, d.d AS d,
+                           ('0x' || substr(md5('graft-srp-' || (42 + t.t) || '-' || b.b || '-' || d.d), 1, 15))::BIGINT
+                             / 576460752303423488.0 - 1.0 AS h
+                    FROM range(0, 8) t(t), range(0, 4) b(b), range(0, 64) d(d)) raw
+              GROUP BY t, b),
+            sigs AS (
+              SELECT e.vec_id, p.t,
+                     SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+              FROM e, planes p GROUP BY e.vec_id, p.t),
+            pairs AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM sigs q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+              WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+            norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            scored AS (
+              SELECT p.query_id, p.neighbor_id,
+                     list_dot_product(q.v, c.v) / (q.n * c.n) AS cos
+              FROM pairs p
+              JOIN norm q ON p.query_id = q.vec_id
+              JOIN norm c ON p.neighbor_id = c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
 
-  // IVF-bucketed ANN (the inverted-file scale path) — engine-defined
-  // centroid lists → no SQL oracle; SimilaritySpec checks recall.
+  // IVF-bucketed ANN (the inverted-file scale path). Centroids are the
+  // first nlist corpus vectors by id — fully deterministic, so the oracle
+  // replays assignment, probing, scoring, and ranking exactly.
+  // SimilaritySpec additionally checks recall.
   private val simIvf = Q(
     "sim_ivf_ann",
     (s, dir) => {
@@ -98,7 +132,36 @@ object SimilarityQueries extends QueryModule {
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t),
+            norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            assign_all AS (
+              SELECT nm.vec_id, nm.v, nm.n, c.list_id,
+                     list_dot_product(nm.v, c.cvec)
+                       / (nm.n * sqrt(list_dot_product(c.cvec, c.cvec))) AS cd
+              FROM norm nm, cent c),
+            corpus_assigned AS (
+              SELECT vec_id AS neighbor_id, v AS cv, n AS cn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all) t WHERE r = 1),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, n AS qn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all WHERE vec_id < 8) t WHERE r <= 6),
+            scored AS (
+              SELECT p.query_id, a.neighbor_id,
+                     list_dot_product(p.qv, a.cv) / (p.qn * a.cn) AS cos
+              FROM probes p JOIN corpus_assigned a USING (list_id)
+              WHERE p.query_id <> a.neighbor_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
 
   // Embedding-cosine near-dup pairs (dedup family) on a bounded subset,
   // exact — DuckDB replicates with list_cosine_similarity.
