@@ -34,7 +34,8 @@ object Clustering {
   def connectedComponents(
       edges: DataFrame,
       nodes: Option[DataFrame] = None,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -42,6 +43,40 @@ object Clustering {
       .cache()
     val allNodes = nodes.map(_.select(col("node")))
       .getOrElse(sym.select(col("src").as("node")).distinct())
+    // Small-graph fast path: below the threshold, a driver-side union-find
+    // beats several distributed rounds — the same adaptive posture as
+    // broadcast-vs-shuffle join selection. The thresholded similarity
+    // graphs this engine clusters are usually far below it; the iterative
+    // path below remains the scale route and produces identical labels
+    // (component id = min member id either way).
+    val edgeCount = sym.count()
+    if (edgeCount <= localEdgeThreshold) {
+      import spark.implicits._
+      val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      val ns = allNodes.select(col("node").cast("long")).as[Long].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      ns.foreach(n => parent.getOrElseUpdate(n, n))
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // root = min member id: union by min above keeps roots minimal
+      val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      sym.unpersist()
+      val nodeType = allNodes.schema("node").dataType
+      return spark.createDataset(out).toDF("node", "component")
+        .select(col("node").cast(nodeType).as("node"),
+          col("component").cast(nodeType).as("component"))
+    }
     // localCheckpoint each round: truncates the compounding plan lineage
     // (without it the logical plan doubles per iteration and planning OOMs)
     var labels = allNodes.select(col("node"), col("node").as("component"))

@@ -22,16 +22,29 @@ class ClusteringSpec extends SparkSpec {
   }
 
   test("connectedComponents: 256-chain converges in O(log n) rounds (pointer jumping)") {
+    // localEdgeThreshold = 0 forces the distributed path under test
     val chain = (1L until 256L).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = Clustering.connectedComponents(chain, maxIter = 15)
+    val got = Clustering.connectedComponents(chain, maxIter = 15, localEdgeThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(got.size == 256 && got.values.toSet == Set(1L))
+  }
+
+  test("connectedComponents: local fast path matches the distributed labels") {
+    val edges = Seq((5L, 9L), (9L, 2L), (7L, 8L), (1L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 5L, 7L, 8L, 9L, 42L).toDF("node")
+    val local = Clustering.connectedComponents(edges, Some(nodes))
+      .as[(Long, Long)].collect().toMap
+    val dist = Clustering.connectedComponents(edges, Some(nodes), localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local == Map(1L -> 1L, 2L -> 2L, 5L -> 2L, 9L -> 2L,
+      7L -> 7L, 8L -> 7L, 42L -> 42L))
   }
 
   test("connectedComponents: throws instead of returning non-converged labels") {
     val chain = (1L until 100L).map(i => (i, i + 1)).toDF("src", "dst")
     intercept[IllegalStateException] {
-      Clustering.connectedComponents(chain, maxIter = 2)
+      Clustering.connectedComponents(chain, maxIter = 2, localEdgeThreshold = 0)
     }
   }
 
