@@ -23,23 +23,25 @@ object JoinQueries extends QueryModule {
       val li = Tables.load(s, dir, "lineitem")
       val p1 = col("l_linenumber") === 1 && col("l_quantity") >= 30.0
       val p2 = col("l_linenumber") === 2 && col("l_discount") >= 0.05
+      // one max(bool) flag per predicate — single-pass, map-side
+      // combinable; countDistinct would force an expand + double aggregate
+      // for what is an existence check
       li.filter(p1 || p2)
-        .withColumn("pred", when(p1, 1).otherwise(2))
         .groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("pred")).as("npred"))
-        .filter(col("npred") === 2)
+        .agg(max(p1).as("h1"), max(p2).as("h2"))
+        .filter(col("h1") && col("h2"))
         .select(col("l_orderkey"))
         .orderBy(col("l_orderkey"))
     },
     Some("""SELECT l_orderkey FROM (
               SELECT l_orderkey,
-                     count(DISTINCT CASE WHEN l_linenumber = 1 AND l_quantity >= 30.0 THEN 1
-                                         ELSE 2 END) AS npred
+                     bool_or(l_linenumber = 1 AND l_quantity >= 30.0) AS h1,
+                     bool_or(l_linenumber = 2 AND l_discount >= 0.05) AS h2
               FROM lineitem
               WHERE (l_linenumber = 1 AND l_quantity >= 30.0)
                  OR (l_linenumber = 2 AND l_discount >= 0.05)
               GROUP BY l_orderkey) t
-            WHERE npred = 2
+            WHERE h1 AND h2
             ORDER BY l_orderkey"""))
 
   // J2: NULL designation (locus missing) — NOT EXISTS → anti join
