@@ -42,6 +42,9 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // drain warm-up garbage so a mid-pass full GC doesn't land on one
+    // unlucky query's wall time
+    System.gc()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -65,4 +65,30 @@ object Fasta {
   def write(df: DataFrame, id: String, seq: String, path: String,
       desc: Option[String] = None): Unit =
     format(df, id, seq, desc).write.mode("overwrite").text(path)
+
+  /** S5 — per-locus bulk download layout (DownloadAllelesPage /
+    * DownloadProfilesPage): one FASTA directory per partition value, e.g.
+    * `path/locus=abcZ/`. `repartition(partitionCol)` first so each locus is
+    * written by the tasks owning it (no tiny-file explosion: files per
+    * locus = partitions actually holding it, post-shuffle exactly 1), and
+    * the layout is discoverable by any Hive-partitioning-aware reader.
+    */
+  def writePartitioned(df: DataFrame, id: String, seq: String,
+      partitionCol: String, path: String,
+      desc: Option[String] = None): Unit = {
+    val header = desc match {
+      case Some(d) => concat(lit(">"), col(id),
+        when(col(d).isNotNull && col(d) =!= "", concat(lit(" "), col(d)))
+          .otherwise(lit("")))
+      case None => concat(lit(">"), col(id))
+    }
+    val wrapped = array_join(
+      transform(
+        sequence(lit(0), floor((length(col(seq)) - 1) / 60).cast("int")),
+        i => substr(col(seq), (i * 60 + 1).cast("int"), lit(60))),
+      "\n")
+    df.repartition(col(partitionCol))
+      .select(col(partitionCol), concat(header, lit("\n"), wrapped).as("value"))
+      .write.mode("overwrite").partitionBy(partitionCol).text(path)
+  }
 }

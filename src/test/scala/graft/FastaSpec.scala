@@ -40,4 +40,22 @@ class FastaSpec extends SparkSpec {
       .as[(String, String, String)].collect().toSet
     assert(got == Set(("seq1", "", "ACGTACGT"), ("seq2", "with desc", "TTTT")))
   }
+
+  test("writePartitioned: per-locus directory layout, one file per locus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fasta-part").toString
+    val alleles = Seq(
+      ("abcZ_1", "abcZ", "ACGTACGT"), ("abcZ_2", "abcZ", "TTTTCCCC"),
+      ("adk_1", "adk", "GGGGAAAA")).toDF("allele_id", "locus", "sequence")
+    Fasta.writePartitioned(alleles, "allele_id", "sequence", "locus", dir)
+    val perLocus = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("locus=")).map(_.getName).toSet
+    assert(perLocus == Set("locus=abcZ", "locus=adk"))
+    // exactly one data file per locus directory (repartition-by-column)
+    new java.io.File(dir).listFiles.filter(_.getName.startsWith("locus=")).foreach { d =>
+      assert(d.listFiles.count(_.getName.endsWith(".txt")) == 1, d.getName)
+    }
+    val back = Fasta.read(spark, dir + "/locus=abcZ")
+      .select("id").as[String].collect().toSet
+    assert(back == Set("abcZ_1", "abcZ_2"))
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.{Bio, NStats, Vectors}
+import graft.operators.Clustering
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks of the pure kernels (scalacheck driven directly —
+  * no scalatest bridge needed). These are the functions whose codegen'd
+  * expression forms run per row at scale, so the scalar semantics must hold
+  * on arbitrary inputs, not just the golden cases.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, s"$name: $r")
+  }
+
+  private val dnaGen: Gen[String] =
+    Gen.listOf(Gen.oneOf('A', 'C', 'G', 'T')).map(_.mkString)
+
+  test("reverse complement is an involution and length-preserving") {
+    check("revcomp", Prop.forAll(dnaGen) { s =>
+      val rc = Bio.reverseComplementString(s)
+      rc.length == s.length && Bio.reverseComplementString(rc) == s
+    })
+  }
+
+  test("translate length is len/3 and revcomp'd stops map to starts frame-wise") {
+    check("translate", Prop.forAll(dnaGen) { s =>
+      Bio.translateString(s).length == s.length / 3
+    })
+  }
+
+  test("banded Levenshtein equals the classic DP within the band") {
+    val short = Gen.listOfN(12, Gen.oneOf('A', 'C', 'G', 'T')).map(_.mkString)
+    def classic(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    check("banded", Prop.forAll(short, short) { (a, b) =>
+      val band = math.max(a.length, b.length) // band wide enough => exact
+      Vectors.bandedLevenshtein(a, b, band) == classic(a, b)
+    })
+  }
+
+  test("banded Levenshtein is symmetric and bounded by max length") {
+    val g = Gen.listOfN(10, Gen.oneOf('A', 'C', 'G', 'T')).map(_.mkString)
+    check("banded-sym", Prop.forAll(g, g) { (a, b) =>
+      val d = Vectors.bandedLevenshtein(a, b, 10)
+      d == Vectors.bandedLevenshtein(b, a, 10) && d <= math.max(a.length, b.length)
+    })
+  }
+
+  test("NStats invariants: permutation-invariant, N90 <= N50 <= max, L50 <= L90") {
+    val lens = Gen.nonEmptyListOf(Gen.chooseNum(0L, 10000L))
+    check("nstats", Prop.forAll(lens) { ls =>
+      val r = NStats.compute(ls)
+      val shuffled = NStats.compute(scala.util.Random.shuffle(ls))
+      r == shuffled &&
+        r.contigs == ls.length && r.totalLength == ls.sum &&
+        r.n90 <= r.n50 && r.n50 <= ls.max &&
+        r.l50 <= r.l90 && r.l90 <= ls.length
+    })
+  }
+
+  test("identityPct is symmetric and within [0,100]") {
+    val prof = Gen.listOfN(7, Gen.oneOf("1", "2", "3", "0", "N"))
+    check("identity", Prop.forAll(prof, prof) { (a, b) =>
+      val x = Clustering.identityPct(a, b)
+      x == Clustering.identityPct(b, a) && x >= 0.0 && x <= 100.0
+    })
+  }
+
+  test("md5Long60 stays within 60 bits and is deterministic") {
+    check("md5long", Prop.forAll(Gen.alphaNumStr) { s =>
+      val v = Vectors.MinHashSig.md5Long60(s)
+      v >= 0L && v < (1L << 60) && v == Vectors.MinHashSig.md5Long60(s)
+    })
+  }
+}
