@@ -48,7 +48,10 @@ object GraftExtensions {
       builder: PartialFunction[Seq[Expression], Expression]): Unit =
     ext.injectFunction((
       FunctionIdentifier(name),
-      new ExpressionInfo("graft", name, usage),
+      // 5-arg form: (className, db, NAME, usage, examples) — the 3-arg
+      // constructor is (className, DB, name) and would register the usage
+      // string as the function's name
+      new ExpressionInfo("graft.functions", null, name, usage, ""),
       (exprs: Seq[Expression]) =>
         builder.applyOrElse(exprs, (es: Seq[Expression]) =>
           throw new IllegalArgumentException(

@@ -26,15 +26,22 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (sys.env.contains("SPARK_GRAFT_NO_CACHE")) loadUncached(spark, dir, name)
-    else tableCache.computeIfAbsent(
-      spark.hashCode() + "|" + dir + "|" + name,
-      // repartition before caching: the cache preserves partitioning, and a
-      // one-row-group file is one partition — without this, every cached
-      // scan would still be serial. One shuffle at materialization buys
-      // full-width parallelism for every later query.
-      _ => loadUncached(spark, dir, name)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .cache())
+    else {
+      // identityHashCode is collision-free among LIVE sessions (the map
+      // holds the DataFrame, which holds its session, so a keyed session
+      // can't be GC'd out from under its entry); the compute below evicts
+      // entries whose session has since been stopped
+      val key = System.identityHashCode(spark) + "|" + dir + "|" + name
+      tableCache.compute(key, (_, cached) =>
+        if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+        // repartition before caching: the cache preserves partitioning, and
+        // a one-row-group file is one partition — without this, every
+        // cached scan would still be serial. One shuffle at materialization
+        // buys full-width parallelism for every later query.
+        else loadUncached(spark, dir, name)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .cache())
+    }
 
   /** Direct parquet read, no session cache — the path a cluster job over
     * data that exceeds memory uses; filter/projection pushdown reaches the

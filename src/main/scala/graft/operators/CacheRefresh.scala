@@ -42,22 +42,27 @@ object CacheRefresh {
     * moves on.
     */
   def fullSwap(rebuilt: DataFrame, livePath: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      rebuilt.sparkSession.sparkContext.hadoopConfiguration)
+    val conf = rebuilt.sparkSession.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val pointer = new org.apache.hadoop.fs.Path(livePath + ".current")
     val prev = readPointer(fs, pointer)
-    val nextV = prev.flatMap(p => "\\.v(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toInt + 1))
-      .getOrElse(1)
+    val prevV = prev.flatMap(p => "\\.v(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toInt))
+    val nextV = prevV.map(_ + 1).getOrElse(1)
     val versioned = s"$livePath.v$nextV"
     rebuilt.write.mode("overwrite").parquet(versioned)
-    // single-file atomic publish: write pointer.tmp, rename over pointer
+    // atomic publish: rename-with-OVERWRITE via FileContext (single POSIX/
+    // HDFS rename) — a delete-then-rename pair would leave a window with no
+    // pointer at all, and a crash inside it would strand the cache
     val tmp = new org.apache.hadoop.fs.Path(livePath + ".current.tmp")
     val out = fs.create(tmp, true)
     out.write(versioned.getBytes("UTF-8")); out.close()
-    if (fs.exists(pointer)) fs.delete(pointer, false)
-    fs.rename(tmp, pointer)
-    prev.filter(_ != versioned)
-      .foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    org.apache.hadoop.fs.FileContext.getFileContext(conf)
+      .rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // prune version N-2, keeping N-1 alive: a reader that resolved the old
+    // pointer just before the swap can still finish its scan; only readers
+    // older than one full refresh cycle lose their files
+    prevV.filter(_ >= 2).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$livePath.v${v - 1}"), true))
   }
 
   /** Resolve the live snapshot directory for a cache published by

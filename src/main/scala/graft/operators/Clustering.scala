@@ -35,7 +35,7 @@ object Clustering {
       edges: DataFrame,
       nodes: Option[DataFrame] = None,
       maxIter: Int = 50,
-      localEdgeThreshold: Long = 1000000L): DataFrame = {
+      localEdgeThreshold: Long = 200000L): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -45,12 +45,20 @@ object Clustering {
       .getOrElse(sym.select(col("src").as("node")).distinct())
     // Small-graph fast path: below the threshold, a driver-side union-find
     // beats several distributed rounds — the same adaptive posture as
-    // broadcast-vs-shuffle join selection. The thresholded similarity
-    // graphs this engine clusters are usually far below it; the iterative
+    // broadcast-vs-shuffle join selection. Integral node ids only: the
+    // local path works on longs, and numeric min on a string id type would
+    // disagree with the distributed path's lexicographic min. The iterative
     // path below remains the scale route and produces identical labels
     // (component id = min member id either way).
+    val integralNodes = allNodes.schema("node").dataType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
     val edgeCount = sym.count()
-    if (edgeCount <= localEdgeThreshold) {
+    if (integralNodes && edgeCount <= localEdgeThreshold) {
       import spark.implicits._
       val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)].collect()

@@ -28,7 +28,8 @@ object Skew {
     // exploded once per salt value, so right/full outer would emit each
     // unmatched small-side row `factor` times.
     val allowed = Set("inner", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+      "cross")
     require(allowed(joinType.toLowerCase),
       s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side " +
         s"rows ${factor}x; use one of ${allowed.mkString(", ")}")

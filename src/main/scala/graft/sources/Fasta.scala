@@ -42,21 +42,29 @@ object Fasta {
     * Returns a single-column DataFrame ready for df.write.text — the bulk
     * allele/profile download sink (DownloadAllelesPage).
     */
-  def format(df: DataFrame, id: String, seq: String,
-      desc: Option[String] = None, width: Int = 60): DataFrame = {
-    val header = desc match {
-      case Some(d) => concat(lit(">"), col(id),
-        when(col(d).isNotNull && col(d) =!= "", concat(lit(" "), col(d)))
-          .otherwise(lit("")))
-      case None => concat(lit(">"), col(id))
-    }
+  private def headerCol(id: String, desc: Option[String]) = desc match {
+    case Some(d) => concat(lit(">"), col(id),
+      when(col(d).isNotNull && col(d) =!= "", concat(lit(" "), col(d)))
+        .otherwise(lit("")))
+    case None => concat(lit(">"), col(id))
+  }
+
+  private def recordCol(id: String, seq: String,
+      desc: Option[String], width: Int) = {
+    // greatest(..., 0): an empty sequence wraps to one empty line, not the
+    // two stray lines sequence(0, -1) = [0, -1] would produce
     val wrapped = array_join(
       transform(
-        sequence(lit(0), floor((length(col(seq)) - 1) / width).cast("int")),
+        sequence(lit(0),
+          greatest(floor((length(col(seq)) - 1) / width), lit(0)).cast("int")),
         i => substr(col(seq), (i * width + 1).cast("int"), lit(width))),
       "\n")
-    df.select(concat(header, lit("\n"), wrapped).as("value"))
+    concat(headerCol(id, desc), lit("\n"), wrapped)
   }
+
+  def format(df: DataFrame, id: String, seq: String,
+      desc: Option[String] = None, width: Int = 60): DataFrame =
+    df.select(recordCol(id, seq, desc, width).as("value"))
 
   /** Write FASTA to `path` (one part per partition; repartition upstream to
     * control file count — partitioned by locus for the per-locus download
@@ -75,20 +83,8 @@ object Fasta {
     */
   def writePartitioned(df: DataFrame, id: String, seq: String,
       partitionCol: String, path: String,
-      desc: Option[String] = None): Unit = {
-    val header = desc match {
-      case Some(d) => concat(lit(">"), col(id),
-        when(col(d).isNotNull && col(d) =!= "", concat(lit(" "), col(d)))
-          .otherwise(lit("")))
-      case None => concat(lit(">"), col(id))
-    }
-    val wrapped = array_join(
-      transform(
-        sequence(lit(0), floor((length(col(seq)) - 1) / 60).cast("int")),
-        i => substr(col(seq), (i * 60 + 1).cast("int"), lit(60))),
-      "\n")
+      desc: Option[String] = None, width: Int = 60): Unit =
     df.repartition(col(partitionCol))
-      .select(col(partitionCol), concat(header, lit("\n"), wrapped).as("value"))
+      .select(col(partitionCol), recordCol(id, seq, desc, width).as("value"))
       .write.mode("overwrite").partitionBy(partitionCol).text(path)
-  }
 }

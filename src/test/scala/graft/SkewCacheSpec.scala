@@ -59,8 +59,12 @@ class SkewCacheSpec extends SparkSpec {
     assert(live2 != live1, "pointer must move to a fresh versioned dir")
     val after = spark.read.parquet(live2).as[(Int, String)].collect().toSet
     assert(after == Set((1, "v2"), (2, "v2")))
-    // the superseded version is pruned once the pointer has moved on
-    assert(!new java.io.File(live1).exists)
+    // N-1 stays alive for in-flight readers that resolved just before the
+    // swap; it is pruned one refresh cycle later
+    assert(new java.io.File(live1).exists)
+    CacheRefresh.fullSwap(Seq((1, "v3")).toDF("id", "v"), dir)
+    assert(!new java.io.File(live1).exists, "v1 pruned after the next cycle")
+    assert(new java.io.File(live2).exists, "v2 is now the N-1 survivor")
   }
 
   test("streamingExact dedup emits each distinct content once across batches") {
