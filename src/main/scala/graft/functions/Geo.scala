@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Geography point support (SURVEY §2.8 Geo / F9).
@@ -42,4 +42,35 @@ object Geo {
     struct(
       floor(stY(p) / cellDeg).cast("int").as("cell_lat"),
       floor(stX(p) / cellDeg).cast("int").as("cell_lon"))
+
+  /** Spatial distance join: all (left, right) pairs within `dKm`.
+    *
+    * Scale path: equi-join on LATITUDE bands of width dKm (left side
+    * exploded to its band ±1, so any pair within dKm shares a band key),
+    * then exact haversine refine. Latitude degrees are uniform (~110.6 km)
+    * at every latitude, so band width never degrades toward the poles and
+    * longitude wraparound needs no special casing — the band join is the
+    * shuffle key, the refine is a codegen'd filter. Candidate count is
+    * |left|·|right|·(3·band/180°) instead of the full cross product; a
+    * 2-D grid would prune harder at low latitudes but breaks down near
+    * the poles where lon degrees compress. Hot bands compose with
+    * Skew.saltedJoin if a cluster of sites shares one band.
+    *
+    * Inputs: point struct columns (from [[point]]). Output: left columns +
+    * right columns + `km`.
+    */
+  def withinDistanceJoin(
+      left: DataFrame, right: DataFrame,
+      leftPoint: String, rightPoint: String, dKm: Double): DataFrame = {
+    val bandDeg = dKm / 110.574
+    val l = left.withColumn("__band",
+      explode(array(Seq(-1, 0, 1).map(o =>
+        (floor(stY(col(leftPoint)) / bandDeg) + o).cast("long")): _*)))
+    val r = right.withColumn("__band",
+      floor(stY(col(rightPoint)) / bandDeg).cast("long"))
+    l.join(r, Seq("__band"))
+      .withColumn("km", haversineKm(col(leftPoint), col(rightPoint)))
+      .filter(col("km") <= dKm)
+      .drop("__band")
+  }
 }

@@ -67,6 +67,45 @@ object MiscQueries extends QueryModule {
                    count(1) AS n, round(avg(km), 2) AS avg_km
             FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // Spatial distance join (the "isolates within D km of a site" shape):
+  // lat-band bucketed candidates + exact haversine refine — never the full
+  // cross product. Oracle is the brute-force cross join at this SF.
+  private val geoWithinJoin = Q(
+    "geo_within_join",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .withColumn("cp", Geo.point(
+          pmod(col("c_acctbal"), lit(180.0)) - 90.0,
+          pmod(col("c_custkey") * 7, lit(360)) - 180.0))
+        .select(col("c_custkey"), col("cp"))
+      val sup = Tables.load(s, dir, "supplier")
+        .withColumn("sp", Geo.point(
+          pmod(col("s_acctbal"), lit(180.0)) - 90.0,
+          pmod(col("s_suppkey") * 11, lit(360)) - 180.0))
+        .select(col("s_suppkey"), col("sp"))
+      Geo.withinDistanceJoin(c, sup, "cp", "sp", 500.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("km"), 4).as("km"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    },
+    Some("""WITH c AS (SELECT c_custkey,
+                   (c_acctbal - 180.0 * floor(c_acctbal / 180.0)) - 90.0 AS lat,
+                   ((c_custkey * 7) % 360 + 360) % 360 - 180.0 AS lon
+                 FROM customer),
+            s AS (SELECT s_suppkey,
+                   (s_acctbal - 180.0 * floor(s_acctbal / 180.0)) - 90.0 AS lat,
+                   ((s_suppkey * 11) % 360 + 360) % 360 - 180.0 AS lon
+                 FROM supplier),
+            p AS (SELECT c_custkey, s_suppkey,
+                         2 * 6371.0088 * asin(sqrt(
+                           pow(sin(radians(s.lat - c.lat) / 2), 2) +
+                           cos(radians(c.lat)) * cos(radians(s.lat)) *
+                           pow(sin(radians(s.lon - c.lon) / 2), 2))) AS km
+                  FROM c, s)
+            SELECT c_custkey, s_suppkey, round(km, 4) AS km
+            FROM p WHERE km <= 500.0
+            ORDER BY c_custkey, s_suppkey"""))
+
   // O5: dictionary (case-insensitive, digit-aware) sort — the reference's
   // natural sort (Utils.pm:1017-1039) re-expressed as a computed sort key;
   // numeric-when-numeric uses the AlleleId sort key rule.
@@ -142,6 +181,6 @@ object MiscQueries extends QueryModule {
             WHERE json_extract_string(props, '$.k') IS NOT NULL
             ORDER BY event_id, json_path"""))
 
-  val qs: Seq[Q] = Seq(f9Geo, geoDistance, o5DictSort, a10PubBreakdown,
+  val qs: Seq[Q] = Seq(f9Geo, geoDistance, geoWithinJoin, o5DictSort, a10PubBreakdown,
     compositeField, jsonShred)
 }
