@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.TextAnalysis
+import graft.pipeline.{Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator family over `documents`: token counting, quality
@@ -102,6 +102,40 @@ object TextQueries extends QueryModule {
             SELECT lang, predicted, count(1) AS n FROM pred
             GROUP BY lang, predicted ORDER BY lang, predicted"""))
 
+  // Intra-document repetition ratio — the standard LLM-corpus quality
+  // heuristic (fraction of duplicate word bigrams inside the document;
+  // boilerplate and template spam score high). 1 - distinct/total bigrams.
+  private val textRepetition = Q(
+    "text_repetition",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val words = split(lower(col("text")), "\\s+")
+      val grams = Dedup.shingles(col("text"), 2)
+      docs.select(col("doc_id"),
+          (size(words) - 1).cast("long").as("total_bigrams"),
+          size(grams).cast("long").as("distinct_bigrams"))
+        .withColumn("repetition_ratio",
+          when(col("total_bigrams") > 0,
+            round(lit(1.0) - col("distinct_bigrams") / col("total_bigrams").cast("double"), 4))
+            .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(lower(text), '\s+')) - 1 AS total_bigrams,
+                     len(list_distinct(list_transform(
+                       generate_series(1, len(string_split_regex(lower(text), '\s+')) - 1),
+                       i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                            string_split_regex(lower(text), '\s+')[i+1]))) AS distinct_bigrams
+              FROM documents)
+            SELECT doc_id,
+                   CAST(total_bigrams AS BIGINT) AS total_bigrams,
+                   CAST(distinct_bigrams AS BIGINT) AS distinct_bigrams,
+                   CASE WHEN total_bigrams > 0
+                        THEN round(1.0 - distinct_bigrams / CAST(total_bigrams AS DOUBLE), 4)
+                        ELSE 0.0 END AS repetition_ratio
+            FROM t ORDER BY doc_id"""))
+
   // Document fingerprint (rolling polynomial hash). The oracle replays the
   // same arithmetic: sum(ascii_i * 131^i) mod 1e9+7 over the first 64
   // chars, with the power sequence from a recursive CTE — every term stays
@@ -124,5 +158,5 @@ object TextQueries extends QueryModule {
             FROM d LEFT JOIN pw ON pw.i < length(d.t)
             GROUP BY d.doc_id ORDER BY d.doc_id"""))
 
-  val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint)
+  val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint, textRepetition)
 }
