@@ -32,6 +32,10 @@ object Tables {
       // can't be GC'd out from under its entry); the compute below evicts
       // entries whose session has since been stopped
       val key = System.identityHashCode(spark) + "|" + dir + "|" + name
+      // sweep entries pinned to stopped sessions — without this, a JVM
+      // cycling through sessions would retain every dead session's plans
+      tableCache.entrySet.removeIf(e =>
+        e.getValue.sparkSession.sparkContext.isStopped)
       tableCache.compute(key, (_, cached) =>
         if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
         // repartition before caching: the cache preserves partitioning, and

@@ -41,8 +41,13 @@ object Clustering {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
-    val allNodes = nodes.map(_.select(col("node")))
-      .getOrElse(sym.select(col("src").as("node")).distinct())
+    // node universe = explicit nodes ∪ edge endpoints: an endpoint missing
+    // from `nodes` must still contribute its own id as a candidate label,
+    // else min-label propagation can't return it as the component minimum
+    val endpointNodes = sym.select(col("src").as("node")).distinct()
+    val allNodes = nodes
+      .map(_.select(col("node")).unionByName(endpointNodes).distinct())
+      .getOrElse(endpointNodes)
     // Small-graph fast path: below the threshold, a driver-side union-find
     // beats several distributed rounds — the same adaptive posture as
     // broadcast-vs-shuffle join selection. Integral node ids only: the
@@ -57,8 +62,9 @@ object Clustering {
            _: org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    val edgeCount = sym.count()
-    if (integralNodes && edgeCount <= localEdgeThreshold) {
+    // note: count() is over the SYMMETRIZED distinct edge set (~2x the
+    // input), and only runs when the local path is even possible
+    if (integralNodes && sym.count() <= localEdgeThreshold) {
       import spark.implicits._
       val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)].collect()

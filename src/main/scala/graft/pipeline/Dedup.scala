@@ -51,10 +51,15 @@ object Dedup {
     * zip_with pads the shorter side with null and concat propagates null, so
     * the trailing (n-1) partial grams drop in the final filter.
     */
+  /** Shared tokenizer — the single definition both the shingle kernel and
+    * derived ratios (text_repetition's bigram denominator) must agree on.
+    */
+  def words(text: Column): Column = split(lower(text), "\\s+")
+
   def shingles(text: Column, n: Int): Column = {
-    val words = split(lower(text), "\\s+")
-    val grams = (1 until n).foldLeft(words) { (acc, k) =>
-      val shifted = slice(words, lit(k + 1), greatest(size(words) - k, lit(0)))
+    val ws = words(text)
+    val grams = (1 until n).foldLeft(ws) { (acc, k) =>
+      val shifted = slice(ws, lit(k + 1), greatest(size(ws) - k, lit(0)))
       zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
     }
     array_distinct(filter(grams, x => x.isNotNull))

@@ -109,7 +109,7 @@ object TextQueries extends QueryModule {
     "text_repetition",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val words = split(lower(col("text")), "\\s+")
+      val words = Dedup.words(col("text")) // same tokenizer as the shingles
       val grams = Dedup.shingles(col("text"), 2)
       docs.select(col("doc_id"),
           (size(words) - 1).cast("long").as("total_bigrams"),

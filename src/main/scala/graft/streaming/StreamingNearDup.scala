@@ -39,7 +39,10 @@ object StreamingNearDup {
     val rows = k / bands
     implicit val bandedEnc = Encoders.product[BandedDoc]
     implicit val pairEnc = Encoders.product[CandidatePair]
-    implicit val stateEnc = Encoders.kryo[List[(Long, Seq[Long])]]
+    // state = (members, max event time ever seen) — the timeout must only
+    // ever EXTEND, else a late-but-valid row would pull it backwards and
+    // evict an active bucket early
+    implicit val stateEnc = Encoders.kryo[(List[(Long, Seq[Long])], Long)]
     val banded = docs
       .select(col(id).cast("long").as("doc_id"), col(eventTime).as("ts"),
         Dedup.shingles(col(text), shingleN).as("sh"))
@@ -57,11 +60,10 @@ object StreamingNearDup {
         Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: (Int, Long), incoming: Iterator[BandedDoc],
-         state: GroupState[List[(Long, Seq[Long])]]) =>
+         state: GroupState[(List[(Long, Seq[Long])], Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var members = state.getOption.getOrElse(Nil)
-            var maxTs = Long.MinValue
+            var (members, maxTs) = state.getOption.getOrElse((Nil, Long.MinValue))
             val out = Seq.newBuilder[CandidatePair]
             incoming.foreach { d =>
               maxTs = math.max(maxTs, d.ts.getTime)
@@ -79,7 +81,7 @@ object StreamingNearDup {
                   !members.exists(_._1 == d.doc_id))
                 members = (d.doc_id, d.sig) :: members
             }
-            state.update(members)
+            state.update((members, maxTs))
             if (maxTs != Long.MinValue)
               state.setTimeoutTimestamp(maxTs, stateHorizon)
             out.result().iterator

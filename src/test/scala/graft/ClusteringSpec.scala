@@ -29,6 +29,19 @@ class ClusteringSpec extends SparkSpec {
     assert(got.size == 256 && got.values.toSet == Set(1L))
   }
 
+  test("connectedComponents: edge endpoints outside `nodes` still label by true min") {
+    // node 1 appears only in the edge list; its id must still win as the
+    // component minimum on BOTH paths
+    val edges = Seq((1L, 5L)).toDF("src", "dst")
+    val nodes = Seq(5L, 9L).toDF("node")
+    val expected = Map(1L -> 1L, 5L -> 1L, 9L -> 9L)
+    val local = Clustering.connectedComponents(edges, Some(nodes))
+      .as[(Long, Long)].collect().toMap
+    val dist = Clustering.connectedComponents(edges, Some(nodes), localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == expected && dist == expected)
+  }
+
   test("connectedComponents: local fast path matches the distributed labels") {
     val edges = Seq((5L, 9L), (9L, 2L), (7L, 8L), (1L, 1L)).toDF("src", "dst")
     val nodes = Seq(1L, 2L, 5L, 7L, 8L, 9L, 42L).toDF("node")

@@ -27,7 +27,7 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("translate length is len/3 and revcomp'd stops map to starts frame-wise") {
+  test("translate output length is always len/3") {
     check("translate", Prop.forAll(dnaGen) { s =>
       Bio.translateString(s).length == s.length / 3
     })
