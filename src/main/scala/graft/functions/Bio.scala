@@ -136,6 +136,46 @@ object Bio {
     (gc.cast("double") / length(u).cast("double"))
   }
 
+  // ---- occurrence scan kernel (Q4 tag scanning hot path) ----
+
+  /** 1-based char positions of occurrences of `needle` in `hay`.
+    * `overlapping = true` advances one char per hit (BLAST-hit semantics);
+    * `false` advances past the match (the reference's tag rows). Empty
+    * needle → no occurrences. Driven by UTF8String.indexOf — no
+    * per-position substring allocation, unlike a transform/substr HOF scan.
+    */
+  def occurrencesKernel(hay: UTF8String, needle: UTF8String,
+      overlapping: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val nLen = needle.numChars()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (nLen > 0 && hay.numBytes() > 0) {
+      var idx = hay.indexOf(needle, 0)
+      while (idx >= 0) {
+        out += idx + 1L
+        idx = hay.indexOf(needle, if (overlapping) idx + 1 else idx + nLen)
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
+  case class Occurrences(left: Expression, right: Expression, overlapping: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+    override protected def nullSafeEval(hay: Any, needle: Any): Any =
+      Bio.occurrencesKernel(hay.asInstanceOf[UTF8String],
+        needle.asInstanceOf[UTF8String], overlapping)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (h, n) =>
+        s"graft.functions.Bio.occurrencesKernel($h, $n, $overlapping)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  def occurrences(hay: Column, needle: Column, overlapping: Boolean): Column =
+    ExpressionUtils.column(Occurrences(
+      ExpressionUtils.expression(hay), ExpressionUtils.expression(needle), overlapping))
+
   /** Register the bio functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -21,36 +21,19 @@ import org.apache.spark.sql.functions._
 object SeqScan {
 
   /** 1-based start positions of all non-overlapping occurrences of `needle`
-    * in `hay`, as ARRAY<BIGINT>. Built-ins only (stays in codegen):
-    * occurrences are marked with a sentinel char via `replace`, the marked
-    * string is split on the sentinel (literal single-char pattern), and the
-    * cumulative fragment lengths reconstruct the original offsets.
+    * in `hay`, as ARRAY<BIGINT>. A fused codegen'd expression
+    * (Bio.Occurrences): one indexOf-driven scan per row, no per-position
+    * substring allocation and no interpreted higher-order functions — this
+    * kernel runs per contig over the 100 TB side of the tag scan.
     */
-  def occurrencePositions(hay: Column, needle: Column): Column = {
-    val sentinel = "\u0001"
-    val frags = split(replace(hay, needle, lit(sentinel)), sentinel)
-    val n = length(needle).cast("long")
-    aggregate(
-      slice(frags, lit(1), greatest(size(frags) - 1, lit(0))),
-      struct(lit(0L).as("pos"), array().cast("array<long>").as("starts")),
-      (acc, f) => struct(
-        (acc.getField("pos") + length(f) + n).as("pos"),
-        concat(acc.getField("starts"),
-          array(acc.getField("pos") + length(f) + 1)).as("starts")),
-      acc => acc.getField("starts"))
-  }
+  def occurrencePositions(hay: Column, needle: Column): Column =
+    Bio.occurrences(hay, needle, overlapping = false)
 
   /** All (including overlapping) occurrence positions — the exact BLAST-hit
-    * semantics. O(|hay|·|needle|) position scan, still codegen'd built-ins;
-    * prefer `occurrencePositions` (linear) when overlaps don't matter.
+    * semantics. Same fused kernel, advancing one char per hit.
     */
   def allOccurrencePositions(hay: Column, needle: Column): Column =
-    filter(
-      transform(
-        sequence(lit(1L), greatest(
-          (length(hay) - length(needle) + 1).cast("long"), lit(0L))),
-        p => when(substr(hay, p, length(needle)) === needle, p)),
-      x => x.isNotNull)
+    Bio.occurrences(hay, needle, overlapping = true)
 
   /** Exact-match tag scan: for each (contig × library allele), all match
     * positions on both strands. Output: contigId, locus, alleleId,
