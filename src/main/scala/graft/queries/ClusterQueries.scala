@@ -106,8 +106,85 @@ object ClusterQueries extends QueryModule {
              FROM comp c LEFT JOIN slv s ON c.node = s.node
              ORDER BY l_orderkey"""))
 
-  // G4: LIN codes — order-dependent sequential assignment, no SQL oracle
-  // (ClusteringSpec carries the hand-computed golden); 3-level scheme.
+  // %identity over shared non-missing loci as a pure DuckDB list expression
+  // (missing = "0", "N" matches anything) — IEEE double ops in the same
+  // order as Clustering.identityPct so threshold compares agree bit-exactly.
+  private def pctSql(a: String, b: String): String = {
+    val comparable =
+      s"len(list_filter(list_zip($a, $b), p -> p[1] <> '0' AND p[2] <> '0'))"
+    val shared =
+      s"""len(list_filter(list_zip($a, $b), p -> p[1] <> '0' AND p[2] <> '0'
+          AND (p[1] = p[2] OR p[1] = 'N' OR p[2] = 'N')))"""
+    s"""CASE WHEN $comparable = 0 THEN 0.0
+        ELSE CAST(100 AS DOUBLE) * $shared / $comparable END"""
+  }
+
+  // Full sequential replay of the LIN assignment (lincodes.pl:177-331 with
+  // the engine's fixed determinism rules: ascending-id order, nearest ties
+  // to lowest id) as a DuckDB recursive CTE. The recursion carries the whole
+  // state per step — `st` = assigned [{id, prof, code}], `rest` = pending —
+  // as pure list values, because DuckDB can't bind correlated table refs
+  // inside a recursive term's laterals. One row per step; final step = the
+  // complete assignment. Cross-validated against tools/lincode_replay.py.
+  // "next free integer" = max+1: values under a prefix are provably
+  // contiguous from 0 (first extender is always 0-padded or a fresh min).
+  private def lincodeAssignSql(where: String): String =
+    s"""WITH RECURSIVE
+        des AS (
+          SELECT l_orderkey AS id, CAST(l_linenumber AS INT) AS locus,
+                 min(CAST(l_suppkey AS VARCHAR)) AS a
+          FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2),
+        profs AS (
+          SELECT id, list_transform([1, 2, 3, 4, 5, 6, 7],
+                                    i -> coalesce(m[i][1], '0')) AS prof
+          FROM (SELECT id, map(list(locus ORDER BY locus),
+                               list(a ORDER BY locus)) AS m
+                FROM des GROUP BY id)),
+        ordered AS (
+          SELECT list(struct_pack(id := id, prof := prof) ORDER BY id) AS p
+          FROM profs),
+        assign AS (
+          SELECT 1 AS n,
+                 [struct_pack(id := p[1].id, prof := p[1].prof,
+                              code := [0, 0, 0])] AS st,
+                 p[2:] AS rest
+          FROM ordered
+          UNION ALL
+          SELECT n + 1,
+                 list_append(st, struct_pack(
+                   id := rest[1].id, prof := rest[1].prof, code :=
+                   CASE WHEN d >= 3 THEN b.code
+                        ELSE [CASE WHEN d >= 1 THEN b.code[1] ELSE v END,
+                              CASE WHEN d >= 2 THEN b.code[2]
+                                   WHEN d = 1 THEN v ELSE 0 END,
+                              CASE WHEN d = 2 THEN v ELSE 0 END]
+                   END)),
+                 rest[2:]
+          FROM (
+            SELECT n, st, rest, b, d,
+                   1 + list_max(list_transform(
+                         list_filter(st, x -> x.code[1:d] = b.code[1:d]),
+                         x -> x.code[d + 1])) AS v
+            FROM (
+              SELECT n, st, rest, b,
+                     CAST(-b.np >= 30.0 AS INT) + CAST(-b.np >= 60.0 AS INT)
+                     + CAST(-b.np >= 90.0 AS INT) AS d
+              FROM (
+                SELECT n, st, rest,
+                       list_sort(list_transform(st, x -> struct_pack(
+                         np := -(${pctSql("rest[1].prof", "x.prof")}),
+                         id := x.id, code := x.code)))[1] AS b
+                FROM assign WHERE len(rest) > 0) q1) q2) q3)
+        SELECT u.id AS l_orderkey,
+               concat_ws('_', u.code[1], u.code[2], u.code[3]) AS lincode
+        FROM (SELECT st FROM assign ORDER BY n DESC LIMIT 1) f,
+             unnest(f.st) AS t(u)
+        $where
+        ORDER BY l_orderkey"""
+
+  // G4: LIN codes — order-dependent sequential assignment made deterministic
+  // by fixing the order (ascending id); oracled by a full recursive-CTE
+  // replay in DuckDB (plus the hand-computed golden in ClusteringSpec).
   private val g4Lincode = Q(
     "g4_lincode",
     (s, dir) => {
@@ -117,12 +194,11 @@ object ClusterQueries extends QueryModule {
           concat_ws("_", col("lincode")).as("lincode"))
         .orderBy(col("l_orderkey"))
     },
-    None)
+    Some(lincodeAssignSql("")))
 
   // J5: LIN code prefix join — isolates whose assigned code starts with the
   // prefix (positional element equality, IsolateQueryPage.pm:3402-3506).
-  // Codes are engine-assigned (order-dependent) → ClusteringSpec carries the
-  // semantics; this declares the join shape (rows-only check).
+  // Same replay oracle filtered to the prefix.
   private val j5LincodePrefix = Q(
     "j5_lincode_prefix",
     (s, dir) => {
@@ -132,7 +208,7 @@ object ClusterQueries extends QueryModule {
         .select(col("l_orderkey"), concat_ws("_", col("lincode")).as("lincode"))
         .orderBy(col("l_orderkey"))
     },
-    None)
+    Some(lincodeAssignSql("WHERE u.code[1] = 0")))
 
   val qs: Seq[Q] = Seq(g3SingleLinkage, g2Burst, g4Lincode, j5LincodePrefix)
 }
