@@ -84,9 +84,12 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     // deterministic centroid sample: first nlist corpus vectors by id
-    val centroids = corpus.orderBy(col(id)).limit(nlist)
-      .select(col(id).as("cid"), toDouble(col(vec)).as("cvec"))
-      .withColumn("list_id", row_number().over(Window.orderBy(col("cid"))))
+    // list ids via distributed numbering — the input is only nlist rows, but
+    // this keeps src/main free of single-partition Window.orderBy entirely
+    val centroids = graft.operators.Numbering.numberBySort(
+        corpus.orderBy(col(id)).limit(nlist)
+          .select(col(id).as("cid"), toDouble(col(vec)).as("cvec")),
+        "cid", "list_id")
       .select(col("list_id"), col("cvec"))
     def assign(df: DataFrame, idAs: String, vecAs: String, topLists: Int) = {
       val scored = df.select(col(id).as(idAs), toDouble(col(vec)).as(vecAs))

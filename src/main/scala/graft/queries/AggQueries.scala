@@ -202,9 +202,10 @@ object AggQueries extends QueryModule {
       // even when values agree.
       val daily = o.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n"))
-      daily.withColumn("cum_n",
-          sum(col("n")).over(Window.orderBy(col("day"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // running total via the two-phase distributed form, not a global
+      // single-partition window (days are bounded, but the pattern is the
+      // one that generalizes to unbounded sort keys)
+      graft.operators.Numbering.runningBySort(daily, "day", col("n"), "cum_n")
         .orderBy(col("day"))
     },
     Some("""SELECT day, n,

@@ -62,18 +62,21 @@ object ProfileQueries extends QueryModule {
              ORDER BY l_orderkey"""))
 
   // ST assignment (Q5 resolution chain): profile → ST id. ST numbering is
-  // deterministic: dense rank of first-appearing isolate per distinct
-  // profile (the reference assigns on definition order; we fix the ordering
-  // rule to min isolate id — SURVEY §7.4 hard-part 1 applies).
+  // deterministic: rank of first-appearing isolate per distinct profile
+  // (the reference assigns on definition order; we fix the ordering rule to
+  // min isolate id — SURVEY §7.4 hard-part 1 applies). Numbering is the
+  // two-phase distributed form (Numbering.numberBySort): for cgMLST-like
+  // schemes the profile dimension approaches the isolate count, so a global
+  // `Window.orderBy` would funnel it through one task.
   private val j6StAssign = Q(
     "j6_st_assign",
     (s, dir) => {
       val w = wh(s, dir)
       val defs = w.groupBy(col("profile_md5"))
         .agg(min(col("l_orderkey")).as("first_iso"))
-      val sts = defs.select(col("profile_md5"), col("first_iso"),
-        dense_rank().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("first_iso"))).cast("long").as("st"))
+      // first_iso is unique across profiles (an isolate has one profile),
+      // so dense numbering by first_iso = plain 1..n numbering
+      val sts = graft.operators.Numbering.numberBySort(defs, "first_iso", "st")
       w.join(sts.select(col("profile_md5"), col("st")), Seq("profile_md5"))
         .select(col("l_orderkey"), col("st"))
         .orderBy(col("l_orderkey"))
