@@ -45,31 +45,135 @@ object QueryCompiler {
     */
   final case class CountClause(op: Op, n: Long)
 
+  /** How a clause family combines its own clauses before AND-ing into the
+    * query — every reference modifier takes a per-family and/or param
+    * (IsolateQueryPage.pm `*_andor`).
+    */
+  sealed trait Combine
+  case object CombineAnd extends Combine
+  case object CombineOr extends Combine
+
+  /** Tag clause (_modify_query_for_tags, IsolateQueryPage.pm:3615-3686):
+    * presence/completeness/flags of sequence tags at a locus (None = any
+    * locus). Flagged(None) = any flag; FlagNone = tagged but unflagged
+    * (requires a specific locus, as in the reference).
+    */
+  sealed trait TagMode
+  case object Tagged extends TagMode
+  case object Untagged extends TagMode
+  case object TagComplete extends TagMode
+  case object TagIncomplete extends TagMode
+  final case class TagFlagged(flag: Option[String]) extends TagMode
+  case object TagFlagNone extends TagMode
+  final case class TagClause(locus: Option[Int], mode: TagMode)
+
+  /** Tag-count clause (_modify_query_for_tag_counts via
+    * _modify_query_for_counts, IsolateQueryPage.pm:3688-3817): number of
+    * tagged loci per entity `op` n, optionally at one locus.
+    */
+  final case class TagCountClause(op: Op, n: Long, locus: Option[Int] = None)
+
+  /** Designation-status clause (_modify_query_for_designation_status,
+    * IsolateQueryPage.pm:3850-3897): entity has a designation with the
+    * given curation status (provisional/confirmed), at a locus or any.
+    */
+  final case class StatusClause(locus: Option[Int], status: String)
+
+  /** Seqbin-stats clause (_modify_query_for_seqbin,
+    * IsolateQueryPage.pm:3932-3996): metric column of the per-entity
+    * seqbin-stats dimension `op` value. Entities with no stats row count as
+    * matching for < / <= (and = / >= of 0), like the reference's
+    * `OR field IS NULL` branch.
+    */
+  final case class SeqbinClause(field: String, op: Op, value: Double)
+
+  /** Annotation-status clause (_modify_query_for_annotation_status,
+    * IsolateQueryPage.pm:3997-4045): entity's annotation metric `name` has
+    * the given status (good/bad/intermediate).
+    */
+  final case class AnnotationClause(name: String, status: String)
+
+  /** Assembly-check clause (_modify_query_for_assembly_checks,
+    * IsolateQueryPage.pm:4175-4259). The checks fact stores only warn/fail
+    * rows; "pass" = has seqbin stats and fewer recorded warn/fail rows than
+    * `Catalog.totalCheckTypes`.
+    */
+  sealed trait CheckScope
+  case object AnyCheck extends CheckScope
+  case object AllChecks extends CheckScope
+  final case class NamedCheck(name: String) extends CheckScope
+  final case class AssemblyCheckClause(scope: CheckScope, status: String)
+
+  /** Sequence-variation clause (_modify_query_for_sequence_variation,
+    * IsolateQueryPage.pm:4046-4086): entity's designated allele at `locus`
+    * appears in the variation dimension as wild-type / mutation / a
+    * specific residue character.
+    */
+  sealed trait VariationWant
+  case object WildType extends VariationWant
+  case object Mutation extends VariationWant
+  final case class Residue(char: String) extends VariationWant
+  final case class VariationClause(locus: Int, want: VariationWant)
+
   final case class SortSpec(field: String, ascending: Boolean = true)
   final case class PageSpec(page: Int, pageSize: Int = 100)
 
-  /** The full query AST — clause families AND'd, mirroring _run_query. */
+  /** The full query AST — clause families AND'd in the reference's
+    * _run_query mutator order (IsolateQueryPage.pm:2093-2106); each family
+    * internally combines per its `*Combine` (reference defaults: AND for
+    * tags/status, OR for seqbin/checks/variation).
+    */
   final case class QuerySpec(
     provenance: Seq[FieldClause] = Nil,
     grouped: Seq[GroupClause] = Nil,
     idList: Option[Seq[Long]] = None,
     eav: Seq[EavClause] = Nil,
     designations: Seq[DesignationClause] = Nil,
+    variations: Seq[VariationClause] = Nil,
     counts: Seq[CountClause] = Nil,
+    tags: Seq[TagClause] = Nil,
+    tagCounts: Seq[TagCountClause] = Nil,
+    designationStatus: Seq[StatusClause] = Nil,
+    seqbin: Seq[SeqbinClause] = Nil,
+    annotations: Seq[AnnotationClause] = Nil,
+    assemblyChecks: Seq[AssemblyCheckClause] = Nil,
+    tagCombine: Combine = CombineAnd,
+    statusCombine: Combine = CombineAnd,
+    seqbinCombine: Combine = CombineOr,
+    annotationCombine: Combine = CombineOr,
+    checksCombine: Combine = CombineOr,
+    variationCombine: Combine = CombineOr,
     orderBy: Seq[SortSpec] = Nil,
     page: Option[PageSpec] = None)
 
   /** The registered tables a spec compiles against. `entityId` is the
     * primary key of `entities`; `facts` is the designation fact keyed by
-    * (factEntityId, locusCol, alleleCol); `eav` the long-format sparse
-    * fields (entity, field, value).
+    * (factEntityId, locusCol, alleleCol) with an optional status column
+    * (allele_designations.status); `eav` the long-format sparse fields
+    * (entity, field, value); `tags` the tag-interval fact
+    * (allele_sequences: entity, locus, complete, flag — flag null =
+    * unflagged); `seqbinStats` the per-entity wide stats dimension
+    * (seqbin_stats); `analyses` the annotation metrics (entity, name,
+    * status); `checks` the warn/fail assembly-check rows (entity, name,
+    * status) with `totalCheckTypes` the number of defined check types;
+    * `variations` the (locus, allele) variation dimension with boolean
+    * is_wt / is_mutation and a residue `char` column.
     */
   final case class Catalog(
     entities: DataFrame, entityId: String,
     facts: Option[DataFrame] = None, factEntityId: String = "entity_id",
     locusCol: String = "locus", alleleCol: String = "allele",
+    statusCol: String = "status",
     eav: Option[DataFrame] = None, eavEntityId: String = "entity_id",
-    eavField: String = "field", eavValue: String = "value")
+    eavField: String = "field", eavValue: String = "value",
+    tags: Option[DataFrame] = None, tagEntityId: String = "entity_id",
+    tagLocusCol: String = "locus", tagCompleteCol: String = "complete",
+    tagFlagCol: String = "flag",
+    seqbinStats: Option[DataFrame] = None, seqbinEntityId: String = "entity_id",
+    analyses: Option[DataFrame] = None, analysisEntityId: String = "entity_id",
+    checks: Option[DataFrame] = None, checkEntityId: String = "entity_id",
+    totalCheckTypes: Int = 0,
+    variations: Option[DataFrame] = None)
 
   /** Compile spec → DataFrame plan (unsorted, unpaged — see `paged`). */
   def compile(spec: QuerySpec, cat: Catalog): DataFrame = {
@@ -112,7 +216,28 @@ object QueryCompiler {
         df = df.join(m, Seq(cat.entityId), "left_anti")
     }
 
-    // 5. count predicates (A3): zero-inclusive left join + filter
+    // 5. sequence variation (IsolateQueryPage.pm:4046-4086): designated
+    // allele at the locus appears in the variation dimension with the
+    // wanted wt/mutation/residue property. The variation dimension is tiny
+    // (alleles × positions of one locus) → broadcast equi join.
+    if (spec.variations.nonEmpty) for (facts <- cat.facts; vd <- cat.variations) {
+      val sets = spec.variations.map { c =>
+        val want = c.want match {
+          case WildType => col("is_wt")
+          case Mutation => col("is_mutation")
+          case Residue(ch) => col("char") === ch
+        }
+        val vars = vd.filter(col("locus") === c.locus && want)
+          .select(col("allele"))
+        val m = facts.filter(col(cat.locusCol) === c.locus)
+          .join(broadcast(vars), facts(cat.alleleCol) === vars("allele"))
+          .select(col(cat.factEntityId).as(cat.entityId))
+        (m, false)
+      }
+      df = applyMembership(df, cat.entityId, sets, spec.variationCombine)
+    }
+
+    // 6. designation count predicates (A3): zero-inclusive left join + filter
     for (c <- spec.counts; facts <- cat.facts) {
       val counts = facts.groupBy(col(cat.factEntityId).as(cat.entityId))
         .agg(count(lit(1)).as("__n"))
@@ -121,7 +246,176 @@ object QueryCompiler {
         .filter(Predicates.compile(col("__n"), c.op, c.n.toString, isText = false))
         .drop("__n")
     }
+
+    // 7. tags (IsolateQueryPage.pm:3615-3686): membership in the
+    // allele_sequences tag fact, by presence / completeness / flags.
+    if (spec.tags.nonEmpty) for (tags <- cat.tags) {
+      def ids(d: DataFrame) = d.select(col(cat.tagEntityId).as(cat.entityId))
+      def at(locus: Option[Int]) =
+        locus.map(l => tags.filter(col(cat.tagLocusCol) === l)).getOrElse(tags)
+      val sets = spec.tags.map { c =>
+        val t = at(c.locus)
+        c.mode match {
+          case Tagged => (ids(t), false)
+          case Untagged => (ids(t), true)
+          case TagComplete => (ids(t.filter(col(cat.tagCompleteCol))), false)
+          case TagIncomplete => (ids(t.filter(!col(cat.tagCompleteCol))), false)
+          case TagFlagged(Some(f)) =>
+            (ids(t.filter(col(cat.tagFlagCol) === f)), false)
+          case TagFlagged(None) =>
+            (ids(t.filter(col(cat.tagFlagCol).isNotNull)), false)
+          case TagFlagNone =>
+            // tagged at the locus AND not flagged there — one positive set
+            // (reference emits IN(tagged) AND NOT IN(flagged) as a single
+            // or-able term, IsolateQueryPage.pm:3663-3668)
+            (ids(t).join(ids(t.filter(col(cat.tagFlagCol).isNotNull)),
+              Seq(cat.entityId), "left_anti"), false)
+        }
+      }
+      df = applyMembership(df, cat.entityId, sets, spec.tagCombine)
+    }
+
+    // 8. tag counts (IsolateQueryPage.pm:3688-3817): zero-inclusive count
+    // of tag rows per entity, optionally per locus.
+    for (c <- spec.tagCounts; tags <- cat.tags) {
+      val t = c.locus.map(l => tags.filter(col(cat.tagLocusCol) === l))
+        .getOrElse(tags)
+      val counts = t.groupBy(col(cat.tagEntityId).as(cat.entityId))
+        .agg(count(lit(1)).as("__tn"))
+      df = df.join(counts, Seq(cat.entityId), "left")
+        .withColumn("__tn", coalesce(col("__tn"), lit(0L)))
+        .filter(Predicates.compile(col("__tn"), c.op, c.n.toString, isText = false))
+        .drop("__tn")
+    }
+
+    // 9. designation status (IsolateQueryPage.pm:3850-3897): designation
+    // with the given curation status at a locus (or any).
+    if (spec.designationStatus.nonEmpty) for (facts <- cat.facts) {
+      val sets = spec.designationStatus.map { c =>
+        val base = c.locus
+          .map(l => facts.filter(col(cat.locusCol) === l)).getOrElse(facts)
+        (base.filter(col(cat.statusCol) === c.status)
+          .select(col(cat.factEntityId).as(cat.entityId)), false)
+      }
+      df = applyMembership(df, cat.entityId, sets, spec.statusCombine)
+    }
+
+    // 10. seqbin stats (IsolateQueryPage.pm:3932-3996): metric predicate
+    // over the per-entity stats dimension; stats-less entities match < /
+    // <= (and = / >= of 0) via the union with the anti join, mirroring the
+    // reference's `OR field IS NULL`.
+    if (spec.seqbin.nonEmpty) for (stats <- cat.seqbinStats) {
+      val sets = spec.seqbin.map { c =>
+        val pred = Predicates.compile(
+          col(c.field).cast("double"), c.op, c.value.toString, isText = false)
+        val matching = stats.filter(pred)
+          .select(col(cat.seqbinEntityId).as(cat.entityId))
+        val nullMatches = c.op match {
+          case Predicates.Lt | Predicates.Le => true
+          case Predicates.Eq | Predicates.Ge => c.value == 0.0
+          case _ => false
+        }
+        val s =
+          if (nullMatches)
+            matching.unionByName(df.select(col(cat.entityId)).join(
+              stats.select(col(cat.seqbinEntityId).as(cat.entityId)),
+              Seq(cat.entityId), "left_anti"))
+          else matching
+        (s, false)
+      }
+      df = applyMembership(df, cat.entityId, sets, spec.seqbinCombine)
+    }
+
+    // 11. annotation status (IsolateQueryPage.pm:3997-4045): the entity's
+    // annotation metric `name` carries the given status.
+    if (spec.annotations.nonEmpty) for (an <- cat.analyses) {
+      val sets = spec.annotations.map { c =>
+        (an.filter(col("name") === c.name && col("status") === c.status)
+          .select(col(cat.analysisEntityId).as(cat.entityId)), false)
+      }
+      df = applyMembership(df, cat.entityId, sets, spec.annotationCombine)
+    }
+
+    // 12. assembly checks (IsolateQueryPage.pm:4175-4259): the checks fact
+    // stores warn/fail rows only; pass = has seqbin stats and fewer
+    // recorded rows than totalCheckTypes. Named scope here is one check
+    // name (the reference expands a named group to its member checks).
+    if (spec.assemblyChecks.nonEmpty) for (checks <- cat.checks) {
+      val pk = cat.entityId
+      def cids(d: DataFrame) = d.select(col(cat.checkEntityId).as(pk))
+      val statsIds = cat.seqbinStats
+        .map(s => s.select(col(cat.seqbinEntityId).as(pk)))
+        .getOrElse(df.sparkSession.emptyDataFrame.withColumn(pk, lit(0L)))
+      val total = cat.totalCheckTypes
+      val counts = checks.groupBy(col(cat.checkEntityId).as(pk))
+        .agg(count(lit(1)).as("__cn"))
+      def passUnder(sub: DataFrame) = // has stats, no recorded row in `sub`
+        statsIds.join(cids(sub), Seq(pk), "left_anti")
+      val sets = spec.assemblyChecks.map { c =>
+        val s = (c.scope, c.status) match {
+          case (AnyCheck, "pass") =>
+            statsIds.join(counts, Seq(pk), "left")
+              .filter(col("__cn").isNull || col("__cn") < total).select(col(pk))
+          case (AnyCheck, "warn") => cids(checks.filter(col("status") === "warn"))
+          case (AnyCheck, "fail") => cids(checks.filter(col("status") === "fail"))
+          case (AnyCheck, "pass/warn") =>
+            val failIds = checks.filter(col("status") === "fail")
+              .groupBy(col(cat.checkEntityId).as(pk)).agg(count(lit(1)).as("__fn"))
+            statsIds.join(counts, Seq(pk), "left").join(failIds, Seq(pk), "left")
+              .filter(col("__cn").isNull || col("__fn").isNull || col("__cn") < total)
+              .select(col(pk))
+          case (AnyCheck, "warn/fail") => cids(checks)
+          case (AllChecks, "pass") => passUnder(checks)
+          case (AllChecks, "warn") =>
+            cids(checks.filter(col("status") === "warn")
+              .groupBy(col(cat.checkEntityId)).agg(count(lit(1)).as("__cn"))
+              .filter(col("__cn") === total))
+          case (AllChecks, "fail") =>
+            cids(checks.filter(col("status") === "fail")
+              .groupBy(col(cat.checkEntityId)).agg(count(lit(1)).as("__cn"))
+              .filter(col("__cn") === total))
+          case (AllChecks, "warn/fail") =>
+            cids(checks.groupBy(col(cat.checkEntityId))
+              .agg(count(lit(1)).as("__cn")).filter(col("__cn") === total))
+          case (NamedCheck(n), "pass") => passUnder(checks.filter(col("name") === n))
+          case (NamedCheck(n), "warn") =>
+            cids(checks.filter(col("name") === n && col("status") === "warn"))
+          case (NamedCheck(n), "fail") =>
+            cids(checks.filter(col("name") === n && col("status") === "fail"))
+          case (NamedCheck(n), "pass/warn") =>
+            passUnder(checks.filter(col("name") === n && col("status") === "fail"))
+          case (NamedCheck(n), "warn/fail") => cids(checks.filter(col("name") === n))
+          case (scope, status) => throw new IllegalArgumentException(
+            s"unsupported assembly check: $scope/$status")
+        }
+        (s, false)
+      }
+      df = applyMembership(df, cat.entityId, sets, spec.checksCombine)
+    }
     df
+  }
+
+  /** Combine membership sets into the running plan: AND = one semi/anti
+    * join per set (each a single shuffle or broadcast keyed on the pk);
+    * OR = union the member ids (negated sets via anti join against the
+    * current entity ids) and apply ONE semi join — the `id IN (...) OR id
+    * IN (...)` shape without row duplication.
+    */
+  private def applyMembership(
+      df: DataFrame,
+      pk: String,
+      sets: Seq[(DataFrame, Boolean)],
+      combine: Combine): DataFrame = combine match {
+    case CombineAnd =>
+      sets.foldLeft(df) { case (d, (ids, negate)) =>
+        d.join(ids, Seq(pk), if (negate) "left_anti" else "left_semi")
+      }
+    case CombineOr =>
+      val members = sets.map {
+        case (ids, false) => ids
+        case (ids, true) => df.select(col(pk)).join(ids, Seq(pk), "left_anti")
+      }.reduce(_ unionByName _)
+      df.join(members, Seq(pk), "left_semi")
   }
 
   /** ORDER BY with the reference's stable tiebreaker (O1: user sort then

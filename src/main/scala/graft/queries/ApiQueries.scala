@@ -4,7 +4,7 @@ import graft.Tables
 import graft.api.QueryCompiler._
 import graft.api.SecurityView
 import graft.api.SecurityView.{SecurityColumns, SecurityContext}
-import graft.operators.Predicates.{Contains, Eq, Le}
+import graft.operators.Predicates.{Contains, Eq, Ge, Le}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §3.1/§3.2 — the query lifecycle end-to-end: typed QuerySpec AST →
@@ -13,15 +13,55 @@ import org.apache.spark.sql.functions._
   */
 object ApiQueries extends QueryModule {
 
-  private def catalog(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private def catalog(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = Tables.load(s, dir, "lineitem")
     Catalog(
       entities = Tables.load(s, dir, "orders"),
       entityId = "o_orderkey",
-      facts = Some(Tables.load(s, dir, "lineitem")
-        .withColumn("allele", col("l_suppkey").cast("string"))),
+      // designation fact: locus = linenumber, allele = suppkey; curation
+      // status (allele_designations.status) mapped from linestatus
+      facts = Some(li
+        .withColumn("allele", col("l_suppkey").cast("string"))
+        .withColumn("status",
+          when(col("l_linestatus") === "F", "confirmed").otherwise("provisional"))),
       factEntityId = "l_orderkey",
       locusCol = "l_linenumber",
-      alleleCol = "allele")
+      alleleCol = "allele",
+      // tag fact (allele_sequences): completeness from linestatus, flag
+      // from returnflag ('N' = unflagged)
+      tags = Some(li.select(
+        col("l_orderkey").as("entity_id"),
+        col("l_linenumber").as("locus"),
+        (col("l_linestatus") === "F").as("complete"),
+        nullif(col("l_returnflag"), lit("N")).as("flag"))),
+      // per-entity seqbin_stats dimension
+      seqbinStats = Some(li.groupBy(col("l_orderkey").as("entity_id"))
+        .agg(sum(col("l_quantity")).as("size"),
+          count(lit(1)).as("contigs"),
+          max(col("l_quantity")).as("n50"))),
+      // annotation metrics (good/intermediate/bad per name)
+      analyses = Some(li.select(
+        col("l_orderkey").as("entity_id"),
+        (col("l_partkey") % 7).cast("string").as("name"),
+        when(col("l_returnflag") === "N", "good")
+          .when(col("l_returnflag") === "A", "intermediate")
+          .otherwise("bad").as("status"))),
+      // assembly checks: only warn/fail rows are recorded
+      checks = Some(li.filter(col("l_returnflag") =!= "N").select(
+        col("l_orderkey").as("entity_id"),
+        (col("l_partkey") % 7).cast("string").as("name"),
+        when(col("l_returnflag") === "A", "warn").otherwise("fail").as("status"))),
+      totalCheckTypes = 7,
+      // variation dimension keyed on (locus, allele): deterministic
+      // wt/mutation/residue attributes derived from the allele id
+      variations = Some(li.select(
+          col("l_linenumber").as("locus"),
+          col("l_suppkey").cast("string").as("allele"),
+          (col("l_suppkey") % 10 === 0).as("is_wt"),
+          (col("l_suppkey") % 10 === 7).as("is_mutation"),
+          (col("l_suppkey") % 4).cast("string").as("char"))
+        .distinct()))
+  }
 
   // The full mutator chain in one spec: provenance + designation + count +
   // ordered page 2 of 50 — the reference's flagship interactive query shape.
@@ -107,5 +147,109 @@ object ApiQueries extends QueryModule {
             ORDER BY o_orderkey
             LIMIT 100 OFFSET 0"""))
 
-  val qs: Seq[Q] = Seq(apiCompiled, apiMissing, s1Security, restParsed)
+  // The complete _run_query mutator chain in one spec (VERDICT r2 #3):
+  // provenance AND tagged-at-locus AND seqbin-size AND designation-count,
+  // ordered + paged — the clause families a curator actually composes
+  // (IsolateQueryPage.pm:2093-2128).
+  private val apiComposedFull = Q(
+    "api_composed_full",
+    (s, dir) => {
+      val spec = QuerySpec(
+        provenance = Seq(FieldClause("o_orderstatus", Eq, "F")),
+        tags = Seq(TagClause(Some(3), Tagged)),
+        seqbin = Seq(SeqbinClause("size", Ge, 100.0)),
+        counts = Seq(CountClause(Ge, 4)),
+        orderBy = Seq(SortSpec("o_totalprice", ascending = false)),
+        page = Some(PageSpec(1, 50)))
+      paged(spec, catalog(s, dir)).page
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            WHERE upper(o_orderstatus) = 'F'
+              AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_linenumber = 3)
+              AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 GROUP BY 1 HAVING sum(l_quantity) >= 100.0)
+              AND (SELECT count(1) FROM lineitem
+                   WHERE l_orderkey = o_orderkey) >= 4
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 50 OFFSET 0"""))
+
+  // Tag modes OR-combined (tag_andor=OR): complete tag at locus 2 OR
+  // untagged at locus 5 OR flagged 'R' anywhere.
+  private val apiTagModes = Q(
+    "api_tag_modes_or",
+    (s, dir) => {
+      val spec = QuerySpec(
+        tags = Seq(
+          TagClause(Some(2), TagComplete),
+          TagClause(Some(5), Untagged),
+          TagClause(None, TagFlagged(Some("R")))),
+        tagCombine = CombineOr,
+        orderBy = Seq(SortSpec("o_orderkey")))
+      paged(spec, catalog(s, dir)).page.select(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_linenumber = 2 AND l_linestatus = 'F')
+               OR o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                                     WHERE l_linenumber = 5)
+               OR o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_returnflag = 'R')
+            ORDER BY o_orderkey"""))
+
+  // Designation status + sequence variation + tag count through the same
+  // compiler: confirmed designation at locus 1, wild-type or mutation
+  // designated at locus 2 (OR), and >= 6 tags in total.
+  private val apiStatusVariation = Q(
+    "api_status_variation",
+    (s, dir) => {
+      val spec = QuerySpec(
+        designationStatus = Seq(StatusClause(Some(1), "confirmed")),
+        variations = Seq(
+          VariationClause(2, WildType),
+          VariationClause(2, Mutation)),
+        variationCombine = CombineOr,
+        tagCounts = Seq(TagCountClause(Ge, 6)),
+        orderBy = Seq(SortSpec("o_orderkey")))
+      paged(spec, catalog(s, dir)).page.select(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_linenumber = 1 AND l_linestatus = 'F')
+              AND (o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                  WHERE l_linenumber = 2 AND l_suppkey % 10 = 0)
+                   OR o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                     WHERE l_linenumber = 2 AND l_suppkey % 10 = 7))
+              AND (SELECT count(1) FROM lineitem
+                   WHERE l_orderkey = o_orderkey) >= 6
+            ORDER BY o_orderkey"""))
+
+  // Assembly checks + annotation status: any check failed OR all checks
+  // pass (no warn/fail rows at all but seqbin present), AND annotation
+  // metric '3' is good.
+  private val apiAssemblyChecks = Q(
+    "api_assembly_checks",
+    (s, dir) => {
+      val spec = QuerySpec(
+        assemblyChecks = Seq(
+          AssemblyCheckClause(AnyCheck, "fail"),
+          AssemblyCheckClause(AllChecks, "pass")),
+        checksCombine = CombineOr,
+        annotations = Seq(AnnotationClause("3", "good")),
+        orderBy = Seq(SortSpec("o_orderkey")))
+      paged(spec, catalog(s, dir)).page.select(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_partkey % 7 = 3 AND l_returnflag = 'N')
+              AND (o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                  WHERE l_returnflag = 'R')
+                   OR (o_orderkey IN (SELECT l_orderkey FROM lineitem)
+                       AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                                              WHERE l_returnflag <> 'N')))
+            ORDER BY o_orderkey"""))
+
+  val qs: Seq[Q] = Seq(apiCompiled, apiMissing, s1Security, restParsed,
+    apiComposedFull, apiTagModes, apiStatusVariation, apiAssemblyChecks)
 }
