@@ -33,6 +33,16 @@ object QueryCompiler {
   final case class EavClause(field: String, op: Op, value: String,
     negate: Boolean = false, isText: Boolean = true)
 
+  /** Extended-attribute clause (F6, IsolateQueryPage.pm:2480-2492): the
+    * entity's `parentField` value belongs to the set of field values whose
+    * curated attribute (isolate_value_extended_attributes,
+    * sql/isolatedb.sql:199-206) matches `op value` — country→continent
+    * style lookups. Comparison is case-insensitive on the parent value,
+    * like the reference's UPPER(...) IN (SELECT UPPER(field_value) ...).
+    */
+  final case class ExtendedClause(parentField: String, attribute: String,
+    op: Op, value: String, negate: Boolean = false)
+
   /** Designation clause (J1/J2): exists a fact row at `locus` matching the
     * allele predicate; Missing = NOT EXISTS any row at locus (J2).
     */
@@ -126,6 +136,7 @@ object QueryCompiler {
   final case class QuerySpec(
     provenance: Seq[FieldClause] = Nil,
     grouped: Seq[GroupClause] = Nil,
+    extended: Seq[ExtendedClause] = Nil,
     idList: Option[Seq[Long]] = None,
     eav: Seq[EavClause] = Nil,
     designations: Seq[DesignationClause] = Nil,
@@ -173,7 +184,8 @@ object QueryCompiler {
     analyses: Option[DataFrame] = None, analysisEntityId: String = "entity_id",
     checks: Option[DataFrame] = None, checkEntityId: String = "entity_id",
     totalCheckTypes: Int = 0,
-    variations: Option[DataFrame] = None)
+    variations: Option[DataFrame] = None,
+    extendedAttrs: Option[DataFrame] = None)
 
   /** Compile spec → DataFrame plan (unsorted, unpaged — see `paged`). */
   def compile(spec: QuerySpec, cat: Catalog): DataFrame = {
@@ -185,6 +197,20 @@ object QueryCompiler {
       spec.provenance.map(c => Predicates.compile(col(c.field), c.op, c.value, c.isText)) ++
       spec.grouped.map(g => Predicates.compileGroup(g.fields.map(col), g.op, g.value))
     if (scalar.nonEmpty) df = df.filter(scalar.reduce(_ && _))
+
+    // 1b. extended attributes (F6): the attribute dimension is curated
+    // metadata (a few thousand rows at most) → broadcast semi/anti join on
+    // the upper-cased parent value. Never shuffles the entity table.
+    for (c <- spec.extended; ea <- cat.extendedAttrs) {
+      val dim = ea
+        .filter(col("isolate_field") === c.parentField &&
+          col("attribute") === c.attribute &&
+          Predicates.compile(col("value"), c.op, c.value))
+        .select(upper(col("field_value").cast("string")).as("__ev"))
+      df = df.join(broadcast(dim),
+        upper(col(c.parentField).cast("string")) === col("__ev"),
+        if (c.negate) "left_anti" else "left_semi")
+    }
 
     // 2. pasted id list (S7): broadcast semi join
     spec.idList.foreach { ids =>

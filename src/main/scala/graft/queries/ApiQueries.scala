@@ -250,6 +250,40 @@ object ApiQueries extends QueryModule {
                                               WHERE l_returnflag <> 'N')))
             ORDER BY o_orderkey"""))
 
+  // F6: extended attributes — country→continent style curated lookups
+  // (isolate_value_extended_attributes): customers whose nation belongs to
+  // region EUROPE, via the attribute dimension nation→region, composed
+  // with a provenance clause. Broadcast semi join, entity table unshuffled.
+  private val f6Extended = Q(
+    "f6_extended_attr",
+    (s, dir) => {
+      val dim = Tables.load(s, dir, "nation")
+        .join(Tables.load(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(
+          lit("c_nationkey").as("isolate_field"),
+          lit("region").as("attribute"),
+          col("n_nationkey").cast("string").as("field_value"),
+          col("r_name").as("value"))
+      val cat = Catalog(
+        entities = Tables.load(s, dir, "customer"),
+        entityId = "c_custkey",
+        extendedAttrs = Some(dim))
+      val spec = QuerySpec(
+        provenance = Seq(FieldClause("c_mktsegment", Eq, "BUILDING")),
+        extended = Seq(ExtendedClause("c_nationkey", "region", Eq, "EUROPE")),
+        orderBy = Seq(SortSpec("c_custkey")))
+      paged(spec, cat).page.select(col("c_custkey"), col("c_nationkey"))
+    },
+    Some("""SELECT c_custkey, c_nationkey FROM customer
+            WHERE upper(c_mktsegment) = 'BUILDING'
+              AND upper(CAST(c_nationkey AS VARCHAR)) IN (
+                SELECT upper(CAST(n_nationkey AS VARCHAR))
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE upper(r_name) = 'EUROPE')
+            ORDER BY c_custkey"""))
+
   val qs: Seq[Q] = Seq(apiCompiled, apiMissing, s1Security, restParsed,
-    apiComposedFull, apiTagModes, apiStatusVariation, apiAssemblyChecks)
+    apiComposedFull, apiTagModes, apiStatusVariation, apiAssemblyChecks,
+    f6Extended)
 }

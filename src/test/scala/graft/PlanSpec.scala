@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast left-semi:\n$plan")
   }
 
+  test("f6_extended_attr: attribute dimension joins as broadcast semi") {
+    val plan = planOf("f6_extended_attr")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi for the attribute dim:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "entity table must not shuffle for a curated dimension lookup")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
