@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Clustering, Profiles}
+import graft.sources.Federation
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.10 — clustering over the profile warehouse built from lineitem
@@ -210,5 +211,67 @@ object ClusterQueries extends QueryModule {
     },
     Some(lincodeAssignSql("WHERE u.code[1] = 0")))
 
-  val qs: Seq[Q] = Seq(g3SingleLinkage, g2Burst, g4Lincode, j5LincodePrefix)
+  private def fedPath(kind: String, dir: String) =
+    s"${sys.props("java.io.tmpdir")}/graft_fed_${kind}_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  // S9: cross-database scheme-dimension replication (Datastore.pm:2058-2174)
+  // — snapshot the "remote" profile dimension, publish atomically, read the
+  // replica back and run the everyday local join against it (isolates ×
+  // replicated scheme dim), here aggregated by missing-locus count.
+  private val s9ReplicateProfiles = Q(
+    "s9_replicate_profiles",
+    (s, dir) => {
+      val w = Profiles.cachedWarehouse(s"$dir/full",
+        Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_linenumber", col("l_suppkey"), NLoci)
+      val dim = Federation.schemeDimension(w, "l_orderkey")
+      val path = fedPath("profiles", dir)
+      Federation.replicateDimension(dim, path)
+      val replica = Federation.readDimension(s, path)
+      w.join(broadcast(replica.select(col("profile_md5"), col("missing_loci"))),
+          Seq("profile_md5"))
+        .groupBy(col("missing_loci"))
+        .agg(count(lit(1)).as("n_isolates"))
+        .orderBy(col("missing_loci"))
+    },
+    Some("""WITH des AS (
+              SELECT l_orderkey AS id, CAST(l_linenumber AS INT) AS locus,
+                     min(CAST(l_suppkey AS VARCHAR)) AS a
+              FROM lineitem GROUP BY 1, 2),
+            profs AS (
+              SELECT id, list_transform([1, 2, 3, 4, 5, 6, 7],
+                                        i -> coalesce(m[i][1], '0')) AS prof
+              FROM (SELECT id, map(list(locus ORDER BY locus),
+                                   list(a ORDER BY locus)) AS m
+                    FROM des GROUP BY id))
+            SELECT CAST(len(list_filter(prof, p -> p = '0')) AS INT)
+                     AS missing_loci,
+                   count(1) AS n_isolates
+            FROM profs GROUP BY 1 ORDER BY 1"""))
+
+  // S10: classification-group / LIN-code dimension replication
+  // (Datastore.pm:1407-1535): snapshot the assigned LIN codes, read the
+  // replica, join isolates against it and break down by top-level code.
+  private val s10ReplicateLincodes = Q(
+    "s10_replicate_lincodes",
+    (s, dir) => {
+      val w = wh(s, dir, 300)
+      val codes = Clustering.assignLinCodes(w, "l_orderkey", Seq(30.0, 60.0, 90.0))
+      val path = fedPath("lincodes", dir)
+      Federation.replicateDimension(codes, path)
+      val replica = Federation.readDimension(s, path)
+      w.select(col("l_orderkey"))
+        .join(broadcast(replica), Seq("l_orderkey"))
+        .groupBy(element_at(col("lincode"), 1).cast("long").as("lin1"))
+        .agg(count(lit(1)).as("n_profiles"))
+        .orderBy(col("lin1"))
+    },
+    Some(s"""SELECT CAST(string_split(lincode, '_')[1] AS BIGINT) AS lin1,
+                    count(1) AS n_profiles
+             FROM (${lincodeAssignSql("")}) codes
+             GROUP BY 1 ORDER BY 1"""))
+
+  val qs: Seq[Q] = Seq(g3SingleLinkage, g2Burst, g4Lincode, j5LincodePrefix,
+    s9ReplicateProfiles, s10ReplicateLincodes)
 }
