@@ -8,6 +8,40 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Immutable seed dictionary for [[KmerCandidates]]: rolling polynomial
+  * hash → ordinals of equal-length seed words, built once on the driver
+  * from the (bounded) library dimension and shipped as a broadcast — the
+  * Spark analogue of the reference's materialized BLAST word index
+  * (lib/BIGSdb/Offline/Blast.pm:729-931). Data, not a plan literal.
+  */
+final class SeedIndex private[functions] (
+    val k: Int,
+    val seeds: Array[String],
+    val map: java.util.HashMap[java.lang.Long, Array[Int]],
+    val bk: Long) extends Serializable
+
+object SeedIndex {
+  private[functions] val B = 1000003L
+
+  def hashOf(s: String, from: Int, k: Int): Long = {
+    var h = 0L; var i = 0
+    while (i < k) { h = h * B + s.charAt(from + i); i += 1 }
+    h
+  }
+
+  /** Build from equal-length seed words (ordinal = array position). */
+  def build(k: Int, seeds: Array[String]): SeedIndex = {
+    require(seeds.forall(_.length == k), s"all seeds must have length $k")
+    val map = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    seeds.zipWithIndex.foreach { case (s, i) =>
+      val h = java.lang.Long.valueOf(hashOf(s, 0, k))
+      map.put(h, map.getOrDefault(h, Array.empty) :+ i)
+    }
+    var bk = 1L; (1 to k).foreach(_ => bk *= B)
+    new SeedIndex(k, seeds, map, bk)
+  }
+}
+
 /** Bio-domain scalar functions (SURVEY §2.8 "Bio domain").
   *
   * Semantics from the reference:
@@ -175,6 +209,76 @@ object Bio {
   def occurrences(hay: Column, needle: Column, overlapping: Boolean): Column =
     ExpressionUtils.column(Occurrences(
       ExpressionUtils.expression(hay), ExpressionUtils.expression(needle), overlapping))
+
+  // ---- k-mer seed candidate kernel (Q3→Q4 seeded scan hot path) ----
+
+  /** Single-pass multi-pattern scan: ordinals of all seed words occurring
+    * in `hay` (distinct, ascending). One rolling-hash sweep — O(|hay|)
+    * regardless of dictionary size, with a char-compare verify on hash
+    * hits. This is what makes the seeded tag scan sublinear in library
+    * size: the per-contig cost no longer multiplies by |library|.
+    */
+  def kmerCandidatesKernel(hay: UTF8String, idx: SeedIndex):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = hay.toString
+    val k = idx.k
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (s.length >= k) {
+      val seen = new java.util.BitSet(idx.seeds.length)
+      var h = SeedIndex.hashOf(s, 0, k)
+      var start = 0
+      var continue = true
+      while (continue) {
+        val ords = idx.map.get(h)
+        if (ords != null) {
+          var j = 0
+          while (j < ords.length) {
+            val ord = ords(j)
+            if (!seen.get(ord)) {
+              // verify on hash hit (collisions possible): char compare
+              val seed = idx.seeds(ord)
+              var i = 0
+              var eq = true
+              while (eq && i < k) { eq = seed.charAt(i) == s.charAt(start + i); i += 1 }
+              if (eq) { seen.set(ord); out += ord }
+            }
+            j += 1
+          }
+        }
+        if (start + k >= s.length) continue = false
+        else {
+          h = h * SeedIndex.B + s.charAt(start + k) - idx.bk * s.charAt(start)
+          start += 1
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.sorted.toArray)
+  }
+
+  case class KmerCandidates(
+      child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[SeedIndex])
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Bio.kmerCandidatesKernel(input.asInstanceOf[UTF8String], bc.value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("seedIndexBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Bio.kmerCandidatesKernel($c, " +
+          s"(graft.functions.SeedIndex)$bcRef.value())")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** Column wrapper: ordinals (into the index's seed array) of seed words
+    * present in the string column.
+    */
+  def kmerCandidates(hay: Column,
+      bc: org.apache.spark.broadcast.Broadcast[SeedIndex]): Column =
+    ExpressionUtils.column(KmerCandidates(ExpressionUtils.expression(hay), bc))
 
   /** Register the bio functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -69,6 +69,144 @@ object SeqScan {
         col("start_pos").cast("long"), col("end_pos").cast("long"), col("reverse"))
   }
 
+  /** Q3 — exemplar selection (scripts/maintenance/find_exemplars.pl:95-140):
+    * per (locus, length) group, greedy in ascending allele-id order — the
+    * first allele of each length is an exemplar, and each later allele
+    * becomes one iff it differs by >= `variationPct` percent (hamming /
+    * length) from EVERY current exemplar of its group. Numeric allele ids
+    * sort numerically, like the reference's CAST(allele_id AS int) ORDER BY.
+    *
+    * Scale: groups are (locus, length) — thousands of small groups, each
+    * processed sequentially inside one task (the greedy is inherently
+    * sequential, as in the reference), all groups in parallel after one
+    * shuffle on the group key. Output: (locus, allele_id) exemplar keys —
+    * semi-join against the library to build the pruned BLAST-cache
+    * equivalent (lib/BIGSdb/Offline/Blast.pm:102-108).
+    */
+  def findExemplars(
+      library: DataFrame, locus: String, alleleId: String, alleleSeq: String,
+      variationPct: Double): DataFrame = {
+    val spark = library.sparkSession
+    import spark.implicits._
+    def idKey(id: String): (Int, Long, String) =
+      if (id.forall(_.isDigit) && id.nonEmpty) (0, id.toLong, "") else (1, 0L, id)
+    library
+      .select(col(locus).cast("string"), col(alleleId).cast("string"),
+        upper(col(alleleSeq)))
+      .as[(String, String, String)]
+      .groupByKey { case (l, _, s) => (l, s.length) }
+      .flatMapGroups { (key: (String, Int), it: Iterator[(String, String, String)]) =>
+        val l = key._1
+        val alleles = it.toVector.sortBy(t => idKey(t._2))
+        val exemplars = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        alleles.foreach { case (_, id, seq) =>
+          val isFirst = exemplars.isEmpty
+          val farFromAll = exemplars.forall { case (_, eseq) =>
+            var d = 0; var i = 0
+            while (i < seq.length) { if (seq(i) != eseq(i)) d += 1; i += 1 }
+            d * 100.0 / seq.length >= variationPct
+          }
+          if (isFirst || farFromAll) exemplars += ((id, seq))
+        }
+        exemplars.iterator.map { case (id, _) => (l, id) }
+      }
+      .toDF(locus, alleleId)
+  }
+
+  /** Q4 at library scale — seeded tag scan: the reference's BLAST-index
+    * architecture (seed words → candidate pairs → exact check,
+    * lib/BIGSdb/Offline/Blast.pm:729-931) re-expressed as joins.
+    *
+    * The baseline [[exactTagScan]] runs the occurrence kernel for every
+    * (contig × allele) pair — O(|library|) scans per contig, linear in
+    * library size. Here:
+    *
+    *   1. seed dimension: the first `k` bases of each allele (both
+    *      strands) → (seed, locus, allele, strand); tiny, broadcast.
+    *   2. candidate pairs: one fused rolling-hash sweep per contig
+    *      (Bio.KmerCandidates) against the broadcast seed dictionary —
+    *      O(|contig|) regardless of dictionary size — yields the ordinals
+    *      of seeds present; a contig is a candidate for an allele iff it
+    *      contains the allele's seed word. The contig text never shuffles.
+    *   3. exact check: candidates re-join the contig text (AQE picks
+    *      broadcast when the candidate set is small — the common case) and
+    *      the library (broadcast), then the same fused occurrence kernel
+    *      verifies and positions each hit.
+    *
+    * Per-contig cost: one dictionary sweep + one kernel scan per
+    * *candidate* allele, instead of per *library* allele — sublinear in
+    * library size. Identical output to [[exactTagScan]] (asserted by
+    * SeqScanSpec): a full occurrence implies the seed occurs, so seeding
+    * loses no hits. The driver-side collect of the seed words is over the
+    * bounded library dimension — the same materialization the reference
+    * performs when it builds a BLAST database from the allele library.
+    */
+  def seededTagScan(
+      contigs: DataFrame, contigId: String, contigSeq: String,
+      library: DataFrame, locus: String, alleleId: String, alleleSeq: String,
+      k: Int = 8, overlapping: Boolean = false): DataFrame = {
+    val pos: (Column, Column) => Column =
+      if (overlapping) allOccurrencePositions else occurrencePositions
+    val lib = library.select(
+      col(locus), col(alleleId),
+      upper(col(alleleSeq)).as("__fwd"),
+      Bio.reverseComplement(upper(col(alleleSeq))).as("__rev"))
+    // 1. seed dimension — one row per (allele, strand), seeds of length k.
+    // Alleles shorter than k can't be seeded: scanned unseeded via the
+    // baseline path and unioned in (rare: alleles are >= scheme fragment
+    // length in practice).
+    val short = lib.filter(length(col("__fwd")) < k)
+    val seedable = lib.filter(length(col("__fwd")) >= k)
+    val seeds = seedable.select(col(locus), col(alleleId),
+        explode(array(
+          struct(substring(col("__fwd"), 1, k).as("__seed"), lit(false).as("reverse")),
+          struct(substring(col("__rev"), 1, k).as("__seed"), lit(true).as("reverse"))))
+          .as("__s"))
+      .select(col(locus), col(alleleId), col("__s.__seed").as("__seed"),
+        col("__s.reverse").as("reverse"))
+    // 2. candidate (contig, allele, strand) pairs: the fused dictionary
+    // sweep emits seed ordinals (ids only — contig text stays put), which
+    // join the tiny ordinal→seed and seed→allele dims (both broadcast).
+    val spark = contigs.sparkSession
+    import spark.implicits._
+    val seedWords = seeds.select(col("__seed")).distinct()
+      .as[String].collect().sorted
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.SeedIndex.build(k, seedWords))
+    val ordinalDim = seedWords.zipWithIndex.toSeq.toDF("__seed", "__ord")
+    // ordinal → (locus, allele, strand), one broadcast hash lookup on the
+    // hits path. Rows are already distinct: each (allele, strand) owns one
+    // seed word and the kernel emits each ordinal once per contig.
+    val seedsWithOrd = seeds.join(broadcast(ordinalDim), Seq("__seed"))
+      .select(col("__ord"), col(locus), col(alleleId), col("reverse"))
+    val up = contigs.select(col(contigId), upper(col(contigSeq)).as("__contig"))
+    val cands = up.select(col(contigId),
+        explode(Bio.kmerCandidates(col("__contig"), bc)).as("__ord"))
+      .join(broadcast(seedsWithOrd), Seq("__ord"))
+      .select(col(contigId), col(locus), col(alleleId), col("reverse"))
+    // 3. exact check on candidates only: rejoin contig text + allele text,
+    // run the fused kernel per strand. The candidate list is broadcast so
+    // the contig side never shuffles — it costs a second pass over the
+    // contig scan (cheap, columnar) instead of a full-table shuffle; at
+    // extreme candidate cardinality drop the hint and let AQE choose.
+    val enriched = up.join(broadcast(cands), Seq(contigId))
+      .join(broadcast(lib), Seq(locus, alleleId))
+    val fwd = enriched.filter(!col("reverse"))
+      .withColumn("start_pos", explode(pos(col("__contig"), col("__fwd"))))
+      .withColumn("end_pos", col("start_pos") + length(col("__fwd")) - 1)
+    val rev = enriched.filter(col("reverse") && col("__rev") =!= col("__fwd"))
+      .withColumn("start_pos", explode(pos(col("__contig"), col("__rev"))))
+      .withColumn("end_pos", col("start_pos") + length(col("__rev")) - 1)
+    val seeded = fwd.unionByName(rev)
+      .select(col(contigId), col(locus), col(alleleId),
+        col("start_pos").cast("long"), col("end_pos").cast("long"), col("reverse"))
+    if (short.isEmpty) seeded
+    else seeded.unionByName(exactTagScan(
+      contigs, contigId, contigSeq,
+      short.select(col(locus), col(alleleId), col("__fwd").as(alleleSeq)),
+      locus, alleleId, alleleSeq, overlapping))
+  }
+
   /** Q6 — mutation observation: for each sequence × mutation definition
     * (position, wild-type char, variant char), the observed state at that
     * position: wild_type | variant | other.

@@ -57,6 +57,146 @@ object ScanQueries extends QueryModule {
              SELECT doc_id, locus, start_pos, end_pos, reverse FROM hits
              ORDER BY doc_id, locus, start_pos, reverse"""))
 
+  // Q4 seeded (Q3→Q4): the same scan through the k-mer seed prefilter —
+  // a single codegen'd dictionary sweep per contig (Bio.KmerCandidates)
+  // yields candidate (contig, allele, strand) pairs; the fused occurrence
+  // kernel runs only on candidates. Identical output to q4_tag_scan (same
+  // oracle).
+  private val q4TagScanSeeded = Q(
+    "q4_tag_scan_seeded",
+    (s, dir) => {
+      val docs = dnaDocs(s, dir)
+      val lib = docs.filter(col("doc_id") < 3 && length(col("dna")) >= 12)
+        .select(concat(lit("L"), col("doc_id")).as("locus"),
+          lit("1").as("allele_id"),
+          substring(col("dna"), 3, 8).as("allele_seq"))
+      SeqScan.seededTagScan(
+          docs.filter(length(col("dna")) >= 8), "doc_id", "dna",
+          lib, "locus", "allele_id", "allele_seq", k = 6, overlapping = true)
+        .select(col("doc_id"), col("locus"), col("start_pos"),
+          col("end_pos"), col("reverse"))
+        .orderBy(col("doc_id"), col("locus"), col("start_pos"), col("reverse"))
+    },
+    q4TagScan.oracle)
+
+  // Genome-shaped scan pair: ~6 kb contigs (100 docs concatenated) × a
+  // ~200-allele library through both paths. Exact = O(|library|) kernel
+  // scans per contig; seeded = one dictionary sweep + kernel scans on
+  // candidate pairs only. Honest bench note: at this corpus scale the
+  // exact path is already sub-second (indexOf streams GB/s, contigs are
+  // kb not Mb), so the seeded path's fixed costs (seed collect+broadcast,
+  // candidate join, second contig pass) dominate its wall time; the
+  // crossover needs genome-scale contigs × 10^4-allele libraries, where
+  // exact grows linearly in |library| and seeded stays flat (cost model in
+  // the SeqScan.seededTagScan doc). Every allele is cut from a doc that is
+  // part of some contig, so hits are guaranteed.
+  private def longContigs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = dnaDocs(s, dir)
+    val contigs = docs
+      .groupBy(floor(col("doc_id") / 100).cast("long").as("cid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("dna")))),
+        x => x.getField("dna")), "").as("dna"))
+    val lib = docs.filter(col("doc_id") < 200 && length(col("dna")) >= 26)
+      .select(concat(lit("L"), col("doc_id")).as("locus"),
+        lit("1").as("allele_id"),
+        substring(col("dna"), 3, 24).as("allele_seq"))
+    (contigs, lib)
+  }
+
+  private val longContigOracle =
+    s"""WITH d AS (SELECT doc_id, $dnaSql AS dna FROM documents),
+        contigs AS (SELECT doc_id // 100 AS cid,
+                           string_agg(dna, '' ORDER BY doc_id) AS dna
+                    FROM d GROUP BY 1),
+        lib AS (SELECT 'L' || doc_id AS locus,
+                       substring(dna, 3, 24) AS fwd,
+                       reverse(translate(substring(dna, 3, 24), 'ACGT', 'TGCA')) AS rev
+                FROM d WHERE doc_id < 200 AND length(dna) >= 26),
+        hits AS (
+          SELECT c.cid, l.locus, CAST(p AS BIGINT) AS start_pos,
+                 CAST(p + 23 AS BIGINT) AS end_pos, false AS reverse
+          FROM contigs c, lib l,
+               unnest(list_filter(range(1, length(c.dna) - 22),
+                 p -> substring(c.dna, p, 24) = l.fwd)) t(p)
+          UNION ALL
+          SELECT c.cid, l.locus, CAST(p AS BIGINT), CAST(p + 23 AS BIGINT), true
+          FROM contigs c, lib l,
+               unnest(list_filter(range(1, length(c.dna) - 22),
+                 p -> substring(c.dna, p, 24) = l.rev)) t(p)
+          WHERE l.rev != l.fwd)
+        SELECT cid, locus, start_pos, end_pos, reverse FROM hits
+        ORDER BY cid, locus, start_pos, reverse"""
+
+  private val q4LongExact = Q(
+    "q4_longcontig_exact",
+    (s, dir) => {
+      val (contigs, lib) = longContigs(s, dir)
+      SeqScan.exactTagScan(contigs, "cid", "dna",
+          lib, "locus", "allele_id", "allele_seq", overlapping = true)
+        .select(col("cid"), col("locus"), col("start_pos"),
+          col("end_pos"), col("reverse"))
+        .orderBy(col("cid"), col("locus"), col("start_pos"), col("reverse"))
+    },
+    Some(longContigOracle))
+
+  private val q4LongSeeded = Q(
+    "q4_longcontig_seeded",
+    (s, dir) => {
+      val (contigs, lib) = longContigs(s, dir)
+      SeqScan.seededTagScan(contigs, "cid", "dna",
+          lib, "locus", "allele_id", "allele_seq", k = 12, overlapping = true)
+        .select(col("cid"), col("locus"), col("start_pos"),
+          col("end_pos"), col("reverse"))
+        .orderBy(col("cid"), col("locus"), col("start_pos"), col("reverse"))
+    },
+    Some(longContigOracle))
+
+  // Q3: exemplar pruning (find_exemplars.pl:95-140) — greedy per
+  // (locus, length) in ascending allele-id order at 80% variation; the
+  // pruned library is what the seeded scan runs against at scale. Oracle:
+  // the same greedy replayed as a DuckDB recursive CTE (state = exemplar
+  // list per group, all groups advancing one allele per iteration).
+  private val q3ExemplarPrune = Q(
+    "q3_exemplar_prune",
+    (s, dir) => {
+      val docs = dnaDocs(s, dir)
+      val lib = docs.filter(col("doc_id") < 40 && length(col("dna")) >= 16)
+        .select(concat(lit("L"), col("doc_id") % 3).as("locus"),
+          col("doc_id").cast("string").as("allele_id"),
+          substring(col("dna"), 1, 16).as("allele_seq"))
+      SeqScan.findExemplars(lib, "locus", "allele_id", "allele_seq", 80.0)
+        .select(col("locus"), col("allele_id").cast("long").as("allele_id"))
+        .orderBy(col("locus"), col("allele_id"))
+    },
+    Some(s"""WITH RECURSIVE
+             lib AS (
+               SELECT 'L' || CAST(doc_id % 3 AS VARCHAR) AS locus,
+                      CAST(doc_id AS VARCHAR) AS allele_id,
+                      substring($dnaSql, 1, 16) AS seq
+               FROM documents
+               WHERE doc_id < 40 AND length($dnaSql) >= 16),
+             grp AS (
+               SELECT locus, list(struct_pack(id := allele_id, seq := seq)
+                                  ORDER BY CAST(allele_id AS INT)) AS items
+               FROM lib GROUP BY locus),
+             g AS (
+               SELECT locus, items, 1 AS i, [items[1]] AS ex FROM grp
+               UNION ALL
+               SELECT locus, items, i + 1,
+                      CASE WHEN len(list_filter(ex, e ->
+                             hamming(items[i + 1].seq, e.seq) * 100.0
+                               / length(items[i + 1].seq) < 80.0)) = 0
+                           THEN list_append(ex, items[i + 1]) ELSE ex END
+               FROM g WHERE i < len(items))
+             SELECT locus, CAST(u.id AS BIGINT) AS allele_id
+             FROM (SELECT locus, ex,
+                          row_number() OVER (PARTITION BY locus
+                            ORDER BY i DESC) AS rn
+                   FROM g) f, unnest(f.ex) AS t(u)
+             WHERE rn = 1
+             ORDER BY locus, allele_id"""))
+
   // Q6: mutation scan — three defined point variants at fixed positions.
   private val q6MutationScan = Q(
     "q6_mutation_scan",
@@ -161,6 +301,7 @@ object ScanQueries extends QueryModule {
              FROM d, unnest(range(1, least(length(dna), 20) + 1)) t(p)
              GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val qs: Seq[Q] = Seq(q4TagScan, q6MutationScan, s3FastaRoundtrip,
-    mmDecode, mmFrames, g7SiteFreq)
+  val qs: Seq[Q] = Seq(q4TagScan, q4TagScanSeeded, q3ExemplarPrune,
+    q4LongExact, q4LongSeeded,
+    q6MutationScan, s3FastaRoundtrip, mmDecode, mmFrames, g7SiteFreq)
 }

@@ -40,6 +40,50 @@ class SeqScanSpec extends SparkSpec {
     assert(out.length == 1) // GAATTC is its own revcomp
   }
 
+  test("seededTagScan output is identical to exactTagScan") {
+    // mixed bag: multi-hit, reverse-strand, palindromic, and a short
+    // (< k) allele that takes the unseeded fallback path
+    val contigs = Seq(
+      (1L, "ACGGGTTTACGAAACCCGTGGGTTT"),
+      (2L, "TTGAATTCTTGAATTC"),
+      (3L, "AAAAAAAAAA"),
+      (4L, "CGTACGTACG")).toDF("cid", "seq")
+    val lib = Seq(
+      ("locusA", "1", "GGGTTT"),
+      ("pal", "1", "GAATTC"),
+      ("short", "1", "CGT"),
+      ("multi", "1", "ACGTACG")).toDF("locus", "allele_id", "aseq")
+    def run(f: Boolean) = {
+      val d =
+        if (f) SeqScan.exactTagScan(contigs, "cid", "seq", lib,
+          "locus", "allele_id", "aseq", overlapping = true)
+        else SeqScan.seededTagScan(contigs, "cid", "seq", lib,
+          "locus", "allele_id", "aseq", k = 5, overlapping = true)
+      d.select("cid", "locus", "allele_id", "start_pos", "end_pos", "reverse")
+        .as[(Long, String, String, Long, Long, Boolean)].collect().toSet
+    }
+    val exact = run(true)
+    val seeded = run(false)
+    assert(exact.nonEmpty && seeded == exact)
+  }
+
+  test("findExemplars keeps greedy ascending-id representatives per length") {
+    val lib = Seq(
+      // length-4 group of locus L: 2 keeps 10 (id order!), AAAT ~ AAAA
+      ("L", "10", "AAAA"),
+      ("L", "2", "TTTT"),   // 100% diff from AAAA -> exemplar
+      ("L", "11", "AAAT"),  // 25% diff from AAAA -> pruned at 50%
+      ("L", "3", "TTAA"),   // 50% from both -> exemplar at 50%
+      // different length bucket: always keeps its first
+      ("L", "5", "AAAAA"),
+      // different locus: independent
+      ("M", "7", "AAAA")).toDF("locus", "allele_id", "aseq")
+    val out = SeqScan.findExemplars(lib, "locus", "allele_id", "aseq", 50.0)
+      .as[(String, String)].collect().toSet
+    assert(out == Set(
+      ("L", "2"), ("L", "3"), ("L", "10"), ("L", "5"), ("M", "7")))
+  }
+
   test("mutationScan classifies wild-type / variant / other") {
     val seqs = Seq((1L, "ACGTA"), (2L, "ACGTG"), (3L, "ACGTC"), (4L, "AC"))
       .toDF("sid", "seq")
