@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -42,12 +42,40 @@ object TextAnalysis {
   }
 
   /** Language-ID by stopword-set voting: the language whose marker-word set
-    * has the highest hit count wins (n-gram heuristic family). Deterministic
-    * tie-break: language name ascending.
+    * has the highest hit count (word occurrences, duplicates counted) wins;
+    * ties break to the ascending language name; documents hitting no marker
+    * at all fall back to the alphabetically first language.
     *
-    * Prefer projecting the word array once and calling `languageIdFromWords`
-    * over that column: higher-order functions are interpreted, and inlining
-    * `split` into every per-language score re-tokenizes the text N times.
+    * This is the corpus-scale form (VERDICT r2 #7): ONE pass over the
+    * words — explode → broadcast join against the (word, lang) marker
+    * dimension → two partial-aggregating counts — instead of re-walking
+    * the word array once per language with interpreted `filter`/`isin`
+    * chains. Marker sets are data (a DataFrame), not literals baked into
+    * the plan, so growing the language inventory changes no code and
+    * recompiles no plans.
+    *
+    * `docs` must carry `idCol` and a lowercase word-array `wordsCol`;
+    * returns the input columns plus `predicted`.
+    */
+  def languageIdByJoin(
+      docs: DataFrame, idCol: String, wordsCol: String,
+      markers: DataFrame): DataFrame = {
+    val defaultLang = markers.agg(min(col("lang"))).collect()(0).getString(0)
+    val hits = docs.select(col(idCol), explode(col(wordsCol)).as("word"))
+      .join(broadcast(markers), Seq("word"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("hits"))
+    // argmax by (hits desc, lang asc) as one min over an orderable struct
+    val best = hits.groupBy(col(idCol))
+      .agg(min(struct((-col("hits")).as("nh"), col("lang").as("lang"))).as("b"))
+      .select(col(idCol), col("b.lang").as("predicted"))
+    docs.join(best, Seq(idCol), "left")
+      .withColumn("predicted", coalesce(col("predicted"), lit(defaultLang)))
+  }
+
+  /** Column-form language ID for single-row / small-batch use (the REST
+    * "identify this text" path). The per-language `filter` chain is
+    * interpreted — for corpus jobs use [[languageIdByJoin]].
     */
   def languageId(text: Column, markers: Map[String, Seq[String]]): Column =
     languageIdFromWords(split(lower(trim(text)), "\\s+"), markers)

@@ -70,13 +70,19 @@ object TextQueries extends QueryModule {
   private val textLangId = Q(
     "text_lang_id",
     (s, dir) => {
+      import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      // tokenize once; the per-language scoring reads the word-array column
-      docs.select(col("lang"),
+        .select(col("doc_id"), col("lang"),
           split(lower(trim(col("text"))), "\\s+").as("words"))
-        .select(col("lang"),
-          TextAnalysis.languageIdFromWords(col("words"), markers).as("predicted"))
-        .groupBy(col("lang"), col("predicted"))
+      // corpus-scale form: one explode + broadcast marker join + two
+      // partial aggregations — no per-language filter/isin chain
+      val markerDim = markers.toSeq
+        .flatMap { case (l, ws) => ws.map(w => (w, l)) }
+        .toDF("word", "lang")
+      TextAnalysis.languageIdByJoin(
+          docs.withColumnRenamed("lang", "true_lang"), "doc_id", "words",
+          markerDim)
+        .groupBy(col("true_lang").as("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
     },

@@ -52,6 +52,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f2(0) == f2(1))
   }
 
+  test("languageIdByJoin agrees with the column form, ties and no-hit included") {
+    val markers = Map(
+      "en" -> Seq("the", "and"), "fr" -> Seq("le", "des"),
+      "zh" -> Seq("shi", "le"))
+    val docs = Seq(
+      (1L, "the cat and the dog"),   // clear en
+      (2L, "le chat des bois"),      // clear fr
+      (3L, "le shi"),                // tie fr/zh (1 each... le counts both)
+      (4L, "nothing matches here"),  // zero hits -> first lang asc
+      (5L, "")).toDF("doc_id", "text")
+      .withColumn("words", split(lower(trim(col("text"))), "\\s+"))
+    val markerDim = markers.toSeq
+      .flatMap { case (l, ws) => ws.map(w => (w, l)) }.toDF("word", "lang")
+    val joined = TextAnalysis.languageIdByJoin(docs, "doc_id", "words", markerDim)
+      .select(col("doc_id"), col("predicted")).as[(Long, String)].collect().toMap
+    val columnForm = docs
+      .select(col("doc_id"),
+        TextAnalysis.languageIdFromWords(col("words"), markers).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(joined == columnForm)
+  }
+
   test("subwordCount splits on punctuation boundaries") {
     val df = Seq("don't stop-me now").toDF("t")
       .select(TextAnalysis.subwordCount(col("t")).as("n"))
