@@ -41,6 +41,41 @@ class SourcesSpec extends SparkSpec {
       "ctg2\tgraft\tgene\t3\t9\t.\t-\t0\tID=adk"))
   }
 
+  test("Embl: record layout — header, feature table, composition, sequence") {
+    val rec = graft.sources.Embl.formatRecord(
+      "ctg1", "ACGTACGTAC" * 7, "test contig", Seq("X99999"),
+      Seq(graft.sources.Embl.Feature("abcZ", 3, 9, reverse = false),
+        graft.sources.Embl.Feature("adk", 11, 20, reverse = true)))
+    val lines = rec.split("\n")
+    assert(lines(0) == "ID   ctg1; SV 1; linear; DNA; STD; UNC; 70 BP.")
+    assert(lines.contains("AC   ctg1; X99999;"))
+    assert(lines.contains("DE   test contig"))
+    assert(lines.exists(_.matches("FT   CDS             3\\.\\.9")))
+    assert(lines.exists(_.matches("FT   CDS             complement\\(11\\.\\.20\\)")))
+    assert(lines.contains("""FT                   /gene="abcZ""""))
+    assert(lines.contains("SQ   Sequence 70 BP; 21 A; 21 C; 14 G; 14 T; 0 other;"))
+    // 60-base first row, 6 space-separated groups, count right-aligned
+    val seqRow = lines.find(_.startsWith("     acgtacgtac")).get
+    assert(seqRow.trim.endsWith("60"))
+    assert(seqRow.count(_ == ' ') >= 10)
+    assert(lines.last == "//")
+  }
+
+  test("Embl.format: one record per contig, features ordered by start") {
+    val contigs = Seq(("c1", "ACGTACGT", "first"), ("c2", "GGGGCCCC", null))
+      .toDF("cid", "seq", "comments")
+    val tags = Seq(("c1", "zz", 5L, 8L, false), ("c1", "aa", 1L, 4L, true))
+      .toDF("cid", "locus", "start_pos", "end_pos", "reverse")
+    val recs = graft.sources.Embl.format(contigs, "cid", "seq", "comments",
+      tags, "locus", "start_pos", "end_pos", "reverse").collect()
+    assert(recs.length == 2)
+    val c1 = recs.find(_.startsWith("ID   c1")).get
+    // start 1 (aa) serializes before start 5 (zz)
+    assert(c1.indexOf("complement(1..4)") < c1.indexOf("5..8"))
+    val c2 = recs.find(_.startsWith("ID   c2")).get
+    assert(!c2.contains("FT   CDS") && !c2.contains("DE   "))
+  }
+
   test("RestQuery: field/locus/operator/page grammar → QuerySpec") {
     val spec = RestQuery.parse(
       """{"field.country": "UK", "field.year": 2020,
