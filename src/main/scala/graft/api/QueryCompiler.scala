@@ -148,6 +148,7 @@ object QueryCompiler {
     seqbin: Seq[SeqbinClause] = Nil,
     annotations: Seq[AnnotationClause] = Nil,
     assemblyChecks: Seq[AssemblyCheckClause] = Nil,
+    suppressOldVersions: Boolean = false,
     tagCombine: Combine = CombineAnd,
     statusCombine: Combine = CombineAnd,
     seqbinCombine: Combine = CombineOr,
@@ -185,12 +186,19 @@ object QueryCompiler {
     checks: Option[DataFrame] = None, checkEntityId: String = "entity_id",
     totalCheckTypes: Int = 0,
     variations: Option[DataFrame] = None,
-    extendedAttrs: Option[DataFrame] = None)
+    extendedAttrs: Option[DataFrame] = None,
+    newVersionCol: Option[String] = None)
 
   /** Compile spec → DataFrame plan (unsorted, unpaged — see `paged`). */
   def compile(spec: QuerySpec, cat: Catalog): DataFrame = {
     var df = cat.entities
     val pk = col(cat.entityId)
+
+    // 0. old-version suppression (F12): `new_version IS NULL` — the
+    // default on every REST listing (REST/Routes/Isolates.pm:49,491).
+    // A plain scan predicate, so it pushes into the parquet read.
+    if (spec.suppressOldVersions)
+      for (nv <- cat.newVersionCol) df = df.filter(col(nv).isNull)
 
     // 1. provenance + grouped scalar predicates: one AND-folded Column
     val scalar: Seq[Column] =

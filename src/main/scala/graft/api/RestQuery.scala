@@ -57,7 +57,11 @@ object RestQuery {
       s <- Some(kv.get("page_size").collect { case d: Double => d.toInt }
         .getOrElse(100)) // REST default page size (Interface.pm:54)
     } yield PageSpec(p, s)
-    QuerySpec(provenance = prov, designations = des, page = page)
+    // F12: REST listings suppress superseded record versions unless the
+    // caller passes all_versions (REST/Routes/Isolates.pm:49,491)
+    val allVersions = kv.get("all_versions").contains(true)
+    QuerySpec(provenance = prov, designations = des, page = page,
+      suppressOldVersions = !allVersions)
   }
 
   /** Minimal JSON object reader: flat string/number/bool values (the REST

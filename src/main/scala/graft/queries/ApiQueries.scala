@@ -16,8 +16,14 @@ object ApiQueries extends QueryModule {
   private def catalog(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val li = Tables.load(s, dir, "lineitem")
     Catalog(
-      entities = Tables.load(s, dir, "orders"),
+      // isolate versioning (F12): records with orderkey % 10 == 7 play
+      // superseded old versions (new_version points at the successor);
+      // everything else is current (new_version NULL)
+      entities = Tables.load(s, dir, "orders")
+        .withColumn("new_version",
+          when(col("o_orderkey") % 10 === 7, col("o_orderkey") + 1)),
       entityId = "o_orderkey",
+      newVersionCol = Some("new_version"),
       // designation fact: locus = linenumber, allele = suppkey; curation
       // status (allele_designations.status) mapped from linestatus
       facts = Some(li
@@ -141,6 +147,7 @@ object ApiQueries extends QueryModule {
     },
     Some("""SELECT o_orderkey, o_orderstatus FROM orders
             WHERE upper(o_orderstatus) = 'F'
+              AND o_orderkey % 10 != 7  -- F12: REST default new_version IS NULL
               AND o_orderkey IN (SELECT l_orderkey FROM lineitem
                                  WHERE l_linenumber = 3
                                    AND upper(CAST(l_suppkey AS VARCHAR)) = '42')
@@ -283,7 +290,25 @@ object ApiQueries extends QueryModule {
                 WHERE upper(r_name) = 'EUROPE')
             ORDER BY c_custkey"""))
 
+  // F12: old-version suppression is the REST default — the same parsed
+  // body without all_versions drops superseded records, with it they come
+  // back. Output: per-status row counts under the default listing.
+  private val f12OldVersion = Q(
+    "f12_old_version",
+    (s, dir) => {
+      val spec = graft.api.RestQuery.parse(
+        """{"field.o_orderstatus": "f", "page": 1, "page_size": 100000}""")
+      assert(spec.suppressOldVersions, "REST default must suppress old versions")
+      paged(spec, catalog(s, dir)).page
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(1) AS n FROM orders
+            WHERE upper(o_orderstatus) = 'F' AND o_orderkey % 10 != 7
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val qs: Seq[Q] = Seq(apiCompiled, apiMissing, s1Security, restParsed,
     apiComposedFull, apiTagModes, apiStatusVariation, apiAssemblyChecks,
-    f6Extended)
+    f6Extended, f12OldVersion)
 }
