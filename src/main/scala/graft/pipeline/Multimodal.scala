@@ -101,10 +101,12 @@ object Multimodal {
   }
 
   /** Resize stub: media → fixed-budget thumbnail bytes + updated metadata.
-    * The byte transform is a deterministic fake (truncate/cycle to the
-    * target budget); the plumbing — binary in/out through mapPartitions,
-    * metadata recomputed alongside — is the real pipeline shape. Swap the
-    * kernel for a real scaler without touching the plan.
+    * The byte transform is a deterministic fake (truncate to the target
+    * byte budget; empty media stays empty); the plumbing — binary in/out
+    * through mapPartitions, metadata recomputed alongside — is the real
+    * pipeline shape. Swap the kernel for a real scaler without touching
+    * the plan. Deterministic and DuckDB-replayable, so the mm_resize
+    * CORRECTNESS row value-hashes the output bytes.
     */
   def resize(media: DataFrame, id: String, targetW: Int, targetH: Int): DataFrame = {
     val inSchema = media.schema
@@ -119,9 +121,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
-        val out = new Array[Byte](math.min(budget, math.max(1, bytes.length)))
-        var i = 0
-        while (i < out.length) { out(i) = bytes(i % math.max(1, bytes.length)); i += 1 }
+        val out = java.util.Arrays.copyOf(bytes, math.min(budget, bytes.length))
         Row(r.get(idIdx), out, Row("fake/thumb", targetW, targetH, 0L))
       }
     }(outEncoder)

@@ -259,6 +259,28 @@ object ScanQueries extends QueryModule {
     Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id"""))
 
+  // Multimodal resize (thumbnailing shape): binary in/out through the
+  // partition-preserving kernel; output bytes value-hashed against the
+  // oracle via their hex form (DuckDB can't slice BLOBs, so both sides
+  // compare lower(hex(first budget bytes))).
+  private val mmResize = Q(
+    "mm_resize",
+    (s, dir) => {
+      val media = Multimodal.syntheticMedia(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.resize(media, "doc_id", targetW = 64, targetH = 64)
+        .select(col("doc_id"),
+          length(col("media")).cast("long").as("n_bytes"),
+          md5(lower(hex(col("media")))).as("out_md5"))
+        .orderBy(col("doc_id"))
+    },
+    // budget = 64*64/64 = 64 bytes → 128 hex chars
+    Some("""SELECT doc_id,
+                   CAST(length(substring(hex(encode(text)), 1, 128)) / 2 AS BIGINT)
+                     AS n_bytes,
+                   md5(lower(substring(hex(encode(text)), 1, 128))) AS out_md5
+            FROM documents ORDER BY doc_id"""))
+
   // Multimodal frame sampling (video frame-extraction shape): bounded
   // one-to-many explode per media row.
   private val mmFrames = Q(
@@ -303,5 +325,5 @@ object ScanQueries extends QueryModule {
 
   val qs: Seq[Q] = Seq(q4TagScan, q4TagScanSeeded, q3ExemplarPrune,
     q4LongExact, q4LongSeeded,
-    q6MutationScan, s3FastaRoundtrip, mmDecode, mmFrames, g7SiteFreq)
+    q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, g7SiteFreq)
 }
