@@ -36,6 +36,42 @@ object SeqSearchQueries extends QueryModule {
             WHERE q.doc_id < 25
             ORDER BY query_id, lib_id"""))
 
+  // Q1 diploid/heterozygous variant (Blast.pm:379-441): a sample may carry
+  // several sequences per locus; exact identification keeps EVERY matching
+  // allele per (sample, locus) — two distinct alleles = a heterozygous
+  // double-hit, which the haploid md5 join would collapse. Same content-
+  // addressed join, plus one partial-aggregating group per (sample, locus).
+  private val q1ExactHet = Q(
+    "q1_exact_het",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lib = docs.select(col("doc_id").as("lib_id"),
+        md5(upper(col("text"))).as("h"))
+      // multiple docs fold into one (sample, locus) → multiple sequences
+      val samples = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") % 20).as("sample_id"),
+          (col("doc_id") % 3).as("locus"),
+          md5(upper(col("text"))).as("h"))
+      samples.join(lib, "h")
+        .groupBy(col("sample_id"), col("locus"))
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("lib_id"))))
+            .as("allele_ids"),
+          (size(collect_set(col("lib_id"))) > 1).as("is_het"))
+        .orderBy(col("sample_id"), col("locus"))
+    },
+    Some("""SELECT q.sample_id, q.locus,
+                   array_to_string(list_sort(list(DISTINCT l.doc_id)), ',')
+                     AS allele_ids,
+                   count(DISTINCT l.doc_id) > 1 AS is_het
+            FROM (SELECT doc_id % 20 AS sample_id, doc_id % 3 AS locus,
+                         md5(upper(text)) AS h
+                  FROM documents WHERE doc_id < 100) q
+            JOIN (SELECT doc_id, md5(upper(text)) AS h FROM documents) l
+              USING (h)
+            GROUP BY q.sample_id, q.locus
+            ORDER BY q.sample_id, q.locus"""))
+
   // Q2: best partial match — min edit distance of the sequence prefix
   // against the library, best-by-score with deterministic tiebreak
   // (get_best_partial_match keeps max bitscore, Blast.pm:201-231; here the
@@ -187,6 +223,6 @@ object SeqSearchQueries extends QueryModule {
                               substring(l.text, 1, 40)) <= 24
             ORDER BY query_id, lib_id"""))
 
-  val qs: Seq[Q] = Seq(q1ExactMatch, q2BestPartial, q2Banded, bioRevcomp,
-    bioComposition, bioTranslate)
+  val qs: Seq[Q] = Seq(q1ExactMatch, q1ExactHet, q2BestPartial, q2Banded,
+    bioRevcomp, bioComposition, bioTranslate)
 }

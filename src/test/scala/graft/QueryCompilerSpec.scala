@@ -81,6 +81,55 @@ class QueryCompilerSpec extends SparkSpec {
     assert(run(spec) == Seq(2))
   }
 
+  test("tag clauses: modes, AND vs OR combine, negation under OR") {
+    // tags: (entity, locus, complete, flag)
+    val tags = Seq(
+      (1L, 1, true, null.asInstanceOf[String]),
+      (1L, 2, false, "ambiguous"),
+      (2L, 1, false, null.asInstanceOf[String]),
+      (4L, 2, true, "phase_variable"))
+      .toDF("entity_id", "locus", "complete", "flag")
+    val c = cat.copy(tags = Some(tags))
+    def go(spec: QuerySpec) =
+      compile(spec, c).select("id").as[Long].collect().toSeq.sorted
+    // AND: complete at locus 1 AND untagged at locus 3
+    assert(go(QuerySpec(tags = Seq(
+      TagClause(Some(1), TagComplete),
+      TagClause(Some(3), Untagged)))) == Seq(1))
+    // OR: flagged anywhere OR tagged at locus 1 (3 has neither)
+    assert(go(QuerySpec(tags = Seq(
+      TagClause(None, TagFlagged(None)),
+      TagClause(Some(1), Tagged)), tagCombine = CombineOr)) == Seq(1, 2, 4))
+    // untagged (negation) under OR: untagged at locus 2 OR flagged 'ambiguous'
+    assert(go(QuerySpec(tags = Seq(
+      TagClause(Some(2), Untagged),
+      TagClause(None, TagFlagged(Some("ambiguous")))),
+      tagCombine = CombineOr)) == Seq(1, 2, 3))
+    // FlagNone: tagged at locus 1 but not flagged there
+    assert(go(QuerySpec(tags = Seq(TagClause(Some(1), TagFlagNone)))) == Seq(1, 2))
+  }
+
+  test("seqbin clauses: stats-less entities match the null-inclusive ops") {
+    val stats = Seq((1L, 500.0), (2L, 90.0)).toDF("entity_id", "size")
+    val c = cat.copy(seqbinStats = Some(stats))
+    def go(spec: QuerySpec) =
+      compile(spec, c).select("id").as[Long].collect().toSeq.sorted
+    // >= excludes entities without stats (3, 4)
+    assert(go(QuerySpec(seqbin = Seq(SeqbinClause("size", Ge, 100.0)))) == Seq(1))
+    // < includes stats-less entities, like the reference's OR IS NULL
+    assert(go(QuerySpec(seqbin = Seq(SeqbinClause("size", Lt, 100.0)))) == Seq(2, 3, 4))
+  }
+
+  test("old-version suppression filters only when the catalog declares it") {
+    val versioned = entities.withColumn("new_version",
+      when(col("id") === 2, 3L))
+    val c = cat.copy(entities = versioned, newVersionCol = Some("new_version"))
+    assert(compile(QuerySpec(suppressOldVersions = true), c)
+      .select("id").as[Long].collect().toSeq.sorted == Seq(1, 3, 4))
+    // catalog without the column: suppression is a no-op, not an error
+    assert(run(QuerySpec(suppressOldVersions = true)) == Seq(1, 2, 3, 4))
+  }
+
   test("security view: public ∪ own ∪ project-shared, date cap") {
     val rowsDf = Seq(
       (1L, 100L, false, 1L, "2020-01-01"),

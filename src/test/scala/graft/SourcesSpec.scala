@@ -76,6 +76,26 @@ class SourcesSpec extends SparkSpec {
     assert(!c2.contains("FT   CDS") && !c2.contains("DE   "))
   }
 
+  test("RemoteContigs: fetch, checksum verify, atomic materialize + read") {
+    import graft.sources.RemoteContigs
+    val goodSeq = RemoteContigs.StubFetcher.fetch("uri://c1")
+    val goodCk = java.security.MessageDigest.getInstance("MD5")
+      .digest(goodSeq.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val refs = Seq(
+      (1L, "uri://c1", goodCk),     // checksum recorded, matches
+      (2L, "uri://c2", "deadbeef"), // recorded, stale → flagged
+      (3L, "uri://c3", null))       // never fetched before → passes
+      .toDF("seqbin_id", "uri", "checksum")
+    val live = java.nio.file.Files.createTempDirectory("graft-rc").toString + "/contigs"
+    RemoteContigs.materialize(refs, "seqbin_id", "uri", "checksum", live)
+    val out = RemoteContigs.read(spark, live)
+      .select("seqbin_id", "checksum_ok").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true))
+    val seqs = RemoteContigs.read(spark, live)
+      .select("seqbin_id", "sequence").as[(Long, String)].collect().toMap
+    assert(seqs(1L) == goodSeq && seqs.values.forall(_.matches("[ACGT]+")))
+  }
+
   test("RestQuery: field/locus/operator/page grammar → QuerySpec") {
     val spec = RestQuery.parse(
       """{"field.country": "UK", "field.year": 2020,
