@@ -149,6 +149,8 @@ object QueryCompiler {
     annotations: Seq[AnnotationClause] = Nil,
     assemblyChecks: Seq[AssemblyCheckClause] = Nil,
     suppressOldVersions: Boolean = false,
+    provenanceCombine: Combine = CombineAnd,
+    designationCombine: Combine = CombineAnd,
     tagCombine: Combine = CombineAnd,
     statusCombine: Combine = CombineAnd,
     seqbinCombine: Combine = CombineOr,
@@ -200,11 +202,16 @@ object QueryCompiler {
     if (spec.suppressOldVersions)
       for (nv <- cat.newVersionCol) df = df.filter(col(nv).isNull)
 
-    // 1. provenance + grouped scalar predicates: one AND-folded Column
+    // 1. provenance + grouped scalar predicates: one folded Column —
+    // AND or OR per the reference's prov_andor (IsolateQueryPage.pm:359)
     val scalar: Seq[Column] =
       spec.provenance.map(c => Predicates.compile(col(c.field), c.op, c.value, c.isText)) ++
       spec.grouped.map(g => Predicates.compileGroup(g.fields.map(col), g.op, g.value))
-    if (scalar.nonEmpty) df = df.filter(scalar.reduce(_ && _))
+    if (scalar.nonEmpty)
+      df = df.filter(spec.provenanceCombine match {
+        case CombineAnd => scalar.reduce(_ && _)
+        case CombineOr => scalar.reduce(_ || _)
+      })
 
     // 1b. extended attributes (F6): the attribute dimension is curated
     // metadata (a few thousand rows at most) → broadcast semi/anti join on
@@ -237,17 +244,19 @@ object QueryCompiler {
       df = df.join(matching, Seq(cat.entityId), if (c.negate) "left_anti" else "left_semi")
     }
 
-    // 4. designation clauses (J1/J2)
-    for (c <- spec.designations; facts <- cat.facts) c match {
-      case HasAllele(locus, op, value) =>
-        val m = facts.filter(col(cat.locusCol) === locus &&
-            Predicates.compile(col(cat.alleleCol), op, value))
-          .select(col(cat.factEntityId).as(cat.entityId))
-        df = df.join(m, Seq(cat.entityId), "left_semi")
-      case LocusMissing(locus) =>
-        val m = facts.filter(col(cat.locusCol) === locus)
-          .select(col(cat.factEntityId).as(cat.entityId))
-        df = df.join(m, Seq(cat.entityId), "left_anti")
+    // 4. designation clauses (J1/J2), AND/OR per designation_andor
+    // (IsolateQueryPage.pm:524)
+    if (spec.designations.nonEmpty) for (facts <- cat.facts) {
+      val sets = spec.designations.map {
+        case HasAllele(locus, op, value) =>
+          (facts.filter(col(cat.locusCol) === locus &&
+              Predicates.compile(col(cat.alleleCol), op, value))
+            .select(col(cat.factEntityId).as(cat.entityId)), false)
+        case LocusMissing(locus) =>
+          (facts.filter(col(cat.locusCol) === locus)
+            .select(col(cat.factEntityId).as(cat.entityId)), true)
+      }
+      df = applyMembership(df, cat.entityId, sets, spec.designationCombine)
     }
 
     // 5. sequence variation (IsolateQueryPage.pm:4046-4086): designated

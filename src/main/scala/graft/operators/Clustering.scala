@@ -62,9 +62,11 @@ object Clustering {
            _: org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    // note: count() is over the SYMMETRIZED distinct edge set (~2x the
-    // input), and only runs when the local path is even possible
-    if (integralNodes && sym.count() <= localEdgeThreshold) {
+    // bounded probe: limit(threshold+1).count() answers "is the graph
+    // small?" without a full pass when it is huge — the count stops as
+    // soon as threshold+1 symmetrized edges exist
+    if (integralNodes &&
+        sym.limit((localEdgeThreshold + 1).toInt).count() <= localEdgeThreshold) {
       import spark.implicits._
       val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)].collect()

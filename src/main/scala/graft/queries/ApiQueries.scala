@@ -308,7 +308,36 @@ object ApiQueries extends QueryModule {
             WHERE upper(o_orderstatus) = 'F' AND o_orderkey % 10 != 7
             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // Per-family OR combinators (prov_andor / designation_andor,
+  // IsolateQueryPage.pm:359,524): provenance clauses OR-folded into one
+  // scan predicate; designation clauses (incl. a NOT-EXISTS locus) OR'd
+  // as one membership union + single semi join.
+  private val apiOrCombinators = Q(
+    "api_or_combinators",
+    (s, dir) => {
+      val spec = QuerySpec(
+        provenance = Seq(
+          FieldClause("o_orderstatus", Eq, "P"),
+          FieldClause("o_orderpriority", Eq, "1-URGENT")),
+        provenanceCombine = CombineOr,
+        designations = Seq(
+          HasAllele(2, Eq, "17"),
+          LocusMissing(6)),
+        designationCombine = CombineOr,
+        orderBy = Seq(SortSpec("o_orderkey")))
+      paged(spec, catalog(s, dir)).page.select(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey FROM orders
+            WHERE (upper(o_orderstatus) = 'P'
+                   OR upper(o_orderpriority) = '1-URGENT')
+              AND (o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                  WHERE l_linenumber = 2
+                                    AND upper(CAST(l_suppkey AS VARCHAR)) = '17')
+                   OR o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                                         WHERE l_linenumber = 6))
+            ORDER BY o_orderkey"""))
+
   val qs: Seq[Q] = Seq(apiCompiled, apiMissing, s1Security, restParsed,
     apiComposedFull, apiTagModes, apiStatusVariation, apiAssemblyChecks,
-    f6Extended, f12OldVersion)
+    f6Extended, f12OldVersion, apiOrCombinators)
 }
