@@ -43,6 +43,13 @@ object QueryCompiler {
   final case class ExtendedClause(parentField: String, attribute: String,
     op: Op, value: String, negate: Boolean = false)
 
+  /** Scheme-field clause (J3 / REST scheme queries,
+    * REST/Routes/Isolates.pm:677-716): the entity's cached scheme-field
+    * value (temp_isolate_scheme_fields_<id>) matches `op value`.
+    */
+  final case class SchemeClause(schemeId: Int, field: String, op: Op,
+    value: String, isText: Boolean = true)
+
   /** Designation clause (J1/J2): exists a fact row at `locus` matching the
     * allele predicate; Missing = NOT EXISTS any row at locus (J2).
     */
@@ -139,6 +146,7 @@ object QueryCompiler {
     extended: Seq[ExtendedClause] = Nil,
     idList: Option[Seq[Long]] = None,
     eav: Seq[EavClause] = Nil,
+    schemeFields: Seq[SchemeClause] = Nil,
     designations: Seq[DesignationClause] = Nil,
     variations: Seq[VariationClause] = Nil,
     counts: Seq[CountClause] = Nil,
@@ -189,7 +197,8 @@ object QueryCompiler {
     totalCheckTypes: Int = 0,
     variations: Option[DataFrame] = None,
     extendedAttrs: Option[DataFrame] = None,
-    newVersionCol: Option[String] = None)
+    newVersionCol: Option[String] = None,
+    schemeCache: Option[DataFrame] = None, schemeEntityId: String = "entity_id")
 
   /** Compile spec → DataFrame plan (unsorted, unpaged — see `paged`). */
   def compile(spec: QuerySpec, cat: Catalog): DataFrame = {
@@ -242,6 +251,18 @@ object QueryCompiler {
           Predicates.compile(col(cat.eavValue), c.op, c.value, c.isText))
         .select(col(cat.eavEntityId).as(cat.entityId))
       df = df.join(matching, Seq(cat.entityId), if (c.negate) "left_anti" else "left_semi")
+    }
+
+    // 3b. scheme-field clauses (J3 / REST scheme queries): semi join
+    // against the long-format scheme-field cache — the reference's
+    // materialized temp_isolate_scheme_fields_<id> (sql/isolatedb.sql
+    // cache tables), one semi join per clause.
+    for (c <- spec.schemeFields; sc <- cat.schemeCache) {
+      val m = sc.filter(col("scheme_id") === c.schemeId &&
+          col("field") === c.field &&
+          Predicates.compile(col("value"), c.op, c.value, c.isText))
+        .select(col(cat.schemeEntityId).as(cat.entityId))
+      df = df.join(m, Seq(cat.entityId), "left_semi")
     }
 
     // 4. designation clauses (J1/J2), AND/OR per designation_andor

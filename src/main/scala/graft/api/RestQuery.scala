@@ -52,6 +52,16 @@ object RestQuery {
     val des = kv.collect { case (k, v) if k.startsWith("locus.") =>
       HasAllele(k.stripPrefix("locus.").toInt, op, render(v)): DesignationClause
     }.toSeq
+    // scheme.<id>.<field> → scheme-field cache clause
+    // (REST/Routes/Isolates.pm:677-716)
+    val schemes = kv.collect {
+      case (k, v) if k.startsWith("scheme.") =>
+        val rest = k.stripPrefix("scheme.")
+        val dot = rest.indexOf('.')
+        require(dot > 0, s"scheme key needs scheme.<id>.<field>: $k")
+        SchemeClause(rest.take(dot).toInt, rest.drop(dot + 1), op, render(v),
+          isText = v.isInstanceOf[String])
+    }.toSeq
     val page = for {
       p <- kv.get("page").collect { case d: Double => d.toInt }
       s <- Some(kv.get("page_size").collect { case d: Double => d.toInt }
@@ -60,8 +70,8 @@ object RestQuery {
     // F12: REST listings suppress superseded record versions unless the
     // caller passes all_versions (REST/Routes/Isolates.pm:49,491)
     val allVersions = kv.get("all_versions").contains(true)
-    QuerySpec(provenance = prov, designations = des, page = page,
-      suppressOldVersions = !allVersions)
+    QuerySpec(provenance = prov, designations = des, schemeFields = schemes,
+      page = page, suppressOldVersions = !allVersions)
   }
 
   /** Minimal JSON object reader: flat string/number/bool values (the REST

@@ -58,6 +58,12 @@ object ApiQueries extends QueryModule {
         (col("l_partkey") % 7).cast("string").as("name"),
         when(col("l_returnflag") === "A", "warn").otherwise("fail").as("status"))),
       totalCheckTypes = 7,
+      // long-format scheme-field cache (temp_isolate_scheme_fields_<id>):
+      // scheme 1's ST field = sum of quantities, as text
+      schemeCache = Some(li.groupBy(col("l_orderkey").as("entity_id"))
+        .agg(sum(col("l_quantity")).cast("long").cast("string").as("value"))
+        .select(col("entity_id"), lit(1).as("scheme_id"),
+          lit("ST").as("field"), col("value"))),
       // variation dimension keyed on (locus, allele): deterministic
       // wt/mutation/residue attributes derived from the allele id
       variations = Some(li.select(
@@ -337,7 +343,25 @@ object ApiQueries extends QueryModule {
                                          WHERE l_linenumber = 6))
             ORDER BY o_orderkey"""))
 
+  // REST scheme query (REST/Routes/Isolates.pm:677-716): scheme.1.ST
+  // routes to the scheme-field cache semi join through the same compiler,
+  // with the F12 default composed in.
+  private val apiSchemeQuery = Q(
+    "api_scheme_query",
+    (s, dir) => {
+      val spec = graft.api.RestQuery.parse(
+        """{"scheme.1.ST": "77", "page": 1, "page_size": 100}""")
+      paged(spec, catalog(s, dir)).page.select(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey FROM orders
+            WHERE o_orderkey % 10 != 7
+              AND o_orderkey IN (
+                SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                HAVING upper(CAST(CAST(sum(l_quantity) AS BIGINT) AS VARCHAR)) = '77')
+            ORDER BY o_orderkey
+            LIMIT 100 OFFSET 0"""))
+
   val qs: Seq[Q] = Seq(apiCompiled, apiMissing, s1Security, restParsed,
     apiComposedFull, apiTagModes, apiStatusVariation, apiAssemblyChecks,
-    f6Extended, f12OldVersion, apiOrCombinators)
+    f6Extended, f12OldVersion, apiOrCombinators, apiSchemeQuery)
 }
