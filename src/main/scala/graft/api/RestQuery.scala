@@ -29,13 +29,28 @@ object RestQuery {
     "NOT" -> Predicates.NotEq,
     "NOT contain" -> Predicates.NotContains)
 
-  /** Parse `{"field.<name>": value, "locus.<pos>": allele, "oper": op}`
-    * into a QuerySpec. `field.*` → provenance clause; `locus.*` →
-    * designation clause; the optional `oper` applies to all clauses
-    * (default `=`), mirroring the REST route's single-operator bodies.
-    * Numeric JSON values compile as non-text (typed range compare).
+  /** Field-name routing registry (REST/Routes/Isolates.pm:537-573): the
+    * reference inspects each `field.X` name against the extended-attribute
+    * and EAV registries before treating it as a provenance column. An
+    * empty `provenance` set accepts any unrouted name as provenance (the
+    * permissive default).
     */
-  def parse(json: String): QuerySpec = {
+  final case class FieldRegistry(
+    provenance: Set[String] = Set.empty,
+    eav: Set[String] = Set.empty,
+    extended: Map[String, String] = Map.empty) // attribute → parent field
+
+  /** Parse `{"field.<name>": value, "locus.<pos>": allele,
+    * "scheme.<id>.<field>": value, "oper": op}` into a QuerySpec.
+    * `field.*` routes through `registry` (extended attribute → EAV →
+    * provenance, like _get_field_query); `locus.*` → designation clause;
+    * the optional `oper` applies to all clauses (default `=`), mirroring
+    * the REST route's single-operator bodies. Numeric JSON values compile
+    * as non-text (typed range compare).
+    */
+  def parse(json: String): QuerySpec = parse(json, FieldRegistry())
+
+  def parse(json: String, registry: FieldRegistry): QuerySpec = {
     val kv = JsonMini.parseObject(json)
     val op = kv.get("oper").map(_.toString)
       .map(o => operators.getOrElse(o,
@@ -45,10 +60,23 @@ object RestQuery {
       case d: Double if d.isWhole => d.toLong.toString
       case other => other.toString
     }
-    val prov = kv.collect { case (k, v) if k.startsWith("field.") =>
-      FieldClause(k.stripPrefix("field."), op, render(v),
-        isText = v.isInstanceOf[String])
+    val fieldKv = kv.collect { case (k, v) if k.startsWith("field.") =>
+      (k.stripPrefix("field."), v)
     }.toSeq
+    val extended = fieldKv.collect {
+      case (f, v) if registry.extended.contains(f) =>
+        ExtendedClause(registry.extended(f), f, op, render(v))
+    }
+    val eav = fieldKv.collect {
+      case (f, v) if !registry.extended.contains(f) && registry.eav(f) =>
+        EavClause(f, op, render(v), isText = v.isInstanceOf[String])
+    }
+    val prov = fieldKv.collect {
+      case (f, v) if !registry.extended.contains(f) && !registry.eav(f) =>
+        if (registry.provenance.nonEmpty && !registry.provenance(f))
+          throw new IllegalArgumentException(s"$f is not a valid field")
+        FieldClause(f, op, render(v), isText = v.isInstanceOf[String])
+    }
     val des = kv.collect { case (k, v) if k.startsWith("locus.") =>
       HasAllele(k.stripPrefix("locus.").toInt, op, render(v)): DesignationClause
     }.toSeq
@@ -70,7 +98,8 @@ object RestQuery {
     // F12: REST listings suppress superseded record versions unless the
     // caller passes all_versions (REST/Routes/Isolates.pm:49,491)
     val allVersions = kv.get("all_versions").contains(true)
-    QuerySpec(provenance = prov, designations = des, schemeFields = schemes,
+    QuerySpec(provenance = prov, extended = extended, eav = eav,
+      designations = des, schemeFields = schemes,
       page = page, suppressOldVersions = !allVersions)
   }
 

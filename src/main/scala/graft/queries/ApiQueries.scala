@@ -33,6 +33,18 @@ object ApiQueries extends QueryModule {
       factEntityId = "l_orderkey",
       locusCol = "l_linenumber",
       alleleCol = "allele",
+      // sparse EAV fields (eav_text analogue): per-designation returnflag
+      eav = Some(li.select(col("l_orderkey").as("entity_id"),
+        lit("rf").as("field"), col("l_returnflag").as("value"))),
+      // extended attributes on o_orderpriority: priority → speed class
+      extendedAttrs = Some {
+        import s.implicits._
+        Seq(("1-URGENT", "fast"), ("2-HIGH", "fast"), ("3-MEDIUM", "slow"),
+          ("4-NOT SPECIFIED", "slow"), ("5-LOW", "slow"))
+          .toDF("field_value", "value")
+          .select(lit("o_orderpriority").as("isolate_field"),
+            lit("speed").as("attribute"), col("field_value"), col("value"))
+      },
       // tag fact (allele_sequences): completeness from linestatus, flag
       // from returnflag ('N' = unflagged)
       tags = Some(li.select(
@@ -361,7 +373,34 @@ object ApiQueries extends QueryModule {
             ORDER BY o_orderkey
             LIMIT 100 OFFSET 0"""))
 
+  // REST field routing (REST/Routes/Isolates.pm:537-573): one body where
+  // field names route by registry — o_orderstatus → provenance, rf → EAV
+  // semi join, speed → extended-attribute dimension — all AND-composed
+  // with the F12 default.
+  private val apiRestRouted = Q(
+    "api_rest_routed",
+    (s, dir) => {
+      val registry = graft.api.RestQuery.FieldRegistry(
+        eav = Set("rf"),
+        extended = Map("speed" -> "o_orderpriority"))
+      val spec = graft.api.RestQuery.parse(
+        """{"field.o_orderstatus": "F", "field.rf": "R",
+            "field.speed": "fast", "page": 1, "page_size": 100000}""",
+        registry)
+      paged(spec, catalog(s, dir)).page.select(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey FROM orders
+            WHERE upper(o_orderstatus) = 'F'
+              AND o_orderkey % 10 != 7
+              AND upper(CAST(o_orderpriority AS VARCHAR)) IN
+                  ('1-URGENT', '2-HIGH')
+              AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE upper(l_returnflag) = 'R')
+            ORDER BY o_orderkey
+            LIMIT 100000 OFFSET 0"""))
+
   val qs: Seq[Q] = Seq(apiCompiled, apiMissing, s1Security, restParsed,
     apiComposedFull, apiTagModes, apiStatusVariation, apiAssemblyChecks,
-    f6Extended, f12OldVersion, apiOrCombinators, apiSchemeQuery)
+    f6Extended, f12OldVersion, apiOrCombinators, apiSchemeQuery,
+    apiRestRouted)
 }
