@@ -181,6 +181,34 @@ object MiscQueries extends QueryModule {
             WHERE json_extract_string(props, '$.k') IS NOT NULL
             ORDER BY event_id, json_path"""))
 
+  // §4.1 incremental cache refresh: a stale per-entity cache (built from
+  // pre-cutoff rows only) MERGE-upserted with recomputed rows for the
+  // entities that changed since the cutoff must equal the full rebuild —
+  // the reference's trigger-maintained cache invariant
+  // (sql/isolatedb.sql:1439-1588), proven against the full-rebuild oracle.
+  private val cacheIncremental = Q(
+    "cache_incremental",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val cutoff = "1995-01-01"
+      def agg(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("l_quantity")).cast("long").as("total_qty"))
+      // stale cache: computed before the post-cutoff rows arrived
+      val stale = agg(li.filter(col("l_shipdate") < cutoff))
+      // changed entities: any row at/after the cutoff → recompute fully
+      val changedIds = li.filter(col("l_shipdate") >= cutoff)
+        .select(col("l_orderkey")).distinct()
+      val updates = agg(li.join(changedIds, Seq("l_orderkey"), "left_semi"))
+      graft.operators.CacheRefresh.upsert(stale, updates, "l_orderkey")
+        .orderBy(col("l_orderkey"))
+    },
+    // oracle = the full rebuild: MERGE(stale, recomputed-changed) ≡ truth
+    Some("""SELECT l_orderkey, count(1) AS n_parts,
+                   CAST(sum(l_quantity) AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
   val qs: Seq[Q] = Seq(f9Geo, geoDistance, geoWithinJoin, o5DictSort, a10PubBreakdown,
-    compositeField, jsonShred)
+    compositeField, jsonShred, cacheIncremental)
 }
