@@ -126,6 +126,38 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** LSH-bucketed embedding near-dup — the 100 TB form of
+    * [[cosineNearDupPairs]]: SRP signatures bucket the corpus, only
+    * same-(table, bucket) id pairs are generated (ids only through the
+    * shuffle), and the exact cosine verifies each surviving pair. Never
+    * materializes the O(n²) pair space; recall follows the SRP collision
+    * probability (raise `tables` / lower `bits` to trade cost for recall).
+    * Output: (id1, id2, cos) with id1 < id2 and cos >= minCos.
+    */
+  def lshNearDupPairs(
+      vecs: DataFrame, id: String, vec: String, dim: Int,
+      minCos: Double, bits: Int = 8, tables: Int = 4): DataFrame = {
+    val sigs = (0 until tables).map(t =>
+      srpSignature(toDouble(col(vec)), dim, bits, 42L + t))
+    val v = vecs.select(col(id).as("__id") +: toDouble(col(vec)).as("__v") +:
+      sigs.zipWithIndex.map { case (s, i) => s.as(s"sig$i") }: _*).cache()
+    def buckets(idAs: String) = v.select(
+      col("__id").as(idAs),
+      posexplode(array((0 until tables).map(i => col(s"sig$i")): _*))
+        .as(Seq("tbl", "bucket")))
+    val candidates = buckets("id1")
+      .join(buckets("id2"), Seq("tbl", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    candidates
+      .join(v.select(col("__id").as("id1"), col("__v").as("v1")), Seq("id1"))
+      .join(v.select(col("__id").as("id2"), col("__v").as("v2")), Seq("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: probe only same-signature buckets (multi-probe via
     * `tables` independent signatures). Recall < 1; the scale path.
     * Output: (query_id, neighbor_id, cos) — candidates above minCos.

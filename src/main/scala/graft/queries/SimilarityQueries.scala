@@ -182,6 +182,46 @@ object SimilarityQueries extends QueryModule {
                                          b.embedding::DOUBLE[]) >= 0.8
             ORDER BY id1, id2"""))
 
+  // LSH-bucketed embedding near-dup — the 100 TB composition the exact
+  // form above is scoped away from: SRP buckets generate candidate id
+  // pairs, exact cosine verifies. The oracle replays the md5-derived
+  // hyperplanes, so the bucketing (and therefore recall) is reproduced
+  // exactly.
+  private val dedupLshCosine = Q(
+    "dedup_lsh_cosine",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+          dim = 64, minCos = 0.35, bits = 4, tables = 8)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            planes AS (
+              SELECT t, b, list(h ORDER BY d) AS plane
+              FROM (SELECT t.t AS t, b.b AS b, d.d AS d,
+                           ('0x' || substr(md5('graft-srp-' || (42 + t.t) || '-' || b.b || '-' || d.d), 1, 15))::BIGINT
+                             / 576460752303423488.0 - 1.0 AS h
+                    FROM range(0, 8) t(t), range(0, 4) b(b), range(0, 64) d(d)) raw
+              GROUP BY t, b),
+            sigs AS (
+              SELECT e.vec_id, p.t,
+                     SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+              FROM e, planes p GROUP BY e.vec_id, p.t),
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+              FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket
+              WHERE a.vec_id < b.vec_id),
+            norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e)
+            SELECT p.id1, p.id2,
+                   round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) AS cos
+            FROM pairs p
+            JOIN norm a ON p.id1 = a.vec_id
+            JOIN norm b ON p.id2 = b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.35
+            ORDER BY id1, id2"""))
+
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
-    dedupEmbedding)
+    dedupEmbedding, dedupLshCosine)
 }
