@@ -83,4 +83,35 @@ class PropertySpec extends AnyFunSuite {
       v >= 0L && v < (1L << 60) && v == Vectors.MinHashSig.md5Long60(s)
     })
   }
+
+  test("kmerCandidates kernel equals the naive contains sweep") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 4
+    val word = Gen.listOfN(k, Gen.oneOf('A', 'C', 'G', 'T')).map(_.mkString)
+    val dict = Gen.listOfN(12, word).map(_.distinct.sorted.toArray)
+    check("kmer", Prop.forAll(dnaGen, dict) { (hay, seeds0) =>
+      val seeds = if (seeds0.isEmpty) Array("ACGT") else seeds0
+      val idx = graft.functions.SeedIndex.build(k, seeds)
+      val got = Bio.kmerCandidatesKernel(UTF8String.fromString(hay), idx)
+        .toIntArray().toSeq
+      val want = seeds.indices.filter(i => hay.contains(seeds(i)))
+      got == want
+    })
+  }
+
+  test("rolling seed hash matches the direct hash at every offset") {
+    val gen = for {
+      s <- dnaGen.suchThat(_.length >= 5)
+      k <- Gen.choose(1, math.min(8, s.length))
+    } yield (s, k)
+    check("rollhash", Prop.forAll(gen) { case (s, k) =>
+      val B = 1000003L
+      var bk = 1L; (1 to k).foreach(_ => bk *= B)
+      var h = graft.functions.SeedIndex.hashOf(s, 0, k)
+      (0 until s.length - k).forall { i =>
+        h = h * B + s.charAt(i + k) - bk * s.charAt(i)
+        h == graft.functions.SeedIndex.hashOf(s, i + 1, k)
+      }
+    })
+  }
 }
