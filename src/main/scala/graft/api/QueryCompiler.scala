@@ -234,6 +234,10 @@ object QueryCompiler {
       df = df.join(broadcast(dim),
         upper(col(c.parentField).cast("string")) === col("__ev"),
         if (c.negate) "left_anti" else "left_semi")
+      // SQL NOT IN excludes rows whose left side is NULL (the comparison
+      // yields NULL, not TRUE) — mirror that for the negated form, since
+      // an anti join would otherwise keep NULL-parent rows
+      if (c.negate) df = df.filter(col(c.parentField).isNotNull)
     }
 
     // 2. pasted id list (S7): broadcast semi join
@@ -331,7 +335,11 @@ object QueryCompiler {
           case TagFlagNone =>
             // tagged at the locus AND not flagged there — one positive set
             // (reference emits IN(tagged) AND NOT IN(flagged) as a single
-            // or-able term, IsolateQueryPage.pm:3663-3668)
+            // or-able term, IsolateQueryPage.pm:3663-3668). A specific
+            // locus is required, as in the reference ("Searching for any
+            // locus not flagged is not supported", :3660)
+            require(c.locus.isDefined,
+              "TagFlagNone requires a specific locus")
             (ids(t).join(ids(t.filter(col(cat.tagFlagCol).isNotNull)),
               Seq(cat.entityId), "left_anti"), false)
         }
@@ -425,6 +433,11 @@ object QueryCompiler {
           case (AnyCheck, "pass/warn") =>
             val failIds = checks.filter(col("status") === "fail")
               .groupBy(col(cat.checkEntityId).as(pk)).agg(count(lit(1)).as("__fn"))
+            // the reference's exact disjunction (IsolateQueryPage.pm:4206-4210):
+            // NOT IN checks (__cn null) OR NOT IN fail-checks (__fn null) OR
+            // recorded-count < defined checks — note an entity whose checks
+            // are all recorded as a warn/fail mix covering every type does
+            // NOT match, by the reference's own rule
             statsIds.join(counts, Seq(pk), "left").join(failIds, Seq(pk), "left")
               .filter(col("__cn").isNull || col("__fn").isNull || col("__cn") < total)
               .select(col(pk))

@@ -66,7 +66,8 @@ object Clustering {
     // small?" without a full pass when it is huge — the count stops as
     // soon as threshold+1 symmetrized edges exist
     if (integralNodes &&
-        sym.limit((localEdgeThreshold + 1).toInt).count() <= localEdgeThreshold) {
+        sym.limit(math.min(localEdgeThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localEdgeThreshold) {
       import spark.implicits._
       val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)].collect()

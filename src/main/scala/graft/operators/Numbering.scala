@@ -40,7 +40,9 @@ object Numbering {
       value: Column,
       outName: String): DataFrame = {
     val spark = df.sparkSession
-    val withV = df.withColumn("__v", value.cast("long"))
+    // NULL values count as 0 (the running total skips them) — the narrow
+    // passes below read the long with getLong, which cannot express NULL
+    val withV = df.withColumn("__v", coalesce(value.cast("long"), lit(0L)))
     val sorted = withV
       .repartitionByRange(col(sortCol))
       .sortWithinPartitions(col(sortCol))

@@ -100,13 +100,14 @@ object SeqScan {
         val alleles = it.toVector.sortBy(t => idKey(t._2))
         val exemplars = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         alleles.foreach { case (_, id, seq) =>
-          val isFirst = exemplars.isEmpty
+          // vacuously true on the empty list → the first allele of each
+          // group is always an exemplar, like the reference's first pass
           val farFromAll = exemplars.forall { case (_, eseq) =>
             var d = 0; var i = 0
             while (i < seq.length) { if (seq(i) != eseq(i)) d += 1; i += 1 }
             d * 100.0 / seq.length >= variationPct
           }
-          if (isFirst || farFromAll) exemplars += ((id, seq))
+          if (farFromAll) exemplars += ((id, seq))
         }
         exemplars.iterator.map { case (id, _) => (l, id) }
       }
@@ -200,8 +201,10 @@ object SeqScan {
     val seeded = fwd.unionByName(rev)
       .select(col(contigId), col(locus), col(alleleId),
         col("start_pos").cast("long"), col("end_pos").cast("long"), col("reverse"))
-    if (short.isEmpty) seeded
-    else seeded.unionByName(exactTagScan(
+    // unconditional union: with no short alleles the baseline branch scans
+    // an empty broadcast side and emits nothing — cheaper than an eager
+    // isEmpty job at every plan construction
+    seeded.unionByName(exactTagScan(
       contigs, contigId, contigSeq,
       short.select(col(locus), col(alleleId), col("__fwd").as(alleleSeq)),
       locus, alleleId, alleleSeq, overlapping))

@@ -139,8 +139,12 @@ object Similarity {
       minCos: Double, bits: Int = 8, tables: Int = 4): DataFrame = {
     val sigs = (0 until tables).map(t =>
       srpSignature(toDouble(col(vec)), dim, bits, 42L + t))
+    // no cache(): the signature projection is narrow codegen over the
+    // (session-cached) input and recomputes cheaply for its three uses —
+    // a cache here would pin corpus+signatures in executor storage for
+    // the session lifetime with no unpersist point in a lazy API
     val v = vecs.select(col(id).as("__id") +: toDouble(col(vec)).as("__v") +:
-      sigs.zipWithIndex.map { case (s, i) => s.as(s"sig$i") }: _*).cache()
+      sigs.zipWithIndex.map { case (s, i) => s.as(s"sig$i") }: _*)
     def buckets(idAs: String) = v.select(
       col("__id").as(idAs),
       posexplode(array((0 until tables).map(i => col(s"sig$i")): _*))

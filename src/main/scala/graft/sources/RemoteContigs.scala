@@ -46,12 +46,13 @@ object RemoteContigs {
   }
 
   /** Fetch every referenced contig and return (refs columns + sequence +
-    * checksum_ok). `refs` carries (idCol, uriCol, checksumCol nullable):
-    * rows with a recorded checksum are verified against md5(sequence)
-    * (ContigManager.pm:138-143); rows without one pass.
+    * checksum_ok). `refs` carries (uriCol, checksumCol nullable) plus any
+    * id columns, which pass through untouched: rows with a recorded
+    * checksum are verified against md5(sequence) (ContigManager.pm:138-143);
+    * rows without one pass.
     */
   def fetchAll(
-      refs: DataFrame, idCol: String, uriCol: String, checksumCol: String,
+      refs: DataFrame, uriCol: String, checksumCol: String,
       fetcher: ContigFetcher = StubFetcher): DataFrame = {
     val inSchema = refs.schema
     val uriIdx = inSchema.fieldIndex(uriCol)
@@ -76,10 +77,10 @@ object RemoteContigs {
     * [[Federation.readDimension]].
     */
   def materialize(
-      refs: DataFrame, idCol: String, uriCol: String, checksumCol: String,
+      refs: DataFrame, uriCol: String, checksumCol: String,
       livePath: String, fetcher: ContigFetcher = StubFetcher): Unit =
     Federation.replicateDimension(
-      fetchAll(refs, idCol, uriCol, checksumCol, fetcher), livePath)
+      fetchAll(refs, uriCol, checksumCol, fetcher), livePath)
 
   def read(spark: SparkSession, livePath: String): DataFrame =
     Federation.readDimension(spark, livePath)

@@ -87,7 +87,7 @@ class SourcesSpec extends SparkSpec {
       (3L, "uri://c3", null))       // never fetched before → passes
       .toDF("seqbin_id", "uri", "checksum")
     val live = java.nio.file.Files.createTempDirectory("graft-rc").toString + "/contigs"
-    RemoteContigs.materialize(refs, "seqbin_id", "uri", "checksum", live)
+    RemoteContigs.materialize(refs, "uri", "checksum", live)
     val out = RemoteContigs.read(spark, live)
       .select("seqbin_id", "checksum_ok").as[(Long, Boolean)].collect().toMap
     assert(out == Map(1L -> true, 2L -> false, 3L -> true))
