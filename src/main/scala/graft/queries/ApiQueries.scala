@@ -296,7 +296,12 @@ object ApiQueries extends QueryModule {
         extendedAttrs = Some(dim))
       val spec = QuerySpec(
         provenance = Seq(FieldClause("c_mktsegment", Eq, "BUILDING")),
-        extended = Seq(ExtendedClause("c_nationkey", "region", Eq, "EUROPE")),
+        extended = Seq(
+          ExtendedClause("c_nationkey", "region", Eq, "EUROPE"),
+          // negated form: NOT in nations whose region name contains 'AS'
+          // (ASIA) — NOT IN with the reference's NULL semantics
+          ExtendedClause("c_nationkey", "region",
+            graft.operators.Predicates.Contains, "AS", negate = true)),
         orderBy = Seq(SortSpec("c_custkey")))
       paged(spec, cat).page.select(col("c_custkey"), col("c_nationkey"))
     },
@@ -306,6 +311,10 @@ object ApiQueries extends QueryModule {
                 SELECT upper(CAST(n_nationkey AS VARCHAR))
                 FROM nation JOIN region ON n_regionkey = r_regionkey
                 WHERE upper(r_name) = 'EUROPE')
+              AND upper(CAST(c_nationkey AS VARCHAR)) NOT IN (
+                SELECT upper(CAST(n_nationkey AS VARCHAR))
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE upper(r_name) LIKE '%AS%')
             ORDER BY c_custkey"""))
 
   // F12: old-version suppression is the REST default — the same parsed

@@ -130,6 +130,33 @@ class QueryCompilerSpec extends SparkSpec {
     assert(run(QuerySpec(suppressOldVersions = true)) == Seq(1, 2, 3, 4))
   }
 
+  test("extended attributes: negated clause excludes NULL parents (NOT IN)") {
+    val withCountry = Seq(
+      (1L, "UK"), (2L, "FR"), (3L, null.asInstanceOf[String]), (4L, "US"))
+      .toDF("id", "country")
+    val dim = Seq(("UK", "Europe"), ("FR", "Europe"), ("US", "America"))
+      .toDF("field_value", "value")
+      .select(lit("country").as("isolate_field"),
+        lit("continent").as("attribute"), col("field_value"), col("value"))
+    val c = Catalog(withCountry, "id", extendedAttrs = Some(dim))
+    def go(negate: Boolean) =
+      compile(QuerySpec(extended = Seq(
+        ExtendedClause("country", "continent", Eq, "Europe", negate = negate))), c)
+        .select("id").as[Long].collect().toSeq.sorted
+    assert(go(negate = false) == Seq(1, 2))
+    // SQL NOT IN semantics: the NULL-country row is excluded, not kept
+    assert(go(negate = true) == Seq(4))
+  }
+
+  test("TagFlagNone requires a specific locus, like the reference") {
+    val tags = Seq((1L, 1, true, null.asInstanceOf[String]))
+      .toDF("entity_id", "locus", "complete", "flag")
+    val c = cat.copy(tags = Some(tags))
+    intercept[IllegalArgumentException] {
+      compile(QuerySpec(tags = Seq(TagClause(None, TagFlagNone))), c).collect()
+    }
+  }
+
   test("security view: public ∪ own ∪ project-shared, date cap") {
     val rowsDf = Seq(
       (1L, 100L, false, 1L, "2020-01-01"),
