@@ -69,6 +69,24 @@ class PlanSpec extends SparkSpec {
       "entity table must not shuffle for a curated dimension lookup")
   }
 
+  test("q4_longcontig_seeded: contig side never shuffles (broadcast joins only)") {
+    val plan = planOf("q4_longcontig_seeded")
+    assert(!plan.contains("SortMergeJoin"),
+      s"seeded scan must broadcast candidates + library, not shuffle contigs:\n${plan.take(3000)}")
+  }
+
+  test("text_lang_id: marker dimension joins as broadcast") {
+    val plan = planOf("text_lang_id")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"marker join must broadcast:\n${plan.take(2000)}")
+  }
+
+  test("s9_replicate_profiles: replica dimension joins as broadcast") {
+    val plan = planOf("s9_replicate_profiles")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"replicated dim must broadcast:\n${plan.take(2000)}")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
