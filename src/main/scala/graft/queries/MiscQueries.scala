@@ -209,6 +209,28 @@ object MiscQueries extends QueryModule {
                    CAST(sum(l_quantity) AS BIGINT) AS total_qty
             FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
+  // Skew-mitigation salted join: the hot-key-proof join must return
+  // EXACTLY the plain equi-join's rows — proven against the plain-join
+  // oracle. The fact (lineitem) side salts on a stable row fingerprint;
+  // the supplier dimension explodes once per salt value.
+  private val skewSaltedJoin = Q(
+    "skew_salted_join",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(li, sup, "l_suppkey", factor = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""SELECT s_nationkey, count(1) AS n_lines,
+                   CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   val qs: Seq[Q] = Seq(f9Geo, geoDistance, geoWithinJoin, o5DictSort, a10PubBreakdown,
-    compositeField, jsonShred, cacheIncremental)
+    compositeField, jsonShred, cacheIncremental, skewSaltedJoin)
 }

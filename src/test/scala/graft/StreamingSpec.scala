@@ -30,4 +30,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("exactTagScan over a contig stream equals the batch scan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val contigRows = Seq(
+      (1L, "ACGGGTTTACGAAACCCGT"),
+      (2L, "TTGAATTCTTGAATTC"),
+      (3L, "AAAACCCCGGGGTTTT"))
+    val lib = Seq(("locusA", "1", "GGGTTT"), ("pal", "1", "GAATTC"))
+      .toDF("locus", "allele_id", "aseq")
+
+    def scan(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.SeqScan.exactTagScan(
+        df, "cid", "seq", lib, "locus", "allele_id", "aseq",
+        overlapping = true)
+
+    // the scan is stateless (broadcast join + generate), so the same
+    // definition runs unchanged under Structured Streaming in append mode
+    val in = MemoryStream[(Long, String)]
+    in.addData(contigRows: _*)
+    val q = scan(in.toDF.toDF("cid", "seq"))
+      .writeStream.format("memory").queryName("stream_tag_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("stream_tag_sink")
+    val batch = scan(contigRows.toDF("cid", "seq"))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
