@@ -13,8 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object ApiQueries extends QueryModule {
 
-  private def catalog(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  // One Catalog per (session, dir), with the shuffle-derived dimensions
+  // (seqbin stats, scheme-field cache, variation dim) cached on first use —
+  // the reference's posture exactly: these ARE materialized tables there
+  // (temp_isolate_scheme_fields_<id>, seqbin_stats — sql/isolatedb.sql
+  // cache tables), rebuilt on data change, not recomputed per query. The
+  // narrow projections (facts, tags, eav, checks) stay lazy views of the
+  // cached lineitem. Same keying/sweep discipline as Tables.load.
+  private val catalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
+
+  private def catalog(s: org.apache.spark.sql.SparkSession, dir: String): Catalog = {
+    val key = System.identityHashCode(s) + "|" + dir
+    catalogCache.entrySet.removeIf(
+      _.getValue.entities.sparkSession.sparkContext.isStopped)
+    catalogCache.compute(key, (_, cached) =>
+      if (cached != null &&
+          !cached.entities.sparkSession.sparkContext.isStopped) cached
+      else buildCatalog(s, dir))
+  }
+
+  private def buildCatalog(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val li = Tables.load(s, dir, "lineitem")
+    def materialized(df: org.apache.spark.sql.DataFrame) =
+      if (sys.env.contains("SPARK_GRAFT_NO_CACHE")) df else df.cache()
     Catalog(
       // isolate versioning (F12): records with orderkey % 10 == 7 play
       // superseded old versions (new_version points at the successor);
@@ -52,11 +74,13 @@ object ApiQueries extends QueryModule {
         col("l_linenumber").as("locus"),
         (col("l_linestatus") === "F").as("complete"),
         nullif(col("l_returnflag"), lit("N")).as("flag"))),
-      // per-entity seqbin_stats dimension
-      seqbinStats = Some(li.groupBy(col("l_orderkey").as("entity_id"))
-        .agg(sum(col("l_quantity")).as("size"),
-          count(lit(1)).as("contigs"),
-          max(col("l_quantity")).as("n50"))),
+      // per-entity seqbin_stats dimension (materialized, like the
+      // reference's trigger-maintained seqbin_stats table)
+      seqbinStats = Some(materialized(
+        li.groupBy(col("l_orderkey").as("entity_id"))
+          .agg(sum(col("l_quantity")).as("size"),
+            count(lit(1)).as("contigs"),
+            max(col("l_quantity")).as("n50")))),
       // annotation metrics (good/intermediate/bad per name)
       analyses = Some(li.select(
         col("l_orderkey").as("entity_id"),
@@ -72,19 +96,20 @@ object ApiQueries extends QueryModule {
       totalCheckTypes = 7,
       // long-format scheme-field cache (temp_isolate_scheme_fields_<id>):
       // scheme 1's ST field = sum of quantities, as text
-      schemeCache = Some(li.groupBy(col("l_orderkey").as("entity_id"))
-        .agg(sum(col("l_quantity")).cast("long").cast("string").as("value"))
-        .select(col("entity_id"), lit(1).as("scheme_id"),
-          lit("ST").as("field"), col("value"))),
+      schemeCache = Some(materialized(
+        li.groupBy(col("l_orderkey").as("entity_id"))
+          .agg(sum(col("l_quantity")).cast("long").cast("string").as("value"))
+          .select(col("entity_id"), lit(1).as("scheme_id"),
+            lit("ST").as("field"), col("value")))),
       // variation dimension keyed on (locus, allele): deterministic
       // wt/mutation/residue attributes derived from the allele id
-      variations = Some(li.select(
+      variations = Some(materialized(li.select(
           col("l_linenumber").as("locus"),
           col("l_suppkey").cast("string").as("allele"),
           (col("l_suppkey") % 10 === 0).as("is_wt"),
           (col("l_suppkey") % 10 === 7).as("is_mutation"),
           (col("l_suppkey") % 4).cast("string").as("char"))
-        .distinct()))
+        .distinct())))
   }
 
   // The full mutator chain in one spec: provenance + designation + count +
