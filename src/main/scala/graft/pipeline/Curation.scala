@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * stratified sampling, target-proportion domain mixing, PII scrubbing.
+  *
+  * Sampling is HASH-based, not `rand()`-based: the keep/drop decision for a
+  * row is a pure function of its id, so (a) re-running the pipeline on a
+  * grown corpus keeps every previously-kept row (stable incremental
+  * curation), (b) any engine can replay the exact sample for verification
+  * (the DuckDB oracles do), and (c) no row ever depends on partitioning or
+  * task retry order — the failure mode that makes `sample()` irreproducible
+  * on a real cluster.
+  *
+  * Plan shapes at 100 TB: every operator is one broadcast join (tiny
+  * rate/target dimension) + a narrow filter — the corpus is never shuffled.
+  * Domain mixing adds one aggregation over the corpus to learn per-stratum
+  * counts (map-side combinable; output = one row per stratum).
+  */
+object Curation {
+
+  /** Deterministic per-row hash in [0, buckets): top-60-bits-of-md5 of the
+    * id rendered as a string — the repo's standard cross-engine-replayable
+    * hash (DuckDB: `('0x'||substr(md5(CAST(id AS VARCHAR)),1,15))::BIGINT %
+    * buckets`).
+    */
+  def hashBucket(id: Column, buckets: Long): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(buckets))
+
+  /** Stratified sample: keep a row iff hash(id) mod 10000 < its stratum's
+    * `rate_bp` (basis points, 0..10000). `rates` is a (stratumCol, rate_bp)
+    * dimension — curated metadata, broadcast. Rows whose stratum has no
+    * rate row are dropped (inner join), like an allowlist.
+    */
+  def stratifiedSample(
+      docs: DataFrame, id: String, stratum: String,
+      rates: DataFrame): DataFrame =
+    docs.join(broadcast(rates), Seq(stratum))
+      .filter(hashBucket(col(id), 10000L) < col("rate_bp"))
+      .drop("rate_bp")
+
+  /** Target-proportion domain mix: given per-stratum weights, sample each
+    * stratum down so the output follows the weights exactly at the largest
+    * total the corpus supports (the binding stratum is kept whole).
+    *
+    * budget N = min over strata of floor(n_s / w_s); stratum s keeps
+    * ~N * w_s rows via a hash cutoff computed in pure INTEGER arithmetic
+    * (`(N * w_s * 1e6) div n_s` over hash mod 1e6) so the boundary decision
+    * is bit-identical on any engine — no double rounding at the cutoff.
+    *
+    * `targets` is a (stratumCol, w: long) dimension. One corpus aggregation
+    * (map-side combinable) learns n_s; everything else is broadcast + narrow.
+    */
+  def domainMix(
+      docs: DataFrame, id: String, stratum: String,
+      targets: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("__n"))
+    val jt = counts.join(broadcast(targets), Seq(stratum))
+    val budget = jt.agg(min(expr("__n div w")).as("__budget"))
+    val cutoffs = jt.crossJoin(broadcast(budget))
+      .select(col(stratum),
+        expr("(__budget * w * 1000000) div __n").as("__cutoff"))
+    docs.join(broadcast(cutoffs), Seq(stratum))
+      .filter(hashBucket(col(id), 1000000L) < col("__cutoff"))
+      .drop("__cutoff")
+  }
+
+  /** Email-address pattern — deliberately RE2-compatible (no backrefs or
+    * lookaround) so the Java-regex Spark plan and an RE2-based oracle
+    * (DuckDB) match the identical spans.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style phone pattern (the +1-NXX-XXXX shapes the
+    * synthetic corpus injects; a production deployment would configure the
+    * inventory per locale — patterns are data here, not code).
+    */
+  val phonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub: replace every email/phone span with a typed placeholder and
+    * count the redactions. Returns a struct
+    * (scrubbed, n_emails, n_phones) — narrow, codegen'd, no UDF.
+    */
+  def piiScrub(text: Column): Column = {
+    val emails = size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+    val phones = size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+    val scrubbed = regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+    struct(
+      scrubbed.as("scrubbed"),
+      emails.cast("long").as("n_emails"),
+      phones.cast("long").as("n_phones"))
+  }
+}

@@ -172,4 +172,25 @@ object Dedup {
     */
   def jaccard(sh1: Column, sh2: Column): Column =
     graft.functions.Vectors.jaccard(sh1, sh2)
+
+  /** Sub-document (paragraph/line/chunk) exact dedup — the C4-style "remove
+    * every repeated line corpus-wide, keep its first occurrence" pass.
+    *
+    * `units` is the exploded corpus: one row per (docId, pos, unit) where
+    * `pos` orders units within a document. Returns the SURVIVING units —
+    * for each distinct unit text, the single occurrence with the smallest
+    * (docId, pos). Callers reassemble documents with a groupBy(docId) +
+    * ordered collect (see dedup_paragraph).
+    *
+    * Plan: ONE aggregation keyed on the unit text — `min(struct(docId,
+    * pos))` is map-side combinable, so at 100 TB each executor reduces its
+    * local duplicates before the shuffle and only one candidate row per
+    * distinct unit per partition moves. No window sort, no self-join.
+    */
+  def unitDedup(units: DataFrame, docId: String, pos: String,
+      unit: String): DataFrame =
+    units.groupBy(col(unit))
+      .agg(min(struct(col(docId), col(pos))).as("__first"))
+      .select(col(s"__first.$docId").as(docId),
+        col(s"__first.$pos").as(pos), col(unit))
 }

@@ -162,6 +162,54 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** Symmetric int8 quantization of an embedding: q_i = ⌊x_i·127/max|x| +
+    * 0.5⌋ (explicit floor(+0.5) rather than `round` — engines disagree on
+    * round-half semantics, floor does not), scale = max|x|/127. Returns a
+    * struct (q: ARRAY<INT>, scale: DOUBLE); x ≈ q·scale with ≤ scale/2
+    * per-component error. The 4× size cut is what makes a 100 TB vector
+    * corpus scannable: the quantized scan reads a quarter of the bytes and
+    * the dot product runs on ints; exact float re-ranking happens only on
+    * the top candidates.
+    */
+  def quantize8(vec: Column): Column = {
+    val v = toDouble(vec)
+    val mx = array_max(transform(v, x => abs(x)))
+    val q = when(mx === 0d, transform(v, _ => lit(0).cast("int")))
+      .otherwise(transform(v,
+        x => floor(x * lit(127.0) / mx + lit(0.5)).cast("int")))
+    struct(q.as("q"), (mx / lit(127.0)).as("scale"))
+  }
+
+  /** Quantized brute-force top-k: scores every (query, corpus) pair on the
+    * int8 dot product rescaled by both scales — the cheap first pass whose
+    * survivors a production pipeline re-ranks with [[bruteForceTopK]] on
+    * floats. Same plan shape as the exact scan (broadcast queries, linear
+    * corpus pass, per-query window top-k); the integer dot is exact, so the
+    * score is bit-reproducible by any engine.
+    * Output: (query_id, neighbor_id, qdot, approx, rank).
+    */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int): DataFrame = {
+    def quant(df: DataFrame, idAs: String, p: String) =
+      df.select(col(id).as(idAs), quantize8(col(vec)).as("__qz"))
+        .select(col(idAs), col("__qz.q").as(p + "q"),
+          col("__qz.scale").as(p + "s"))
+    val c = quant(corpus, "neighbor_id", "c")
+    val q = quant(queries, "query_id", "q")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot",
+        dot(transform(col("qq"), _.cast("double")),
+            transform(col("cq"), _.cast("double"))).cast("long"))
+      .withColumn("approx", col("qdot") * col("qs") * col("cs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qdot"),
+        col("approx"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: probe only same-signature buckets (multi-probe via
     * `tables` independent signatures). Recall < 1; the scale path.
     * Output: (query_id, neighbor_id, cos) — candidates above minCos.

@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.{Curation, Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation pipeline surface: deterministic stratified sampling,
+  * target-proportion domain mixing, paragraph-level exact dedup, PII
+  * scrubbing, int8-quantized vector scan. Every operator is hash- (not
+  * rand-) deterministic, so each carries a full DuckDB replay oracle.
+  */
+object CurationQueries extends QueryModule {
+
+  // the numeric stratum index behind 'srcN' — lets rates/weights be derived
+  // data on both engines instead of 20-row literals
+  private def srcIdx = substring(col("source"), 4, 10).cast("int")
+  private val srcIdxSql = "CAST(substr(source, 4, 10) AS INT)"
+  private val hashSql =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+  // Stratified sample: per-source keep rates (basis points) as a broadcast
+  // dimension; keep iff md5-hash(doc_id) mod 10000 < rate. Deterministic →
+  // the oracle replays the exact kept set (witnessed by count + id sum).
+  private val sampleStratified = Q(
+    "sample_stratified",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val rates = docs.select(col("source")).distinct()
+        .select(col("source"),
+          (lit(500L) + (srcIdx % 7).cast("long") * 1300L).as("rate_bp"))
+      Curation.stratifiedSample(docs, "doc_id", "source", rates)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""SELECT source, count(1) AS n_kept,
+                    CAST(sum(doc_id) AS BIGINT) AS id_sum
+             FROM documents
+             WHERE $hashSql % 10000 < 500 + ($srcIdxSql % 7) * 1300
+             GROUP BY source ORDER BY source"""))
+
+  // Domain mixing: weights 1..3 per source; budget = min(n_s div w_s) over
+  // strata; each stratum keeps ~budget*w_s rows via a pure-integer hash
+  // cutoff — the oracle replays counts, budget, cutoffs, and the kept set.
+  private val textDomainMix = Q(
+    "text_domain_mix",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val targets = docs.select(col("source")).distinct()
+        .select(col("source"), (lit(1L) + (srcIdx % 3).cast("long")).as("w"))
+      Curation.domainMix(docs, "doc_id", "source", targets)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH t AS (
+               SELECT source, count(1) AS n, 1 + ($srcIdxSql % 3) AS w
+               FROM documents GROUP BY source),
+             b AS (SELECT min(n // w) AS budget FROM t),
+             c AS (SELECT source, (b.budget * w * 1000000) // n AS cutoff
+                   FROM t, b)
+             SELECT d.source, count(1) AS n_kept,
+                    CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+             FROM documents d JOIN c ON d.source = c.source
+             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 < c.cutoff
+             GROUP BY d.source ORDER BY d.source"""))
+
+  // Paragraph-level exact dedup (C4-style): documents chunked into 3-word
+  // units; every repeated unit corpus-wide keeps only its first
+  // occurrence (min (doc_id, pos)); documents reassemble from survivors.
+  // Unit size 3 makes collisions real at this vocabulary (not a no-op).
+  private val dedupParagraph = Q(
+    "dedup_paragraph",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ws = split(col("text"), "\\s+")
+      val chunkIdx = sequence(lit(0L),
+        floor((size(ws) - lit(1)) / lit(3.0)).cast("long"))
+      val units = docs.select(col("doc_id"),
+        posexplode(transform(chunkIdx,
+          i => array_join(slice(ws, (i * 3 + 1).cast("int"), lit(3)), " "))))
+        .toDF("doc_id", "pos", "unit")
+      Dedup.unitDedup(units, "doc_id", "pos", "unit")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("unit")))),
+            x => x.getField("unit")), " ")).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    },
+    // replay key: min(doc_id*100000 + pos) ≡ lexicographic min(doc_id, pos)
+    // while documents stay under 100000 units (corpus docs are ~60 words)
+    Some("""WITH words AS (
+              SELECT doc_id, string_split_regex(text, '\s+') AS w
+              FROM documents),
+            units AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     array_to_string(w[i*3+1 : i*3+3], ' ') AS unit
+              FROM words, unnest(range(0, (len(w) + 2) // 3)) t(i)),
+            k AS (
+              SELECT unit, min(doc_id * 100000 + pos) AS mk
+              FROM units GROUP BY unit)
+            SELECT u.doc_id, count(1) AS n_kept,
+                   md5(string_agg(u.unit, ' ' ORDER BY u.pos)) AS cleaned_md5
+            FROM units u
+            JOIN k ON u.unit = k.unit AND u.doc_id * 100000 + u.pos = k.mk
+            GROUP BY u.doc_id ORDER BY u.doc_id"""))
+
+  // PII scrub: deterministic synthetic emails/phones injected per doc_id
+  // (the corpus itself is PII-free word soup), then redacted + counted by
+  // the narrow regex kernel. Patterns are RE2-compatible so the DuckDB
+  // replay matches span-for-span.
+  private val textPiiScrub = Q(
+    "text_pii_scrub",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idS = col("doc_id").cast("string")
+      val withPii = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) =!= 0,
+          concat(lit(" user"), idS, lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" +1-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+      withPii.select(col("doc_id"), Curation.piiScrub(col("text")).as("p"))
+        .select(col("doc_id"), col("p.n_emails").as("n_emails"),
+          col("p.n_phones").as("n_phones"),
+          md5(col("p.scrubbed")).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH pii AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 != 0
+                          THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 2 = 0
+                          THEN ' +1-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                               || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                     '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                   md5(regexp_replace(
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+            FROM pii ORDER BY doc_id"""))
+
+  // Quantized vector scan: int8 symmetric quantization (floor(+0.5), both
+  // engines agree bit-for-bit), integer dot product rescaled by the two
+  // scales, per-query top-10 — the cheap first pass before float re-rank.
+  private val simQuantized = Q(
+    "sim_quantized",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .withColumn("approx", round(col("approx"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            m AS (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) AS mx
+                  FROM v),
+            q8 AS (SELECT vec_id,
+                          CASE WHEN mx = 0
+                            THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                            ELSE list_transform(e,
+                              x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT))
+                          END AS qv,
+                          mx / 127.0 AS s
+                   FROM m),
+            p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS qdot,
+                         list_dot_product(q.qv, c.qv) * q.s * c.s AS approx
+                  FROM q8 q JOIN q8 c
+                    ON q.vec_id < 5 AND q.vec_id != c.vec_id),
+            r AS (SELECT query_id, neighbor_id, qdot, approx,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY approx DESC, neighbor_id) AS rank
+                  FROM p)
+            SELECT query_id, neighbor_id, qdot, round(approx, 4) AS approx,
+                   rank
+            FROM r WHERE rank <= 10
+            ORDER BY query_id, rank"""))
+
+  val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
+    textPiiScrub, simQuantized)
+}

@@ -34,6 +34,7 @@ object AllQueries {
     ScanQueries,
     MiscQueries,
     DedupQueries,
+    CurationQueries,
     TextQueries,
     SimilarityQueries,
     StreamingQueries,
