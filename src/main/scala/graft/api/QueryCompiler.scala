@@ -43,6 +43,15 @@ object QueryCompiler {
   final case class ExtendedClause(parentField: String, attribute: String,
     op: Op, value: String, negate: Boolean = false)
 
+  /** Embargo-date clause (F8, _modify_query_for_embargo_date,
+    * IsolateQueryPage.pm:3899-3930): the entity appears in the
+    * private-records dimension with an embargo date matching `op value`.
+    * `value = None` is the reference's 'null' text — only valid with
+    * Eq ("embargo IS NULL") and NotEq ("embargo IS NOT NULL"); all other
+    * ops compare the embargo date itself.
+    */
+  final case class EmbargoClause(op: Op, value: Option[String])
+
   /** Scheme-field clause (J3 / REST scheme queries,
     * REST/Routes/Isolates.pm:677-716): the entity's cached scheme-field
     * value (temp_isolate_scheme_fields_<id>) matches `op value`.
@@ -146,6 +155,7 @@ object QueryCompiler {
     extended: Seq[ExtendedClause] = Nil,
     idList: Option[Seq[Long]] = None,
     eav: Seq[EavClause] = Nil,
+    embargo: Seq[EmbargoClause] = Nil,
     schemeFields: Seq[SchemeClause] = Nil,
     designations: Seq[DesignationClause] = Nil,
     variations: Seq[VariationClause] = Nil,
@@ -198,7 +208,9 @@ object QueryCompiler {
     variations: Option[DataFrame] = None,
     extendedAttrs: Option[DataFrame] = None,
     newVersionCol: Option[String] = None,
-    schemeCache: Option[DataFrame] = None, schemeEntityId: String = "entity_id")
+    schemeCache: Option[DataFrame] = None, schemeEntityId: String = "entity_id",
+    privateRecords: Option[DataFrame] = None,
+    privateEntityId: String = "entity_id", embargoCol: String = "embargo")
 
   /** Compile spec → DataFrame plan (unsorted, unpaged — see `paged`). */
   def compile(spec: QuerySpec, cat: Catalog): DataFrame = {
@@ -255,6 +267,37 @@ object QueryCompiler {
           Predicates.compile(col(cat.eavValue), c.op, c.value, c.isText))
         .select(col(cat.eavEntityId).as(cat.entityId))
       df = df.join(matching, Seq(cat.entityId), if (c.negate) "left_anti" else "left_semi")
+    }
+
+    // 3a. embargo-date clauses (F8): `id IN (SELECT isolate_id FROM
+    // private_isolates WHERE embargo <op> value)` — one semi join per
+    // clause against the private-records dimension (tiny vs the fact:
+    // broadcast-eligible; Catalyst picks BHJ when it fits).
+    for (c <- spec.embargo; pr <- cat.privateRecords) {
+      val emb = col(cat.embargoCol)
+      val pred: Column = c.value match {
+        case None => c.op match {
+          case Predicates.Eq => emb.isNull
+          case Predicates.NotEq => emb.isNotNull
+          case o => throw new IllegalArgumentException(
+            s"$o is not a valid operator for comparing null embargo values")
+        }
+        case Some(d) =>
+          val v = lit(d).cast("date")
+          val e = emb.cast("date")
+          c.op match {
+            case Predicates.Eq => e === v
+            case Predicates.NotEq => e =!= v
+            case Predicates.Gt => e > v
+            case Predicates.Ge => e >= v
+            case Predicates.Lt => e < v
+            case Predicates.Le => e <= v
+            case o => throw new IllegalArgumentException(
+              s"$o is not a valid operator for embargo dates")
+          }
+      }
+      df = df.join(pr.filter(pred).select(col(cat.privateEntityId).as(cat.entityId)),
+        Seq(cat.entityId), "left_semi")
     }
 
     // 3b. scheme-field clauses (J3 / REST scheme queries): semi join

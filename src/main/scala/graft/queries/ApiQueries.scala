@@ -109,7 +109,16 @@ object ApiQueries extends QueryModule {
           (col("l_suppkey") % 10 === 0).as("is_wt"),
           (col("l_suppkey") % 10 === 7).as("is_mutation"),
           (col("l_suppkey") % 4).cast("string").as("char"))
-        .distinct())))
+        .distinct())),
+      // private_isolates analogue (F8): high-value orders play private
+      // records; embargo = order date + a deterministic offset, with every
+      // third private record embargo-less (the reference's NULL embargo)
+      privateRecords = Some(Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_orderkey").as("entity_id"),
+          when(col("o_orderkey") % 3 === 0, lit(null).cast("date"))
+            .otherwise(date_add(col("o_orderdate").cast("date"),
+              ((col("o_orderkey") % 3) * 45).cast("int"))).as("embargo"))))
   }
 
   // The full mutator chain in one spec: provenance + designation + count +
@@ -433,8 +442,47 @@ object ApiQueries extends QueryModule {
             ORDER BY o_orderkey
             LIMIT 100000 OFFSET 0"""))
 
+  // F8: embargo-date meta-field predicate
+  // (_modify_query_for_embargo_date, IsolateQueryPage.pm:3899-3930) —
+  // `id IN (SELECT isolate_id FROM private_isolates WHERE embargo >= d)`,
+  // composed with a provenance clause through the same compiler.
+  private val f8Embargo = Q(
+    "f8_embargo",
+    (s, dir) => {
+      val spec = QuerySpec(
+        provenance = Seq(FieldClause("o_orderstatus", Eq, "F")),
+        embargo = Seq(EmbargoClause(Ge, Some("1996-06-01"))),
+        orderBy = Seq(SortSpec("o_orderkey")))
+      paged(spec, catalog(s, dir)).page.select(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey FROM orders
+            WHERE upper(o_orderstatus) = 'F'
+              AND o_orderkey IN (
+                SELECT o_orderkey FROM orders
+                WHERE o_totalprice > 300000.0 AND o_orderkey % 3 != 0
+                  AND CAST(o_orderdate AS DATE)
+                      + CAST((o_orderkey % 3) * 45 AS INTEGER)
+                      >= DATE '1996-06-01')
+            ORDER BY o_orderkey"""))
+
+  // F8 'null' text form: embargo IS NULL among the private records —
+  // the reference's valid_null operators (= / NOT) on the literal 'null'.
+  private val f8EmbargoNull = Q(
+    "f8_embargo_null",
+    (s, dir) => {
+      val spec = QuerySpec(
+        embargo = Seq(EmbargoClause(Eq, None)),
+        orderBy = Seq(SortSpec("o_orderkey")))
+      paged(spec, catalog(s, dir)).page.select(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey FROM orders
+            WHERE o_orderkey IN (
+                SELECT o_orderkey FROM orders
+                WHERE o_totalprice > 300000.0 AND o_orderkey % 3 = 0)
+            ORDER BY o_orderkey"""))
+
   val qs: Seq[Q] = Seq(apiCompiled, apiMissing, s1Security, restParsed,
     apiComposedFull, apiTagModes, apiStatusVariation, apiAssemblyChecks,
     f6Extended, f12OldVersion, apiOrCombinators, apiSchemeQuery,
-    apiRestRouted)
+    apiRestRouted, f8Embargo, f8EmbargoNull)
 }

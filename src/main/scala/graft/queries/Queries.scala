@@ -32,6 +32,7 @@ object AllQueries {
     ClusterQueries,
     SeqSearchQueries,
     ScanQueries,
+    SourceQueries,
     MiscQueries,
     DedupQueries,
     CurationQueries,

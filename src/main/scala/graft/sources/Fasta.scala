@@ -18,22 +18,38 @@ object Fasta {
     * whitespace/newlines are stripped, case preserved (the reference
     * uppercases at comparison time, not ingest).
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    spark.read.option("lineSep", ">").text(path)
-      .filter(trim(col("value")) =!= "")
-      .select(
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseRecords(spark.read.option("lineSep", ">").text(path))
+
+  /** Read a [[writePartitioned]] layout, recovering the Hive partition
+    * column (e.g. `locus=abcZ/`) alongside each record — the reader side of
+    * the per-locus bulk download (S5). Partition discovery is Spark's own
+    * (directory listing is distributed), so the layout scales to any locus
+    * count, and a query for one locus prunes to that directory.
+    */
+  def readPartitioned(spark: SparkSession, path: String,
+      partitionCol: String): DataFrame = {
+    val raw = spark.read.option("lineSep", ">").text(path)
+    parseRecords(raw)
+      .select(col("id"), col("description"), col("sequence"), col(partitionCol))
+  }
+
+  private def parseRecords(raw: DataFrame): DataFrame = {
+    val passthrough = raw.columns.filterNot(_ == "value").map(col).toSeq
+    raw.filter(trim(col("value")) =!= "")
+      .select(passthrough :+
         // header = text before first newline; id = first token
-        substring_index(col("value"), "\n", 1).as("header"),
+        substring_index(col("value"), "\n", 1).as("header") :+
         // sequence = the rest, newlines and CRs removed
         regexp_replace(
           expr("substring(value, instr(value, '\n') + 1)"),
-          "[\r\n\\s]", "").as("sequence"))
-      .select(
-        substring_index(trim(col("header")), " ", 1).as("id"),
+          "[\r\n\\s]", "").as("sequence"): _*)
+      .select(passthrough :+
+        substring_index(trim(col("header")), " ", 1).as("id") :+
         when(instr(trim(col("header")), " ") > 0,
           expr("substring(trim(header), instr(trim(header), ' ') + 1)"))
-          .otherwise(lit("")).as("description"),
-        col("sequence"))
+          .otherwise(lit("")).as("description") :+
+        col("sequence"): _*)
       .filter(col("id") =!= "")
   }
 

@@ -58,4 +58,18 @@ class FastaSpec extends SparkSpec {
       .select("id").as[String].collect().toSet
     assert(back == Set("abcZ_1", "abcZ_2"))
   }
+
+  test("readPartitioned recovers the partition column with each record") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fasta-rp").toString
+    val alleles = Seq(
+      ("abcZ_1", "abcZ", "ACGTACGT"), ("abcZ_2", "abcZ", "TTTTCCCC"),
+      ("adk_1", "adk", "GGGGAAAA")).toDF("allele_id", "locus", "sequence")
+    Fasta.writePartitioned(alleles, "allele_id", "sequence", "locus", dir)
+    val back = Fasta.readPartitioned(spark, dir, "locus")
+      .select("locus", "id", "sequence").as[(String, String, String)]
+      .collect().toSet
+    assert(back == Set(
+      ("abcZ", "abcZ_1", "ACGTACGT"), ("abcZ", "abcZ_2", "TTTTCCCC"),
+      ("adk", "adk_1", "GGGGAAAA")))
+  }
 }

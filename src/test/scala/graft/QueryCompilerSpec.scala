@@ -157,6 +157,25 @@ class QueryCompilerSpec extends SparkSpec {
     }
   }
 
+  test("embargo clauses: date comparison, null forms, invalid null op") {
+    val priv = Seq(
+      (1L, "2024-01-15"), (2L, null.asInstanceOf[String]), (3L, "2024-06-01"))
+      .toDF("entity_id", "embargo")
+      .select(col("entity_id"), col("embargo").cast("date"))
+    val c = cat.copy(privateRecords = Some(priv))
+    def runE(e: EmbargoClause) =
+      compile(QuerySpec(embargo = Seq(e)), c)
+        .select("id").as[Long].collect().toSeq.sorted
+    assert(runE(EmbargoClause(Ge, Some("2024-02-01"))) == Seq(3))
+    assert(runE(EmbargoClause(Lt, Some("2024-02-01"))) == Seq(1))
+    assert(runE(EmbargoClause(NotEq, Some("2024-01-15"))) == Seq(3)) // null excluded
+    assert(runE(EmbargoClause(Eq, None)) == Seq(2))    // embargo IS NULL
+    assert(runE(EmbargoClause(NotEq, None)) == Seq(1, 3))
+    intercept[IllegalArgumentException] {
+      runE(EmbargoClause(Ge, None)) // only = / NOT compare the null text
+    }
+  }
+
   test("security view: public ∪ own ∪ project-shared, date cap") {
     val rowsDf = Seq(
       (1L, 100L, false, 1L, "2020-01-01"),
