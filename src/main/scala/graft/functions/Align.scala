@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Global pairwise alignment (SURVEY §2.10 G7 — the aligner step the
+  * reference delegates to MUSCLE/MAFFT, lib/BIGSdb/Plugins/GenomeComparator
+  * .pm:1328-1380, capped at MAX_MUSCLE_MB=4GB, Constants.pm:37).
+  *
+  * Needleman-Wunsch with unit costs (match 0 / mismatch 1 / gap 1), so the
+  * alignment distance IS levenshtein and stays oracle-checkable; the
+  * traceback tie-break is fixed (diagonal > up > left) so re-runs and the
+  * DuckDB replay produce byte-identical alignments. Both expressions are
+  * codegen'd (one static call from generated code — no row boxing), so a
+  * per-pair alignment map stays inside the whole-stage-codegen span; the
+  * O(n·m) kernel runs where the data lives, never on the driver.
+  */
+object Align {
+
+  /** NW alignment: returns (aligned a, aligned b, distance). Gaps are '-'.
+    * Traceback prefers diagonal, then up (gap in b), then left (gap in a).
+    */
+  def nw(a: String, b: String): (String, String, Int) = {
+    val n = a.length; val m = b.length
+    val dp = Array.ofDim[Int](n + 1, m + 1)
+    var i = 0
+    while (i <= n) { dp(i)(0) = i; i += 1 }
+    var j = 0
+    while (j <= m) { dp(0)(j) = j; j += 1 }
+    i = 1
+    while (i <= n) {
+      j = 1
+      while (j <= m) {
+        val sub = dp(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        dp(i)(j) = math.min(sub, math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1))
+        j += 1
+      }
+      i += 1
+    }
+    val sa = new StringBuilder(n + m); val sb = new StringBuilder(n + m)
+    i = n; j = m
+    while (i > 0 || j > 0) {
+      if (i > 0 && j > 0 &&
+          dp(i)(j) == dp(i - 1)(j - 1) +
+            (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)) {
+        sa += a.charAt(i - 1); sb += b.charAt(j - 1); i -= 1; j -= 1
+      } else if (i > 0 && dp(i)(j) == dp(i - 1)(j) + 1) {
+        sa += a.charAt(i - 1); sb += '-'; i -= 1
+      } else {
+        sa += '-'; sb += b.charAt(j - 1); j -= 1
+      }
+    }
+    (sa.reverse.toString, sb.reverse.toString, dp(n)(m))
+  }
+
+  /** Codegen entry point: NW as an InternalRow(a_ali, b_ali, dist). */
+  def nwRow(a: UTF8String, b: UTF8String): InternalRow = {
+    val (sa, sb, d) = nw(a.toString, b.toString)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(sa), UTF8String.fromString(sb), d))
+  }
+
+  val nwSchema: StructType = StructType(Seq(
+    StructField("a_ali", StringType, nullable = false),
+    StructField("b_ali", StringType, nullable = false),
+    StructField("dist", IntegerType, nullable = false)))
+
+  case class NwAlign(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = nwSchema
+    override def nullSafeEval(a: Any, b: Any): Any =
+      nwRow(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Align.nwRow($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  def nwAlign(a: Column, b: Column): Column =
+    ExpressionUtils.column(NwAlign(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Center-star gap projection: re-pad one pairwise alignment (center
+    * `aAli` vs member `bAli`) to the group's global insertion profile
+    * (`prof(k)` = max insertions any member places before center position
+    * k; length = center length + 1). Member insertion runs are left-
+    * aligned and padded with '-' — the standard center-star merge.
+    */
+  def expand(aAli: String, bAli: String, prof: Array[Int]): String = {
+    val out = new StringBuilder(bAli.length + prof.sum)
+    val n = prof.length - 1
+    var idx = 0; var k = 0
+    while (k <= n) {
+      var run = 0
+      while (idx < aAli.length && aAli.charAt(idx) == '-') {
+        out += bAli.charAt(idx); run += 1; idx += 1
+      }
+      while (run < prof(k)) { out += '-'; run += 1 }
+      if (k < n && idx < aAli.length) { out += bAli.charAt(idx); idx += 1 }
+      k += 1
+    }
+    out.toString
+  }
+
+  def expandUtf(aAli: UTF8String, bAli: UTF8String, prof: ArrayData): UTF8String =
+    UTF8String.fromString(expand(aAli.toString, bAli.toString, prof.toIntArray()))
+
+  case class ProjectGaps(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(a: Any, b: Any, p: Any): Any =
+      expandUtf(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+        p.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, p) =>
+        s"graft.functions.Align.expandUtf($a, $b, $p)")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  }
+
+  def projectGaps(aAli: Column, bAli: Column, prof: Column): Column =
+    ExpressionUtils.column(ProjectGaps(
+      ExpressionUtils.expression(aAli), ExpressionUtils.expression(bAli),
+      ExpressionUtils.expression(prof)))
+}

@@ -33,6 +33,7 @@ object AllQueries {
     SeqSearchQueries,
     ScanQueries,
     SourceQueries,
+    AlignQueries,
     MiscQueries,
     DedupQueries,
     CurationQueries,

@@ -223,6 +223,91 @@ object SeqSearchQueries extends QueryModule {
                               substring(l.text, 1, 40)) <= 24
             ORDER BY query_id, lib_id"""))
 
+  // Q2 translated path (tblastx/blastx shape): peptide loci are matched by
+  // translating the DNA query in all six reading frames (3 forward + 3 on
+  // the reverse complement) against a translated library, best frame/hit
+  // by peptide edit distance (Blast.pm:141-168 picks blastx/tblastx for
+  // peptide-typed loci; Scan.pm consumes the best-scoring frame). Both
+  // translation and revcomp are the codegen'd Catalyst Expressions, so the
+  // 6-frame expansion stays inside whole-stage codegen; the query side is
+  // tiny and broadcast, the library scan is linear and parallel.
+  private val q2Translated = Q(
+    "q2_translated_peptide",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("dna",
+          substring(regexp_replace(upper(col("text")), "[^ACGT]", ""), 1, 180))
+      val lib = docs.filter(length(col("dna")) >= 3)
+        .select(col("doc_id").as("lib_id"),
+          Bio.translateDna(col("dna")).as("lib_pep"))
+      val q = docs.filter(col("doc_id") < 5 && length(col("dna")) >= 9)
+        .withColumn("rc", Bio.reverseComplement(col("dna")))
+      val frameCols = (0 until 6).map { f =>
+        val src = if (f < 3) col("dna") else col("rc")
+        struct(lit(f).as("frame"),
+          Bio.translateDna(substr(src, lit(f % 3 + 1), length(src))).as("pep"))
+      }
+      val frames = q
+        .select(col("doc_id").as("query_id"),
+          explode(array(frameCols: _*)).as("fr"))
+        .select(col("query_id"), col("fr.frame").as("frame"),
+          col("fr.pep").as("pep"))
+      val scored = lib.join(broadcast(frames), col("query_id") =!= col("lib_id"))
+        .withColumn("dist", levenshtein(col("pep"), col("lib_pep")).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("lib_id"), col("frame"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("lib_id"), col("frame"), col("dist"))
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH b(ch, i) AS (VALUES ('T',0),('C',1),('A',2),('G',3)),
+            codons AS (
+              SELECT b1.ch || b2.ch || b3.ch AS codon,
+                     substr('FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG',
+                            b1.i*16 + b2.i*4 + b3.i + 1, 1) AS aa
+              FROM b b1, b b2, b b3),
+            d AS (SELECT doc_id,
+                         substr(regexp_replace(upper(text), '[^ACGT]', '', 'g'),
+                                1, 180) AS dna
+                  FROM documents),
+            q AS (SELECT doc_id, dna,
+                         reverse(translate(dna, 'ACGT', 'TGCA')) AS rc
+                  FROM d WHERE doc_id < 5 AND length(dna) >= 9),
+            frames AS (
+              SELECT doc_id, f.frame,
+                     CASE WHEN f.frame < 3 THEN substr(dna, f.frame + 1)
+                          ELSE substr(rc, f.frame - 2) END AS fdna
+              FROM q, (VALUES (0),(1),(2),(3),(4),(5)) f(frame)),
+            fpep AS (
+              SELECT doc_id, frame, string_agg(c.aa, '' ORDER BY i) AS pep
+              FROM (SELECT doc_id, frame,
+                           unnest(generate_series(0,
+                             CAST(floor(length(fdna)/3.0) AS INT) - 1)) AS i,
+                           fdna
+                    FROM frames) p
+              JOIN codons c ON c.codon = substr(p.fdna, CAST(p.i*3+1 AS INT), 3)
+              GROUP BY doc_id, frame),
+            lpep AS (
+              SELECT doc_id, string_agg(c.aa, '' ORDER BY i) AS pep
+              FROM (SELECT doc_id,
+                           unnest(generate_series(0,
+                             CAST(floor(length(dna)/3.0) AS INT) - 1)) AS i,
+                           dna
+                    FROM d WHERE length(dna) >= 3) p
+              JOIN codons c ON c.codon = substr(p.dna, CAST(p.i*3+1 AS INT), 3)
+              GROUP BY doc_id)
+            SELECT query_id, lib_id, frame, dist FROM (
+              SELECT f.doc_id AS query_id, l.doc_id AS lib_id, f.frame,
+                     levenshtein(f.pep, l.pep) AS dist,
+                     row_number() OVER (
+                       PARTITION BY f.doc_id
+                       ORDER BY levenshtein(f.pep, l.pep), l.doc_id, f.frame) AS rn
+              FROM fpep f JOIN lpep l ON l.doc_id != f.doc_id) t
+            WHERE rn = 1
+            ORDER BY query_id"""))
+
   val qs: Seq[Q] = Seq(q1ExactMatch, q1ExactHet, q2BestPartial, q2Banded,
-    bioRevcomp, bioComposition, bioTranslate)
+    q2Translated, bioRevcomp, bioComposition, bioTranslate)
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.Align
+import graft.operators.Alignment
+import org.apache.spark.sql.functions._
+
+/** NW aligner + center-star MSA (SURVEY §2.10 G7). The reference delegates
+  * alignment to MUSCLE (GenomeComparator.pm:1328-1380); here NW with unit
+  * costs and a fixed traceback tie-break (diagonal > up > left).
+  */
+class AlignSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nw: identity, substitution-over-indel ties, gaps, empty sides") {
+    assert(Align.nw("ACGT", "ACGT") == ("ACGT", "ACGT", 0))
+    // tie substitution vs ins+del resolves to the diagonal (cheaper anyway)
+    assert(Align.nw("AB", "BA") == ("AB", "BA", 2))
+    assert(Align.nw("ACGTACGT", "TTACGT") == ("ACGTACGT", "--TTACGT", 3))
+    assert(Align.nw("GATTACA", "") == ("GATTACA", "-------", 7))
+    assert(Align.nw("", "ACG") == ("---", "ACG", 3))
+  }
+
+  test("nw distance equals levenshtein and alignment is consistent") {
+    val cases = Seq(("GATTACA", "GCATGCU"), ("AAAA", "AAAAAAAT"),
+      ("ACGTACGT", "AGTACCGT"))
+    for ((a, b) <- cases) {
+      val (sa, sb, d) = Align.nw(a, b)
+      assert(sa.length == sb.length)
+      assert(sa.replace("-", "") == a)
+      assert(sb.replace("-", "") == b)
+      // distance = positions where the aligned chars differ
+      assert(sa.zip(sb).count { case (x, y) => x != y } == d)
+      // unit-cost NW distance IS levenshtein
+      val lev = Seq(a, b).toDF("x").limit(1)
+        .select(levenshtein(lit(a), lit(b))).as[Int].collect().head
+      assert(d == lev)
+    }
+  }
+
+  test("nwAlign expression evaluates via codegen on a DataFrame") {
+    val df = Seq(("ACGTACGT", "TTACGT")).toDF("a", "b")
+      .select(Align.nwAlign(col("a"), col("b")).as("r"))
+      .select(col("r.a_ali"), col("r.b_ali"), col("r.dist"))
+    assert(df.as[(String, String, Int)].collect().head ==
+      ("ACGTACGT", "--TTACGT", 3))
+  }
+
+  test("expand pads insertion runs to the profile, left-aligned") {
+    // center "GA TTACA" with member inserting 2 after pos 2; profile wants 4
+    val (ca, cb, _) = Align.nw("GATTACA", "GATTTTACA")
+    assert(Align.expand(ca, cb, Array(0, 0, 4, 0, 0, 0, 0, 0)).length == 11)
+    // no insertions anywhere: expansion just pads
+    assert(Align.expand("ACG", "A-G", Array(0, 0, 0, 0)) == "A-G")
+    assert(Align.expand("ACG", "A-G", Array(1, 0, 0, 1)) == "-A-G-")
+  }
+
+  test("centerStar: equal row lengths per group, center preserved, gap-free columns round-trip") {
+    val df = Seq(
+      (1L, 1L, "ACGTACGT"), (1L, 2L, "AGTACCGTT"), (1L, 3L, "TTACGT"),
+      (2L, 4L, "GATTACA"), (2L, 5L, "GAACA"), (2L, 6L, "GATTTTACA"))
+      .toDF("g", "id", "seq")
+    val msa = Alignment.centerStar(df, "g", "id", "seq")
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val byGroup = msa.groupBy(_._1)
+    // one aligned length per group
+    byGroup.foreach { case (_, rows) =>
+      assert(rows.map(_._3.length).distinct.size == 1)
+    }
+    // stripping gaps recovers every original sequence
+    val orig = df.as[(Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    msa.foreach { case (g, id, m) =>
+      assert(m.replace("-", "") == orig((g, id)), s"($g,$id)")
+    }
+    // site frequencies count every column of every row
+    val sf = Alignment.siteFrequencies(
+        Alignment.centerStar(df, "g", "id", "seq"), "g", "msa")
+      .agg(sum(col("n"))).as[Long].collect().head
+    assert(sf == msa.map(_._3.length).sum)
+  }
+}
