@@ -41,7 +41,8 @@ object CacheRefresh {
     * missing directory. Older versions are pruned only after the pointer
     * moves on.
     */
-  def fullSwap(rebuilt: DataFrame, livePath: String): Unit = {
+  def fullSwap(rebuilt: DataFrame, livePath: String,
+      numFiles: Option[Int] = None): Unit = {
     val conf = rebuilt.sparkSession.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val pointer = new org.apache.hadoop.fs.Path(livePath + ".current")
@@ -49,7 +50,12 @@ object CacheRefresh {
     val prevV = prev.flatMap(p => "\\.v(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toInt))
     val nextV = prevV.map(_ + 1).getOrElse(1)
     val versioned = s"$livePath.v$nextV"
-    rebuilt.write.mode("overwrite").parquet(versioned)
+    // numFiles: snapshot caches are dimensions, and a dimension fanned out
+    // over every shuffle partition is the classic tiny-file problem — each
+    // later read pays per-file open/footer costs. Callers that know the
+    // size class should bound the file count (≥ tens of MB per file).
+    numFiles.map(rebuilt.coalesce).getOrElse(rebuilt)
+      .write.mode("overwrite").parquet(versioned)
     // atomic publish: rename-with-OVERWRITE via FileContext (single POSIX/
     // HDFS rename) — a delete-then-rename pair would leave a window with no
     // pointer at all, and a crash inside it would strand the cache

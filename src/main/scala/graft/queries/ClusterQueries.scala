@@ -227,7 +227,9 @@ object ClusterQueries extends QueryModule {
         "l_orderkey", "l_linenumber", col("l_suppkey"), NLoci)
       val dim = Federation.schemeDimension(w, "l_orderkey")
       val path = fedPath("profiles", dir)
-      Federation.replicateDimension(dim, path)
+      // scheme dims are ~10s of MB (one row per distinct profile): a
+      // handful of snapshot files, not one per shuffle partition
+      Federation.replicateDimension(dim, path, numFiles = Some(8))
       val replica = Federation.readDimension(s, path)
       w.join(broadcast(replica.select(col("profile_md5"), col("missing_loci"))),
           Seq("profile_md5"))
@@ -259,7 +261,7 @@ object ClusterQueries extends QueryModule {
       val w = wh(s, dir, 300)
       val codes = Clustering.assignLinCodes(w, "l_orderkey", Seq(30.0, 60.0, 90.0))
       val path = fedPath("lincodes", dir)
-      Federation.replicateDimension(codes, path)
+      Federation.replicateDimension(codes, path, numFiles = Some(4))
       val replica = Federation.readDimension(s, path)
       w.select(col("l_orderkey"))
         .join(broadcast(replica), Seq("l_orderkey"))

@@ -77,7 +77,13 @@ object ProfileQueries extends QueryModule {
       // first_iso is unique across profiles (an isolate has one profile),
       // so dense numbering by first_iso = plain 1..n numbering
       val sts = graft.operators.Numbering.numberBySort(defs, "first_iso", "st")
-      w.join(sts.select(col("profile_md5"), col("st")), Seq("profile_md5"))
+      // ST dimension broadcast: classic MLST defines ~10^4 STs (7 loci,
+      // Constants.pm MAX_LOCI_NON_CACHE_SCHEME=30 bounds this family), so
+      // the (md5 → st) map is MBs and the isolate fact stays unshuffled.
+      // cgMLST-scale schemes (profile count ≈ isolate count) should drop
+      // the hint and let the planner shuffle both sides.
+      w.join(broadcast(sts.select(col("profile_md5"), col("st"))),
+          Seq("profile_md5"))
         .select(col("l_orderkey"), col("st"))
         .orderBy(col("l_orderkey"))
     },

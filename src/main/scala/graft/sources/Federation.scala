@@ -29,8 +29,9 @@ object Federation {
     * while readers are resolving the previous version (Datastore.pm's
     * drop-and-rename, without its unavailability window).
     */
-  def replicateDimension(remote: DataFrame, livePath: String): Unit =
-    CacheRefresh.fullSwap(remote, livePath)
+  def replicateDimension(remote: DataFrame, livePath: String,
+      numFiles: Option[Int] = None): Unit =
+    CacheRefresh.fullSwap(remote, livePath, numFiles)
 
   /** Read the live replica published by [[replicateDimension]]. */
   def readDimension(spark: SparkSession, livePath: String): DataFrame =

@@ -75,10 +75,15 @@ class PlanSpec extends SparkSpec {
       s"seeded scan must broadcast candidates + library, not shuffle contigs:\n${plan.take(3000)}")
   }
 
-  test("text_lang_id: marker dimension joins as broadcast") {
+  test("text_lang_id: columnar marker scoring — no explode, no join") {
+    // the small-vocabulary path scores per-doc in one projection pass; a
+    // Generate (explode) or any join in the plan means the 50× row
+    // blow-up crept back (languageIdByJoin stays for large vocabularies)
     val plan = planOf("text_lang_id")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"marker join must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("Generate"),
+      s"columnar lang-id must not explode:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"),
+      s"columnar lang-id must not join:\n${plan.take(2000)}")
   }
 
   test("s9_replicate_profiles: replica dimension joins as broadcast") {
