@@ -273,6 +273,11 @@ object QueryCompiler {
     // private_isolates WHERE embargo <op> value)` — one semi join per
     // clause against the private-records dimension (tiny vs the fact:
     // broadcast-eligible; Catalyst picks BHJ when it fits).
+    // A privacy-adjacent filter must never silently vanish: compiling an
+    // embargo clause without the dimension would return EXTRA rows.
+    if (spec.embargo.nonEmpty && cat.privateRecords.isEmpty)
+      throw new IllegalArgumentException(
+        "embargo clauses require a privateRecords dimension in the catalog")
     for (c <- spec.embargo; pr <- cat.privateRecords) {
       val emb = col(cat.embargoCol)
       val pred: Column = c.value match {

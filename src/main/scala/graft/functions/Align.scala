@@ -26,8 +26,21 @@ object Align {
   /** NW alignment: returns (aligned a, aligned b, distance). Gaps are '-'.
     * Traceback prefers diagonal, then up (gap in b), then left (gap in a).
     */
+  /** Hard bound on the DP matrix size: (n+1)·(m+1) Int cells must stay under
+    * ~256 MB, the same posture as the reference's MAX_MUSCLE_MB aligner cap
+    * (lib/BIGSdb/Constants.pm:37) — without it two contig-scale inputs would
+    * attempt a multi-TB allocation inside an executor task.
+    */
+  val MaxDpCells: Long = 64L * 1024 * 1024
+
   def nw(a: String, b: String): (String, String, Int) = {
     val n = a.length; val m = b.length
+    val cells = (n + 1).toLong * (m + 1).toLong
+    if (cells > MaxDpCells)
+      throw new IllegalArgumentException(
+        s"Align.nw inputs too long for full-matrix alignment: $n x $m " +
+          s"(${cells} DP cells > $MaxDpCells cap, analogous to the " +
+          "reference's MAX_MUSCLE_MB bound)")
     val dp = Array.ofDim[Int](n + 1, m + 1)
     var i = 0
     while (i <= n) { dp(i)(0) = i; i += 1 }

@@ -54,7 +54,10 @@ object CacheRefresh {
     // over every shuffle partition is the classic tiny-file problem — each
     // later read pays per-file open/footer costs. Callers that know the
     // size class should bound the file count (≥ tens of MB per file).
-    numFiles.map(rebuilt.coalesce).getOrElse(rebuilt)
+    // repartition, NOT coalesce: coalesce folds the reduction into the whole
+    // rebuild plan, throttling the upstream joins/aggs to numFiles-way
+    // parallelism; one extra shuffle on a tiny dimension is the cheap side.
+    numFiles.map(rebuilt.repartition).getOrElse(rebuilt)
       .write.mode("overwrite").parquet(versioned)
     // atomic publish: rename-with-OVERWRITE via FileContext (single POSIX/
     // HDFS rename) — a delete-then-rename pair would leave a window with no

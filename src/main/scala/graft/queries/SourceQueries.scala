@@ -18,8 +18,14 @@ object SourceQueries extends QueryModule {
 
   private val dnaSql = "regexp_replace(upper(text), '[^ACGT]', '', 'g')"
 
-  private def tmp(dir: String, tag: String) =
-    s"/tmp/graft_${tag}_${dir.replaceAll("[^0-9.]", "")}"
+  private def tmp(dir: String, tag: String) = {
+    // key the scratch path on a digest of the FULL corpus path — digits-only
+    // keys collide across distinct dirs sharing a digit sequence, and two
+    // concurrent runs on the same corpus would race each other's read-back
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"/tmp/graft_${tag}_${digest}"
+  }
 
   // S2: the XML entity-schema declaration drives a query end-to-end —
   // the optlist constrains the filter values and the regex validates them

@@ -20,6 +20,14 @@ class AlignSpec extends SparkSpec {
     assert(Align.nw("", "ACG") == ("---", "ACG", 3))
   }
 
+  test("nw refuses contig-scale inputs instead of allocating a huge matrix") {
+    val mb = "A" * 9000 // 9001^2 > 64M-cell cap
+    val e = intercept[IllegalArgumentException] { Align.nw(mb, mb) }
+    assert(e.getMessage.contains("too long"))
+    // just under the cap on one side is fine
+    assert(Align.nw("A" * 100, "A" * 100)._3 == 0)
+  }
+
   test("nw distance equals levenshtein and alignment is consistent") {
     val cases = Seq(("GATTACA", "GCATGCU"), ("AAAA", "AAAAAAAT"),
       ("ACGTACGT", "AGTACCGT"))

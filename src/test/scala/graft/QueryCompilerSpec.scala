@@ -174,6 +174,11 @@ class QueryCompilerSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       runE(EmbargoClause(Ge, None)) // only = / NOT compare the null text
     }
+    // a privacy filter must fail loudly, not silently return extra rows,
+    // when the catalog has no private-records dimension to resolve it
+    intercept[IllegalArgumentException] {
+      compile(QuerySpec(embargo = Seq(EmbargoClause(Eq, None))), cat)
+    }
   }
 
   test("security view: public ∪ own ∪ project-shared, date cap") {
