@@ -262,4 +262,77 @@ object Clustering {
     val Missing = graft.functions.AlleleId.Missing
     val Arbitrary = graft.functions.AlleleId.Arbitrary
   }
+
+  /** G5 — minimum spanning forest over a weighted edge list (Borůvka), the
+    * graph layer under the reference's tree exports: GrapeTree/ITOL/
+    * PhyloViz hand a profile distance matrix to an external MST/tree tool
+    * (lib/BIGSdb/Plugins/GrapeTree.pm, ITOL.pm, GenomeComparator.pm:
+    * 1407-1444); here the MST itself is computed in-engine.
+    *
+    * Determinism: edges are totally ordered by (weight, src, dst) — since
+    * (src, dst) pairs are unique this makes all weights strictly distinct,
+    * so the MSF is UNIQUE and algorithm-independent: Borůvka here and a
+    * one-edge-at-a-time Kruskal in the DuckDB oracle produce the same tree.
+    *
+    * Scale: Borůvka runs O(log n) rounds; each round every component
+    * selects its minimum outgoing edge with a single map-side-combinable
+    * groupBy (`min(struct(weight, src, dst))` — no sort, no window), and
+    * components merge via connected-components over the CHOSEN edges only —
+    * a graph whose size at least halves every round. No driver-side loop
+    * over the edge set; the full edge list is never collected.
+    *
+    * Input: edges(src, dst, weight) — integral node ids, numeric weight.
+    * Output: (src, dst, weight) rows of the forest, src < dst.
+    */
+  def minimumSpanningForest(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    // normalize to src < dst and collapse parallel edges to their min weight
+    val e0 = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("weight"))
+      .groupBy(col("src"), col("dst")).agg(min(col("weight")).as("weight"))
+      .localCheckpoint()
+    var comp = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node")))
+      .distinct().withColumn("comp", col("node"))
+      .localCheckpoint()
+    var acc: Option[DataFrame] = None
+    var it = 0
+    var done = e0.isEmpty
+    while (!done && it < maxIter) {
+      val labeled = e0
+        .join(comp.select(col("node").as("src"), col("comp").as("csrc")), Seq("src"))
+        .join(comp.select(col("node").as("dst"), col("comp").as("cdst")), Seq("dst"))
+        .filter(col("csrc") =!= col("cdst"))
+      // each endpoint component nominates the edge; min(struct) = the
+      // component's cheapest outgoing edge under the total order
+      val edgeStruct = struct(col("weight"), col("src"), col("dst"),
+        col("csrc"), col("cdst"))
+      val chosen = labeled.select(col("csrc").as("mcomp"), edgeStruct.as("e"))
+        .unionByName(labeled.select(col("cdst").as("mcomp"), edgeStruct.as("e")))
+        .groupBy(col("mcomp")).agg(min(col("e")).as("e"))
+        .select(col("e.weight").as("weight"), col("e.src").as("src"),
+          col("e.dst").as("dst"), col("e.csrc").as("csrc"),
+          col("e.cdst").as("cdst"))
+        .dropDuplicates("src", "dst")
+        .localCheckpoint() // truncate lineage: plans double per round otherwise
+      if (chosen.isEmpty) done = true
+      else {
+        val picked = chosen.select(col("src"), col("dst"), col("weight"))
+        acc = Some(acc.map(_.unionByName(picked).localCheckpoint())
+          .getOrElse(picked))
+        // merge on the component graph (|chosen| nodes, halves each round)
+        val merge = connectedComponents(
+          chosen.select(col("csrc").as("src"), col("cdst").as("dst")))
+          .select(col("node").as("comp"), col("component").as("newComp"))
+        comp = comp.join(merge, Seq("comp"), "left")
+          .select(col("node"),
+            coalesce(col("newComp"), col("comp")).as("comp"))
+          .localCheckpoint()
+      }
+      it += 1
+    }
+    acc.getOrElse(e0.limit(0))
+      .select(col("src"), col("dst"), col("weight"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Clustering, Profiles}
-import graft.sources.Federation
+import graft.sources.{Federation, Nexus}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.10 — clustering over the profile warehouse built from lineitem
@@ -274,6 +274,118 @@ object ClusterQueries extends QueryModule {
              FROM (${lincodeAssignSql("")}) codes
              GROUP BY 1 ORDER BY 1"""))
 
+  // G5: GrapeTree-style minimum spanning tree over profile distances.
+  // Coarse alleles (suppkey mod 3, 1-based so none collide with the "0"
+  // missing sentinel) give a dense weighted graph (~2.6k edges, weights
+  // 2..5 at sf0.01). The (weight, src, dst) total order makes the MSF
+  // unique, so the distributed Borůvka and the oracle's one-edge-at-a-time
+  // Kruskal (recursive CTE with dense-position component state) agree
+  // edge-for-edge.
+  private val g5Mst = Q(
+    "g5_mst",
+    (s, dir) => {
+      val fact = Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+      val w = Profiles.cachedWarehouse(s"$dir/mst3", fact,
+        "l_orderkey", "l_linenumber",
+        (pmod(col("l_suppkey"), lit(3)) + 1).cast("string"), NLoci)
+      val edges = Profiles.similarityJoin(w, "l_orderkey", 2)
+        .select(col("e1").as("src"), col("e2").as("dst"),
+          (lit(NLoci) - col("shared")).cast("long").as("weight"))
+      Clustering.minimumSpanningForest(edges)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("weight"))
+        .orderBy(col("src"), col("dst"))
+    },
+    Some("""WITH RECURSIVE
+            des AS (
+              SELECT l_orderkey AS id, CAST(l_linenumber AS INT) AS locus,
+                     CAST(min(l_suppkey % 3) + 1 AS VARCHAR) AS a
+              FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2),
+            nodes AS (
+              SELECT id, CAST(row_number() OVER (ORDER BY id) AS INT) AS pos
+              FROM (SELECT DISTINCT id FROM des)),
+            raw_edges AS (
+              SELECT x.id AS src, y.id AS dst, 7 - count(1) AS w
+              FROM des x JOIN des y
+                ON x.locus = y.locus AND x.a = y.a AND x.id < y.id
+              GROUP BY 1, 2 HAVING count(1) >= 2),
+            edges AS (
+              SELECT e.w, e.src, e.dst, ns.pos AS sp, nd.pos AS dp
+              FROM raw_edges e JOIN nodes ns ON e.src = ns.id
+                               JOIN nodes nd ON e.dst = nd.id),
+            init AS (
+              SELECT (SELECT list(pos ORDER BY pos) FROM nodes) AS comps,
+                     (SELECT list(struct_pack(w := w, s := src, d := dst,
+                                              sp := sp, dp := dp)
+                                  ORDER BY w, src, dst) FROM edges) AS rem,
+                     CAST([] AS STRUCT(w BIGINT, s BIGINT, d BIGINT,
+                                       sp INT, dp INT)[]) AS acc),
+            walk AS (
+              SELECT comps, rem, acc, 0 AS n FROM init
+              UNION ALL
+              SELECT list_transform(comps,
+                       c -> CASE WHEN c = gc THEN lc ELSE c END),
+                     list_filter(rem,
+                       e -> comps[e.sp] <> comps[e.dp] AND e <> pick),
+                     list_append(acc, pick), n + 1
+              FROM (
+                SELECT comps, rem, acc, n, pick,
+                       least(comps[pick.sp], comps[pick.dp]) AS lc,
+                       greatest(comps[pick.sp], comps[pick.dp]) AS gc
+                FROM (
+                  SELECT comps, rem, acc, n,
+                         list_filter(rem,
+                           e -> comps[e.sp] <> comps[e.dp])[1] AS pick
+                  FROM walk) q1
+                WHERE pick IS NOT NULL) q2)
+            SELECT u.s AS src, u.d AS dst, u.w AS weight
+            FROM (SELECT acc FROM walk ORDER BY n DESC LIMIT 1) f,
+                 unnest(f.acc) AS t(u)
+            ORDER BY src, dst"""))
+
+  // G5: Nexus distance-matrix sink roundtrip (_make_nexus_file:1497-1558,
+  // the SplitsTree hand-off). Full pair list (absent similarity pairs get
+  // the max distance 7) written as the lower-triangle MATRIX block, read
+  // back, re-emitted as pairs; the oracle recomputes the same distances
+  // straight from lineitem.
+  private val g5Nexus = Q(
+    "g5_nexus_roundtrip",
+    (s, dir) => {
+      val w = wh(s, dir, 150)
+      val ids = w.select(col("l_orderkey"))
+      val pairsAll = ids.select(col("l_orderkey").as("a"))
+        .join(ids.select(col("l_orderkey").as("b")), col("a") < col("b"))
+      val sim = Profiles.similarityJoin(w, "l_orderkey", 1)
+        .select(col("e1").as("a"), col("e2").as("b"),
+          (lit(NLoci) - col("shared")).cast("long").as("d0"))
+      val pairs = pairsAll.join(sim, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("d0"), lit(NLoci.toLong)).as("dist"))
+      val path = fedPath("nexus", dir) + ".nex"
+      Nexus.writeDistances(pairs, "a", "b", "dist", path,
+        defaultDist = NLoci.toLong)
+      Nexus.readDistances(s, path)
+        .orderBy(col("taxon_a"), col("taxon_b"))
+    },
+    Some("""WITH d AS (SELECT l_orderkey, l_linenumber,
+                              min(CAST(l_suppkey AS VARCHAR)) AS a
+                       FROM lineitem WHERE l_orderkey < 150 GROUP BY 1, 2),
+            ids AS (SELECT DISTINCT l_orderkey AS id
+                    FROM lineitem WHERE l_orderkey < 150),
+            sh AS (SELECT x.l_orderkey AS i1, y.l_orderkey AS i2,
+                          count(1) AS shared
+                   FROM d x JOIN d y
+                     ON x.l_linenumber = y.l_linenumber AND x.a = y.a
+                        AND x.l_orderkey < y.l_orderkey
+                   WHERE x.a <> '0' -- missing-allele sentinel never matches
+                   GROUP BY 1, 2)
+            SELECT p.a AS taxon_a, p.b AS taxon_b,
+                   7 - coalesce(sh.shared, 0) AS dist
+            FROM (SELECT x.id AS a, y.id AS b
+                  FROM ids x JOIN ids y ON x.id < y.id) p
+            LEFT JOIN sh ON sh.i1 = p.a AND sh.i2 = p.b
+            ORDER BY taxon_a, taxon_b"""))
+
   val qs: Seq[Q] = Seq(g3SingleLinkage, g2Burst, g4Lincode, j5LincodePrefix,
-    s9ReplicateProfiles, s10ReplicateLincodes)
+    s9ReplicateProfiles, s10ReplicateLincodes, g5Mst, g5Nexus)
 }

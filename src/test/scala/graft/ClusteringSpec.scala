@@ -123,4 +123,50 @@ class ClusteringSpec extends SparkSpec {
       .as[(Long, Seq[Int])].collect().toMap
     assert(a == b)
   }
+
+  test("minimumSpanningForest: hand graph, ties broken by (weight, src, dst)") {
+    // square 1-2-3-4 with diagonal; two weight-1 edges tie on weight
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 2L), (4L, 1L, 2L), (1L, 3L, 3L),
+      // second component
+      (10L, 11L, 5L))
+      .toDF("src", "dst", "weight")
+    val got = Clustering.minimumSpanningForest(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    // unique MSF: both weight-1 edges, then (3,4) beats (1,4)? no — both
+    // weight 2; (1,4) < (3,4) by src ⇒ (1,4) picked
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 4L, 2L), (10L, 11L, 5L)))
+  }
+
+  test("minimumSpanningForest matches brute-force Kruskal on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val es = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.15
+      } yield (a.toLong, b.toLong, rnd.nextInt(10).toLong)).toSeq
+      val got = Clustering.minimumSpanningForest(es.toDF("src", "dst", "weight"))
+        .as[(Long, Long, Long)].collect().toSet
+      // local Kruskal under the same (weight, src, dst) total order
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r); r
+      }
+      val want = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      for ((s, d, w) <- es.sortBy(e => (e._3, e._1, e._2))) {
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) { parent(rs) = rd; want += ((s, d, w)) }
+      }
+      assert(got == want.toSet, s"trial $trial")
+    }
+  }
+
+  test("minimumSpanningForest: empty and single-edge inputs") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight")
+    assert(Clustering.minimumSpanningForest(empty).count() == 0)
+    val one = Seq((5L, 3L, 9L)).toDF("src", "dst", "weight")
+    // normalized to src < dst
+    assert(Clustering.minimumSpanningForest(one)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((3L, 5L, 9L)))
+  }
 }
