@@ -335,4 +335,45 @@ object Clustering {
     acc.getOrElse(e0.limit(0))
       .select(col("src"), col("dst"), col("weight"))
   }
+
+  /** G5 — single-linkage dendrogram serialized as canonical Newick, the
+    * tree the reference ships to ITOL/SplitsTree after external clustering
+    * (lib/BIGSdb/Plugins/ITOL.pm, GenomeComparator.pm:1407-1444).
+    *
+    * Semantics: at every distinct edge weight t (ascending), clusters whose
+    * members become connected by edges of weight <= t merge into one
+    * internal node; a child's branch length is t minus the level at which
+    * the child cluster itself formed (leaves form at 0) — the ultrametric
+    * single-linkage heights. Canonical form: children ordered by min leaf
+    * id, so the string is unique and oracle-checkable.
+    *
+    * Scale: the per-level memberships run as distributed connected
+    * components over the (huge) edge set; only the (node → component) map —
+    * the profile DIMENSION, same size argument as assignLinCodes — is
+    * collected per level for string assembly. Output: one (root, newick)
+    * row per final component; nodes never linked stay singleton trees.
+    */
+  def singleLinkageNewick(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("weight").cast("int").as("weight"))
+    val levels = e0.select(col("weight")).distinct().as[Int].collect().sorted
+    val ids = nodes.select(col("node").cast("long")).as[Long].collect().sorted
+    final case class Cl(repr: Long, formed: Int, str: String)
+    var clusters: Seq[Cl] = ids.map(id => Cl(id, 0, id.toString)).toSeq
+    for (t <- levels) {
+      val comp = connectedComponents(
+        e0.filter(col("weight") <= t).select(col("src"), col("dst")),
+        Some(nodes.select(col("node"))))
+        .as[(Long, Long)].collect().toMap
+      clusters = clusters.groupBy(c => comp(c.repr)).toSeq.sortBy(_._1)
+        .map { case (g, members) =>
+          if (members.size == 1) members.head
+          else Cl(g, t, members.sortBy(_.repr)
+            .map(m => s"${m.str}:${t - m.formed}").mkString("(", ",", ")"))
+        }
+    }
+    clusters.map(c => (c.repr, c.str + ";")).toDF("root", "newick")
+  }
 }

@@ -386,6 +386,95 @@ object ClusterQueries extends QueryModule {
             LEFT JOIN sh ON sh.i1 = p.a AND sh.i2 = p.b
             ORDER BY taxon_a, taxon_b"""))
 
+  // G5: single-linkage dendrogram → canonical Newick over the same coarse
+  // profile graph as g5_mst. The oracle rebuilds it entirely in DuckDB:
+  // per-level components by recursive closure, then a second recursion over
+  // levels assembling the same canonical string (children by min leaf id,
+  // branch length = level - child formation level).
+  private val g5Newick = Q(
+    "g5_newick",
+    (s, dir) => {
+      val fact = Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+      val w = Profiles.cachedWarehouse(s"$dir/mst3", fact,
+        "l_orderkey", "l_linenumber",
+        (pmod(col("l_suppkey"), lit(3)) + 1).cast("string"), NLoci)
+      val edges = Profiles.similarityJoin(w, "l_orderkey", 2)
+        .select(col("e1").as("src"), col("e2").as("dst"),
+          (lit(NLoci) - col("shared")).cast("int").as("weight"))
+      Clustering.singleLinkageNewick(edges,
+          w.select(col("l_orderkey").as("node")))
+        .orderBy(col("root"))
+    },
+    Some("""WITH RECURSIVE
+            des AS (
+              SELECT l_orderkey AS id, CAST(l_linenumber AS INT) AS locus,
+                     CAST(min(l_suppkey % 3) + 1 AS VARCHAR) AS a
+              FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2),
+            nodes AS (
+              SELECT id, CAST(row_number() OVER (ORDER BY id) AS INT) AS pos
+              FROM (SELECT DISTINCT id FROM des)),
+            raw_edges AS (
+              SELECT x.id AS src, y.id AS dst, CAST(7 - count(1) AS INT) AS w
+              FROM des x JOIN des y
+                ON x.locus = y.locus AND x.a = y.a AND x.id < y.id
+              GROUP BY 1, 2 HAVING count(1) >= 2),
+            lvl_list AS (SELECT list(DISTINCT w ORDER BY w) AS lvls
+                         FROM raw_edges),
+            sym AS (SELECT src, dst, w FROM raw_edges
+                    UNION ALL SELECT dst, src, w FROM raw_edges),
+            reach AS (
+              SELECT l.lv AS lv, n.id AS src, n.id AS dst
+              FROM nodes n, (SELECT unnest(lvls) AS lv FROM lvl_list) l
+              UNION
+              SELECT r.lv, r.src, e.dst
+              FROM reach r JOIN sym e ON r.dst = e.src AND e.w <= r.lv),
+            comp AS (
+              SELECT lv, src AS id, min(dst) AS comp FROM reach GROUP BY 1, 2),
+            lvlcomps AS (
+              SELECT list(cl ORDER BY lv) AS lvls2
+              FROM (SELECT c.lv, list(p.pc ORDER BY p.pos) AS cl
+                    FROM (SELECT c0.lv, n.pos,
+                                 CAST((SELECT n2.pos FROM nodes n2
+                                       WHERE n2.id = c0.comp) AS INT) AS pc
+                          FROM comp c0 JOIN nodes n ON n.id = c0.id) p
+                    JOIN (SELECT DISTINCT lv FROM comp) c ON c.lv = p.lv
+                    GROUP BY c.lv) t),
+            init AS (
+              SELECT (SELECT list(struct_pack(pos := pos, formed := 0,
+                                    str := CAST(id AS VARCHAR)) ORDER BY pos)
+                      FROM nodes) AS state,
+                     (SELECT lvls FROM lvl_list) AS lvls,
+                     (SELECT lvls2 FROM lvlcomps) AS lc,
+                     0 AS k),
+            walk AS (
+              SELECT state, lvls, lc, k FROM init
+              UNION ALL
+              SELECT list_transform(
+                       list_sort(list_distinct(
+                         list_transform(state, x -> cl[x.pos]))),
+                       g -> CASE
+                         WHEN len(list_filter(state, x -> cl[x.pos] = g)) = 1
+                         THEN list_filter(state, x -> cl[x.pos] = g)[1]
+                         ELSE struct_pack(
+                           pos := list_filter(state,
+                                    x -> cl[x.pos] = g)[1].pos,
+                           formed := lv,
+                           str := '(' || array_to_string(
+                             list_transform(
+                               list_filter(state, x -> cl[x.pos] = g),
+                               m -> m.str || ':' ||
+                                    CAST(lv - m.formed AS VARCHAR)),
+                             ',') || ')')
+                         END),
+                     lvls, lc, k + 1
+              FROM (
+                SELECT state, lvls, lc, k, lvls[k + 1] AS lv, lc[k + 1] AS cl
+                FROM walk WHERE k < len(lvls)) q1)
+            SELECT n.id AS root, u.str || ';' AS newick
+            FROM (SELECT state FROM walk ORDER BY k DESC LIMIT 1) f,
+                 unnest(f.state) AS t(u) JOIN nodes n ON n.pos = u.pos
+            ORDER BY root"""))
+
   val qs: Seq[Q] = Seq(g3SingleLinkage, g2Burst, g4Lincode, j5LincodePrefix,
-    s9ReplicateProfiles, s10ReplicateLincodes, g5Mst, g5Nexus)
+    s9ReplicateProfiles, s10ReplicateLincodes, g5Mst, g5Nexus, g5Newick)
 }

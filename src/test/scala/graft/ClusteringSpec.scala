@@ -161,6 +161,19 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("singleLinkageNewick: hand-computed dendrogram, branch lengths, singletons") {
+    // 1-2 at distance 1; {1,2}-3 at 2; 4-5 at 2; 9 isolated
+    val edges = Seq((1L, 2L, 1), (2L, 3L, 2), (4L, 5L, 2))
+      .toDF("src", "dst", "weight")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("node")
+    val got = Clustering.singleLinkageNewick(edges, nodes)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "((1:1,2:1):1,3:2);", // {1,2} formed at 1, merges 3 at level 2
+      4L -> "(4:2,5:2);",
+      9L -> "9;"))
+  }
+
   test("minimumSpanningForest: empty and single-edge inputs") {
     val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight")
     assert(Clustering.minimumSpanningForest(empty).count() == 0)
