@@ -284,7 +284,8 @@ object Clustering {
     * Input: edges(src, dst, weight) — integral node ids, numeric weight.
     * Output: (src, dst, weight) rows of the forest, src < dst.
     */
-  def minimumSpanningForest(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def minimumSpanningForest(edges: DataFrame, maxIter: Int = 30,
+      localEdgeThreshold: Long = 200000L): DataFrame = {
     // normalize to src < dst and collapse parallel edges to their min weight
     val e0 = edges
       .filter(col("src") =!= col("dst"))
@@ -292,6 +293,37 @@ object Clustering {
         greatest(col("src"), col("dst")).as("dst"), col("weight"))
       .groupBy(col("src"), col("dst")).agg(min(col("weight")).as("weight"))
       .localCheckpoint()
+    // Small-graph fast path (same adaptive posture as connectedComponents):
+    // the profile-similarity graph is DIMENSION-sized (#ST pairs within
+    // threshold), so below the edge cap a driver Kruskal beats ~log n
+    // distributed rounds of fixed job costs. Identical output: the
+    // (weight, src, dst) total order makes the MSF unique, so Kruskal here
+    // and Borůvka below return the same edges. The distributed path stays
+    // the scale route (forced in ClusteringSpec via localEdgeThreshold=0).
+    if (e0.limit(math.min(localEdgeThreshold + 1, Int.MaxValue.toLong).toInt)
+        .count() <= localEdgeThreshold) {
+      val spark = e0.sparkSession
+      import spark.implicits._
+      val es = e0.select(col("src").cast("long"), col("dst").cast("long"),
+          col("weight").cast("double")).as[(Long, Long, Double)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val chosen = Seq.newBuilder[(Long, Long)]
+      for ((s, d, _) <- es.sortBy { case (s, d, w) => (w, s, d) }) {
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) { parent(rs) = rd; chosen += ((s, d)) }
+      }
+      // semi join back against e0: output keeps the caller's weight type
+      return e0.join(
+        broadcast(chosen.result().toDF("src", "dst")), Seq("src", "dst"),
+        "left_semi")
+    }
     var comp = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node")))
       .distinct().withColumn("comp", col("node"))
@@ -356,17 +388,50 @@ object Clustering {
   def singleLinkageNewick(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // materialize once: the per-level filters below would otherwise
+    // recompute the upstream similarity join per distinct weight
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("weight").cast("int").as("weight"))
+      .localCheckpoint()
     val levels = e0.select(col("weight")).distinct().as[Int].collect().sorted
     val ids = nodes.select(col("node").cast("long")).as[Long].collect().sorted
     final case class Cl(repr: Long, formed: Int, str: String)
     var clusters: Seq[Cl] = ids.map(id => Cl(id, 0, id.toString)).toSeq
+    // Adaptive per-level memberships, same posture as connectedComponents /
+    // minimumSpanningForest: below the edge cap, one collect + incremental
+    // union-find across ascending levels (edges sorted by weight, each
+    // added exactly once) replaces |levels| distributed component rounds.
+    val localCap = 200000
+    val compAtLevel: Int => Map[Long, Long] =
+      if (e0.limit(localCap + 1).count() <= localCap) {
+        val es = e0.as[(Long, Long, Int)].collect().sortBy(_._3)
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        var i = 0
+        (t: Int) => {
+          while (i < es.length && es(i)._3 <= t) {
+            val (s, d, _) = es(i)
+            val (rs, rd) = (find(s), find(d))
+            if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+            i += 1
+          }
+          // min-id labeling: root chains always point to smaller ids above
+          ids.map(id => id -> find(id)).toMap
+        }
+      } else { (t: Int) =>
+        connectedComponents(
+          e0.filter(col("weight") <= t).select(col("src"), col("dst")),
+          Some(nodes.select(col("node"))))
+          .as[(Long, Long)].collect().toMap
+      }
     for (t <- levels) {
-      val comp = connectedComponents(
-        e0.filter(col("weight") <= t).select(col("src"), col("dst")),
-        Some(nodes.select(col("node"))))
-        .as[(Long, Long)].collect().toMap
+      val comp = compAtLevel(t)
       clusters = clusters.groupBy(c => comp(c.repr)).toSeq.sortBy(_._1)
         .map { case (g, members) =>
           if (members.size == 1) members.head

@@ -147,6 +147,12 @@ class ClusteringSpec extends SparkSpec {
       } yield (a.toLong, b.toLong, rnd.nextInt(10).toLong)).toSeq
       val got = Clustering.minimumSpanningForest(es.toDF("src", "dst", "weight"))
         .as[(Long, Long, Long)].collect().toSet
+      // distributed Borůvka path (localEdgeThreshold=0) must agree —
+      // the unique-MSF argument, exercised end-to-end
+      val gotDist = Clustering.minimumSpanningForest(
+          es.toDF("src", "dst", "weight"), localEdgeThreshold = 0L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == gotDist, s"trial $trial: fast path != distributed")
       // local Kruskal under the same (weight, src, dst) total order
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
