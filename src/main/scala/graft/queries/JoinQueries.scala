@@ -193,7 +193,43 @@ object JoinQueries extends QueryModule {
             GROUP BY o_custkey
             ORDER BY o_custkey"""))
 
+  // J-family infrastructure: co-bucketed materialization of the isolate ⋈
+  // designation join (the every-query hot path — index i_ad3,
+  // sql/isolatedb.sql:982). Both tables are written bucketed+sorted on
+  // the isolate key, so this and every later query joining them gets a
+  // shuffle-free sort-merge join (BucketingSpec pins the zero-Exchange
+  // plan). The oracle ignores storage layout — values must be identical
+  // to the plain join.
+  private val j1Bucketed = Q(
+    "j1_bucketed_join",
+    (s, dir) => {
+      import graft.operators.Bucketing
+      val suffix = math.abs(dir.hashCode).toString
+      val liT = s"graft_bkt_li_$suffix"
+      val ordT = s"graft_bkt_ord_$suffix"
+      Bucketing.materialize(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey")),
+        liT, "l_orderkey", 8)
+      Bucketing.materialize(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        ordT, "o_orderkey", 8)
+      val li = Bucketing.read(s, liT)
+      val ords = Bucketing.read(s, ordT)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      li.join(ords, Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(1) AS n_rows,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1"""))
+
   val qs: Seq[Q] = Seq(
     j1DesignationAnd, j2NullDesignation, j3SchemeFieldCache, j4TwoHop,
-    j9SizeFilter, j11BroadcastDims, setIntersect, a11BoolOr)
+    j9SizeFilter, j11BroadcastDims, setIntersect, a11BoolOr, j1Bucketed)
 }

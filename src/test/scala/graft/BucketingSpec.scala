@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Bucketing
+import org.apache.spark.sql.functions._
+
+/** Co-bucketed join layout (SURVEY §2.3 hot path): both sides written
+  * bucketed+sorted on the join key must join WITHOUT a shuffle — the whole
+  * point of the layout at 100 TB, where re-shuffling the designation fact
+  * per interactive query is the dominant cost.
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("co-bucketed tables join with zero Exchange and correct rows") {
+    Bucketing.materialize(
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+      "graft_test_bkt_li", "l_orderkey", 4)
+    Bucketing.materialize(
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_test_bkt_ord", "o_orderkey", 4)
+    val li = Bucketing.read(spark, "graft_test_bkt_li")
+    val ords = Bucketing.read(spark, "graft_test_bkt_ord")
+    // merge hint: at fixture scale Catalyst would broadcast the dim and
+    // mask the property under test — at 100 TB both sides are fact-sized
+    // and SMJ is the strategy, so pin SMJ and assert the shuffle is gone
+    val joined = li.hint("merge").join(ords, li("l_orderkey") === ords("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"co-bucketed join must not shuffle:\n$plan")
+    // values identical to the plain (shuffled) join
+    val got = joined.groupBy(col("o_orderpriority")).count()
+      .as[(String, Long)].collect().toMap
+    val want = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).count()
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("bucketed write produces one file per bucket (sort elision ready)") {
+    Bucketing.materialize(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"),
+      "graft_test_bkt_small", "k", 2)
+    val files = spark.table("graft_test_bkt_small").inputFiles
+    assert(files.length == 2, files.mkString(", "))
+  }
+}
