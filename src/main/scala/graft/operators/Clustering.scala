@@ -20,6 +20,32 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Driver-side path-compressing union-find with min-id roots: union
+    * always points the larger root at the smaller, so `find` returns the
+    * MINIMUM member id of a component — the same labeling rule as the
+    * distributed min-label propagation, which is what lets the adaptive
+    * local paths below substitute for it. Shared by the local fast paths
+    * of connectedComponents / minimumSpanningForest / singleLinkageNewick.
+    */
+  private final class UnionFind {
+    private val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    /** Returns true if the edge merged two components. */
+    def union(a: Long, b: Long): Boolean = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) false
+      else { if (ra < rb) parent(rb) = ra else parent(ra) = rb; true }
+    }
+    def add(n: Long): Unit = parent.getOrElseUpdate(n, n)
+    def members: Iterator[Long] = parent.keysIterator
+  }
+
   /** Minimum-label connected components over an undirected edge list.
     *
     * Input: edges(src, dst) — any integral type. Output: (node, component)
@@ -72,22 +98,11 @@ object Clustering {
       val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)].collect()
       val ns = allNodes.select(col("node").cast("long")).as[Long].collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      ns.foreach(n => parent.getOrElseUpdate(n, n))
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      // root = min member id: union by min above keeps roots minimal
-      val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      val uf = new UnionFind
+      ns.foreach(uf.add)
+      es.foreach { case (a, b) => uf.add(a); uf.add(b); uf.union(a, b) }
+      // root = min member id: UnionFind unions by min root
+      val out = uf.members.toSeq.sorted.map(n => (n, uf.find(n)))
       sym.unpersist()
       val nodeType = allNodes.schema("node").dataType
       return spark.createDataset(out).toDF("node", "component")
@@ -306,19 +321,10 @@ object Clustering {
       import spark.implicits._
       val es = e0.select(col("src").cast("long"), col("dst").cast("long"),
           col("weight").cast("double")).as[(Long, Long, Double)].collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
+      val uf = new UnionFind
       val chosen = Seq.newBuilder[(Long, Long)]
-      for ((s, d, _) <- es.sortBy { case (s, d, w) => (w, s, d) }) {
-        val (rs, rd) = (find(s), find(d))
-        if (rs != rd) { parent(rs) = rd; chosen += ((s, d)) }
-      }
+      for ((s, d, _) <- es.sortBy { case (s, d, w) => (w, s, d) })
+        if (uf.union(s, d)) chosen += ((s, d))
       // semi join back against e0: output keeps the caller's weight type
       return e0.join(
         broadcast(chosen.result().toDF("src", "dst")), Seq("src", "dst"),
@@ -364,6 +370,12 @@ object Clustering {
       }
       it += 1
     }
+    // same posture as connectedComponents: never return a silently-partial
+    // forest — Borůvka halves components per round, so 30 rounds cover any
+    // graph with < 2^30 components; hitting the cap means something is wrong
+    if (!done)
+      throw new IllegalStateException(
+        s"minimumSpanningForest did not converge in $maxIter Borůvka rounds")
     acc.getOrElse(e0.limit(0))
       .select(col("src"), col("dst"), col("weight"))
   }
@@ -388,6 +400,15 @@ object Clustering {
   def singleLinkageNewick(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // integral distances only: the dendrogram levels ARE the distinct
+    // weights, so a silent int cast would truncate fractional distances
+    // into wrong merge levels — reject instead
+    val nonIntegral = edges
+      .filter(col("weight").cast("double") =!= col("weight").cast("int").cast("double"))
+      .limit(1).count()
+    require(nonIntegral == 0L,
+      "singleLinkageNewick requires integral edge weights (allelic " +
+        "mismatch counts); fractional distances would truncate to wrong levels")
     // materialize once: the per-level filters below would otherwise
     // recompute the upstream similarity join per distinct weight
     val e0 = edges.select(col("src").cast("long").as("src"),
@@ -405,24 +426,15 @@ object Clustering {
     val compAtLevel: Int => Map[Long, Long] =
       if (e0.limit(localCap + 1).count() <= localCap) {
         val es = e0.as[(Long, Long, Int)].collect().sortBy(_._3)
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
+        val uf = new UnionFind
         var i = 0
         (t: Int) => {
           while (i < es.length && es(i)._3 <= t) {
-            val (s, d, _) = es(i)
-            val (rs, rd) = (find(s), find(d))
-            if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+            uf.union(es(i)._1, es(i)._2)
             i += 1
           }
-          // min-id labeling: root chains always point to smaller ids above
-          ids.map(id => id -> find(id)).toMap
+          // min-id labeling: UnionFind roots are component minima
+          ids.map(id => id -> uf.find(id)).toMap
         }
       } else { (t: Int) =>
         connectedComponents(

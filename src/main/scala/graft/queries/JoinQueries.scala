@@ -204,7 +204,10 @@ object JoinQueries extends QueryModule {
     "j1_bucketed_join",
     (s, dir) => {
       import graft.operators.Bucketing
-      val suffix = math.abs(dir.hashCode).toString
+      // md5 of the full dir: no distinct-dir collisions, no negative
+      // hashCode artifacts in unquoted SQL identifiers
+      val suffix = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       val liT = s"graft_bkt_li_$suffix"
       val ordT = s"graft_bkt_ord_$suffix"
       Bucketing.materialize(

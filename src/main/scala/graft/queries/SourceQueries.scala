@@ -18,13 +18,19 @@ object SourceQueries extends QueryModule {
 
   private val dnaSql = "regexp_replace(upper(text), '[^ACGT]', '', 'g')"
 
+  // one nonce per JVM: two concurrent runs over the SAME corpus get
+  // disjoint scratch trees, so neither can overwrite the other between a
+  // sink's eager write and its read-back
+  private lazy val runNonce =
+    java.util.UUID.randomUUID().toString.take(8)
+
   private def tmp(dir: String, tag: String) = {
-    // key the scratch path on a digest of the FULL corpus path — digits-only
-    // keys collide across distinct dirs sharing a digit sequence, and two
-    // concurrent runs on the same corpus would race each other's read-back
+    // key the scratch path on a digest of the FULL corpus path (digits-only
+    // keys collide across distinct dirs sharing a digit sequence) plus the
+    // per-run nonce (same-corpus concurrent runs)
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"/tmp/graft_${tag}_${digest}"
+    s"/tmp/graft_${runNonce}_${tag}_${digest}"
   }
 
   // S2: the XML entity-schema declaration drives a query end-to-end —

@@ -28,14 +28,20 @@ object Nexus {
     */
   def writeDistances(pairs: DataFrame, a: String, b: String, dist: String,
       path: String, defaultDist: Long): Unit = {
+    // enforce the taxa cap BEFORE collecting: a bounded distinct-count
+    // probe, so an oversized pair DataFrame fails fast instead of OOMing
+    // the driver on the collect below
+    val taxaCount = pairs.select(col(a).cast("long").as("t"))
+      .unionByName(pairs.select(col(b).cast("long").as("t")))
+      .distinct().limit(MaxTaxa + 1).count()
+    require(taxaCount <= MaxTaxa,
+      s"> $MaxTaxa taxa exceed MAX_SPLITS_TAXA=$MaxTaxa " +
+        "(Constants.pm:36); export a thresholded pair list instead")
     val rows = pairs
       .select(col(a).cast("long"), col(b).cast("long"), col(dist).cast("long"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     val taxa = rows.keysIterator.flatMap(k => Iterator(k._1, k._2))
       .toArray.distinct.sorted
-    require(taxa.length <= MaxTaxa,
-      s"${taxa.length} taxa exceed MAX_SPLITS_TAXA=$MaxTaxa " +
-        "(Constants.pm:36); export a thresholded pair list instead")
     def d(x: Long, y: Long): Long =
       if (x == y) 0L
       else rows.getOrElse((math.min(x, y), math.max(x, y)), defaultDist)
@@ -59,8 +65,9 @@ object Nexus {
   }
 
   /** Parse a Nexus distances block back to (taxon_a, taxon_b, dist) rows,
-    * a < b (the lower triangle minus the diagonal). Distributed read: the
-    * MATRIX lines are data-parallel once the header is skipped.
+    * a < b (the lower triangle minus the diagonal). Driver-side parse by
+    * design: the file is MAX_SPLITS_TAXA-bounded at write time, so it is
+    * always ≤ ~150×150 cells.
     */
   def readDistances(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

@@ -48,10 +48,7 @@ class TreeExportSpec extends SparkSpec {
     val leaves = "(?<=[(,])(\\d+):".r.findAllMatchIn(s).map(_.group(1).toLong).toSet
     val single = "^(\\d+);$".r.findFirstMatchIn(s).map(_.group(1).toLong)
     def heights(str: String): Set[Long] = {
-      // walk the string tracking open-paren branch-length context
-      var depthLens = List.empty[Long] // lengths pending per open paren
-      var i = 0; var cur = 0L; var acc = Set.empty[Long]
-      // recursive descent is simpler:
+      // recursive descent over the canonical grammar
       def parse(pos: Int): (Int, Set[Long]) = {
         if (str.charAt(pos) == '(') {
           var p = pos + 1
