@@ -260,13 +260,16 @@ object QueryCompiler {
         Seq(cat.entityId), "left_semi")
     }
 
-    // 3. EAV clauses (F7): one semi/anti join per clause
-    for (c <- spec.eav; eav <- cat.eav) {
-      val matching = eav
-        .filter(col(cat.eavField) === c.field &&
-          Predicates.compile(col(cat.eavValue), c.op, c.value, c.isText))
-        .select(col(cat.eavEntityId).as(cat.entityId))
-      df = df.join(matching, Seq(cat.entityId), if (c.negate) "left_anti" else "left_semi")
+    // 3. EAV clauses (F7): all clauses fuse into one aggregation over the
+    // EAV fact — an EXISTS flag per clause, AND'd (the reference ANDs
+    // sparse-field clauses)
+    if (spec.eav.nonEmpty) for (eav <- cat.eav) {
+      val terms = spec.eav.map(c => Seq((
+        col(cat.eavField) === c.field &&
+          Predicates.compile(col(cat.eavValue), c.op, c.value, c.isText),
+        c.negate)))
+      df = applyFusedMembership(df, cat.entityId, eav,
+        col(cat.eavEntityId), "eav", terms, CombineAnd)
     }
 
     // 3a. embargo-date clauses (F8): `id IN (SELECT isolate_id FROM
@@ -318,106 +321,106 @@ object QueryCompiler {
     }
 
     // 4. designation clauses (J1/J2), AND/OR per designation_andor
-    // (IsolateQueryPage.pm:524)
+    // (IsolateQueryPage.pm:524) — all clauses in ONE pass over the fact
     if (spec.designations.nonEmpty) for (facts <- cat.facts) {
-      val sets = spec.designations.map {
+      val terms = spec.designations.map {
         case HasAllele(locus, op, value) =>
-          (facts.filter(col(cat.locusCol) === locus &&
-              Predicates.compile(col(cat.alleleCol), op, value))
-            .select(col(cat.factEntityId).as(cat.entityId)), false)
+          Seq((col(cat.locusCol) === locus &&
+            Predicates.compile(col(cat.alleleCol), op, value), false))
         case LocusMissing(locus) =>
-          (facts.filter(col(cat.locusCol) === locus)
-            .select(col(cat.factEntityId).as(cat.entityId)), true)
+          Seq((col(cat.locusCol) === locus, true))
       }
-      df = applyMembership(df, cat.entityId, sets, spec.designationCombine)
+      df = applyFusedMembership(df, cat.entityId, facts,
+        col(cat.factEntityId), "des", terms, spec.designationCombine)
     }
 
     // 5. sequence variation (IsolateQueryPage.pm:4046-4086): designated
     // allele at the locus appears in the variation dimension with the
-    // wanted wt/mutation/residue property. The variation dimension is tiny
-    // (alleles × positions of one locus) → broadcast equi join.
+    // wanted wt/mutation/residue property. ONE pass: the fact (restricted
+    // to the queried loci) broadcast-joins the variation dimension once;
+    // each clause is then a row predicate over the annotated rows.
     if (spec.variations.nonEmpty) for (facts <- cat.facts; vd <- cat.variations) {
-      val sets = spec.variations.map { c =>
+      val loci = spec.variations.map(_.locus).distinct
+      val vdl = vd.filter(col("locus").isin(loci: _*))
+        .select(col("locus").as("__v_locus"), col("allele").as("__v_allele"),
+          col("is_wt").as("__v_wt"), col("is_mutation").as("__v_mut"),
+          col("char").as("__v_char"))
+      val annotated = facts.filter(col(cat.locusCol).isin(loci: _*))
+        .join(broadcast(vdl), col(cat.locusCol) === col("__v_locus") &&
+          col(cat.alleleCol) === col("__v_allele"))
+      val terms = spec.variations.map { c =>
         val want = c.want match {
-          case WildType => col("is_wt")
-          case Mutation => col("is_mutation")
-          case Residue(ch) => col("char") === ch
+          case WildType => col("__v_wt")
+          case Mutation => col("__v_mut")
+          case Residue(ch) => col("__v_char") === ch
         }
-        val vars = vd.filter(col("locus") === c.locus && want)
-          .select(col("allele"))
-        val m = facts.filter(col(cat.locusCol) === c.locus)
-          .join(broadcast(vars), facts(cat.alleleCol) === vars("allele"))
-          .select(col(cat.factEntityId).as(cat.entityId))
-        (m, false)
+        Seq((col(cat.locusCol) === c.locus && want, false))
       }
-      df = applyMembership(df, cat.entityId, sets, spec.variationCombine)
+      df = applyFusedMembership(df, cat.entityId, annotated,
+        col(cat.factEntityId), "var", terms, spec.variationCombine)
     }
 
-    // 6. designation count predicates (A3): zero-inclusive left join + filter
-    for (c <- spec.counts; facts <- cat.facts) {
-      val counts = facts.groupBy(col(cat.factEntityId).as(cat.entityId))
-        .agg(count(lit(1)).as("__n"))
-      df = df.join(counts, Seq(cat.entityId), "left")
-        .withColumn("__n", coalesce(col("__n"), lit(0L)))
-        .filter(Predicates.compile(col("__n"), c.op, c.n.toString, isText = false))
-        .drop("__n")
+    // 6. designation count predicates (A3): zero-inclusive, all clauses in
+    // one conditional-count aggregation
+    if (spec.counts.nonEmpty) for (facts <- cat.facts) {
+      df = applyFusedCounts(df, cat.entityId, facts, col(cat.factEntityId),
+        "n", spec.counts.map(c => (lit(true), c.op, c.n.toString)))
     }
 
     // 7. tags (IsolateQueryPage.pm:3615-3686): membership in the
-    // allele_sequences tag fact, by presence / completeness / flags.
+    // allele_sequences tag fact, by presence / completeness / flags — all
+    // modes are row predicates (TagFlagNone = EXISTS ∧ ¬EXISTS, a
+    // two-predicate conjunction), so the family is ONE aggregation pass.
     if (spec.tags.nonEmpty) for (tags <- cat.tags) {
-      def ids(d: DataFrame) = d.select(col(cat.tagEntityId).as(cat.entityId))
-      def at(locus: Option[Int]) =
-        locus.map(l => tags.filter(col(cat.tagLocusCol) === l)).getOrElse(tags)
-      val sets = spec.tags.map { c =>
-        val t = at(c.locus)
+      def at(locus: Option[Int]): Column =
+        locus.map(l => col(cat.tagLocusCol) === l).getOrElse(lit(true))
+      val terms = spec.tags.map { c =>
+        val a = at(c.locus)
         c.mode match {
-          case Tagged => (ids(t), false)
-          case Untagged => (ids(t), true)
-          case TagComplete => (ids(t.filter(col(cat.tagCompleteCol))), false)
-          case TagIncomplete => (ids(t.filter(!col(cat.tagCompleteCol))), false)
+          case Tagged => Seq((a, false))
+          case Untagged => Seq((a, true))
+          case TagComplete => Seq((a && col(cat.tagCompleteCol), false))
+          case TagIncomplete => Seq((a && !col(cat.tagCompleteCol), false))
           case TagFlagged(Some(f)) =>
-            (ids(t.filter(col(cat.tagFlagCol) === f)), false)
+            Seq((a && col(cat.tagFlagCol) === f, false))
           case TagFlagged(None) =>
-            (ids(t.filter(col(cat.tagFlagCol).isNotNull)), false)
+            Seq((a && col(cat.tagFlagCol).isNotNull, false))
           case TagFlagNone =>
-            // tagged at the locus AND not flagged there — one positive set
-            // (reference emits IN(tagged) AND NOT IN(flagged) as a single
-            // or-able term, IsolateQueryPage.pm:3663-3668). A specific
-            // locus is required, as in the reference ("Searching for any
-            // locus not flagged is not supported", :3660)
+            // tagged at the locus AND not flagged there (reference emits
+            // IN(tagged) AND NOT IN(flagged) as a single or-able term,
+            // IsolateQueryPage.pm:3663-3668). A specific locus is
+            // required, as in the reference ("Searching for any locus not
+            // flagged is not supported", :3660)
             require(c.locus.isDefined,
               "TagFlagNone requires a specific locus")
-            (ids(t).join(ids(t.filter(col(cat.tagFlagCol).isNotNull)),
-              Seq(cat.entityId), "left_anti"), false)
+            Seq((a, false), (a && col(cat.tagFlagCol).isNotNull, true))
         }
       }
-      df = applyMembership(df, cat.entityId, sets, spec.tagCombine)
+      df = applyFusedMembership(df, cat.entityId, tags,
+        col(cat.tagEntityId), "tag", terms, spec.tagCombine)
     }
 
     // 8. tag counts (IsolateQueryPage.pm:3688-3817): zero-inclusive count
-    // of tag rows per entity, optionally per locus.
-    for (c <- spec.tagCounts; tags <- cat.tags) {
-      val t = c.locus.map(l => tags.filter(col(cat.tagLocusCol) === l))
-        .getOrElse(tags)
-      val counts = t.groupBy(col(cat.tagEntityId).as(cat.entityId))
-        .agg(count(lit(1)).as("__tn"))
-      df = df.join(counts, Seq(cat.entityId), "left")
-        .withColumn("__tn", coalesce(col("__tn"), lit(0L)))
-        .filter(Predicates.compile(col("__tn"), c.op, c.n.toString, isText = false))
-        .drop("__tn")
+    // of tag rows per entity, optionally per locus — one conditional-count
+    // aggregation for all clauses.
+    if (spec.tagCounts.nonEmpty) for (tags <- cat.tags) {
+      val clauses = spec.tagCounts.map { c =>
+        (c.locus.map(l => col(cat.tagLocusCol) === l).getOrElse(lit(true)),
+          c.op, c.n.toString)
+      }
+      df = applyFusedCounts(df, cat.entityId, tags,
+        col(cat.tagEntityId), "tn", clauses)
     }
 
     // 9. designation status (IsolateQueryPage.pm:3850-3897): designation
-    // with the given curation status at a locus (or any).
+    // with the given curation status at a locus (or any) — fused pass.
     if (spec.designationStatus.nonEmpty) for (facts <- cat.facts) {
-      val sets = spec.designationStatus.map { c =>
-        val base = c.locus
-          .map(l => facts.filter(col(cat.locusCol) === l)).getOrElse(facts)
-        (base.filter(col(cat.statusCol) === c.status)
-          .select(col(cat.factEntityId).as(cat.entityId)), false)
+      val terms = spec.designationStatus.map { c =>
+        val a = c.locus.map(l => col(cat.locusCol) === l).getOrElse(lit(true))
+        Seq((a && col(cat.statusCol) === c.status, false))
       }
-      df = applyMembership(df, cat.entityId, sets, spec.statusCombine)
+      df = applyFusedMembership(df, cat.entityId, facts,
+        col(cat.factEntityId), "st", terms, spec.statusCombine)
     }
 
     // 10. seqbin stats (IsolateQueryPage.pm:3932-3996): metric predicate
@@ -447,13 +450,12 @@ object QueryCompiler {
     }
 
     // 11. annotation status (IsolateQueryPage.pm:3997-4045): the entity's
-    // annotation metric `name` carries the given status.
+    // annotation metric `name` carries the given status — fused pass.
     if (spec.annotations.nonEmpty) for (an <- cat.analyses) {
-      val sets = spec.annotations.map { c =>
-        (an.filter(col("name") === c.name && col("status") === c.status)
-          .select(col(cat.analysisEntityId).as(cat.entityId)), false)
-      }
-      df = applyMembership(df, cat.entityId, sets, spec.annotationCombine)
+      val terms = spec.annotations.map(c =>
+        Seq((col("name") === c.name && col("status") === c.status, false)))
+      df = applyFusedMembership(df, cat.entityId, an,
+        col(cat.analysisEntityId), "an", terms, spec.annotationCombine)
     }
 
     // 12. assembly checks (IsolateQueryPage.pm:4175-4259): the checks fact
@@ -520,11 +522,81 @@ object QueryCompiler {
     df
   }
 
+  /** Fused existence membership: every term is a conjunction of
+    * (row-predicate, negate) EXISTS tests over the SAME fact, so the whole
+    * clause family compiles to ONE map-side-combinable hash aggregation
+    * (a `max(bool)` flag per predicate) plus ONE join back to the running
+    * plan — k semi/anti joins (k fact shuffles) collapse to 1 regardless
+    * of clause count. This is the Spark shape of the reference's single
+    * generated WHERE clause per family (IsolateQueryPage.pm builds one SQL
+    * string; it never re-scans per sub-clause either).
+    *
+    * Entities with no fact rows: flags are null after the left join;
+    * coalesce(false) makes a positive EXISTS false and a negated one true —
+    * exactly the semi/anti-join semantics, including `Untagged` /
+    * `LocusMissing` matching entities absent from the fact entirely.
+    */
+  private def applyFusedMembership(
+      df: DataFrame,
+      pk: String,
+      fact: DataFrame,
+      factPk: Column,
+      tag: String,
+      terms: Seq[Seq[(Column, Boolean)]],
+      combine: Combine): DataFrame = {
+    val preds = terms.flatten.map(_._1)
+    val flagNames = preds.indices.map(i => s"__${tag}$i")
+    val flags = preds.zip(flagNames).map { case (p, n) =>
+      max(when(p, lit(true)).otherwise(lit(false))).as(n)
+    }
+    // existence flags are monotone, so pre-filtering to rows matching ANY
+    // predicate keeps the shuffle as small as the unfused filtered sets
+    val agg = fact.filter(preds.reduce(_ || _))
+      .groupBy(factPk.as(pk)).agg(flags.head, flags.tail: _*)
+    val joined = df.join(agg, Seq(pk), "left")
+    val flagIter = flagNames.iterator
+    val termExprs = terms.map(conj => conj.map { case (_, neg) =>
+      val f = coalesce(col(flagIter.next()), lit(false))
+      if (neg) !f else f
+    }.reduce(_ && _))
+    val keep = combine match {
+      case CombineAnd => termExprs.reduce(_ && _)
+      case CombineOr => termExprs.reduce(_ || _)
+    }
+    joined.filter(keep).drop(flagNames: _*)
+  }
+
+  /** Fused zero-inclusive count predicates: one conditional `count(when)`
+    * per clause inside a single aggregation + one left join (null → 0),
+    * replacing a full-fact groupBy per clause.
+    */
+  private def applyFusedCounts(
+      df: DataFrame,
+      pk: String,
+      fact: DataFrame,
+      factPk: Column,
+      tag: String,
+      clauses: Seq[(Column, Predicates.Op, String)]): DataFrame = {
+    val names = clauses.indices.map(i => s"__${tag}c$i")
+    val aggs = clauses.zip(names).map { case ((scope, _, _), n) =>
+      count(when(scope, lit(1))).as(n)
+    }
+    val agg = fact.groupBy(factPk.as(pk)).agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(agg, Seq(pk), "left")
+    val keep = clauses.zip(names).map { case ((_, op, v), n) =>
+      Predicates.compile(coalesce(col(n), lit(0L)), op, v, isText = false)
+    }.reduce(_ && _)
+    joined.filter(keep).drop(names: _*)
+  }
+
   /** Combine membership sets into the running plan: AND = one semi/anti
     * join per set (each a single shuffle or broadcast keyed on the pk);
     * OR = union the member ids (negated sets via anti join against the
     * current entity ids) and apply ONE semi join — the `id IN (...) OR id
-    * IN (...)` shape without row duplication.
+    * IN (...)` shape without row duplication. Used where membership sets
+    * are genuinely heterogeneous plans (seqbin null-union, assembly-check
+    * count logic); families whose sets are row-predicates over one fact go
+    * through applyFusedMembership instead.
     */
   private def applyMembership(
       df: DataFrame,
