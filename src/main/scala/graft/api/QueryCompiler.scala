@@ -462,62 +462,79 @@ object QueryCompiler {
     // stores warn/fail rows only; pass = has seqbin stats and fewer
     // recorded rows than totalCheckTypes. Named scope here is one check
     // name (the reference expands a named group to its member checks).
+    // Every clause is a predicate over conditional COUNTS of the checks
+    // fact plus a stats-presence flag, so the whole family is ONE
+    // aggregation pass + one broadcast-size presence join, clause count
+    // notwithstanding.
     if (spec.assemblyChecks.nonEmpty) for (checks <- cat.checks) {
       val pk = cat.entityId
-      def cids(d: DataFrame) = d.select(col(cat.checkEntityId).as(pk))
-      val statsIds = cat.seqbinStats
-        .map(s => s.select(col(cat.seqbinEntityId).as(pk)))
-        .getOrElse(df.sparkSession.emptyDataFrame.withColumn(pk, lit(0L)))
       val total = cat.totalCheckTypes
-      val counts = checks.groupBy(col(cat.checkEntityId).as(pk))
-        .agg(count(lit(1)).as("__cn"))
-      def passUnder(sub: DataFrame) = // has stats, no recorded row in `sub`
-        statsIds.join(cids(sub), Seq(pk), "left_anti")
-      val sets = spec.assemblyChecks.map { c =>
-        val s = (c.scope, c.status) match {
+      val names = spec.assemblyChecks.map(_.scope)
+        .collect { case NamedCheck(n) => n }.distinct
+      val nameIdx = names.zipWithIndex.toMap
+      val aggCols = Seq(
+        count(lit(1)).as("__ck_all"),
+        count(when(col("status") === "warn", lit(1))).as("__ck_warn"),
+        count(when(col("status") === "fail", lit(1))).as("__ck_fail")) ++
+        names.zipWithIndex.flatMap { case (n, i) => Seq(
+          count(when(col("name") === n, lit(1))).as(s"__ckn_$i"),
+          count(when(col("name") === n && col("status") === "warn", lit(1)))
+            .as(s"__cknw_$i"),
+          count(when(col("name") === n && col("status") === "fail", lit(1)))
+            .as(s"__cknf_$i"))
+        }
+      val agg = checks.groupBy(col(cat.checkEntityId).as(pk))
+        .agg(aggCols.head, aggCols.tail: _*)
+      var joined = df.join(agg, Seq(pk), "left")
+      val hasStats: Column = cat.seqbinStats match {
+        case Some(s) =>
+          joined = joined.join(
+            s.select(col(cat.seqbinEntityId).as(pk)).distinct()
+              .withColumn("__ck_has", lit(true)),
+            Seq(pk), "left")
+          coalesce(col("__ck_has"), lit(false))
+        case None => lit(false)
+      }
+      def c0(n: String) = coalesce(col(n), lit(0L))
+      val termExprs = spec.assemblyChecks.map { c =>
+        (c.scope, c.status) match {
           case (AnyCheck, "pass") =>
-            statsIds.join(counts, Seq(pk), "left")
-              .filter(col("__cn").isNull || col("__cn") < total).select(col(pk))
-          case (AnyCheck, "warn") => cids(checks.filter(col("status") === "warn"))
-          case (AnyCheck, "fail") => cids(checks.filter(col("status") === "fail"))
+            // `=== 0` kept separate: with total = 0, "no checks recorded"
+            // still passes (the unfused path's `__cn IS NULL` arm)
+            hasStats && (c0("__ck_all") === 0 ||
+              c0("__ck_all") < lit(total.toLong))
+          case (AnyCheck, "warn") => c0("__ck_warn") > 0
+          case (AnyCheck, "fail") => c0("__ck_fail") > 0
           case (AnyCheck, "pass/warn") =>
-            val failIds = checks.filter(col("status") === "fail")
-              .groupBy(col(cat.checkEntityId).as(pk)).agg(count(lit(1)).as("__fn"))
-            // the reference's exact disjunction (IsolateQueryPage.pm:4206-4210):
-            // NOT IN checks (__cn null) OR NOT IN fail-checks (__fn null) OR
-            // recorded-count < defined checks — note an entity whose checks
-            // are all recorded as a warn/fail mix covering every type does
-            // NOT match, by the reference's own rule
-            statsIds.join(counts, Seq(pk), "left").join(failIds, Seq(pk), "left")
-              .filter(col("__cn").isNull || col("__fn").isNull || col("__cn") < total)
-              .select(col(pk))
-          case (AnyCheck, "warn/fail") => cids(checks)
-          case (AllChecks, "pass") => passUnder(checks)
-          case (AllChecks, "warn") =>
-            cids(checks.filter(col("status") === "warn")
-              .groupBy(col(cat.checkEntityId)).agg(count(lit(1)).as("__cn"))
-              .filter(col("__cn") === total))
-          case (AllChecks, "fail") =>
-            cids(checks.filter(col("status") === "fail")
-              .groupBy(col(cat.checkEntityId)).agg(count(lit(1)).as("__cn"))
-              .filter(col("__cn") === total))
-          case (AllChecks, "warn/fail") =>
-            cids(checks.groupBy(col(cat.checkEntityId))
-              .agg(count(lit(1)).as("__cn")).filter(col("__cn") === total))
-          case (NamedCheck(n), "pass") => passUnder(checks.filter(col("name") === n))
-          case (NamedCheck(n), "warn") =>
-            cids(checks.filter(col("name") === n && col("status") === "warn"))
-          case (NamedCheck(n), "fail") =>
-            cids(checks.filter(col("name") === n && col("status") === "fail"))
+            // the reference's exact disjunction (IsolateQueryPage.pm:
+            // 4206-4210): no checks recorded OR no fails OR fewer recorded
+            // than defined — an entity whose checks are a warn/fail mix
+            // covering every type does NOT match, by the reference's rule
+            hasStats && (c0("__ck_all") === 0 || c0("__ck_fail") === 0 ||
+              c0("__ck_all") < lit(total.toLong))
+          case (AnyCheck, "warn/fail") => c0("__ck_all") > 0
+          case (AllChecks, "pass") => hasStats && c0("__ck_all") === 0
+          case (AllChecks, "warn") => c0("__ck_warn") === lit(total.toLong)
+          case (AllChecks, "fail") => c0("__ck_fail") === lit(total.toLong)
+          case (AllChecks, "warn/fail") => c0("__ck_all") === lit(total.toLong)
+          case (NamedCheck(n), "pass") =>
+            hasStats && c0(s"__ckn_${nameIdx(n)}") === 0
+          case (NamedCheck(n), "warn") => c0(s"__cknw_${nameIdx(n)}") > 0
+          case (NamedCheck(n), "fail") => c0(s"__cknf_${nameIdx(n)}") > 0
           case (NamedCheck(n), "pass/warn") =>
-            passUnder(checks.filter(col("name") === n && col("status") === "fail"))
-          case (NamedCheck(n), "warn/fail") => cids(checks.filter(col("name") === n))
+            hasStats && c0(s"__cknf_${nameIdx(n)}") === 0
+          case (NamedCheck(n), "warn/fail") => c0(s"__ckn_${nameIdx(n)}") > 0
           case (scope, status) => throw new IllegalArgumentException(
             s"unsupported assembly check: $scope/$status")
         }
-        (s, false)
       }
-      df = applyMembership(df, cat.entityId, sets, spec.checksCombine)
+      val keep = spec.checksCombine match {
+        case CombineAnd => termExprs.reduce(_ && _)
+        case CombineOr => termExprs.reduce(_ || _)
+      }
+      val dropCols = Seq("__ck_all", "__ck_warn", "__ck_fail", "__ck_has") ++
+        names.indices.flatMap(i => Seq(s"__ckn_$i", s"__cknw_$i", s"__cknf_$i"))
+      df = joined.filter(keep).drop(dropCols: _*)
     }
     df
   }
