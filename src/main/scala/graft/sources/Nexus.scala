@@ -28,20 +28,24 @@ object Nexus {
     */
   def writeDistances(pairs: DataFrame, a: String, b: String, dist: String,
       path: String, defaultDist: Long): Unit = {
-    // enforce the taxa cap BEFORE collecting: a bounded distinct-count
-    // probe, so an oversized pair DataFrame fails fast instead of OOMing
-    // the driver on the collect below
-    val taxaCount = pairs.select(col(a).cast("long").as("t"))
-      .unionByName(pairs.select(col(b).cast("long").as("t")))
-      .distinct().limit(MaxTaxa + 1).count()
-    require(taxaCount <= MaxTaxa,
-      s"> $MaxTaxa taxa exceed MAX_SPLITS_TAXA=$MaxTaxa " +
-        "(Constants.pm:36); export a thresholded pair list instead")
-    val rows = pairs
+    // bounded collect: <= MaxTaxa taxa implies <= MaxTaxa*(MaxTaxa-1)/2
+    // pairs, so limiting the collect to that +1 both caps driver memory
+    // (an oversized pair DataFrame can't OOM the driver) and detects the
+    // overflow in the same single job
+    val maxPairs = MaxTaxa * (MaxTaxa - 1) / 2
+    val collected = pairs
       .select(col(a).cast("long"), col(b).cast("long"), col(dist).cast("long"))
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      .limit(maxPairs + 1).collect()
+    require(collected.length <= maxPairs,
+      s"> $maxPairs pairs imply > MAX_SPLITS_TAXA=$MaxTaxa taxa " +
+        "(Constants.pm:36); export a thresholded pair list instead")
+    val rows = collected
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     val taxa = rows.keysIterator.flatMap(k => Iterator(k._1, k._2))
       .toArray.distinct.sorted
+    require(taxa.length <= MaxTaxa,
+      s"${taxa.length} taxa exceed MAX_SPLITS_TAXA=$MaxTaxa " +
+        "(Constants.pm:36); export a thresholded pair list instead")
     def d(x: Long, y: Long): Long =
       if (x == y) 0L
       else rows.getOrElse((math.min(x, y), math.max(x, y)), defaultDist)
