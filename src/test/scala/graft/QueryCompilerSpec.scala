@@ -181,6 +181,51 @@ class QueryCompilerSpec extends SparkSpec {
     }
   }
 
+  test("fused membership equals naive EXISTS semantics on random specs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val rows = Seq.fill(60)((rnd.nextInt(20) + 1L, rnd.nextInt(4) + 1,
+        (rnd.nextInt(5) + 1).toString,
+        if (rnd.nextBoolean()) "confirmed" else "provisional"))
+      val rfacts = rows.toDF("entity_id", "locus", "allele", "status")
+      val rents = (1L to 25L).toDF("id") // 21..25 have no fact rows at all
+      val rcat = Catalog(rents, "id", facts = Some(rfacts))
+      val clauses = Seq.fill(rnd.nextInt(3) + 1) {
+        if (rnd.nextBoolean())
+          HasAllele(rnd.nextInt(4) + 1, Eq, (rnd.nextInt(5) + 1).toString)
+        else LocusMissing(rnd.nextInt(4) + 1)
+      }
+      val combine = if (rnd.nextBoolean()) CombineAnd else CombineOr
+      val statusClauses = Seq.fill(rnd.nextInt(2)) {
+        StatusClause(if (rnd.nextBoolean()) Some(rnd.nextInt(4) + 1) else None,
+          "confirmed")
+      }
+      val got = compile(QuerySpec(designations = clauses,
+          designationCombine = combine,
+          designationStatus = statusClauses), rcat)
+        .select("id").as[Long].collect().toSet
+      // naive per-clause EXISTS reference
+      val byE = rows.groupBy(_._1)
+      def des(e: Long, c: DesignationClause): Boolean = c match {
+        case HasAllele(l, _, v) =>
+          byE.getOrElse(e, Nil).exists(r => r._2 == l && r._3 == v)
+        case LocusMissing(l) =>
+          !byE.getOrElse(e, Nil).exists(_._2 == l)
+      }
+      def st(e: Long, c: StatusClause): Boolean =
+        byE.getOrElse(e, Nil).exists(r =>
+          c.locus.forall(_ == r._2) && r._4 == c.status)
+      val want = (1L to 25L).filter { e =>
+        val ms = clauses.map(des(e, _))
+        val dOk = if (combine == CombineAnd) ms.forall(identity)
+          else ms.exists(identity)
+        dOk && statusClauses.forall(st(e, _)) // AND default for status
+      }.toSet
+      assert(got == want,
+        s"trial $trial clauses=$clauses combine=$combine status=$statusClauses")
+    }
+  }
+
   test("security view: public ∪ own ∪ project-shared, date cap") {
     val rowsDf = Seq(
       (1L, 100L, false, 1L, "2020-01-01"),
