@@ -141,4 +141,33 @@ object Multimodal {
               lit(maxFrames - 1)), lit(0))),
           i => substr(base64(col("media")), (i * 8 + 1).cast("int"), lit(8))),
         1, maxFrames)).as(Seq("frame_no", "frame_token")))
+
+  /** Patch tiling (ViT-style image patching shape): the media bytes are
+    * treated as `rowBytes`-wide raster rows and every (tileW × tileH)-byte
+    * block becomes one (id, tile_x, tile_y, tile) row. The 2D gather runs
+    * entirely in codegen'd higher-order functions over the binary column —
+    * one explode per tile index, one `aggregate` concatenating the tile's
+    * row slices — so tiling N docs is a single narrow (shuffle-free)
+    * projection. A real decoder would replace the byte arithmetic, not
+    * the plan shape.
+    */
+  def tile(media: DataFrame, id: String, rowBytes: Int,
+      tileW: Int, tileH: Int): DataFrame = {
+    require(tileW > 0 && tileH > 0 && rowBytes >= tileW,
+      s"invalid tile geometry: rowBytes=$rowBytes tileW=$tileW tileH=$tileH")
+    val nx = rowBytes / tileW
+    media
+      .withColumn("__ny",
+        (length(col("media")) / rowBytes / tileH).cast("int"))
+      .filter(col("__ny") >= 1)
+      .select(col(id), col("media"),
+        explode(expr(s"sequence(0, __ny * $nx - 1)")).as("__t"))
+      .select(col(id),
+        expr(s"cast(__t % $nx as int)").as("tile_x"),
+        expr(s"cast(__t div $nx as int)").as("tile_y"),
+        expr(s"aggregate(sequence(0, ${tileH - 1}), cast('' as binary), " +
+          s"(acc, r) -> concat(acc, substring(media, " +
+          s"cast((__t div $nx * $tileH + r) * $rowBytes " +
+          s"+ __t % $nx * $tileW + 1 as int), $tileW)))").as("tile"))
+  }
 }

@@ -323,7 +323,40 @@ object ScanQueries extends QueryModule {
              FROM d, unnest(range(1, least(length(dna), 20) + 1)) t(p)
              GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // Multimodal patch tiling (ViT patching shape): 32-byte raster rows,
+  // 16×2-byte tiles → 2 tiles per row-pair. Oracle replays the same 2D
+  // byte arithmetic over hex strings (DuckDB can't slice BLOBs).
+  private val mmTile = Q(
+    "mm_tile",
+    (s, dir) => {
+      val media = Multimodal.syntheticMedia(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.tile(media, "doc_id", rowBytes = 32, tileW = 16, tileH = 2)
+        .select(col("doc_id"), col("tile_x"), col("tile_y"),
+          length(col("tile")).cast("long").as("n_bytes"),
+          md5(lower(hex(col("tile")))).as("tile_md5"))
+        .orderBy(col("doc_id"), col("tile_y"), col("tile_x"))
+    },
+    Some("""WITH m AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     CAST(floor(octet_length(encode(text)) / 32.0 / 2.0)
+                          AS INT) AS ny
+              FROM documents),
+            t AS (SELECT doc_id, hx,
+                         unnest(generate_series(0, ny * 2 - 1)) AS tt
+                  FROM m WHERE ny >= 1)
+            SELECT doc_id, CAST(tt % 2 AS INT) AS tile_x,
+                   CAST(tt // 2 AS INT) AS tile_y,
+                   CAST(32 AS BIGINT) AS n_bytes,
+                   md5(lower(
+                     substr(hx, CAST(((tt // 2 * 2) * 32
+                       + tt % 2 * 16) * 2 + 1 AS INT), 32) ||
+                     substr(hx, CAST(((tt // 2 * 2 + 1) * 32
+                       + tt % 2 * 16) * 2 + 1 AS INT), 32))) AS tile_md5
+            FROM t ORDER BY doc_id, tile_y, tile_x"""))
+
   val qs: Seq[Q] = Seq(q4TagScan, q4TagScanSeeded, q3ExemplarPrune,
     q4LongExact, q4LongSeeded,
-    q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, g7SiteFreq)
+    q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, mmTile,
+    g7SiteFreq)
 }

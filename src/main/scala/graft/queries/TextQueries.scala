@@ -162,5 +162,43 @@ object TextQueries extends QueryModule {
             FROM d LEFT JOIN pw ON pw.i < length(d.t)
             GROUP BY d.doc_id ORDER BY d.doc_id"""))
 
-  val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint, textRepetition)
+  // Character-bigram Shannon entropy — the standard gibberish/boilerplate
+  // signal next to the repetition ratio: low entropy = repeated padding,
+  // high = random noise. Distributed form: explode bigrams → two hash
+  // aggregations (count per (doc, bigram), then Σ c·log2 c per doc) — both
+  // map-side combinable, no per-row maps that would blow up on long docs.
+  // H = log2(N) - (Σ c·log2 c)/N, exact in one pass over the counts.
+  private val textEntropy = Q(
+    "text_ngram_entropy",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) >= 2)
+      val bigrams = docs.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 1)," +
+            " i -> substring(lower(text), i, 2))")).as("bg"))
+      bigrams.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c") * log2(col("c"))).as("clog"))
+        .select(col("doc_id"),
+          col("n").cast("long").as("n_bigrams"),
+          round(log2(col("n")) - col("clog") / col("n"), 4).as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH bg AS (
+              SELECT doc_id, unnest(list_transform(
+                       range(1, length(text)),
+                       i -> substr(lower(text), CAST(i AS INT), 2))) AS b
+              FROM documents WHERE length(text) >= 2),
+            cnt AS (SELECT doc_id, b, count(1) AS c FROM bg GROUP BY 1, 2),
+            agg AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS clog
+                    FROM cnt GROUP BY 1)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+                   round(log2(n) - clog / n, 4) AS entropy
+            FROM agg ORDER BY doc_id"""))
+
+  val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
+    textRepetition, textEntropy)
 }

@@ -53,6 +53,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L)._1 == 1) // tiny input stays tiny
   }
 
+  test("tile: 2D patch gather recovers exact byte blocks, partial rows dropped") {
+    // 70 bytes at rowBytes=16, tileW=8, tileH=2: ny = floor(70/16/2) = 2,
+    // nx = 2 → 4 tiles over the first 64 bytes; the 6-byte tail is dropped
+    val bytes = (0 until 70).map(i => ('A' + i % 26).toChar).mkString
+    val m = Multimodal.syntheticMedia(
+      Seq((1L, bytes)).toDF("doc_id", "text"), "doc_id", "text")
+    val got = Multimodal.tile(m, "doc_id", rowBytes = 16, tileW = 8, tileH = 2)
+      .select(col("tile_x"), col("tile_y"), col("tile").cast("string"))
+      .as[(Int, Int, String)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.size == 4)
+    def row(r: Int) = bytes.slice(r * 16, r * 16 + 16)
+    // tile (x, y) = rows (2y, 2y+1), byte columns [8x, 8x+8)
+    for (ty <- 0 to 1; tx <- 0 to 1) {
+      val want = row(ty * 2).slice(tx * 8, tx * 8 + 8) +
+        row(ty * 2 + 1).slice(tx * 8, tx * 8 + 8)
+      assert(got((tx, ty)) == want, s"tile ($tx,$ty)")
+    }
+  }
+
   test("frameSample: bounded one-to-many explode") {
     val m = Multimodal.syntheticMedia(
       Seq((1L, "x" * 300), (2L, "y")).toDF("doc_id", "text"), "doc_id", "text")
