@@ -92,6 +92,35 @@ class PlanSpec extends SparkSpec {
       s"replicated dim must broadcast:\n${plan.take(2000)}")
   }
 
+  test("mm_tile: 2D patch gather is a narrow plan — no shuffle before the sort") {
+    val plan = planOf("mm_tile")
+    // the only allowed shuffles: the presentation orderBy (range) and the
+    // cached source's own repartition (round-robin, inside
+    // InMemoryRelation); the tiling itself (explode + aggregate-concat)
+    // must add NO hash exchange
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"tiling must not shuffle:\n${plan.take(3000)}")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1,
+      s"expected only the final sort exchange:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), "tiling is per-row, no join expected")
+  }
+
+  test("api_status_variation: fused families — one aggregation per family") {
+    // 3 clause families (status, variations, tag counts) = 3 fused
+    // aggregations; the unfused compiler did one PER CLAUSE (4 here) plus
+    // extra joins. partial+final pairs → at most 8 HashAggregates, and the
+    // membership joins must not exceed one per family + entity lookups.
+    val plan = planOf("api_status_variation")
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs <= 8, s"clause families must stay fused (got $aggs):\n${plan.take(3000)}")
+  }
+
+  test("text_ngram_entropy: two-level aggregation with map-side partials") {
+    val plan = planOf("text_ngram_entropy")
+    val hashAggs = "HashAggregate".r.findAllIn(plan).size
+    assert(hashAggs >= 4, s"expected partial+final at both levels:\n${plan.take(2000)}")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
