@@ -63,4 +63,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batch.count() && batch.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("text quality scoring runs unchanged on a stream (curation-on-ingest)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the training-data curation ops are stateless projections, so the
+    // batch definitions ARE the streaming ingest filter — no rewrite
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "aaa aaa aaa aaa"),
+      (3L, "x"))
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.pipeline.TextAnalysis
+          .qualityFeatures(col("text"), Seq("the", "and")).as("f"))
+        .select(col("doc_id"), col("f.n_tokens"),
+          round(col("f.stopword_ratio"), 4).as("sr"))
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val q = score(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_quality_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_quality_sink")
+    val batch = score(docs.toDF("doc_id", "text"))
+    assert(streamed.count() == 3)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
