@@ -132,14 +132,59 @@ object Profiles {
     * share nothing are never generated. `minShared` prunes before the
     * pair aggregation shuffles.
     */
-  def similarityJoin(wh: DataFrame, entity: String, minShared: Int): DataFrame = {
+  /** Partition-size bound for one (locus, allele) self-join bucket. A key
+    * designated in f isolates contributes f² candidate pairs; above the
+    * cap the bucket is block-partitioned so no single task materializes
+    * more than ~cap·f of them. At fixture scale no key crosses the
+    * default, so every oracle row also certifies the guarded plan.
+    */
+  val HotKeyCap = 65536
+
+  def similarityJoin(wh: DataFrame, entity: String, minShared: Int): DataFrame =
+    similarityJoin(wh, entity, minShared, HotKeyCap)
+
+  /** Threshold similarity self-join with skew guard.
+    *
+    * Cold keys (frequency <= hotKeyCap) take the plain explode/equi-join.
+    * Hot keys — the quadratic exposure of G1/G2/G3 at 100 TB, where a
+    * near-universal allele would funnel the whole corpus into one shuffle
+    * partition — are block-partitioned: each row gets a stable block id
+    * `hash(entity) mod nb` (nb = ceil(f / cap)); the left side replicates
+    * once per target block and joins rows of that block only, so every
+    * unordered pair is still produced exactly once (as (i, j) with i < j,
+    * from i's copy targeted at j's block) while the per-task bucket shrinks
+    * from f² to ~f·cap. The frequency pass shuffles on the same key as the
+    * join itself and the hot-key set is broadcast — no extra fact-wide
+    * shuffle. Candidate rows from both paths union BEFORE the shared-count
+    * aggregation, so results are bit-identical to the unguarded join
+    * (SkewCacheSpec forces the blocked path and proves it).
+    */
+  def similarityJoin(wh: DataFrame, entity: String, minShared: Int,
+      hotKeyCap: Int): DataFrame = {
     val exploded = wh
       .select(col(entity), posexplode(col("profile")).as(Seq("locus", "allele")))
       .filter(col("allele") =!= lit(AlleleId.Missing))
-    val l = exploded.select(col(entity).as("e1"), col("locus"), col("allele"))
-    val r = exploded.select(col(entity).as("e2"), col("locus"), col("allele"))
-    l.join(r, Seq("locus", "allele"))
+    val hotKeys = exploded.groupBy(col("locus"), col("allele"))
+      .agg(count(lit(1)).as("__f"))
+      .filter(col("__f") > hotKeyCap)
+    val marked = exploded.join(broadcast(hotKeys), Seq("locus", "allele"), "left")
+    val cold = marked.filter(col("__f").isNull)
+    val coldPairs = cold.select(col(entity).as("e1"), col("locus"), col("allele"))
+      .join(cold.select(col(entity).as("e2"), col("locus"), col("allele")),
+        Seq("locus", "allele"))
       .filter(col("e1") < col("e2"))
+      .select(col("e1"), col("e2"))
+    val hot = marked.filter(col("__f").isNotNull)
+      .withColumn("__nb", ceil(col("__f") / hotKeyCap).cast("int"))
+      .withColumn("__blk", pmod(hash(col(entity)), col("__nb")))
+    val hotL = hot.select(col(entity).as("e1"), col("locus"), col("allele"),
+        explode(sequence(lit(0), col("__nb") - 1)).as("__tgt"))
+    val hotR = hot.select(col(entity).as("e2"), col("locus"), col("allele"),
+      col("__blk").as("__tgt"))
+    val hotPairs = hotL.join(hotR, Seq("locus", "allele", "__tgt"))
+      .filter(col("e1") < col("e2"))
+      .select(col("e1"), col("e2"))
+    coldPairs.unionByName(hotPairs)
       .groupBy(col("e1"), col("e2"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -41,6 +41,28 @@ class SkewCacheSpec extends SparkSpec {
     assert(got == Map("hot" -> 500L, "a" -> 1L, "b" -> 2L))
   }
 
+  test("skew-guarded similarityJoin equals the plain join on a hot-key corpus") {
+    import graft.operators.Profiles
+    // 40 profiles, locus 1 = the SAME allele everywhere (a universal hot
+    // key: 40² candidate pairs through one bucket unguarded), loci 2-4
+    // varied
+    val wh = (1L to 40L).map(i =>
+      (i, Seq("9", (i % 4).toString, (i % 3 + 1).toString, (i % 5).toString)))
+      .toDF("iso", "profile")
+    def run(cap: Int) =
+      Profiles.similarityJoin(wh, "iso", 2, cap)
+        .as[(Long, Long, Long)].collect().toSet
+    val plain = run(Int.MaxValue) // nothing hot: original single-path plan
+    val guarded = run(4)          // forces blocking: nb = ceil(40/4) = 10
+    assert(plain == guarded)
+    assert(plain.nonEmpty)
+    // at minShared=1 with EVERY key hot, the universal locus-1 allele must
+    // still connect all 40·39/2 pairs exactly once
+    val all = Profiles.similarityJoin(wh, "iso", 1, 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all.size == 40 * 39 / 2)
+  }
+
   test("upsert: updates replace matching keys, others carry over") {
     val current = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("id", "v", "ver")
     val updates = Seq((2L, "B", 2), (4L, "d", 2)).toDF("id", "v", "ver")
