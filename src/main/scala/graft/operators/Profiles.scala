@@ -167,7 +167,23 @@ object Profiles {
     val hotKeys = exploded.groupBy(col("locus"), col("allele"))
       .agg(count(lit(1)).as("__f"))
       .filter(col("__f") > hotKeyCap)
-    val marked = exploded.join(broadcast(hotKeys), Seq("locus", "allele"), "left")
+    // adaptive: one pre-aggregated probe (map-side partial count, tiny
+    // result) decides the plan. No hot keys — every fixture corpus, most
+    // real schemes — keeps the original two-reference plan; the guarded
+    // plan references the marked fact four times, so entering it blindly
+    // would recompute the explode per branch.
+    if (hotKeys.isEmpty) {
+      val l = exploded.select(col(entity).as("e1"), col("locus"), col("allele"))
+      val r = exploded.select(col(entity).as("e2"), col("locus"), col("allele"))
+      return l.join(r, Seq("locus", "allele"))
+        .filter(col("e1") < col("e2"))
+        .groupBy(col("e1"), col("e2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+    }
+    val marked = exploded
+      .join(broadcast(hotKeys), Seq("locus", "allele"), "left")
+      .localCheckpoint() // referenced 4× below; never recompute the explode
     val cold = marked.filter(col("__f").isNull)
     val coldPairs = cold.select(col(entity).as("e1"), col("locus"), col("allele"))
       .join(cold.select(col(entity).as("e2"), col("locus"), col("allele")),
