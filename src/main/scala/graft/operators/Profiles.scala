@@ -140,6 +140,9 @@ object Profiles {
     */
   val HotKeyCap = 65536
 
+  private val hotProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def similarityJoin(wh: DataFrame, entity: String, minShared: Int): DataFrame =
     similarityJoin(wh, entity, minShared, HotKeyCap)
 
@@ -171,8 +174,14 @@ object Profiles {
     // result) decides the plan. No hot keys — every fixture corpus, most
     // real schemes — keeps the original two-reference plan; the guarded
     // plan references the marked fact four times, so entering it blindly
-    // would recompute the explode per branch.
-    if (hotKeys.isEmpty) {
+    // would recompute the explode per branch. The probe is memoized per
+    // (session, warehouse plan, cap): both branches return identical rows,
+    // so a stale or colliding memo entry can only affect plan shape, never
+    // results.
+    val probeKey = wh.sparkSession.hashCode() + "|" +
+      wh.queryExecution.analyzed.semanticHash() + "|" + hotKeyCap
+    val hasHot = hotProbeCache.computeIfAbsent(probeKey, _ => !hotKeys.isEmpty)
+    if (!hasHot) {
       val l = exploded.select(col(entity).as("e1"), col("locus"), col("allele"))
       val r = exploded.select(col(entity).as("e2"), col("locus"), col("allele"))
       return l.join(r, Seq("locus", "allele"))
