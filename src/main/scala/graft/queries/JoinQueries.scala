@@ -141,13 +141,17 @@ object JoinQueries extends QueryModule {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-               .as("revenue"),
+        // exact fixed-point accumulation: double sums depend on partial-sum
+        // order and can round differently than the oracle at any scale
+        // (bit at sf0.1: one region landed a half-ulp off at 4dp)
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+               .cast("decimal(30,6)")).cast("double").as("revenue"),
              count(lit(1)).as("n_lines"))
         .orderBy(col("r_name"))
     },
     Some("""SELECT r_name,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
                    count(1) AS n_lines
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
