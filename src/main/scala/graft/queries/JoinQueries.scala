@@ -113,7 +113,8 @@ object JoinQueries extends QueryModule {
       val li = Tables.load(s, dir, "lineitem")
       val stats = li.groupBy(col("l_orderkey")).agg(
         count(lit(1)).as("contigs"),
-        round(sum(col("l_extendedprice")), 4).as("total_length"))
+        round(sum(col("l_extendedprice").cast("decimal(30,6)"))
+          .cast("double"), 4).as("total_length"))
       o.join(stats, o("o_orderkey") === stats("l_orderkey"))
         .filter(col("total_length") >= 200000.0)
         .select(col("o_orderkey"), col("contigs"), col("total_length"))
@@ -121,7 +122,8 @@ object JoinQueries extends QueryModule {
     },
     Some("""SELECT o_orderkey, contigs, total_length FROM (
               SELECT l_orderkey, count(1) AS contigs,
-                     round(sum(l_extendedprice), 4) AS total_length
+                     round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6)))
+                                AS DOUBLE), 4) AS total_length
               FROM lineitem GROUP BY l_orderkey) st
             JOIN orders ON o_orderkey = st.l_orderkey
             WHERE total_length >= 200000.0

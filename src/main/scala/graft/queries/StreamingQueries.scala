@@ -21,7 +21,7 @@ object StreamingQueries extends QueryModule {
       IncrementalStats.eventStats(events).orderBy(col("user_id"))
     },
     Some("""SELECT user_id, count(1) AS n_events,
-                   round(sum(value), 4) AS total_value,
+                   round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4) AS total_value,
                    round(max(value), 4) AS max_value
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
@@ -42,7 +42,8 @@ object StreamingQueries extends QueryModule {
     },
     Some("""SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
                             '%Y-%m-%d %H:%M:%S') AS win_start,
-                   event_type, count(1) AS n, round(sum(value), 4) AS v
+                   event_type, count(1) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4) AS v
             FROM events GROUP BY win_start, event_type
             ORDER BY win_start, event_type"""))
 

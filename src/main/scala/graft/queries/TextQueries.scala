@@ -181,7 +181,8 @@ object TextQueries extends QueryModule {
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n"),
-          sum(col("c") * log2(col("c"))).as("clog"))
+          sum((col("c") * log2(col("c"))).cast("decimal(30,12)"))
+            .cast("double").as("clog"))
         .select(col("doc_id"),
           col("n").cast("long").as("n_bigrams"),
           round(log2(col("n")) - col("clog") / col("n"), 4).as("entropy"))
@@ -193,7 +194,9 @@ object TextQueries extends QueryModule {
                        i -> substr(lower(text), CAST(i AS INT), 2))) AS b
               FROM documents WHERE length(text) >= 2),
             cnt AS (SELECT doc_id, b, count(1) AS c FROM bg GROUP BY 1, 2),
-            agg AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS clog
+            agg AS (SELECT doc_id, sum(c) AS n,
+                           CAST(sum(CAST(c * log2(c) AS DECIMAL(30,12)))
+                                AS DOUBLE) AS clog
                     FROM cnt GROUP BY 1)
             SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
                    round(log2(n) - clog / n, 4) AS entropy

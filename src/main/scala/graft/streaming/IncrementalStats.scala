@@ -25,7 +25,11 @@ object IncrementalStats {
   def eventStats(events: DataFrame): DataFrame =
     events.groupBy(col("user_id")).agg(
       count(lit(1)).as("n_events"),
-      round(sum(col("value")), 4).as("total_value"),
+      // decimal accumulation: double sums are partial-sum-order dependent,
+      // so batch/stream/oracle could disagree in the last ulp and round
+      // differently at 4dp; fixed-point is exact and order-free
+      round(sum(col("value").cast("decimal(30,8)")).cast("double"), 4)
+        .as("total_value"),
       round(max(col("value")), 4).as("max_value"))
 
   /** Tumbling-window aggregate with watermark (the idiomatic streaming
@@ -35,7 +39,9 @@ object IncrementalStats {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,8)")).cast("double"), 4)
+          .as("v"))
 
   /** Run the shared aggregation over a parquet dir as a STREAM (file
     * micro-batches), materializing into an in-memory sink. Returns the
