@@ -311,13 +311,14 @@ object QueryCompiler {
     // 3b. scheme-field clauses (J3 / REST scheme queries): semi join
     // against the long-format scheme-field cache — the reference's
     // materialized temp_isolate_scheme_fields_<id> (sql/isolatedb.sql
-    // cache tables), one semi join per clause.
-    for (c <- spec.schemeFields; sc <- cat.schemeCache) {
-      val m = sc.filter(col("scheme_id") === c.schemeId &&
-          col("field") === c.field &&
-          Predicates.compile(col("value"), c.op, c.value, c.isText))
-        .select(col(cat.schemeEntityId).as(cat.entityId))
-      df = df.join(m, Seq(cat.entityId), "left_semi")
+    // cache tables) — all clauses fused into one aggregation pass, AND'd.
+    if (spec.schemeFields.nonEmpty) for (sc <- cat.schemeCache) {
+      val terms = spec.schemeFields.map(c => Seq((
+        col("scheme_id") === c.schemeId && col("field") === c.field &&
+          Predicates.compile(col("value"), c.op, c.value, c.isText),
+        false)))
+      df = applyFusedMembership(df, cat.entityId, sc,
+        col(cat.schemeEntityId), "sf", terms, CombineAnd)
     }
 
     // 4. designation clauses (J1/J2), AND/OR per designation_andor
