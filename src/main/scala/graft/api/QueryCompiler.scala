@@ -425,29 +425,33 @@ object QueryCompiler {
     }
 
     // 10. seqbin stats (IsolateQueryPage.pm:3932-3996): metric predicate
-    // over the per-entity stats dimension; stats-less entities match < /
-    // <= (and = / >= of 0) via the union with the anti join, mirroring the
-    // reference's `OR field IS NULL`.
+    // over the per-entity ONE-ROW stats dimension — a single left join;
+    // each clause is then a row predicate with the reference's
+    // `OR field IS NULL` semantics (stats-less entities match < / <= and
+    // = / >= of 0) folded into a null-aware term.
     if (spec.seqbin.nonEmpty) for (stats <- cat.seqbinStats) {
-      val sets = spec.seqbin.map { c =>
-        val pred = Predicates.compile(
-          col(c.field).cast("double"), c.op, c.value.toString, isText = false)
-        val matching = stats.filter(pred)
-          .select(col(cat.seqbinEntityId).as(cat.entityId))
+      val statCols = stats.columns.filter(_ != cat.seqbinEntityId)
+        .map(c => col(c).as(s"__sb_$c"))
+      val joined = df.join(
+        stats.select(col(cat.seqbinEntityId).as(cat.entityId) +: statCols: _*),
+        Seq(cat.entityId), "left")
+      val terms = spec.seqbin.map { c =>
+        val v = col(s"__sb_${c.field}").cast("double")
+        val pred = Predicates.compile(v, c.op, c.value.toString, isText = false)
         val nullMatches = c.op match {
           case Predicates.Lt | Predicates.Le => true
           case Predicates.Eq | Predicates.Ge => c.value == 0.0
           case _ => false
         }
-        val s =
-          if (nullMatches)
-            matching.unionByName(df.select(col(cat.entityId)).join(
-              stats.select(col(cat.seqbinEntityId).as(cat.entityId)),
-              Seq(cat.entityId), "left_anti"))
-          else matching
-        (s, false)
+        when(v.isNull, lit(nullMatches)).otherwise(coalesce(pred, lit(false)))
       }
-      df = applyMembership(df, cat.entityId, sets, spec.seqbinCombine)
+      val keep = spec.seqbinCombine match {
+        case CombineAnd => terms.reduce(_ && _)
+        case CombineOr => terms.reduce(_ || _)
+      }
+      df = joined.filter(keep)
+        .drop(stats.columns.filter(_ != cat.seqbinEntityId)
+          .map(c => s"__sb_$c"): _*)
     }
 
     // 11. annotation status (IsolateQueryPage.pm:3997-4045): the entity's
