@@ -215,7 +215,6 @@ object QueryCompiler {
   /** Compile spec → DataFrame plan (unsorted, unpaged — see `paged`). */
   def compile(spec: QuerySpec, cat: Catalog): DataFrame = {
     var df = cat.entities
-    val pk = col(cat.entityId)
 
     // 0. old-version suppression (F12): `new_version IS NULL` — the
     // default on every REST listing (REST/Routes/Isolates.pm:49,491).
