@@ -202,6 +202,41 @@ object TextQueries extends QueryModule {
                    round(log2(n) - clog / n, 4) AS entropy
             FROM agg ORDER BY doc_id"""))
 
+  // BPE-ish token counting (GPT-2 pre-tokenizer shape: contractions,
+  // letter runs, digit runs, punctuation runs, whitespace runs) — the
+  // per-doc token budget a training pipeline actually bills by. The
+  // pattern is backtracking-free, so Java regex (Spark) and RE2 (DuckDB)
+  // tokenize identically.
+  private val bpePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n]+|[ \\t\\n]+"
+
+  private val textTokensBpe = Q(
+    "text_tokens_bpe",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+            .cast("long").as("n_bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+        .withColumn("chars_per_token",
+          when(col("n_bpe_tokens") > 0,
+            round(col("n_chars") / col("n_bpe_tokens").cast("double"), 4))
+            .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+'))
+                     AS n_bpe_tokens,
+                   length(text) AS n_chars,
+                   CASE WHEN len(regexp_extract_all(text,
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+')) > 0
+                     THEN round(length(text) / CAST(len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+'))
+                       AS DOUBLE), 4)
+                     ELSE 0.0 END AS chars_per_token
+            FROM documents ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
-    textRepetition, textEntropy)
+    textRepetition, textEntropy, textTokensBpe)
 }
