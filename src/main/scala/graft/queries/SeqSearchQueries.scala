@@ -88,12 +88,11 @@ object SeqSearchQueries extends QueryModule {
           substring(col("text"), 1, 40).as("q_seq"))
       val scored = lib.join(broadcast(queries), col("query_id") =!= col("lib_id"))
         .withColumn("dist", levenshtein(col("q_seq"), col("lib_seq")).cast("long"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("dist"), col("lib_id"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("lib_id"), col("dist"))
+      // min(struct) top-1: partial min map-side, no per-query sort window
+      scored.groupBy(col("query_id"))
+        .agg(min(struct(col("dist"), col("lib_id"))).as("b"))
+        .select(col("query_id"), col("b.lib_id").as("lib_id"),
+          col("b.dist").as("dist"))
         .orderBy(col("query_id"))
     },
     Some("""SELECT query_id, lib_id, dist FROM (
@@ -254,12 +253,14 @@ object SeqSearchQueries extends QueryModule {
           col("fr.pep").as("pep"))
       val scored = lib.join(broadcast(frames), col("query_id") =!= col("lib_id"))
         .withColumn("dist", levenshtein(col("pep"), col("lib_pep")).cast("long"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("dist"), col("lib_id"), col("frame"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("lib_id"), col("frame"), col("dist"))
+      // top-1 as min(struct): map-side-combinable partial min per partition
+      // instead of a full per-query sort window — at scale the shuffle
+      // carries one pre-reduced row per (partition, query), never the
+      // whole scored set
+      scored.groupBy(col("query_id"))
+        .agg(min(struct(col("dist"), col("lib_id"), col("frame"))).as("b"))
+        .select(col("query_id"), col("b.lib_id").as("lib_id"),
+          col("b.frame").as("frame"), col("b.dist").as("dist"))
         .orderBy(col("query_id"))
     },
     Some("""WITH b(ch, i) AS (VALUES ('T',0),('C',1),('A',2),('G',3)),
