@@ -42,6 +42,28 @@ class BucketingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("partitioned layout: scan prunes to the filtered partition's files") {
+    // the other storage-layout lever next to bucketing: directory
+    // partitioning by a coarse column → a filter on it never opens the
+    // other partitions' files at all (PartitionFilters, not PushedFilters)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val path = sys.props("java.io.tmpdir") + "/graft_test_part_docs"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    val langs = docs.select(col("lang")).distinct().as[String].collect()
+    assert(langs.length > 1, "fixture must have several languages")
+    val filtered = spark.read.parquet(path).filter(col("lang") === langs.head)
+    // the filter must land in PartitionFilters (directory pruning: the
+    // other partitions' files are never opened), NOT as a data filter
+    // (inputFiles lists the pre-pruning relation, so the plan is the proof)
+    val plan = filtered.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains(s"= ${langs.head}"), s"filter not pruned:\n$pf")
+    // values survive the layout roundtrip
+    assert(filtered.count() ==
+      docs.filter(col("lang") === langs.head).count())
+  }
+
   test("bucketed write produces one file per bucket (sort elision ready)") {
     Bucketing.materialize(
       Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"),
