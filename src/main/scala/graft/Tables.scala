@@ -15,6 +15,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Collision-proof session identity for memo keys. identityHashCode can
+    * be reused by a NEW SparkSession after an old one is GC'd — a memo
+    * keyed on it could then serve the dead session's state (e.g. table
+    * names absent from the new session's catalog). The classic session
+    * exposes a UUID; anything else falls back to identity.
+    */
+  def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    org.apache.spark.sql.graft.ColumnBridge.sessionUUID(s)
+      .getOrElse(String.valueOf(System.identityHashCode(s)))
+
   // Session-scoped table cache. The corpus files are written as a SINGLE
   // parquet row group each, so an uncached scan is serial no matter how
   // maxPartitionBytes is set — every query would pay a ~1 s single-threaded

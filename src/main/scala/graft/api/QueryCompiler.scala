@@ -424,10 +424,14 @@ object QueryCompiler {
     }
 
     // 10. seqbin stats (IsolateQueryPage.pm:3932-3996): metric predicate
-    // over the per-entity ONE-ROW stats dimension — a single left join;
-    // each clause is then a row predicate with the reference's
+    // over the per-entity ONE-ROW stats dimension (the reference's
+    // trigger-maintained seqbin_stats has the isolate as PK — a multi-row
+    // input here would duplicate entities) — a single left join; each
+    // clause is then a row predicate with the reference's
     // `OR field IS NULL` semantics (stats-less entities match < / <= and
-    // = / >= of 0) folded into a null-aware term.
+    // = / >= of 0) folded into a null-aware term. A physically-NULL metric
+    // inside an existing row takes the same NULL arm, exactly as the
+    // reference's LEFT JOIN disjunction does.
     if (spec.seqbin.nonEmpty) for (stats <- cat.seqbinStats) {
       val statCols = stats.columns.filter(_ != cat.seqbinEntityId)
         .map(c => col(c).as(s"__sb_$c"))
@@ -518,9 +522,15 @@ object QueryCompiler {
               c0("__ck_all") < lit(total.toLong))
           case (AnyCheck, "warn/fail") => c0("__ck_all") > 0
           case (AllChecks, "pass") => hasStats && c0("__ck_all") === 0
-          case (AllChecks, "warn") => c0("__ck_warn") === lit(total.toLong)
-          case (AllChecks, "fail") => c0("__ck_fail") === lit(total.toLong)
-          case (AllChecks, "warn/fail") => c0("__ck_all") === lit(total.toLong)
+          // total = 0 (no check types defined): `count === 0` would match
+          // EVERY entity; "all checks warn" over zero checks matches none,
+          // as the unfused grouped-count filter did
+          case (AllChecks, "warn") =>
+            if (total == 0) lit(false) else c0("__ck_warn") === lit(total.toLong)
+          case (AllChecks, "fail") =>
+            if (total == 0) lit(false) else c0("__ck_fail") === lit(total.toLong)
+          case (AllChecks, "warn/fail") =>
+            if (total == 0) lit(false) else c0("__ck_all") === lit(total.toLong)
           case (NamedCheck(n), "pass") =>
             hasStats && c0(s"__ckn_${nameIdx(n)}") === 0
           case (NamedCheck(n), "warn") => c0(s"__cknw_${nameIdx(n)}") > 0
@@ -602,7 +612,13 @@ object QueryCompiler {
     val aggs = clauses.zip(names).map { case ((scope, _, _), n) =>
       count(when(scope, lit(1))).as(n)
     }
-    val agg = fact.groupBy(factPk.as(pk)).agg(aggs.head, aggs.tail: _*)
+    // rows outside every clause's scope contribute 0 to every count, and
+    // entities dropped entirely coalesce to 0 after the left join — so the
+    // pre-filter keeps zero-inclusive semantics while shrinking the
+    // shuffle to the scoped rows (same monotone argument as the
+    // membership pre-filter)
+    val agg = fact.filter(clauses.map(_._1).reduce(_ || _))
+      .groupBy(factPk.as(pk)).agg(aggs.head, aggs.tail: _*)
     val joined = df.join(agg, Seq(pk), "left")
     val keep = clauses.zip(names).map { case ((_, op, v), n) =>
       Predicates.compile(coalesce(col(n), lit(0L)), op, v, isText = false)
@@ -610,31 +626,6 @@ object QueryCompiler {
     joined.filter(keep).drop(names: _*)
   }
 
-  /** Combine membership sets into the running plan: AND = one semi/anti
-    * join per set (each a single shuffle or broadcast keyed on the pk);
-    * OR = union the member ids (negated sets via anti join against the
-    * current entity ids) and apply ONE semi join — the `id IN (...) OR id
-    * IN (...)` shape without row duplication. Used where membership sets
-    * are genuinely heterogeneous plans (seqbin null-union, assembly-check
-    * count logic); families whose sets are row-predicates over one fact go
-    * through applyFusedMembership instead.
-    */
-  private def applyMembership(
-      df: DataFrame,
-      pk: String,
-      sets: Seq[(DataFrame, Boolean)],
-      combine: Combine): DataFrame = combine match {
-    case CombineAnd =>
-      sets.foldLeft(df) { case (d, (ids, negate)) =>
-        d.join(ids, Seq(pk), if (negate) "left_anti" else "left_semi")
-      }
-    case CombineOr =>
-      val members = sets.map {
-        case (ids, false) => ids
-        case (ids, true) => df.select(col(pk)).join(ids, Seq(pk), "left_anti")
-      }.reduce(_ unionByName _)
-      df.join(members, Seq(pk), "left_semi")
-  }
 
   /** ORDER BY with the reference's stable tiebreaker (O1: user sort then
     * primary key — IsolateQueryPage.pm:2107-2128), then count + page (O3:

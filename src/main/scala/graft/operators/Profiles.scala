@@ -37,10 +37,15 @@ object Profiles {
       entity: String,
       locus: String,
       allele: Column,
-      nLoci: Int): DataFrame =
+      nLoci: Int): DataFrame = {
+    // evict stopped sessions' entries (they pin the session + its cached
+    // blocks); sessionKey is reuse-proof across session churn
+    warehouseCache.entrySet.removeIf(
+      _.getValue.sparkSession.sparkContext.isStopped)
     warehouseCache.computeIfAbsent(
-      fact.sparkSession.hashCode() + "|" + key,
+      graft.Tables.sessionKey(fact.sparkSession) + "|" + key,
       _ => warehouse(fact, entity, locus, allele, nLoci).cache())
+  }
 
   /** Build the profile warehouse from a long designation fact.
     *
@@ -175,10 +180,11 @@ object Profiles {
     // real schemes — keeps the original two-reference plan; the guarded
     // plan references the marked fact four times, so entering it blindly
     // would recompute the explode per branch. The probe is memoized per
-    // (session, warehouse plan, cap): both branches return identical rows,
-    // so a stale or colliding memo entry can only affect plan shape, never
-    // results.
-    val probeKey = wh.sparkSession.hashCode() + "|" +
+    // (session, warehouse plan, cap) — the same snapshot scope as the
+    // session's cached warehouse itself, so the latch lives exactly as
+    // long as the data it measured. Both branches return identical rows,
+    // so even a stale entry can only affect plan shape, never results.
+    val probeKey = graft.Tables.sessionKey(wh.sparkSession) + "|" +
       wh.queryExecution.analyzed.semanticHash() + "|" + hotKeyCap
     val hasHot = hotProbeCache.computeIfAbsent(probeKey, _ => !hotKeys.isEmpty)
     if (!hasHot) {
@@ -190,9 +196,13 @@ object Profiles {
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= minShared)
     }
+    // cache, not localCheckpoint: referenced 4× below so it must not
+    // recompute, but localCheckpoint blocks are executor-local and
+    // non-recomputable — an executor loss mid-query would fail the job on
+    // a real cluster; cache() keeps the lineage for fault recovery
     val marked = exploded
       .join(broadcast(hotKeys), Seq("locus", "allele"), "left")
-      .localCheckpoint() // referenced 4× below; never recompute the explode
+      .cache()
     val cold = marked.filter(col("__f").isNull)
     val coldPairs = cold.select(col(entity).as("e1"), col("locus"), col("allele"))
       .join(cold.select(col(entity).as("e2"), col("locus"), col("allele")),

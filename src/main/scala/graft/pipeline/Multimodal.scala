@@ -153,8 +153,11 @@ object Multimodal {
     */
   def tile(media: DataFrame, id: String, rowBytes: Int,
       tileW: Int, tileH: Int): DataFrame = {
-    require(tileW > 0 && tileH > 0 && rowBytes >= tileW,
-      s"invalid tile geometry: rowBytes=$rowBytes tileW=$tileW tileH=$tileH")
+    require(tileW > 0 && tileH > 0 && rowBytes >= tileW &&
+        rowBytes % tileW == 0,
+      s"invalid tile geometry: rowBytes=$rowBytes tileW=$tileW tileH=$tileH" +
+        " (rowBytes must be a positive multiple of tileW — a remainder" +
+        " would silently drop trailing bytes of every row)")
     val nx = rowBytes / tileW
     media
       .withColumn("__ny",

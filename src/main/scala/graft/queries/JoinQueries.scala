@@ -221,7 +221,7 @@ object JoinQueries extends QueryModule {
       val suffix = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       val (liT, ordT) = bucketed.computeIfAbsent(
-        System.identityHashCode(s) + "|" + dir, _ => {
+        graft.Tables.sessionKey(s) + "|" + dir, _ => {
           val liT = s"graft_bkt_li_$suffix"
           val ordT = s"graft_bkt_ord_$suffix"
           Bucketing.materialize(

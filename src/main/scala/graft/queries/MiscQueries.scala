@@ -203,9 +203,13 @@ object MiscQueries extends QueryModule {
         d.groupBy(col("l_orderkey"))
           .agg(count(lit(1)).as("n_parts"),
             sum(col("l_quantity")).cast("long").as("total_qty"))
-      // stale cache: computed before the post-cutoff rows arrived
+      // stale cache: computed before the post-cutoff rows arrived.
+      // Evict entries of stopped sessions first — they pin the dead
+      // session and its cached blocks for the JVM lifetime otherwise.
+      staleCaches.entrySet.removeIf(
+        _.getValue.sparkSession.sparkContext.isStopped)
       val stale = staleCaches.computeIfAbsent(
-        System.identityHashCode(s) + "|" + dir,
+        graft.Tables.sessionKey(s) + "|" + dir,
         _ => agg(li.filter(col("l_shipdate") < cutoff)).cache())
       // changed entities: any row at/after the cutoff → recompute fully
       val changedIds = li.filter(col("l_shipdate") >= cutoff)

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `SparkSession.sessionUUID` is `private[sql]`; memo keys need a
+    * session identity that can't be reused after GC the way
+    * identityHashCode can.
+    */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): Option[String] =
+    s match {
+      case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
+      case _ => None
+    }
 }
