@@ -59,14 +59,36 @@ object Bench {
     System.gc()
     val p2 = timedPass().toMap
     val results = p1.map { case (n, t) => n -> math.min(t, p2(n)) }
-    // The driver keeps only a short tail of stdout and parses the JSON
-    // line from it: keep the line compact (3dp) and make it the last
-    // thing printed.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","mode":"steady-state-min2","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only a short TAIL of stdout and parses the JSON
+    // line from it. 120+ queries no longer fit that tail (rounds 3-5 all
+    // recorded "parsed": null), so the FULL per-query map goes to a file
+    // and the printed line stays compact: total + the headline queries
+    // (one flagship per operator family) + a pointer to the full map.
+    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(fullPath),
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","mode":"steady-state-min2","n":${results.size},"queries":$fullJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // stdout line below still carries the headline
+    val headline = Seq(
+      "a1_breakdown", "a5_seqbin_stats", "a6_n50", "a12_growth",
+      "f1_range", "f5_alias", "f13_rest_query",
+      "j1_designation_and", "j6_st_assign", "j11_broadcast_dims",
+      "g1_distance_matrix", "g2_burst", "g3_single_linkage", "g4_lincode",
+      "q1_exact_md5", "q2_best_partial", "q4_tag_scan", "q4_longcontig_seeded",
+      "q6_mutation_scan", "s1_security_view", "s3_fasta_roundtrip",
+      "s9_replicate_profiles", "o4_topk_matches",
+      "dedup_exact", "dedup_minhash_lsh", "sim_cosine_topk", "sim_ivf_ann",
+      "text_lang_id", "text_tokens", "mm_decode_features",
+      "stream_event_stats", "skew_salted_join")
+    val rm = results.toMap
+    val qs = headline.flatMap(n => rm.get(n).map(v => "\"" + n + "\":" + f(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","mode":"steady-state-min2","n":${results.size},"full":"$fullPath","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -142,10 +142,21 @@ object SeqScan {
     * bounded library dimension — the same materialization the reference
     * performs when it builds a BLAST database from the allele library.
     */
+  /** Candidate-list memo: (session, contigs plan, library plan, k) →
+    * persisted candidate pairs + their count. The count is the size gate
+    * for the broadcast hint below; persisting means the sweep that
+    * produced it is never recomputed by the final plan. Stopped sessions'
+    * entries are evicted on each access (same discipline as
+    * Profiles.warehouseCache).
+    */
+  private val candCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, java.lang.Long)]()
+
   def seededTagScan(
       contigs: DataFrame, contigId: String, contigSeq: String,
       library: DataFrame, locus: String, alleleId: String, alleleSeq: String,
-      k: Int = 8, overlapping: Boolean = false): DataFrame = {
+      k: Int = 8, overlapping: Boolean = false,
+      maxBroadcastCandidates: Long = 2000000L): DataFrame = {
     val pos: (Column, Column) => Column =
       if (overlapping) allOccurrencePositions else occurrencePositions
     val lib = library.select(
@@ -186,11 +197,28 @@ object SeqScan {
       .join(broadcast(seedsWithOrd), Seq("__ord"))
       .select(col(contigId), col(locus), col(alleleId), col("reverse"))
     // 3. exact check on candidates only: rejoin contig text + allele text,
-    // run the fused kernel per strand. The candidate list is broadcast so
-    // the contig side never shuffles — it costs a second pass over the
-    // contig scan (cheap, columnar) instead of a full-table shuffle; at
-    // extreme candidate cardinality drop the hint and let AQE choose.
-    val enriched = up.join(broadcast(cands), Seq(contigId))
+    // run the fused kernel per strand. Broadcasting the candidate list
+    // keeps the contig side unshuffled (a second columnar pass over the
+    // contig scan instead of a full-table shuffle) — but the list is
+    // contig×allele-shaped, and at extreme cardinality (huge library ×
+    // huge corpus) collecting it to the driver would OOM. So the hint is
+    // SIZE-GATED: the list is persisted (its sweep runs once and the
+    // final plan reuses the blocks either way), counted, and broadcast
+    // only under the cap; above it the hint is dropped and Catalyst/AQE
+    // pick the join — SMJ at genuine scale, broadcast if runtime stats
+    // still allow.
+    candCache.entrySet.removeIf(
+      _.getValue._1.sparkSession.sparkContext.isStopped)
+    val candKey = graft.Tables.sessionKey(spark) + "|" +
+      contigs.queryExecution.analyzed.semanticHash() + "|" +
+      library.queryExecution.analyzed.semanticHash() + "|" + k
+    val (candsP, nCands) = candCache.computeIfAbsent(candKey, _ => {
+      val c = cands.persist()
+      (c, java.lang.Long.valueOf(c.count()))
+    })
+    val candsSide =
+      if (nCands <= maxBroadcastCandidates) broadcast(candsP) else candsP
+    val enriched = up.join(candsSide, Seq(contigId))
       .join(broadcast(lib), Seq(locus, alleleId))
     val fwd = enriched.filter(!col("reverse"))
       .withColumn("start_pos", explode(pos(col("__contig"), col("__fwd"))))

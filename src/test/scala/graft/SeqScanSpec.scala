@@ -67,6 +67,33 @@ class SeqScanSpec extends SparkSpec {
     assert(exact.nonEmpty && seeded == exact)
   }
 
+  test("seededTagScan size-gates the candidate broadcast") {
+    val contigs = Seq(
+      (1L, "ACGGGTTTACGAAACCCGT"),
+      (2L, "GGGTTTGGGTTT")).toDF("cid", "seq")
+    val lib = Seq(("locusA", "1", "GGGTTT")).toDF("locus", "allele_id", "aseq")
+    // cap = 0 forces every candidate set over the limit: the hint must be
+    // dropped (no driver collect of the candidate list — the OOM path at
+    // huge corpus × huge library) and results must be unchanged.
+    val gated = SeqScan.seededTagScan(contigs, "cid", "seq", lib,
+      "locus", "allele_id", "aseq", k = 5, maxBroadcastCandidates = 0L)
+    val hinted = SeqScan.seededTagScan(contigs, "cid", "seq", lib,
+      "locus", "allele_id", "aseq", k = 5)
+    def res(d: org.apache.spark.sql.DataFrame) =
+      d.select("cid", "locus", "allele_id", "start_pos", "end_pos", "reverse")
+        .as[(Long, String, String, Long, Long, Boolean)].collect().toSet
+    assert(res(gated).nonEmpty && res(gated) == res(hinted))
+    // the gated plan carries fewer broadcast HINTs — none on the candidate
+    // side (it appears once per strand branch). At fixture scale Catalyst
+    // still auto-broadcasts the tiny candidate relation from its stats —
+    // which is exactly the point: above the cap the choice is returned to
+    // the optimizer instead of being forced.
+    def nHints(d: org.apache.spark.sql.DataFrame) =
+      "ResolvedHint".r
+        .findAllIn(d.queryExecution.analyzed.toString).length
+    assert(nHints(gated) == nHints(hinted) - 2)
+  }
+
   test("findExemplars keeps greedy ascending-id representatives per length") {
     val lib = Seq(
       // length-4 group of locus L: 2 keeps 10 (id order!), AAAT ~ AAAA
