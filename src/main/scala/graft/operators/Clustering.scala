@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Clustering / graph analytics (SURVEY §2.10 G2/G3/G4).
@@ -207,11 +207,20 @@ object Clustering {
     *
     * `thresholds` are ascending minimum %-identity per level (e.g.
     * Seq(50.0, 75.0, 90.0)); identity is computed over shared non-missing
-    * loci (lincodes.pl:236-289). Runs on the driver over the collected
-    * profile matrix: the profile dimension (#STs) is orders of magnitude
-    * smaller than the isolate fact — the same argument the reference uses
-    * for its in-memory PDL matrix. The 100 TB-side join (isolate→ST) stays
-    * in Spark.
+    * loci (lincodes.pl:236-289).
+    *
+    * Assignment order is ascending id, so profile i's nearest-ASSIGNED
+    * neighbour is its nearest among all LOWER ids — a quantity that
+    * depends only on the profiles, not on the codes. The O(n²·L) distance
+    * work therefore runs IN SPARK (a broadcast join of one id-batch
+    * against the lower-id remainder, `batchSize` ids per job); the
+    * inherently sequential part — threading code prefixes through the
+    * assignment order (SURVEY §7.4 hard-part 1) — stays on the driver but
+    * touches only (id, nearestId, pct) triples and the code vectors. The
+    * driver never materializes a single profile, let alone the reference's
+    * whole PDL matrix (lincodes.pl holds all profiles in RAM); peak driver
+    * state is O(n) codes + one batch of triples. The 100 TB-side join
+    * (isolate→ST) stays in Spark regardless.
     *
     * Input rows: (entity: Long-castable, profile: Seq[String]).
     * Output: (entity, lincode ARRAY<INT>).
@@ -219,40 +228,78 @@ object Clustering {
   def assignLinCodes(
       wh: DataFrame,
       entity: String,
-      thresholds: Seq[Double]): DataFrame = {
+      thresholds: Seq[Double],
+      batchSize: Int = 4096): DataFrame = {
     val spark = wh.sparkSession
     import spark.implicits._
-    val profiles = wh
-      .select(col(entity).cast("long"), col("profile"))
-      .as[(Long, Seq[String])]
-      .collect()
-      .sortBy(_._1) // assignment order: ascending id
     val levels = thresholds.length
-    val assigned = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String], Vector[Int])]
-    val out = profiles.map { case (id, prof) =>
-      val code: Vector[Int] =
-        if (assigned.isEmpty) Vector.fill(levels)(0)
-        else {
-          // nearest assigned by %identity over shared non-missing loci
-          val (_, bestProf, bestCode, bestPid) = assigned.iterator.map { case (pid, p, c) =>
-            (identityPct(prof, p), p, c, pid)
-          }.maxBy { case (pct, _, _, pid) => (pct, -pid) }
-          val pct = identityPct(prof, bestProf)
-          // deepest level whose threshold the identity clears
-          val depth = thresholds.lastIndexWhere(t => pct >= t) + 1 // 0 = none
-          if (depth >= levels) bestCode // identical at the finest level
+    val prof = wh.select(
+      col(entity).cast("long").as("__id"), col("profile").as("__prof"))
+    // ids only — 8 bytes per ST, the one full-dimension driver collect
+    val ids = prof.select(col("__id")).as[Long].collect().sorted
+    // %identity as a column expression. The counts are exact integers and
+    // the final `100.0 * shared / comparable` is the same IEEE-754
+    // operation order as identityPct (and the DuckDB replay oracle), so
+    // best-by-pct ordering is bit-identical to the driver-side original.
+    def pctCol(a: Column, b: Column): Column = {
+      val miss = lit(AlleleIdS.Missing); val arb = lit(AlleleIdS.Arbitrary)
+      val comp = size(filter(
+        zip_with(a, b, (x, y) => x =!= miss && y =!= miss), x => x))
+      val sh = size(filter(
+        zip_with(a, b, (x, y) =>
+          x =!= miss && y =!= miss && (x === y || x === arb || y === arb)),
+        x => x))
+      when(comp === lit(0), lit(0.0))
+        .otherwise(lit(100.0) * sh / comp)
+    }
+    val codes = scala.collection.mutable.Map.empty[Long, Vector[Int]]
+    // codes-at-level index for "next free integer": prefix (length d) →
+    // integers used at position d among assigned codes sharing it — same
+    // semantics as scanning the assigned list, O(1) per lookup
+    val used = scala.collection.mutable.Map
+      .empty[Vector[Int], scala.collection.mutable.Set[Int]]
+    def record(code: Vector[Int]): Unit =
+      for (d <- 0 until levels)
+        used.getOrElseUpdate(code.take(d),
+          scala.collection.mutable.Set.empty[Int]) += code(d)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Vector[Int])]
+    ids.grouped(math.max(batchSize, 1)).foreach { batch =>
+      // nearest lower-id neighbour per batch member, computed distributed:
+      // candidates (everything below the batch max, including in-batch
+      // lower ids) stream against the broadcast batch
+      val hi = batch.last
+      val a = prof.filter(col("__id") >= batch.head && col("__id") <= hi)
+      val b = prof.filter(col("__id") < hi)
+      val best = b.as("b")
+        .join(broadcast(a.as("a")), col("b.__id") < col("a.__id"))
+        .select(col("a.__id").as("id"), col("b.__id").as("pid"),
+          pctCol(col("a.__prof"), col("b.__prof")).as("pct"))
+        .groupBy(col("id"))
+        // max pct, ties to lowest pid — the original maxBy((pct, -pid))
+        .agg(max_by(struct(col("pid"), col("pct")),
+          struct(col("pct"), -col("pid"))).as("b"))
+        .select(col("id"), col("b.pid"), col("b.pct"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (id, pid, pct) => id -> (pid, pct) }.toMap
+      batch.foreach { id =>
+        val code: Vector[Int] =
+          if (codes.isEmpty) Vector.fill(levels)(0) // globally first profile
           else {
-            val prefix = bestCode.take(depth)
-            // next free integer at position `depth` among codes sharing prefix
-            val used = assigned.iterator
-              .filter(_._3.take(depth) == prefix)
-              .map(_._3(depth)).toSet
-            val nxt = Iterator.from(0).find(!used(_)).get
-            (prefix :+ nxt) ++ Vector.fill(levels - depth - 1)(0)
+            val (pid, pct) = best(id)
+            val bestCode = codes(pid)
+            // deepest level whose threshold the identity clears
+            val depth = thresholds.lastIndexWhere(t => pct >= t) + 1 // 0 = none
+            if (depth >= levels) bestCode // identical at the finest level
+            else {
+              val prefix = bestCode.take(depth)
+              val u = used.getOrElse(prefix,
+                scala.collection.mutable.Set.empty[Int])
+              val nxt = Iterator.from(0).find(!u.contains(_)).get
+              (prefix :+ nxt) ++ Vector.fill(levels - depth - 1)(0)
+            }
           }
-        }
-      assigned += ((id, prof, code))
-      (id, code)
+        codes(id) = code; record(code); out += ((id, code))
+      }
     }
     spark.createDataset(out.toSeq).toDF(entity, "lincode")
   }
@@ -276,6 +323,208 @@ object Clustering {
   private object AlleleIdS {
     val Missing = graft.functions.AlleleId.Missing
     val Arbitrary = graft.functions.AlleleId.Arbitrary
+  }
+
+  /** The reference's BULK-assignment distance (lincodes.pl:480-485):
+    * `100·diffs/(L − missingInEither)` where diffs counts loci that are
+    * non-missing on both sides and differ. In this path "N" is converted
+    * to MISSING before any comparison (lincodes.pl:186-187, 443-448) —
+    * unlike [[identityPct]]'s wildcard rule; the two reference code paths
+    * genuinely differ. Inputs here are already N→"0" projected.
+    * All-missing pairs (denominator 0, a 0/0 in the reference) are defined
+    * as distance 100 (no evidence of relatedness).
+    */
+  private def refDistCol(a: Column, b: Column): Column = {
+    val miss = lit(AlleleIdS.Missing)
+    val diffs = size(filter(zip_with(a, b,
+      (x, y) => x =!= miss && y =!= miss && x =!= y), p => p))
+    val missEither = size(filter(zip_with(a, b,
+      (x, y) => x === miss || y === miss), p => p))
+    val denom = size(a) - missEither
+    when(denom === lit(0), lit(100.0))
+      .otherwise(lit(100.0) * diffs / denom)
+  }
+
+  /** N→missing projection + max-missing gate shared by the bulk path:
+    * profiles with more than `maxMissing` "N" loci are excluded BEFORE the
+    * conversion (lincodes.pl:443-452), the rest have every "N" replaced by
+    * the missing marker.
+    */
+  private def bulkProjection(
+      wh: DataFrame, entity: String, maxMissing: Int): DataFrame =
+    wh.filter(size(filter(col("profile"),
+        x => x === lit(AlleleIdS.Arbitrary))) <= maxMissing)
+      .select(col(entity).cast("long").as("__id"),
+        transform(col("profile"), x =>
+          when(x === lit(AlleleIdS.Arbitrary), lit(AlleleIdS.Missing))
+            .otherwise(x)).as("__prof"))
+
+  /** G4 bulk mode, step 1 — PRIM traversal order over the profile distance
+    * matrix (lincodes.pl:371-421 get_prim_order): start from the globally
+    * closest pair, then repeatedly append the unordered profile closest to
+    * any ordered one. Assigning LIN codes in this order keeps related
+    * profiles adjacent so code prefixes nest cleanly on an initial bulk
+    * load.
+    *
+    * Tie-breaks replicate the reference's PDL scan order exactly:
+    *   - initial pair: among minimum-distance pairs, lexicographically
+    *     smallest (i, j) (flat minimum_ind scans the matrix first-dim
+    *     fastest, so the first hit has the smallest row then column);
+    *   - each step: earliest-ORDERED node wins ties (the `<` scan over
+    *     index_order), then the smallest unordered index (minimum_ind on
+    *     that node's column).
+    *
+    * Distances are computed IN SPARK (the O(n²·L) part — batched broadcast
+    * joins, same shape as [[assignLinCodes]]) and collected as an n²/2
+    * float triangle for the driver-side traversal — float32, matching the
+    * reference's `float` PDL matrix, and the same driver-memory posture as
+    * its in-RAM/mmap'd dismat (the profile DIMENSION, not the isolate
+    * fact). Order: ascending id among retained profiles before traversal.
+    */
+  def primOrder(
+      wh: DataFrame,
+      entity: String,
+      maxMissing: Int = Int.MaxValue,
+      batchSize: Int = 4096): Seq[Long] = {
+    val spark = wh.sparkSession
+    import spark.implicits._
+    val base = bulkProjection(wh, entity, maxMissing)
+    val ids = base.select(col("__id")).as[Long].collect().sorted
+    val n = ids.length
+    if (n <= 1) return ids.toSeq
+    val posDf = ids.zipWithIndex.toSeq.toDF("__id", "__pos")
+    val prof = base.join(broadcast(posDf), Seq("__id"))
+      .select(col("__pos"), col("__prof"))
+    val tri = new Array[Float](n * (n - 1) / 2) // (i<j) at j(j-1)/2 + i
+    (0 until n).grouped(math.max(batchSize, 1)).foreach { batch =>
+      val hi = batch.last
+      val a = prof.filter(col("__pos") >= batch.head && col("__pos") <= hi)
+      val b = prof.filter(col("__pos") < hi)
+      b.as("b").join(broadcast(a.as("a")), col("b.__pos") < col("a.__pos"))
+        .select(col("b.__pos").as("i"), col("a.__pos").as("j"),
+          refDistCol(col("a.__prof"), col("b.__prof")).cast("float").as("d"))
+        .as[(Int, Int, Float)].collect()
+        .foreach { case (i, j, d) => tri(j * (j - 1) / 2 + i) = d }
+    }
+    def dist(i: Int, j: Int): Float =
+      if (i < j) tri(j * (j - 1) / 2 + i) else tri(i * (i - 1) / 2 + j)
+    // initial pair: global min, ties to lexicographically smallest (i, j)
+    var bi = 0; var bj = 1; var bd = Float.MaxValue
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val d = dist(i, j); if (d < bd) { bd = d; bi = i; bj = j }; j += 1
+      }
+      i += 1
+    }
+    val ordered = scala.collection.mutable.ArrayBuffer(bi, bj)
+    val inOrder = new Array[Boolean](n); inOrder(bi) = true; inOrder(bj) = true
+    // dmin(u) = distance to the nearest ordered node; pmin(u) = the
+    // EARLIEST order position achieving it (strict-< updates keep it)
+    val dmin = new Array[Float](n); val pmin = new Array[Int](n)
+    for (u <- 0 until n if !inOrder(u)) {
+      val d0 = dist(bi, u); val d1 = dist(bj, u)
+      if (d0 <= d1) { dmin(u) = d0; pmin(u) = 0 }
+      else { dmin(u) = d1; pmin(u) = 1 }
+    }
+    while (ordered.size < n) {
+      // next = min by (distance, earliest ordered position, index) — the
+      // reference's v_min-then-minimum_ind selection, flattened
+      var k = -1
+      for (u <- 0 until n if !inOrder(u))
+        if (k < 0 || dmin(u) < dmin(k) ||
+            (dmin(u) == dmin(k) && (pmin(u) < pmin(k) ||
+              (pmin(u) == pmin(k) && u < k)))) k = u
+      inOrder(k) = true
+      val kPos = ordered.size
+      ordered += k
+      for (u <- 0 until n if !inOrder(u)) {
+        val d = dist(k, u)
+        if (d < dmin(u)) { dmin(u) = d; pmin(u) = kPos }
+      }
+    }
+    ordered.map(ids(_)).toSeq
+  }
+
+  /** G4 bulk mode, step 2 — LIN assignment over the PRIM order
+    * (lincodes.pl:177-331 with get_prim_order input): each profile, in
+    * traversal order, takes the code of its closest already-assigned
+    * profile down to the deepest cleared threshold and max+1 at the level
+    * below (increment_lincode — values under a prefix are contiguous from
+    * 0, so max+1 ≡ next-free). Nearest uses the bulk distance
+    * ([[refDistCol]]: N is missing, not wildcard) with ties to the
+    * EARLIEST-assigned profile (the reference's strict-< scan over
+    * definitions in assignment order). A profile clearing every threshold
+    * inherits the closest code outright — the reference reaches the same
+    * result through its diffs==0 early return, its finest threshold being
+    * 100% identity.
+    *
+    * Same execution split as [[assignLinCodes]]: nearest-assigned is pure
+    * profile data (assigned ⊆ earlier order positions), so the O(n²·L)
+    * distance work runs in Spark per batch; the driver threads only code
+    * vectors. `thresholds` ascending minimum %-identity per level.
+    */
+  def assignLinCodesBulk(
+      wh: DataFrame,
+      entity: String,
+      thresholds: Seq[Double],
+      maxMissing: Int = Int.MaxValue,
+      batchSize: Int = 4096): DataFrame = {
+    val spark = wh.sparkSession
+    import spark.implicits._
+    val levels = thresholds.length
+    val order = primOrder(wh, entity, maxMissing, batchSize)
+    val n = order.length
+    val posDf = order.zipWithIndex.toSeq.toDF("__id", "__pos")
+    val prof = bulkProjection(wh, entity, maxMissing)
+      .join(broadcast(posDf), Seq("__id"))
+      .select(col("__pos"), col("__prof"))
+    val codes = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+    // prefix → max value seen at position |prefix| (increment_lincode
+    // scans assigned codes for the max; an index keeps it O(1))
+    val maxAt = scala.collection.mutable.Map.empty[Vector[Int], Int]
+    def record(code: Vector[Int]): Unit =
+      for (d <- 0 until levels) {
+        val p = code.take(d)
+        maxAt(p) = math.max(maxAt.getOrElse(p, 0), code(d))
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Vector[Int])]
+    (0 until n).grouped(math.max(batchSize, 1)).foreach { batch =>
+      val hi = batch.last
+      val a = prof.filter(col("__pos") >= batch.head && col("__pos") <= hi)
+      val b = prof.filter(col("__pos") < hi)
+      val nearest = b.as("b")
+        .join(broadcast(a.as("a")), col("b.__pos") < col("a.__pos"))
+        .select(col("a.__pos").as("p"), col("b.__pos").as("q"),
+          refDistCol(col("a.__prof"), col("b.__prof")).as("d"))
+        .groupBy(col("p"))
+        // min distance, ties to earliest-assigned (smallest position)
+        .agg(min(struct(col("d"), col("q"))).as("m"))
+        .select(col("p"), col("m.q"), col("m.d"))
+        .as[(Int, Int, Double)].collect()
+        .map { case (p, q, d) => p -> (q, d) }.toMap
+      batch.foreach { p =>
+        val code: Vector[Int] =
+          if (p == 0) Vector.fill(levels)(0)
+          else {
+            val (q, d) = nearest(p)
+            val closest = codes(q)
+            val identity = 100.0 - d
+            // thresholds cleared in order, stop at first failure — the
+            // reference's threshold_index loop
+            val depth = thresholds.takeWhile(t => identity >= t).length
+            if (depth >= levels) closest
+            else {
+              val prefix = closest.take(depth)
+              val nxt = maxAt.getOrElse(prefix, 0) + 1
+              (prefix :+ nxt) ++ Vector.fill(levels - depth - 1)(0)
+            }
+          }
+        codes += code; record(code); out += ((order(p), code))
+      }
+    }
+    spark.createDataset(out.toSeq).toDF(entity, "lincode")
   }
 
   /** G5 — minimum spanning forest over a weighted edge list (Borůvka), the

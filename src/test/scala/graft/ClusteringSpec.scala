@@ -113,6 +113,76 @@ class ClusteringSpec extends SparkSpec {
       4L -> Seq(1, 0), 5L -> Seq(0, 2)))
   }
 
+  test("assignLinCodes: batched distance jobs match a single batch") {
+    // randomized profiles; batchSize=2 forces many per-batch Spark jobs
+    // (nearest-assigned crossing batch boundaries) and must agree with one
+    // whole-dimension batch — the driver threads only codes between jobs
+    val rnd = new scala.util.Random(11)
+    val f = (1 to 23).map { i =>
+      (i, Seq.fill(6)(if (rnd.nextDouble() < 0.15) "0"
+                      else rnd.nextInt(4).toString))
+    }.toDF("iso", "profile")
+    val batched = Clustering.assignLinCodes(f, "iso", Seq(34.0, 67.0, 100.0),
+        batchSize = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    val whole = Clustering.assignLinCodes(f, "iso", Seq(34.0, 67.0, 100.0),
+        batchSize = 1000)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(batched.size == 23 && batched == whole)
+  }
+
+  test("primOrder: hand-computed MST traversal (lincodes.pl get_prim_order)") {
+    // bulk distance (N→missing): 100·diffs/(L − missingEither). Matrix
+    // (positions 0..4 = ids 1..5):
+    //   d01=25 d02=50 d03=100 d04=0
+    //   d12=25 d13=100 d14=0  d23=100 d24=33.3 d34=100
+    // initial pair: global min 0 at (0,4) — ties (1,4) lose by lex (i,j).
+    // step: u=1 d=0 → order [0,4,1]; u=2 via d12=25 → [0,4,1,2]; then 3.
+    val f = Seq(
+      (1, Seq("1", "1", "1", "1")), (2, Seq("1", "1", "1", "2")),
+      (3, Seq("1", "1", "2", "2")), (4, Seq("9", "9", "9", "9")),
+      (5, Seq("1", "1", "1", "0")))
+      .toDF("iso", "profile")
+    assert(Clustering.primOrder(f, "iso") == Seq(1L, 5L, 2L, 3L, 4L))
+    // batched distance jobs agree with single-batch
+    assert(Clustering.primOrder(f, "iso", batchSize = 2) ==
+      Seq(1L, 5L, 2L, 3L, 4L))
+  }
+
+  test("primOrder: maxMissing gate excludes N-heavy profiles") {
+    val f = Seq(
+      (1, Seq("1", "1", "1", "1")), (2, Seq("1", "1", "1", "2")),
+      (6, Seq("N", "1", "1", "1")))
+      .toDF("iso", "profile")
+    assert(!Clustering.primOrder(f, "iso", maxMissing = 0).contains(6L))
+    assert(Clustering.primOrder(f, "iso", maxMissing = 1).toSet ==
+      Set(1L, 2L, 6L))
+  }
+
+  test("assignLinCodesBulk: hand-computed golden over the PRIM order") {
+    // order [1,5,2,3,4] (prior test); thresholds 50/80 (ascending identity)
+    //   id1 → [0,0]
+    //   id5: d(5,1)=0, identity 100 → clears both → inherit [0,0]
+    //   id2: nearest id5 (d=0, earliest on tie) → inherit [0,0]
+    //   id3: nearest id2 d=25, identity 75: ≥50 only → prefix [0],
+    //        max at level 2 under [0] is 0 → [0,1]
+    //   id4: all d=100, identity 0 → clears none → max first = 0 → [1,0]
+    val f = Seq(
+      (1, Seq("1", "1", "1", "1")), (2, Seq("1", "1", "1", "2")),
+      (3, Seq("1", "1", "2", "2")), (4, Seq("9", "9", "9", "9")),
+      (5, Seq("1", "1", "1", "0")))
+      .toDF("iso", "profile")
+    val got = Clustering.assignLinCodesBulk(f, "iso", Seq(50.0, 80.0))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got == Map(
+      1L -> Seq(0, 0), 5L -> Seq(0, 0), 2L -> Seq(0, 0),
+      3L -> Seq(0, 1), 4L -> Seq(1, 0)))
+    val batched = Clustering.assignLinCodesBulk(f, "iso", Seq(50.0, 80.0),
+        batchSize = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(batched == got)
+  }
+
   test("assignLinCodes is deterministic across re-runs") {
     val f = Seq(
       (10, Seq("1", "2", "3")), (20, Seq("1", "2", "4")), (30, Seq("9", "9", "9")))
