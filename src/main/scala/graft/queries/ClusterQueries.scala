@@ -197,6 +197,130 @@ object ClusterQueries extends QueryModule {
     },
     Some(lincodeAssignSql("")))
 
+  // Bulk-assignment distance (lincodes.pl:480-485): 100·diffs/(L −
+  // missing_in_either) with missing = '0' on either side ('N' would be
+  // converted to missing first; this corpus never produces one). Same
+  // operation order as Clustering.refDistCol so doubles agree bit-exactly.
+  private def bulkDistSql(a: String, b: String): String = {
+    val diffs =
+      s"""len(list_filter(list_zip($a, $b),
+           p -> p[1] <> '0' AND p[2] <> '0' AND p[1] <> p[2]))"""
+    val missE =
+      s"len(list_filter(list_zip($a, $b), p -> p[1] = '0' OR p[2] = '0'))"
+    s"""CASE WHEN len($a) - $missE = 0 THEN 100.0
+        ELSE 100.0 * $diffs / (len($a) - $missE) END"""
+  }
+
+  // float32 variant — the PRIM traversal compares float distances (the
+  // reference stores a float PDL matrix; the engine a float triangle)
+  private def bulkDistRealSql(a: String, b: String): String =
+    s"CAST((${bulkDistSql(a, b)}) AS REAL)"
+
+  // Full replay of the PRIM-ordered bulk assignment (lincodes.pl:371-498):
+  // CTE `prim` reproduces the MST traversal — start at the globally
+  // closest pair (ties: lexicographically smallest position pair), then
+  // repeatedly append the unordered profile minimizing (distance to the
+  // ordered set, earliest ordered position achieving it, position) — and
+  // CTE `assign` replays the assignment over that order with double
+  // distances, earliest-assigned ties (list_position = first minimum) and
+  // max+1 increments.
+  private def lincodePrimSql: String = {
+    def rl(r: String) =
+      s"""list_transform(ord, o -> ${bulkDistRealSql("o.prof", s"$r.prof")})"""
+    s"""WITH RECURSIVE
+        des AS (
+          SELECT l_orderkey AS id, CAST(l_linenumber AS INT) AS locus,
+                 min(CAST(l_suppkey AS VARCHAR)) AS a
+          FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2),
+        profs AS (
+          SELECT id, list_transform([1, 2, 3, 4, 5, 6, 7],
+                                    i -> coalesce(m[i][1], '0')) AS prof
+          FROM (SELECT id, map(list(locus ORDER BY locus),
+                               list(a ORDER BY locus)) AS m
+                FROM des GROUP BY id)),
+        idx AS (SELECT id, prof, row_number() OVER (ORDER BY id) AS rn
+                FROM profs),
+        plist AS (SELECT list(struct_pack(id := id, prof := prof)
+                              ORDER BY id) AS ps
+                  FROM idx),
+        init AS (
+          SELECT x.rn AS i, y.rn AS j
+          FROM idx x JOIN idx y ON x.rn < y.rn
+          ORDER BY ${bulkDistRealSql("x.prof", "y.prof")}, x.rn, y.rn
+          LIMIT 1),
+        prim AS (
+          SELECT [ps[i], ps[j]] AS ord,
+                 list_filter(ps, e -> e.id <> ps[i].id
+                                  AND e.id <> ps[j].id) AS rest
+          FROM init, plist
+          UNION ALL
+          SELECT list_append(ord, struct_pack(id := nk.id, prof := nk.prof)),
+                 list_filter(rest, e -> e.id <> nk.id)
+          FROM (
+            SELECT ord, rest,
+                   list_sort(list_transform(rest, r -> struct_pack(
+                     d := list_min(${rl("r")}),
+                     p := list_position(${rl("r")}, list_min(${rl("r")})),
+                     id := r.id, prof := r.prof)))[1] AS nk
+            FROM prim WHERE len(rest) > 0) q),
+        assign AS (
+          SELECT 1 AS n,
+                 [struct_pack(id := ord[1].id, prof := ord[1].prof,
+                              code := [0, 0, 0])] AS st,
+                 ord[2:] AS rest
+          FROM (SELECT ord FROM prim ORDER BY len(ord) DESC LIMIT 1)
+          UNION ALL
+          SELECT n + 1,
+                 list_append(st, struct_pack(
+                   id := rest[1].id, prof := rest[1].prof, code :=
+                   CASE WHEN d >= 3 THEN b.code
+                        ELSE [CASE WHEN d >= 1 THEN b.code[1] ELSE v END,
+                              CASE WHEN d >= 2 THEN b.code[2]
+                                   WHEN d = 1 THEN v ELSE 0 END,
+                              CASE WHEN d = 2 THEN v ELSE 0 END]
+                   END)),
+                 rest[2:]
+          FROM (
+            SELECT n, st, rest, b, d,
+                   1 + list_max(list_transform(
+                         list_filter(st, x -> x.code[1:d] = b.code[1:d]),
+                         x -> x.code[d + 1])) AS v
+            FROM (
+              SELECT n, st, rest, b,
+                     CASE WHEN 100.0 - md >= 90.0 THEN 3
+                          WHEN 100.0 - md >= 60.0 THEN 2
+                          WHEN 100.0 - md >= 30.0 THEN 1
+                          ELSE 0 END AS d
+              FROM (
+                SELECT n, st, rest,
+                       st[list_position(dl, list_min(dl))] AS b,
+                       list_min(dl) AS md
+                FROM (
+                  SELECT n, st, rest,
+                         list_transform(st, x ->
+                           ${bulkDistSql("rest[1].prof", "x.prof")}) AS dl
+                  FROM assign WHERE len(rest) > 0) q0) q1) q2) q3)
+        SELECT u.id AS l_orderkey,
+               concat_ws('_', u.code[1], u.code[2], u.code[3]) AS lincode
+        FROM (SELECT st FROM assign ORDER BY n DESC LIMIT 1) f,
+             unnest(f.st) AS t(u)
+        ORDER BY l_orderkey"""
+  }
+
+  // G4 bulk mode: PRIM-ordered initial assignment (lincodes.pl:371-498) —
+  // distances Spark-computed, MST traversal + max+1 assignment per the
+  // reference's scan-order tie-breaks, oracled by the full CTE replay.
+  private val g4LincodePrim = Q(
+    "g4_lincode_prim",
+    (s, dir) => {
+      val w = wh(s, dir, 300)
+      Clustering.assignLinCodesBulk(w, "l_orderkey", Seq(30.0, 60.0, 90.0))
+        .select(col("l_orderkey"),
+          concat_ws("_", col("lincode")).as("lincode"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some(lincodePrimSql))
+
   // J5: LIN code prefix join — isolates whose assigned code starts with the
   // prefix (positional element equality, IsolateQueryPage.pm:3402-3506).
   // Same replay oracle filtered to the prefix.
@@ -475,6 +599,7 @@ object ClusterQueries extends QueryModule {
                  unnest(f.state) AS t(u) JOIN nodes n ON n.pos = u.pos
             ORDER BY root"""))
 
-  val qs: Seq[Q] = Seq(g3SingleLinkage, g2Burst, g4Lincode, j5LincodePrefix,
-    s9ReplicateProfiles, s10ReplicateLincodes, g5Mst, g5Nexus, g5Newick)
+  val qs: Seq[Q] = Seq(g3SingleLinkage, g2Burst, g4Lincode, g4LincodePrim,
+    j5LincodePrefix, s9ReplicateProfiles, s10ReplicateLincodes, g5Mst,
+    g5Nexus, g5Newick)
 }
