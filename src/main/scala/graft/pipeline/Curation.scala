@@ -80,6 +80,45 @@ object Curation {
     */
   val phonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
 
+  /** Deterministic train/valid/test split: the label is a pure function of
+    * the row id (hash mod 10000 against basis-point cutoffs), so the split
+    * is stable under corpus growth, reshuffling, and task retries — a row
+    * can never leak across splits between pipeline runs. One narrow
+    * projection; the corpus is not shuffled.
+    */
+  def trainValTestSplit(
+      id: Column, trainBp: Int, validBp: Int): Column = {
+    val b = hashBucket(id, 10000L)
+    when(b < trainBp, "train")
+      .when(b < trainBp + validBp, "valid")
+      .otherwise("test")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with an evaluation/benchmark set (the standard pretraining
+    * hygiene step — eval items must not appear in training data).
+    *
+    * Plan at 100 TB: the benchmark side is tiny and BROADCAST as a
+    * distinct-gram dimension; the corpus streams through one shingle
+    * projection and an inner hash join — corpus text is never shuffled,
+    * and the per-doc hit count aggregates map-side on (id, gram) hits
+    * only. Output: (id, n_hits) for contaminated documents; anti-join
+    * against it to clean the corpus.
+    */
+  def contamination(
+      docs: DataFrame, id: String, text: String,
+      evalDocs: DataFrame, n: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(Dedup.shingles(col(text), n)).as("__g"))
+      .distinct()
+    docs.select(col(id), explode(Dedup.shingles(col(text), n)).as("__g"))
+      .join(broadcast(evalGrams), Seq("__g"))
+      // shingles() is distinct per document, so count(*) = distinct
+      // overlapping grams
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** PII scrub: replace every email/phone span with a typed placeholder and
     * count the redactions. Returns a struct
     * (scrubbed, n_emails, n_phones) — narrow, codegen'd, no UDF.

@@ -20,6 +20,21 @@ object TextAnalysis {
     size(filter(split(text, "(?=[\\s\\p{Punct}])|(?<=[\\s\\p{Punct}])"),
       x => trim(x) =!= ""))
 
+  /** Overlapping sliding-window chunks for context-window preparation:
+    * windows of `window` chars every `stride` chars (overlap = window −
+    * stride), 1-based start offsets. Returns ARRAY<STRUCT<start, chunk>> —
+    * posexplode at the call site for (chunk_idx, start, chunk) rows. A
+    * narrow per-row projection: chunking 100 TB is embarrassingly parallel
+    * and never shuffles. Empty text yields one empty chunk (a document is
+    * never silently dropped by chunking).
+    */
+  def chunks(text: Column, window: Int, stride: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text), lit(1)), lit(stride)),
+      s => struct(
+        s.cast("long").as("start"),
+        substr(text, s, lit(window)).as("chunk")))
+
   /** Quality features: length, token count, mean word length, punctuation
     * ratio, stopword ratio, uppercase ratio. Returns a struct column.
     */

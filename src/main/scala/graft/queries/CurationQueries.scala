@@ -198,6 +198,54 @@ object CurationQueries extends QueryModule {
             FROM r WHERE rank <= 10
             ORDER BY query_id, rank"""))
 
+  // Deterministic train/valid/test split (80/10/10 by hashed id): stable
+  // under corpus growth and re-runs — no row ever migrates across splits.
+  // Output is the per-split contract summary (count + id checksum).
+  private val splitHash = Q(
+    "split_hash",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          Curation.trainValTestSplit(col("doc_id"), 8000, 1000).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    },
+    Some(s"""SELECT CASE WHEN $hashSql % 10000 < 8000 THEN 'train'
+                         WHEN $hashSql % 10000 < 9000 THEN 'valid'
+                         ELSE 'test' END AS split,
+                    count(1) AS n, sum(doc_id) AS id_sum
+             FROM documents GROUP BY 1 ORDER BY split"""))
+
+  // Benchmark decontamination: training docs sharing any word 3-gram with
+  // the benchmark slice (doc_id % 53 = 0). The benchmark gram set is
+  // broadcast; corpus text never shuffles.
+  private val textDecontaminate = Q(
+    "text_decontaminate",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val eval = docs.filter(col("doc_id") % 53 === 0)
+      val train = docs.filter(col("doc_id") % 53 =!= 0)
+      Curation.contamination(train, "doc_id", "text", eval, 3)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(
+                         len(string_split_regex(lower(text), '\s+')) - 1, 1)),
+                       i -> list_aggregate(
+                              string_split_regex(lower(text), '\s+')[i:i+2],
+                              'string_agg', ' '))) AS grams
+              FROM documents),
+            ev AS (SELECT DISTINCT unnest(grams) AS g FROM sh
+                   WHERE doc_id % 53 = 0)
+            SELECT s.doc_id, count(1) AS n_hits
+            FROM (SELECT doc_id, unnest(grams) AS g FROM sh
+                  WHERE doc_id % 53 <> 0) s
+            JOIN ev ON s.g = ev.g
+            GROUP BY s.doc_id ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
-    textPiiScrub, simQuantized)
+    textPiiScrub, simQuantized, splitHash, textDecontaminate)
 }

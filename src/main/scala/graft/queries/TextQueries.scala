@@ -237,6 +237,31 @@ object TextQueries extends QueryModule {
                      ELSE 0.0 END AS chars_per_token
             FROM documents ORDER BY doc_id"""))
 
+  // Context-window chunking: overlapping 200-char windows every 150 chars
+  // (50-char overlap), 1-based offsets — the RAG/pretraining prep step.
+  // Narrow per-row explode; no shuffle.
+  private val textChunk = Q(
+    "text_chunk",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), 200, 150))
+            .as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          col("c.start").as("start"), col("c.chunk").as("chunk"),
+          length(col("c.chunk")).cast("long").as("chunk_chars"))
+        .orderBy(col("doc_id"), col("start"))
+    },
+    Some("""SELECT doc_id, CAST((s - 1) / 150 AS INT) AS chunk_idx,
+                   CAST(s AS BIGINT) AS start,
+                   substr(text, s, 200) AS chunk,
+                   CAST(length(substr(text, s, 200)) AS BIGINT) AS chunk_chars
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, greatest(length(text), 1) + 1, 150))
+                           AS s
+                  FROM documents)
+            ORDER BY doc_id, start"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
-    textRepetition, textEntropy, textTokensBpe)
+    textRepetition, textEntropy, textTokensBpe, textChunk)
 }

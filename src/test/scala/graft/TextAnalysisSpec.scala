@@ -12,6 +12,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(df).map(_.head) == Seq(3, 2, 1))
   }
 
+  test("chunks: overlapping windows with 1-based offsets") {
+    // 10 chars, window 4, stride 3 → starts 1,4,7,10
+    val df = Seq("abcdefghij").toDF("t")
+      .select(posexplode(TextAnalysis.chunks(col("t"), 4, 3))
+        .as(Seq("i", "c")))
+      .select(col("i"), col("c.start"), col("c.chunk"))
+    assert(rows(df) == Seq(
+      Seq(0, 1L, "abcd"), Seq(1, 4L, "defg"),
+      Seq(2, 7L, "ghij"), Seq(3, 10L, "j")))
+  }
+
+  test("chunks: empty text yields one empty chunk, never drops the doc") {
+    val df = Seq("").toDF("t")
+      .select(posexplode(TextAnalysis.chunks(col("t"), 4, 3))
+        .as(Seq("i", "c")))
+      .select(col("c.start"), col("c.chunk"))
+    assert(rows(df) == Seq(Seq(1L, "")))
+  }
+
+  test("trainValTestSplit: deterministic, stable under corpus growth") {
+    import graft.pipeline.Curation
+    val small = (1L to 50L).toDF("id")
+      .select(col("id"), Curation.trainValTestSplit(col("id"), 8000, 1000)
+        .as("split"))
+      .as[(Long, String)].collect().toMap
+    val grown = (1L to 200L).toDF("id")
+      .select(col("id"), Curation.trainValTestSplit(col("id"), 8000, 1000)
+        .as("split"))
+      .as[(Long, String)].collect().toMap
+    // every originally-assigned row keeps its split when the corpus grows
+    assert(small.forall { case (id, s) => grown(id) == s })
+    assert(grown.values.toSet.subsetOf(Set("train", "valid", "test")))
+  }
+
+  test("contamination: only docs sharing an n-gram with the eval set flag") {
+    import graft.pipeline.Curation
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a slow red fox sleeps"),
+      (3L, "entirely unrelated words here")).toDF("doc_id", "text")
+    val eval = Seq((99L, "said the quick brown fox ran")).toDF("doc_id", "text")
+    val got = Curation.contamination(docs, "doc_id", "text", eval, 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "the quick brown" and "quick brown fox"; docs 2, 3 none
+    assert(got == Map(1L -> 2L))
+  }
+
   test("qualityFeatures: golden ratios") {
     val df = Seq("The cat, the hat.").toDF("t")
       .select(TextAnalysis.qualityFeatures(col("t"),
