@@ -119,6 +119,44 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Sequence packing for training batches: within each shard, documents
+    * in ascending-id order fill fixed token-capacity bins next-fit — a doc
+    * joins the current bin if it fits, else opens the next one (an
+    * over-capacity doc occupies a bin alone). Output: one row per doc with
+    * its bin index within the shard.
+    *
+    * Packing is inherently sequential in the fill order, so it runs
+    * per-shard: one `collect_list` + an `aggregate` HOF fold per shard —
+    * no UDF, no driver involvement. Shards are the pipeline's parallelism
+    * AND memory unit (a training shard is sized to fit a worker by
+    * construction, exactly like the files a tokenizer emits); 100 TB packs
+    * as one shuffle by shard key, every shard folding independently.
+    * Deterministic: (shard, id) totally orders the fill.
+    */
+  def packSequences(
+      docs: DataFrame, shard: String, id: String, tokens: Column,
+      capacity: Long): DataFrame = {
+    val perDoc = docs.select(col(shard),
+      struct(col(id).cast("long").as("id"),
+        tokens.cast("long").as("t")).as("__dt"))
+    val emptyOut = array().cast("array<struct<id:bigint,bin:int>>")
+    perDoc.groupBy(col(shard))
+      .agg(sort_array(collect_list(col("__dt"))).as("__ds"))
+      .select(col(shard), explode(aggregate(
+        col("__ds"),
+        struct(lit(0).as("bin"), lit(0L).as("fill"), emptyOut.as("out")),
+        (acc, x) => {
+          val over = acc("fill") + x("t") > lit(capacity) && acc("fill") > 0
+          val bin = when(over, acc("bin") + 1).otherwise(acc("bin"))
+          val fill = when(over, x("t")).otherwise(acc("fill") + x("t"))
+          struct(bin.as("bin"), fill.as("fill"),
+            concat(acc("out"),
+              array(struct(x("id").as("id"), bin.as("bin")))).as("out"))
+        },
+        acc => acc("out"))).as("__p"))
+      .select(col(shard), col("__p.id").as(id), col("__p.bin").as("bin"))
+  }
+
   /** PII scrub: replace every email/phone span with a typed placeholder and
     * count the redactions. Returns a struct
     * (scrubbed, n_emails, n_phones) — narrow, codegen'd, no UDF.

@@ -246,6 +246,38 @@ object CurationQueries extends QueryModule {
             JOIN ev ON s.g = ev.g
             GROUP BY s.doc_id ORDER BY doc_id"""))
 
+  // Sequence packing: per-source next-fit into 256-token bins, ascending
+  // doc_id fill order. The DuckDB oracle replays the sequential fold as a
+  // recursive CTE advancing every shard one document per step.
+  private val packSequences = Q(
+    "pack_sequences",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.packSequences(docs, "source", "doc_id",
+          graft.pipeline.TextAnalysis.tokenCount(col("text")), 256L)
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+            tok AS (SELECT source, doc_id,
+                           CAST(len(string_split_regex(trim(text), '\s+'))
+                                AS BIGINT) AS t,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY doc_id) AS rn
+                    FROM documents),
+            walk AS (
+              SELECT source, rn, doc_id, 0 AS bin, t AS fill
+              FROM tok WHERE rn = 1
+              UNION ALL
+              SELECT t.source, t.rn, t.doc_id,
+                     CASE WHEN w.fill + t.t > 256 AND w.fill > 0
+                          THEN w.bin + 1 ELSE w.bin END,
+                     CASE WHEN w.fill + t.t > 256 AND w.fill > 0
+                          THEN t.t ELSE w.fill + t.t END
+              FROM walk w JOIN tok t
+                ON t.source = w.source AND t.rn = w.rn + 1)
+            SELECT source, doc_id, CAST(bin AS INT) AS bin
+            FROM walk ORDER BY source, doc_id"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
-    textPiiScrub, simQuantized, splitHash, textDecontaminate)
+    textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences)
 }

@@ -46,6 +46,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(grown.values.toSet.subsetOf(Set("train", "valid", "test")))
   }
 
+  test("packSequences: next-fit fill, oversize doc isolated") {
+    import graft.pipeline.Curation
+    // cap 256: 100+100 fit, third 100 opens bin 1; the 300-token doc
+    // can't share → bin 2 alone; the 10-token tail opens bin 3
+    val docs = Seq(
+      ("A", 1L, 100L), ("A", 2L, 100L), ("A", 3L, 100L),
+      ("A", 4L, 300L), ("A", 5L, 10L),
+      ("B", 6L, 50L), ("B", 7L, 50L)).toDF("shard", "doc_id", "t")
+    val got = Curation.packSequences(docs, "shard", "doc_id", col("t"), 256L)
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == Set(
+      ("A", 1L, 0), ("A", 2L, 0), ("A", 3L, 1),
+      ("A", 4L, 2), ("A", 5L, 3),
+      ("B", 6L, 0), ("B", 7L, 0)))
+  }
+
   test("contamination: only docs sharing an n-gram with the eval set flag") {
     import graft.pipeline.Curation
     val docs = Seq(
