@@ -59,10 +59,54 @@ object DedupQueries extends QueryModule {
                         / len(list_distinct(a.grams || b.grams)), 4) >= 0.05
             ORDER BY id1, id2"""))
 
+  // Shared oracle fragment: the full MinHash+LSH replay — shingling, the
+  // k=64 md5-derived signature, 16-band bucketing (bucket equality =
+  // signature-slice equality), pair generation, agreement estimate. `est`
+  // yields (id1, id2, est_jaccard ROUNDED 4dp); est is in exact multiples
+  // of 1/64, so the 0.1 gate sits on no rounding boundary.
+  private val minhashCtesSql =
+    """words AS (
+         SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+         FROM documents),
+       grams AS (
+         SELECT doc_id,
+                list_distinct(list_transform(generate_series(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1])) AS g
+         FROM words
+         WHERE len(w) >= 2),
+       hm AS (
+         SELECT doc_id,
+                (('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT) % 2147483647 AS hm
+         FROM grams),
+       coefs AS (
+         SELECT i,
+                ((('0x' || substr(md5('graft-mh-a-42-' || i), 1, 15))::BIGINT) % 2147483646) + 1 AS a,
+                (('0x' || substr(md5('graft-mh-b-42-' || i), 1, 15))::BIGINT) % 2147483647 AS b
+         FROM range(0, 64) r(i)),
+       sigvals AS (
+         SELECT doc_id, i, min((hm * a + b) % 2147483647) AS s
+         FROM hm, coefs GROUP BY doc_id, i),
+       sigs AS (
+         SELECT doc_id, list(s ORDER BY i) AS sig FROM sigvals GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, t.t AS t,
+                array_to_string(sig[t.t*4+1 : t.t*4+4], ',') AS key
+         FROM sigs, range(0, 16) t(t)),
+       pairs AS (
+         SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         FROM banded x JOIN banded y
+           ON x.t = y.t AND x.key = y.key AND x.doc_id < y.doc_id),
+       est AS (
+         SELECT p.id1, p.id2,
+                round(list_sum(list_transform(generate_series(1, 64),
+                    i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) / 64.0, 4) AS est_jaccard
+         FROM pairs p
+         JOIN sigs s1 ON p.id1 = s1.doc_id
+         JOIN sigs s2 ON p.id2 = s2.doc_id)"""
+
   // MinHash + LSH near-dup candidates over portable (md5-derived) shingle
   // hashes and md5-derived universal-hash coefficients: the oracle replays
-  // shingling, the k=64 signature, 16-band bucketing (bucket equality =
-  // signature-slice equality), pair generation, and the agreement estimate.
+  // the whole pipeline (shared fragment above).
   private val dedupMinhash = Q(
     "dedup_minhash_lsh",
     (s, dir) => {
@@ -73,47 +117,48 @@ object DedupQueries extends QueryModule {
         .withColumn("est_jaccard", round(col("est_jaccard"), 4))
         .orderBy(col("id1"), col("id2"))
     },
-    Some("""WITH words AS (
-              SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
-              FROM documents),
-            grams AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(generate_series(1, len(w) - 1),
-                       i -> w[i] || ' ' || w[i+1])) AS g
-              FROM words
-              WHERE len(w) >= 2),
-            hm AS (
-              SELECT doc_id,
-                     (('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT) % 2147483647 AS hm
-              FROM grams),
-            coefs AS (
-              SELECT i,
-                     ((('0x' || substr(md5('graft-mh-a-42-' || i), 1, 15))::BIGINT) % 2147483646) + 1 AS a,
-                     (('0x' || substr(md5('graft-mh-b-42-' || i), 1, 15))::BIGINT) % 2147483647 AS b
-              FROM range(0, 64) r(i)),
-            sigvals AS (
-              SELECT doc_id, i, min((hm * a + b) % 2147483647) AS s
-              FROM hm, coefs GROUP BY doc_id, i),
-            sigs AS (
-              SELECT doc_id, list(s ORDER BY i) AS sig FROM sigvals GROUP BY doc_id),
-            banded AS (
-              SELECT doc_id, t.t AS t,
-                     array_to_string(sig[t.t*4+1 : t.t*4+4], ',') AS key
-              FROM sigs, range(0, 16) t(t)),
-            pairs AS (
-              SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-              FROM banded x JOIN banded y
-                ON x.t = y.t AND x.key = y.key AND x.doc_id < y.doc_id),
-            est AS (
-              SELECT p.id1, p.id2,
-                     round(list_sum(list_transform(generate_series(1, 64),
-                         i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) / 64.0, 4) AS est_jaccard
-              FROM pairs p
-              JOIN sigs s1 ON p.id1 = s1.doc_id
-              JOIN sigs s2 ON p.id2 = s2.doc_id)
-            SELECT id1, id2, est_jaccard FROM est
-            WHERE est_jaccard >= 0.1
-            ORDER BY id1, id2"""))
+    Some(s"""WITH $minhashCtesSql
+             SELECT id1, id2, est_jaccard FROM est
+             WHERE est_jaccard >= 0.1
+             ORDER BY id1, id2"""))
+
+  // Cluster + canonicalize: the step that turns near-dup PAIRS into an
+  // actual deduplication — connected components over the MinHash edge set
+  // (transitive closure: A~B, B~C dedups A,B,C together even if A,C never
+  // paired), canonical survivor = min doc_id per cluster, keep = doc is
+  // its own canonical. Every document gets a verdict (singletons keep
+  // themselves). Oracle: the shared MinHash replay + recursive-CTE
+  // closure with the same min-id naming rule.
+  private val dedupCluster = Q(
+    "dedup_cluster",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.1,
+        hasher = Dedup.portableShingleHashes)
+      val cc = graft.operators.Clustering.connectedComponents(
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+      docs.select(col("doc_id"))
+        .join(cc.select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical_id"),
+          (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $minhashCtesSql,
+             fp AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.1),
+             edges AS (SELECT id1 AS src, id2 AS dst FROM fp
+                       UNION SELECT id2, id1 FROM fp),
+             nodes AS (SELECT DISTINCT doc_id AS node FROM documents),
+             reach AS (
+               SELECT node AS src, node AS dst FROM nodes
+               UNION
+               SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+             SELECT src AS doc_id, min(dst) AS canonical_id,
+                    min(dst) = src AS keep
+             FROM reach GROUP BY src ORDER BY doc_id"""))
 
   // SimHash signatures over md5-derived (cross-engine-reproducible) shingle
   // hashes: the oracle replays shingling, hashing, and the per-bit vote in
@@ -150,5 +195,6 @@ object DedupQueries extends QueryModule {
             FROM documents d LEFT JOIN sim USING (doc_id)
             ORDER BY doc_id"""))
 
-  val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash)
+  val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
+    dedupCluster)
 }
