@@ -121,6 +121,38 @@ class PlanSpec extends SparkSpec {
     assert(hashAggs >= 4, s"expected partial+final at both levels:\n${plan.take(2000)}")
   }
 
+  test("text_chunk: chunking is narrow — no join, no hash shuffle") {
+    val plan = planOf("text_chunk")
+    assert(!plan.contains("Join"), "chunking is per-row, no join expected")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n${plan.take(2000)}")
+  }
+
+  test("text_decontaminate: benchmark gram set broadcasts, corpus unshuffled") {
+    val plan = planOf("text_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus text must never shuffle for a join:\n${plan.take(2000)}")
+  }
+
+  test("pack_sequences: exactly one hash shuffle (the shard re-key)") {
+    val plan = planOf("pack_sequences")
+    // one Exchange hashpartitioning for groupBy(shard); final orderBy adds
+    // a range exchange; nothing else may shuffle
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hash == 1, s"packing is one shuffle by shard key (got $hash):\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), "packing needs no join")
+  }
+
+  test("split_hash: split label is a narrow projection before the aggregate") {
+    val plan = planOf("split_hash")
+    assert(!plan.contains("Join"), "hash split needs no join")
+    // groupBy(split) partial-aggregates map-side: partial+final pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected map-side partial aggregation:\n${plan.take(2000)}")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
