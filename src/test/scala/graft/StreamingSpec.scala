@@ -92,4 +92,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == 3)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("contamination screens a document stream against a static benchmark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // decontamination-on-ingest: the benchmark gram set is a STATIC
+    // broadcast dimension; arriving docs stream through the same
+    // stream-static join + per-doc aggregation (complete mode — the
+    // flagged set is the query's running result)
+    val eval = Seq((99L, "said the quick brown fox ran")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a slow red fox sleeps"),
+      (3L, "entirely unrelated words here"))
+    def screen(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Curation.contamination(df, "doc_id", "text", eval, 3)
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val q = screen(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_contam_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_contam_sink")
+    val batch = screen(docs.toDF("doc_id", "text"))
+    assert(streamed.count() == 1 &&
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
