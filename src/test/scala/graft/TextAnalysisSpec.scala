@@ -62,6 +62,47 @@ class TextAnalysisSpec extends SparkSpec {
       ("B", 6L, 0), ("B", 7L, 0)))
   }
 
+  test("packSequences matches a reference fold on random corpora") {
+    import graft.pipeline.Curation
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 3) {
+      val docs = (1 to 60).map { i =>
+        (s"s${rnd.nextInt(4)}", i.toLong, rnd.nextInt(400).toLong)
+      }
+      val cap = 256L
+      // straightforward sequential reference: per shard, ascending id
+      val expected = docs.groupBy(_._1).flatMap { case (sh, ds) =>
+        var bin = 0; var fill = 0L
+        ds.sortBy(_._2).zipWithIndex.map { case ((_, id, t), i) =>
+          if (i > 0 && fill + t > cap) { bin += 1; fill = t }
+          else fill += t
+          (sh, id, bin)
+        }
+      }.toSet
+      val got = Curation.packSequences(
+          docs.toDF("shard", "doc_id", "t"), "shard", "doc_id", col("t"), cap)
+        .as[(String, Long, Int)].collect().toSet
+      assert(got == expected)
+    }
+  }
+
+  test("chunks matches substring reference on random texts") {
+    val rnd = new scala.util.Random(29)
+    val texts = (1 to 20).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val (w, st) = (7, 5)
+    val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+      (1 to math.max(t.length, 1) by st).map(s =>
+        (i.toLong, s.toLong, t.slice(s - 1, s - 1 + w)))
+    }.toSet
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), explode(TextAnalysis.chunks(col("t"), w, st)).as("c"))
+      .select(col("id"), col("c.start"), col("c.chunk"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == expected)
+  }
+
   test("contamination: only docs sharing an n-gram with the eval set flag") {
     import graft.pipeline.Curation
     val docs = Seq(
