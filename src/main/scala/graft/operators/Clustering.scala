@@ -391,6 +391,14 @@ object Clustering {
     val base = bulkProjection(wh, entity, maxMissing)
     val ids = base.select(col("__id")).as[Long].collect().sorted
     val n = ids.length
+    // the traversal needs random access to the full n²/2 triangle; bound
+    // the driver allocation explicitly (the reference hits the same wall
+    // and falls back to an mmap'd matrix — here the right tool above the
+    // cap is incremental assignLinCodes, which never materializes one)
+    require(n <= 50000,
+      s"primOrder: $n profiles need a ${n.toLong * n / 2 * 4 / (1 << 20)} MiB " +
+        "driver triangle; above 50000 profiles use incremental " +
+        "assignLinCodes (ascending-id order) instead")
     if (n <= 1) return ids.toSeq
     val posDf = ids.zipWithIndex.toSeq.toDF("__id", "__pos")
     val prof = base.join(broadcast(posDf), Seq("__id"))
