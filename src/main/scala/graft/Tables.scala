@@ -41,7 +41,7 @@ object Tables {
       // holds the DataFrame, which holds its session, so a keyed session
       // can't be GC'd out from under its entry); the compute below evicts
       // entries whose session has since been stopped
-      val key = System.identityHashCode(spark) + "|" + dir + "|" + name
+      val key = s"${System.identityHashCode(spark)}|$dir|$name"
       // sweep entries pinned to stopped sessions — without this, a JVM
       // cycling through sessions would retain every dead session's plans
       tableCache.entrySet.removeIf(e =>

@@ -436,7 +436,8 @@ object QueryCompiler {
       val statCols = stats.columns.filter(_ != cat.seqbinEntityId)
         .map(c => col(c).as(s"__sb_$c"))
       val joined = df.join(
-        stats.select(col(cat.seqbinEntityId).as(cat.entityId) +: statCols: _*),
+        stats.select(
+          col(cat.seqbinEntityId).as(cat.entityId) +: statCols.toIndexedSeq: _*),
         Seq(cat.entityId), "left")
       val terms = spec.seqbin.map { c =>
         val v = col(s"__sb_${c.field}").cast("double")
@@ -454,7 +455,7 @@ object QueryCompiler {
       }
       df = joined.filter(keep)
         .drop(stats.columns.filter(_ != cat.seqbinEntityId)
-          .map(c => s"__sb_$c"): _*)
+          .map(c => s"__sb_$c").toIndexedSeq: _*)
     }
 
     // 11. annotation status (IsolateQueryPage.pm:3997-4045): the entity's

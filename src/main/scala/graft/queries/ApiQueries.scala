@@ -24,7 +24,7 @@ object ApiQueries extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
 
   private def catalog(s: org.apache.spark.sql.SparkSession, dir: String): Catalog = {
-    val key = System.identityHashCode(s) + "|" + dir
+    val key = s"${System.identityHashCode(s)}|$dir"
     catalogCache.entrySet.removeIf(
       _.getValue.entities.sparkSession.sparkContext.isStopped)
     catalogCache.compute(key, (_, cached) =>
