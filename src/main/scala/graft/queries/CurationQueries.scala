@@ -278,6 +278,71 @@ object CurationQueries extends QueryModule {
             SELECT source, doc_id, CAST(bin AS INT) AS bin
             FROM walk ORDER BY source, doc_id"""))
 
+  // Deterministic corpus shuffle: training order = ascending md5(id) — a
+  // pure function of the row, so every epoch/rerun/engine reproduces the
+  // same order (rand()-seeded shuffles depend on partitioning and retry
+  // order). One range exchange; no data rewrite.
+  private val corpusShuffle = Q(
+    "corpus_shuffle",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          Curation.hashBucket(col("doc_id"), 1000000000000L).as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_key"))
+    },
+    Some(s"""SELECT doc_id, $hashSql % 1000000000000 AS shuffle_key
+             FROM documents ORDER BY shuffle_key, doc_id"""))
+
+  // Quality-filter funnel: per-filter drop counts + survivors — the
+  // curation observability view (how many docs each C4/Gopher-style rule
+  // removes). One pass, conditional counts, map-side combinable.
+  private val filterFunnel = Q(
+    "text_filter_funnel",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val f = graft.pipeline.TextAnalysis.qualityFeatures(
+        col("text"), Seq("the", "a", "an", "and", "or", "of", "to", "in"))
+      val d = docs.select(
+        (col("n_chars") < 50).as("too_short"),
+        (f.getField("mean_word_len") >= 12.0).as("gibberish"),
+        (f.getField("stopword_ratio") < 0.01).as("no_stopwords"))
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("too_short"), 1)).as("drop_short"),
+        count(when(!col("too_short") && col("gibberish"), 1))
+          .as("drop_gibberish"),
+        count(when(!col("too_short") && !col("gibberish")
+          && col("no_stopwords"), 1)).as("drop_no_stopwords"),
+        count(when(!col("too_short") && !col("gibberish")
+          && !col("no_stopwords"), 1)).as("survivors"))
+    },
+    Some("""WITH t AS (
+              SELECT n_chars < 50 AS too_short,
+                     (CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                           THEN CAST(length(text) AS DOUBLE)
+                                / len(string_split_regex(trim(text), '\s+'))
+                           ELSE 0.0 END) >= 12.0 AS gibberish,
+                     (CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                           THEN CAST(len(list_filter(
+                                  string_split_regex(lower(trim(text)), '\s+'),
+                                  w -> w IN ('the','a','an','and','or','of',
+                                             'to','in'))) AS DOUBLE)
+                                / len(string_split_regex(trim(text), '\s+'))
+                           ELSE 0.0 END) < 0.01 AS no_stopwords
+              FROM documents)
+            SELECT count(1) AS n_docs,
+                   count(CASE WHEN too_short THEN 1 END) AS drop_short,
+                   count(CASE WHEN NOT too_short AND gibberish THEN 1 END)
+                     AS drop_gibberish,
+                   count(CASE WHEN NOT too_short AND NOT gibberish
+                              AND no_stopwords THEN 1 END)
+                     AS drop_no_stopwords,
+                   count(CASE WHEN NOT too_short AND NOT gibberish
+                              AND NOT no_stopwords THEN 1 END) AS survivors
+            FROM t"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
-    textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences)
+    textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
+    corpusShuffle, filterFunnel)
 }
