@@ -112,6 +112,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** SemDedup-style semantic dedup: coarse-cluster the corpus into `nlist`
+    * IVF cells (deterministic centroids = first `nlist` vectors by id, as
+    * in [[ivfTopK]]), then compare ONLY within a cell — a row is dropped
+    * iff a lower-id cell-mate sits at cosine >= `tau`. Cross-cell pairs are
+    * never generated, so the O(n²) pair space collapses to Σ|cell|² with
+    * the cell id as the single shuffle key — the 100 TB form of
+    * [[cosineNearDupPairs]] (raise `nlist` as the corpus grows to hold
+    * |cell| bounded). Keep-lowest-id is a pure per-pair rule, so the kept
+    * set is deterministic and independent of partitioning.
+    *
+    * Output: (id, list_id, keep, dup_of, dup_cos) — `dup_of` the lowest-id
+    * cell-mate above `tau` (null when kept), `dup_cos` its cosine.
+    */
+  def semDedup(vecs: DataFrame, id: String, vec: String,
+      tau: Double, nlist: Int = 16): DataFrame = {
+    val centroids = graft.operators.Numbering.numberBySort(
+        vecs.orderBy(col(id)).limit(nlist)
+          .select(col(id).as("cid"), toDouble(col(vec)).as("cvec")),
+        "cid", "list_id")
+      .select(col("list_id"), col("cvec"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("cd").desc, col("list_id"))
+    val assigned = vecs
+      .select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
+      .join(broadcast(centroids))
+      .withColumn("cd", cosine(col("__v"), col("cvec")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("__id"), col("__v"), col("list_id"))
+    val dups = assigned.select(col("list_id"), col("__id").as("id1"), col("__v").as("v1"))
+      .join(assigned.select(col("list_id"), col("__id").as("id2"), col("__v").as("v2")),
+        Seq("list_id"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id2"))
+      .agg(min(struct(col("id1"), col("cos"))).as("d"))
+      .select(col("id2").as("__id"),
+        col("d.id1").as("dup_of"), col("d.cos").as("dup_cos"))
+    assigned.join(dups, Seq("__id"), "left")
+      .select(col("__id").as(id), col("list_id"),
+        col("dup_of").isNull.as("keep"), col("dup_of"), col("dup_cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (i<j) pairs above
     * `minCos` — the dedup-family verification form (exact over a bounded
     * set; compose with `lshTopK`/`ivfTopK` candidates at scale).

@@ -56,6 +56,19 @@ object TextAnalysis {
       when(toks > 0, stop / toks).otherwise(lit(0.0)).as("stopword_ratio"))
   }
 
+  /** Linear-model inference: `bias + Σ wᵢ·termᵢ`, accumulated strictly
+    * left-to-right (left-assoc adds over exact-rounded products), so any
+    * engine evaluating the same chain reproduces the score bit-for-bit —
+    * which is what lets a model-based quality filter stay oracle-checkable.
+    * The model-scoring shape of the quality filter (fineweb-edu style):
+    * weights are tiny curated metadata, inference is one codegen'd
+    * projection — no UDF, no shuffle, no model server.
+    */
+  def linearScore(bias: Double, terms: (Double, Column)*): Column =
+    terms.foldLeft(lit(bias): Column) { case (acc, (w, t)) =>
+      acc + lit(w) * t
+    }
+
   /** Language-ID by stopword-set voting: the language whose marker-word set
     * has the highest hit count (word occurrences, duplicates counted) wins;
     * ties break to the ascending language name; documents hitting no marker

@@ -222,6 +222,49 @@ object SimilarityQueries extends QueryModule {
             WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.35
             ORDER BY id1, id2"""))
 
+  // SemDedup: coarse IVF cells → intra-cell cosine only; drop a vector iff
+  // a lower-id cell-mate is at cos >= tau. The oracle replays the exact
+  // cell assignment (deterministic centroids) and keep/drop rule, so the
+  // kept set — not just counts — is verified.
+  private val dedupSemantic = Q(
+    "dedup_semantic",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.semDedup(emb, "vec_id", "embedding", tau = 0.3, nlist = 16)
+        .withColumn("dup_cos", round(col("dup_cos"), 4))
+        .withColumn("list_id", col("list_id").cast("long"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t),
+            norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            assigned AS (
+              SELECT vec_id, v, n, list_id FROM (
+                SELECT nm.vec_id, nm.v, nm.n, c.list_id,
+                       row_number() OVER (
+                         PARTITION BY nm.vec_id
+                         ORDER BY list_dot_product(nm.v, c.cvec)
+                                    / (nm.n * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                                  c.list_id) AS r
+                FROM norm nm, cent c) t WHERE r = 1),
+            pairs AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                     list_dot_product(a.v, b.v) / (a.n * b.n) AS cos
+              FROM assigned a JOIN assigned b USING (list_id)
+              WHERE a.vec_id < b.vec_id),
+            dups AS (
+              SELECT id2, dup_of, dup_cos FROM (
+                SELECT id2, id1 AS dup_of, cos AS dup_cos,
+                       row_number() OVER (PARTITION BY id2 ORDER BY id1) AS r
+                FROM pairs WHERE cos >= 0.3) t WHERE r = 1)
+            SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+                   d.dup_of IS NULL AS keep, d.dup_of,
+                   round(d.dup_cos, 4) AS dup_cos
+            FROM assigned a LEFT JOIN dups d ON d.id2 = a.vec_id
+            ORDER BY a.vec_id"""))
+
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
-    dedupEmbedding, dedupLshCosine)
+    dedupEmbedding, dedupLshCosine, dedupSemantic)
 }

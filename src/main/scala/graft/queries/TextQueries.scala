@@ -262,6 +262,66 @@ object TextQueries extends QueryModule {
                   FROM documents)
             ORDER BY doc_id, start"""))
 
+  // Model-based quality scoring: a linear classifier over the quality
+  // features (the fineweb-edu / DCLM filter shape, with a stand-in weight
+  // vector — real weights are a drop-in dimension). Score arithmetic is a
+  // fixed left-assoc chain, so the oracle replays it bit-for-bit; per-doc
+  // scores are quantized to basis points BEFORE the rollup so the SUM is
+  // integer (order-independent) — never sum raw doubles across engines.
+  private val textQualityModel = Q(
+    "text_quality_model",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val f = TextAnalysis.qualityFeatures(col("text"), stopwords)
+      val score = TextAnalysis.linearScore(0.29,
+        2.0 -> col("f.stopword_ratio"),
+        -0.08 -> col("f.mean_word_len"),
+        -3.0 -> col("f.punct_ratio"),
+        -2.0 -> col("f.upper_ratio"),
+        0.5 -> (least(col("f.n_tokens"), lit(1000.0)) / lit(1000.0)))
+      docs.select(col("source"), f.as("f"))
+        .select(col("source"),
+          round(score * 10000).cast("long").as("score_bp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("score_bp") >= 0, 1)).as("n_pass"),
+          sum(col("score_bp")).as("sum_score_bp"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (
+              SELECT source,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+                     CAST(length(text) AS DOUBLE) AS chars,
+                     CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                          AS DOUBLE) AS punct,
+                     CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                          AS DOUBLE) AS uppers,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       w -> w IN ('the','a','an','and','or','of','to','in')))
+                       AS DOUBLE) AS stops
+              FROM documents),
+            f AS (
+              SELECT source,
+                     CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END AS stopword_ratio,
+                     CASE WHEN toks > 0 THEN chars / toks ELSE 0.0 END AS mean_word_len,
+                     CASE WHEN chars > 0 THEN punct / chars ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN chars > 0 THEN uppers / chars ELSE 0.0 END AS upper_ratio,
+                     toks
+              FROM t),
+            scored AS (
+              SELECT source,
+                     CAST(round((((((((0.29) + 2.0 * stopword_ratio)
+                       + (-0.08) * mean_word_len)
+                       + (-3.0) * punct_ratio)
+                       + (-2.0) * upper_ratio)
+                       + 0.5 * (least(toks, 1000.0) / 1000.0)) * 10000))
+                       AS BIGINT) AS score_bp
+              FROM f)
+            SELECT source, count(1) AS n_docs,
+                   count(CASE WHEN score_bp >= 0 THEN 1 END) AS n_pass,
+                   CAST(sum(score_bp) AS BIGINT) AS sum_score_bp
+            FROM scored GROUP BY source ORDER BY source"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
-    textRepetition, textEntropy, textTokensBpe, textChunk)
+    textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel)
 }

@@ -46,6 +46,30 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semDedup drops exactly the rows with a lower-id cell-mate above tau") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding", tau = 0.3, nlist = 8)
+      .select("vec_id", "list_id", "keep", "dup_of")
+      .as[(Long, Long, Boolean, Option[Long])].collect()
+    assert(out.length == emb.count())
+    // replay the rule per cell against independently computed cosines
+    val byCell = out.groupBy(_._2)
+    val vecs = emb.select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for ((_, cell) <- byCell; (id, _, keep, dupOf) <- cell) {
+      val lower = cell.map(_._1).filter(_ < id)
+      val expected = lower.filter(o => cos(vecs(o), vecs(id)) >= 0.3)
+      assert(keep == expected.isEmpty, s"id=$id")
+      if (!keep) assert(dupOf.contains(expected.min), s"id=$id dup_of=$dupOf")
+    }
+    assert(out.exists(!_._3) && out.exists(_._3)) // both outcomes occur
+  }
+
   test("LSH ANN achieves >=0.6 recall@5 vs brute force on the sf0.001 corpus") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 8)

@@ -184,4 +184,12 @@ class TextAnalysisSpec extends SparkSpec {
     // pieces: don | ' | t | stop | - | me | now
     assert(rows(df).head.head == 7)
   }
+
+  test("linearScore reproduces the left-assoc double chain bit-for-bit") {
+    val df = Seq((0.3, 5.2, 0.04)).toDF("a", "b", "c")
+      .select(TextAnalysis.linearScore(0.29,
+        2.0 -> col("a"), -0.08 -> col("b"), -3.0 -> col("c")).as("s"))
+    val expected = ((0.29 + 2.0 * 0.3) + -0.08 * 5.2) + -3.0 * 0.04
+    assert(rows(df).head.head == expected) // exact, not approximate
+  }
 }
