@@ -132,14 +132,28 @@ object Similarity {
           .select(col(id).as("cid"), toDouble(col(vec)).as("cvec")),
         "cid", "list_id")
       .select(col("list_id"), col("cvec"))
-    val w = Window.partitionBy(col("__id")).orderBy(col("cd").desc, col("list_id"))
+    // Assignment is a NARROW map: the nlist centroids collapse to one
+    // array row (sorted by list_id), broadcast, and each vector folds over
+    // it picking the best cell — no nlist× row blow-up, no per-id argmax
+    // shuffle (the ivfTopK window form costs both). Strict > on the fold
+    // keeps the first (lowest) list_id on cd ties, matching the oracle's
+    // ORDER BY cd DESC, list_id.
+    val centArr = broadcast(centroids.agg(
+      sort_array(collect_list(struct(col("list_id"), col("cvec"))))
+        .as("__cents")))
     val assigned = vecs
       .select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
-      .join(broadcast(centroids))
-      .withColumn("cd", cosine(col("__v"), col("cvec")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col("__id"), col("__v"), col("list_id"))
+      .crossJoin(centArr)
+      .withColumn("__best", aggregate(
+        col("__cents"),
+        struct(lit(Double.NegativeInfinity).as("cd"), lit(0L).as("list_id")),
+        (acc, c) => {
+          val cd = cosine(col("__v"), c.getField("cvec"))
+          when(cd > acc.getField("cd"),
+            struct(cd.as("cd"), c.getField("list_id").as("list_id")))
+            .otherwise(acc)
+        }))
+      .select(col("__id"), col("__v"), col("__best.list_id").as("list_id"))
     val dups = assigned.select(col("list_id"), col("__id").as("id1"), col("__v").as("v1"))
       .join(assigned.select(col("list_id"), col("__id").as("id2"), col("__v").as("v2")),
         Seq("list_id"))

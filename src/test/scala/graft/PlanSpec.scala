@@ -153,6 +153,13 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial aggregation:\n${plan.take(2000)}")
   }
 
+  test("dedup_semantic: cell assignment is a narrow map, not a windowed argmax") {
+    val plan = planOf("dedup_semantic")
+    // the nlist× blow-up + per-vector argmax shuffle form would show a
+    // Window (row_number) — the fold-over-broadcast-array form shows none
+    assert(!plan.contains("Window"), s"assignment regressed to window argmax:\n${plan.take(2000)}")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
