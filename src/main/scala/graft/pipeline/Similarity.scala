@@ -78,30 +78,65 @@ object Similarity {
     * over `nlist` centroids (tiny) + one shuffle on list id; the probe join
     * is an equi join on list id — no all-pairs work anywhere.
     */
+  /** First `nlist` vectors by id as (list_id, cvec) — the deterministic
+    * centroid sample shared by [[ivfTopK]] and [[semDedup]]. List ids via
+    * distributed numbering — the input is only nlist rows, but this keeps
+    * src/main free of single-partition Window.orderBy entirely.
+    */
+  private def firstNCentroids(
+      vecs: DataFrame, id: String, vec: String, nlist: Int): DataFrame =
+    graft.operators.Numbering.numberBySort(
+        vecs.orderBy(col(id)).limit(nlist)
+          .select(col(id).as("cid"), toDouble(col(vec)).as("cvec")),
+        "cid", "list_id")
+      .select(col("list_id"), col("cvec"))
+
+  /** The nlist centroids collapsed to ONE broadcast array row (sorted by
+    * list_id) — the narrow-assignment side input.
+    */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    broadcast(centroids.agg(
+      sort_array(collect_list(struct(col("list_id"), col("cvec"))))
+        .as("__cents")))
+
+  /** Best cell for vector `v` by folding over the `__cents` array: strict >
+    * keeps the first (lowest) list_id on cosine ties, matching the
+    * windowed form's ORDER BY cd DESC, list_id. A narrow projection — no
+    * nlist× row blow-up, no per-vector argmax shuffle.
+    */
+  private def foldBestCell(v: Column): Column = aggregate(
+    col("__cents"),
+    struct(lit(Double.NegativeInfinity).as("cd"), lit(0L).as("list_id")),
+    (acc, c) => {
+      val cd = cosine(v, c.getField("cvec"))
+      when(cd > acc.getField("cd"),
+        struct(cd.as("cd"), c.getField("list_id").as("list_id")))
+        .otherwise(acc)
+    })
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    // deterministic centroid sample: first nlist corpus vectors by id
-    // list ids via distributed numbering — the input is only nlist rows, but
-    // this keeps src/main free of single-partition Window.orderBy entirely
-    val centroids = graft.operators.Numbering.numberBySort(
-        corpus.orderBy(col(id)).limit(nlist)
-          .select(col(id).as("cid"), toDouble(col(vec)).as("cvec")),
-        "cid", "list_id")
-      .select(col("list_id"), col("cvec"))
-    def assign(df: DataFrame, idAs: String, vecAs: String, topLists: Int) = {
-      val scored = df.select(col(id).as(idAs), toDouble(col(vec)).as(vecAs))
+    val centroids = firstNCentroids(corpus, id, vec, nlist)
+    // corpus side: narrow fold (the corpus is the 100 TB side — never
+    // blow it up nlist× or shuffle it per-vector just to pick a cell)
+    val assigned = corpus
+      .select(col(id).as("neighbor_id"), toDouble(col(vec)).as("cv"))
+      .crossJoin(centroidArray(centroids))
+      .withColumn("__best", foldBestCell(col("cv")))
+      .select(col("neighbor_id"), col("cv"), col("__best.list_id").as("list_id"))
+    // probe side: top-nprobe lists per query — a window over the tiny
+    // (broadcast-scale) query set is the simplest correct form here
+    val probes = {
+      val scored = queries.select(col(id).as("query_id"), toDouble(col(vec)).as("qv"))
         .join(broadcast(centroids))
-        .withColumn("cd", cosine(col(vecAs), col("cvec")))
-      val w = Window.partitionBy(col(idAs)).orderBy(col("cd").desc, col("list_id"))
+        .withColumn("cd", cosine(col("qv"), col("cvec")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cd").desc, col("list_id"))
       scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= topLists)
-        .select(col(idAs), col(vecAs), col("list_id"))
+        .filter(col("__r") <= nprobe)
+        .select(col("query_id"), col("qv"), col("list_id"))
     }
-    val assigned = assign(corpus, "neighbor_id", "cv", 1)   // each vector: 1 list
-    val probes = assign(queries, "query_id", "qv", nprobe)  // each query: nprobe lists
     val scored = assigned.join(probes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
@@ -127,32 +162,12 @@ object Similarity {
     */
   def semDedup(vecs: DataFrame, id: String, vec: String,
       tau: Double, nlist: Int = 16): DataFrame = {
-    val centroids = graft.operators.Numbering.numberBySort(
-        vecs.orderBy(col(id)).limit(nlist)
-          .select(col(id).as("cid"), toDouble(col(vec)).as("cvec")),
-        "cid", "list_id")
-      .select(col("list_id"), col("cvec"))
-    // Assignment is a NARROW map: the nlist centroids collapse to one
-    // array row (sorted by list_id), broadcast, and each vector folds over
-    // it picking the best cell — no nlist× row blow-up, no per-id argmax
-    // shuffle (the ivfTopK window form costs both). Strict > on the fold
-    // keeps the first (lowest) list_id on cd ties, matching the oracle's
-    // ORDER BY cd DESC, list_id.
-    val centArr = broadcast(centroids.agg(
-      sort_array(collect_list(struct(col("list_id"), col("cvec"))))
-        .as("__cents")))
+    // Assignment is a NARROW map (see foldBestCell): no nlist× row
+    // blow-up, no per-vector argmax shuffle.
     val assigned = vecs
       .select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
-      .crossJoin(centArr)
-      .withColumn("__best", aggregate(
-        col("__cents"),
-        struct(lit(Double.NegativeInfinity).as("cd"), lit(0L).as("list_id")),
-        (acc, c) => {
-          val cd = cosine(col("__v"), c.getField("cvec"))
-          when(cd > acc.getField("cd"),
-            struct(cd.as("cd"), c.getField("list_id").as("list_id")))
-            .otherwise(acc)
-        }))
+      .crossJoin(centroidArray(firstNCentroids(vecs, id, vec, nlist)))
+      .withColumn("__best", foldBestCell(col("__v")))
       .select(col("__id"), col("__v"), col("__best.list_id").as("list_id"))
     val dups = assigned.select(col("list_id"), col("__id").as("id1"), col("__v").as("v1"))
       .join(assigned.select(col("list_id"), col("__id").as("id2"), col("__v").as("v2")),
