@@ -193,4 +193,53 @@ object Dedup {
       .agg(min(struct(col(docId), col(pos))).as("__first"))
       .select(col(s"__first.$docId").as(docId),
         col(s"__first.$pos").as(pos), col(unit))
+
+  /** Duplicated-substring spans — the exact-substring dedup signal of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022), re-expressed relationally: a k-word shingle position is
+    * duplicated iff its shingle occurs more than once corpus-wide (their
+    * suffix-array criterion at shingle granularity); per document,
+    * overlapping/adjacent duplicated positions merge into maximal spans
+    * (gaps-and-islands). Wide ops: the shingle-count shuffle (map-side
+    * combinable, key = content hash so it's skew-diffuse), the semi join
+    * marking duplicated positions, and a per-document window — never a
+    * suffix array, never the O(n²) pair space.
+    *
+    * Hashes use the portable md5 scheme so an external engine can replay
+    * the whole pipeline. Output: (id, n_dup_spans, n_dup_tokens) for EVERY
+    * input document (0, 0 when clean).
+    */
+  def dupSpans(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(col(text))
+    val occ = docs.select(col(id).as("__did"), ws.as("__ws"))
+      .select(col("__did"),
+        explode(when(size(col("__ws")) >= k,
+            sequence(lit(1), size(col("__ws")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"),
+        col("__ws"))
+      .select(col("__did"), col("pos"),
+        conv(substring(md5(
+            array_join(slice(col("__ws"), col("pos"), lit(k)), " ")),
+          1, 15), 16, 10).cast("long").as("__h"))
+    val dupHashes = occ.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select(col("__h"))
+    val dupPos = occ.join(dupHashes, Seq("__h"), "left_semi")
+    val wD = Window.partitionBy(col("__did")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("__brk",
+        when(col("pos") <= lag(col("pos"), 1).over(wD) + k, 0).otherwise(1))
+      .withColumn("__island", sum(col("__brk")).over(wD))
+      .groupBy(col("__did"), col("__island"))
+      .agg(min(col("pos")).as("__s"), max(col("pos")).as("__e"))
+      .groupBy(col("__did"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") + (k - 1) - col("__s") + 1).cast("long")
+          .as("n_dup_tokens"))
+    docs.select(col(id))
+      .join(spans.withColumnRenamed("__did", id), Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+  }
 }

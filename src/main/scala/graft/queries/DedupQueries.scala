@@ -207,6 +207,55 @@ object DedupQueries extends QueryModule {
             FROM documents d LEFT JOIN sim USING (doc_id)
             ORDER BY doc_id"""))
 
+  // Substring-level dedup (Lee et al. 2022 exact-substring signal at
+  // 5-gram granularity): duplicated positions → merged per-doc spans.
+  // Full replay oracle: DuckDB recomputes shingle hashes, the corpus-wide
+  // duplicate set, and the gaps-and-islands merge.
+  private val dedupSubstring = Q(
+    "dedup_substring",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.dupSpans(docs, "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+              FROM documents),
+            occ AS (
+              SELECT doc_id,
+                     unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS pos,
+                     ws
+              FROM w),
+            hashed AS (
+              SELECT doc_id, pos,
+                     ('0x' || substr(md5(list_aggregate(ws[pos:pos+4],
+                        'string_agg', ' ')), 1, 15))::BIGINT AS h
+              FROM occ),
+            dups AS (SELECT h FROM hashed GROUP BY h HAVING count(*) > 1),
+            dpos AS (SELECT doc_id, pos FROM hashed JOIN dups USING (h)),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos <= lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) + 5
+                          THEN 0 ELSE 1 END AS brk
+              FROM dpos),
+            isl2 AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM isl),
+            spans AS (
+              SELECT doc_id, island, min(pos) AS s, max(pos) AS e
+              FROM isl2 GROUP BY doc_id, island),
+            agg AS (
+              SELECT doc_id, count(1) AS n_dup_spans,
+                     CAST(sum(e + 4 - s + 1) AS BIGINT) AS n_dup_tokens
+              FROM spans GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+                   COALESCE(a.n_dup_tokens, 0) AS n_dup_tokens
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupCluster)
+    dedupCluster, dedupSubstring)
 }

@@ -78,4 +78,22 @@ class DedupSpec extends SparkSpec {
       Dedup.jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))).as("j"))
     assert(math.abs(rows(df).head.head.asInstanceOf[Double] - 0.5) < 1e-12)
   }
+
+  test("dupSpans merges planted duplicated substrings into maximal spans") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf" // 7 words
+    val docs = Seq(
+      (1L, s"unique1a unique1b $shared trailer1a trailer1b"),
+      (2L, s"opener2a $shared unique2x unique2y unique2z"),
+      (3L, "nothing here repeats at all ever once anywhere"),
+      (4L, "tiny doc")). // shorter than k -> no positions
+      toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // docs 1 and 2 share one 7-word phrase: exactly one span each,
+    // covering exactly those 7 tokens; docs 3 and 4 are clean
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out(0)._2 == 1 && out(0)._3 == 7, out(0).toString)
+    assert(out(1)._2 == 1 && out(1)._3 == 7, out(1).toString)
+    assert(out(2) == ((3L, 0L, 0L)) && out(3) == ((4L, 0L, 0L)))
+  }
 }
