@@ -79,6 +79,36 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(rows(df).head.head.asInstanceOf[Double] - 0.5) < 1e-12)
   }
 
+  test("dupSpans matches an in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(41)
+    val k = 3
+    for (_ <- 1 to 3) {
+      // small vocabulary forces organic duplicate shingles
+      val docs = (1L to 30L).map { i =>
+        (i, Seq.fill(rnd.nextInt(20))("w" + rnd.nextInt(6)).mkString(" "))
+      }
+      val grams = docs.flatMap { case (id, t) =>
+        val ws = t.toLowerCase.split("\\s+").toSeq
+        (if (ws.size >= k) ws.sliding(k).zipWithIndex.toSeq else Nil)
+          .map { case (g, i) => (id, i + 1, g.mkString(" ")) }
+      }
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = docs.map { case (id, _) =>
+        val dupPos = grams.filter(g => g._1 == id && counts(g._3) > 1)
+          .map(_._2).sorted
+        val islands = dupPos.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p <= e + k => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }
+        val tokens = islands.map { case (s, e) => e + (k - 1) - s + 1 }.sum
+        (id, islands.size.toLong, tokens.toLong)
+      }.toSet
+      val got = Dedup.dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected)
+    }
+  }
+
   test("dupSpans merges planted duplicated substrings into maximal spans") {
     val shared = "alpha bravo charlie delta echo foxtrot golf" // 7 words
     val docs = Seq(
