@@ -68,6 +68,35 @@ object Curation {
       .drop("__cutoff")
   }
 
+  /** Epoch-weighted recipe materialization — the UP-sampling counterpart
+    * of [[domainMix]]: each document repeats `floor(w)` times plus one
+    * extra epoch for the hash-selected fraction `w - floor(w)` of its
+    * stratum (so a 1.5-epoch source emits every doc once and a
+    * deterministic half of it twice). `weights` is a (stratumCol,
+    * epochs_bp: long) dimension in integer basis points (10000 = 1 epoch) —
+    * the whole decision is integer arithmetic on the md5 hash, so any
+    * engine replays the exact emitted multiset.
+    *
+    * Plan: broadcast weights + per-row sequence explode — fully narrow,
+    * ZERO shuffles; the corpus never moves. Output: one row per
+    * (document, epoch), epoch 1-based.
+    */
+  def epochMix(
+      docs: DataFrame, id: String, stratum: String,
+      weights: DataFrame): DataFrame = {
+    val full = floor(col("epochs_bp") / 10000).cast("long")
+    val frac = col("epochs_bp") % 10000
+    val n = full +
+      when(hashBucket(col(id), 10000L) < frac, 1L).otherwise(0L)
+    docs.join(broadcast(weights), Seq(stratum))
+      .withColumn("__n_epochs", n)
+      .withColumn("epoch",
+        explode(when(col("__n_epochs") >= 1,
+            sequence(lit(1L), col("__n_epochs")))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("epochs_bp", "__n_epochs")
+  }
+
   /** Email-address pattern — deliberately RE2-compatible (no backrefs or
     * lookaround) so the Java-regex Spark plan and an RE2-based oracle
     * (DuckDB) match the identical spans.

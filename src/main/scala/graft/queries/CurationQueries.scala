@@ -342,7 +342,40 @@ object CurationQueries extends QueryModule {
                               AND NOT no_stopwords THEN 1 END) AS survivors
             FROM t"""))
 
+  // Epoch-weighted up-sampling: sources get 1.0x..3.0x epochs in basis
+  // points; the emitted (doc, epoch) multiset is witnessed by count,
+  // id-weighted sum, and max epoch — all integer, replayed arithmetically
+  // by the oracle (no unnest needed: the per-doc emit count is a scalar).
+  private val mixEpochs = Q(
+    "mix_epochs",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val weights = docs.select(col("source")).distinct()
+        .select(col("source"),
+          (lit(10000L) + (srcIdx % 5).cast("long") * 5000L).as("epochs_bp"))
+      Curation.epochMix(docs, "doc_id", "source", weights)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_emitted"),
+          sum(col("doc_id")).as("id_sum"),
+          max(col("epoch")).as("max_epoch"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH w AS (
+               SELECT doc_id, source,
+                      10000 + ($srcIdxSql % 5) * 5000 AS bp,
+                      $hashSql % 10000 AS hb
+               FROM documents),
+             e AS (
+               SELECT source, doc_id,
+                      (bp // 10000) +
+                      (CASE WHEN hb < bp % 10000 THEN 1 ELSE 0 END) AS n
+               FROM w)
+             SELECT source, CAST(sum(n) AS BIGINT) AS n_emitted,
+                    CAST(sum(doc_id * n) AS BIGINT) AS id_sum,
+                    CAST(max(n) AS BIGINT) AS max_epoch
+             FROM e GROUP BY source ORDER BY source"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
-    corpusShuffle, filterFunnel)
+    corpusShuffle, filterFunnel, mixEpochs)
 }

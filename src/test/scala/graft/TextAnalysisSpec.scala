@@ -185,6 +185,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(df).head.head == 7)
   }
 
+  test("epochMix emits floor(w) epochs plus a deterministic fractional extra") {
+    import graft.pipeline.Curation
+    val docs = (1L to 40L).map(i => (i, if (i <= 20) "a" else "b"))
+      .toDF("doc_id", "source")
+    val weights = Seq(("a", 20000L), ("b", 15000L)).toDF("source", "epochs_bp")
+    val out = Curation.epochMix(docs, "doc_id", "source", weights)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .as[(Long, String, Long)].collect()
+    val perDoc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // integer weight: exactly 2 epochs each, epochs numbered 1..2
+    assert((1L to 20L).forall(perDoc(_) == 2))
+    // fractional 1.5x: every doc 1 or 2 epochs, both outcomes occur
+    val bCounts = (21L to 40L).map(perDoc)
+    assert(bCounts.forall(c => c == 1 || c == 2))
+    assert(bCounts.exists(_ == 1) && bCounts.exists(_ == 2))
+    // epochs are 1-based and dense
+    assert(out.filter(_._1 == 1L).map(_._3).sorted.toSeq == Seq(1L, 2L))
+    // deterministic: a second run emits the identical multiset
+    val again = Curation.epochMix(docs, "doc_id", "source", weights)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .as[(Long, String, Long)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("linearScore reproduces the left-assoc double chain bit-for-bit") {
     val df = Seq((0.3, 5.2, 0.04)).toDF("a", "b", "c")
       .select(TextAnalysis.linearScore(0.29,
