@@ -87,6 +87,59 @@ class ClusteringSpec extends SparkSpec {
       (1, 1, 1L, false), (2, 1, 1L, false), (3, 1, 2L, true), (4, 4, 0L, true)))
   }
 
+  test("singleLinkage and burst match union-find references on random profiles") {
+    val rnd = new scala.util.Random(17)
+    val nLoci = 4
+    for (round <- 1 to 3) {
+      val n = 24
+      val profiles = (1 to n).map { i =>
+        (i, Vector.fill(nLoci)(
+          if (rnd.nextInt(10) == 0) "0" else (1 + rnd.nextInt(3)).toString))
+      }
+      val fact = profiles.flatMap { case (id, p) =>
+        p.zipWithIndex.map { case (a, l) => (id, l + 1, a) }
+      }.toDF("iso", "locus", "allele")
+      val w = Profiles.warehouse(fact, "iso", "locus", col("allele"), nLoci)
+      def shared(a: Vector[String], b: Vector[String]): Int =
+        a.zip(b).count { case (x, y) => x == y && x != "0" }
+      val pairShared = (for {
+        (i, pi) <- profiles; (j, pj) <- profiles if i < j
+      } yield ((i, j), shared(pi, pj))).toMap
+      def components(minShared: Int): Map[Int, Int] = {
+        val parent = scala.collection.mutable.Map((1 to n).map(i => i -> i): _*)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        for (((i, j), s) <- pairShared if s >= minShared)
+          parent(find(i)) = find(j)
+        val roots = (1 to n).groupBy(find)
+        roots.flatMap { case (_, ms) => ms.map(_ -> ms.min) }
+      }
+      // single linkage at threshold 1: edges share >= nLoci - 1
+      val expectSl = components(nLoci - 1)
+      val gotSl = Clustering.singleLinkage(w, "iso", nLoci, threshold = 1)
+        .as[(Int, Int)].collect().toMap
+      assert(gotSl == expectSl, s"round $round single linkage")
+      // burst at grpdef = nLoci - 2
+      val expectGroups = components(nLoci - 2)
+      val slv = (1 to n).map { i =>
+        i -> pairShared.count { case ((a, b), s) =>
+          s == nLoci - 1 && (a == i || b == i) }.toLong
+      }.toMap
+      val founders = expectGroups.groupBy(_._2).map { case (_, ms) =>
+        ms.keys.minBy(i => (-slv(i), i))
+      }.toSet
+      val gotBurst = Clustering.burst(w, "iso", nLoci, grpdef = nLoci - 2)
+        .select("iso", "group_id", "slv_count", "is_founder")
+        .as[(Int, Int, Long, Boolean)].collect()
+      assert(gotBurst.map(r => r._1 -> r._2).toMap == expectGroups,
+        s"round $round burst groups")
+      assert(gotBurst.map(r => r._1 -> r._3).toMap == slv,
+        s"round $round slv counts")
+      assert(gotBurst.filter(_._4).map(_._1).toSet == founders,
+        s"round $round founders")
+    }
+  }
+
   test("identityPct: non-missing denominator, N wildcard") {
     assert(Clustering.identityPct(Seq("1", "2", "3"), Seq("1", "2", "9")) == 100.0 * 2 / 3)
     assert(Clustering.identityPct(Seq("1", "0", "3"), Seq("1", "2", "3")) == 100.0)
