@@ -166,6 +166,48 @@ class ClusteringSpec extends SparkSpec {
       4L -> Seq(1, 0), 5L -> Seq(0, 2)))
   }
 
+  test("assignLinCodes matches an independent sequential reference") {
+    val rnd = new scala.util.Random(23)
+    val thresholds = Seq(40.0, 70.0, 100.0)
+    val levels = thresholds.length
+    for (round <- 1 to 2) {
+      val profs = (1 to 18).map(i => (i.toLong, Vector.fill(5)(
+        if (rnd.nextDouble() < 0.1) "0"
+        else if (rnd.nextDouble() < 0.1) "N"
+        else rnd.nextInt(3).toString)))
+      val byId = profs.toMap
+      // the reference rule, written independently of the operator: ascending
+      // ids; nearest = max identityPct over ALL lower ids, ties to lowest;
+      // code = inherited prefix to the deepest cleared threshold + smallest
+      // unused integer at the next level + zeros
+      val codes = scala.collection.mutable.LinkedHashMap.empty[Long, Vector[Int]]
+      for ((id, p) <- profs.sortBy(_._1)) {
+        val code =
+          if (codes.isEmpty) Vector.fill(levels)(0)
+          else {
+            val (pid, pct) = codes.keys.map(o =>
+              (o, Clustering.identityPct(p, byId(o)))).maxBy {
+                case (o, s) => (s, -o) }
+            val depth = thresholds.lastIndexWhere(t => pct >= t) + 1
+            if (depth >= levels) codes(pid)
+            else {
+              val prefix = codes(pid).take(depth)
+              val usedInts = codes.values
+                .filter(_.take(depth) == prefix).map(_(depth)).toSet
+              val nxt = Iterator.from(0).find(!usedInts.contains(_)).get
+              (prefix :+ nxt) ++ Vector.fill(levels - depth - 1)(0)
+            }
+          }
+        codes(id) = code
+      }
+      val got = Clustering.assignLinCodes(
+          profs.toDF("iso", "profile"), "iso", thresholds, batchSize = 4)
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(got.view.mapValues(_.toVector).toMap == codes.toMap,
+        s"round $round")
+    }
+  }
+
   test("assignLinCodes: batched distance jobs match a single batch") {
     // randomized profiles; batchSize=2 forces many per-batch Spark jobs
     // (nearest-assigned crossing batch boundaries) and must agree with one
