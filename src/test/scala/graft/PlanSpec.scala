@@ -153,6 +153,19 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial aggregation:\n${plan.take(2000)}")
   }
 
+  test("mix_epochs: weights broadcast; the corpus never sort-merge joins") {
+    val plan = planOf("mix_epochs")
+    assert(plan.contains("BroadcastHashJoin"), s"weights should broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for the weights join")
+  }
+
+  test("text_quality_model: pure scoring pipeline — no join, partial aggregation") {
+    val plan = planOf("text_quality_model")
+    assert(!plan.contains("Join"), "model inference needs no join")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected map-side partial aggregation:\n${plan.take(2000)}")
+  }
+
   test("dedup_semantic: cell assignment is a narrow map, not a windowed argmax") {
     val plan = planOf("dedup_semantic")
     // the nlist× blow-up + per-vector argmax shuffle form would show a
