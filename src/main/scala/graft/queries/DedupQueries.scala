@@ -143,22 +143,24 @@ object DedupQueries extends QueryModule {
   // its own canonical. Every document gets a verdict (singletons keep
   // themselves). Oracle: the shared MinHash replay + recursive-CTE
   // closure with the same min-id naming rule.
+  private def clusterVerdicts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = minhashPairs(s, dir)
+    val cc = graft.operators.Clustering.connectedComponents(
+      pairs.select(col("id1").as("src"), col("id2").as("dst")))
+    docs.select(col("doc_id"))
+      .join(cc.select(col("node").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+          .as("keep"))
+  }
+
   private val dedupCluster = Q(
     "dedup_cluster",
-    (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = minhashPairs(s, dir)
-      val cc = graft.operators.Clustering.connectedComponents(
-        pairs.select(col("id1").as("src"), col("id2").as("dst")))
-      docs.select(col("doc_id"))
-        .join(cc.select(col("node").as("doc_id"), col("component")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("canonical_id"),
-          (coalesce(col("component"), col("doc_id")) === col("doc_id"))
-            .as("keep"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => clusterVerdicts(s, dir).orderBy(col("doc_id")),
     Some(s"""WITH RECURSIVE $minhashCtesSql,
              fp AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.1),
              edges AS (SELECT id1 AS src, id2 AS dst FROM fp
@@ -256,6 +258,42 @@ object DedupQueries extends QueryModule {
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  // Soft dedup (count-preserving): keep only each cluster's canonical but
+  // carry the duplicate multiplicity as a training weight, capped (the
+  // up-weighting recipe — duplicates inform sampling probability instead
+  // of being silently discarded; the cap bounds boilerplate explosions).
+  // One extra map-side-combinable count over the verdicts.
+  private val dedupSoft = Q(
+    "dedup_soft",
+    (s, dir) => {
+      val verdicts = clusterVerdicts(s, dir)
+      val sizes = verdicts.groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      verdicts.filter(col("keep"))
+        .join(sizes, Seq("canonical_id"))
+        .select(col("doc_id"), col("cluster_size"),
+          least(col("cluster_size"), lit(4L)).as("weight"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $minhashCtesSql,
+             fp AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.1),
+             edges AS (SELECT id1 AS src, id2 AS dst FROM fp
+                       UNION SELECT id2, id1 FROM fp),
+             nodes AS (SELECT DISTINCT doc_id AS node FROM documents),
+             reach AS (
+               SELECT node AS src, node AS dst FROM nodes
+               UNION
+               SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             verd AS (SELECT src AS doc_id, min(dst) AS canonical_id
+                      FROM reach GROUP BY src),
+             sizes AS (SELECT canonical_id, count(1) AS cluster_size
+                       FROM verd GROUP BY canonical_id)
+             SELECT v.doc_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+                    CAST(least(s.cluster_size, 4) AS BIGINT) AS weight
+             FROM verd v JOIN sizes s USING (canonical_id)
+             WHERE v.doc_id = v.canonical_id
+             ORDER BY v.doc_id"""))
+
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupCluster, dedupSubstring)
+    dedupCluster, dedupSubstring, dedupSoft)
 }
