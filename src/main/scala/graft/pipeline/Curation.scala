@@ -186,6 +186,34 @@ object Curation {
       .select(col(shard), col("__p.id").as(id), col("__p.bin").as("bin"))
   }
 
+  /** Per-host document cap — the C4/RefinedWeb host-level curation step:
+    * keep at most `cap` documents per URL host so no single site dominates
+    * the corpus. Selection within a host is by ascending md5-hash of the
+    * id (then id as tiebreak) — a pure function of the row, so re-runs,
+    * engine changes, and corpus growth keep a stable prefix of each host's
+    * ranking (a previously-kept doc is only evicted by a genuinely
+    * lower-hashed newcomer, never by partitioning noise the way a
+    * rand()-ranked cap would be).
+    *
+    * Plan at 100 TB: ONE hash-partitioned window keyed on host. Host
+    * cardinality at web scale is enormous (the key diffuses across the
+    * cluster), per-host groups are modest, and a pathological mega-host
+    * sorts within Spark's spillable window — never on the driver.
+    *
+    * Returns the input plus (host, host_rank, keep). Filter on `keep` to
+    * apply the cap; the full output is the audit view.
+    */
+  def hostCap(docs: DataFrame, id: String, urlCol: String,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val host = regexp_extract(col(urlCol), "^https?://([^/]+)", 1)
+    val w = Window.partitionBy(col("host"))
+      .orderBy(hashBucket(col(id), 1000000000000L), col(id))
+    docs.withColumn("host", host)
+      .withColumn("host_rank", row_number().over(w).cast("long"))
+      .withColumn("keep", col("host_rank") <= cap)
+  }
+
   /** PII scrub: replace every email/phone span with a typed placeholder and
     * count the redactions. Returns a struct
     * (scrubbed, n_emails, n_phones) — narrow, codegen'd, no UDF.

@@ -151,6 +151,80 @@ object Dedup {
       .select(col("id1"), col("id2"), col("est_jaccard"))
   }
 
+  /** Incremental (delta-vs-index) near-dup: dedup a NEW ingest batch
+    * against an already-indexed corpus without re-pairing the corpus with
+    * itself. At 100 TB this is THE dedup access pattern — a daily crawl
+    * delta is orders of magnitude smaller than the accumulated corpus, so
+    * re-running [[minhashLsh]] over (base ∪ delta) would redo the entire
+    * base×base candidate space for pairs that cannot have changed. Here
+    * the base contributes only its banded bucket index (in production a
+    * materialized table maintained ingest-over-ingest, exactly like the
+    * reference's scheme caches); each delta pays O(|delta|) signature
+    * work plus one bucket-key join against that index.
+    *
+    * Shuffle discipline matches [[minhashLsh]]: ids only through the
+    * bucket join (signatures re-attach after candidate dedup), degenerate
+    * buckets dropped at `maxBucketSize`.
+    *
+    * Returns ONE verdict row per delta doc: (id, n_matches, best_match_id,
+    * best_est, is_dup) — best = highest estimated jaccard, ties to the
+    * smallest base id; clean docs get (0, null, null, false).
+    */
+  def incrementalNearDup(
+      base: DataFrame,
+      delta: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int = 3,
+      k: Int = 128,
+      bands: Int = 32,
+      minEstJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000,
+      hasher: Column => Column = shingleHashes): DataFrame = {
+    val rows = k / bands
+    def sigsOf(df: DataFrame) = df
+      .select(col(id).as("__id"), shingles(col(text), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("__id"), minhashSignature(hasher(col("sh")), k).as("sig"))
+    def bandedOf(sigs: DataFrame) = sigs
+      .select(col("__id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("__id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+    val baseSigs = sigsOf(base).cache()
+    val deltaSigs = sigsOf(delta).cache()
+    // the index side: per-(band, bucket) base-id lists with the
+    // degenerate-bucket cap — this aggregate IS the materialized index
+    val baseBuckets = bandedOf(baseSigs)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("__id")).as("base_ids"))
+      .filter(size(col("base_ids")) <= maxBucketSize)
+    val candidates = bandedOf(deltaSigs)
+      .join(baseBuckets, Seq("band", "bucket"))
+      .select(col("__id").as("__did"), explode(col("base_ids")).as("__bid"))
+      .distinct()
+    val est = candidates
+      .join(deltaSigs.select(col("__id").as("__did"), col("sig").as("__dsig")),
+        Seq("__did"))
+      .join(baseSigs.select(col("__id").as("__bid"), col("sig").as("__bsig")),
+        Seq("__bid"))
+      .withColumn("__est",
+        size(filter(zip_with(col("__dsig"), col("__bsig"), (a, b) => a === b),
+          x => x)).cast("double") / k)
+      .filter(col("__est") >= minEstJaccard)
+    // argmax by (est desc, base id asc) as one min over an orderable struct
+    val verdicts = est.groupBy(col("__did"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct((-col("__est")).as("ne"), col("__bid").as("bid"))).as("b"))
+      .select(col("__did").as(id), col("n_matches"),
+        col("b.bid").as("best_match_id"), (-col("b.ne")).as("best_est"))
+    delta.select(col(id))
+      .join(verdicts, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match_id"), col("best_est"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+  }
+
   /** 64-bit SimHash over shingle hashes: per bit, sum +1/-1 weighted votes;
     * bit set if the vote is positive. Built-ins only (narrow, codegen'd).
     */

@@ -120,6 +120,60 @@ object TextAnalysis {
     best.getField("lang")
   }
 
+  /** Hashing-trick featurizer (the fastText / Vowpal-Wabbit input shape):
+    * each lowercase token hashes to a bucket in [0, dim) via the repo's
+    * portable md5-derived hash; the feature vector is the per-bucket token
+    * count (multiplicity preserved). Returns ARRAY<BIGINT> length `dim`.
+    *
+    * Narrow one-pass fold — featurizing 100 TB is embarrassingly parallel
+    * and never shuffles; the vector feeds [[linearScore]]-style models
+    * directly. The fold is O(dim · tokens) in the interpreted HOF engine,
+    * the right trade at classifier dims (8-256); past that, explode +
+    * groupBy(id, bucket) pivots the cost onto one combinable shuffle.
+    */
+  def hashFeatures(text: Column, dim: Int): Column = {
+    val ws = split(lower(trim(text)), "\\s+")
+    val idx = (w: Column) =>
+      pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"),
+        lit(dim.toLong))
+    aggregate(ws, array_repeat(lit(0L), dim),
+      (acc, w) => {
+        val j = idx(w)
+        transform(acc, (c, i) => when(i.cast("long") === j, c + 1L).otherwise(c))
+      })
+  }
+
+  /** Corpus-derived unigram surprisal with cross-engine-exact integer
+    * log2: bits(x) = length of x's binary representation = floor(log2 x)+1
+    * (both engines' `bin()` agree digit-for-digit), so surprisal(w) =
+    * bits(N) − bits(count_w) is the integer rarity score — the KenLM-ish
+    * "how unusual is this document's vocabulary" filter signal without a
+    * single float crossing engines.
+    *
+    * Plan at 100 TB: explode tokens → ONE map-side-combinable count keyed
+    * by word (the unigram model; word keys diffuse, no skew pole), join
+    * tokens back on the word key (shuffle join — a web-scale vocabulary
+    * outgrows broadcast), then one per-doc rollup. The corpus text column
+    * itself never shuffles — only (id, word) pairs.
+    *
+    * Output: (id, n_tokens, surprisal_sum, mean_surprisal_bp) per doc,
+    * mean in integer basis points (×10000, floor-divided).
+    */
+  def unigramSurprisal(docs: DataFrame, id: String, text: String): DataFrame = {
+    val bits = (c: Column) => length(bin(c)).cast("long")
+    val toks = docs.select(col(id).as("__did"),
+      explode(split(lower(trim(col(text))), "\\s+")).as("word"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("__cnt"))
+    val totalBits = vocab.agg(bits(sum(col("__cnt"))).as("__nbits"))
+    toks.join(vocab, Seq("word"))
+      .crossJoin(broadcast(totalBits))
+      .groupBy(col("__did"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__nbits") - bits(col("__cnt"))).as("surprisal_sum"))
+      .select(col("__did").as(id), col("n_tokens"), col("surprisal_sum"),
+        expr("(surprisal_sum * 10000) div n_tokens").as("mean_surprisal_bp"))
+  }
+
   /** Rolling polynomial fingerprint (Karp-Rabin family) of the document:
     * hash = sum(byte_i * B^i mod P) over the first `prefix` chars —
     * content-stable, order-sensitive, cheap. Built-ins only.

@@ -375,7 +375,43 @@ object CurationQueries extends QueryModule {
                     CAST(max(n) AS BIGINT) AS max_epoch
              FROM e GROUP BY source ORDER BY source"""))
 
+  // Per-host cap (C4/RefinedWeb host-level curation): synthetic URLs give
+  // each doc a host (37 hosts); keep at most 20 docs per host by ascending
+  // md5-hash rank. Deterministic → the oracle replays the exact kept set
+  // (per-host count + kept-id checksum).
+  private val curateHostCap = Q(
+    "curate_host_cap",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val withUrl = docs.select(col("doc_id"),
+        concat(lit("https://host"), pmod(col("doc_id"), lit(37)),
+          lit(".example.com/p/"), col("doc_id")).as("url"))
+      Curation.hostCap(withUrl, "doc_id", "url", cap = 20)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"))
+        .orderBy(col("host"))
+    },
+    Some(s"""WITH u AS (
+               SELECT doc_id,
+                      'https://host' || CAST(doc_id % 37 AS VARCHAR)
+                        || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+               FROM documents),
+             h AS (
+               SELECT doc_id,
+                      regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                      row_number() OVER (
+                        PARTITION BY regexp_extract(url, '^https?://([^/]+)', 1)
+                        ORDER BY $hashSql % 1000000000000, doc_id) AS r
+               FROM u)
+             SELECT host, count(1) AS n_docs,
+                    count(CASE WHEN r <= 20 THEN 1 END) AS n_kept,
+                    CAST(sum(CASE WHEN r <= 20 THEN doc_id END) AS BIGINT)
+                      AS kept_id_sum
+             FROM h GROUP BY host ORDER BY host"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
-    corpusShuffle, filterFunnel, mixEpochs)
+    corpusShuffle, filterFunnel, mixEpochs, curateHostCap)
 }

@@ -294,6 +294,52 @@ object DedupQueries extends QueryModule {
              WHERE v.doc_id = v.canonical_id
              ORDER BY v.doc_id"""))
 
+  // Incremental (delta-vs-index) dedup: the doc_id % 11 = 0 slice plays a
+  // fresh ingest batch checked against the rest of the corpus (the
+  // accumulated index). Same signature scheme as dedup_minhash_lsh, so the
+  // oracle reuses the shared replay fragment — candidates are strictly
+  // delta × base (never base × base, the whole point at 100 TB).
+  private val dedupIncremental = Q(
+    "dedup_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val delta = docs.filter(col("doc_id") % 11 === 0)
+      val base = docs.filter(col("doc_id") % 11 =!= 0)
+      Dedup.incrementalNearDup(base, delta, "doc_id", "text",
+          shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.1,
+          hasher = Dedup.portableShingleHashes)
+        .withColumn("best_est", round(col("best_est"), 4))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $minhashCtesSql,
+             cand AS (
+               SELECT DISTINCT x.doc_id AS did, y.doc_id AS bid
+               FROM banded x JOIN banded y ON x.t = y.t AND x.key = y.key
+               WHERE x.doc_id % 11 = 0 AND y.doc_id % 11 <> 0),
+             e AS (
+               SELECT c.did, c.bid,
+                      round(list_sum(list_transform(generate_series(1, 64),
+                        i -> CASE WHEN s1.sig[i] = s2.sig[i]
+                             THEN 1 ELSE 0 END)) / 64.0, 4) AS est
+               FROM cand c
+               JOIN sigs s1 ON c.did = s1.doc_id
+               JOIN sigs s2 ON c.bid = s2.doc_id),
+             hits AS (
+               SELECT did, bid, est,
+                      count(1) OVER (PARTITION BY did) AS n_matches,
+                      row_number() OVER (PARTITION BY did
+                        ORDER BY est DESC, bid) AS rn
+               FROM e WHERE est >= 0.1)
+             SELECT d.doc_id,
+                    COALESCE(v.n_matches, 0) AS n_matches,
+                    v.bid AS best_match_id,
+                    v.est AS best_est,
+                    COALESCE(v.n_matches, 0) > 0 AS is_dup
+             FROM (SELECT doc_id FROM documents WHERE doc_id % 11 = 0) d
+             LEFT JOIN (SELECT * FROM hits WHERE rn = 1) v
+               ON d.doc_id = v.did
+             ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupCluster, dedupSubstring, dedupSoft)
+    dedupCluster, dedupSubstring, dedupSoft, dedupIncremental)
 }

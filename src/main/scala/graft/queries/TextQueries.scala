@@ -322,6 +322,67 @@ object TextQueries extends QueryModule {
                    CAST(sum(score_bp) AS BIGINT) AS sum_score_bp
             FROM scored GROUP BY source ORDER BY source"""))
 
+  // Hashing-trick featurizer (fastText/VW input shape): 16-bucket token
+  // hash counts per doc. Portable md5 bucket hash → the oracle replays the
+  // exact vector; emitted as a joined string (plus nnz/l1 integrity
+  // scalars) so the value hash is representation-stable.
+  private val textHashFeatures = Q(
+    "text_hash_features",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val fv = TextAnalysis.hashFeatures(col("text"), 16)
+      docs.select(col("doc_id"), fv.as("f"))
+        .select(col("doc_id"),
+          size(filter(col("f"), x => x > 0)).cast("long").as("nnz"),
+          aggregate(col("f"), lit(0L), (a, x) => a + x).as("l1"),
+          array_join(transform(col("f"), x => x.cast("string")), ",")
+            .as("fvec"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16), j ->
+                       len(list_filter(ws, x ->
+                         ('0x' || substr(md5(x), 1, 15))::BIGINT % 16 = j)))
+                       AS fv
+              FROM w)
+            SELECT doc_id,
+                   CAST(len(list_filter(fv, x -> x > 0)) AS BIGINT) AS nnz,
+                   CAST(list_sum(fv) AS BIGINT) AS l1,
+                   array_to_string(fv, ',') AS fvec
+            FROM f ORDER BY doc_id"""))
+
+  // Corpus-derived unigram surprisal: integer log2 via binary-digit count
+  // (bits(N) - bits(count_w) per token) — the rare-vocabulary filter
+  // signal, exact on both engines (no float log crosses the oracle).
+  private val textSurprisal = Q(
+    "text_unigram_surprisal",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS word
+              FROM documents),
+            v AS (SELECT word, count(1) AS cnt FROM w GROUP BY word),
+            n AS (SELECT length(bin(sum(cnt))) AS nbits FROM v)
+            SELECT w.doc_id,
+                   count(1) AS n_tokens,
+                   CAST(sum(n.nbits - length(bin(v.cnt))) AS BIGINT)
+                     AS surprisal_sum,
+                   CAST(sum(n.nbits - length(bin(v.cnt))) * 10000
+                        // count(1) AS BIGINT) AS mean_surprisal_bp
+            FROM w JOIN v USING (word), n
+            GROUP BY w.doc_id ORDER BY w.doc_id"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
-    textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel)
+    textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
+    textHashFeatures, textSurprisal)
 }

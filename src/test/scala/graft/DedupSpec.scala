@@ -27,6 +27,65 @@ class DedupSpec extends SparkSpec {
     assert(df.as[Seq[String]].collect().head.isEmpty)
   }
 
+  test("incrementalNearDup: planted delta dup matches its base doc; clean delta gets a zero verdict") {
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val base = Seq(
+      (1L, shared),
+      (3L, "completely different content with no overlapping shingles at all whatsoever anywhere"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, shared.replace("today", "tonight")),
+      (12L, "fresh unseen vocabulary overlapping nothing previously accumulated ever once"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(base, delta, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.3)
+      .as[(Long, Long, Option[Long], Option[Double], Boolean)]
+      .collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(11L, 12L)) // one verdict per delta doc
+    val hit = out(0)
+    assert(hit._5 && hit._2 == 1L && hit._3.contains(1L) && hit._4.exists(_ >= 0.3))
+    assert(out(1) == ((12L, 0L, None, None, false)))
+  }
+
+  test("incrementalNearDup equals the delta×base cross slice of the batch pipeline") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    // 40 random docs; every doc_id % 5 == 0 is a near-copy of doc_id + 1
+    // (one word substituted), so planted dups cross the delta/base split
+    val docs = (1L to 40L).map { i =>
+      (i, Vector.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toMap
+    val planted = docs.map { case (i, t) =>
+      if (i % 5 == 0 && i < 40) (i, docs(i + 1).replaceFirst("\\w+", "zulu"))
+      else (i, t)
+    }
+    val all = planted.toSeq.toDF("doc_id", "text")
+    val delta = all.filter(col("doc_id") % 5 === 0)
+    val base = all.filter(col("doc_id") % 5 =!= 0)
+    val batch = Dedup.minhashLsh(all, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.2)
+      .as[(Long, Long, Double)].collect()
+    // the cross slice: batch pairs with exactly one delta endpoint
+    val cross = batch.flatMap { case (a, b, est) =>
+      (a % 5 == 0, b % 5 == 0) match {
+        case (true, false) => Some((a, b, est))
+        case (false, true) => Some((b, a, est))
+        case _             => None
+      }
+    }
+    val expected = cross.groupBy(_._1).map { case (d, ps) =>
+      val best = ps.minBy(p => (-p._3, p._2))
+      (d, ps.length.toLong, best._2, best._3)
+    }
+    val inc = Dedup.incrementalNearDup(base, delta, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.2)
+      .filter(col("is_dup"))
+      .as[(Long, Long, Option[Long], Option[Double], Boolean)]
+      .collect().map(r => (r._1, r._2, r._3.get, r._4.get)).toSeq
+    assert(inc.sortBy(_._1) == expected.toSeq.sortBy(_._1))
+  }
+
   test("minhashLsh finds planted near-duplicates, not unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
     val nearDup = base.replace("today", "tonight") // high jaccard

@@ -209,6 +209,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("hashFeatures: md5-bucket token counts, multiplicity preserved") {
+    val df = Seq("Apple banana apple cherry").toDF("t")
+      .select(TextAnalysis.hashFeatures(col("t"), 16).as("f"))
+    val f = df.as[Seq[Long]].collect().head
+    def bucket(w: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % 16).toInt
+    }
+    val expected = Array.fill(16)(0L)
+    Seq("apple", "banana", "apple", "cherry") // lowercased, dups counted
+      .foreach(w => expected(bucket(w)) += 1)
+    assert(f.size == 16 && f.sum == 4)
+    assert(f.toSeq == expected.toSeq)
+  }
+
+  test("unigramSurprisal: integer-log2 golden on a hand corpus") {
+    // counts: a=3, b=1, c=1; N=5 → bits(5)=3, bits(3)=2, bits(1)=1
+    // doc1 "a a b": (3-2)+(3-2)+(3-1)=4 over 3 tokens → 13333 bp (floored)
+    // doc2 "a c":   (3-2)+(3-1)=3 over 2 tokens → 15000 bp
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 3L, 4L, 13333L)))
+    assert(out(1) == ((2L, 2L, 3L, 15000L)))
+  }
+
+  test("hostCap: at most cap per host, deterministic, stable under growth") {
+    import graft.pipeline.Curation
+    val docs = (1L to 99L)
+      .map(i => (i, s"https://h${i % 3}.example.com/p/$i"))
+      .toDF("doc_id", "url")
+    val out = Curation.hostCap(docs, "doc_id", "url", cap = 10)
+    assert(out.select("host").distinct().as[String].collect().toSet ==
+      Set("h0.example.com", "h1.example.com", "h2.example.com"))
+    val kept = out.filter(col("keep"))
+      .select("host", "doc_id").as[(String, Long)].collect()
+    assert(kept.groupBy(_._1).forall(_._2.length == 10)) // 33 docs/host
+    // growth stability: with a larger cap the kept set only grows — the
+    // hash ranking is a pure row function, so the top-10 prefix survives
+    val kept20 = Curation.hostCap(docs, "doc_id", "url", cap = 20)
+      .filter(col("keep"))
+      .select("host", "doc_id").as[(String, Long)].collect()
+    assert(kept.toSet.subsetOf(kept20.toSet))
+  }
+
   test("linearScore reproduces the left-assoc double chain bit-for-bit") {
     val df = Seq((0.3, 5.2, 0.04)).toDF("a", "b", "c")
       .select(TextAnalysis.linearScore(0.29,
