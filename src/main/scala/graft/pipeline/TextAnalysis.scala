@@ -150,26 +150,32 @@ object TextAnalysis {
     * "how unusual is this document's vocabulary" filter signal without a
     * single float crossing engines.
     *
-    * Plan at 100 TB: explode tokens → ONE map-side-combinable count keyed
-    * by word (the unigram model; word keys diffuse, no skew pole), join
-    * tokens back on the word key (shuffle join — a web-scale vocabulary
-    * outgrows broadcast), then one per-doc rollup. The corpus text column
-    * itself never shuffles — only (id, word) pairs.
+    * Plan at 100 TB: the work unit is the (id, word) COUNT, not the raw
+    * token — one map-side-combinable aggregation collapses the token
+    * stream to distinct (doc, word) pairs (Zipf: orders of magnitude
+    * fewer), cached once so the vocabulary rollup, the corpus total, and
+    * the scoring join all reuse it instead of re-exploding the corpus.
+    * The word-keyed joins diffuse (no skew pole); the corpus text column
+    * itself never shuffles — only (id, word, n) triples.
     *
     * Output: (id, n_tokens, surprisal_sum, mean_surprisal_bp) per doc,
     * mean in integer basis points (×10000, floor-divided).
     */
   def unigramSurprisal(docs: DataFrame, id: String, text: String): DataFrame = {
     val bits = (c: Column) => length(bin(c)).cast("long")
-    val toks = docs.select(col(id).as("__did"),
-      explode(split(lower(trim(col(text))), "\\s+")).as("word"))
-    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("__cnt"))
+    val dw = docs.select(col(id).as("__did"),
+        explode(split(lower(trim(col(text))), "\\s+")).as("word"))
+      .groupBy(col("__did"), col("word"))
+      .agg(count(lit(1)).as("__n"))
+      .cache()
+    val vocab = dw.groupBy(col("word")).agg(sum(col("__n")).as("__cnt"))
     val totalBits = vocab.agg(bits(sum(col("__cnt"))).as("__nbits"))
-    toks.join(vocab, Seq("word"))
+    dw.join(vocab, Seq("word"))
       .crossJoin(broadcast(totalBits))
       .groupBy(col("__did"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("__nbits") - bits(col("__cnt"))).as("surprisal_sum"))
+      .agg(sum(col("__n")).as("n_tokens"),
+        sum(col("__n") * (col("__nbits") - bits(col("__cnt"))))
+          .as("surprisal_sum"))
       .select(col("__did").as(id), col("n_tokens"), col("surprisal_sum"),
         expr("(surprisal_sum * 10000) div n_tokens").as("mean_surprisal_bp"))
   }
