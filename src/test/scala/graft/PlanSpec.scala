@@ -173,6 +173,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"assignment regressed to window argmax:\n${plan.take(2000)}")
   }
 
+  test("text_hash_features: featurization is narrow — no join, no hash shuffle") {
+    val plan = planOf("text_hash_features")
+    assert(!plan.contains("Join"), "hashing-trick features need no join")
+    // the only exchange allowed is the final presentation sort
+    assert(!plan.contains("hashpartitioning"),
+      s"featurization must not shuffle the corpus:\n${plan.take(2000)}")
+  }
+
+  test("curate_host_cap: one window keyed on host; no corpus self-join") {
+    val plan = planOf("curate_host_cap")
+    assert("Window".r.findAllIn(plan).size == 1,
+      s"expected exactly one window (the per-host rank):\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), "host cap is rank-and-filter, not a join")
+  }
+
+  test("dedup_incremental: signatures re-attach as ids-only joins, no cartesian") {
+    val plan = planOf("dedup_incremental")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"candidate generation must stay bucket-keyed:\n${plan.take(2000)}")
+  }
+
+  test("text_unigram_surprisal: token stream collapses before any join") {
+    val df = AllQueries.queries("text_unigram_surprisal")(spark, dir)
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    // the (doc, word) pre-aggregation must sit BELOW the vocab join: the
+    // explode (Generate) may not feed a Join directly
+    val lines = analyzed.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(genIdx >= 0 && joinIdx >= 0, s"expected explode and join:\n$analyzed")
+    val between = lines.slice(joinIdx, genIdx).mkString("\n")
+    assert(between.contains("Aggregate"),
+      s"explode feeds the join without pre-aggregation:\n$analyzed")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
