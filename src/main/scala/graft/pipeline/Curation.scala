@@ -214,6 +214,76 @@ object Curation {
       .withColumn("keep", col("host_rank") <= cap)
   }
 
+  /** Exact per-stratum percentile gate over an INTEGER score column (keep
+    * rows at/above their stratum's p-th percentile, percentile_disc
+    * semantics: the smallest score whose cumulative fraction ≥ p).
+    *
+    * The 100 TB shape: integer-quantized scores make the exact quantile a
+    * HISTOGRAM problem — one map-side-combinable count per (stratum,
+    * score) collapses the corpus to a tiny histogram, a running sum over
+    * each stratum's ordered scores finds the cut, and the corpus takes
+    * one broadcast join + narrow filter. No per-row window, no global
+    * sort, no approx-percentile compromise: the quantile is exact AND the
+    * heavy side never shuffles. (A float score would force the per-group
+    * sort this avoids — quantize first, like text_quality_model does.)
+    *
+    * `pBp` is the percentile in basis points (5000 = median). Returns the
+    * input plus (cut_score, keep).
+    */
+  def percentileGate(docs: DataFrame, stratum: String, score: String,
+      pBp: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.groupBy(col(stratum), col(score))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(stratum)).orderBy(col(score))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Window.partitionBy(col(stratum))
+    val cuts = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(n))
+      // smallest score with cume_dist >= p: cum*10000 >= p*n in integers
+      .filter(col("__cum") * 10000 >= lit(pBp) * col("__n"))
+      .groupBy(col(stratum))
+      .agg(min(col(score)).as("cut_score"))
+    docs.join(broadcast(cuts), Seq(stratum))
+      .withColumn("keep", col(score) >= col("cut_score"))
+  }
+
+  /** Training-shard materialization: assign documents to `nShards` shards
+    * by the deterministic id hash, concatenate each shard's texts in
+    * ascending-id order with `sep` between documents, and emit the shard
+    * payload together with its 1-based document start-offset index (what
+    * a tokenizer needs to find document boundaries again).
+    *
+    * The shard is the pipeline's parallelism AND memory unit (same
+    * posture as [[packSequences]]): 100 TB materializes as ONE shuffle
+    * keyed by shard, every shard folding independently; shard count is
+    * chosen so a shard fits a worker by construction. Deterministic:
+    * (shard, id) totally orders the concatenation, so re-runs and
+    * engines agree byte-for-byte.
+    *
+    * Output: (shard, n_docs, payload, offsets ARRAY<BIGINT>).
+    */
+  def concatShards(docs: DataFrame, id: String, text: String,
+      nShards: Int, sep: String): DataFrame = {
+    val perDoc = docs.select(
+      hashBucket(col(id), nShards).as("shard"),
+      struct(col(id).cast("long").as("id"), col(text).as("t")).as("__dt"))
+    perDoc.groupBy(col("shard"))
+      .agg(sort_array(collect_list(col("__dt"))).as("__ds"))
+      .select(col("shard"),
+        size(col("__ds")).cast("long").as("n_docs"),
+        array_join(transform(col("__ds"), x => x.getField("t")), sep)
+          .as("payload"),
+        aggregate(col("__ds"),
+          struct(lit(1L).as("pos"), array().cast("array<bigint>").as("out")),
+          (acc, x) => struct(
+            (acc.getField("pos") + length(x.getField("t")) + sep.length)
+              .as("pos"),
+            concat(acc.getField("out"), array(acc.getField("pos"))).as("out")),
+          acc => acc.getField("out")).as("offsets"))
+  }
+
   /** PII scrub: replace every email/phone span with a typed placeholder and
     * count the redactions. Returns a struct
     * (scrubbed, n_emails, n_phones) — narrow, codegen'd, no UDF.

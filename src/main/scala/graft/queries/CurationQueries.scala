@@ -411,7 +411,93 @@ object CurationQueries extends QueryModule {
                       AS kept_id_sum
              FROM h GROUP BY host ORDER BY host"""))
 
+  // Exact per-source median quality gate: keep docs whose (integer,
+  // bit-exact) stopword-ratio score sits at/above their source's
+  // percentile_disc(0.5). The histogram form — no per-row window, no
+  // approx percentile; the oracle checks against DuckDB's native
+  // percentile_disc. Score association is pinned ((10000*stops)/toks,
+  // both engines) so the rounding boundary never diverges.
+  private val stopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+
+  private val qualityPercentileGate = Q(
+    "quality_percentile_gate",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ws = split(lower(trim(col("text"))), "\\s+")
+      val toks = size(ws).cast("double")
+      val stops = size(filter(ws, w => w.isin(stopWords: _*))).cast("double")
+      val scored = docs.select(col("doc_id"), col("source"),
+        when(toks > 0, round(lit(10000.0) * stops / toks))
+          .otherwise(lit(0.0)).cast("long").as("score_bp"))
+      Curation.percentileGate(scored, "source", "score_bp", 5000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("cut_score")).as("cut_score"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) > 0
+                       THEN CAST(round(
+                         (10000.0 * len(list_filter(
+                            string_split_regex(lower(trim(text)), '\s+'),
+                            w -> w IN ('the','a','an','and','or','of','to','in'))))
+                         / len(string_split_regex(lower(trim(text)), '\s+')))
+                         AS BIGINT)
+                       ELSE 0 END AS score_bp
+              FROM documents),
+            c AS (
+              SELECT source,
+                     CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY score_bp)
+                          AS BIGINT) AS cut
+              FROM t GROUP BY source)
+            SELECT t.source, count(1) AS n_docs, min(c.cut) AS cut_score,
+                   count(CASE WHEN score_bp >= cut THEN 1 END) AS n_kept,
+                   CAST(sum(CASE WHEN score_bp >= cut THEN doc_id END)
+                        AS BIGINT) AS kept_id_sum
+            FROM t JOIN c USING (source)
+            GROUP BY t.source ORDER BY source"""))
+
+  // Training-shard materialization: 16 hash shards, ascending-id concat
+  // with an EOS separator, plus the per-shard document offset index —
+  // witnessed byte-for-byte by payload/offset md5s.
+  private val shardConcat = Q(
+    "shard_concat",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.concatShards(docs, "doc_id", "text", 16, "<|eos|>")
+        .select(col("shard"), col("n_docs"),
+          length(col("payload")).cast("long").as("total_chars"),
+          md5(col("payload")).as("payload_md5"),
+          md5(array_join(transform(col("offsets"), x => x.cast("string")),
+            ",")).as("offsets_md5"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH s AS (
+               SELECT doc_id, text, $hashSql % 16 AS shard
+               FROM documents),
+             o AS (
+               SELECT shard, doc_id, text,
+                      1 + COALESCE(sum(length(text) + 7) OVER (
+                            PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS start
+               FROM s),
+             a AS (
+               SELECT shard, count(1) AS n_docs,
+                      string_agg(text, '<|eos|>' ORDER BY doc_id) AS payload,
+                      string_agg(CAST(start AS VARCHAR), ','
+                        ORDER BY doc_id) AS ostr
+               FROM o GROUP BY shard)
+             SELECT shard, n_docs, CAST(length(payload) AS BIGINT)
+                      AS total_chars,
+                    md5(payload) AS payload_md5, md5(ostr) AS offsets_md5
+             FROM a ORDER BY shard"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
-    corpusShuffle, filterFunnel, mixEpochs, curateHostCap)
+    corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
+    qualityPercentileGate, shardConcat)
 }

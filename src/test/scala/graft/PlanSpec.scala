@@ -208,6 +208,22 @@ class PlanSpec extends SparkSpec {
       s"explode feeds the join without pre-aggregation:\n$analyzed")
   }
 
+  test("quality_percentile_gate: histogram quantile — cut dim broadcasts, corpus never sort-merge joins") {
+    val plan = planOf("quality_percentile_gate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"percentile cuts must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle for the gate join:\n${plan.take(2000)}")
+  }
+
+  test("shard_concat: exactly one hash shuffle (the shard re-key)") {
+    val plan = planOf("shard_concat")
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected one shard-key exchange, got $hashExchanges:\n${plan.take(2000)}")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)

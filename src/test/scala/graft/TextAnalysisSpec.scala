@@ -255,6 +255,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept.toSet.subsetOf(kept20.toSet))
   }
 
+  test("percentileGate: exact percentile_disc cut per stratum") {
+    import graft.pipeline.Curation
+    val docs = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("a", 4L, 4L), ("a", 5L, 5L), ("b", 6L, 10L), ("b", 7L, 20L))
+      .toDF("source", "id", "score")
+    val out = Curation.percentileGate(docs, "source", "score", 5000)
+      .select("source", "id", "cut_score", "keep")
+      .as[(String, Long, Long, Boolean)].collect()
+    // a: scores 1..5 → disc-median 3; b: {10,20} → cume_dist(10)=0.5 → 10
+    assert(out.filter(_._1 == "a").forall(_._3 == 3L))
+    assert(out.filter(_._1 == "b").forall(_._3 == 10L))
+    assert(out.filter(_._4).map(_._2).sorted.toSeq == Seq(3L, 4L, 5L, 6L, 7L))
+    // p = 100% keeps only the max; p → 0 keeps everything
+    val top = Curation.percentileGate(docs, "source", "score", 10000)
+      .filter(col("keep")).select("id").as[Long].collect().sorted
+    assert(top.toSeq == Seq(5L, 7L))
+    val all = Curation.percentileGate(docs, "source", "score", 1)
+      .filter(col("keep")).count()
+    assert(all == 7L)
+  }
+
+  test("concatShards: ascending-id payload; offsets index every document") {
+    import graft.pipeline.Curation
+    val docs = Seq((21L, "cccc"), (5L, "aaa"), (13L, "bb"))
+      .toDF("doc_id", "text")
+    val out = Curation.concatShards(docs, "doc_id", "text", 1, "|")
+      .as[(Long, Long, String, Seq[Long])].collect()
+    assert(out.length == 1)
+    val (_, n, payload, offsets) = out.head
+    assert(n == 3L && payload == "aaa|bb|cccc")
+    assert(offsets == Seq(1L, 5L, 8L))
+    // each offset points at its document's first character (1-based)
+    val texts = Seq("aaa", "bb", "cccc")
+    offsets.zip(texts).foreach { case (o, t) =>
+      assert(payload.substring(o.toInt - 1, o.toInt - 1 + t.length) == t)
+    }
+  }
+
   test("linearScore reproduces the left-assoc double chain bit-for-bit") {
     val df = Seq((0.3, 5.2, 0.04)).toDF("a", "b", "c")
       .select(TextAnalysis.linearScore(0.29,
