@@ -143,19 +143,31 @@ object DedupQueries extends QueryModule {
   // its own canonical. Every document gets a verdict (singletons keep
   // themselves). Oracle: the shared MinHash replay + recursive-CTE
   // closure with the same min-id naming rule.
+  // Verdicts materialize once per (session, corpus), like the pair cache:
+  // dedup_cluster, dedup_soft, and the sizes rollup all consume the same
+  // materialization instead of re-running the iterative component search.
+  private val verdictCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private def clusterVerdicts(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-    val pairs = minhashPairs(s, dir)
-    val cc = graft.operators.Clustering.connectedComponents(
-      pairs.select(col("id1").as("src"), col("id2").as("dst")))
-    docs.select(col("doc_id"))
-      .join(cc.select(col("node").as("doc_id"), col("component")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("canonical_id"),
-        (coalesce(col("component"), col("doc_id")) === col("doc_id"))
-          .as("keep"))
+    verdictCache.entrySet.removeIf(
+      _.getValue.sparkSession.sparkContext.isStopped)
+    verdictCache.computeIfAbsent(
+      graft.Tables.sessionKey(s) + "|" + dir,
+      _ => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = minhashPairs(s, dir)
+        val cc = graft.operators.Clustering.connectedComponents(
+          pairs.select(col("id1").as("src"), col("id2").as("dst")))
+        docs.select(col("doc_id"))
+          .join(cc.select(col("node").as("doc_id"), col("component")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("canonical_id"),
+            (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+              .as("keep"))
+          .cache()
+      })
   }
 
   private val dedupCluster = Q(
