@@ -293,6 +293,52 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("percentileGate matches a sort-based reference on random corpora") {
+    import graft.pipeline.Curation
+    val rnd = new scala.util.Random(11)
+    for (p <- Seq(2500, 5000, 9000)) {
+      val rows = (1L to 200L).map(i =>
+        (s"s${rnd.nextInt(4)}", i, rnd.nextInt(20).toLong))
+      val docs = rows.toDF("source", "id", "score")
+      // reference: per stratum, smallest v with count(<=v)*10000 >= p*n
+      val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        val scores = rs.map(_._3).sorted
+        val n = scores.length
+        val cut = scores.find(v =>
+          scores.count(_ <= v) * 10000 >= p.toLong * n).get
+        rs.filter(_._3 >= cut).map(_._2)
+      }.toSet
+      val got = Curation.percentileGate(docs, "source", "score", p)
+        .filter(col("keep")).select("id").as[Long].collect().toSet
+      assert(got == expected, s"p=$p")
+    }
+  }
+
+  test("concatShards equals a sequential fold on random corpora") {
+    import graft.pipeline.Curation
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("ax", "by", "cz", "dw", "evv", "f")
+    val rows = (1L to 120L).map(i =>
+      (i, Vector.fill(1 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    def bucket(i: Long, n: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % n
+    }
+    val expected = rows.groupBy(r => bucket(r._1, 4)).map { case (sh, rs) =>
+      val sorted = rs.sortBy(_._1)
+      val payload = sorted.map(_._2).mkString("|")
+      val offsets = sorted.map(_._2).scanLeft(1L)(_ + _.length + 1).init
+      (sh, sorted.length.toLong, payload, offsets)
+    }.toSet
+    val got = Curation.concatShards(rows.toDF("doc_id", "text"),
+        "doc_id", "text", 4, "|")
+      .as[(Long, Long, String, Seq[Long])].collect()
+      .map(r => (r._1, r._2, r._3, r._4.toSeq)).toSet
+    assert(got == expected)
+  }
+
   test("linearScore reproduces the left-assoc double chain bit-for-bit") {
     val df = Seq((0.3, 5.2, 0.04)).toDF("a", "b", "c")
       .select(TextAnalysis.linearScore(0.29,
