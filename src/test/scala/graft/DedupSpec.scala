@@ -86,6 +86,24 @@ class DedupSpec extends SparkSpec {
     assert(inc.sortBy(_._1) == expected.toSeq.sortBy(_._1))
   }
 
+  test("incrementalNearDup drops degenerate base buckets at maxBucketSize") {
+    // 30 byte-identical base docs: every band bucket holds all 30 ids
+    val boiler = "same boilerplate words repeated across the entire mirror set today"
+    val base = (1L to 30L).map((_, boiler)).toDF("doc_id", "text")
+    val delta = Seq((101L, boiler)).toDF("doc_id", "text")
+    def run(cap: Int) =
+      Dedup.incrementalNearDup(base, delta, "doc_id", "text",
+          shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.3,
+          maxBucketSize = cap)
+        .select("doc_id", "n_matches", "is_dup")
+        .as[(Long, Long, Boolean)].collect().head
+    // cap below the mirror-set size: the pathological buckets drop and the
+    // delta doc is (by design) not paired against the degenerate mass
+    assert(run(10) == ((101L, 0L, false)))
+    // permissive cap: every mirror matches
+    assert(run(1000) == ((101L, 30L, true)))
+  }
+
   test("minhashLsh finds planted near-duplicates, not unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
     val nearDup = base.replace("today", "tonight") // high jaccard
