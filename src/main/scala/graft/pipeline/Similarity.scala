@@ -33,6 +33,31 @@ object Similarity {
 
   def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
+  /** Embedding hygiene filter — the validation pass before any index
+    * build or similarity math: flags zero vectors (cosine-undefined;
+    * every ANN structure misplaces them), non-finite components (one NaN
+    * poisons a whole centroid), and dimension mismatches against the
+    * declared width. Reports norm² rather than norm so the value is a
+    * pure left-fold of the array — identical on any engine, no
+    * sqrt/libm variance — which is what keeps the op oracle-checkable.
+    *
+    * Narrow, codegen'd kernels; validating 100 TB of vectors is one
+    * embarrassingly-parallel pass, no shuffle.
+    *
+    * Returns the input plus (dim_ok, n_nonfinite, norm2, keep).
+    */
+  def normFilter(vecs: DataFrame, vec: String, dim: Int): DataFrame = {
+    val v = toDouble(col(vec))
+    val nonfinite = size(filter(v, x =>
+      isnan(x) || abs(x) > Double.MaxValue))
+    vecs
+      .withColumn("dim_ok", size(col(vec)) === dim)
+      .withColumn("n_nonfinite", nonfinite.cast("long"))
+      .withColumn("norm2", dot(v, v))
+      .withColumn("keep",
+        col("dim_ok") && col("n_nonfinite") === 0L && col("norm2") > 0.0)
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding self). Output: (query_id, neighbor_id, cos, rank).
     */

@@ -265,6 +265,59 @@ object SimilarityQueries extends QueryModule {
             FROM assigned a LEFT JOIN dups d ON d.id2 = a.vec_id
             ORDER BY a.vec_id"""))
 
+  // Embedding hygiene: the corpus is clean, so degenerate vectors are
+  // INJECTED deterministically (vec_id % 97 = 0 zeroed) and the filter
+  // must find exactly those. Norm² quantized to bp per row before the
+  // integer rollup (never sum raw doubles across engines).
+  private val embedNormFilter = Q(
+    "embed_norm_filter",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val zeroed = emb.select(col("vec_id"), col("label"),
+        when(pmod(col("vec_id"), lit(97)) === 0,
+            transform(col("embedding"), _ => lit(0.0f)))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.normFilter(zeroed, "embedding", dim = 64)
+        .select(col("label"), col("keep"), col("dim_ok"),
+          col("n_nonfinite"),
+          round(col("norm2") * 10000).cast("long").as("norm2_bp"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          count(when(!col("keep"), 1)).as("n_dropped"),
+          count(when(!col("dim_ok") || col("n_nonfinite") > 0, 1))
+            .as("n_malformed"),
+          sum(when(col("keep"), col("norm2_bp"))).as("kept_norm2_bp_sum"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH z AS (
+              SELECT vec_id, label,
+                     CASE WHEN vec_id % 97 = 0
+                          THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                          ELSE embedding END AS e
+              FROM embeddings),
+            v AS (
+              SELECT vec_id, label,
+                     len(e) = 64 AS dim_ok,
+                     CAST(len(list_filter(e, x -> isnan(x) OR isinf(x)))
+                          AS BIGINT) AS n_nonfinite,
+                     list_dot_product(list_transform(e, x -> CAST(x AS DOUBLE)),
+                                      list_transform(e, x -> CAST(x AS DOUBLE)))
+                       AS norm2
+              FROM z),
+            k AS (
+              SELECT label,
+                     dim_ok AND n_nonfinite = 0 AND norm2 > 0.0 AS keep,
+                     dim_ok, n_nonfinite,
+                     CAST(round(norm2 * 10000) AS BIGINT) AS norm2_bp
+              FROM v)
+            SELECT label, count(1) AS n_vecs,
+                   count(CASE WHEN NOT keep THEN 1 END) AS n_dropped,
+                   count(CASE WHEN NOT dim_ok OR n_nonfinite > 0 THEN 1 END)
+                     AS n_malformed,
+                   CAST(sum(CASE WHEN keep THEN norm2_bp END) AS BIGINT)
+                     AS kept_norm2_bp_sum
+            FROM k GROUP BY label ORDER BY label"""))
+
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
-    dedupEmbedding, dedupLshCosine, dedupSemantic)
+    dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter)
 }

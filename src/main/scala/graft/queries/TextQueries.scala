@@ -382,7 +382,48 @@ object TextQueries extends QueryModule {
             FROM w JOIN v USING (word), n
             GROUP BY w.doc_id ORDER BY w.doc_id"""))
 
+  // Vocabulary growth: distinct n-gram types vs total n-gram tokens for
+  // n = 1..3 (type/token ratio in integer bp) — the Heaps-law corpus
+  // observability view behind tokenizer/vocab sizing decisions. Each n is
+  // one count-distinct aggregation; integer outputs only.
+  private val textVocabGrowth = Q(
+    "text_vocab_growth",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val rows = (1 to 3).map { n =>
+        val totals = docs.select(
+            greatest(size(Dedup.words(col("text"))) - (n - 1), lit(0))
+              .cast("long").as("c"))
+          .agg(sum(col("c")).as("n_grams"))
+        val types = docs
+          .select(explode(Dedup.shingles(col("text"), n)).as("g"))
+          .agg(countDistinct(col("g")).as("n_types"))
+        types.crossJoin(totals).select(lit(n).as("n"),
+          col("n_types").cast("long").as("n_types"), col("n_grams"))
+      }
+      rows.reduce(_ union _)
+        .select(col("n"), col("n_types"), col("n_grams"),
+          expr("(n_types * 10000) div n_grams").as("ttr_bp"))
+        .orderBy(col("n"))
+    },
+    Some("""WITH w AS (
+              SELECT string_split_regex(lower(text), '\s+') AS ws
+              FROM documents),
+            grams AS (
+              SELECT n.n AS n,
+                     unnest(CASE WHEN len(ws) >= n.n
+                       THEN list_transform(range(1, len(ws) - n.n + 2),
+                              i -> array_to_string(ws[i : i + n.n - 1], ' '))
+                       ELSE [] END) AS g
+              FROM w, (VALUES (1), (2), (3)) n(n)),
+            agg AS (
+              SELECT n, count(DISTINCT g) AS n_types, count(1) AS n_grams
+              FROM grams GROUP BY n)
+            SELECT n, n_types, n_grams,
+                   n_types * 10000 // n_grams AS ttr_bp
+            FROM agg ORDER BY n"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
-    textHashFeatures, textSurprisal)
+    textHashFeatures, textSurprisal, textVocabGrowth)
 }

@@ -81,4 +81,22 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall=$recall")
   }
+
+  test("normFilter flags zero, non-finite, and mis-dimensioned vectors") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f)),                    // good
+      (2L, Seq(0.0f, 0.0f)),                    // zero: cosine-undefined
+      (3L, Seq(Float.NaN, 1.0f)),               // NaN component
+      (4L, Seq(Float.PositiveInfinity, 1.0f)),  // infinite component
+      (5L, Seq(1.0f)))                          // wrong dimension
+      .toDF("vec_id", "embedding")
+    val out = Similarity.normFilter(vecs, "embedding", dim = 2)
+      .select("vec_id", "dim_ok", "n_nonfinite", "keep")
+      .as[(Long, Boolean, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, true, 0L, true)))
+    assert(out(1) == ((2L, true, 0L, false)))
+    assert(out(2) == ((3L, true, 1L, false)))
+    assert(out(3) == ((4L, true, 1L, false)))
+    assert(out(4) == ((5L, false, 0L, false)))
+  }
 }
