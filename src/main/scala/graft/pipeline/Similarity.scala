@@ -185,6 +185,36 @@ object Similarity {
     * Output: (id, list_id, keep, dup_of, dup_cos) — `dup_of` the lowest-id
     * cell-mate above `tau` (null when kept), `dup_cos` its cosine.
     */
+  /** Mutual-kNN graph over the corpus — the seed structure for
+    * graph-based clustering, NN-descent, and HNSW-style index builds: an
+    * undirected edge (a, b) exists iff b is in a's approximate top-k AND
+    * a is in b's. Mutuality prunes the asymmetric "hub" edges that make
+    * raw kNN graphs useless in high dimensions.
+    *
+    * Built on the IVF path (every vector is both query and corpus side),
+    * so 100 TB never sees the O(n²) pair space: candidates stay
+    * cell-bucketed, and the mutuality check is one self-join of the
+    * directed edge list on the reversed key — ids and ranks only, no
+    * vectors through that shuffle. Cosine is exactly symmetric (same
+    * fused kernel both directions), so the edge value is well-defined.
+    *
+    * Output: (id1 < id2, cos, rank1, rank2).
+    */
+  def mutualKnnGraph(corpus: DataFrame, id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // both directions read the directed list — materialize it once (ids,
+    // cos, rank only: k rows per vector, far smaller than the corpus)
+    val edges = ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .cache()
+    val rev = edges.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"), col("rank").as("rank2"))
+    edges.join(rev, Seq("query_id", "neighbor_id"))
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id1"), col("neighbor_id").as("id2"),
+        col("cos"), col("rank").as("rank1"), col("rank2"))
+  }
+
   def semDedup(vecs: DataFrame, id: String, vec: String,
       tau: Double, nlist: Int = 16): DataFrame = {
     // Assignment is a NARROW map (see foldBestCell): no nlist× row

@@ -318,6 +318,58 @@ object SimilarityQueries extends QueryModule {
                      AS kept_norm2_bp_sum
             FROM k GROUP BY label ORDER BY label"""))
 
+  // Mutual-kNN graph (IVF path, every vector both query and corpus side):
+  // the full pipeline — centroid pick, cell assign, probe, rank, mutual
+  // self-join — replays in the oracle.
+  private val simMutualKnn = Q(
+    "sim_mutual_knn",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.mutualKnnGraph(emb, "vec_id", "embedding",
+          k = 5, nlist = 32, nprobe = 3)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32) t),
+            norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            assign_all AS (
+              SELECT nm.vec_id, nm.v, nm.n, c.list_id,
+                     list_dot_product(nm.v, c.cvec)
+                       / (nm.n * sqrt(list_dot_product(c.cvec, c.cvec))) AS cd
+              FROM norm nm, cent c),
+            corpus_assigned AS (
+              SELECT vec_id AS neighbor_id, v AS cv, n AS cn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all) t WHERE r = 1),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, n AS qn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all) t WHERE r <= 3),
+            scored AS (
+              SELECT p.query_id, a.neighbor_id,
+                     list_dot_product(p.qv, a.cv) / (p.qn * a.cn) AS cos
+              FROM probes p JOIN corpus_assigned a USING (list_id)
+              WHERE p.query_id <> a.neighbor_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored),
+            knn AS (SELECT query_id, neighbor_id, cos, rank
+                    FROM ranked WHERE rank <= 5)
+            SELECT a.query_id AS id1, a.neighbor_id AS id2,
+                   round(a.cos, 4) AS cos,
+                   CAST(a.rank AS BIGINT) AS rank1,
+                   CAST(b.rank AS BIGINT) AS rank2
+            FROM knn a JOIN knn b
+              ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+            WHERE a.query_id < a.neighbor_id
+            ORDER BY id1, id2"""))
+
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
-    dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter)
+    dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
+    simMutualKnn)
 }

@@ -82,6 +82,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("mutualKnnGraph with full probes equals the brute-force mutual graph") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (1L to 60L)
+      .map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // nprobe = nlist → IVF degenerates to exact search
+    val got = Similarity.mutualKnnGraph(vecs, "vec_id", "embedding",
+        k = 4, nlist = 8, nprobe = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val knn = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val expected = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }
+    assert(got == expected)
+    // every mutual edge is canonical (id1 < id2) and appears once
+    assert(got.forall { case (a, b) => a < b })
+  }
+
   test("normFilter flags zero, non-finite, and mis-dimensioned vectors") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f)),                    // good
