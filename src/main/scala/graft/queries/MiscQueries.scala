@@ -211,9 +211,11 @@ object MiscQueries extends QueryModule {
       val stale = staleCaches.computeIfAbsent(
         graft.Tables.sessionKey(s) + "|" + dir,
         _ => agg(li.filter(col("l_shipdate") < cutoff)).cache())
-      // changed entities: any row at/after the cutoff → recompute fully
+      // changed entities: any row at/after the cutoff → recompute fully.
+      // No .distinct(): the left-semi join dedups by construction, and
+      // dropping it saves a full shuffle+aggregate over the change set.
       val changedIds = li.filter(col("l_shipdate") >= cutoff)
-        .select(col("l_orderkey")).distinct()
+        .select(col("l_orderkey"))
       val updates = agg(li.join(changedIds, Seq("l_orderkey"), "left_semi"))
       graft.operators.CacheRefresh.upsert(stale, updates, "l_orderkey")
         .orderBy(col("l_orderkey"))
