@@ -151,16 +151,20 @@ object Similarity {
       .crossJoin(centroidArray(centroids))
       .withColumn("__best", foldBestCell(col("cv")))
       .select(col("neighbor_id"), col("cv"), col("__best.list_id").as("list_id"))
-    // probe side: top-nprobe lists per query — a window over the tiny
-    // (broadcast-scale) query set is the simplest correct form here
+    // probe side: top-nprobe lists per query as a NARROW projection —
+    // score all centroids per row, array_sort by (cos desc, list_id),
+    // slice. The windowed form shuffled the query set WITH its vectors
+    // by query_id; when queries are corpus-scale (the mutual-kNN graph),
+    // that is a full-corpus vector shuffle for what is per-row math.
     val probes = {
-      val scored = queries.select(col(id).as("query_id"), toDouble(col(vec)).as("qv"))
-        .join(broadcast(centroids))
-        .withColumn("cd", cosine(col("qv"), col("cvec")))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("cd").desc, col("list_id"))
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= nprobe)
-        .select(col("query_id"), col("qv"), col("list_id"))
+      val cells = slice(array_sort(transform(col("__cents"), c =>
+        struct((-cosine(col("qv"), c.getField("cvec"))).as("negCd"),
+          c.getField("list_id").as("list_id")))), 1, nprobe)
+      queries.select(col(id).as("query_id"), toDouble(col(vec)).as("qv"))
+        .crossJoin(centroidArray(centroids))
+        .select(col("query_id"), col("qv"),
+          explode(cells).as("__cell"))
+        .select(col("query_id"), col("qv"), col("__cell.list_id").as("list_id"))
     }
     val scored = assigned.join(probes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
