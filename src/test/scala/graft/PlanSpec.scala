@@ -224,6 +224,14 @@ class PlanSpec extends SparkSpec {
       s"expected one shard-key exchange, got $hashExchanges:\n${plan.take(2000)}")
   }
 
+  test("sim_ivf_ann: exactly one window (the candidate rank) — probe cells narrow") {
+    val plan = planOf("sim_ivf_ann")
+    // count Window OPERATOR nodes ("Window ["), not the WindowGroupLimit
+    // pushdown or windowspecdefinition mentions of the same single window
+    assert("Window \\[".r.findAllIn(plan).size == 1,
+      s"probe-cell selection regressed to a windowed shuffle:\n${plan.take(2000)}")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
