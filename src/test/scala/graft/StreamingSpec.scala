@@ -93,6 +93,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("hash featurization runs unchanged on a stream (featurize-on-ingest)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the featurizer is a narrow per-row projection, so the same column
+    // expression serves batch backfills and the ingest stream — the
+    // training-feature parity guarantee
+    val docs = Seq((1L, "apple banana apple"), (2L, "cherry"), (3L, ""))
+    def feats(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions.col
+      df.select(col("doc_id"),
+        graft.pipeline.TextAnalysis.hashFeatures(col("text"), 16).as("f"))
+    }
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val q = feats(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_feat_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_feat_sink")
+    val batch = feats(docs.toDF("doc_id", "text"))
+    assert(streamed.count() == 3)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("contamination screens a document stream against a static benchmark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
