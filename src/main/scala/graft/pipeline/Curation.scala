@@ -284,6 +284,26 @@ object Curation {
           acc => acc.getField("out")).as("offsets"))
   }
 
+  /** Corpus snapshot diff — the data-versioning primitive between two
+    * crawls/exports: classify every id as added (only in `b`), removed
+    * (only in `a`), changed (both, content hash differs), or unchanged.
+    * Content compares by digest, so the full-outer join carries (id,
+    * hash) pairs only — never two copies of the text through the shuffle.
+    * One id-keyed join at 100 TB (diffuse key); downstream incremental
+    * work (re-dedup, re-index) consumes the added ∪ changed slice.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, id: String,
+      text: String): DataFrame = {
+    val ha = a.select(col(id), md5(col(text)).as("__ha"))
+    val hb = b.select(col(id), md5(col(text)).as("__hb"))
+    ha.join(hb, Seq(id), "full_outer")
+      .select(col(id),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** PII scrub: replace every email/phone span with a typed placeholder and
     * count the redactions. Returns a struct
     * (scrubbed, n_emails, n_phones) — narrow, codegen'd, no UDF.

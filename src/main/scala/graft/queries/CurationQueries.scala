@@ -496,8 +496,41 @@ object CurationQueries extends QueryModule {
                     md5(payload) AS payload_md5, md5(ostr) AS offsets_md5
              FROM a ORDER BY shard"""))
 
+  // Snapshot diff: v1 = corpus minus the doc_id % 13 slice; v2 = the full
+  // corpus with doc_id % 17 texts rewritten. Every id classifies as
+  // added / changed / unchanged (id checksums witness the exact sets).
+  private val corpusDiff = Q(
+    "corpus_diff",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val v2 = docs.select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")).as("text"))
+      Curation.snapshotDiff(v1, v2, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents
+                        WHERE doc_id % 13 <> 0),
+            v2 AS (SELECT doc_id,
+                          md5(CASE WHEN doc_id % 17 = 0
+                                   THEN text || ' [edited]' ELSE text END) AS h
+                   FROM documents),
+            d AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                         CASE WHEN v1.h IS NULL THEN 'added'
+                              WHEN v2.h IS NULL THEN 'removed'
+                              WHEN v1.h = v2.h THEN 'unchanged'
+                              ELSE 'changed' END AS status
+                  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+            SELECT status, count(1) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM d GROUP BY status ORDER BY status"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
-    qualityPercentileGate, shardConcat)
+    qualityPercentileGate, shardConcat, corpusDiff)
 }
