@@ -229,9 +229,15 @@ object Curation {
     *
     * `pBp` is the percentile in basis points (5000 = median). Returns the
     * input plus (cut_score, keep).
+    *
+    * `broadcastCuts` fits the usual case (strata = sources/domains/
+    * languages: one cut row each, KBs). Gating on an extreme-cardinality
+    * stratum (per-host, millions of cuts) should pass false — the gate
+    * join then shuffles by the stratum key instead of collecting the cut
+    * table to the driver.
     */
   def percentileGate(docs: DataFrame, stratum: String, score: String,
-      pBp: Int): DataFrame = {
+      pBp: Int, broadcastCuts: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = docs.groupBy(col(stratum), col(score))
       .agg(count(lit(1)).as("__c"))
@@ -245,7 +251,7 @@ object Curation {
       .filter(col("__cum") * 10000 >= lit(pBp) * col("__n"))
       .groupBy(col(stratum))
       .agg(min(col(score)).as("cut_score"))
-    docs.join(broadcast(cuts), Seq(stratum))
+    docs.join(if (broadcastCuts) broadcast(cuts) else cuts, Seq(stratum))
       .withColumn("keep", col(score) >= col("cut_score"))
   }
 
