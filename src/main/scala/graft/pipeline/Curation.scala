@@ -272,22 +272,27 @@ object Curation {
     */
   def concatShards(docs: DataFrame, id: String, text: String,
       nShards: Int, sep: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val perDoc = docs.select(
       hashBucket(col(id), nShards).as("shard"),
-      struct(col(id).cast("long").as("id"), col(text).as("t")).as("__dt"))
-    perDoc.groupBy(col("shard"))
-      .agg(sort_array(collect_list(col("__dt"))).as("__ds"))
+      col(id).cast("long").as("__id"), col(text).as("__t"))
+    // offsets as a window prefix sum over the SAME shard key the collect
+    // aggregates on — one shuffle total, and linear (an aggregate-HOF
+    // fold appending to an array would copy O(docs²) elements per shard)
+    val wPrev = Window.partitionBy(col("shard")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = coalesce(
+      sum((length(col("__t")) + lit(sep.length)).cast("long")).over(wPrev),
+      lit(0L)) + 1L
+    perDoc.withColumn("__off", off)
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(
+        struct(col("__id"), col("__t"), col("__off")))).as("__ds"))
       .select(col("shard"),
         size(col("__ds")).cast("long").as("n_docs"),
-        array_join(transform(col("__ds"), x => x.getField("t")), sep)
+        array_join(transform(col("__ds"), x => x.getField("__t")), sep)
           .as("payload"),
-        aggregate(col("__ds"),
-          struct(lit(1L).as("pos"), array().cast("array<bigint>").as("out")),
-          (acc, x) => struct(
-            (acc.getField("pos") + length(x.getField("t")) + sep.length)
-              .as("pos"),
-            concat(acc.getField("out"), array(acc.getField("pos"))).as("out")),
-          acc => acc.getField("out")).as("offsets"))
+        transform(col("__ds"), x => x.getField("__off")).as("offsets"))
   }
 
   /** Corpus snapshot diff — the data-versioning primitive between two
