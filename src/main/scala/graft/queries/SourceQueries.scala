@@ -230,6 +230,36 @@ object SourceQueries extends QueryModule {
              FROM d WHERE length(dna) >= 12
              ORDER BY seqid"""))
 
+  // JSONL roundtrip — the LLM-pipeline interchange format (one JSON doc
+  // per line): export the corpus, read it back with an explicit schema
+  // (never inferred: schema inference is a full extra pass at 100 TB and
+  // type-unstable), and prove content survives byte-exactly through JSON
+  // escaping via per-doc digests.
+  private val jsonlRoundtrip = Q(
+    "jsonl_roundtrip",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = tmp(dir, "jsonl")
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .repartition(4)
+        .write.mode("overwrite").json(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).json(path)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, md5(text) AS text_md5, lang, source
+            FROM documents ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(s2SchemaConfig, s5LocusDownload, s6RemoteContigs,
-    s8Embl, s8Gff3)
+    s8Embl, s8Gff3, jsonlRoundtrip)
 }
