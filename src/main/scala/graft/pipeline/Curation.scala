@@ -206,12 +206,18 @@ object Curation {
   def hostCap(docs: DataFrame, id: String, urlCol: String,
       cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val host = regexp_extract(col(urlCol), "^https?://([^/]+)", 1)
+    // unparseable URLs get host = NULL and are exempt from the cap rather
+    // than silently collapsing into one giant ''-host group that the cap
+    // would mass-drop; callers count/route them via host IS NULL
+    val raw = regexp_extract(col(urlCol), "^https?://([^/]+)", 1)
+    val host = when(raw =!= "", raw)
     val w = Window.partitionBy(col("host"))
       .orderBy(hashBucket(col(id), 1000000000000L), col(id))
     docs.withColumn("host", host)
-      .withColumn("host_rank", row_number().over(w).cast("long"))
-      .withColumn("keep", col("host_rank") <= cap)
+      .withColumn("host_rank",
+        when(col("host").isNotNull, row_number().over(w).cast("long")))
+      .withColumn("keep",
+        col("host").isNull || col("host_rank") <= cap)
   }
 
   /** Exact per-stratum percentile gate over an INTEGER score column (keep
@@ -273,9 +279,11 @@ object Curation {
   def concatShards(docs: DataFrame, id: String, text: String,
       nShards: Int, sep: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // id keeps its natural type: a cast("long") would null out string ids
+    // (UUIDs) and silently scramble the fill order
     val perDoc = docs.select(
       hashBucket(col(id), nShards).as("shard"),
-      col(id).cast("long").as("__id"), col(text).as("__t"))
+      col(id).as("__id"), col(text).as("__t"))
     // offsets as a window prefix sum over the SAME shard key the collect
     // aggregates on — one shuffle total, and linear (an aggregate-HOF
     // fold appending to an array would copy O(docs²) elements per shard)

@@ -163,8 +163,13 @@ object Dedup {
     * work plus one bucket-key join against that index.
     *
     * Shuffle discipline matches [[minhashLsh]]: ids only through the
-    * bucket join (signatures re-attach after candidate dedup), degenerate
-    * buckets dropped at `maxBucketSize`.
+    * bucket join (signatures re-attach after candidate dedup). The
+    * degenerate-bucket guard differs deliberately: `maxBucketSize` caps
+    * the INDEX side (a base bucket larger than the cap is dropped from
+    * the index, as an index maintainer would), while every delta doc
+    * always probes — unlike the batch pipeline's total-bucket-size cap.
+    * On corpora with no capped buckets the two agree exactly (the
+    * DedupSpec cross-slice property).
     *
     * Returns ONE verdict row per delta doc: (id, n_matches, best_match_id,
     * best_est, is_dup) — best = highest estimated jaccard, ties to the

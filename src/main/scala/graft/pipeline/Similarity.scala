@@ -44,12 +44,15 @@ object Similarity {
     * Narrow, codegen'd kernels; validating 100 TB of vectors is one
     * embarrassingly-parallel pass, no shuffle.
     *
-    * Returns the input plus (dim_ok, n_nonfinite, norm2, keep).
+    * Returns the input plus (dim_ok, n_nonfinite, norm2, keep). NULL
+    * components count as non-finite (isNull checked first — a bare
+    * isnan(null) is NULL and filter() would skip the element, making the
+    * malformed vector invisible to both the kept and rejected slices).
     */
   def normFilter(vecs: DataFrame, vec: String, dim: Int): DataFrame = {
     val v = toDouble(col(vec))
     val nonfinite = size(filter(v, x =>
-      isnan(x) || abs(x) > Double.MaxValue))
+      x.isNull || isnan(x) || abs(x) > Double.MaxValue))
     vecs
       .withColumn("dim_ok", size(col(vec)) === dim)
       .withColumn("n_nonfinite", nonfinite.cast("long"))
@@ -176,19 +179,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** SemDedup-style semantic dedup: coarse-cluster the corpus into `nlist`
-    * IVF cells (deterministic centroids = first `nlist` vectors by id, as
-    * in [[ivfTopK]]), then compare ONLY within a cell — a row is dropped
-    * iff a lower-id cell-mate sits at cosine >= `tau`. Cross-cell pairs are
-    * never generated, so the O(n²) pair space collapses to Σ|cell|² with
-    * the cell id as the single shuffle key — the 100 TB form of
-    * [[cosineNearDupPairs]] (raise `nlist` as the corpus grows to hold
-    * |cell| bounded). Keep-lowest-id is a pure per-pair rule, so the kept
-    * set is deterministic and independent of partitioning.
-    *
-    * Output: (id, list_id, keep, dup_of, dup_cos) — `dup_of` the lowest-id
-    * cell-mate above `tau` (null when kept), `dup_cos` its cosine.
-    */
   /** Mutual-kNN graph over the corpus — the seed structure for
     * graph-based clustering, NN-descent, and HNSW-style index builds: an
     * undirected edge (a, b) exists iff b is in a's approximate top-k AND
@@ -219,6 +209,20 @@ object Similarity {
         col("cos"), col("rank").as("rank1"), col("rank2"))
   }
 
+
+  /** SemDedup-style semantic dedup: coarse-cluster the corpus into `nlist`
+    * IVF cells (deterministic centroids = first `nlist` vectors by id, as
+    * in [[ivfTopK]]), then compare ONLY within a cell — a row is dropped
+    * iff a lower-id cell-mate sits at cosine >= `tau`. Cross-cell pairs are
+    * never generated, so the O(n²) pair space collapses to Σ|cell|² with
+    * the cell id as the single shuffle key — the 100 TB form of
+    * [[cosineNearDupPairs]] (raise `nlist` as the corpus grows to hold
+    * |cell| bounded). Keep-lowest-id is a pure per-pair rule, so the kept
+    * set is deterministic and independent of partitioning.
+    *
+    * Output: (id, list_id, keep, dup_of, dup_cos) — `dup_of` the lowest-id
+    * cell-mate above `tau` (null when kept), `dup_cos` its cosine.
+    */
   def semDedup(vecs: DataFrame, id: String, vec: String,
       tau: Double, nlist: Int = 16): DataFrame = {
     // Assignment is a NARROW map (see foldBestCell): no nlist× row

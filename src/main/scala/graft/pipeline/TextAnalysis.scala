@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The stand-in English stopword inventory shared by the quality
+    * features, the quality model, and the percentile gate. Single source
+    * of truth on the Scala side; the DuckDB oracle SQL literals restate
+    * it and must change in lockstep.
+    */
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in")
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
@@ -133,14 +141,15 @@ object TextAnalysis {
     */
   def hashFeatures(text: Column, dim: Int): Column = {
     val ws = split(lower(trim(text)), "\\s+")
-    val idx = (w: Column) =>
+    // hash each token ONCE up front: the fold's inner transform runs per
+    // accumulator element, so an idx(w) embedded there would recompute
+    // the md5 dim times per token
+    val idxs = transform(ws, w =>
       pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"),
-        lit(dim.toLong))
-    aggregate(ws, array_repeat(lit(0L), dim),
-      (acc, w) => {
-        val j = idx(w)
-        transform(acc, (c, i) => when(i.cast("long") === j, c + 1L).otherwise(c))
-      })
+        lit(dim.toLong)))
+    aggregate(idxs, array_repeat(lit(0L), dim),
+      (acc, j) =>
+        transform(acc, (c, i) => when(i.cast("long") === j, c + 1L).otherwise(c)))
   }
 
   /** Corpus-derived unigram surprisal with cross-engine-exact integer

@@ -302,7 +302,7 @@ object CurationQueries extends QueryModule {
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val f = graft.pipeline.TextAnalysis.qualityFeatures(
-        col("text"), Seq("the", "a", "an", "and", "or", "of", "to", "in"))
+        col("text"), graft.pipeline.TextAnalysis.DefaultStopwords)
       val d = docs.select(
         (col("n_chars") < 50).as("too_short"),
         (f.getField("mean_word_len") >= 12.0).as("gibberish"),
@@ -417,7 +417,7 @@ object CurationQueries extends QueryModule {
   // approx percentile; the oracle checks against DuckDB's native
   // percentile_disc. Score association is pinned ((10000*stops)/toks,
   // both engines) so the rounding boundary never diverges.
-  private val stopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+  private val stopWords = graft.pipeline.TextAnalysis.DefaultStopwords
 
   private val qualityPercentileGate = Q(
     "quality_percentile_gate",

@@ -152,22 +152,29 @@ object DedupQueries extends QueryModule {
       dir: String): org.apache.spark.sql.DataFrame = {
     verdictCache.entrySet.removeIf(
       _.getValue.sparkSession.sparkContext.isStopped)
-    verdictCache.computeIfAbsent(
-      graft.Tables.sessionKey(s) + "|" + dir,
-      _ => {
-        val docs = Tables.load(s, dir, "documents")
-        val pairs = minhashPairs(s, dir)
-        val cc = graft.operators.Clustering.connectedComponents(
-          pairs.select(col("id1").as("src"), col("id2").as("dst")))
-        docs.select(col("doc_id"))
-          .join(cc.select(col("node").as("doc_id"), col("component")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("component"), col("doc_id")).as("canonical_id"),
-            (coalesce(col("component"), col("doc_id")) === col("doc_id"))
-              .as("keep"))
-          .cache()
-      })
+    val key = graft.Tables.sessionKey(s) + "|" + dir
+    val hit = verdictCache.get(key)
+    if (hit != null) hit
+    else {
+      // built OUTSIDE the map lock: connectedComponents runs Spark jobs
+      // eagerly, and computeIfAbsent would hold the bin lock (blocking an
+      // unrelated same-bin key) for the whole component search. A racing
+      // duplicate build is harmless — putIfAbsent keeps the first.
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = minhashPairs(s, dir)
+      val cc = graft.operators.Clustering.connectedComponents(
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+      val built = docs.select(col("doc_id"))
+        .join(cc.select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical_id"),
+          (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+            .as("keep"))
+        .cache()
+      val prev = verdictCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   private val dedupCluster = Q(

@@ -25,7 +25,7 @@ object TextQueries extends QueryModule {
 
   // Quality scoring: punctuation / stopword / shape features + a composite
   // keep/drop signal (the C4/Gopher-style filter shape).
-  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+  private val stopwords = TextAnalysis.DefaultStopwords
 
   private val textQuality = Q(
     "text_quality",

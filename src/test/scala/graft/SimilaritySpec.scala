@@ -115,5 +115,12 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2) == ((3L, true, 1L, false)))
     assert(out(3) == ((4L, true, 1L, false)))
     assert(out(4) == ((5L, false, 0L, false)))
+    // null component: counted as non-finite, keep = false (not null —
+    // a null verdict would vanish from both audit slices)
+    val withNull = Seq((6L, Seq(Option(1.0f), None)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.normFilter(withNull, "embedding", dim = 2)
+      .select("n_nonfinite", "keep").as[(Long, Boolean)].collect().head
+    assert(r == ((1L, false)))
   }
 }

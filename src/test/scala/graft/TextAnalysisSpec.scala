@@ -339,6 +339,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hostCap exempts unparseable URLs instead of capping them as one group") {
+    import graft.pipeline.Curation
+    val docs = ((1L to 30L).map(i => (i, s"https://ok.example.com/p/$i")) ++
+      (31L to 60L).map(i => (i, s"//cdn.example.com/asset/$i")))
+      .toDF("doc_id", "url")
+    val out = Curation.hostCap(docs, "doc_id", "url", cap = 5)
+      .select("doc_id", "host", "keep").as[(Long, Option[String], Boolean)]
+      .collect()
+    // parseable host: capped at 5
+    assert(out.count(r => r._2.contains("ok.example.com") && r._3) == 5)
+    // protocol-relative URLs: host NULL, all kept (cap-exempt, auditable)
+    val malformed = out.filter(_._1 > 30)
+    assert(malformed.forall(r => r._2.isEmpty && r._3))
+  }
+
+  test("concatShards keeps non-numeric ids intact (no silent long cast)") {
+    import graft.pipeline.Curation
+    val docs = Seq(("doc-b", "bb"), ("doc-a", "aaa"), ("doc-c", "c"))
+      .toDF("doc_id", "text")
+    val out = Curation.concatShards(docs, "doc_id", "text", 1, "|")
+      .as[(Long, Long, String, Seq[Long])].collect().head
+    // ascending string-id order: doc-a, doc-b, doc-c
+    assert(out._3 == "aaa|bb|c" && out._4 == Seq(1L, 5L, 8L))
+  }
+
   test("linearScore reproduces the left-assoc double chain bit-for-bit") {
     val df = Seq((0.3, 5.2, 0.04)).toDF("a", "b", "c")
       .select(TextAnalysis.linearScore(0.29,
