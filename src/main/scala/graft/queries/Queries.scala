@@ -30,6 +30,7 @@ object AllQueries {
     SortQueries,
     ProfileQueries,
     ClusterQueries,
+    GenomeComparatorQueries,
     SeqSearchQueries,
     ScanQueries,
     SourceQueries,
