@@ -382,4 +382,57 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
+
+  /** Lloyd's k-means over the embedding column — the centroid TRAINING
+    * step the IVF comment above defers ("one k-means sweep would refine
+    * them"): seeds = the deterministic first-k-by-id sample, then `iters`
+    * assign/update rounds under squared-L2, then a final assignment.
+    *
+    * Deterministic end to end, so the full iteration is replayable by the
+    * DuckDB oracle: ties in the per-vector argmin break by ascending
+    * list_id (lexicographic struct `least`), and a cell that loses all
+    * members keeps its previous centroid.
+    *
+    * Scale posture (100 TB of vectors): per round, assignment is a NARROW
+    * projection — the k centroids are inlined as literal arrays (the
+    * srpSignature pattern) and folded per row, so the corpus never
+    * shuffles and never blows up k×; the update is one map-side-combinable
+    * aggregation producing k rows. Only k×dim doubles cross the driver per
+    * round (the MLlib posture). Cost: iters+1 linear passes.
+    *
+    * Returns (id, list_id, dist2) under the final centroids.
+    */
+  def kmeansAssignments(
+      vecs: DataFrame, id: String, vec: String,
+      k: Int, dim: Int, iters: Int): DataFrame = {
+    val v = vecs.select(col(id).as("__vid"), toDouble(col(vec)).as("__v"))
+    var cents: Seq[(Long, Seq[Double])] = firstNCentroids(vecs, id, vec, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    def dist2(c: Seq[Double]): Column = aggregate(
+      zip_with(col("__v"), typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    // least() over (dist2, list_id) structs: lexicographic min = nearest
+    // cell, lowest list id on exact ties
+    def best: Column = least(cents.map { case (lid, c) =>
+      struct(dist2(c).as("d2"), lit(lid).as("list_id"))
+    }: _*)
+    for (_ <- 0 until iters) {
+      val updated = v.select(col("__vid"), col("__v"),
+          best.getField("list_id").as("list_id"))
+        .groupBy(col("list_id"))
+        .agg(array((0 until dim).map(i =>
+          avg(element_at(col("__v"), i + 1))): _*).as("cvec"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+        .toMap
+      cents = cents.map { case (lid, old) =>
+        (lid, updated.getOrElse(lid, old))
+      }
+    }
+    v.select(col("__vid").as(id),
+        best.getField("list_id").as("list_id"),
+        best.getField("d2").as("dist2"))
+  }
 }

@@ -369,7 +369,62 @@ object SimilarityQueries extends QueryModule {
             WHERE a.query_id < a.neighbor_id
             ORDER BY id1, id2"""))
 
+  // Lloyd's k-means (k=8, 2 assign/update rounds + final assignment) —
+  // the IVF centroid-training sweep as a first-class op. Deterministic
+  // seeds/tie-breaks make the full iteration replayable: the oracle
+  // unrolls both rounds as CTEs (c0→a0→c1→a1→c2→final), with the
+  // empty-cell keep-previous rule as a LEFT JOIN coalesce.
+  private val simKmeans = Q(
+    "sim_kmeans",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.kmeansAssignments(emb, "vec_id", "embedding",
+          k = 8, dim = 64, iters = 2)
+        .withColumn("dist2", round(col("dist2"), 4))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+                   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) t),
+            d0 AS (SELECT e.vec_id, e.v, c.list_id,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS d2
+                   FROM e, c0 c),
+            a0 AS (SELECT vec_id, v, list_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY d2, list_id) AS r
+                     FROM d0) t WHERE r = 1),
+            c1 AS (SELECT c0.list_id, coalesce(nn.cvec, c0.cvec) AS cvec
+                   FROM c0 LEFT JOIN (
+                     SELECT list_id, list(cx ORDER BY i) AS cvec FROM (
+                       SELECT list_id, i, avg(v[i]) AS cx
+                       FROM a0, range(1, 65) t(i) GROUP BY 1, 2) GROUP BY 1)
+                     nn USING (list_id)),
+            d1 AS (SELECT e.vec_id, e.v, c.list_id,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS d2
+                   FROM e, c1 c),
+            a1 AS (SELECT vec_id, v, list_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY d2, list_id) AS r
+                     FROM d1) t WHERE r = 1),
+            c2 AS (SELECT c1.list_id, coalesce(nn.cvec, c1.cvec) AS cvec
+                   FROM c1 LEFT JOIN (
+                     SELECT list_id, list(cx ORDER BY i) AS cvec FROM (
+                       SELECT list_id, i, avg(v[i]) AS cx
+                       FROM a1, range(1, 65) t(i) GROUP BY 1, 2) GROUP BY 1)
+                     nn USING (list_id)),
+            df AS (SELECT e.vec_id, c.list_id,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS d2
+                   FROM e, c2 c)
+            SELECT vec_id, list_id, round(d2, 4) AS dist2 FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, list_id) AS r
+              FROM df) t WHERE r = 1
+            ORDER BY vec_id"""))
+
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
-    simMutualKnn)
+    simMutualKnn, simKmeans)
 }

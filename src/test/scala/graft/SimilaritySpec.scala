@@ -123,4 +123,35 @@ class SimilaritySpec extends SparkSpec {
       .select("n_nonfinite", "keep").as[(Long, Boolean)].collect().head
     assert(r == ((1L, false)))
   }
+
+  test("kmeansAssignments separates two tight clusters") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.1f)), (2L, Seq(10.0f, 10.0f)),
+      (3L, Seq(0.1f, 0.0f)), (4L, Seq(10.1f, 9.9f)),
+      (5L, Seq(0.05f, 0.05f)), (6L, Seq(9.9f, 10.1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssignments(vecs, "vec_id", "embedding",
+        k = 2, dim = 2, iters = 2)
+      .select(col("vec_id"), col("list_id")).as[(Long, Long)]
+      .collect().toMap
+    // seeds are vecs 1 and 2 — clusters must settle on {1,3,5} / {2,4,6}
+    assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L,
+      2L -> 2L, 4L -> 2L, 6L -> 2L))
+  }
+
+  test("kmeansAssignments: duplicate seed empties a cell; tie breaks to lowest list_id") {
+    // v1 == v2 exactly: both assign to list 1 on the (dist2, list_id)
+    // tie-break, so cell 2 loses all members and must keep its previous
+    // centroid (not crash, not NaN)
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssignments(vecs, "vec_id", "embedding",
+        k = 3, dim = 2, iters = 2)
+      .select(col("vec_id"), col("list_id"), col("dist2"))
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    assert(got.forall(_._3 == 0.0)) // every point sits ON its centroid
+  }
 }
