@@ -189,6 +189,55 @@ object TextAnalysis {
         expr("(surprisal_sum * 10000) div n_tokens").as("mean_surprisal_bp"))
   }
 
+  /** BM25 ranked retrieval over the corpus for a small literal query-term
+    * set — the lexical-search half of a hybrid (BM25 + ANN) retrieval
+    * stack, and the standard relevance filter for targeted corpus audits.
+    *
+    * Scale posture (100 TB): the document side is ONE narrow pass —
+    * tokenize, keep only query-term hits (the posting-scan filter runs
+    * BEFORE any shuffle), then one (doc, term) aggregation. Corpus stats
+    * (N, avgdl) and per-term document frequencies are tiny aggregates
+    * broadcast back; the final global top-k is a TakeOrdered, never a
+    * single-partition window. Docs with no query term never shuffle.
+    *
+    * Arithmetic notes for oracle replay: `k1 + 1` stays an ADDITION on
+    * both engines (the decimal literal 2.2 rounds differently than
+    * 1.2 + 1 in binary); scores round to 4 decimals at the edge.
+    *
+    * Output: top `k` of (id, score) by (score desc, id).
+    */
+  def bm25TopK(
+      docs: DataFrame, id: String, text: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withLen = docs.select(col(id).as("__did"),
+        split(lower(trim(col(text))), "\\s+").as("__w"))
+      .select(col("__did"), col("__w"),
+        size(col("__w")).cast("double").as("__dl"))
+    val hits = withLen
+      .select(col("__did"), col("__dl"), explode(col("__w")).as("word"))
+      .filter(col("word").isin(queryTerms.map(_.toLowerCase): _*))
+      .groupBy(col("__did"), col("__dl"), col("word"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val stats = withLen.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val dfs = hits.groupBy(col("word"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    hits
+      .join(broadcast(dfs), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+          * col("__tf") * (lit(k1) + 1)
+          / (col("__tf") + lit(k1) *
+             (lit(1) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col("__did"))
+      .agg(sum(col("__s")).as("score"))
+      .select(col("__did").as(id), col("score"))
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+  }
+
   /** Rolling polynomial fingerprint (Karp-Rabin family) of the document:
     * hash = sum(byte_i * B^i mod P) over the first `prefix` chars —
     * content-stable, order-sensitive, cheap. Built-ins only.

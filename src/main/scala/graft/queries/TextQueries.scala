@@ -423,7 +423,44 @@ object TextQueries extends QueryModule {
                    n_types * 10000 // n_grams AS ttr_bp
             FROM agg ORDER BY n"""))
 
+  // BM25 top-20 for a three-term query (k1=1.2, b=0.75, the Robertson/
+  // Sparck-Jones +1 idf). The oracle restates the identical pipeline;
+  // `1.2 + 1` is kept as an addition on both engines (the 2.2 literal
+  // rounds to a different double than the sum).
+  private val textBm25 = Q(
+    "text_bm25",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "vector", "join"), k = 20)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents),
+            dl AS (SELECT doc_id, len(w)::DOUBLE AS dl, w FROM t),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            hits AS (
+              SELECT doc_id, dl, word, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, dl, unnest(w) AS word FROM dl)
+              WHERE word IN ('spark', 'vector', 'join')
+              GROUP BY 1, 2, 3),
+            dfs AS (SELECT word, count(*)::DOUBLE AS df FROM hits GROUP BY 1),
+            scored AS (
+              SELECT h.doc_id,
+                     sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * h.tf * (1.2 + 1)
+                         / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl)))
+                       AS score
+              FROM hits h JOIN dfs d USING (word), stats s
+              GROUP BY 1)
+            SELECT doc_id, round(score, 4) AS score FROM (
+              SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+            ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
-    textHashFeatures, textSurprisal, textVocabGrowth)
+    textHashFeatures, textSurprisal, textVocabGrowth, textBm25)
 }

@@ -371,4 +371,30 @@ class TextAnalysisSpec extends SparkSpec {
     val expected = ((0.29 + 2.0 * 0.3) + -0.08 * 5.2) + -3.0 * 0.04
     assert(rows(df).head.head == expected) // exact, not approximate
   }
+
+  test("bm25TopK: hand-replayed scores, ranking, and no-hit exclusion") {
+    val docs = Seq(
+      (1L, "a b b"),   // tf(b)=2, dl=3
+      (2L, "b c"),     // tf(b)=1, dl=2
+      (3L, "c c c")    // no query term — must not appear at all
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("b"), k = 10)
+      .as[(Long, Double)].collect()
+    // replay the formula: N=3, avgdl=8/3, df(b)=2
+    val n = 3.0; val avgdl = 8.0 / 3.0; val df = 2.0
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def s(tf: Double, dl: Double) =
+      idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // ranked, doc 3 excluded
+    assert(math.abs(got(0)._2 - s(2, 3)) < 1e-12)
+    assert(math.abs(got(1)._2 - s(1, 2)) < 1e-12)
+  }
+
+  test("bm25TopK: k cuts the tail deterministically on score ties") {
+    // two docs with IDENTICAL text tie exactly — doc_id breaks the tie
+    val docs = Seq((5L, "b x"), (4L, "b x"), (9L, "b x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("b"), k = 2)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(got == Seq(4L, 5L))
+  }
 }
