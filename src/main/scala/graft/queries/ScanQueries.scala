@@ -355,8 +355,66 @@ object ScanQueries extends QueryModule {
                        + tt % 2 * 16) * 2 + 1 AS INT), 32))) AS tile_md5
             FROM t ORDER BY doc_id, tile_y, tile_x"""))
 
+  // In-silico PCR (Plugins/PCR.pm): primer1 carries a wobble base
+  // (ATARTA, R=A/G → two concrete variants) to exercise the IUPAC
+  // expansion; primer2 = TTATTA (rc TAATAA). Product window [15, 60] bp,
+  // both orientations. The oracle re-derives every variant's occurrence
+  // positions with the q4-style position scan and applies the identical
+  // length window.
+  private val pcrPrimer1 = "ATARTA"
+  private val pcrPrimer2 = "TTATTA"
+
+  // shared oracle fragment: per-direction primer-site positions
+  private val pcrSitesSql =
+    s"""d AS (SELECT doc_id, $dnaSql AS dna FROM documents),
+       p1f AS (SELECT doc_id, CAST(i AS BIGINT) AS p FROM d,
+               unnest(list_filter(range(1, length(dna) - 4),
+                 i -> substring(dna, i, 6) IN ('ATAATA', 'ATAGTA'))) t(i)),
+       p2r AS (SELECT doc_id, CAST(i AS BIGINT) AS p FROM d,
+               unnest(list_filter(range(1, length(dna) - 4),
+                 i -> substring(dna, i, 6) = 'TAATAA')) t(i)),
+       p2f AS (SELECT doc_id, CAST(i AS BIGINT) AS p FROM d,
+               unnest(list_filter(range(1, length(dna) - 4),
+                 i -> substring(dna, i, 6) = 'TTATTA')) t(i)),
+       p1r AS (SELECT doc_id, CAST(i AS BIGINT) AS p FROM d,
+               unnest(list_filter(range(1, length(dna) - 4),
+                 i -> substring(dna, i, 6) IN ('TATTAT', 'TACTAT'))) t(i)),
+       products AS (
+         SELECT a.doc_id, a.p AS start, b.p + 5 AS "end",
+                b.p + 5 - a.p + 1 AS product_len, 'forward' AS direction
+         FROM p1f a JOIN p2r b ON a.doc_id = b.doc_id
+         WHERE b.p + 5 - a.p + 1 BETWEEN 15 AND 60
+         UNION ALL
+         SELECT a.doc_id, a.p AS start, b.p + 5 AS "end",
+                b.p + 5 - a.p + 1 AS product_len, 'reverse' AS direction
+         FROM p2f a JOIN p1r b ON a.doc_id = b.doc_id
+         WHERE b.p + 5 - a.p + 1 BETWEEN 15 AND 60)"""
+
+  private val pcrProducts = Q(
+    "pcr_products",
+    (s, dir) => graft.operators.Pcr.products(dnaDocs(s, dir),
+        "doc_id", "dna", pcrPrimer1, pcrPrimer2, minLen = 15, maxLen = 60)
+      .orderBy(col("doc_id"), col("direction"), col("start"), col("end")),
+    Some(s"""WITH $pcrSitesSql
+             SELECT doc_id, start, "end", product_len, direction
+             FROM products ORDER BY doc_id, direction, start, "end""""))
+
+  private val pcrSummary = Q(
+    "pcr_summary",
+    (s, dir) => graft.operators.Pcr.summary(dnaDocs(s, dir),
+        "doc_id", "dna", pcrPrimer1, pcrPrimer2, minLen = 15, maxLen = 60)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $pcrSitesSql,
+             n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_products
+                   FROM products GROUP BY 1)
+             SELECT d.doc_id,
+                    coalesce(n.n_products, 0) AS n_products,
+                    coalesce(n.n_products, 0) > 0 AS positive
+             FROM d LEFT JOIN n ON d.doc_id = n.doc_id
+             ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(q4TagScan, q4TagScanSeeded, q3ExemplarPrune,
     q4LongExact, q4LongSeeded,
     q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, mmTile,
-    g7SiteFreq)
+    g7SiteFreq, pcrProducts, pcrSummary)
 }
