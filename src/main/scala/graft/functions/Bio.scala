@@ -125,7 +125,7 @@ object Bio {
 
   // ---- translation (standard genetic code; table 11 start handling is the
   //      caller's concern — BIGSdb translates with BioPerl defaults) ----
-  private val CodonTable: Map[String, Char] = {
+  private[graft] val CodonTable: Map[String, Char] = {
     val bases = "TCAG"
     val aas = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
     (for {

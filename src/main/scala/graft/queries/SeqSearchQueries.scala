@@ -309,6 +309,51 @@ object SeqSearchQueries extends QueryModule {
             WHERE rn = 1
             ORDER BY query_id"""))
 
+  // Codon usage by group (Plugins/CodonUsage.pm): absolute counts + RSCU
+  // over the dense group×64-codon grid, grouped by `source` (the by-locus
+  // table shape). RSCU = n·degeneracy/aa_total — a single integer-valued
+  // double division, identical on any engine; degeneracy derives from the
+  // same genetic-code string the bio_translate oracle uses.
+  private val codonUsage = Q(
+    "codon_usage",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("dna", regexp_replace(upper(col("text")), "[^ACGT]", ""))
+      graft.operators.CodonUsage.usage(docs, "source", "dna")
+        .orderBy(col("source"), col("codon"))
+    },
+    Some("""WITH b(ch, i) AS (VALUES ('T',0),('C',1),('A',2),('G',3)),
+            codons AS (
+              SELECT b1.ch || b2.ch || b3.ch AS codon,
+                     substr('FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG',
+                            b1.i*16 + b2.i*4 + b3.i + 1, 1) AS aa
+              FROM b b1, b b2, b b3),
+            deg AS (SELECT aa, count(*) AS deg FROM codons GROUP BY 1),
+            d AS (SELECT source,
+                         regexp_replace(upper(text), '[^ACGT]', '', 'g') AS dna
+                  FROM documents),
+            tri AS (
+              SELECT source, substr(dna, CAST(i*3+1 AS INT), 3) AS codon
+              FROM (SELECT source, dna,
+                           unnest(generate_series(0,
+                             CAST(floor(length(dna)/3.0) AS INT) - 1)) AS i
+                    FROM d WHERE length(dna) >= 3)),
+            cnt AS (SELECT source, codon, CAST(count(*) AS BIGINT) AS n
+                    FROM tri GROUP BY 1, 2),
+            aat AS (SELECT c.source, k.aa, sum(c.n) AS aat
+                    FROM cnt c JOIN codons k USING (codon) GROUP BY 1, 2),
+            grid AS (SELECT DISTINCT d.source, k.codon, k.aa
+                     FROM d, codons k)
+            SELECT g.source, g.codon, coalesce(cnt.n, 0) AS n,
+                   round(CASE WHEN coalesce(aat.aat, 0) > 0
+                              THEN coalesce(cnt.n, 0)::DOUBLE * dg.deg / aat.aat
+                              ELSE 1.0 END, 3) AS rscu
+            FROM grid g
+            LEFT JOIN cnt ON cnt.source = g.source AND cnt.codon = g.codon
+            LEFT JOIN aat ON aat.source = g.source AND aat.aa = g.aa
+            JOIN deg dg ON dg.aa = g.aa
+            ORDER BY g.source, g.codon"""))
+
   val qs: Seq[Q] = Seq(q1ExactMatch, q1ExactHet, q2BestPartial, q2Banded,
-    q2Translated, bioRevcomp, bioComposition, bioTranslate)
+    q2Translated, bioRevcomp, bioComposition, bioTranslate, codonUsage)
 }
