@@ -232,6 +232,47 @@ class PlanSpec extends SparkSpec {
       s"probe-cell selection regressed to a windowed shuffle:\n${plan.take(2000)}")
   }
 
+  test("pcr_products: primer detection is narrow — zero exchanges, no join") {
+    val plan = planOf("pcr_products")
+    assert(!plan.contains("Join"), s"PCR pairing must stay in-row:\n${plan.take(2000)}")
+    // the only allowed exchange is the final orderBy's range partitioning
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0, s"expected no hash exchange:\n${plan.take(2000)}")
+  }
+
+  test("gc_status_matrix: one designation aggregation + narrow densify, no grid join") {
+    val plan = planOf("gc_status_matrix")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"densify must be an explode, not a grid join:\n${plan.take(2000)}")
+  }
+
+  test("text_bm25: df/corpus stats broadcast; global top-k is TakeOrdered, not a window") {
+    val plan = planOf("text_bm25")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be TakeOrdered:\n${plan.take(2000)}")
+    assert(!"Window \\[".r.findAllIn(plan).hasNext,
+      s"no window allowed in BM25:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df dimension should broadcast:\n${plan.take(2000)}")
+  }
+
+  test("sim_kmeans: final assignment is a narrow literal fold — no join, no agg") {
+    val plan = planOf("sim_kmeans")
+    assert(!plan.contains("Join"),
+      s"assignment must not join centroids:\n${plan.take(2000)}")
+    assert(!plan.contains("HashAggregate"),
+      s"final assignment must not aggregate:\n${plan.take(2000)}")
+  }
+
+  test("codon_usage: one aggregation, zero joins — aa totals stay in-row") {
+    val plan = planOf("codon_usage")
+    assert(!plan.contains("Join"),
+      s"codon usage must not join:\n${plan.take(2000)}")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly the group-by exchange, got $exchanges:\n${plan.take(2000)}")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
