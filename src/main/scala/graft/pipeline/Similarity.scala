@@ -402,25 +402,35 @@ object Similarity {
     *
     * Returns (id, list_id, dist2) under the final centroids.
     */
-  def kmeansAssignments(
+  /** The (dist², list_id) argmin over literal centroids — `least()` over
+    * structs picks the nearest cell, lowest list id on exact ties. A pure
+    * narrow expression: usable verbatim on a stream.
+    */
+  private def kmeansBest(
+      v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    def dist2(c: Seq[Double]): Column = aggregate(
+      zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    least(cents.map { case (lid, c) =>
+      struct(dist2(c).as("d2"), lit(lid).as("list_id"))
+    }: _*)
+  }
+
+  /** The Lloyd iteration only: returns the trained (list_id, centroid)
+    * pairs. Seeds = first k by id; `iters` assign/update rounds; a cell
+    * that loses all members keeps its previous centroid.
+    */
+  def kmeansTrain(
       vecs: DataFrame, id: String, vec: String,
-      k: Int, dim: Int, iters: Int): DataFrame = {
+      k: Int, dim: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     val v = vecs.select(col(id).as("__vid"), toDouble(col(vec)).as("__v"))
     var cents: Seq[(Long, Seq[Double])] = firstNCentroids(vecs, id, vec, k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
       .sortBy(_._1).toIndexedSeq
-    def dist2(c: Seq[Double]): Column = aggregate(
-      zip_with(col("__v"), typedLit(c), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
-    // least() over (dist2, list_id) structs: lexicographic min = nearest
-    // cell, lowest list id on exact ties
-    def best: Column = least(cents.map { case (lid, c) =>
-      struct(dist2(c).as("d2"), lit(lid).as("list_id"))
-    }: _*)
     for (_ <- 0 until iters) {
       val updated = v.select(col("__vid"), col("__v"),
-          best.getField("list_id").as("list_id"))
+          kmeansBest(col("__v"), cents).getField("list_id").as("list_id"))
         .groupBy(col("list_id"))
         .agg(array((0 until dim).map(i =>
           avg(element_at(col("__v"), i + 1))): _*).as("cvec"))
@@ -431,8 +441,24 @@ object Similarity {
         (lid, updated.getOrElse(lid, old))
       }
     }
-    v.select(col("__vid").as(id),
-        best.getField("list_id").as("list_id"),
-        best.getField("d2").as("dist2"))
+    cents
   }
+
+  /** Assignment under fixed centroids — stateless and narrow, so the same
+    * definition scores a batch corpus or a vector STREAM (index-time
+    * cell routing on ingest) unchanged; StreamingSpec proves equivalence.
+    */
+  def kmeansAssign(
+      vecs: DataFrame, id: String, vec: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val best = kmeansBest(toDouble(col(vec)), cents)
+    vecs.select(col(id),
+      best.getField("list_id").as("list_id"),
+      best.getField("d2").as("dist2"))
+  }
+
+  def kmeansAssignments(
+      vecs: DataFrame, id: String, vec: String,
+      k: Int, dim: Int, iters: Int): DataFrame =
+    kmeansAssign(vecs, id, vec, kmeansTrain(vecs, id, vec, k, dim, iters))
 }

@@ -99,6 +99,34 @@ class GenomeComparatorSpec extends SparkSpec {
     assert(got == Map(1 -> 1L)) // only iso 4 at L1 holds two alleles
   }
 
+  test("distanceMatrix: randomized equivalence vs a local reference, all flag combos") {
+    val rnd = new scala.util.Random(20260813L)
+    val statuses = Array("1", "2", "3", "X", "I")
+    val nIso = 8; val nLoci = 4
+    val grid = for (i <- 1 to nIso; l <- 1 to nLoci)
+      yield (i.toLong, l, statuses(rnd.nextInt(statuses.length)))
+    val df = grid.toDF("iso", "loc", "status")
+    val prof: Map[Long, IndexedSeq[String]] = grid.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toIndexedSeq).toMap
+    def localDist(a: IndexedSeq[String], b: IndexedSeq[String],
+        em: Boolean, tps: Boolean): Int =
+      a.zip(b).count { case (x, y) =>
+        val base = if (em) x != "X" && y != "X" && x != y else x != y
+        if (!tps) base
+        else base && ((x == "I" && y == "X") || (x == "X" && y == "I") ||
+          (x != "I" && y != "I"))
+      }
+    for (em <- Seq(false, true); tps <- Seq(false, true)) {
+      val got = GenomeComparator.distanceMatrix(df, "iso", "loc", em, tps)
+        .as[(Long, Long, Int)].collect()
+        .map { case (s, d, v) => (s, d) -> v }.toMap
+      assert(got.size == nIso * (nIso - 1) / 2)
+      for (((s, d), v) <- got)
+        assert(v == localDist(prof(s), prof(d), em, tps),
+          s"pair ($s,$d) em=$em tps=$tps")
+    }
+  }
+
   test("coreAnalysis: presence fractions and core threshold") {
     val got = GenomeComparator.coreAnalysis(status, "iso", "loc", 0.9)
       .select(col("loc"), col("present"), col("in_core"))

@@ -144,4 +144,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == 1 &&
       streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("k-means cell assignment routes a vector stream exactly like batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.1f)), (2L, Seq(10.0f, 10.0f)),
+      (3L, Seq(0.1f, 0.0f)), (4L, Seq(10.1f, 9.9f)),
+      (5L, Seq(0.05f, 0.05f)), (6L, Seq(9.9f, 10.1f)))
+    val batchDf = vecs.toDF("vec_id", "embedding")
+    // train on the batch corpus; assignment under the frozen centroids is
+    // a narrow literal fold — the index-time cell router on ingest
+    val cents = graft.pipeline.Similarity.kmeansTrain(
+      batchDf, "vec_id", "embedding", k = 2, dim = 2, iters = 2)
+    def route(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Similarity.kmeansAssign(df, "vec_id", "embedding", cents)
+    val in = MemoryStream[(Long, Seq[Float])]
+    in.addData(vecs: _*)
+    val q = route(in.toDF.toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("stream_kmeans_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_kmeans_sink")
+    val batch = route(batchDf)
+    assert(streamed.count() == 6 &&
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
