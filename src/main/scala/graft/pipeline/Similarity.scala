@@ -145,8 +145,18 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = firstNCentroids(corpus, id, vec, nlist)
+      nlist: Int = 16, nprobe: Int = 4,
+      trained: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
+    // `trained`: externally trained centroids (e.g. kmeansTrain) replace
+    // the deterministic sample — the refinement the comment above defers —
+    // without changing the query-side plan shape in any way
+    val centroids = trained match {
+      case Some(cs) =>
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        cs.toDF("list_id", "cvec")
+      case None => firstNCentroids(corpus, id, vec, nlist)
+    }
     // corpus side: narrow fold (the corpus is the 100 TB side — never
     // blow it up nlist× or shuffle it per-vector just to pick a cell)
     val assigned = corpus

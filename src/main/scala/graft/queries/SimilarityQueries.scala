@@ -374,6 +374,41 @@ object SimilarityQueries extends QueryModule {
   // seeds/tie-breaks make the full iteration replayable: the oracle
   // unrolls both rounds as CTEs (c0→a0→c1→a1→c2→final), with the
   // empty-cell keep-previous rule as a LEFT JOIN coalesce.
+  // shared oracle fragment: two Lloyd rounds (c0 seeds → c2 trained),
+  // used by sim_kmeans and by the trained-IVF composition below
+  private val kmeansCteSql =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) t),
+       d0 AS (SELECT e.vec_id, e.v, c.list_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS d2
+              FROM e, c0 c),
+       a0 AS (SELECT vec_id, v, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, list_id) AS r
+                FROM d0) t WHERE r = 1),
+       c1 AS (SELECT c0.list_id, coalesce(nn.cvec, c0.cvec) AS cvec
+              FROM c0 LEFT JOIN (
+                SELECT list_id, list(cx ORDER BY i) AS cvec FROM (
+                  SELECT list_id, i, avg(v[i]) AS cx
+                  FROM a0, range(1, 65) t(i) GROUP BY 1, 2) GROUP BY 1)
+                nn USING (list_id)),
+       d1 AS (SELECT e.vec_id, e.v, c.list_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS d2
+              FROM e, c1 c),
+       a1 AS (SELECT vec_id, v, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, list_id) AS r
+                FROM d1) t WHERE r = 1),
+       c2 AS (SELECT c1.list_id, coalesce(nn.cvec, c1.cvec) AS cvec
+              FROM c1 LEFT JOIN (
+                SELECT list_id, list(cx ORDER BY i) AS cvec FROM (
+                  SELECT list_id, i, avg(v[i]) AS cx
+                  FROM a1, range(1, 65) t(i) GROUP BY 1, 2) GROUP BY 1)
+                nn USING (list_id))"""
+
   private val simKmeans = Q(
     "sim_kmeans",
     (s, dir) => {
@@ -383,37 +418,7 @@ object SimilarityQueries extends QueryModule {
         .withColumn("dist2", round(col("dist2"), 4))
         .orderBy(col("vec_id"))
     },
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
-                   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) t),
-            d0 AS (SELECT e.vec_id, e.v, c.list_id,
-                          list_sum(list_transform(range(1, 65),
-                            i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS d2
-                   FROM e, c0 c),
-            a0 AS (SELECT vec_id, v, list_id FROM (
-                     SELECT *, row_number() OVER (PARTITION BY vec_id
-                                                  ORDER BY d2, list_id) AS r
-                     FROM d0) t WHERE r = 1),
-            c1 AS (SELECT c0.list_id, coalesce(nn.cvec, c0.cvec) AS cvec
-                   FROM c0 LEFT JOIN (
-                     SELECT list_id, list(cx ORDER BY i) AS cvec FROM (
-                       SELECT list_id, i, avg(v[i]) AS cx
-                       FROM a0, range(1, 65) t(i) GROUP BY 1, 2) GROUP BY 1)
-                     nn USING (list_id)),
-            d1 AS (SELECT e.vec_id, e.v, c.list_id,
-                          list_sum(list_transform(range(1, 65),
-                            i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS d2
-                   FROM e, c1 c),
-            a1 AS (SELECT vec_id, v, list_id FROM (
-                     SELECT *, row_number() OVER (PARTITION BY vec_id
-                                                  ORDER BY d2, list_id) AS r
-                     FROM d1) t WHERE r = 1),
-            c2 AS (SELECT c1.list_id, coalesce(nn.cvec, c1.cvec) AS cvec
-                   FROM c1 LEFT JOIN (
-                     SELECT list_id, list(cx ORDER BY i) AS cvec FROM (
-                       SELECT list_id, i, avg(v[i]) AS cx
-                       FROM a1, range(1, 65) t(i) GROUP BY 1, 2) GROUP BY 1)
-                     nn USING (list_id)),
+    Some(s"""WITH $kmeansCteSql,
             df AS (SELECT e.vec_id, c.list_id,
                           list_sum(list_transform(range(1, 65),
                             i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS d2
@@ -424,7 +429,53 @@ object SimilarityQueries extends QueryModule {
               FROM df) t WHERE r = 1
             ORDER BY vec_id"""))
 
+  // IVF ANN over TRAINED centroids — the composition the IVF scaladoc
+  // defers ("one k-means sweep would refine them without changing the
+  // query-side plan shape"): kmeansTrain feeds ivfTopK, plan shape
+  // untouched. The oracle chains both replays: Lloyd c0→c2, then the
+  // ivf assignment/probe/rank pipeline against c2.
+  private val simIvfTrained = Q(
+    "sim_ivf_trained",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+        k = 8, dim = 64, iters = 2)
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          k = 5, nlist = 8, nprobe = 3, trained = Some(cents))
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH $kmeansCteSql,
+            norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            assign_all AS (
+              SELECT nm.vec_id, nm.v, nm.n, c.list_id,
+                     list_dot_product(nm.v, c.cvec)
+                       / (nm.n * sqrt(list_dot_product(c.cvec, c.cvec))) AS cd
+              FROM norm nm, c2 c),
+            corpus_assigned AS (
+              SELECT vec_id AS neighbor_id, v AS cv, n AS cn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all) t WHERE r = 1),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, n AS qn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all WHERE vec_id < 8) t WHERE r <= 3),
+            scored AS (
+              SELECT p.query_id, a.neighbor_id,
+                     list_dot_product(p.qv, a.cv) / (p.qn * a.cn) AS cos
+              FROM probes p JOIN corpus_assigned a USING (list_id)
+              WHERE p.query_id <> a.neighbor_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
-    simMutualKnn, simKmeans)
+    simMutualKnn, simKmeans, simIvfTrained)
 }

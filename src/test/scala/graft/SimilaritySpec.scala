@@ -37,6 +37,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("trained-centroid IVF with full probes equals brute force") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 6)
+    val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+      k = 4, dim = 64, iters = 1)
+    // nprobe = nlist → every cell probed → exact search, regardless of
+    // which centroids route the cells
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 4, nlist = 4, nprobe = 4, trained = Some(cents))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ivf == exact && ivf.nonEmpty)
+  }
+
   test("cosineNearDupPairs finds planted near-identical vectors") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.99f, 0.05f, 0.0f)),
