@@ -68,6 +68,32 @@ object Curation {
       .drop("__cutoff")
   }
 
+  /** Temperature-flattened mixing (the mT5/UNIMAX alpha-sampling shape at
+    * alpha = 0.5): the target share of stratum l is ∝ n_l^0.5, so
+    * over-represented sources flatten toward the tail without starving
+    * it. Weights derive from the data as floor(sqrt(n)) — IEEE sqrt of an
+    * exact-integer double is correctly rounded, so the integer weight is
+    * identical on any engine — then the [[domainMix]] budget/cutoff
+    * machinery applies unchanged (hash-deterministic keeps, integer
+    * cutoffs, no rand()).
+    *
+    * Plan: two tiny aggregations over stratum counts broadcast back; the
+    * corpus itself is filtered in place — no shuffle of the fact.
+    */
+  def temperatureMix(
+      docs: DataFrame, id: String, stratum: String): DataFrame = {
+    val weights = docs.groupBy(col(stratum)).agg(count(lit(1)).as("__n"))
+      .select(col(stratum), col("__n"),
+        floor(sqrt(col("__n").cast("double"))).cast("long").as("__w"))
+    val budget = weights.agg(min(expr("__n div __w")).as("__budget"))
+    val cutoffs = weights.crossJoin(broadcast(budget))
+      .select(col(stratum),
+        expr("(__budget * __w * 1000000) div __n").as("__cutoff"))
+    docs.join(broadcast(cutoffs), Seq(stratum))
+      .filter(hashBucket(col(id), 1000000L) < col("__cutoff"))
+      .drop("__cutoff")
+  }
+
   /** Epoch-weighted recipe materialization — the UP-sampling counterpart
     * of [[domainMix]]: each document repeats `floor(w)` times plus one
     * extra epoch for the hash-selected fraction `w - floor(w)` of its

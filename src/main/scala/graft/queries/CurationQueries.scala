@@ -529,8 +529,35 @@ object CurationQueries extends QueryModule {
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM d GROUP BY status ORDER BY status"""))
 
+  // Temperature-flattened mixing at alpha=0.5 (mT5/UNIMAX shape): weights
+  // are floor(sqrt(n)) per source — data-derived, engine-exact — feeding
+  // the same integer budget/cutoff machinery as text_domain_mix.
+  private val mixTemperature = Q(
+    "mix_temperature",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.temperatureMix(docs, "doc_id", "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t0 AS (SELECT source, count(1) AS n
+                        FROM documents GROUP BY source),
+             t AS (SELECT source, n,
+                          CAST(floor(sqrt(n)) AS BIGINT) AS w FROM t0),
+             b AS (SELECT min(n // w) AS budget FROM t),
+             c AS (SELECT source, (b.budget * w * 1000000) // n AS cutoff
+                   FROM t, b)
+             SELECT d.source, count(1) AS n_kept,
+                    CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+             FROM documents d JOIN c ON d.source = c.source
+             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 < c.cutoff
+             GROUP BY d.source ORDER BY d.source"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
-    qualityPercentileGate, shardConcat, corpusDiff)
+    qualityPercentileGate, shardConcat, corpusDiff, mixTemperature)
 }

@@ -185,6 +185,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(df).head.head == 7)
   }
 
+  test("temperatureMix flattens a skewed source distribution toward sqrt shares") {
+    import graft.pipeline.Curation
+    // 400 docs in 'big', 16 in 'small' → 25:1 raw, 20:4 = 5:1 in sqrt
+    // weight, so the kept ratio must flatten to ~5:1 (hash noise aside)
+    val docs = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 416L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val kept = Curation.temperatureMix(docs, "doc_id", "source")
+      .groupBy(col("source")).count()
+      .as[(String, Long)].collect().toMap
+    val ratio = kept("big").toDouble / kept("small")
+    assert(ratio < 12.0, s"kept ratio $ratio did not flatten (raw was 25)")
+    assert(kept("small") >= 8, s"tail source starved: ${kept("small")}")
+    // deterministic: rerun keeps the identical set
+    val again = Curation.temperatureMix(docs, "doc_id", "source")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val first = Curation.temperatureMix(docs, "doc_id", "source")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(again == first)
+  }
+
   test("epochMix emits floor(w) epochs plus a deterministic fractional extra") {
     import graft.pipeline.Curation
     val docs = (1L to 40L).map(i => (i, if (i <= 20) "a" else "b"))
