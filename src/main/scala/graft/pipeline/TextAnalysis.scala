@@ -206,6 +206,55 @@ object TextAnalysis {
     *
     * Output: top `k` of (id, score) by (score desc, id).
     */
+  /** Frozen BM25 index statistics: corpus size, average doc length, and
+    * per-query-term document frequencies — the tiny broadcast state that
+    * scoring needs. Collected once (|terms|+2 scalars) so scoring can run
+    * against a FROZEN index: batch re-ranking or stream scoring on ingest
+    * without touching the corpus again.
+    */
+  def bm25Stats(
+      docs: DataFrame, id: String, text: String,
+      queryTerms: Seq[String]): Bm25Stats = {
+    val withLen = docs.select(col(id).as("__did"),
+        split(lower(trim(col(text))), "\\s+").as("__w"))
+      .select(col("__did"), size(col("__w")).cast("double").as("__dl"),
+        col("__w"))
+    val Array(n, avgdl) = withLen
+      .agg(count(lit(1)).cast("double"), avg(col("__dl")))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val dfs = withLen
+      .select(col("__did"), explode(col("__w")).as("word"))
+      .filter(col("word").isin(queryTerms.map(_.toLowerCase): _*))
+      .groupBy(col("word"))
+      .agg(count_distinct(col("__did")).cast("double").as("__df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Bm25Stats(n, avgdl, queryTerms.map(_.toLowerCase).distinct
+      .map(t => t -> dfs.getOrElse(t, 0.0)).toMap)
+  }
+
+  final case class Bm25Stats(n: Double, avgdl: Double, df: Map[String, Double])
+
+  /** Per-document BM25 score under FIXED stats — stateless and narrow
+    * (term frequencies fold in-row over the token array; idf factors are
+    * literals), so the same definition scores a batch or a document
+    * STREAM unchanged. Docs with no query term score 0.
+    */
+  def bm25Score(
+      docs: DataFrame, id: String, text: String, stats: Bm25Stats,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = split(lower(trim(col(text))), "\\s+")
+    val dl = size(w).cast("double")
+    val score = stats.df.toSeq.sortBy(_._1).map { case (term, dfv) =>
+      val tf = size(filter(w, x => x === term)).cast("double")
+      val idf = math.log((stats.n - dfv + 0.5) / (dfv + 0.5) + 1.0)
+      when(tf > 0,
+        lit(idf) * tf * (lit(k1) + 1)
+          / (tf + lit(k1) * (lit(1) - lit(b) + lit(b) * dl / lit(stats.avgdl))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    docs.select(col(id), score.as("score"))
+  }
+
   def bm25TopK(
       docs: DataFrame, id: String, text: String,
       queryTerms: Seq[String], k: Int,

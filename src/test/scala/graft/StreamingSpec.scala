@@ -171,4 +171,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == 6 &&
       streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("BM25 scoring under frozen index stats runs unchanged on a doc stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark join shuffle join"), (2L, "vector join data"),
+      (3L, "no relevant terms here"), (4L, "spark spark spark"))
+    val batchDf = docs.toDF("doc_id", "text")
+    // freeze the index stats on the batch corpus; scoring is a narrow
+    // in-row fold with literal idf factors — the stream re-ranker
+    val stats = graft.pipeline.TextAnalysis.bm25Stats(
+      batchDf, "doc_id", "text", Seq("spark", "join"))
+    assert(stats.n == 4.0 && stats.df("spark") == 2.0 && stats.df("join") == 2.0)
+    def score(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.bm25Score(df, "doc_id", "text", stats)
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val q = score(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_bm25_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_bm25_sink")
+    val batch = score(batchDf)
+    assert(streamed.count() == 4 &&
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // no-term doc scores exactly 0
+    assert(batch.filter(org.apache.spark.sql.functions.col("doc_id") === 3)
+      .select("score").as[Double].head() == 0.0)
+  }
 }
