@@ -91,8 +91,22 @@ object GenomeComparator {
       entityCol: String,
       locusCol: String,
       excludeMissingPairwise: Boolean,
-      truncatedPairwiseSame: Boolean): DataFrame = {
-    val prof = statusProfiles(status, entityCol, locusCol)
+      truncatedPairwiseSame: Boolean,
+      maxRecords: Int = 1000): DataFrame = {
+    // localCheckpoint: the profile aggregation runs ONCE for both the size
+    // probe and the pair join (≤ maxRecords rows materialize)
+    val prof = statusProfiles(status, entityCol, locusCol).localCheckpoint()
+    // The pair join's OUTPUT is O(n²) by definition (the reference emits
+    // the full lower triangle), so n must be a bounded user selection —
+    // the reference enforces MAX_GENOMES=1000 (GenomeComparator.pm:46).
+    // One tiny count over the already-aggregated profiles, then fail
+    // loudly rather than melt the cluster; corpus-scale similarity is
+    // Profiles.similarityJoin (g1_distance_matrix).
+    val n = prof.count()
+    require(n <= maxRecords,
+      s"distance matrix selection has $n records (cap $maxRecords, " +
+        "reference MAX_GENOMES) — use the bucketed similarity join for " +
+        "corpus-scale work")
     val x = prof.select(col(entityCol).as("src"), col("profile").as("_px"))
     val y = prof.select(col(entityCol).as("dst"), col("profile").as("_py"))
     def contrib(a: Column, b: Column): Column = {

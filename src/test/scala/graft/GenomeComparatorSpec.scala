@@ -78,6 +78,15 @@ class GenomeComparatorSpec extends SparkSpec {
     assert(both((1L, 4L)) == 1) // L2 a2 vs a7
   }
 
+  test("distanceMatrix: selection above maxRecords fails loudly (MAX_GENOMES)") {
+    val e = intercept[IllegalArgumentException] {
+      GenomeComparator.distanceMatrix(status, "iso", "loc",
+        excludeMissingPairwise = true, truncatedPairwiseSame = true,
+        maxRecords = 3).count()
+    }
+    assert(e.getMessage.contains("cap 3"))
+  }
+
   test("uniqueStrains: md5-of-profile grouping with member lists") {
     // make iso 9 share iso 1's exact profile
     val d = fixture.union(Seq(
