@@ -109,6 +109,43 @@ object SeqSearchQueries extends QueryModule {
             WHERE rn = 1
             ORDER BY query_id"""))
 
+  // Plugins/SequenceSimilarity.pm: the ranked top-N neighbours of a query
+  // sequence (reference default num_results=10; 5 here). Same scoring
+  // core as q2_best_partial, widened from the min-struct top-1 to a
+  // per-query rank window (partitioned by query — no global sort).
+  private val q2TopnSimilar = Q(
+    "q2_topn_similar",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lib = docs.select(col("doc_id").as("lib_id"),
+        substring(col("text"), 1, 40).as("lib_seq"))
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("q_seq"))
+      val scored = lib.join(broadcast(queries), col("query_id") =!= col("lib_id"))
+        .withColumn("dist", levenshtein(col("q_seq"), col("lib_seq")).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("lib_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("lib_id"), col("dist"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""SELECT query_id, lib_id, dist, rank FROM (
+              SELECT q.doc_id AS query_id, l.doc_id AS lib_id,
+                     levenshtein(substring(q.text, 1, 40),
+                                 substring(l.text, 1, 40)) AS dist,
+                     row_number() OVER (
+                       PARTITION BY q.doc_id
+                       ORDER BY levenshtein(substring(q.text, 1, 40),
+                                            substring(l.text, 1, 40)),
+                                l.doc_id) AS rank
+              FROM documents q JOIN documents l ON q.doc_id != l.doc_id
+              WHERE q.doc_id < 3) t
+            WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
   // §2.8 bio: reverse complement as a codegen'd Catalyst Expression.
   // DNA is derived deterministically from the doc text so the oracle can
   // replicate with reverse+translate.
@@ -355,5 +392,6 @@ object SeqSearchQueries extends QueryModule {
             ORDER BY g.source, g.codon"""))
 
   val qs: Seq[Q] = Seq(q1ExactMatch, q1ExactHet, q2BestPartial, q2Banded,
-    q2Translated, bioRevcomp, bioComposition, bioTranslate, codonUsage)
+    q2Translated, q2TopnSimilar, bioRevcomp, bioComposition, bioTranslate,
+    codonUsage)
 }
