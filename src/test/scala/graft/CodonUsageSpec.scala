@@ -30,6 +30,15 @@ class CodonUsageSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == 3L)
   }
 
+  test("usage: sub-codon sequences keep their group with all-zero rows, rscu 1") {
+    val seqs = Seq(("short", "AT"), ("ok", "ATG")).toDF("grp", "seq")
+    val got = CodonUsage.usage(seqs, "grp", "seq")
+      .as[(String, String, Long, Double)].collect()
+    val short = got.filter(_._1 == "short")
+    assert(short.length == 64 && short.forall(r => r._3 == 0L && r._4 == 1.0))
+    assert(got.count(_._1 == "ok") == 64)
+  }
+
   test("usage: lower-case input and multiple groups stay independent") {
     val seqs = Seq(("a", "atgatg"), ("b", "aaa")).toDF("grp", "seq")
     val got = CodonUsage.usage(seqs, "grp", "seq")
