@@ -93,9 +93,10 @@ object GenomeComparator {
       excludeMissingPairwise: Boolean,
       truncatedPairwiseSame: Boolean,
       maxRecords: Int = 1000): DataFrame = {
-    // localCheckpoint: the profile aggregation runs ONCE for both the size
-    // probe and the pair join (≤ maxRecords rows materialize)
-    val prof = statusProfiles(status, entityCol, locusCol).localCheckpoint()
+    // cache (lazy), not localCheckpoint (eager disk write): the profile
+    // aggregation runs once — materialized by the size probe, reused by
+    // the pair join — and ≤ maxRecords rows ever occupy the cache
+    val prof = statusProfiles(status, entityCol, locusCol).cache()
     // The pair join's OUTPUT is O(n²) by definition (the reference emits
     // the full lower triangle), so n must be a bounded user selection —
     // the reference enforces MAX_GENOMES=1000 (GenomeComparator.pm:46).

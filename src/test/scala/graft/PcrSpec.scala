@@ -62,6 +62,37 @@ class PcrSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("products: randomized equivalence vs a local reference scan") {
+    val rnd = new scala.util.Random(0x9e3779b9L)
+    val p1 = "ACGT"; val p2 = "GGAT" // rc(p2)=ATCC, rc(p1)=ACGT
+    val minLen = 10; val maxLen = 30
+    def naiveSites(seq: String, needle: String): Seq[Int] =
+      (0 to seq.length - needle.length)
+        .filter(i => seq.regionMatches(i, needle, 0, needle.length))
+        .map(_ + 1)
+    def naiveProducts(seq: String): Set[(Long, Long, Long, String)] = {
+      def dir(headV: String, tailRc: String, hLen: Int, tLen: Int, d: String) =
+        for {
+          s <- naiveSites(seq, headV); e0 <- naiveSites(seq, tailRc)
+          end = e0 + tLen - 1; len = end - s + 1
+          if len >= math.max(minLen, hLen + tLen) && len <= maxLen
+        } yield (s.toLong, end.toLong, len.toLong, d)
+      (dir(p1, Pcr.revComp(p2), 4, 4, "forward") ++
+        dir(p2, Pcr.revComp(p1), 4, 4, "reverse")).toSet
+    }
+    val seqs = (1L to 30L).map(i =>
+      (i, (1 to 60).map(_ => "ACGT"(rnd.nextInt(4))).mkString))
+    val got = Pcr.products(seqs.toDF("id", "seq"), "id", "seq",
+        p1, p2, minLen, maxLen)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3, r._4, r._5)).toSet).toMap
+    for ((id, seq) <- seqs) {
+      val expected = naiveProducts(seq)
+      assert(got.getOrElse(id, Set.empty) == expected, s"id $id seq $seq")
+    }
+  }
+
   test("summary: dense over input with zero-product rows") {
     val contigs = Seq(
       (1L, "AACCGG" + "T" * 13 + "GGCCAA"),
