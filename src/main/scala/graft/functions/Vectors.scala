@@ -98,11 +98,54 @@ object Vectors {
       })
   }
 
+  /** Squared Euclidean distance — one fused loop, same sequential
+    * summation as the interpreted zip_with/aggregate fold it replaces
+    * (identical doubles), but inside whole-stage codegen. The k-means
+    * assignment hot path runs this k times per corpus row.
+    */
+  case class SquaredL2(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val d = ctx.freshName("d")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = $a.getDouble($i) - $b.getDouble($i);
+          $s += $d * $d;
+        }
+        ${ev.value} = $s;
+        """
+      })
+  }
+
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def l2sq(a: Column, b: Column): Column =
+    Bridge.column(SquaredL2(Bridge.expression(a), Bridge.expression(b)))
 
   /** MinHash signature over an ARRAY<BIGINT> of element hashes: k universal
     * hashes h_i(x) = (a_i·(x mod p) + b_i) mod p, min per i — all k mins in

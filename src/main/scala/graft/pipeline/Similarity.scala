@@ -418,9 +418,11 @@ object Similarity {
     */
   private def kmeansBest(
       v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
-    def dist2(c: Seq[Double]): Column = aggregate(
-      zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+    // fused codegen'd kernel (same sequential summation as the zip_with/
+    // aggregate fold, identical doubles) — k of these per corpus row is
+    // the assignment hot path
+    def dist2(c: Seq[Double]): Column =
+      graft.functions.Vectors.l2sq(v, typedLit(c))
     least(cents.map { case (lid, c) =>
       struct(dist2(c).as("d2"), lit(lid).as("list_id"))
     }: _*)
