@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(a, b) => functions.Vectors.CosineSimilarity(a, b) })
     inject(ext, "vec_dot", "dot product of two double arrays",
       { case Seq(a, b) => functions.Vectors.DotProduct(a, b) })
+    inject(ext, "vec_l2sq", "squared Euclidean distance of two double arrays",
+      { case Seq(a, b) => functions.Vectors.SquaredL2(a, b) })
     inject(ext, "jaccard_sim", "Jaccard similarity of two distinct-element arrays",
       { case Seq(a, b) => functions.Vectors.JaccardSim(a, b) })
   }

@@ -21,9 +21,11 @@ class ExtensionsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
                 round(vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c,
-                jaccard_sim(array('a','b'), array('b','c')) AS j""").collect()(0)
+                jaccard_sim(array('a','b'), array('b','c')) AS j,
+                vec_l2sq(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS l""").collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 1.0)
     assert(math.abs(r.getDouble(2) - 1.0 / 3.0) < 1e-9)
+    assert(r.getDouble(3) == 25.0) // 3² + 4²
   }
 }
