@@ -556,8 +556,43 @@ object CurationQueries extends QueryModule {
                    % 1000000 < c.cutoff
              GROUP BY d.source ORDER BY d.source"""))
 
+  // Per-source corpus datacard — the datasheet row every training-data
+  // release publishes: volume (docs, tokens, chars), content-exact
+  // duplicate share, and language spread. ONE aggregation over the
+  // corpus; every measure except the distinct counts is map-side
+  // combinable, and those group by source (high fan-out, no hot key).
+  private val corpusDatacard = Q(
+    "corpus_datacard",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+            .as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          count_distinct(md5(col("text"))).as("distinct_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          round(avg(length(col("text"))), 4).as("mean_len"))
+        .withColumn("dup_share_bp",
+          expr("(n_docs - distinct_docs) * 10000 div n_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                        AS BIGINT) AS total_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   count(DISTINCT md5(text)) AS distinct_docs,
+                   count(DISTINCT lang) AS n_langs,
+                   round(avg(length(text)), 4) AS mean_len,
+                   (count(*) - count(DISTINCT md5(text))) * 10000
+                     // count(*) AS dup_share_bp
+            FROM documents GROUP BY source ORDER BY source"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
-    qualityPercentileGate, shardConcat, corpusDiff, mixTemperature)
+    qualityPercentileGate, shardConcat, corpusDiff, mixTemperature,
+    corpusDatacard)
 }
