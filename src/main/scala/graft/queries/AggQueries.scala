@@ -266,8 +266,73 @@ object AggQueries extends QueryModule {
                    min(CASE WHEN cum >= tot * 0.9 THEN rn END) AS l90
             FROM w GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // SeqbinBreakdown plugin grid (Plugins/SeqbinBreakdown.pm:488-528,674-688):
+  // per-isolate contig stats (count/total/min/max/rounded mean/rounded sample
+  // stddev) PLUS locus coverage — designated-loci %, tagged-loci % against the
+  // 7-locus scheme, 1 dp (decimal_place, :521,:527). ONE pass over the fact:
+  // every measure is a map-side-combinable aggregate on the isolate key, so
+  // the shuffle carries pre-reduced rows — no per-isolate collect (the
+  // reference loops isolates issuing 3 queries each). Cross-engine float
+  // discipline: variance from exact integer sums, ONE double division + one
+  // correctly-rounded sqrt, so the rounded ints agree bit-for-bit.
+  private val seqbinBreakdown = Q(
+    "seqbin_breakdown",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val q = col("l_quantity").cast("long")
+      li.groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("contigs"),
+          sum(q).as("total_length"),
+          min(q).as("min_length"),
+          max(q).as("max_length"),
+          sum(q * q).as("sumsq"),
+          countDistinct(col("l_linenumber")).as("n_designated"),
+          countDistinct(when(col("l_linestatus") === "F",
+            col("l_linenumber"))).as("n_tagged"))
+        .withColumn("mean_length",
+          floor(col("total_length").cast("double") / col("contigs") + 0.5)
+            .cast("long"))
+        .withColumn("stddev_length",
+          when(col("contigs") > 1, floor(sqrt(
+            (col("contigs") * col("sumsq")
+              - col("total_length") * col("total_length")).cast("double")
+              / (col("contigs") * (col("contigs") - 1))) + 0.5).cast("long")))
+        .withColumn("pct_designated",
+          round(col("n_designated").cast("double") * 100 / 7, 1))
+        .withColumn("pct_tagged",
+          round(col("n_tagged").cast("double") * 100 / 7, 1))
+        .drop("sumsq")
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""SELECT l_orderkey, contigs, total_length, min_length, max_length,
+                   n_designated, n_tagged,
+                   CAST(floor(CAST(total_length AS DOUBLE) / contigs + 0.5)
+                        AS BIGINT) AS mean_length,
+                   CASE WHEN contigs > 1 THEN CAST(floor(sqrt(
+                     CAST(contigs * sumsq - total_length * total_length
+                          AS DOUBLE) / (contigs * (contigs - 1))) + 0.5)
+                     AS BIGINT) END AS stddev_length,
+                   round(CAST(n_designated AS DOUBLE) * 100 / 7, 1)
+                     AS pct_designated,
+                   round(CAST(n_tagged AS DOUBLE) * 100 / 7, 1) AS pct_tagged
+            FROM (
+              SELECT l_orderkey, count(1) AS contigs,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS total_length,
+                     min(CAST(l_quantity AS BIGINT)) AS min_length,
+                     max(CAST(l_quantity AS BIGINT)) AS max_length,
+                     CAST(sum(CAST(l_quantity AS BIGINT)
+                              * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sumsq,
+                     count(DISTINCT l_linenumber) AS n_designated,
+                     count(DISTINCT l_linenumber)
+                       FILTER (WHERE l_linestatus = 'F') AS n_tagged
+              FROM lineitem GROUP BY l_orderkey) t
+            ORDER BY l_orderkey"""))
+
   val qs: Seq[Q] = Seq(
     a1Breakdown, a2Crosstab, a3CountHaving, a4Completion, a5SeqbinStats,
     a6N50, a6NStatsAgg, a7Stats, a7Histogram, a8Combinations, a9Top5,
-    a12Growth, a13Distinct)
+    a12Growth, a13Distinct, seqbinBreakdown)
 }

@@ -140,5 +140,64 @@ object AlignQueries extends QueryModule {
              GROUP BY 1, 2, 3
              ORDER BY locus, position, residue"""))
 
-  val qs: Seq[Q] = Seq(g7Pairwise, g7Msa)
+  // SequenceComparison plugin (Plugins/SequenceComparison.pm:159-183): two
+  // same-locus alleles of EQUAL length → per-position difference list
+  // ("pos: b1 → b2", 1-based) + identity % to 2 dp computed in the
+  // reference's operation order (100 - (n/len)*100). Unequal-length pairs
+  // take the alignment branch (g7_pairwise_align); this query mirrors the
+  // positional branch. Wholly narrow — pair formation is an id-shifted
+  // self-join of a filtered slice (broadcastable), the diff scan is a
+  // per-row codegen'd HOF chain, no shuffle after the join.
+  private val seqComparison = Q(
+    "seq_comparison",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def side(parity: Int, idAs: String, seqAs: String) =
+        docs.filter(col("doc_id") < 40 && col("doc_id") % 2 === parity)
+          .select((col("doc_id") - parity).as("pair_id"),
+            col("doc_id").as(idAs),
+            upper(substring(col("text"), 1, 60)).as(seqAs))
+      side(0, "allele1", "s1")
+        .join(side(1, "allele2", "s2"), "pair_id")
+        .filter(length(col("s1")) === length(col("s2")))
+        .withColumn("diffs", expr(
+          """filter(transform(sequence(1, length(s1)),
+                      i -> struct(i AS pos, substring(s1, i, 1) AS b1,
+                                  substring(s2, i, 1) AS b2)),
+                    x -> x.b1 != x.b2)"""))
+        .select(
+          col("pair_id"), col("allele1"), col("allele2"),
+          size(col("diffs")).as("n_diffs"),
+          round(lit(100.0) - size(col("diffs")).cast("double")
+            / length(col("s1")) * 100.0, 2).as("identity_pct"),
+          expr("""array_join(transform(diffs,
+                    x -> concat(x.pos, ': ', x.b1, ' -> ', x.b2)), '; ')""")
+            .as("diffs"))
+        .orderBy(col("pair_id"))
+    },
+    Some("""SELECT pair_id, allele1, allele2,
+                   CAST(len(d) AS INTEGER) AS n_diffs,
+                   round(100.0 - CAST(len(d) AS DOUBLE) / length(s1) * 100.0,
+                         2) AS identity_pct,
+                   array_to_string(list_transform(d,
+                     x -> CAST(x.pos AS VARCHAR) || ': ' || x.b1 || ' -> '
+                          || x.b2), '; ') AS diffs
+            FROM (
+              SELECT a1.pair_id, a1.allele1, a2.allele2, a1.s1, a2.s2,
+                     list_filter(list_transform(range(1, length(a1.s1) + 1),
+                       i -> {'pos': CAST(i AS INTEGER),
+                             'b1': substring(a1.s1, i, 1),
+                             'b2': substring(a2.s2, i, 1)}),
+                       x -> x.b1 != x.b2) AS d
+              FROM (SELECT doc_id AS pair_id, doc_id AS allele1,
+                           upper(substring(text, 1, 60)) AS s1
+                    FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0) a1
+              JOIN (SELECT doc_id - 1 AS pair_id, doc_id AS allele2,
+                           upper(substring(text, 1, 60)) AS s2
+                    FROM documents WHERE doc_id < 40 AND doc_id % 2 = 1) a2
+                USING (pair_id)
+              WHERE length(a1.s1) = length(a2.s2)) t
+            ORDER BY pair_id"""))
+
+  val qs: Seq[Q] = Seq(g7Pairwise, g7Msa, seqComparison)
 }

@@ -130,6 +130,17 @@ object ClusterQueries extends QueryModule {
   // "next free integer" = max+1: values under a prefix are provably
   // contiguous from 0 (first extender is always 0-padded or a fresh min).
   private def lincodeAssignSql(where: String): String =
+    s"""${lincodeStateSql}
+        SELECT u.id AS l_orderkey,
+               concat_ws('_', u.code[1], u.code[2], u.code[3]) AS lincode
+        FROM (SELECT st FROM assign ORDER BY n DESC LIMIT 1) f,
+             unnest(f.st) AS t(u)
+        $where
+        ORDER BY l_orderkey"""
+
+  // The recursion alone (final state in `assign`), shared by the assignment
+  // oracle and the LINvis prefix-tree oracle below.
+  private def lincodeStateSql: String =
     s"""WITH RECURSIVE
         des AS (
           SELECT l_orderkey AS id, CAST(l_linenumber AS INT) AS locus,
@@ -175,13 +186,7 @@ object ClusterQueries extends QueryModule {
                        list_sort(list_transform(st, x -> struct_pack(
                          np := -(${pctSql("rest[1].prof", "x.prof")}),
                          id := x.id, code := x.code)))[1] AS b
-                FROM assign WHERE len(rest) > 0) q1) q2) q3)
-        SELECT u.id AS l_orderkey,
-               concat_ws('_', u.code[1], u.code[2], u.code[3]) AS lincode
-        FROM (SELECT st FROM assign ORDER BY n DESC LIMIT 1) f,
-             unnest(f.st) AS t(u)
-        $where
-        ORDER BY l_orderkey"""
+                FROM assign WHERE len(rest) > 0) q1) q2) q3)"""
 
   // G4: LIN codes — order-dependent sequential assignment made deterministic
   // by fixing the order (ascending id); oracled by a full recursive-CTE
@@ -334,6 +339,44 @@ object ClusterQueries extends QueryModule {
         .orderBy(col("l_orderkey"))
     },
     Some(lincodeAssignSql("WHERE u.code[1] = 0")))
+
+  // LINvis hierarchy (Plugins/LINvis.pm:238-344): LIN codes rolled into a
+  // prefix tree — one node per code prefix at each threshold level, node
+  // value = isolates in the node's SUBTREE (the plugin's post-order
+  // `_aggregate`, which equals the count of codes carrying the prefix).
+  // The reference builds the tree isolate-by-isolate on one machine; here
+  // it is a narrow prefix explode (3 rows per isolate) + one hash
+  // aggregation on (level, prefix) — the sunburst/circle-packing JSON is a
+  // driver-side fold of this FLAT node table, never of the raw isolates.
+  private val linPrefixTree = Q(
+    "lin_prefix_tree",
+    (s, dir) => {
+      val codes = Clustering.assignLinCodes(
+        wh(s, dir, 300), "l_orderkey", Seq(30.0, 60.0, 90.0))
+        .select(col("lincode"))
+      codes
+        .select(explode(sequence(lit(1), lit(3))).as("level"), col("lincode"))
+        .select(col("level"),
+          array_join(slice(col("lincode"), lit(1), col("level"))
+            .cast("array<string>"), "_").as("prefix"),
+          when(col("level") > 1,
+            array_join(slice(col("lincode"), lit(1), col("level") - 1)
+              .cast("array<string>"), "_")).as("parent"))
+        .groupBy(col("level"), col("prefix"), col("parent"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("level"), col("prefix"))
+    },
+    Some(s"""${lincodeStateSql}
+             SELECT CAST(lvl AS INTEGER) AS level,
+                    array_to_string(u.code[1:lvl], '_') AS prefix,
+                    CASE WHEN lvl > 1
+                         THEN array_to_string(u.code[1:lvl - 1], '_')
+                    END AS parent,
+                    count(1) AS n
+             FROM (SELECT st FROM assign ORDER BY n DESC LIMIT 1) f,
+                  unnest(f.st) AS t(u), unnest([1, 2, 3]) AS l(lvl)
+             GROUP BY 1, 2, 3
+             ORDER BY level, prefix"""))
 
   private def fedPath(kind: String, dir: String) =
     s"${sys.props("java.io.tmpdir")}/graft_fed_${kind}_" +
@@ -600,6 +643,6 @@ object ClusterQueries extends QueryModule {
             ORDER BY root"""))
 
   val qs: Seq[Q] = Seq(g3SingleLinkage, g2Burst, g4Lincode, g4LincodePrim,
-    j5LincodePrefix, s9ReplicateProfiles, s10ReplicateLincodes, g5Mst,
-    g5Nexus, g5Newick)
+    j5LincodePrefix, linPrefixTree, s9ReplicateProfiles,
+    s10ReplicateLincodes, g5Mst, g5Nexus, g5Newick)
 }

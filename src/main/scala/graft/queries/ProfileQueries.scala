@@ -212,7 +212,52 @@ object ProfileQueries extends QueryModule {
                    count(1) FILTER (WHERE l_linenumber = 7) > 0 AS locus7
             FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
+  // ProfileExport plugin (Plugins/ProfileExport.pm:180-338): the scheme's
+  // profile definition table — one row per DISTINCT profile: ST, one column
+  // per locus, plus how many isolates carry it. The reference pages through
+  // profile ids re-querying the warehouse row by row (:238); here it is the
+  // same one-aggregation profile-definition reduce that backs j6_st_assign
+  // (map-side combinable on md5) with the allele columns projected out of
+  // the array — no second scan of the fact, no per-profile lookups.
+  private val exportProfiles = Q(
+    "export_profiles",
+    (s, dir) => {
+      val w = wh(s, dir)
+      val defs = w.groupBy(col("profile_md5"))
+        .agg(min(col("l_orderkey")).as("first_iso"),
+          count(lit(1)).as("n_isolates"),
+          // profile is functionally determined by its md5 — `first` is
+          // deterministic here because every row in the group agrees
+          first(col("profile")).as("profile"))
+      val sts = graft.operators.Numbering.numberBySort(defs, "first_iso", "st")
+      sts.select(
+          (col("st") +: (1 to NLoci).map(i =>
+            element_at(col("profile"), i).as(s"locus_$i")) :+
+            col("n_isolates")): _*)
+        .orderBy(col("st"))
+    },
+    Some(s"""WITH wh AS (
+               SELECT l_orderkey,
+                      list_transform(range(1, 8),
+                        i -> coalesce(m[i][1], '0')) AS prof
+               FROM (SELECT l_orderkey,
+                            map(list(l_linenumber ORDER BY l_linenumber),
+                                list(a ORDER BY l_linenumber)) AS m
+                     FROM (SELECT l_orderkey, l_linenumber,
+                                  min(CAST(l_suppkey AS VARCHAR)) AS a
+                           FROM lineitem GROUP BY 1, 2) d
+                     GROUP BY l_orderkey) g),
+             defs AS (SELECT prof, min(l_orderkey) AS first_iso,
+                             count(1) AS n_isolates
+                      FROM wh GROUP BY prof)
+             SELECT dense_rank() OVER (ORDER BY first_iso) AS st,
+                    prof[1] AS locus_1, prof[2] AS locus_2,
+                    prof[3] AS locus_3, prof[4] AS locus_4,
+                    prof[5] AS locus_5, prof[6] AS locus_6,
+                    prof[7] AS locus_7, n_isolates
+             FROM defs ORDER BY st"""))
+
   val qs: Seq[Q] = Seq(
     j6Warehouse, j6ProfileLookup, j6StAssign, j7ProfileDiff,
-    j8MatchingProfiles, g1DistanceMatrix, g6PresenceMatrix)
+    j8MatchingProfiles, g1DistanceMatrix, g6PresenceMatrix, exportProfiles)
 }

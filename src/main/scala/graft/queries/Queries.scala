@@ -35,6 +35,7 @@ object AllQueries {
     ScanQueries,
     SourceQueries,
     AlignQueries,
+    ExportQueries,
     MiscQueries,
     DedupQueries,
     CurationQueries,

@@ -1,0 +1,112 @@
+package graft
+
+import graft.queries.AllQueries
+
+/** Differential specs for the round-6 analysis/export widening: each query
+  * is recomputed with straight Scala loops over the collected base tables
+  * (an in-process second implementation, independent of the Spark plan) and
+  * compared exactly.
+  */
+class AnalysisPluginSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = AllQueries.queries(name)(spark, dir)
+
+  test("seqbin_breakdown matches a hand rollup of lineitem") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_linenumber", "l_linestatus")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong, r.getInt(2),
+        r.getString(3)))
+    val expected = li.groupBy(_._1).map { case (id, rows) =>
+      val q = rows.map(_._2)
+      val n = q.length
+      val sum = q.sum
+      val sumsq = q.map(x => x * x).sum
+      val mean = math.floor(sum.toDouble / n + 0.5).toLong
+      val sd = if (n > 1)
+        Some(math.floor(math.sqrt(
+          (n * sumsq - sum * sum).toDouble / (n.toLong * (n - 1))) + 0.5).toLong)
+      else None
+      val nDes = rows.map(_._3).distinct.length
+      val nTag = rows.filter(_._4 == "F").map(_._3).distinct.length
+      id -> ((n.toLong, sum, q.min, q.max, mean, sd, nDes.toLong, nTag.toLong))
+    }
+    val got = run("seqbin_breakdown").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(7),
+        if (r.isNullAt(8)) None else Some(r.getLong(8)),
+        r.getLong(5), r.getLong(6)))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"order $id") }
+  }
+
+  test("lin_prefix_tree node values = prefix counts of the g4 assignment") {
+    val codes = run("g4_lincode").collect().map(_.getString(1))
+    val expected = codes.flatMap { c =>
+      val parts = c.split("_")
+      (1 to 3).map(l => (l, parts.take(l).mkString("_")))
+    }.groupBy(identity).map { case ((l, p), xs) => (l, p) -> xs.length.toLong }
+    val got = run("lin_prefix_tree").collect().map { r =>
+      // parent of every non-root node must be its prefix one level up
+      if (r.getInt(0) > 1)
+        assert(r.getString(1).startsWith(r.getString(2)) &&
+          r.getString(1).count(_ == '_') == r.getString(2).count(_ == '_') + 1)
+      else assert(r.isNullAt(2))
+      (r.getInt(0), r.getString(1)) -> r.getLong(3)
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("seq_comparison reproduces the positional diff walk") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(60).toUpperCase).toMap
+    val expected = (0L until 40L by 2).flatMap { a =>
+      for {
+        s1 <- docs.get(a); s2 <- docs.get(a + 1)
+        if s1.length == s2.length
+      } yield {
+        val diffs = s1.indices.filter(i => s1(i) != s2(i))
+        val str = diffs.map(i => s"${i + 1}: ${s1(i)} -> ${s2(i)}")
+          .mkString("; ")
+        a -> ((diffs.length, str))
+      }
+    }.toMap
+    val got = run("seq_comparison").collect().map { r =>
+      val id = r.getLong(0)
+      val identity = r.getDouble(4)
+      val len = docs(id).length
+      val handIdentity = 100.0 - r.getInt(3).toDouble / len * 100.0
+      assert(math.abs(identity - handIdentity) < 0.005 + 1e-9)
+      id -> ((r.getInt(3), r.getString(5)))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("export_dataset folds multi-designation loci sorted numerically") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val got = run("export_dataset").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    li.foreach { case (id, rows) =>
+      val r = got(id)
+      (0 to 2).foreach { l =>
+        val exp = rows.filter(_._2 % 3 == l).map(_._3).sorted.mkString(";")
+        assert(r.getString(3 + l) == exp, s"order $id locus $l")
+      }
+      val refs = rows.map(_._4).distinct.sorted.mkString("; ")
+      assert(r.getString(7) == refs, s"order $id refs")
+    }
+    // isolates without designations export empty cells, not NULLs
+    got.values.filterNot(r => li.contains(r.getLong(0))).foreach { r =>
+      (3 to 5).foreach(i => assert(r.getString(i) == ""))
+      assert(r.getString(7) == "")
+    }
+  }
+}
