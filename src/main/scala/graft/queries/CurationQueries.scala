@@ -590,9 +590,75 @@ object CurationQueries extends QueryModule {
                      // count(*) AS dup_share_bp
             FROM documents GROUP BY source ORDER BY source"""))
 
+  // Line-frequency boilerplate strip (the CCNet/RefinedWeb line-dedup
+  // pass): a unit that recurs in >= 2 DISTINCT documents of the same
+  // source is boilerplate (shared header/footer/template chrome) and is
+  // removed from EVERY document carrying it — unlike dedup_paragraph,
+  // which keeps the first occurrence corpus-wide. Plan: the unit explode
+  // is narrow; the doc-frequency reduce is map-side combinable on the
+  // (source, unit) content key (skew-diffuse); the strip is an anti join
+  // on the same key; reassembly groups by doc. No window over the corpus,
+  // no driver state.
+  private val textBoilerplateStrip = Q(
+    "text_boilerplate_strip",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ws = split(col("text"), "\\s+")
+      val chunkIdx = sequence(lit(0L),
+        floor((size(ws) - lit(1)) / lit(3.0)).cast("long"))
+      val units = docs.select(col("doc_id"), col("source"),
+          posexplode(transform(chunkIdx,
+            i => array_join(slice(ws, (i * 3 + 1).cast("int"), lit(3)), " "))))
+        .toDF("doc_id", "source", "pos", "unit")
+      val boiler = units.groupBy(col("source"), col("unit"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("source"), col("unit"))
+      val kept = units.join(boiler, Seq("source", "unit"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("unit")))),
+            x => x.getField("unit")), " ")).as("cleaned_md5"))
+      docs.select(col("doc_id"), col("source"),
+          (floor((size(ws) - lit(1)) / lit(3.0)) + 1).cast("long")
+            .as("n_units"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_units") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, source,
+                     string_split_regex(text, '\s+') AS w
+              FROM documents),
+            units AS (
+              SELECT doc_id, source, CAST(i AS INT) AS pos,
+                     array_to_string(w[i*3+1 : i*3+3], ' ') AS unit
+              FROM words, unnest(range(0, (len(w) + 2) // 3)) t(i)),
+            boiler AS (
+              SELECT source, unit
+              FROM units GROUP BY source, unit
+              HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (
+              SELECT u.doc_id, count(1) AS n_kept,
+                     md5(string_agg(u.unit, ' ' ORDER BY u.pos))
+                       AS cleaned_md5
+              FROM units u ANTI JOIN boiler b
+                ON u.source = b.source AND u.unit = b.unit
+              GROUP BY u.doc_id)
+            SELECT d.doc_id, d.source,
+                   coalesce(k.n_kept, 0) AS n_kept,
+                   (len(w) + 2) // 3 - coalesce(k.n_kept, 0) AS n_dropped,
+                   coalesce(k.cleaned_md5, md5('')) AS cleaned_md5
+            FROM words d LEFT JOIN kept k ON d.doc_id = k.doc_id
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
     qualityPercentileGate, shardConcat, corpusDiff, mixTemperature,
-    corpusDatacard)
+    corpusDatacard, textBoilerplateStrip)
 }

@@ -460,7 +460,42 @@ object TextQueries extends QueryModule {
               SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
             ORDER BY doc_id"""))
 
+  // Exact top-k frequent word trigrams — the boilerplate/template-mining
+  // sweep a corpus release runs before training (frequent n-grams surface
+  // shared headers, license blurbs, scraped chrome). Heavy-hitter posture:
+  // ONE map-side-combinable count on the trigram key (content-derived, so
+  // skew-diffuse) and a TakeOrdered top-k — never a global sort; at 100 TB
+  // the shuffle carries one row per distinct trigram per partition.
+  // Deterministic tie cut: (n DESC, ngram ASC) on both engines.
+  private val textTopNgrams = Q(
+    "text_top_ngrams",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(split(lower(trim(col("text"))), "\\s+").as("t"))
+        // sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
+        .select(explode(expr(
+          """CASE WHEN size(t) >= 3
+               THEN transform(sequence(1, size(t) - 2),
+                      i -> concat_ws(' ', t[i - 1], t[i], t[i + 1]))
+               ELSE CAST(array() AS ARRAY<STRING>) END"""))
+          .as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(25)
+    },
+    Some("""SELECT ngram, count(1) AS n
+            FROM (
+              SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS ngram
+              FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents) d,
+                   unnest(range(1, greatest(len(t) - 1, 1))) u(i)) g
+            GROUP BY ngram
+            ORDER BY n DESC, ngram
+            LIMIT 25"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
-    textHashFeatures, textSurprisal, textVocabGrowth, textBm25)
+    textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
+    textTopNgrams)
 }

@@ -86,6 +86,66 @@ class AnalysisPluginSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("export_profiles = distinct profiles, first-seen ST order") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val profiles = li.groupBy(_._1).map { case (id, rows) =>
+      val byLocus = rows.groupBy(_._2).map { case (l, xs) =>
+        l -> xs.map(_._3.toString).min }
+      id -> (1 to 7).map(l => byLocus.getOrElse(l, "0")).toVector
+    }
+    val expected = profiles.groupBy(_._2).map { case (prof, xs) =>
+      (xs.map(_._1).min, prof, xs.size.toLong)
+    }.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((_, prof, n), i) => (i + 1L) -> ((prof, n)) }.toMap
+    val got = run("export_profiles").collect().map { r =>
+      r.getLong(0) -> (((1 to 7).map(i => r.getString(i)).toVector,
+        r.getLong(8)))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("text_top_ngrams = exact trigram heavy hitters, deterministic cut") {
+    val texts = Tables.load(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = texts.flatMap { t =>
+      val w = t.trim.toLowerCase.split("\\s+")
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")) else Iterator.empty
+    }.groupBy(identity).map { case (g, xs) => (g, xs.length.toLong) }
+    val expected = counts.toSeq.sortBy { case (g, n) => (-n, g) }.take(25)
+    val got = run("text_top_ngrams").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("text_boilerplate_strip removes within-source repeated units") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def chunks(t: String): Vector[String] =
+      t.split("\\s+").grouped(3).map(_.mkString(" ")).toVector
+    val units = docs.flatMap { case (id, src, t) =>
+      chunks(t).zipWithIndex.map { case (u, p) => (id, src, p, u) } }
+    val boiler = units.groupBy(u => (u._2, u._4))
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expected = docs.map { case (id, src, t) =>
+      val all = chunks(t)
+      val kept = all.filterNot(u => boiler((src, u)))
+      id -> ((src, kept.length.toLong, (all.length - kept.length).toLong,
+        md5hex(kept.mkString(" "))))
+    }.toMap
+    val got = run("text_boilerplate_strip").collect().map { r =>
+      r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("export_dataset folds multi-designation loci sorted numerically") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
