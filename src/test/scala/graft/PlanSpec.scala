@@ -273,6 +273,55 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the group-by exchange, got $exchanges:\n${plan.take(2000)}")
   }
 
+  test("seqbin_breakdown: single fact pass — no join, map-side partials") {
+    val plan = planOf("seqbin_breakdown")
+    assert(!plan.contains("Join"),
+      s"the breakdown grid must not join (the reference's 3 per-isolate lookups):\n${plan.take(2000)}")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n${plan.take(2000)}")
+  }
+
+  test("corpus_datacard: one aggregation, no join") {
+    val plan = planOf("corpus_datacard")
+    assert(!plan.contains("Join"), s"datacard is one rollup:\n${plan.take(2000)}")
+  }
+
+  test("text_top_ngrams: heavy hitters = count + TakeOrdered, no global sort") {
+    val plan = planOf("text_top_ngrams")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), "ngram mining needs no join")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected map-side partial counts:\n${plan.take(2000)}")
+  }
+
+  test("text_boilerplate_strip: strip is an anti join on the content key") {
+    val plan = planOf("text_boilerplate_strip")
+    assert(plan.contains("LeftAnti"),
+      s"expected anti join against the boilerplate dim:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"strip must stay key-equi:\n${plan.take(2000)}")
+  }
+
+  test("export_profiles: locus projection is narrow on the numbered defs — no join") {
+    // the profile-definition reduce feeds Numbering directly; the export
+    // row is a projection of it. Any Join here means a second fact pass
+    // crept in (the reference re-queries the warehouse per profile page).
+    val plan = planOf("export_profiles")
+    assert(!plan.contains("Join"),
+      s"export is a projection of the numbered defs:\n${plan.take(2000)}")
+  }
+
+  test("seq_comparison: positional diff walk is in-row — no explode, no cartesian") {
+    val plan = planOf("seq_comparison")
+    assert(!plan.contains("Generate"),
+      s"diff scan must stay a HOF, not an explode:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"pair formation must stay key-equi:\n${plan.take(2000)}")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
