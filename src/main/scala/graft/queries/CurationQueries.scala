@@ -656,9 +656,36 @@ object CurationQueries extends QueryModule {
             FROM words d LEFT JOIN kept k ON d.doc_id = k.doc_id
             ORDER BY d.doc_id"""))
 
+  // Curriculum-ordered training materialization: the corpus in the order
+  // the trainer will consume it — highest-quality bucket first, hash-
+  // shuffled WITHIN each bucket (so a bucket is not fed in crawl order).
+  // The global 1-based position comes from the two-phase distributed
+  // numbering (Numbering.scala): one range shuffle on the composite sort
+  // key + broadcast partition offsets — never a single-partition
+  // Window.orderBy over the corpus. Key is a plain sortable string
+  // (inverted zero-padded bucket ++ md5), so any engine reproduces the
+  // exact order.
+  private val mixCurriculum = Q(
+    "mix_curriculum",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val keyed = docs.select(col("doc_id"),
+          expr("n_chars div 100").as("bucket"),
+          concat(lpad((lit(99999L) - expr("n_chars div 100")).cast("string"),
+            5, "0"), md5(col("doc_id").cast("string"))).as("__key"))
+      graft.operators.Numbering.numberBySort(keyed, "__key", "train_pos")
+        .select(col("doc_id"), col("bucket"), col("train_pos"))
+        .orderBy(col("train_pos"))
+    },
+    Some("""SELECT doc_id, n_chars // 100 AS bucket,
+                   row_number() OVER (ORDER BY
+                     lpad(CAST(99999 - n_chars // 100 AS VARCHAR), 5, '0')
+                     || md5(CAST(doc_id AS VARCHAR))) AS train_pos
+            FROM documents ORDER BY train_pos"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
     qualityPercentileGate, shardConcat, corpusDiff, mixTemperature,
-    corpusDatacard, textBoilerplateStrip)
+    corpusDatacard, textBoilerplateStrip, mixCurriculum)
 }

@@ -247,6 +247,61 @@ object MiscQueries extends QueryModule {
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  // Gap-based sessionization over the event stream — the standard
+  // large-scale clickstream/usage operator (the reference's dashboards
+  // aggregate raw events only; sessions are the 100 TB-pipeline view).
+  // 30-minute inactivity gap. All windows partition by user — millions of
+  // small partitions, never a global sort; timestamp arithmetic runs on
+  // integer epoch-micros so both engines share the exact same values
+  // (events.parquet is TIMESTAMP(NANOS); `div 1000` floor-truncation on
+  // both sides, see Tables.load).
+  private val eventSessionize = Q(
+    "event_sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val prev = lag(col("us"), 1).over(ord)
+      val flagged = ev.withColumn("flag",
+        when(prev.isNull || col("us") - prev > 1800000000L, 1L)
+          .otherwise(0L))
+      val cum = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      flagged.withColumn("session_id", sum(col("flag")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+              FROM events),
+            f AS (
+              SELECT user_id, event_id, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS flag
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            sess AS (
+              SELECT user_id, us,
+                     CAST(sum(flag) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS session_id
+              FROM f)
+            SELECT user_id, session_id, count(1) AS n_events,
+                   min(us) AS start_us, max(us) AS end_us,
+                   max(us) - min(us) AS duration_us
+            FROM sess GROUP BY user_id, session_id
+            ORDER BY user_id, session_id"""))
+
   val qs: Seq[Q] = Seq(f9Geo, geoDistance, geoWithinJoin, o5DictSort, a10PubBreakdown,
-    compositeField, jsonShred, cacheIncremental, skewSaltedJoin)
+    compositeField, jsonShred, cacheIncremental, skewSaltedJoin,
+    eventSessionize)
 }

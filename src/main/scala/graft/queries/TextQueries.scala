@@ -494,8 +494,63 @@ object TextQueries extends QueryModule {
             ORDER BY n DESC, ngram
             LIMIT 25"""))
 
+  // Per-document keyword extraction: top-3 terms by tf·idf. IDF uses the
+  // same libm-free integer log2 (binary-digit count) as
+  // text_unigram_surprisal, so scores are INTEGERS and the ranking is
+  // bit-identical in any engine — no float log crosses the oracle. The
+  // term-document reduce and the df reduce are both map-side combinable;
+  // the df dimension (vocabulary-sized) broadcasts back; the top-3 window
+  // partitions by doc — thousands of tiny windows, never a global sort.
+  private val textTfidfTopk = Q(
+    "text_tfidf_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val w = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      val tf = w.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfDim = w.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(dfDim), "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf") * (length(bin(col("n_docs"))) - length(bin(col("df"))))
+            .cast("long"))
+      val rank = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(rank).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(1) AS tf
+                   FROM w GROUP BY doc_id, term),
+            dfd AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM w GROUP BY term),
+            n AS (SELECT count(1) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf,
+                     tf * (length(bin(n.n_docs)) - length(bin(dfd.df)))
+                       AS score
+              FROM tf JOIN dfd USING (term), n),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS rank
+              FROM scored)
+            SELECT doc_id, rank, term, tf, CAST(score AS BIGINT) AS score
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
     textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
-    textTopNgrams)
+    textTopNgrams, textTfidfTopk)
 }

@@ -146,6 +146,70 @@ class AnalysisPluginSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("mix_curriculum: bucket-major, hash-shuffled-within-bucket order") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = docs.map { case (id, nc) =>
+      val bucket = nc / 100
+      val key = f"${99999 - bucket}%05d" + md5hex(id.toString)
+      (key, id, bucket)
+    }.sortBy(_._1).zipWithIndex
+      .map { case ((_, id, b), i) => (id, b, i + 1L) }
+    val got = run("mix_curriculum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("text_tfidf_topk: integer tf-idf scores and deterministic top-3") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val words = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val dfMap = words.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.length }
+    val nBits = (x: Long) => java.lang.Long.toBinaryString(x).length
+    val n = docs.length.toLong
+    val expected = words.flatMap { case (id, ws) =>
+      ws.groupBy(identity).toSeq
+        .map { case (w, xs) =>
+          (w, xs.length.toLong,
+            xs.length.toLong * (nBits(n) - nBits(dfMap(w).toLong))) }
+        .sortBy { case (w, _, sc) => (-sc, w) }.take(3).zipWithIndex
+        .map { case ((w, tf, sc), i) => (id, i + 1L, w, tf, sc) }
+    }.sortBy(x => (x._1, x._2))
+    val got = run("text_tfidf_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected.toSeq)
+  }
+
+  test("event_sessionize: 30-minute-gap session walk matches") {
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      var session = 0L
+      var prev = Long.MinValue
+      val tagged = sorted.map { case (_, _, us) =>
+        if (prev == Long.MinValue || us - prev > 1800000000L) session += 1
+        prev = us
+        (session, us)
+      }
+      tagged.groupBy(_._1).map { case (sid, xs) =>
+        val uss = xs.map(_._2)
+        (u, sid) -> ((xs.length.toLong, uss.min, uss.max, uss.max - uss.min))
+      }
+    }
+    val got = run("event_sessionize").collect().map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("export_dataset folds multi-designation loci sorted numerically") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")

@@ -322,6 +322,31 @@ class PlanSpec extends SparkSpec {
       s"pair formation must stay key-equi:\n${plan.take(2000)}")
   }
 
+  test("mix_curriculum: global order comes from numbering, not a driver window") {
+    val plan = planOf("mix_curriculum")
+    // a `Window [` over an empty partitionBy = the single-partition global
+    // sort Numbering exists to avoid
+    assert(!"Window \\[".r.findAllIn(plan).hasNext,
+      s"curriculum order must use two-phase numbering:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), "curriculum keying needs no join")
+  }
+
+  test("text_tfidf_topk: df dimension broadcasts; corpus never sort-merge joins") {
+    val plan = planOf("text_tfidf_topk")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocabulary df dim must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the term fact must not shuffle for the idf join:\n${plan.take(2000)}")
+  }
+
+  test("event_sessionize: windows partition by user — at most two hash exchanges") {
+    val plan = planOf("event_sessionize")
+    val hash = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hash <= 2,
+      s"expected user-keyed window + session rollup only (got $hash):\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), "sessionization is window-only")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)

@@ -172,6 +172,59 @@ class StreamingSpec extends SparkSpec {
       streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming sessionization closes the batch sessions as the watermark advances") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val minute = 60000000L
+    // base offset: an event at exactly epoch 0 is "late" against the
+    // initial watermark (ts <= watermark drops) — real event times are
+    // never at epoch 0, so start the fixture one day in
+    val base = 86400L * 1000000L
+    // user 1: two sessions (gap 40min between events 2 and 3);
+    // user 2: one session of two close events
+    val evs = Seq(
+      (1L, 1L, base + 0L * minute), (1L, 2L, base + 10L * minute),
+      (1L, 3L, base + 50L * minute), (1L, 4L, base + 55L * minute),
+      (2L, 5L, base + 5L * minute), (2L, 6L, base + 6L * minute))
+    // sentinel far in the future: advances the GLOBAL watermark past every
+    // real session's gap horizon so event-time timeouts flush open state
+    val sentinel = (99L, 999L, base + 100000L * minute)
+
+    val in = MemoryStream[(Long, Long, Long)]
+    def asEvents(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "event_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "0 seconds")
+    val q = graft.streaming.Sessionize.sessions(asEvents(in.toDF))
+      .writeStream.format("memory").queryName("stream_sessions_sink")
+      .outputMode("append").start()
+    try {
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      in.addData(sentinel)
+      q.processAllAvailable()
+      // one more empty-ish batch so timeouts registered against the new
+      // watermark actually fire
+      in.addData((98L, 998L, base + 100001L * minute))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("stream_sessions_sink")
+      .filter(col("user_id") < 90)
+      .select("user_id", "n_events", "start_us", "end_us", "duration_us")
+    val expected = Seq(
+      (1L, 2L, base + 0L * minute, base + 10L * minute, 10L * minute),
+      (1L, 2L, base + 50L * minute, base + 55L * minute, 5L * minute),
+      (2L, 2L, base + 5L * minute, base + 6L * minute, 1L * minute))
+      .toDF("user_id", "n_events", "start_us", "end_us", "duration_us")
+    assert(streamed.count() == 3)
+    assert(streamed.exceptAll(expected).isEmpty &&
+      expected.exceptAll(streamed).isEmpty)
+  }
+
   test("BM25 scoring under frozen index stats runs unchanged on a doc stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
