@@ -301,7 +301,86 @@ object MiscQueries extends QueryModule {
             FROM sess GROUP BY user_id, session_id
             ORDER BY user_id, session_id"""))
 
+  // Ordered funnel analysis (view → click → purchase): each step's first
+  // hit must come strictly AFTER the previous step's — the sequential-min
+  // state machine, expressed as three stepwise conditional aggregations.
+  // The per-user step dims are tiny (one row per user) and broadcast, so
+  // the event fact is scanned thrice but never shuffled by a join; each
+  // aggregation is map-side combinable on user_id. All timestamps are
+  // integer epoch-micros (see event_sessionize).
+  private val eventFunnel = Q(
+    "event_funnel",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val users = ev.select(col("user_id")).distinct()
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(broadcast(s1), "user_id").filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(s2), "user_id").filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      users.join(broadcast(s1), Seq("user_id"), "left")
+        .join(broadcast(s2), Seq("user_id"), "left")
+        .join(broadcast(s3), Seq("user_id"), "left")
+        .withColumn("stage",
+          (col("t1").isNotNull.cast("long") + col("t2").isNotNull.cast("long")
+            + col("t3").isNotNull.cast("long")))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+              FROM events),
+            u AS (SELECT DISTINCT user_id FROM e),
+            s1 AS (SELECT user_id, min(us) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(us) AS t2
+                   FROM e JOIN s1 USING (user_id)
+                   WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(us) AS t3
+                   FROM e JOIN s2 USING (user_id)
+                   WHERE event_type = 'purchase' AND us > t2
+                   GROUP BY e.user_id)
+            SELECT u.user_id, t1, t2, t3,
+                   CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+                        + (t3 IS NOT NULL)::INT AS BIGINT) AS stage
+            FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
+            ORDER BY user_id"""))
+
+  // Cohort retention matrix: users bucketed by first-active epoch-day,
+  // counted distinct at each later day offset. Day indexes are integer
+  // `us div 86_400_000_000` — no date-type formatting crosses engines.
+  // One cohort dim (per-user min day, broadcast) + one (cohort, offset)
+  // aggregation; the fact shuffles once, map-side pre-reduced.
+  private val eventRetention = Q(
+    "event_retention",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(broadcast(cohort), "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day
+              FROM events),
+            c AS (SELECT user_id, min(day) AS cohort_day
+                  FROM e GROUP BY user_id)
+            SELECT cohort_day, day - cohort_day AS day_offset,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM e JOIN c USING (user_id)
+            GROUP BY cohort_day, day_offset
+            ORDER BY cohort_day, day_offset"""))
+
   val qs: Seq[Q] = Seq(f9Geo, geoDistance, geoWithinJoin, o5DictSort, a10PubBreakdown,
     compositeField, jsonShred, cacheIncremental, skewSaltedJoin,
-    eventSessionize)
+    eventSessionize, eventFunnel, eventRetention)
 }

@@ -210,6 +210,40 @@ class AnalysisPluginSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("event_funnel: sequential first-hit state machine matches a hand walk") {
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = ev.map(_._1).distinct.map { u =>
+      val mine = ev.filter(_._1 == u).sortBy(_._3)
+      def firstAfter(tpe: String, after: Option[Long]): Option[Long] =
+        after.flatMap(t =>
+          mine.find(e => e._2 == tpe && e._3 > t).map(_._3))
+      val t1 = mine.find(_._2 == "view").map(_._3)
+      val t2 = firstAfter("click", t1)
+      val t3 = firstAfter("purchase", t2)
+      u -> ((t1, t2, t3, Seq(t1, t2, t3).count(_.isDefined).toLong))
+    }.toMap
+    val got = run("event_funnel").collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      r.getLong(0) -> ((opt(1), opt(2), opt(3), r.getLong(4)))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("event_retention: cohort/offset distinct counts match") {
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cohort = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val expected = ev.map { case (u, d) => (cohort(u), d - cohort(u), u) }
+      .distinct.groupBy(x => (x._1, x._2))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val got = run("event_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
   test("export_dataset folds multi-designation loci sorted numerically") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
