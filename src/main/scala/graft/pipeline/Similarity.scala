@@ -473,4 +473,71 @@ object Similarity {
       vecs: DataFrame, id: String, vec: String,
       k: Int, dim: Int, iters: Int): DataFrame =
     kmeansAssign(vecs, id, vec, kmeansTrain(vecs, id, vec, k, dim, iters))
+
+  /** Product quantization (Jégou et al., "Product quantization for nearest
+    * neighbor search", IEEE TPAMI 2011): the vector splits into `m`
+    * subspaces, each k-means-quantized independently; a vector compresses
+    * to m small codes and approximate distance is the sum of per-subspace
+    * LUT distances (ADC). At 100 TB this is the memory lever IVF alone
+    * lacks: a 64-dim float vector (256 B) becomes m bytes of codes, so the
+    * scan reads codes, not vectors.
+    *
+    * `subs`: one (startIdx 1-based, length, centroids) per subspace.
+    */
+  final case class PqModel(subs: Seq[(Int, Int, Seq[(Long, Seq[Double])])])
+
+  /** Train per-subspace codebooks — m independent Lloyd sweeps over sliced
+    * projections (each narrow; the corpus never shuffles).
+    */
+  def pqTrain(vecs: DataFrame, id: String, vec: String,
+      m: Int, dim: Int, k: Int, iters: Int): PqModel = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val len = dim / m
+    PqModel((0 until m).map { j =>
+      val start = 1 + j * len
+      val sub = vecs.select(col(id),
+        slice(col(vec), start, len).as("__sub"))
+      (start, len, kmeansTrain(sub, id, "__sub", k, len, iters))
+    })
+  }
+
+  /** Encode: ONE narrow projection emitting every subspace code — the
+    * compression pass (and, unchanged, the stream encoder on ingest).
+    */
+  def pqEncode(vecs: DataFrame, id: String, vec: String,
+      model: PqModel): DataFrame =
+    vecs.select(col(id) +: model.subs.zipWithIndex.map {
+      case ((start, len, cents), j) =>
+        kmeansBest(toDouble(slice(col(vec), start, len)), cents)
+          .getField("list_id").as(s"code_${j + 1}")
+    }: _*)
+
+  /** ADC top-k: scan the CODES (not the vectors), summing per-subspace
+    * exact query-to-centroid distances. The query batch broadcasts; the
+    * code table is the only corpus-sized input and it stays narrow until
+    * the per-query rank.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, model: PqModel, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = pqEncode(corpus, id, vec, model)
+    val q = queries.select(col(id).as("query_id"),
+      toDouble(col(vec)).as("__qv"))
+    val adc = model.subs.zipWithIndex.map { case ((start, len, cents), j) =>
+      // centroid list_ids are 1..k (row_number seeds), so the literal
+      // codebook indexes directly by code
+      val book = typedLit(cents.sortBy(_._1).map(_._2))
+      graft.functions.Vectors.l2sq(
+        slice(col("__qv"), start, len),
+        element_at(book, col(s"code_${j + 1}").cast("int")))
+    }.reduce(_ + _)
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col(id))
+    codes.join(broadcast(q), col("query_id") =!= col(id))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(id).as("neighbor_id"), col("adc"),
+        col("rank"))
+  }
 }

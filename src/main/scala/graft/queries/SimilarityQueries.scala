@@ -475,7 +475,99 @@ object SimilarityQueries extends QueryModule {
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
+  // Parameterized Lloyd replay over a vector SLICE [lo..hi] (k=8, 2
+  // rounds), CTE names suffixed — the per-subspace codebook trainer of the
+  // PQ oracle below. Same structure as kmeansCteSql.
+  private def pqLloydCte(sfx: String, lo: Int, hi: Int): String = {
+    val d = hi - lo + 1
+    val rng = s"range(1, ${d + 1})"
+    def d2(v: String, c: String) =
+      s"list_sum(list_transform($rng, i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    s"""e_$sfx AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+        c0_$sfx AS (SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                           v AS cvec
+                    FROM (SELECT vec_id, v FROM e_$sfx ORDER BY vec_id
+                          LIMIT 8) t),
+        d0_$sfx AS (SELECT s.vec_id, s.v, c.list_id,
+                           ${d2("s.v", "c.cvec")} AS d2
+                    FROM e_$sfx s, c0_$sfx c),
+        a0_$sfx AS (SELECT vec_id, v, list_id FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, list_id) AS r
+                      FROM d0_$sfx) t WHERE r = 1),
+        c1_$sfx AS (SELECT c0.list_id, coalesce(nn.cvec, c0.cvec) AS cvec
+                    FROM c0_$sfx c0 LEFT JOIN (
+                      SELECT list_id, list(cx ORDER BY i) AS cvec FROM (
+                        SELECT list_id, i, avg(v[i]) AS cx
+                        FROM a0_$sfx, $rng t(i) GROUP BY 1, 2) GROUP BY 1)
+                      nn USING (list_id)),
+        d1_$sfx AS (SELECT s.vec_id, s.v, c.list_id,
+                           ${d2("s.v", "c.cvec")} AS d2
+                    FROM e_$sfx s, c1_$sfx c),
+        a1_$sfx AS (SELECT vec_id, v, list_id FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, list_id) AS r
+                      FROM d1_$sfx) t WHERE r = 1),
+        c2_$sfx AS (SELECT c1.list_id, coalesce(nn.cvec, c1.cvec) AS cvec
+                    FROM c1_$sfx c1 LEFT JOIN (
+                      SELECT list_id, list(cx ORDER BY i) AS cvec FROM (
+                        SELECT list_id, i, avg(v[i]) AS cx
+                        FROM a1_$sfx, $rng t(i) GROUP BY 1, 2) GROUP BY 1)
+                      nn USING (list_id)),
+        dc_$sfx AS (SELECT s.vec_id, c.list_id,
+                           ${d2("s.v", "c.cvec")} AS d2
+                    FROM e_$sfx s, c2_$sfx c),
+        code_$sfx AS (SELECT vec_id, list_id FROM (
+                        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, list_id) AS r
+                        FROM dc_$sfx) t WHERE r = 1),
+        lut_$sfx AS (SELECT vec_id AS query_id, list_id, d2
+                     FROM dc_$sfx WHERE vec_id < 8)"""
+  }
+
+  // Product quantization ANN (Jégou et al. 2011): m=2 subspaces × k=8
+  // codes, trained by the same deterministic Lloyd sweep; corpus vectors
+  // compress to 2 codes; search is an ADC scan over the CODES with the
+  // query's per-subspace LUT — the 100 TB memory lever (codes, not
+  // vectors, stream through the scan). The full train→encode→scan chain
+  // is replayed by the oracle: two sliced Lloyd recursions, argmin
+  // encoding, LUT join, ADC rank.
+  private val simPq = Q(
+    "sim_pq",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 2, dim = 64, k = 8, iters = 2)
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding", model, k = 5)
+        .withColumn("adc", round(col("adc"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             ${pqLloydCte("s1", 1, 32)},
+             ${pqLloydCte("s2", 33, 64)},
+             scored AS (
+               SELECT l1.query_id, cd.vec_id AS neighbor_id,
+                      l1.d2 + l2.d2 AS adc
+               FROM (SELECT c1.vec_id, c1.list_id AS code1,
+                            c2.list_id AS code2
+                     FROM code_s1 c1 JOIN code_s2 c2 USING (vec_id)) cd
+               JOIN lut_s1 l1 ON l1.list_id = cd.code1
+               JOIN lut_s2 l2 ON l2.list_id = cd.code2
+                             AND l2.query_id = l1.query_id
+               WHERE cd.vec_id <> l1.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, adc,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, neighbor_id, round(adc, 4) AS adc,
+                    CAST(rank AS BIGINT) AS rank
+             FROM ranked WHERE rank <= 5
+             ORDER BY query_id, rank"""))
+
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
-    simMutualKnn, simKmeans, simIvfTrained)
+    simMutualKnn, simKmeans, simIvfTrained, simPq)
 }

@@ -171,4 +171,38 @@ class SimilaritySpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
     assert(got.forall(_._3 == 0.0)) // every point sits ON its centroid
   }
+
+  test("PQ: when every vector is its own codeword, ADC = exact L2 knn") {
+    // corpus of k distinct vectors with iters=0 → seeds ARE the corpus, so
+    // each vector encodes to itself with zero quantization error and the
+    // ADC scan degenerates to exact squared-L2 search — a full end-to-end
+    // exactness witness for train → encode → LUT → scan
+    val raw = Seq(
+      Seq(0f, 0f, 1f, 0f), Seq(1f, 0f, 0f, 1f), Seq(0f, 2f, 0f, 0f),
+      Seq(3f, 0f, 0f, 2f), Seq(0f, 1f, 1f, 1f), Seq(2f, 2f, 2f, 2f),
+      Seq(1f, 1f, 0f, 3f), Seq(0f, 3f, 1f, 0f))
+    val vecs = raw.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      m = 2, dim = 4, k = 8, iters = 0)
+    // every code in 1..8, and all 8 distinct vectors get distinct codes
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(codes.forall(c => c._2 >= 1 && c._2 <= 8 && c._3 >= 1 && c._3 <= 8))
+    val got = Similarity.pqAdcTopK(vecs, vecs.filter(col("vec_id") < 3),
+        "vec_id", "embedding", model, k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3))).toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    (0L until 3L).foreach { q =>
+      val expected = raw.zipWithIndex.filter(_._2 != q)
+        .map { case (v, i) => (l2(raw(q.toInt), v), i.toLong) }
+        .sortBy(identity).take(3)
+      expected.zipWithIndex.foreach { case ((d, id), r) =>
+        assert(got((q, r + 1L)) == ((id, d)), s"query $q rank ${r + 1}")
+      }
+    }
+  }
 }
