@@ -683,9 +683,83 @@ object CurationQueries extends QueryModule {
                      || md5(CAST(doc_id AS VARCHAR))) AS train_pos
             FROM documents ORDER BY train_pos"""))
 
+  // Pairwise filter-overlap matrix — the ablation view a curation recipe
+  // needs before reordering/removing rules: how much of each rule's drop
+  // set another rule already covers (Jaccard in basis points). The rule
+  // flags are computed ONCE in a narrow projection; all nine counts come
+  // from a single map-side-combinable aggregation row, reshaped to pair
+  // rows by a literal explode — the corpus is scanned exactly once.
+  private val filterOverlap = Q(
+    "text_filter_overlap",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val f = graft.pipeline.TextAnalysis.qualityFeatures(
+        col("text"), graft.pipeline.TextAnalysis.DefaultStopwords)
+      val d = docs.select(
+        (col("n_chars") < 50).as("ts"),
+        (f.getField("mean_word_len") >= 12.0).as("gb"),
+        (f.getField("stopword_ratio") < 0.01).as("ns"))
+      val counts = d.agg(
+        count(when(col("ts"), 1)).as("n_ts"),
+        count(when(col("gb"), 1)).as("n_gb"),
+        count(when(col("ns"), 1)).as("n_ns"),
+        count(when(col("ts") && col("gb"), 1)).as("n_ts_gb"),
+        count(when(col("ts") && col("ns"), 1)).as("n_ts_ns"),
+        count(when(col("gb") && col("ns"), 1)).as("n_gb_ns"))
+      def pair(a: String, b: String, na: String, nb: String, nboth: String) =
+        struct(lit(a).as("rule_a"), lit(b).as("rule_b"),
+          col(na).as("n_a"), col(nb).as("n_b"), col(nboth).as("n_both"))
+      counts.select(explode(array(
+          pair("gibberish", "no_stopwords", "n_gb", "n_ns", "n_gb_ns"),
+          pair("too_short", "gibberish", "n_ts", "n_gb", "n_ts_gb"),
+          pair("too_short", "no_stopwords", "n_ts", "n_ns", "n_ts_ns")))
+          .as("p"))
+        .select(col("p.rule_a"), col("p.rule_b"), col("p.n_a"),
+          col("p.n_b"), col("p.n_both"))
+        .withColumn("jaccard_bp",
+          when(col("n_a") + col("n_b") - col("n_both") === 0, 0L)
+            .otherwise(expr(
+              "n_both * 10000 div (n_a + n_b - n_both)")))
+        .orderBy(col("rule_a"), col("rule_b"))
+    },
+    Some("""WITH t AS (
+              SELECT n_chars < 50 AS ts,
+                     (CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                           THEN CAST(length(text) AS DOUBLE)
+                                / len(string_split_regex(trim(text), '\s+'))
+                           ELSE 0.0 END) >= 12.0 AS gb,
+                     (CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                           THEN CAST(len(list_filter(
+                                  string_split_regex(lower(trim(text)), '\s+'),
+                                  w -> w IN ('the','a','an','and','or','of',
+                                             'to','in'))) AS DOUBLE)
+                                / len(string_split_regex(trim(text), '\s+'))
+                           ELSE 0.0 END) < 0.01 AS ns
+              FROM documents),
+            c AS (SELECT
+                    count(CASE WHEN ts THEN 1 END) AS n_ts,
+                    count(CASE WHEN gb THEN 1 END) AS n_gb,
+                    count(CASE WHEN ns THEN 1 END) AS n_ns,
+                    count(CASE WHEN ts AND gb THEN 1 END) AS n_ts_gb,
+                    count(CASE WHEN ts AND ns THEN 1 END) AS n_ts_ns,
+                    count(CASE WHEN gb AND ns THEN 1 END) AS n_gb_ns
+                  FROM t),
+            p AS (
+              SELECT 'gibberish' AS rule_a, 'no_stopwords' AS rule_b,
+                     n_gb AS n_a, n_ns AS n_b, n_gb_ns AS n_both FROM c
+              UNION ALL
+              SELECT 'too_short', 'gibberish', n_ts, n_gb, n_ts_gb FROM c
+              UNION ALL
+              SELECT 'too_short', 'no_stopwords', n_ts, n_ns, n_ts_ns FROM c)
+            SELECT rule_a, rule_b, n_a, n_b, n_both,
+                   CASE WHEN n_a + n_b - n_both = 0 THEN 0
+                        ELSE n_both * 10000 // (n_a + n_b - n_both)
+                   END AS jaccard_bp
+            FROM p ORDER BY rule_a, rule_b"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
     qualityPercentileGate, shardConcat, corpusDiff, mixTemperature,
-    corpusDatacard, textBoilerplateStrip, mixCurriculum)
+    corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap)
 }
