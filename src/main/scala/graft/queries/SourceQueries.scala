@@ -260,6 +260,52 @@ object SourceQueries extends QueryModule {
     Some("""SELECT doc_id, md5(text) AS text_md5, lang, source
             FROM documents ORDER BY doc_id"""))
 
+  // Curation-intake validation (CurateBatchAddPage.pm check_data loop /
+  // Parser.pm check_format): a staged batch validated against the PARSED
+  // config — every rule below derives from the FieldDef (optlist members,
+  // regex), nothing hard-coded (SURVEY §7.4 hard-part 4). Violations for
+  // a field emit one row per failed rule. The corpus is clean, so the
+  // staged batch carries deterministic synthetic violations (the PII-scrub
+  // pattern): doc_id % 97 → 'ZZ' (fails regex AND optlist), % 101 → 'xx'
+  // (passes the regex, fails the optlist — separating the two rules).
+  // Wholly narrow: one projection + a filtered-array explode, no shuffle
+  // before the presentation sort.
+  private val curateValidate = Q(
+    "curate_validate",
+    (s, dir) => {
+      val langDef = SchemaConfig.parse(s2Xml).find(_.name == "lang").get
+      val docs = Tables.load(s, dir, "documents")
+      val staged = docs.select(col("doc_id"),
+        when(col("doc_id") % 97 === 0, "ZZ")
+          .when(col("doc_id") % 101 === 0, "xx")
+          .otherwise(col("lang")).as("lang"))
+      val optlistOk = col("lang").isin(langDef.optlist: _*)
+      val regexOk = col("lang").rlike(langDef.regex.get)
+      staged.select(col("doc_id"), explode(filter(array(
+          when(!optlistOk, struct(lit("lang").as("field"),
+            lit("optlist").as("rule"), col("lang").as("value"))),
+          when(!regexOk, struct(lit("lang").as("field"),
+            lit("regex").as("rule"), col("lang").as("value")))),
+          x => x.isNotNull)).as("v"))
+        .select(col("doc_id"), col("v.field"), col("v.rule"), col("v.value"))
+        .orderBy(col("doc_id"), col("rule"))
+    },
+    Some("""WITH staged AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 97 = 0 THEN 'ZZ'
+                          WHEN doc_id % 101 = 0 THEN 'xx'
+                          ELSE lang END AS lang
+              FROM documents),
+            v AS (
+              SELECT doc_id, 'lang' AS field, 'optlist' AS rule,
+                     lang AS value
+              FROM staged WHERE lang NOT IN ('en', 'de', 'fr')
+              UNION ALL
+              SELECT doc_id, 'lang', 'regex', lang
+              FROM staged WHERE NOT regexp_matches(lang, '^[a-z]{2}$'))
+            SELECT doc_id, field, rule, value FROM v
+            ORDER BY doc_id, rule"""))
+
   val qs: Seq[Q] = Seq(s2SchemaConfig, s5LocusDownload, s6RemoteContigs,
-    s8Embl, s8Gff3, jsonlRoundtrip)
+    s8Embl, s8Gff3, jsonlRoundtrip, curateValidate)
 }

@@ -510,8 +510,10 @@ object TextQueries extends QueryModule {
         explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       val tf = w.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfDim = w.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // df stacks on the tf aggregate — one row per (doc, term) already —
+      // so the expensive token explode is scanned ONCE, not twice
+      val dfDim = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(broadcast(dfDim), "term")
         .crossJoin(broadcast(nDocs))

@@ -244,6 +244,29 @@ class AnalysisPluginSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("curate_validate: config-driven rules emit one row per failed rule") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, lang0) =>
+      val lang = if (id % 97 == 0) "ZZ"
+        else if (id % 101 == 0) "xx" else lang0
+      val opt = if (!Set("en", "de", "fr")(lang))
+        Seq((id, "lang", "optlist", lang)) else Nil
+      val re = if (!lang.matches("^[a-z]{2}$"))
+        Seq((id, "lang", "regex", lang)) else Nil
+      opt ++ re
+    }.sortBy(v => (v._1, v._3))
+    val got = run("curate_validate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(got == expected.toSeq)
+    // both violation classes are exercised by the staged batch
+    assert(got.exists(_._3 == "optlist") && got.exists(_._3 == "regex"))
+    // 'xx' rows fail the optlist but PASS the regex
+    assert(got.filter(_._4 == "xx").forall(_._3 == "optlist"))
+  }
+
   test("export_dataset folds multi-designation loci sorted numerically") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
