@@ -37,25 +37,33 @@ object ScanQueries extends QueryModule {
         .orderBy(col("doc_id"), col("locus"), col("start_pos"), col("reverse"))
     },
     Some(s"""WITH d AS (SELECT doc_id, $dnaSql AS dna FROM documents),
-             lib AS (SELECT 'L' || doc_id AS locus,
-                            substring(dna, 3, 8) AS fwd,
-                            reverse(translate(substring(dna, 3, 8), 'ACGT', 'TGCA')) AS rev
-                     FROM d WHERE doc_id < 3 AND length(dna) >= 12),
-             contigs AS (SELECT doc_id, dna FROM d WHERE length(dna) >= 8),
-             hits AS (
-               SELECT c.doc_id, l.locus, CAST(p AS BIGINT) AS start_pos,
-                      CAST(p + 7 AS BIGINT) AS end_pos, false AS reverse
-               FROM contigs c, lib l,
-                    unnest(list_filter(range(1, length(c.dna) - 6),
-                      p -> substring(c.dna, p, 8) = l.fwd)) t(p)
-               UNION ALL
-               SELECT c.doc_id, l.locus, CAST(p AS BIGINT), CAST(p + 7 AS BIGINT), true
-               FROM contigs c, lib l,
-                    unnest(list_filter(range(1, length(c.dna) - 6),
-                      p -> substring(c.dna, p, 8) = l.rev)) t(p)
-               WHERE l.rev != l.fwd)
+             $q4HitCtesSql
              SELECT doc_id, locus, start_pos, end_pos, reverse FROM hits
              ORDER BY doc_id, locus, start_pos, reverse"""))
+
+  // shared oracle fragment: the q4 exact-scan hit CTEs (reference a `d`
+  // CTE with the cleaned DNA; used by q4_tag_scan, the seeded twin, and
+  // the PCR-filtered composition below)
+  // (def, not val: referenced by q4TagScan's oracle above its textual
+  // position — a val would still be null at that point)
+  private def q4HitCtesSql =
+    """lib AS (SELECT 'L' || doc_id AS locus,
+                      substring(dna, 3, 8) AS fwd,
+                      reverse(translate(substring(dna, 3, 8), 'ACGT', 'TGCA')) AS rev
+               FROM d WHERE doc_id < 3 AND length(dna) >= 12),
+       contigs AS (SELECT doc_id, dna FROM d WHERE length(dna) >= 8),
+       hits AS (
+         SELECT c.doc_id, l.locus, CAST(p AS BIGINT) AS start_pos,
+                CAST(p + 7 AS BIGINT) AS end_pos, false AS reverse
+         FROM contigs c, lib l,
+              unnest(list_filter(range(1, length(c.dna) - 6),
+                p -> substring(c.dna, p, 8) = l.fwd)) t(p)
+         UNION ALL
+         SELECT c.doc_id, l.locus, CAST(p AS BIGINT), CAST(p + 7 AS BIGINT), true
+         FROM contigs c, lib l,
+              unnest(list_filter(range(1, length(c.dna) - 6),
+                p -> substring(c.dna, p, 8) = l.rev)) t(p)
+         WHERE l.rev != l.fwd)"""
 
   // Q4 seeded (Q3→Q4): the same scan through the k-mer seed prefilter —
   // a single codegen'd dictionary sweep per contig (Bio.KmerCandidates)
@@ -365,8 +373,10 @@ object ScanQueries extends QueryModule {
   private val pcrPrimer2 = "TTATTA"
 
   // shared oracle fragment: per-direction primer-site positions
+  private val dCteSql = s"d AS (SELECT doc_id, $dnaSql AS dna FROM documents)"
+
   private val pcrSitesSql =
-    s"""d AS (SELECT doc_id, $dnaSql AS dna FROM documents),
+    s"""$dCteSql,
        p1f AS (SELECT doc_id, CAST(i AS BIGINT) AS p FROM d,
                unnest(list_filter(range(1, length(dna) - 4),
                  i -> substring(dna, i, 6) IN ('ATAATA', 'ATAGTA'))) t(i)),
@@ -413,8 +423,75 @@ object ScanQueries extends QueryModule {
              FROM d LEFT JOIN n ON d.doc_id = n.doc_id
              ORDER BY d.doc_id"""))
 
+  // Q4 under an in-silico PCR filter (Offline/Scan.pm:63-287: when a locus
+  // defines PCR reactions, tags are accepted only INSIDE predicted
+  // amplicons — the specificity guard against paralogous hits). The scan
+  // and the product prediction are both narrow passes; the containment
+  // check is a semi join on the contig key with the interval predicate as
+  // its residual — products per contig are few, so the hit side never
+  // amplifies.
+  private val q4PcrFiltered = Q(
+    "q4_pcr_filtered",
+    (s, dir) => {
+      val docs = dnaDocs(s, dir)
+      val prods = graft.operators.Pcr.products(docs, "doc_id", "dna",
+          pcrPrimer1, pcrPrimer2, minLen = 15, maxLen = 60)
+        .select(col("doc_id"), col("start"), col("end"))
+      // loci defined from INSIDE the amplicons of the first five
+      // product-bearing docs — tags exist both in and out of amplicons,
+      // so the containment filter genuinely separates
+      val libDocs = prods.select(col("doc_id")).distinct()
+        .orderBy(col("doc_id")).limit(5)
+      val lib = docs.join(libDocs, Seq("doc_id"), "left_semi")
+        .filter(length(col("dna")) >= 22)
+        .select(concat(lit("L"), col("doc_id")).as("locus"),
+          lit("1").as("allele_id"),
+          substring(col("dna"), 14, 8).as("allele_seq"))
+      val hits = SeqScan.exactTagScan(
+        docs.filter(length(col("dna")) >= 8), "doc_id", "dna",
+        lib, "locus", "allele_id", "allele_seq", overlapping = true)
+      hits.join(prods.withColumnRenamed("doc_id", "p_doc"),
+          hits("doc_id") === col("p_doc") &&
+            col("start_pos") >= col("start") && col("end_pos") <= col("end"),
+          "left_semi")
+        .select(col("doc_id"), col("locus"), col("start_pos"),
+          col("end_pos"), col("reverse"))
+        .orderBy(col("doc_id"), col("locus"), col("start_pos"), col("reverse"))
+    },
+    Some(s"""WITH $pcrSitesSql,
+             lib AS (SELECT 'L' || doc_id AS locus,
+                            substring(dna, 14, 8) AS fwd,
+                            reverse(translate(substring(dna, 14, 8),
+                                              'ACGT', 'TGCA')) AS rev
+                     FROM d
+                     WHERE doc_id IN (SELECT doc_id FROM (
+                             SELECT DISTINCT doc_id FROM products
+                             ORDER BY doc_id LIMIT 5))
+                       AND length(dna) >= 22),
+             contigs AS (SELECT doc_id, dna FROM d WHERE length(dna) >= 8),
+             hits AS (
+               SELECT c.doc_id, l.locus, CAST(p AS BIGINT) AS start_pos,
+                      CAST(p + 7 AS BIGINT) AS end_pos, false AS reverse
+               FROM contigs c, lib l,
+                    unnest(list_filter(range(1, length(c.dna) - 6),
+                      p -> substring(c.dna, p, 8) = l.fwd)) t(p)
+               UNION ALL
+               SELECT c.doc_id, l.locus, CAST(p AS BIGINT),
+                      CAST(p + 7 AS BIGINT), true
+               FROM contigs c, lib l,
+                    unnest(list_filter(range(1, length(c.dna) - 6),
+                      p -> substring(c.dna, p, 8) = l.rev)) t(p)
+               WHERE l.rev != l.fwd)
+             SELECT h.doc_id, h.locus, h.start_pos, h.end_pos, h.reverse
+             FROM hits h
+             WHERE EXISTS (SELECT 1 FROM products p
+                           WHERE p.doc_id = h.doc_id
+                             AND h.start_pos >= p.start
+                             AND h.end_pos <= p."end")
+             ORDER BY h.doc_id, h.locus, h.start_pos, h.reverse"""))
+
   val qs: Seq[Q] = Seq(q4TagScan, q4TagScanSeeded, q3ExemplarPrune,
     q4LongExact, q4LongSeeded,
     q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, mmTile,
-    g7SiteFreq, pcrProducts, pcrSummary)
+    g7SiteFreq, pcrProducts, pcrSummary, q4PcrFiltered)
 }
