@@ -490,8 +490,106 @@ object ScanQueries extends QueryModule {
                              AND h.end_pos <= p."end")
              ORDER BY h.doc_id, h.locus, h.start_pos, h.reverse"""))
 
+  // Q4 under the PROBE filter (Scan.pm:2102-2145 `_probe_filter_match`):
+  // a hit is accepted only if EVERY defined hybridization probe has a
+  // match on the same contig within max_distance — with the reference's
+  // exact distance rule, including its quirk that an OVERLAPPING probe
+  // (distance stays -1) does NOT qualify. Probe matches come from the
+  // same exact-scan kernel; the filter is a contig-keyed join + one
+  // hit-keyed aggregation (both map-side combinable; probe matches per
+  // contig are few, so the hit side never amplifies).
+  private val q4ProbeFiltered = Q(
+    "q4_probe_filtered",
+    (s, dir) => {
+      val (contigs, lib) = longContigs(s, dir)
+      val docs = dnaDocs(s, dir)
+      val probes = docs.filter(col("doc_id") === 50 && length(col("dna")) >= 16)
+        .select(concat(lit("P"), col("doc_id")).as("probe_id"),
+          lit("1").as("allele_id"),
+          substring(col("dna"), 5, 12).as("probe_seq"))
+      // the probe_locus registry: MATCH_ALL needs the defined-probe count
+      val nProbes = probes.select(col("probe_id")).distinct().count()
+      val pm = SeqScan.exactTagScan(contigs, "cid", "dna",
+          probes, "probe_id", "allele_id", "probe_seq", overlapping = true)
+        .select(col("cid").as("p_cid"), col("probe_id"),
+          col("start_pos").as("p_start"), col("end_pos").as("p_end"))
+      val hits = SeqScan.exactTagScan(contigs, "cid", "dna",
+        lib, "locus", "allele_id", "allele_seq", overlapping = true)
+      val dist = when(col("start_pos") > col("p_end"),
+          col("start_pos") - col("p_end"))
+        .when(col("end_pos") < col("p_start"),
+          col("p_start") - col("end_pos"))
+        .otherwise(lit(-1L))
+      hits.join(pm, col("cid") === col("p_cid"))
+        .withColumn("dist", dist)
+        .filter(col("dist") =!= -1L && col("dist") <= 1000L)
+        .groupBy(col("cid"), col("locus"), col("start_pos"),
+          col("end_pos"), col("reverse"))
+        .agg(countDistinct(col("probe_id")).as("n_probes"))
+        .filter(col("n_probes") === nProbes)
+        .select(col("cid"), col("locus"), col("start_pos"),
+          col("end_pos"), col("reverse"))
+        .orderBy(col("cid"), col("locus"), col("start_pos"), col("reverse"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, $dnaSql AS dna FROM documents),
+             contigs AS (SELECT doc_id // 100 AS cid,
+                                string_agg(dna, '' ORDER BY doc_id) AS dna
+                         FROM d GROUP BY 1),
+             lib AS (SELECT 'L' || doc_id AS locus,
+                            substring(dna, 3, 24) AS fwd,
+                            reverse(translate(substring(dna, 3, 24),
+                                              'ACGT', 'TGCA')) AS rev
+                     FROM d WHERE doc_id < 200 AND length(dna) >= 26),
+             probes AS (SELECT 'P' || doc_id AS probe_id,
+                               substring(dna, 5, 12) AS fwd,
+                               reverse(translate(substring(dna, 5, 12),
+                                                 'ACGT', 'TGCA')) AS rev
+                        FROM d WHERE doc_id = 50 AND length(dna) >= 16),
+             hits AS (
+               SELECT c.cid, l.locus, CAST(p AS BIGINT) AS start_pos,
+                      CAST(p + 23 AS BIGINT) AS end_pos, false AS reverse
+               FROM contigs c, lib l,
+                    unnest(list_filter(range(1, length(c.dna) - 22),
+                      p -> substring(c.dna, p, 24) = l.fwd)) t(p)
+               UNION ALL
+               SELECT c.cid, l.locus, CAST(p AS BIGINT),
+                      CAST(p + 23 AS BIGINT), true
+               FROM contigs c, lib l,
+                    unnest(list_filter(range(1, length(c.dna) - 22),
+                      p -> substring(c.dna, p, 24) = l.rev)) t(p)
+               WHERE l.rev != l.fwd),
+             pm AS (
+               SELECT c.cid, pr.probe_id, CAST(p AS BIGINT) AS p_start,
+                      CAST(p + 11 AS BIGINT) AS p_end
+               FROM contigs c, probes pr,
+                    unnest(list_filter(range(1, length(c.dna) - 10),
+                      p -> substring(c.dna, p, 12) = pr.fwd)) t(p)
+               UNION ALL
+               SELECT c.cid, pr.probe_id, CAST(p AS BIGINT),
+                      CAST(p + 11 AS BIGINT)
+               FROM contigs c, probes pr,
+                    unnest(list_filter(range(1, length(c.dna) - 10),
+                      p -> substring(c.dna, p, 12) = pr.rev)) t(p)
+               WHERE pr.rev != pr.fwd),
+             qual AS (
+               SELECT h.cid, h.locus, h.start_pos, h.end_pos, h.reverse,
+                      m.probe_id,
+                      CASE WHEN h.start_pos > m.p_end
+                             THEN h.start_pos - m.p_end
+                           WHEN h.end_pos < m.p_start
+                             THEN m.p_start - h.end_pos
+                           ELSE -1 END AS dist
+               FROM hits h JOIN pm m ON h.cid = m.cid)
+             SELECT cid, locus, start_pos, end_pos, reverse
+             FROM qual
+             WHERE dist != -1 AND dist <= 1000
+             GROUP BY cid, locus, start_pos, end_pos, reverse
+             HAVING count(DISTINCT probe_id) =
+                    (SELECT count(DISTINCT probe_id) FROM probes)
+             ORDER BY cid, locus, start_pos, reverse"""))
+
   val qs: Seq[Q] = Seq(q4TagScan, q4TagScanSeeded, q3ExemplarPrune,
     q4LongExact, q4LongSeeded,
     q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, mmTile,
-    g7SiteFreq, pcrProducts, pcrSummary, q4PcrFiltered)
+    g7SiteFreq, pcrProducts, pcrSummary, q4PcrFiltered, q4ProbeFiltered)
 }
