@@ -331,8 +331,94 @@ object AggQueries extends QueryModule {
               FROM lineitem GROUP BY l_orderkey) t
             ORDER BY l_orderkey"""))
 
+  // Reports plugin datamart row (Plugins/Reports.pm:294-380
+  // _get_isolate_data/_get_assembly_details/_get_assembly_checks): the
+  // one-row-per-isolate report the PDF templates render — label, assembly
+  // stats incl. per-isolate N50/L50, dominant sequencing method (their
+  // `method, count(*) ... ORDER BY count DESC` head), check warn/fail
+  // counts, scheme completion. The reference issues 4+ queries per isolate
+  // from the template loop; here the whole mart is three order-keyed
+  // aggregations (main rollup, N50 window over pre-reduced length blocks,
+  // method argmax — all map-side combinable) joined once, plus the label
+  // dimension join.
+  private val reportIsolate = Q(
+    "report_isolate",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val q = col("l_quantity").cast("long")
+      // ONE aggregation carries everything except the method argmax: the
+      // typed NStats Aggregator (a6) folds exact N50/L50 map-side next to
+      // the plain counts
+      val main = li.groupBy(col("l_orderkey")).agg(
+        graft.functions.NStats.agg(q).as("st"),
+        count(when(col("l_returnflag") === "A", 1)).as("n_warn"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_fail"),
+        countDistinct(col("l_linenumber")).as("n_loci"))
+        .select(col("l_orderkey"),
+          col("st.contigs").as("contigs"),
+          col("st.totalLength").as("total_length"),
+          col("st.n50").as("n50"), col("st.l50").as("l50"),
+          col("n_warn"), col("n_fail"), col("n_loci"))
+      // dominant method: argmax by (count, then lowest status string)
+      val method = li.groupBy(col("l_orderkey"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_orderkey"))
+        .agg(max(struct(col("cnt"),
+          // invert for min-string tie-break inside a max(struct)
+          (-ascii(col("l_linestatus"))).as("inv"),
+          col("l_linestatus"))).getField("l_linestatus").as("method"))
+      o.join(main, o("o_orderkey") === main("l_orderkey"))
+        .join(method, main("l_orderkey") === method("l_orderkey"))
+        .select(o("o_orderkey").as("id"),
+          col("o_orderpriority").as("label"),
+          col("contigs"), col("total_length"), col("n50"), col("l50"),
+          col("method"), col("n_warn"), col("n_fail"), col("n_loci"),
+          (col("n_loci") === 7).as("complete"))
+        .orderBy(col("id"))
+    },
+    Some("""WITH q AS (SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS len,
+                              l_returnflag, l_linestatus, l_linenumber
+                       FROM lineitem),
+            main AS (
+              SELECT l_orderkey, count(1) AS contigs,
+                     CAST(sum(len) AS BIGINT) AS total_length,
+                     count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_warn,
+                     count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_fail,
+                     count(DISTINCT l_linenumber) AS n_loci
+              FROM q GROUP BY l_orderkey),
+            wnd AS (
+              SELECT l_orderkey, len,
+                     sum(len) OVER (PARTITION BY l_orderkey
+                       ORDER BY len DESC ROWS UNBOUNDED PRECEDING) AS cum,
+                     row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY len DESC) AS rn,
+                     sum(len) OVER (PARTITION BY l_orderkey) AS tot
+              FROM q),
+            nstats AS (
+              SELECT l_orderkey,
+                     max(CASE WHEN cum >= tot * 0.5 THEN len END) AS n50,
+                     min(CASE WHEN cum >= tot * 0.5 THEN rn END) AS l50
+              FROM wnd GROUP BY l_orderkey),
+            mcounts AS (
+              SELECT l_orderkey, l_linestatus, count(1) AS cnt
+              FROM q GROUP BY l_orderkey, l_linestatus),
+            method AS (
+              SELECT l_orderkey, l_linestatus AS method FROM (
+                SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY cnt DESC, l_linestatus) AS r
+                FROM mcounts) t WHERE r = 1)
+            SELECT o_orderkey AS id, o_orderpriority AS label,
+                   contigs, total_length, n50, l50, method,
+                   n_warn, n_fail, n_loci, n_loci = 7 AS complete
+            FROM orders
+            JOIN main ON o_orderkey = main.l_orderkey
+            JOIN nstats ON main.l_orderkey = nstats.l_orderkey
+            JOIN method ON main.l_orderkey = method.l_orderkey
+            ORDER BY id"""))
+
   val qs: Seq[Q] = Seq(
     a1Breakdown, a2Crosstab, a3CountHaving, a4Completion, a5SeqbinStats,
     a6N50, a6NStatsAgg, a7Stats, a7Histogram, a8Combinations, a9Top5,
-    a12Growth, a13Distinct, seqbinBreakdown)
+    a12Growth, a13Distinct, seqbinBreakdown, reportIsolate)
 }
