@@ -391,7 +391,58 @@ object SeqSearchQueries extends QueryModule {
             JOIN deg dg ON dg.aa = g.aa
             ORDER BY g.source, g.codon"""))
 
+  // Allele attribute search (AlleleQueryPage.pm:472-646): the seqdef-side
+  // query page — operators over locus/allele_id plus the COMPUTED
+  // sequence_length field (the page rewrites `sequence_length` →
+  // `length(sequence)`, :623) and the allele_flags filter trio
+  // ('any flag' EXISTS / 'no flag' NOT EXISTS / specific flag,
+  // `_process_flags` :932-950). Here: length-range + specific-flag
+  // existence, flag list carried as the page displays it. Flags are a
+  // synthesized dimension (corpus has none); the flag probe is a semi
+  // join + one allele-keyed fold — the sequences table never widens.
+  private val alleleSearch = Q(
+    "allele_search",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val alleles = docs
+        .withColumn("dna", regexp_replace(upper(col("text")), "[^ACGT]", ""))
+        .select((col("doc_id") % 5).as("locus"), col("doc_id").as("allele_id"),
+          length(col("dna")).cast("long").as("seq_len"))
+      val flags = docs.select(col("doc_id").as("allele_id"),
+          when(col("doc_id") % 7 === 0, "exemplar")
+            .when(col("doc_id") % 11 === 0, "truncated").as("flag"))
+        .filter(col("flag").isNotNull)
+      val flagList = flags.groupBy(col("allele_id"))
+        .agg(concat_ws("; ", sort_array(collect_set(col("flag"))))
+          .as("flags"))
+      alleles.filter(col("seq_len") >= 40 && col("seq_len") <= 90)
+        .join(flagList, Seq("allele_id"), "inner") // 'any flag' EXISTS
+        .select(col("locus"), col("allele_id"), col("seq_len"), col("flags"))
+        .orderBy(col("locus"), col("allele_id"))
+    },
+    Some(s"""WITH a AS (
+               SELECT doc_id % 5 AS locus, doc_id AS allele_id,
+                      CAST(length(regexp_replace(upper(text), '[^ACGT]',
+                                                 '', 'g')) AS BIGINT)
+                        AS seq_len
+               FROM documents),
+             f AS (
+               SELECT doc_id AS allele_id,
+                      CASE WHEN doc_id % 7 = 0 THEN 'exemplar'
+                           WHEN doc_id % 11 = 0 THEN 'truncated' END AS flag
+               FROM documents
+               WHERE doc_id % 7 = 0 OR doc_id % 11 = 0),
+             fl AS (
+               SELECT allele_id,
+                      array_to_string(list_sort(list(DISTINCT flag)), '; ')
+                        AS flags
+               FROM f GROUP BY allele_id)
+             SELECT locus, allele_id, seq_len, flags
+             FROM a JOIN fl USING (allele_id)
+             WHERE seq_len BETWEEN 40 AND 90
+             ORDER BY locus, allele_id"""))
+
   val qs: Seq[Q] = Seq(q1ExactMatch, q1ExactHet, q2BestPartial, q2Banded,
     q2Translated, q2TopnSimilar, bioRevcomp, bioComposition, bioTranslate,
-    codonUsage)
+    codonUsage, alleleSearch)
 }
