@@ -257,7 +257,63 @@ object ProfileQueries extends QueryModule {
                     prof[7] AS locus_7, n_isolates
              FROM defs ORDER BY st"""))
 
+  // Batch profile query (BatchProfileQueryPage.pm): a pasted batch of
+  // allelic profiles resolved to STs in ONE pass — matched rows get the
+  // ST, unmatched rows stay in the result flagged not-found (the page
+  // prints a row per input line either way). The (md5 → st) dimension
+  // broadcasts; the batch never shuffles. Every third batch row is
+  // perturbed to a non-existent allele so the left-join miss path is
+  // genuinely exercised.
+  private val apiBatchProfiles = Q(
+    "api_batch_profiles",
+    (s, dir) => {
+      val w = wh(s, dir)
+      val defs = w.groupBy(col("profile_md5"))
+        .agg(min(col("l_orderkey")).as("first_iso"))
+      val sts = graft.operators.Numbering.numberBySort(defs, "first_iso", "st")
+      val batch = w.filter(col("l_orderkey") <= 30)
+        .select(col("l_orderkey").as("row_id"),
+          when(col("l_orderkey") % 3 === 0,
+            concat(array(lit("999999")), slice(col("profile"), 2, 6)))
+            .otherwise(col("profile")).as("p"))
+        .withColumn("profile_md5", md5(array_join(col("p"), ",")))
+      batch.join(broadcast(sts.select(col("profile_md5"), col("st"))),
+          Seq("profile_md5"), "left")
+        .select(col("row_id"), col("st"), col("st").isNotNull.as("matched"))
+        .orderBy(col("row_id"))
+    },
+    Some("""WITH whp AS (
+              SELECT l_orderkey,
+                     list_transform(range(1, 8),
+                       i -> coalesce(m[i][1], '0')) AS prof
+              FROM (SELECT l_orderkey,
+                           map(list(l_linenumber ORDER BY l_linenumber),
+                               list(a ORDER BY l_linenumber)) AS m
+                    FROM (SELECT l_orderkey, l_linenumber,
+                                 min(CAST(l_suppkey AS VARCHAR)) AS a
+                          FROM lineitem GROUP BY 1, 2) d
+                    GROUP BY l_orderkey) g),
+            md AS (SELECT l_orderkey,
+                          md5(array_to_string(prof, ',')) AS profile_md5,
+                          prof
+                   FROM whp),
+            defs AS (SELECT profile_md5, min(l_orderkey) AS first_iso
+                     FROM md GROUP BY profile_md5),
+            sts AS (SELECT profile_md5,
+                           dense_rank() OVER (ORDER BY first_iso) AS st
+                    FROM defs),
+            b2 AS (SELECT l_orderkey AS row_id,
+                          md5(array_to_string(
+                            CASE WHEN l_orderkey % 3 = 0
+                                 THEN list_prepend('999999', prof[2:7])
+                                 ELSE prof END, ',')) AS profile_md5
+                   FROM md WHERE l_orderkey <= 30)
+            SELECT row_id, st, st IS NOT NULL AS matched
+            FROM b2 LEFT JOIN sts USING (profile_md5)
+            ORDER BY row_id"""))
+
   val qs: Seq[Q] = Seq(
     j6Warehouse, j6ProfileLookup, j6StAssign, j7ProfileDiff,
-    j8MatchingProfiles, g1DistanceMatrix, g6PresenceMatrix, exportProfiles)
+    j8MatchingProfiles, g1DistanceMatrix, g6PresenceMatrix, exportProfiles,
+    apiBatchProfiles)
 }

@@ -347,6 +347,37 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), "sessionization is window-only")
   }
 
+  test("report_isolate: two fact aggregations, no cartesian, no windowed N50") {
+    val plan = planOf("report_isolate")
+    // exact N50/L50 come from the typed Aggregator INSIDE the main rollup
+    // — a per-order Window sort over the fact would be the regression
+    assert(!"Window \\[".r.findAllIn(plan).hasNext,
+      s"N50 must fold in the aggregator, not a window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"report joins must stay key-equi:\n${plan.take(2000)}")
+  }
+
+  test("export_dataset: one fact aggregation joined once to the entity table") {
+    val plan = planOf("export_dataset")
+    val aggExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(aggExchanges <= 2,
+      s"dataset assembly is one rollup + one join (got $aggExchanges exchanges):\n${plan.take(2000)}")
+  }
+
+  test("q4_probe_filtered: probe guard is a contig-KEYED join") {
+    // the scan kernel's broadcast-library crossings are BNLJ by design;
+    // the probe GUARD itself must join hits to probe matches on the
+    // contig key (equi), with the distance rule as residual — an unkeyed
+    // hit×probe product would be the regression
+    val plan = planOf("q4_probe_filtered")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian anywhere:\n${plan.take(2000)}")
+    assert("(SortMergeJoin|BroadcastHashJoin) \\[cid".r.findFirstIn(plan).isDefined,
+      s"guard join must key on cid:\n${plan.take(3000)}")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)

@@ -172,6 +172,38 @@ class StreamingSpec extends SparkSpec {
       streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("boilerplate strip under a frozen dim runs unchanged on a doc stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the boilerplate dimension is frozen from the accumulated corpus (the
+    // bm25Stats posture); arriving docs strip through the same narrow
+    // array-filter expression — curation-on-ingest without a rewrite
+    val boiler = Seq("shared header line").toDF("unit")
+    val bset = boiler.select(collect_set(col("unit"))).head().getSeq[String](0)
+    val docs = Seq(
+      (1L, Seq("shared header line", "unique body one")),
+      (2L, Seq("unique body two", "shared header line")),
+      (3L, Seq("only original text")))
+    def strip(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        filter(col("units"), u => !u.isin(bset: _*)).as("kept"))
+        .select(col("doc_id"), size(col("kept")).as("n_kept"))
+    val in = MemoryStream[(Long, Seq[String])]
+    in.addData(docs: _*)
+    val q = strip(in.toDF.toDF("doc_id", "units"))
+      .writeStream.format("memory").queryName("stream_boiler_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_boiler_sink")
+    val batch = strip(docs.toDF("doc_id", "units"))
+    assert(streamed.count() == 3 &&
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.filter(col("doc_id") === 1).select("n_kept")
+      .as[Int].head() == 1)
+  }
+
   test("streaming sessionization closes the batch sessions as the watermark advances") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
