@@ -363,6 +363,90 @@ object ScanQueries extends QueryModule {
                        + tt % 2 * 16) * 2 + 1 AS INT), 32))) AS tile_md5
             FROM t ORDER BY doc_id, tile_y, tile_x"""))
 
+  // Multimodal document assembly (the MMC4/interleaved-pretraining shape):
+  // images are assigned to the text chunk they score highest against,
+  // then the document materializes as an interleaved token sequence
+  // (chunk, then its images in id order). The real pipeline scores with
+  // CLIP embeddings; the model call is exactly the stub the multimodal
+  // mandate prescribes — scores here are md5-derived so ANY engine
+  // reproduces the assignment — while the Spark mechanics (chunk explode,
+  // image×chunk scoring join restricted to the image's own document,
+  // per-image argmax, per-doc ordered fold) are the production plan.
+  // Byte-witnessed by the sequence digest.
+  private val mmInterleave = Q(
+    "mm_interleave",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      val ws = split(col("text"), "\\s+")
+      val chunkIdx = sequence(lit(0L),
+        floor((size(ws) - lit(1)) / lit(8.0)).cast("long"))
+      val chunks = docs.select(col("doc_id"),
+          posexplode(transform(chunkIdx,
+            i => array_join(slice(ws, (i * 8 + 1).cast("int"), lit(8)), " "))))
+        .toDF("doc_id", "pos", "chunk")
+      val images = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 400)
+        .select(col("vec_id"), (col("vec_id") % 200).as("doc_id"))
+      val scored = images.join(chunks, "doc_id")
+        .withColumn("score",
+          md5(concat(col("chunk"), lit("#"), col("vec_id"))))
+      val assign = scored.groupBy(col("vec_id"), col("doc_id"))
+        .agg(max(struct(col("score"), col("pos"))).getField("pos").as("pos"))
+      val imgsAt = assign.groupBy(col("doc_id"), col("pos"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("imgs"),
+          count(lit(1)).as("n_img"))
+      chunks.join(imgsAt, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"),
+          concat(col("chunk"),
+            coalesce(array_join(transform(col("imgs"),
+              i => concat(lit(" IMG:"), i)), ""), lit(""))).as("tok"),
+          coalesce(col("n_img"), lit(0L)).as("n_img"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_img")).as("n_images"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("seq_digest"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dw AS (
+              SELECT doc_id, string_split_regex(text, '\s+') AS w
+              FROM documents WHERE doc_id < 200),
+            chunks AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     array_to_string(w[i*8+1 : i*8+8], ' ') AS chunk
+              FROM dw, unnest(range(0, (len(w) + 7) // 8)) t(i)),
+            images AS (
+              SELECT vec_id, vec_id % 200 AS doc_id
+              FROM embeddings WHERE vec_id < 400),
+            scored AS (
+              SELECT i.vec_id, i.doc_id, c.pos,
+                     md5(c.chunk || '#' || CAST(i.vec_id AS VARCHAR))
+                       AS score
+              FROM images i JOIN chunks c USING (doc_id)),
+            assign AS (
+              SELECT vec_id, doc_id, pos FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY score DESC, pos DESC) AS r
+                FROM scored) t WHERE r = 1),
+            imgs AS (
+              SELECT doc_id, pos, list_sort(list(vec_id)) AS imgs,
+                     count(1) AS n_img
+              FROM assign GROUP BY doc_id, pos),
+            toks AS (
+              SELECT c.doc_id, c.pos,
+                     c.chunk || coalesce(array_to_string(
+                       list_transform(i.imgs,
+                         x -> ' IMG:' || CAST(x AS VARCHAR)), ''), '')
+                       AS tok,
+                     coalesce(i.n_img, 0) AS n_img
+              FROM chunks c LEFT JOIN imgs i
+                ON c.doc_id = i.doc_id AND c.pos = i.pos)
+            SELECT doc_id, count(1) AS n_chunks,
+                   CAST(sum(n_img) AS BIGINT) AS n_images,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS seq_digest
+            FROM toks GROUP BY doc_id ORDER BY doc_id"""))
+
   // In-silico PCR (Plugins/PCR.pm): primer1 carries a wobble base
   // (ATARTA, R=A/G → two concrete variants) to exercise the IUPAC
   // expansion; primer2 = TTATTA (rc TAATAA). Product window [15, 60] bp,
@@ -591,5 +675,6 @@ object ScanQueries extends QueryModule {
   val qs: Seq[Q] = Seq(q4TagScan, q4TagScanSeeded, q3ExemplarPrune,
     q4LongExact, q4LongSeeded,
     q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, mmTile,
-    g7SiteFreq, pcrProducts, pcrSummary, q4PcrFiltered, q4ProbeFiltered)
+    mmInterleave, g7SiteFreq, pcrProducts, pcrSummary, q4PcrFiltered,
+    q4ProbeFiltered)
 }

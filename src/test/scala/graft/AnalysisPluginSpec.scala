@@ -146,6 +146,25 @@ class AnalysisPluginSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("text_boilerplate_strip is idempotent: no within-source repeat survives") {
+    // a unit carried by >=2 docs of a source is removed from ALL of them,
+    // so after one pass every surviving (source, unit) has exactly one
+    // carrier — a second pass must be a no-op
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def chunks(t: String): Vector[String] =
+      t.split("\\s+").grouped(3).map(_.mkString(" ")).toVector
+    val units = docs.flatMap { case (id, src, t) =>
+      chunks(t).map(u => (id, src, u)) }
+    val boiler = units.groupBy(u => (u._2, u._3))
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val surviving = units.filterNot(u => boiler((u._2, u._3)))
+    val repeats = surviving.groupBy(u => (u._2, u._3))
+      .filter(_._2.map(_._1).distinct.length >= 2)
+    assert(repeats.isEmpty, s"second pass would strip: ${repeats.keys.take(3)}")
+  }
+
   test("mix_curriculum: bucket-major, hash-shuffled-within-bucket order") {
     val docs = Tables.load(spark, dir, "documents")
       .select("doc_id", "n_chars").collect()
