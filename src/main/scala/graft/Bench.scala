@@ -84,7 +84,10 @@ object Bench {
       "s9_replicate_profiles", "o4_topk_matches",
       "dedup_exact", "dedup_minhash_lsh", "sim_cosine_topk", "sim_ivf_ann",
       "text_lang_id", "text_tokens", "mm_decode_features",
-      "stream_event_stats", "skew_salted_join")
+      "stream_event_stats", "skew_salted_join",
+      // round-6 widening representatives
+      "seqbin_breakdown", "export_dataset", "sim_pq", "event_sessionize",
+      "text_boilerplate_strip", "mm_interleave")
     val rm = results.toMap
     val qs = headline.flatMap(n => rm.get(n).map(v => "\"" + n + "\":" + f(v)))
       .mkString("{", ",", "}")

@@ -229,6 +229,25 @@ class AnalysisPluginSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("api_batch_profiles: perturbed rows miss, clean rows resolve to their ST") {
+    val got = run("api_batch_profiles").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (rowId, st, matched) =>
+      assert(matched == st.isDefined)
+      // every third row was perturbed to a non-existent allele
+      if (rowId % 3 == 0) assert(st.isEmpty, s"row $rowId should miss")
+      else assert(st.isDefined, s"row $rowId should match")
+    }
+    // matched rows resolve to the same ST as the isolate's own assignment
+    val stAssign = run("j6_st_assign").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.filter(_._2.isDefined).foreach { case (rowId, st, _) =>
+      assert(st.get == stAssign(rowId), s"row $rowId ST mismatch")
+    }
+  }
+
   test("event_funnel: sequential first-hit state machine matches a hand walk") {
     val ev = Tables.load(spark, dir, "events")
       .selectExpr("user_id", "event_type", "unix_micros(ts) AS us").collect()

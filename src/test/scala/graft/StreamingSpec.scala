@@ -257,6 +257,32 @@ class StreamingSpec extends SparkSpec {
       expected.exceptAll(streamed).isEmpty)
   }
 
+  test("PQ encoding under frozen codebooks runs unchanged on a vector stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = Seq(
+      (1L, Seq(0f, 0f, 9f, 9f)), (2L, Seq(9f, 9f, 0f, 0f)),
+      (3L, Seq(0.1f, 0f, 8.9f, 9f)), (4L, Seq(8.8f, 9f, 0.2f, 0f)))
+    val batchDf = vecs.toDF("vec_id", "embedding")
+    // codebooks train on the accumulated corpus; encoding is a narrow
+    // literal fold — the index-time compressor on ingest
+    val model = graft.pipeline.Similarity.pqTrain(
+      batchDf, "vec_id", "embedding", m = 2, dim = 4, k = 2, iters = 1)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Similarity.pqEncode(df, "vec_id", "embedding", model)
+    val in = MemoryStream[(Long, Seq[Float])]
+    in.addData(vecs: _*)
+    val q = enc(in.toDF.toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("stream_pq_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_pq_sink")
+    val batch = enc(batchDf)
+    assert(streamed.count() == 4 &&
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("BM25 scoring under frozen index stats runs unchanged on a doc stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
