@@ -99,6 +99,23 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("SquaredL2 kernel equals the sequential fold, symmetric, 0 iff equal") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val vec = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))
+    def eval(a: Seq[Double], b: Seq[Double]): Double =
+      Vectors.SquaredL2(Literal(1), Literal(1)) // children unused by eval
+        .nullSafeEval(new GenericArrayData(a.toArray),
+          new GenericArrayData(b.toArray)).asInstanceOf[Double]
+    check("l2sq", Prop.forAll(vec, vec) { (a, b) =>
+      // identical sequential fold order — bit-exact, not approximate
+      var s = 0.0
+      a.indices.foreach { i => val d = a(i) - b(i); s += d * d }
+      eval(a, b) == s && eval(a, b) == eval(b, a) &&
+        eval(a, a) == 0.0 && (eval(a, b) >= 0.0)
+    })
+  }
+
   test("rolling seed hash matches the direct hash at every offset") {
     val gen = for {
       s <- dnaGen.suchThat(_.length >= 5)
