@@ -551,8 +551,66 @@ object TextQueries extends QueryModule {
             FROM ranked WHERE rank <= 3
             ORDER BY doc_id, rank"""))
 
+  // Windowed co-occurrence lift — the PMI-style association table behind
+  // skip-gram/embedding preprocessing and collocation mining. Lift stays
+  // an exact INTEGER (basis points of observed/expected under unigram
+  // independence: cnt_ab·N·10000 div (cnt_a·cnt_b)), so the ranking is
+  // engine-exact — PMI's log is monotone in the ratio, so top-k by lift =
+  // top-k by PMI. Adjacent-pair explode is narrow; pair and unigram
+  // reduces are map-side combinable on content keys; unigram dims
+  // broadcast back; top-25 is TakeOrdered, never a global sort.
+  private val textPmiPairs = Q(
+    "text_pmi_pairs",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(split(lower(trim(col("text"))), "\\s+").as("t"))
+      val pairs = toks.select(explode(expr(
+          """CASE WHEN size(t) >= 2
+               THEN transform(sequence(1, size(t) - 1),
+                      i -> struct(t[i - 1] AS w1, t[i] AS w2))
+               ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+             END""")).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val pairCnt = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val total = pairs.agg(count(lit(1)).as("n_pairs"))
+      pairCnt
+        .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))),
+          "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))),
+          "w2")
+        .crossJoin(broadcast(total))
+        .filter(col("n_ab") >= 5)
+        .withColumn("lift_bp",
+          expr("n_ab * n_pairs * 10000 div (n_a * n_b)"))
+        .select(col("w1"), col("w2"), col("n_ab"), col("lift_bp"))
+        .orderBy(col("lift_bp").desc, col("w1"), col("w2"))
+        .limit(25)
+    },
+    Some("""WITH t AS (
+              SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents),
+            pairs AS (
+              SELECT w[i] AS w1, w[i + 1] AS w2
+              FROM t, unnest(range(1, greatest(len(w), 1))) u(i)),
+            pc AS (SELECT w1, w2, count(1) AS n_ab
+                   FROM pairs GROUP BY w1, w2),
+            uni AS (SELECT unnest(w) AS word FROM t),
+            uc AS (SELECT word, count(1) AS n FROM uni GROUP BY word),
+            tot AS (SELECT count(1) AS n_pairs FROM pairs)
+            SELECT w1, w2, n_ab,
+                   CAST(n_ab * n_pairs * 10000 // (a.n * b.n) AS BIGINT)
+                     AS lift_bp
+            FROM pc JOIN uc a ON pc.w1 = a.word
+                    JOIN uc b ON pc.w2 = b.word, tot
+            WHERE n_ab >= 5
+            ORDER BY lift_bp DESC, w1, w2
+            LIMIT 25"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
     textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
-    textTopNgrams, textTfidfTopk)
+    textTopNgrams, textTfidfTopk, textPmiPairs)
 }
