@@ -303,10 +303,11 @@ object MiscQueries extends QueryModule {
 
   // Ordered funnel analysis (view → click → purchase): each step's first
   // hit must come strictly AFTER the previous step's — the sequential-min
-  // state machine, expressed as three stepwise conditional aggregations.
-  // The per-user step dims are tiny (one row per user) and broadcast, so
-  // the event fact is scanned thrice but never shuffled by a join; each
-  // aggregation is map-side combinable on user_id. All timestamps are
+  // state machine, expressed as three stepwise conditional aggregations,
+  // each map-side combinable on user_id. The per-user step dims carry one
+  // row per user: NO broadcast hint — AQE broadcasts them at dashboard
+  // scale, and at 10^9-user scale the join correctly degrades to a
+  // user-keyed shuffle instead of OOMing the driver. All timestamps are
   // integer epoch-micros (see event_sessionize).
   private val eventFunnel = Q(
     "event_funnel",
@@ -318,14 +319,14 @@ object MiscQueries extends QueryModule {
       val s1 = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
       val s2 = ev.filter(col("event_type") === "click")
-        .join(broadcast(s1), "user_id").filter(col("us") > col("t1"))
+        .join(s1, "user_id").filter(col("us") > col("t1"))
         .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
       val s3 = ev.filter(col("event_type") === "purchase")
-        .join(broadcast(s2), "user_id").filter(col("us") > col("t2"))
+        .join(s2, "user_id").filter(col("us") > col("t2"))
         .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
-      users.join(broadcast(s1), Seq("user_id"), "left")
-        .join(broadcast(s2), Seq("user_id"), "left")
-        .join(broadcast(s3), Seq("user_id"), "left")
+      users.join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
         .withColumn("stage",
           (col("t1").isNotNull.cast("long") + col("t2").isNotNull.cast("long")
             + col("t3").isNotNull.cast("long")))
@@ -354,7 +355,8 @@ object MiscQueries extends QueryModule {
   // Cohort retention matrix: users bucketed by first-active epoch-day,
   // counted distinct at each later day offset. Day indexes are integer
   // `us div 86_400_000_000` — no date-type formatting crosses engines.
-  // One cohort dim (per-user min day, broadcast) + one (cohort, offset)
+  // One cohort dim (per-user min day; unhinted — AQE broadcasts it while
+  // it fits, shuffles user-keyed beyond that) + one (cohort, offset)
   // aggregation; the fact shuffles once, map-side pre-reduced.
   private val eventRetention = Q(
     "event_retention",
@@ -364,7 +366,7 @@ object MiscQueries extends QueryModule {
           expr("unix_micros(ts) div 86400000000").as("day"))
       val cohort = ev.groupBy(col("user_id"))
         .agg(min(col("day")).as("cohort_day"))
-      ev.join(broadcast(cohort), "user_id")
+      ev.join(cohort, "user_id")
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_day"), col("day_offset"))
