@@ -282,6 +282,28 @@ class AnalysisPluginSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("corpus_datacard: per-source datasheet row matches a hand rollup") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("source", "text", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val texts = rows.map(_._2)
+      val nDocs = rows.length.toLong
+      val distinct = texts.map(md5hex).distinct.length.toLong
+      src -> ((nDocs,
+        texts.map(_.trim.split("\\s+").length.toLong).sum,
+        texts.map(_.length.toLong).sum,
+        distinct,
+        rows.map(_._3).distinct.length.toLong,
+        (nDocs - distinct) * 10000 / nDocs))
+    }
+    val got = run("corpus_datacard").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(7)))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("curate_validate: config-driven rules emit one row per failed rule") {
     val docs = Tables.load(spark, dir, "documents")
       .select("doc_id", "lang").collect()
