@@ -39,8 +39,17 @@ object Bench {
     // amortize to ~zero over TB-scale inputs; folding them into MB-scale
     // per-query numbers would measure the JIT, not the query. The timed
     // pass below reports steady-state latency (flagged in the JSON).
+    // Execute the query's OWN plan and iterate every row (toRdd.count):
+    // a DataFrame.count() would wrap the plan in COUNT(*), letting the
+    // optimizer PRUNE every unreferenced output column — UDAF finishes
+    // and string builds would be skipped and the bench would report the
+    // cost of counting groups, not of computing results (this is exactly
+    // how a quadratic aggregator finish benched at 0.14s while the
+    // verify dump spun on it for minutes).
+    def exec(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     selected.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
     }
     // drain warm-up garbage so a mid-pass full GC doesn't land on one
     // unlucky query's wall time
@@ -52,7 +61,7 @@ object Bench {
     // latency estimate; the mode flag below says exactly what was measured.
     def timedPass() = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = timedPass()

@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(a, b) => functions.Vectors.SquaredL2(a, b) })
     inject(ext, "jaccard_sim", "Jaccard similarity of two distinct-element arrays",
       { case Seq(a, b) => functions.Vectors.JaccardSim(a, b) })
+    inject(ext, "simhash64", "64-bit SimHash over an array of shingle hashes",
+      { case Seq(a) => functions.Vectors.SimHash64(a) })
   }
 }
 

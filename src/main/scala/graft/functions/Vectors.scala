@@ -5,7 +5,7 @@ import org.apache.spark.sql.graft.{ColumnBridge => Bridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Vector arithmetic as native codegen'd Catalyst expressions.
   *
@@ -146,6 +146,69 @@ object Vectors {
 
   def l2sq(a: Column, b: Column): Column =
     Bridge.column(SquaredL2(Bridge.expression(a), Bridge.expression(b)))
+
+  /** 64-bit SimHash over an ARRAY<BIGINT> of shingle hashes — all 64 bit
+    * votes accumulate in ONE pass over the array. The HOF form (one
+    * `aggregate` fold per bit) re-traverses the array 64 times through
+    * interpreted lambda plumbing; the honest (unpruned) bench caught it
+    * at 4.3s on sf0.1 — this fused kernel is the same math in one tight
+    * codegen'd loop. Bit b of the result is set iff more shingles carry
+    * bit b than not (+1/−1 votes, strict majority).
+    */
+  case class SimHash64(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val b = ctx.freshName("b")
+        val h = ctx.freshName("h")
+        val votes = ctx.freshName("votes")
+        val out = ctx.freshName("out")
+        s"""
+        int $n = $a.numElements();
+        int[] $votes = new int[64];
+        for (int $i = 0; $i < $n; $i++) {
+          long $h = $a.getLong($i);
+          for (int $b = 0; $b < 64; $b++) {
+            if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+          }
+        }
+        long $out = 0L;
+        for (int $b = 0; $b < 64; $b++) {
+          if ($votes[$b] > 0) $out |= (1L << $b);
+        }
+        ${ev.value} = $out;
+        """
+      })
+  }
+
+  def simhash64(shingleHashes: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(shingleHashes)))
 
   /** MinHash signature over an ARRAY<BIGINT> of element hashes: k universal
     * hashes h_i(x) = (a_i·(x mod p) + b_i) mod p, min per i — all k mins in

@@ -231,16 +231,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash over shingle hashes: per bit, sum +1/-1 weighted votes;
-    * bit set if the vote is positive. Built-ins only (narrow, codegen'd).
+    * bit set if the vote is positive. Fused single-pass codegen'd kernel
+    * (Vectors.SimHash64) — the 64-fold HOF form re-scanned the array per
+    * bit and dominated the honest sf0.1 bench.
     */
   def simhash(shingleHashes: Column): Column =
-    (0 until 64).map { bit =>
-      val vote = aggregate(shingleHashes, lit(0L),
-        (acc, h) => acc +
-          when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L)))
-      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.Vectors.simhash64(shingleHashes)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =

@@ -28,4 +28,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0 / 3.0) < 1e-9)
     assert(r.getDouble(3) == 25.0) // 3² + 4²
   }
+
+  test("simhash64 resolves in SQL and votes per bit") {
+    // two hashes sharing bit 0 (values 1 and 3): bit 0 votes +2 → set;
+    // bit 1 votes 0 (one +1, one -1) → strict majority not met → clear
+    val r = spark.sql(
+      "SELECT simhash64(array(1L, 3L)) AS s").collect()(0)
+    assert(r.getLong(0) == 1L)
+  }
 }
