@@ -214,7 +214,7 @@ object CurationQueries extends QueryModule {
     Some(s"""SELECT CASE WHEN $hashSql % 10000 < 8000 THEN 'train'
                          WHEN $hashSql % 10000 < 9000 THEN 'valid'
                          ELSE 'test' END AS split,
-                    count(1) AS n, sum(doc_id) AS id_sum
+                    count(1) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
              FROM documents GROUP BY 1 ORDER BY split"""))
 
   // Benchmark decontamination: training docs sharing any word 3-gram with
