@@ -3,12 +3,13 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Approximate-nearest-neighbor over an embedding column (ARRAY<FLOAT>).
   *
   *   - Brute-force cosine top-k: the exact baseline. Queries are broadcast;
   *     the corpus scan is linear and embarrassingly parallel; top-k per
-  *     query via window row_number (per-partition partial top-k under AQE).
+  *     query via bounded two-phase aggregation (see [[bottomK]]).
   *   - LSH-bucketed (random hyperplane / SRP): the 100 TB path. Each vector
   *     gets a b-bit signature; candidates share a signature bucket, so the
   *     join touches ~n/2^b of the corpus per query instead of all of it.
@@ -32,6 +33,29 @@ object Similarity {
     graft.functions.Vectors.cosine(a, b)
 
   def toDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Bounded per-group bottom-k: the k smallest values of `child` under
+    * natural struct order, returned as an ascending array. Wraps Spark's
+    * `CollectTopK` (a BoundedPriorityQueue TypedImperativeAggregate), so
+    * the map-side partial keeps AT MOST k entries per (group, task) and
+    * the shuffle carries k-element buffers — never the full scored set.
+    *
+    * This is the two-phase top-k that replaces the per-query
+    * `row_number()` window in the full-corpus scans: that window shuffled
+    * every scored row to ONE task per query and sorted the whole corpus
+    * there — invisible at sf0.1, 10^11-row partitions at 100 TB.
+    * Descending sort keys enter negated (exact for doubles — sign flip).
+    */
+  private def bottomK(child: Column, k: Int): Column =
+    ColumnBridge.collectBottomK(child, k)
+
+  /** Explode a [[bottomK]] array into ranked rows: rank = 1-based position
+    * in the ascending array (ties already broken inside the sort key).
+    */
+  private def explodeRanked(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__i", "__t")))
+      .withColumn("rank", (col("__i") + 1).cast("long"))
 
   /** Embedding hygiene filter — the validation pass before any index
     * build or similarity math: flags zero vectors (cosine-undefined;
@@ -71,11 +95,13 @@ object Similarity {
     val q = queries.select(col(id).as("query_id"), toDouble(col(vec)).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    // two-phase top-k: bounded per-task partials, k-row merges — the
+    // full-corpus score set never crosses a shuffle (see bottomK)
+    explodeRanked(scored.groupBy(col("query_id"))
+        .agg(bottomK(
+          struct((-col("cos")).as("neg"), col("neighbor_id")), k).as("__tk")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        (-col("__t.neg")).as("cos"), col("rank"))
   }
 
   /** Signed-random-projection signature: bit i = sign(v · h_i), packed into
@@ -329,7 +355,7 @@ object Similarity {
     * int8 dot product rescaled by both scales — the cheap first pass whose
     * survivors a production pipeline re-ranks with [[bruteForceTopK]] on
     * floats. Same plan shape as the exact scan (broadcast queries, linear
-    * corpus pass, per-query window top-k); the integer dot is exact, so the
+    * corpus pass, bounded two-phase top-k); the integer dot is exact, so the
     * score is bit-reproducible by any engine.
     * Output: (query_id, neighbor_id, qdot, approx, rank).
     */
@@ -347,12 +373,14 @@ object Similarity {
         dot(transform(col("qq"), _.cast("double")),
             transform(col("cq"), _.cast("double"))).cast("long"))
       .withColumn("approx", col("qdot") * col("qs") * col("cs"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("qdot"),
-        col("approx"), col("rank"))
+    // two-phase top-k (see bottomK): no per-query full-corpus window
+    explodeRanked(scored.groupBy(col("query_id"))
+        .agg(bottomK(
+          struct((-col("approx")).as("neg"), col("neighbor_id"),
+            col("qdot")), k).as("__tk")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        col("__t.qdot").as("qdot"), (-col("__t.neg")).as("approx"),
+        col("rank"))
   }
 
   /** LSH-bucketed ANN: probe only same-signature buckets (multi-probe via
@@ -519,7 +547,6 @@ object Similarity {
     */
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, model: PqModel, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val codes = pqEncode(corpus, id, vec, model)
     val q = queries.select(col(id).as("query_id"),
       toDouble(col(vec)).as("__qv"))
@@ -531,13 +558,14 @@ object Similarity {
         slice(col("__qv"), start, len),
         element_at(book, col(s"code_${j + 1}").cast("int")))
     }.reduce(_ + _)
-    val rank = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col(id))
-    codes.join(broadcast(q), col("query_id") =!= col(id))
+    // two-phase top-k (see bottomK): the ADC code scan stays linear and
+    // the rank never funnels the corpus into one task per query
+    val scored = codes.join(broadcast(q), col("query_id") =!= col(id))
       .withColumn("adc", adc)
-      .withColumn("rank", row_number().over(rank).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(id).as("neighbor_id"), col("adc"),
-        col("rank"))
+    explodeRanked(scored.groupBy(col("query_id"))
+        .agg(bottomK(
+          struct(col("adc"), col(id).as("neighbor_id")), k).as("__tk")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        col("__t.adc").as("adc"), col("rank"))
   }
 }

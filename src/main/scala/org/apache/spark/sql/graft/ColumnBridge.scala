@@ -13,6 +13,19 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Spark's bounded-priority-queue top-k aggregate (`CollectTopK`) is
+    * `private[sql]` — re-exported here for the two-phase ANN rank. With
+    * `reverse = true` it keeps the `num` SMALLEST values of `child`
+    * (natural struct order) per group — the map-side partial buffer holds
+    * at most `num` entries, so the shuffle carries k-element arrays, never
+    * the full scored set — and evaluates to an ASCENDING array.
+    */
+  def collectBottomK(child: Column, num: Int): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollect
+        .topK(ExpressionUtils.expression(child), num, reverse = true)
+        .toAggregateExpression())
+
   /** `SparkSession.sessionUUID` is `private[sql]`; memo keys need a
     * session identity that can't be reused after GC the way
     * identityHashCode can.

@@ -49,6 +49,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "fact should never sort-merge here")
   }
 
+  test("ANN full-scan rank: bounded two-phase top-k, never a per-query window") {
+    // quantizedTopK / pqAdcTopK / bruteForceTopK scan the whole corpus per
+    // query; ranking them with row_number() over (partition by query_id)
+    // funnels the entire scored corpus into ONE task per query. The fix is
+    // CollectTopK partial aggregation (k-bounded buffers map-side); a
+    // Window in these plans is the 100 TB scale-killer regressing.
+    for (q <- Seq("sim_cosine_topk", "sim_quantized", "sim_pq")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"),
+        s"$q: per-query window rank over the unpruned corpus:\n${plan.take(3000)}")
+      assert(plan.contains("collect_top_k"),
+        s"$q: expected bounded collect_top_k aggregation:\n${plan.take(3000)}")
+    }
+  }
+
   test("a1_breakdown: hash aggregate with map-side partial aggregation") {
     val plan = planOf("a1_breakdown")
     val hashAggs = "HashAggregate".r.findAllIn(plan).size
