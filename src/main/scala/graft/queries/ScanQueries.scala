@@ -672,9 +672,107 @@ object ScanQueries extends QueryModule {
                     (SELECT count(DISTINCT probe_id) FROM probes)
              ORDER BY cid, locus, start_pos, reverse"""))
 
+  // J12 detail: intron-aware tag feature segmentation (TagFeatures) —
+  // tags over doc-derived contigs, even ids carry two introns, reverse
+  // strand every third id, curation flags on ids %4 / %5. The oracle
+  // replays the exact Perl cursor walk (ExtractedSequencePage.pm:153-196)
+  // relationally: lag() for the exon cursor, negated order for the
+  // reverse-strand flip, string_agg for spliced/flags.
+  private val j12TagIntrons = Q(
+    "j12_tag_introns",
+    (s, dir) => {
+      val contigs = dnaDocs(s, dir)
+        .filter(col("doc_id") < 500 && length(col("dna")) >= 60)
+        .select(col("doc_id").as("seqbin_id"), col("dna").as("sequence"))
+      val tags = contigs.select(col("seqbin_id").as("id"), col("seqbin_id"),
+        lit(11L).as("start_pos"), lit(50L).as("end_pos"),
+        (col("seqbin_id") % 3 === 0).as("reverse"))
+      val introns = tags.filter(col("id") % 2 === 0)
+        .select(col("id"),
+          explode(typedLit(Seq((18L, 22L), (31L, 35L)))).as("iv"))
+        .select(col("id"), col("iv._1").as("start_pos"),
+          col("iv._2").as("end_pos"))
+      val flags = tags.filter(col("id") % 4 === 0)
+          .select(col("id"), lit("ambiguous read").as("flag"))
+        .union(tags.filter(col("id") % 5 === 0)
+          .select(col("id"), lit("downstream fuse").as("flag")))
+      graft.operators.TagFeatures
+        .features(tags, contigs, introns, flags, flanking = 10)
+        .orderBy(col("id"), col("ord"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, $dnaSql AS dna FROM documents),
+             c AS (SELECT doc_id AS seqbin_id, dna FROM d
+                   WHERE doc_id < 500 AND length(dna) >= 60),
+             tg AS (SELECT seqbin_id AS id, seqbin_id, dna, 11 AS s, 50 AS e,
+                           (seqbin_id % 3 = 0) AS rev
+                    FROM c),
+             intr AS (SELECT id, iv[1] AS istart, iv[2] AS iend
+                      FROM tg, unnest([[18, 22], [31, 35]]) AS t(iv)
+                      WHERE id % 2 = 0),
+             io AS (SELECT id, istart, iend,
+                           row_number() OVER (PARTITION BY id ORDER BY istart) AS k,
+                           coalesce(lag(iend) OVER (PARTITION BY id ORDER BY istart),
+                                    10) AS cur
+                    FROM intr),
+             f0 AS (
+               SELECT t.id, 0 AS ord0, 'flanking' AS feature,
+                      substring(t.dna,
+                        t.s - (CASE WHEN t.s - 10 < 0 THEN t.s - 1 ELSE 10 END),
+                        CASE WHEN t.s - 10 < 0 THEN t.s - 1 ELSE 10 END) AS seq
+               FROM tg t
+               UNION ALL
+               SELECT t.id, 1, 'allele_seq', substring(t.dna, t.s, t.e - t.s + 1)
+               FROM tg t WHERE t.id % 2 = 1
+               UNION ALL
+               SELECT i.id, 2 * i.k - 1, 'exon',
+                      substring(t.dna, i.cur + 1, i.istart - i.cur - 1)
+               FROM io i JOIN tg t USING (id)
+               UNION ALL
+               SELECT i.id, 2 * i.k, 'intron',
+                      substring(t.dna, i.istart, i.iend - i.istart + 1)
+               FROM io i JOIN tg t USING (id)
+               UNION ALL
+               SELECT mx.id, 2 * mx.kmax + 1, 'exon',
+                      substring(t.dna, mx.lst + 1, t.e - mx.lst)
+               FROM (SELECT id, max(k) AS kmax, max(iend) AS lst
+                     FROM io GROUP BY id) mx
+               JOIN tg t USING (id)
+               UNION ALL
+               SELECT t.id, 9999, 'flanking',
+                      substring(t.dna, t.e + 1,
+                        CASE WHEN length(t.dna) - t.e > 10 THEN 10
+                             ELSE length(t.dna) - t.e END)
+               FROM tg t),
+             orient AS (
+               SELECT f.id, t.seqbin_id, f.feature,
+                      CASE WHEN t.rev
+                           THEN reverse(translate(f.seq, 'ACGT', 'TGCA'))
+                           ELSE f.seq END AS seq,
+                      row_number() OVER (PARTITION BY f.id
+                        ORDER BY CASE WHEN t.rev THEN -f.ord0 ELSE f.ord0 END)
+                        AS ord
+               FROM f0 f JOIN tg t USING (id)),
+             agg AS (
+               SELECT id,
+                      string_agg(seq, '' ORDER BY ord)
+                        FILTER (WHERE feature IN ('exon', 'allele_seq'))
+                        AS spliced
+               FROM orient GROUP BY id),
+             fl AS (
+               SELECT id, string_agg(flag, ';' ORDER BY flag) AS flags FROM (
+                 SELECT id, 'ambiguous read' AS flag FROM tg WHERE id % 4 = 0
+                 UNION ALL
+                 SELECT id, 'downstream fuse' FROM tg WHERE id % 5 = 0)
+               GROUP BY id)
+             SELECT o.id, o.seqbin_id, CAST(o.ord AS BIGINT) AS ord,
+                    o.feature, o.seq, coalesce(f.flags, '') AS flags,
+                    a.spliced
+             FROM orient o JOIN agg a USING (id) LEFT JOIN fl f USING (id)
+             ORDER BY o.id, o.ord"""))
+
   val qs: Seq[Q] = Seq(q4TagScan, q4TagScanSeeded, q3ExemplarPrune,
     q4LongExact, q4LongSeeded,
     q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, mmTile,
     mmInterleave, g7SiteFreq, pcrProducts, pcrSummary, q4PcrFiltered,
-    q4ProbeFiltered)
+    q4ProbeFiltered, j12TagIntrons)
 }
