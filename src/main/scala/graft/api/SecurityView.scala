@@ -54,4 +54,61 @@ object SecurityView {
     }
     entities.filter(dated)
   }
+
+  /** Set-scoped ROW view (sql/isolatedb.sql:1293-1299 `set_view`;
+    * Datastore.initiate_view, Datastore.pm:3708-3709): a set may name a
+    * row-subset view of the entity table; when it does, every query the
+    * set sees runs against that subset. `viewMembership` is the
+    * materialized (view, entity_id) membership of the named views; a set
+    * with no `set_view` row sees the unrestricted table, exactly the
+    * reference's fallback.
+    *
+    * The set_view lookup collects ≤1 row (the reference runs the same
+    * per-request scalar query); the membership restriction is a left-semi
+    * equi join — at 100 TB the entity side streams through it, and AQE
+    * broadcasts the membership when it is small.
+    */
+  def setRowView(entities: DataFrame, idCol: String, setView: DataFrame,
+      viewMembership: DataFrame, setId: Long): DataFrame = {
+    val name = setView.filter(col("set_id") === setId)
+      .select(col("view")).collect().headOption.map(_.getString(0))
+    name match {
+      case None => entities
+      case Some(v) =>
+        val members = viewMembership.filter(col("view") === v)
+          .select(col("entity_id").as("__sv_id"))
+        entities.join(members, entities(idCol) === col("__sv_id"), "left_semi")
+    }
+  }
+
+  /** Set-visible loci (sql/isolatedb.sql:1242-1262 `set_loci`, :1264-1285
+    * `set_schemes`; Datastore.get_loci/get_loci_in_no_scheme,
+    * Datastore.pm:956-957, 2480-2537): a locus is visible in a set iff it
+    * belongs to one of the set's schemes OR is listed directly in
+    * `set_loci`; a `set_loci.set_name` renames the locus inside the set.
+    *
+    * Returns the visible loci with `display_name` =
+    * coalesce(set_name, locus id). All three set tables are curation
+    * dimensions — broadcast; the loci table never shuffles.
+    */
+  def setVisibleLoci(loci: DataFrame, idCol: String, setLoci: DataFrame,
+      setSchemes: DataFrame, schemeMembers: DataFrame,
+      setId: Long): DataFrame = {
+    val viaScheme = schemeMembers
+      .join(broadcast(setSchemes.filter(col("set_id") === setId)
+        .select(col("scheme_id"))), Seq("scheme_id"))
+      .select(col("locus"))
+    val direct = setLoci.filter(col("set_id") === setId).select(col("locus"))
+    val visible = viaScheme.union(direct).distinct()
+      .select(col("locus").as("__vis_locus"))
+    val names = setLoci.filter(col("set_id") === setId)
+      .select(col("locus").as("__alias_locus"), col("set_name"))
+    loci
+      .join(broadcast(visible), loci(idCol) === col("__vis_locus"),
+        "left_semi")
+      .join(broadcast(names), loci(idCol) === col("__alias_locus"), "left")
+      .withColumn("display_name",
+        coalesce(col("set_name"), loci(idCol).cast("string")))
+      .drop("__alias_locus", "set_name")
+  }
 }

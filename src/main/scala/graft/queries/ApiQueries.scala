@@ -186,6 +186,66 @@ object ApiQueries extends QueryModule {
               AND o_orderdate <= TIMESTAMP '1997-06-30'
             ORDER BY o_orderkey"""))
 
+  // S1 detail: sets as data partitions — set_view restricts the ROW
+  // space (orders of customers ≡1 mod 4 via the named view), set_schemes
+  // ∪ set_loci restrict the LOCUS space ({1,2,3} via scheme 1, {5,6}
+  // direct, locus 5 renamed), composed UNDER the same security view.
+  // Every entry point that takes the viewed frame can run set-restricted.
+  private val s1SetView = Q(
+    "s1_set_view",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("owner_id", col("o_custkey"))
+        .withColumn("is_private", col("o_totalprice") > 300000.0)
+        .withColumn("project_id", col("o_custkey") % 10)
+        .withColumn("date_entered", col("o_orderdate"))
+      val ctx = SecurityContext(userId = Some(7L), memberProjects = Set(3L),
+        maxDate = Some("1997-06-30"))
+      val secured = SecurityView.view(o, ctx, SecurityColumns())
+      // set fixtures: set 1 exposes view "quarter_custs"
+      val setView = Seq((1L, "quarter_custs")).toDF("set_id", "view")
+      val membership = Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") % 4 === 1)
+        .select(lit("quarter_custs").as("view"),
+          col("o_orderkey").as("entity_id"))
+      val scoped = SecurityView.setRowView(
+        secured, "o_orderkey", setView, membership, setId = 1L)
+      // locus space: scheme 1 = {1,2,3}; set 1 adds loci 5 (renamed), 6
+      val loci = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("locus")
+      val schemeMembers = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L),
+        (2L, 5L)).toDF("scheme_id", "locus")
+      val setSchemes = Seq((1L, 1L), (2L, 2L)).toDF("set_id", "scheme_id")
+      val setLoci = Seq((1L, 5L, Some("L5_renamed")), (1L, 6L, None))
+        .toDF("set_id", "locus", "set_name")
+      val visible = SecurityView.setVisibleLoci(
+        loci, "locus", setLoci, setSchemes, schemeMembers, setId = 1L)
+      val desig = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber").cast("long").as("locus"),
+          col("l_suppkey").as("allele"))
+      scoped.filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"))
+        .join(desig, Seq("o_orderkey"))
+        .join(broadcast(visible), Seq("locus"))
+        .select(col("o_orderkey"), col("display_name").as("locus_name"),
+          col("allele"))
+        .orderBy(col("o_orderkey"), col("locus_name"), col("allele"))
+    },
+    Some("""SELECT o.o_orderkey,
+                   CASE WHEN l.l_linenumber = 5 THEN 'L5_renamed'
+                        ELSE CAST(l.l_linenumber AS VARCHAR) END AS locus_name,
+                   l.l_suppkey AS allele
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE (NOT (o.o_totalprice > 300000.0)
+                   OR o.o_custkey = 7
+                   OR (o.o_custkey % 10) IN (3))
+              AND o.o_orderdate <= TIMESTAMP '1997-06-30'
+              AND o.o_custkey % 4 = 1
+              AND l.l_linenumber IN (1, 2, 3, 5, 6)
+              AND o.o_orderkey < 5000
+            ORDER BY o_orderkey, locus_name, allele"""))
+
   // F13/§3.2: the REST JSON search grammar parsed into the same compiler —
   // one parser in front of the identical predicate semantics.
   private val restParsed = Q(
@@ -484,5 +544,5 @@ object ApiQueries extends QueryModule {
   val qs: Seq[Q] = Seq(apiCompiled, apiMissing, s1Security, restParsed,
     apiComposedFull, apiTagModes, apiStatusVariation, apiAssemblyChecks,
     f6Extended, f12OldVersion, apiOrCombinators, apiSchemeQuery,
-    apiRestRouted, f8Embargo, f8EmbargoNull)
+    apiRestRouted, f8Embargo, f8EmbargoNull, s1SetView)
 }

@@ -240,4 +240,35 @@ class QueryCompilerSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq.sorted
     assert(got == Seq(1, 2, 3))
   }
+
+  test("set view: row scoping via named view, fallback when set has none") {
+    val entities = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val setView = Seq((1L, "subset_a")).toDF("set_id", "view")
+    val membership = Seq(("subset_a", 1L), ("subset_a", 3L),
+      ("subset_b", 2L)).toDF("view", "entity_id")
+    val scoped = SecurityView.setRowView(entities, "id", setView,
+        membership, setId = 1L)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(scoped == Seq(1, 3))
+    // set 2 has no set_view row → unrestricted (Datastore.pm:3708-3709)
+    val unscoped = SecurityView.setRowView(entities, "id", setView,
+        membership, setId = 2L)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(unscoped == Seq(1, 2, 3, 4))
+  }
+
+  test("set loci: scheme members ∪ direct set_loci, set_name renames") {
+    val loci = Seq(1L, 2L, 3L, 4L, 5L).toDF("locus")
+    val setLoci = Seq((1L, 4L, Some("renamed_4")), (1L, 5L, None))
+      .toDF("set_id", "locus", "set_name")
+    val setSchemes = Seq((1L, 10L)).toDF("set_id", "scheme_id")
+    val schemeMembers = Seq((10L, 1L), (10L, 2L), (11L, 3L))
+      .toDF("scheme_id", "locus")
+    val got = SecurityView.setVisibleLoci(loci, "locus", setLoci,
+        setSchemes, schemeMembers, setId = 1L)
+      .select("locus", "display_name").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    // locus 3 is in scheme 11, which set 1 does not include → invisible
+    assert(got == Seq((1L, "1"), (2L, "2"), (4L, "renamed_4"), (5L, "5")))
+  }
 }
