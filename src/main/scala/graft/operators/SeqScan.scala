@@ -69,6 +69,46 @@ object SeqScan {
         col("start_pos").cast("long"), col("end_pos").cast("long"), col("reverse"))
   }
 
+  /** Q2 partial-match boundary prediction (Blast.pm:642-668
+    * _predict_allele_ends): given a LOCAL alignment of an allele segment
+    * against a contig — contig span [start, end], allele (subject) span
+    * sstart..send (descending on reverse-strand hits, Blast.pm:671-679),
+    * full allele length L, alignment length A — predict the contig
+    * coordinates the WHOLE allele would occupy:
+    *
+    *   A == L  → the match already covers the allele: (start, end)
+    *   forward → start - min(sstart, send) + 1  (extend left past the
+    *             allele prefix the local alignment skipped)
+    *   reverse → start - L + max(sstart, send)  (the allele prefix maps
+    *             RIGHT of the segment under reverse complement)
+    *
+    * and predicted_end = predicted_start + L - 1. Pure narrow column
+    * arithmetic — composes onto any match generator without a shuffle.
+    */
+  def predictedStart(start: Column, sstart: Column, send: Column,
+      reverse: Column, alleleLen: Column, alignment: Column): Column =
+    when(alleleLen === alignment, start)
+      .otherwise(when(reverse, start - alleleLen + greatest(sstart, send))
+        .otherwise(start - least(sstart, send) + 1))
+
+  def predictedEnd(pStart: Column, end: Column, alleleLen: Column,
+      alignment: Column): Column =
+    when(alleleLen === alignment, end).otherwise(pStart + alleleLen - 1)
+
+  /** The flanking-extended match sequence (Blast.pm:600-612
+    * _extract_match_seq_from_query + the AlleleSequencePage flanking
+    * display): the predicted span widened by `flanking` bases, clamped to
+    * the contig, reverse-complemented for reverse-strand matches so the
+    * caller always reads allele orientation.
+    */
+  def flankedSeq(contig: Column, pStart: Column, pEnd: Column,
+      reverse: Column, flanking: Int): Column = {
+    val s = greatest(lit(1L), pStart - flanking)
+    val e = least(length(contig).cast("long"), pEnd + flanking)
+    val raw = contig.substr(s, e - s + 1)
+    when(reverse, Bio.reverseComplement(raw)).otherwise(raw)
+  }
+
   /** Q3 — exemplar selection (scripts/maintenance/find_exemplars.pl:95-140):
     * per (locus, length) group, greedy in ascending allele-id order — the
     * first allele of each length is an exemplar, and each later allele

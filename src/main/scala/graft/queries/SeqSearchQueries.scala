@@ -442,7 +442,105 @@ object SeqSearchQueries extends QueryModule {
              WHERE seq_len BETWEEN 40 AND 90
              ORDER BY locus, allele_id"""))
 
+  // Q2 partial-match boundary metadata (Blast.pm:443-524 partial parse,
+  // :642-668 _predict_allele_ends, :600-612 flanked extraction): a local
+  // match of an allele SEGMENT is extended to the contig span the whole
+  // allele would occupy — leftward by the skipped allele prefix on the
+  // forward strand, rightward under reverse complement — plus the
+  // flanking-widened sequence in allele orientation and an off-contig
+  // flag. Matches here are planted 24-mers cut from the middle (offset
+  // 20) of 60-base alleles, so subject coords are known exactly and the
+  // oracle replays the whole chain.
+  private val q2Boundaries = Q(
+    "q2_boundaries",
+    (s, dir) => {
+      import graft.operators.SeqScan
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("dna", regexp_replace(upper(col("text")), "[^ACGT]", ""))
+      val contigs = docs.filter(length(col("dna")) >= 120)
+        .select(col("doc_id").as("cid"), col("dna"))
+      val alleles = contigs.filter(col("cid") < 5)
+        .select(concat(lit("A"), col("cid")).as("locus"),
+          lit("1").as("allele_id"),
+          substring(col("dna"), 21, 24).as("frag"))
+      val hits = SeqScan.exactTagScan(
+        contigs, "cid", "dna", alleles, "locus", "allele_id", "frag",
+        overlapping = true)
+      val aLen = lit(60L) // full allele length L
+      val off = lit(20L)  // fragment offset within the allele
+      val aln = lit(24L)  // local alignment length A
+      val m = hits
+        .withColumn("sstart",
+          when(col("reverse"), off + aln).otherwise(off + 1))
+        .withColumn("send",
+          when(col("reverse"), off + 1).otherwise(off + aln))
+        .withColumn("predicted_start",
+          SeqScan.predictedStart(col("start_pos"), col("sstart"),
+            col("send"), col("reverse"), aLen, aln))
+        .withColumn("predicted_end",
+          SeqScan.predictedEnd(col("predicted_start"), col("end_pos"),
+            aLen, aln))
+      m.join(contigs, Seq("cid"))
+        .withColumn("off_contig",
+          col("predicted_start") < 1 ||
+            col("predicted_end") > length(col("dna")).cast("long"))
+        .withColumn("ext_seq",
+          SeqScan.flankedSeq(col("dna"), col("predicted_start"),
+            col("predicted_end"), col("reverse"), 10))
+        .select(col("cid"), col("locus"), col("start_pos"), col("end_pos"),
+          col("reverse"), col("sstart"), col("send"),
+          col("predicted_start"), col("predicted_end"), col("off_contig"),
+          col("ext_seq"))
+        .orderBy(col("cid"), col("locus"), col("start_pos"), col("reverse"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                              regexp_replace(upper(text), '[^ACGT]', '', 'g')
+                                AS dna
+                       FROM documents),
+            c AS (SELECT doc_id AS cid, dna FROM d WHERE length(dna) >= 120),
+            am AS (SELECT 'A' || cid AS locus, substring(dna, 21, 24) AS fwd,
+                          reverse(translate(substring(dna, 21, 24),
+                                            'ACGT', 'TGCA')) AS rev
+                   FROM c WHERE cid < 5),
+            hits AS (
+              SELECT c.cid, a.locus, CAST(p AS BIGINT) AS start_pos,
+                     CAST(p + 23 AS BIGINT) AS end_pos, false AS reverse
+              FROM c, am a,
+                   unnest(list_filter(range(1, length(c.dna) - 22),
+                     p -> substring(c.dna, p, 24) = a.fwd)) t(p)
+              UNION ALL
+              SELECT c.cid, a.locus, CAST(p AS BIGINT), CAST(p + 23 AS BIGINT),
+                     true
+              FROM c, am a,
+                   unnest(list_filter(range(1, length(c.dna) - 22),
+                     p -> substring(c.dna, p, 24) = a.rev)) t(p)
+              WHERE a.rev != a.fwd),
+            pred AS (
+              SELECT h.cid, h.locus, h.start_pos, h.end_pos, h.reverse,
+                     CASE WHEN h.reverse THEN 44 ELSE 21 END AS sstart,
+                     CASE WHEN h.reverse THEN 21 ELSE 44 END AS send,
+                     CASE WHEN h.reverse THEN h.start_pos - 60 + 44
+                          ELSE h.start_pos - 21 + 1 END AS ps,
+                     c.dna, length(c.dna) AS clen
+              FROM hits h JOIN c USING (cid)),
+            p2 AS (SELECT *, ps + 59 AS pe FROM pred),
+            p3 AS (SELECT *, greatest(1, ps - 10) AS es,
+                          least(clen, pe + 10) AS ee
+                   FROM p2)
+            SELECT cid, locus, start_pos, end_pos, reverse,
+                   CAST(sstart AS BIGINT) AS sstart,
+                   CAST(send AS BIGINT) AS send,
+                   CAST(ps AS BIGINT) AS predicted_start,
+                   CAST(pe AS BIGINT) AS predicted_end,
+                   (ps < 1 OR pe > clen) AS off_contig,
+                   CASE WHEN reverse
+                        THEN reverse(translate(substring(dna, es, ee - es + 1),
+                                               'ACGT', 'TGCA'))
+                        ELSE substring(dna, es, ee - es + 1) END AS ext_seq
+            FROM p3
+            ORDER BY cid, locus, start_pos, reverse"""))
+
   val qs: Seq[Q] = Seq(q1ExactMatch, q1ExactHet, q2BestPartial, q2Banded,
     q2Translated, q2TopnSimilar, bioRevcomp, bioComposition, bioTranslate,
-    codonUsage, alleleSearch)
+    codonUsage, alleleSearch, q2Boundaries)
 }

@@ -111,6 +111,38 @@ class SeqScanSpec extends SparkSpec {
       ("L", "2"), ("L", "3"), ("L", "10"), ("L", "5"), ("M", "7")))
   }
 
+  test("predictAlleleEnds: forward/reverse extension, full-cover passthrough") {
+    // local match at contig [11,14] (A=4) of an 8-base allele
+    val m = Seq(
+      // forward, allele coords 3..6: extend left past the 2 skipped bases
+      (11L, 14L, 3L, 6L, false, 8L, 4L),
+      // reverse, allele coords 6..3 (descending): prefix maps rightward
+      (11L, 14L, 6L, 3L, true, 8L, 4L),
+      // A == L: match already covers the allele
+      (11L, 18L, 1L, 8L, false, 8L, 8L))
+      .toDF("start", "end", "sstart", "send", "reverse", "len", "aln")
+    val got = m.select(
+        SeqScan.predictedStart(col("start"), col("sstart"), col("send"),
+          col("reverse"), col("len"), col("aln")).as("ps"),
+        col("end"), col("len"), col("aln"))
+      .select(col("ps"),
+        SeqScan.predictedEnd(col("ps"), col("end"), col("len"), col("aln"))
+          .as("pe"))
+      .as[(Long, Long)].collect().toList
+    assert(got == List((9L, 16L), (9L, 16L), (11L, 18L)))
+  }
+
+  test("flankedSeq: clamps at contig edges, revcomps reverse matches") {
+    val df = Seq(("AACCGGTTAACC", 5L, 8L, false),
+                 ("AACCGGTTAACC", 5L, 8L, true),
+                 ("AACCGGTTAACC", 2L, 11L, false))
+      .toDF("contig", "ps", "pe", "rev")
+    val got = df.select(SeqScan.flankedSeq(col("contig"), col("ps"),
+        col("pe"), col("rev"), 3).as("s"))
+      .as[String].collect().toList
+    assert(got == List("ACCGGTTAAC", "GTTAACCGGT", "AACCGGTTAACC"))
+  }
+
   test("mutationScan classifies wild-type / variant / other") {
     val seqs = Seq((1L, "ACGTA"), (2L, "ACGTG"), (3L, "ACGTC"), (4L, "AC"))
       .toDF("sid", "seq")
