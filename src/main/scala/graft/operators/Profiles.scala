@@ -47,6 +47,30 @@ object Profiles {
       _ => warehouse(fact, entity, locus, allele, nLoci).cache())
   }
 
+  private val stDimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The (profile_md5 → st) numbering dimension over a warehouse —
+    * memoized BESIDE the warehouse it derives from: ST numbering is a
+    * definition-order property of the scheme, not of any one query (the
+    * reference materializes it in the mv_scheme tables and every lookup
+    * reads it), yet rebuilt per query it costs a full defs aggregation
+    * plus the two-phase numbering each time. One build per (session, key);
+    * output (profile_md5, first_iso, st).
+    */
+  def cachedStDim(key: String, warehouse: DataFrame,
+      entity: String): DataFrame = {
+    stDimCache.entrySet.removeIf(
+      _.getValue.sparkSession.sparkContext.isStopped)
+    stDimCache.computeIfAbsent(
+      graft.Tables.sessionKey(warehouse.sparkSession) + "|" + key,
+      _ => {
+        val defs = warehouse.groupBy(col("profile_md5"))
+          .agg(min(col(entity)).as("first_iso"))
+        Numbering.numberBySort(defs, "first_iso", "st").cache()
+      })
+  }
+
   /** Build the profile warehouse from a long designation fact.
     *
     * Loci are integer positions 1..nLoci (the reference keeps a

@@ -72,11 +72,10 @@ object ProfileQueries extends QueryModule {
     "j6_st_assign",
     (s, dir) => {
       val w = wh(s, dir)
-      val defs = w.groupBy(col("profile_md5"))
-        .agg(min(col("l_orderkey")).as("first_iso"))
       // first_iso is unique across profiles (an isolate has one profile),
-      // so dense numbering by first_iso = plain 1..n numbering
-      val sts = graft.operators.Numbering.numberBySort(defs, "first_iso", "st")
+      // so dense numbering by first_iso = plain 1..n numbering; the
+      // dimension is session-cached beside the warehouse it derives from
+      val sts = Profiles.cachedStDim(s"$dir/full", w, "l_orderkey")
       // ST dimension broadcast: classic MLST defines ~10^4 STs (7 loci,
       // Constants.pm MAX_LOCI_NON_CACHE_SCHEME=30 bounds this family), so
       // the (md5 → st) map is MBs and the isolate fact stays unshuffled.
@@ -268,9 +267,7 @@ object ProfileQueries extends QueryModule {
     "api_batch_profiles",
     (s, dir) => {
       val w = wh(s, dir)
-      val defs = w.groupBy(col("profile_md5"))
-        .agg(min(col("l_orderkey")).as("first_iso"))
-      val sts = graft.operators.Numbering.numberBySort(defs, "first_iso", "st")
+      val sts = Profiles.cachedStDim(s"$dir/full", w, "l_orderkey")
       val batch = w.filter(col("l_orderkey") <= 30)
         .select(col("l_orderkey").as("row_id"),
           when(col("l_orderkey") % 3 === 0,
