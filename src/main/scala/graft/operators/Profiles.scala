@@ -42,9 +42,19 @@ object Profiles {
     // blocks); sessionKey is reuse-proof across session churn
     warehouseCache.entrySet.removeIf(
       _.getValue.sparkSession.sparkContext.isStopped)
+    // range-partitioned + sorted by the entity key before caching: the
+    // columnar cache keeps min/max stats per batch, so keyed readers
+    // (j7's id slice, batch lookups, pagination) decompress ONE batch
+    // instead of every partition — a hash-partitioned cache spreads every
+    // key range over all partitions and defeats batch pruning. Same move
+    // as clustering a materialized view on its primary key; one extra
+    // exchange at build time, once per session.
     warehouseCache.computeIfAbsent(
       graft.Tables.sessionKey(fact.sparkSession) + "|" + key,
-      _ => warehouse(fact, entity, locus, allele, nLoci).cache())
+      _ => warehouse(fact, entity, locus, allele, nLoci)
+        .repartitionByRange(col(entity))
+        .sortWithinPartitions(col(entity))
+        .cache())
   }
 
   private val stDimCache =

@@ -103,10 +103,14 @@ object ProfileQueries extends QueryModule {
       val w = wh(s, dir).filter(col("l_orderkey") < 40)
       val a = w.select(col("l_orderkey").as("iso1"), col("profile").as("p1"))
       val b = w.select(col("l_orderkey").as("iso2"), col("profile").as("p2"))
+      // output is the bounded pair slice (<40 isolates → 780 rows): a
+      // single-partition sort skips the range-sampling pass that would
+      // re-execute the join child; total order is preserved
       a.join(b, col("iso1") < col("iso2"))
         .select(col("iso1"), col("iso2"),
           Profiles.profileDiff(col("p1"), col("p2")).cast("long").as("ndiff"))
-        .orderBy(col("iso1"), col("iso2"))
+        .repartition(1)
+        .sortWithinPartitions(col("iso1"), col("iso2"))
     },
     Some("""WITH d AS (SELECT l_orderkey, l_linenumber,
                               min(CAST(l_suppkey AS VARCHAR)) AS a
@@ -193,12 +197,15 @@ object ProfileQueries extends QueryModule {
     "g6_presence_matrix",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
+      // presence = one bit per locus, folded with bit_or — a single
+      // long-buffer aggregate instead of the 7-count pivot (the e2dcd2e
+      // bitmask idiom; the orderBy's range-sampling pass re-executes the
+      // child, so halving the agg cost pays twice)
       li.groupBy(col("l_orderkey"))
-        .pivot("l_linenumber", (1 to NLoci).map(_.toString))
-        .agg(count(lit(1)))
+        .agg(bit_or(expr("shiftleft(1L, l_linenumber)")).as("__mask"))
         .select(col("l_orderkey") +:
-          (1 to NLoci).map(i => (col(i.toString) > 0).as(s"locus$i")): _*)
-        .na.fill(false)
+          (1 to NLoci).map(i =>
+            (expr(s"(__mask >> $i) & 1") === 1).as(s"locus$i")): _*)
         .orderBy(col("l_orderkey"))
     },
     Some("""SELECT l_orderkey,
