@@ -93,21 +93,24 @@ object GenomeComparator {
       excludeMissingPairwise: Boolean,
       truncatedPairwiseSame: Boolean,
       maxRecords: Int = 1000): DataFrame = {
-    // cache (lazy), not localCheckpoint (eager disk write): the profile
-    // aggregation runs once — materialized by the size probe, reused by
-    // the pair join — and ≤ maxRecords rows ever occupy the cache
-    val prof = statusProfiles(status, entityCol, locusCol).cache()
     // The pair join's OUTPUT is O(n²) by definition (the reference emits
     // the full lower triangle), so n must be a bounded user selection —
     // the reference enforces MAX_GENOMES=1000 (GenomeComparator.pm:46).
-    // One tiny count over the already-aggregated profiles, then fail
-    // loudly rather than melt the cluster; corpus-scale similarity is
-    // Profiles.similarityJoin (g1_distance_matrix).
-    val n = prof.count()
-    require(n <= maxRecords,
-      s"distance matrix selection has $n records (cap $maxRecords, " +
-        "reference MAX_GENOMES) — use the bucketed similarity join for " +
+    // Materialize the ≤maxRecords profiles ONCE (capped fetch, so an
+    // over-sized selection fails after maxRecords+1 rows, not a full
+    // count) and re-inline them as a LOCAL relation: the aggregation
+    // runs exactly once, there is no cache handle to leak in a
+    // long-lived session, and both sides of the pair join broadcast
+    // naturally. Corpus-scale similarity is Profiles.similarityJoin
+    // (g1_distance_matrix).
+    val profPlan = statusProfiles(status, entityCol, locusCol)
+    val collected = profPlan.limit(maxRecords + 1).collect()
+    require(collected.length <= maxRecords,
+      s"distance matrix selection exceeds cap $maxRecords (reference " +
+        "MAX_GENOMES) — use the bucketed similarity join for " +
         "corpus-scale work")
+    val prof = profPlan.sparkSession.createDataFrame(
+      java.util.Arrays.asList(collected: _*), profPlan.schema)
     val x = prof.select(col(entityCol).as("src"), col("profile").as("_px"))
     val y = prof.select(col(entityCol).as("dst"), col("profile").as("_py"))
     def contrib(a: Column, b: Column): Column = {

@@ -31,16 +31,19 @@ object Pcr {
     'M' -> "AC", 'B' -> "CGT", 'D' -> "AGT", 'H' -> "ACT", 'V' -> "ACG",
     'N' -> "ACGT")
 
-  /** Expand a degenerate primer into concrete ACGT variants. */
+  /** Expand a degenerate primer into concrete ACGT variants. The cap is
+    * enforced INSIDE the fold — a wobble-heavy primer (15 Ns = 4^15
+    * strings) must fail before allocating the cross-product, not after.
+    */
   def expand(primer: String, maxVariants: Int = 64): Seq[String] = {
     val variants = primer.trim.toUpperCase.foldLeft(Seq("")) { (acc, ch) =>
       val opts = Iupac.getOrElse(ch, throw new IllegalArgumentException(
         s"primer contains non-IUPAC base '$ch'"))
+      require(acc.size.toLong * opts.length <= maxVariants,
+        s"primer expands past $maxVariants variants — too many wobble " +
+          "bases (reference MAX_WOBBLE_PERCENT posture)")
       for (p <- acc; o <- opts) yield p + o
     }
-    require(variants.size <= maxVariants,
-      s"primer expands to ${variants.size} variants (cap $maxVariants) — " +
-        "too many wobble bases (reference MAX_WOBBLE_PERCENT posture)")
     variants
   }
 

@@ -469,11 +469,18 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
       .sortBy(_._1).toIndexedSeq
     for (_ <- 0 until iters) {
+      // centroid mean via EXACT decimal sums: double summation order
+      // depends on partitioning, and a ulp near an argmin tie would flip
+      // assignments between runs (and against the DuckDB oracle). Each
+      // component rounds once to DECIMAL(38,18) — deterministic per
+      // element — the sum is exact integer arithmetic (order-free), and
+      // one cast back to double + one division close it out.
       val updated = v.select(col("__vid"), col("__v"),
           kmeansBest(col("__v"), cents).getField("list_id").as("list_id"))
         .groupBy(col("list_id"))
         .agg(array((0 until dim).map(i =>
-          avg(element_at(col("__v"), i + 1))): _*).as("cvec"))
+          sum(element_at(col("__v"), i + 1).cast("decimal(38,18)"))
+            .cast("double") / count(lit(1))): _*).as("cvec"))
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
         .toMap

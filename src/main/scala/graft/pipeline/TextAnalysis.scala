@@ -219,8 +219,12 @@ object TextAnalysis {
         split(lower(trim(col(text))), "\\s+").as("__w"))
       .select(col("__did"), size(col("__w")).cast("double").as("__dl"),
         col("__w"))
+    // avgdl from the EXACT integer length total (one division at the
+    // end): avg() over doubles sums in partition order, and a ulp there
+    // shifts every score
     val Array(n, avgdl) = withLen
-      .agg(count(lit(1)).cast("double"), avg(col("__dl")))
+      .agg(count(lit(1)).cast("double"),
+        sum(col("__dl").cast("long")).cast("double") / count(lit(1)))
       .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
     val dfs = withLen
       .select(col("__did"), explode(col("__w")).as("word"))
@@ -268,8 +272,10 @@ object TextAnalysis {
       .filter(col("word").isin(queryTerms.map(_.toLowerCase): _*))
       .groupBy(col("__did"), col("__dl"), col("word"))
       .agg(count(lit(1)).cast("double").as("__tf"))
+    // exact integer length total, one division — see bm25Stats
     val stats = withLen.agg(count(lit(1)).cast("double").as("__n"),
-      avg(col("__dl")).as("__avgdl"))
+      (sum(col("__dl").cast("long")).cast("double") / count(lit(1)))
+        .as("__avgdl"))
     val dfs = hits.groupBy(col("word"))
       .agg(count(lit(1)).cast("double").as("__df"))
     hits
@@ -281,8 +287,14 @@ object TextAnalysis {
           / (col("__tf") + lit(k1) *
              (lit(1) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
       .groupBy(col("__did"))
-      .agg(sum(col("__s")).as("score"))
-      .select(col("__did").as(id), col("score"))
+      // per-doc term scores fold in SORTED-TERM order (the per-doc term
+      // list is bounded by the query size): a plain sum() adds in
+      // partition order, which can differ run-to-run and from the oracle
+      .agg(sort_array(collect_list(struct(col("word"), col("__s"))))
+        .as("__ts"))
+      .select(col("__did").as(id),
+        aggregate(col("__ts"), lit(0.0),
+          (acc, x) => acc + x.getField("__s")).as("score"))
       .orderBy(col("score").desc, col(id))
       .limit(k)
   }

@@ -391,7 +391,7 @@ object SimilarityQueries extends QueryModule {
        c1 AS (SELECT c0.list_id, coalesce(nn.cvec, c0.cvec) AS cvec
               FROM c0 LEFT JOIN (
                 SELECT list_id, list(cx ORDER BY i) AS cvec FROM (
-                  SELECT list_id, i, avg(v[i]) AS cx
+                  SELECT list_id, i, CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS cx
                   FROM a0, range(1, 65) t(i) GROUP BY 1, 2) GROUP BY 1)
                 nn USING (list_id)),
        d1 AS (SELECT e.vec_id, e.v, c.list_id,
@@ -405,7 +405,7 @@ object SimilarityQueries extends QueryModule {
        c2 AS (SELECT c1.list_id, coalesce(nn.cvec, c1.cvec) AS cvec
               FROM c1 LEFT JOIN (
                 SELECT list_id, list(cx ORDER BY i) AS cvec FROM (
-                  SELECT list_id, i, avg(v[i]) AS cx
+                  SELECT list_id, i, CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS cx
                   FROM a1, range(1, 65) t(i) GROUP BY 1, 2) GROUP BY 1)
                 nn USING (list_id))"""
 
@@ -498,7 +498,7 @@ object SimilarityQueries extends QueryModule {
         c1_$sfx AS (SELECT c0.list_id, coalesce(nn.cvec, c0.cvec) AS cvec
                     FROM c0_$sfx c0 LEFT JOIN (
                       SELECT list_id, list(cx ORDER BY i) AS cvec FROM (
-                        SELECT list_id, i, avg(v[i]) AS cx
+                        SELECT list_id, i, CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS cx
                         FROM a0_$sfx, $rng t(i) GROUP BY 1, 2) GROUP BY 1)
                       nn USING (list_id)),
         d1_$sfx AS (SELECT s.vec_id, s.v, c.list_id,
@@ -511,7 +511,7 @@ object SimilarityQueries extends QueryModule {
         c2_$sfx AS (SELECT c1.list_id, coalesce(nn.cvec, c1.cvec) AS cvec
                     FROM c1_$sfx c1 LEFT JOIN (
                       SELECT list_id, list(cx ORDER BY i) AS cvec FROM (
-                        SELECT list_id, i, avg(v[i]) AS cx
+                        SELECT list_id, i, CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS cx
                         FROM a1_$sfx, $rng t(i) GROUP BY 1, 2) GROUP BY 1)
                       nn USING (list_id)),
         dc_$sfx AS (SELECT s.vec_id, c.list_id,

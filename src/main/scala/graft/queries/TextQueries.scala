@@ -441,7 +441,10 @@ object TextQueries extends QueryModule {
                      string_split_regex(lower(trim(text)), '\s+') AS w
               FROM documents),
             dl AS (SELECT doc_id, len(w)::DOUBLE AS dl, w FROM t),
-            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            stats AS (SELECT count(*)::DOUBLE AS n,
+                             CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE)
+                               / count(*) AS avgdl
+                      FROM dl),
             hits AS (
               SELECT doc_id, dl, word, count(*)::DOUBLE AS tf
               FROM (SELECT doc_id, dl, unnest(w) AS word FROM dl)
@@ -449,12 +452,14 @@ object TextQueries extends QueryModule {
               GROUP BY 1, 2, 3),
             dfs AS (SELECT word, count(*)::DOUBLE AS df FROM hits GROUP BY 1),
             scored AS (
-              SELECT h.doc_id,
-                     sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+              -- per-doc fold in sorted-term order, mirroring the engine
+              SELECT doc_id, list_sum(list(s ORDER BY word)) AS score FROM (
+                SELECT h.doc_id, h.word,
+                       ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
                          * h.tf * (1.2 + 1)
-                         / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl)))
-                       AS score
-              FROM hits h JOIN dfs d USING (word), stats s
+                         / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / st.avgdl))
+                         AS s
+                FROM hits h JOIN dfs d USING (word), stats st)
               GROUP BY 1)
             SELECT doc_id, round(score, 4) AS score FROM (
               SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)

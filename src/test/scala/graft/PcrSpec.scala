@@ -11,6 +11,8 @@ class PcrSpec extends SparkSpec {
     assert(Pcr.expand("ATR").toSet == Set("ATA", "ATG"))
     assert(Pcr.expand("NN").size == 16)
     intercept[IllegalArgumentException](Pcr.expand("NNNN", maxVariants = 64))
+    // cap fires INSIDE the fold: 4^30 variants must fail fast, not OOM
+    intercept[IllegalArgumentException](Pcr.expand("N" * 30))
     intercept[IllegalArgumentException](Pcr.expand("AXT"))
   }
 
