@@ -172,6 +172,35 @@ class StreamingSpec extends SparkSpec {
       streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("PQ encode compresses a vector stream exactly like batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.1f, 5.0f, 5.1f)), (2L, Seq(10.0f, 10.0f, 0.2f, 0.1f)),
+      (3L, Seq(0.1f, 0.0f, 5.1f, 5.0f)), (4L, Seq(10.1f, 9.9f, 0.0f, 0.3f)),
+      (5L, Seq(0.05f, 0.05f, 4.9f, 5.2f)), (6L, Seq(9.9f, 10.1f, 0.1f, 0.2f)))
+    val batchDf = vecs.toDF("vec_id", "embedding")
+    // train per-subspace codebooks on the batch corpus; encoding under the
+    // frozen model is ONE narrow projection — the stream encoder on ingest
+    val model = graft.pipeline.Similarity.pqTrain(
+      batchDf, "vec_id", "embedding", m = 2, dim = 4, k = 2, iters = 2)
+    def encode(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Similarity.pqEncode(df, "vec_id", "embedding", model)
+    val in = MemoryStream[(Long, Seq[Float])]
+    in.addData(vecs: _*)
+    val q = encode(in.toDF.toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("stream_pq_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_pq_sink")
+    val batch = encode(batchDf)
+    assert(streamed.count() == 6 &&
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the codes genuinely separate the two clusters per subspace
+    assert(batch.select("code_1").distinct().count() == 2)
+  }
+
   test("boilerplate strip under a frozen dim runs unchanged on a doc stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
