@@ -377,33 +377,92 @@ object Clustering {
     * Distances are computed IN SPARK (the O(n²·L) part — batched broadcast
     * joins, same shape as [[assignLinCodes]]) and collected as an n²/2
     * float triangle for the driver-side traversal — float32, matching the
-    * reference's `float` PDL matrix, and the same driver-memory posture as
-    * its in-RAM/mmap'd dismat (the profile DIMENSION, not the isolate
-    * fact). Order: ascending id among retained profiles before traversal.
+    * reference's `float` PDL matrix. The triangle lives on the heap while
+    * it fits and spills to a memory-mapped temp file beyond
+    * `mmapThreshold` profiles (the reference's in-RAM → mmap'd dismat
+    * fallback, exactly) — no hard profile ceiling; the explicit bound is
+    * the 2 TiB spill file. Order: ascending id among retained profiles
+    * before traversal.
     */
+  /** Random-access (i<j) float triangle: heap array for the common case,
+    * spilled to a memory-mapped temp file above `mmapThreshold` profiles —
+    * the SAME fallback the reference takes when its PDL dismat outgrows
+    * RAM (lincodes.pl mmap posture). Identical traversal semantics either
+    * way; the mmap path trades driver heap (n=200k would need 80 GiB) for
+    * a disk file the OS pages.
+    */
+  private sealed trait TriStore {
+    def get(idx: Long): Float
+    def set(idx: Long, v: Float): Unit
+    def close(): Unit
+  }
+
+  private final class HeapTri(pairs: Int) extends TriStore {
+    private val a = new Array[Float](pairs)
+    def get(idx: Long): Float = a(idx.toInt)
+    def set(idx: Long, v: Float): Unit = a(idx.toInt) = v
+    def close(): Unit = ()
+  }
+
+  private final class MmapTri(pairs: Long) extends TriStore {
+    // 256 MiB chunks (multiple of 4 bytes) keep each mapping well under
+    // the 2 GiB MappedByteBuffer limit
+    private val ChunkBytes = 1L << 28
+    private val file = java.io.File.createTempFile("graft-prim-tri", ".bin")
+    file.deleteOnExit()
+    private val raf = new java.io.RandomAccessFile(file, "rw")
+    raf.setLength(pairs * 4L)
+    private val chan = raf.getChannel
+    private val chunks = Array.tabulate(
+      ((pairs * 4L + ChunkBytes - 1) / ChunkBytes).toInt) { c =>
+      val off = c.toLong * ChunkBytes
+      chan.map(java.nio.channels.FileChannel.MapMode.READ_WRITE, off,
+        math.min(ChunkBytes, pairs * 4L - off))
+    }
+    def get(idx: Long): Float = {
+      val b = idx * 4L
+      chunks((b / ChunkBytes).toInt).getFloat((b % ChunkBytes).toInt)
+    }
+    def set(idx: Long, v: Float): Unit = {
+      val b = idx * 4L
+      chunks((b / ChunkBytes).toInt).putFloat((b % ChunkBytes).toInt, v)
+    }
+    def close(): Unit = { chan.close(); raf.close(); file.delete() }
+  }
+
   def primOrder(
       wh: DataFrame,
       entity: String,
       maxMissing: Int = Int.MaxValue,
-      batchSize: Int = 4096): Seq[Long] = {
+      batchSize: Int = 4096,
+      mmapThreshold: Int = 46000): Seq[Long] = {
     val spark = wh.sparkSession
     import spark.implicits._
     val base = bulkProjection(wh, entity, maxMissing)
     val ids = base.select(col("__id")).as[Long].collect().sorted
     val n = ids.length
-    // the traversal needs random access to the full n²/2 triangle; bound
-    // the driver allocation explicitly (the reference hits the same wall
-    // and falls back to an mmap'd matrix — here the right tool above the
-    // cap is incremental assignLinCodes, which never materializes one)
-    require(n <= 50000,
-      s"primOrder: $n profiles need a ${n.toLong * n / 2 * 4 / (1 << 20)} MiB " +
-        "driver triangle; above 50000 profiles use incremental " +
-        "assignLinCodes (ascending-id order) instead")
     if (n <= 1) return ids.toSeq
+    val pairs = n.toLong * (n - 1) / 2
+    // heap triangle while it fits (<= ~4 GiB at the default threshold),
+    // mmap'd spill file beyond — no hard profile ceiling; the disk bound
+    // (pairs × 4 B) is the honest limit and fails with a clear message
+    require(pairs * 4L <= (2L << 40),
+      s"primOrder: $n profiles need a ${pairs * 4L >> 30} GiB triangle " +
+        "spill — use incremental assignLinCodes (ascending-id order)")
+    val tri: TriStore =
+      if (n <= mmapThreshold) new HeapTri(pairs.toInt) else new MmapTri(pairs)
+    try primTraverse(ids, n, tri, base, batchSize, spark)
+    finally tri.close()
+  }
+
+  private def primTraverse(
+      ids: Array[Long], n: Int, tri: TriStore, base: DataFrame,
+      batchSize: Int,
+      spark: org.apache.spark.sql.SparkSession): Seq[Long] = {
+    import spark.implicits._
     val posDf = ids.zipWithIndex.toSeq.toDF("__id", "__pos")
     val prof = base.join(broadcast(posDf), Seq("__id"))
       .select(col("__pos"), col("__prof"))
-    val tri = new Array[Float](n * (n - 1) / 2) // (i<j) at j(j-1)/2 + i
     (0 until n).grouped(math.max(batchSize, 1)).foreach { batch =>
       val hi = batch.last
       val a = prof.filter(col("__pos") >= batch.head && col("__pos") <= hi)
@@ -412,10 +471,11 @@ object Clustering {
         .select(col("b.__pos").as("i"), col("a.__pos").as("j"),
           refDistCol(col("a.__prof"), col("b.__prof")).cast("float").as("d"))
         .as[(Int, Int, Float)].collect()
-        .foreach { case (i, j, d) => tri(j * (j - 1) / 2 + i) = d }
+        .foreach { case (i, j, d) => tri.set(j.toLong * (j - 1) / 2 + i, d) }
     }
     def dist(i: Int, j: Int): Float =
-      if (i < j) tri(j * (j - 1) / 2 + i) else tri(i * (i - 1) / 2 + j)
+      if (i < j) tri.get(j.toLong * (j - 1) / 2 + i)
+      else tri.get(i.toLong * (i - 1) / 2 + j)
     // initial pair: global min, ties to lexicographically smallest (i, j)
     var bi = 0; var bj = 1; var bd = Float.MaxValue
     var i = 0

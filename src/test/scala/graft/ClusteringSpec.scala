@@ -244,6 +244,19 @@ class ClusteringSpec extends SparkSpec {
       Seq(1L, 5L, 2L, 3L, 4L))
   }
 
+  test("primOrder: mmap-spilled triangle traverses identically to heap") {
+    // 60 distinct profiles, mmapThreshold=2 forces the spill path (the
+    // 50k heap ceiling is gone — the same traversal runs over the
+    // memory-mapped triangle); results must match the heap path bit-for-bit
+    val f = (1 to 60).map(i =>
+      (i.toLong, Seq((i % 7).toString, (i % 5).toString,
+        (i % 3).toString, (i / 10).toString)))
+      .toDF("iso", "profile")
+    val heap = Clustering.primOrder(f, "iso")
+    val spilled = Clustering.primOrder(f, "iso", mmapThreshold = 2)
+    assert(heap == spilled && heap.length == 60)
+  }
+
   test("primOrder: maxMissing gate excludes N-heavy profiles") {
     val f = Seq(
       (1, Seq("1", "1", "1", "1")), (2, Seq("1", "1", "1", "2")),
