@@ -41,6 +41,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(a, b) => functions.Vectors.JaccardSim(a, b) })
     inject(ext, "simhash64", "64-bit SimHash over an array of shingle hashes",
       { case Seq(a) => functions.Vectors.SimHash64(a) })
+    // aggregate: the bounded per-group bottom-k behind the two-phase ANN
+    // rank — SQL callers get the same k-bounded partial buffers
+    // (bottom_k(struct, k) -> ascending array of the k smallest)
+    inject(ext, "bottom_k", "k smallest values per group as an ascending array",
+      { case Seq(child, k) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollect
+          .topK(child,
+            org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollect
+              .literalInt(k, "bottom_k"),
+            reverse = true) })
   }
 }
 

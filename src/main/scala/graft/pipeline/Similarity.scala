@@ -208,11 +208,14 @@ object Similarity {
     val scored = assigned.join(probes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    // bounded two-phase rank (see bottomK): with corpus-scale query sets
+    // (mutualKnnGraph) a per-query window would shuffle every scored
+    // candidate; the bounded aggregation shuffles k per (query, task)
+    explodeRanked(scored.groupBy(col("query_id"))
+        .agg(bottomK(
+          struct((-col("cos")).as("neg"), col("neighbor_id")), k).as("__tk")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        (-col("__t.neg")).as("cos"), col("rank"))
   }
 
   /** Mutual-kNN graph over the corpus — the seed structure for
@@ -414,11 +417,12 @@ object Similarity {
       .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
       .join(c.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    // bounded two-phase rank (see bottomK) over the pruned candidates
+    explodeRanked(scored.groupBy(col("query_id"))
+        .agg(bottomK(
+          struct((-col("cos")).as("neg"), col("neighbor_id")), k).as("__tk")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        (-col("__t.neg")).as("cos"), col("rank"))
   }
 
   /** Lloyd's k-means over the embedding column — the centroid TRAINING

@@ -112,7 +112,8 @@ object SeqSearchQueries extends QueryModule {
   // Plugins/SequenceSimilarity.pm: the ranked top-N neighbours of a query
   // sequence (reference default num_results=10; 5 here). Same scoring
   // core as q2_best_partial, widened from the min-struct top-1 to a
-  // per-query rank window (partitioned by query — no global sort).
+  // bounded per-query top-N aggregation (CollectTopK — no rank window,
+  // no global sort).
   private val q2TopnSimilar = Q(
     "q2_topn_similar",
     (s, dir) => {
@@ -124,12 +125,14 @@ object SeqSearchQueries extends QueryModule {
           substring(col("text"), 1, 40).as("q_seq"))
       val scored = lib.join(broadcast(queries), col("query_id") =!= col("lib_id"))
         .withColumn("dist", levenshtein(col("q_seq"), col("lib_seq")).cast("long"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("dist"), col("lib_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("lib_id"), col("dist"), col("rank"))
+      // bounded two-phase top-N: the scored set is the full library per
+      // query — a per-query rank window would funnel it into one task
+      scored.groupBy(col("query_id"))
+        .agg(org.apache.spark.sql.graft.ColumnBridge.collectBottomK(
+          struct(col("dist"), col("lib_id")), 5).as("__tk"))
+        .select(col("query_id"), posexplode(col("__tk")).as(Seq("__i", "__t")))
+        .select(col("query_id"), col("__t.lib_id").as("lib_id"),
+          col("__t.dist").as("dist"), (col("__i") + 1).cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
     Some("""SELECT query_id, lib_id, dist, rank FROM (

@@ -504,12 +504,11 @@ object TextQueries extends QueryModule {
   // text_unigram_surprisal, so scores are INTEGERS and the ranking is
   // bit-identical in any engine — no float log crosses the oracle. The
   // term-document reduce and the df reduce are both map-side combinable;
-  // the df dimension (vocabulary-sized) broadcasts back; the top-3 window
-  // partitions by doc — thousands of tiny windows, never a global sort.
+  // the df dimension (vocabulary-sized) broadcasts back; the per-doc
+  // top-3 is a bounded CollectTopK aggregation — never a global sort.
   private val textTfidfTopk = Q(
     "text_tfidf_topk",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
       val w = docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
@@ -525,12 +524,16 @@ object TextQueries extends QueryModule {
         .withColumn("score",
           col("tf") * (length(bin(col("n_docs"))) - length(bin(col("df"))))
             .cast("long"))
-      val rank = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("term"))
-      scored.withColumn("rank", row_number().over(rank).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
-          col("score"))
+      // bounded per-doc top-3 (CollectTopK): the window form shuffled
+      // every (doc, term) row; this shuffles at most 3 per (doc, task)
+      scored.groupBy(col("doc_id"))
+        .agg(org.apache.spark.sql.graft.ColumnBridge.collectBottomK(
+          struct((-col("score")).as("neg"), col("term"), col("tf")), 3)
+          .as("__tk"))
+        .select(col("doc_id"), posexplode(col("__tk")).as(Seq("__i", "__t")))
+        .select(col("doc_id"), (col("__i") + 1).cast("long").as("rank"),
+          col("__t.term").as("term"), col("__t.tf").as("tf"),
+          (-col("__t.neg")).as("score"))
         .orderBy(col("doc_id"), col("rank"))
     },
     Some("""WITH w AS (

@@ -15,4 +15,11 @@ object GraftCollect {
     */
   def topK(child: Expression, num: Int, reverse: Boolean): AggregateFunction =
     CollectTopK(child, num, reverse)
+
+  /** Fold a SQL literal argument to the Int CollectTopK needs (the same
+    * contract as Spark's own expressionToNum, re-exported for the
+    * `bottom_k` SQL registration).
+    */
+  def literalInt(e: Expression, fn: String): Int =
+    CollectTopK.expressionToNum(e)
 }

@@ -36,4 +36,13 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT simhash64(array(1L, 3L)) AS s").collect()(0)
     assert(r.getLong(0) == 1L)
   }
+
+  test("bottom_k aggregate resolves in SQL with bounded per-group buffers") {
+    val r = spark.sql(
+      """SELECT g, bottom_k(v, 2) AS b FROM VALUES
+           (1, 5), (1, 1), (1, 3), (2, 9), (2, 7) AS t(g, v)
+         GROUP BY g ORDER BY g""").collect()
+    assert(r(0).getSeq[Int](1) == Seq(1, 3))
+    assert(r(1).getSeq[Int](1) == Seq(7, 9))
+  }
 }

@@ -55,7 +55,9 @@ class PlanSpec extends SparkSpec {
     // funnels the entire scored corpus into ONE task per query. The fix is
     // CollectTopK partial aggregation (k-bounded buffers map-side); a
     // Window in these plans is the 100 TB scale-killer regressing.
-    for (q <- Seq("sim_cosine_topk", "sim_quantized", "sim_pq")) {
+    for (q <- Seq("sim_cosine_topk", "sim_quantized", "sim_pq",
+        "sim_ivf_ann", "sim_lsh_ann", "q2_topn_similar",
+        "text_tfidf_topk")) {
       val plan = planOf(q)
       assert(!plan.contains("Window"),
         s"$q: per-query window rank over the unpruned corpus:\n${plan.take(3000)}")
@@ -239,12 +241,13 @@ class PlanSpec extends SparkSpec {
       s"expected one shard-key exchange, got $hashExchanges:\n${plan.take(2000)}")
   }
 
-  test("sim_ivf_ann: exactly one window (the candidate rank) — probe cells narrow") {
+  test("sim_ivf_ann: no windows at all — probe cells narrow, rank bounded") {
+    // the probe-cell selection is a narrow array fold and the candidate
+    // rank is a bounded CollectTopK aggregation; ANY window here means one
+    // of them regressed to a per-query/per-vector shuffle
     val plan = planOf("sim_ivf_ann")
-    // count Window OPERATOR nodes ("Window ["), not the WindowGroupLimit
-    // pushdown or windowspecdefinition mentions of the same single window
-    assert("Window \\[".r.findAllIn(plan).size == 1,
-      s"probe-cell selection regressed to a windowed shuffle:\n${plan.take(2000)}")
+    assert("Window \\[".r.findAllIn(plan).isEmpty,
+      s"probe-cell selection or rank regressed to a window:\n${plan.take(2000)}")
   }
 
   test("pcr_products: primer detection is narrow — zero exchanges, no join") {
