@@ -525,19 +525,54 @@ object Similarity {
     */
   final case class PqModel(subs: Seq[(Int, Int, Seq[(Long, Seq[Double])])])
 
-  /** Train per-subspace codebooks — m independent Lloyd sweeps over sliced
-    * projections (each narrow; the corpus never shuffles).
+  /** Train per-subspace codebooks — the m Lloyd sweeps run JOINTLY: every
+    * iteration is ONE corpus pass (subspace assignment is a narrow
+    * projection per slice; the update explodes each row into its m
+    * subvectors and aggregates means keyed on (subspace, cell) — the same
+    * total bytes as m separate sweeps, but one job per round instead of
+    * m). Seeds, assignment tie-breaks, and the exact-decimal means are
+    * identical to running [[kmeansTrain]] per slice, so results and the
+    * per-subspace replay oracles are unchanged. k·m·(dim/m) doubles cross
+    * the driver per round.
     */
   def pqTrain(vecs: DataFrame, id: String, vec: String,
       m: Int, dim: Int, k: Int, iters: Int): PqModel = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val len = dim / m
-    PqModel((0 until m).map { j =>
-      val start = 1 + j * len
-      val sub = vecs.select(col(id),
-        slice(col(vec), start, len).as("__sub"))
-      (start, len, kmeansTrain(sub, id, "__sub", k, len, iters))
-    })
+    val v = vecs.select(col(id).as("__vid"), toDouble(col(vec)).as("__v"))
+    // seeds: first k vectors by id, sliced per subspace (one pass; the
+    // same rows firstNCentroids picks for each sliced projection)
+    val seeds = firstNCentroids(vecs, id, vec, k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    val cents: Array[Seq[(Long, Seq[Double])]] = Array.tabulate(m) { j =>
+      seeds.map { case (lid, c) => (lid, c.slice(j * len, (j + 1) * len)) }
+    }
+    for (_ <- 0 until iters) {
+      val subCols = (0 until m).map { j =>
+        val sv = slice(col("__v"), 1 + j * len, len)
+        struct(lit(j).as("j"),
+          kmeansBest(sv, cents(j)).getField("list_id").as("list_id"),
+          sv.as("sv"))
+      }
+      val updated = v
+        .select(explode(array(subCols: _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.list_id").as("list_id"),
+          col("e.sv").as("sv"))
+        .groupBy(col("j"), col("list_id"))
+        .agg(array((0 until len).map(i =>
+          sum(element_at(col("sv"), i + 1).cast("decimal(38,18)"))
+            .cast("double") / count(lit(1))): _*).as("cvec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) ->
+          r.getSeq[Double](2).toIndexedSeq)
+        .toMap
+      for (j <- 0 until m)
+        cents(j) = cents(j).map { case (lid, old) =>
+          (lid, updated.getOrElse((j, lid), old))
+        }
+    }
+    PqModel((0 until m).map(j => (1 + j * len, len, cents(j))))
   }
 
   /** Encode: ONE narrow projection emitting every subspace code — the
