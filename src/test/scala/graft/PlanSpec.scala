@@ -66,6 +66,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-7 queries: equi joins only — no cartesian anywhere") {
+    // j12: tags→contigs equi on seqbin_id, introns/flags pre-grouped;
+    // s1_set_view: membership left-semi + broadcast locus dims;
+    // q2_boundaries: broadcast allele lib + contig equi re-join
+    for (q <- Seq("j12_tag_introns", "s1_set_view", "q2_boundaries")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q grew a cartesian:\n${plan.take(2500)}")
+    }
+    assert(planOf("s1_set_view").contains("LeftSemi"),
+      "set_view membership must compose as a semi join")
+  }
+
   test("a1_breakdown: hash aggregate with map-side partial aggregation") {
     val plan = planOf("a1_breakdown")
     val hashAggs = "HashAggregate".r.findAllIn(plan).size
