@@ -523,10 +523,15 @@ object ScanQueries extends QueryModule {
         .select(col("doc_id"), col("start"), col("end"))
       // loci defined from INSIDE the amplicons of the first five
       // product-bearing docs — tags exist both in and out of amplicons,
-      // so the containment filter genuinely separates
-      val libDocs = prods.select(col("doc_id")).distinct()
+      // so the containment filter genuinely separates. The five seed ids
+      // collect driver-side (bounded by construction): leaving them as a
+      // subtree re-ran the whole primer scan a second time for the lib
+      // side — with the orderBy's sampling pass, FOUR primer scans per
+      // execution of this query.
+      val libIds = prods.select(col("doc_id")).distinct()
         .orderBy(col("doc_id")).limit(5)
-      val lib = docs.join(libDocs, Seq("doc_id"), "left_semi")
+        .collect().map(_.getLong(0)).toSeq
+      val lib = docs.filter(col("doc_id").isin(libIds: _*))
         .filter(length(col("dna")) >= 22)
         .select(concat(lit("L"), col("doc_id")).as("locus"),
           lit("1").as("allele_id"),
@@ -534,13 +539,18 @@ object ScanQueries extends QueryModule {
       val hits = SeqScan.exactTagScan(
         docs.filter(length(col("dna")) >= 8), "doc_id", "dna",
         lib, "locus", "allele_id", "allele_seq", overlapping = true)
+      // bounded output (five loci, amplicon-contained tags): a
+      // single-partition sort skips the range sampler that would
+      // re-execute the primer scan + tag scan
       hits.join(prods.withColumnRenamed("doc_id", "p_doc"),
           hits("doc_id") === col("p_doc") &&
             col("start_pos") >= col("start") && col("end_pos") <= col("end"),
           "left_semi")
         .select(col("doc_id"), col("locus"), col("start_pos"),
           col("end_pos"), col("reverse"))
-        .orderBy(col("doc_id"), col("locus"), col("start_pos"), col("reverse"))
+        .repartition(1)
+        .sortWithinPartitions(col("doc_id"), col("locus"), col("start_pos"),
+          col("reverse"))
     },
     Some(s"""WITH $pcrSitesSql,
              lib AS (SELECT 'L' || doc_id AS locus,
@@ -613,7 +623,11 @@ object ScanQueries extends QueryModule {
         .filter(col("n_probes") === nProbes)
         .select(col("cid"), col("locus"), col("start_pos"),
           col("end_pos"), col("reverse"))
-        .orderBy(col("cid"), col("locus"), col("start_pos"), col("reverse"))
+        // bounded output: single-partition sort skips the range sampler
+        // that would re-run both tag scans over the rebuilt long contigs
+        .repartition(1)
+        .sortWithinPartitions(col("cid"), col("locus"), col("start_pos"),
+          col("reverse"))
     },
     Some(s"""WITH d AS (SELECT doc_id, $dnaSql AS dna FROM documents),
              contigs AS (SELECT doc_id // 100 AS cid,
