@@ -138,19 +138,39 @@ object AggQueries extends QueryModule {
     "a7_stats",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
+      // prices are NOT integer-valued, so avg()/stddev_samp() would sum
+      // doubles in partition order — exact DECIMAL sums (one per-row
+      // rounding, order-free addition) feed the mean and the
+      // sum-of-squares sd as deterministic double algebra both engines
+      // evaluate identically
+      val x = col("l_extendedprice")
       li.groupBy(col("l_returnflag")).agg(
-          round(avg(col("l_extendedprice")), 4).as("mean_price"),
-          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
-          round(min(col("l_extendedprice")), 4).as("min_price"),
-          round(max(col("l_extendedprice")), 4).as("max_price"))
+          sum(x.cast("decimal(38,18)")).cast("double").as("__sx"),
+          sum((x * x).cast("decimal(38,18)")).cast("double").as("__sxx"),
+          count(lit(1)).cast("double").as("__n"),
+          round(min(x), 4).as("min_price"),
+          round(max(x), 4).as("max_price"))
+        .select(col("l_returnflag"),
+          round(col("__sx") / col("__n"), 4).as("mean_price"),
+          round(sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n"))
+            / (col("__n") - 1)), 4).as("sd_price"),
+          col("min_price"), col("max_price"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
-                   round(avg(l_extendedprice), 4) AS mean_price,
-                   round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                   round(sx / n, 4) AS mean_price,
+                   round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS sd_price,
+                   min_price, max_price
+            FROM (SELECT l_returnflag,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18)))
+                     AS DOUBLE) AS sx,
+                   CAST(sum(CAST(l_extendedprice * l_extendedprice
+                     AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+                   count(*)::DOUBLE AS n,
                    round(min(l_extendedprice), 4) AS min_price,
                    round(max(l_extendedprice), 4) AS max_price
-            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+                   FROM lineitem GROUP BY l_returnflag)
+            ORDER BY l_returnflag"""))
 
   private val a7Histogram = Q(
     "a7_histogram",

@@ -48,7 +48,11 @@ object MiscQueries extends QueryModule {
         .withColumn("cell", Geo.gridCell(col("gp"), 30.0))
         .groupBy(col("cell.cell_lat").as("cell_lat"),
           col("cell.cell_lon").as("cell_lon"))
-        .agg(count(lit(1)).as("n"), round(avg(col("km")), 2).as("avg_km"))
+        // km values are arbitrary doubles: exact DECIMAL sum + one
+        // division keeps the mean independent of partition order
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("km").cast("decimal(38,18)")).cast("double")
+            / count(lit(1)), 2).as("avg_km"))
         .orderBy(col("cell_lat"), col("cell_lon"))
     },
     Some("""WITH pts AS (
@@ -64,7 +68,9 @@ object MiscQueries extends QueryModule {
               FROM pts)
             SELECT CAST(floor(lat / 30.0) AS INT) AS cell_lat,
                    CAST(floor(lon / 30.0) AS INT) AS cell_lon,
-                   count(1) AS n, round(avg(km), 2) AS avg_km
+                   count(1) AS n,
+                   round(CAST(sum(CAST(km AS DECIMAL(38,18))) AS DOUBLE)
+                         / count(*), 2) AS avg_km
             FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   // Spatial distance join (the "isolates within D km of a site" shape):

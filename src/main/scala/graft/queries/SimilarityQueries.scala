@@ -43,9 +43,12 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id"), col("label"),
           Similarity.toDouble(col("embedding")).as("v"))
       val dim = 64
+      // exact DECIMAL component sums (order-free) — a plain double sum
+      // adds in partition order and could drift a rounded cosine
       val sums = emb.groupBy(col("label")).agg(
         array((0 until dim).map(i =>
-          sum(element_at(col("v"), i + 1))): _*).as("vsum"),
+          sum(element_at(col("v"), i + 1).cast("decimal(38,18)"))
+            .cast("double")): _*).as("vsum"),
         count(lit(1)).as("n"))
       val centroids = sums.select(col("label"),
         transform(col("vsum"), x => x / col("n")).as("centroid"))
@@ -58,15 +61,22 @@ object SimilarityQueries extends QueryModule {
               SELECT vec_id, label, i, embedding[i]::DOUBLE AS x
               FROM embeddings, range(1, 65) t(i)),
             cent AS (
-              SELECT label, i, avg(x) AS cx
+              -- exact decimal sums + ordered list folds mirror the
+              -- engine's sequential cosine kernel exactly
+              SELECT label, i,
+                     CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+                       / count(*) AS cx
               FROM exploded GROUP BY label, i),
+            cl AS (SELECT label, list(cx ORDER BY i) AS cv
+                   FROM cent GROUP BY label),
+            ev AS (SELECT vec_id, label, list(x ORDER BY i) AS v
+                   FROM exploded GROUP BY vec_id, label),
             joined AS (
               SELECT e.vec_id, e.label,
-                     sum(e.x * c.cx) AS dot,
-                     sqrt(sum(e.x * e.x)) AS ne,
-                     sqrt(sum(c.cx * c.cx)) AS nc
-              FROM exploded e JOIN cent c ON e.label = c.label AND e.i = c.i
-              GROUP BY e.vec_id, e.label)
+                     list_dot_product(e.v, c.cv) AS dot,
+                     sqrt(list_dot_product(e.v, e.v)) AS ne,
+                     sqrt(list_dot_product(c.cv, c.cv)) AS nc
+              FROM ev e JOIN cl c USING (label))
             SELECT vec_id, label,
                    round(CASE WHEN ne * nc > 0 THEN dot / (ne * nc) ELSE 0.0 END, 4)
                      AS cos_to_centroid
