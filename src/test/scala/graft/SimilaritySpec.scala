@@ -205,4 +205,26 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("collectBottomK equals the rank-window ground truth, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.ColumnBridge
+    // heavy ties in s force the (s, id) struct tie-break to do real work;
+    // 13 groups x ~150 rows each exercises multi-partition partial merges
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 2000).map(i => (i.toLong % 13, rnd.nextInt(50), i.toLong))
+      .toDF("g", "s", "id")
+    val got = df.groupBy(col("g"))
+      .agg(ColumnBridge.collectBottomK(struct(col("s"), col("id")), 7)
+        .as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("i", "t")))
+      .select(col("g"), col("t.s").as("s"), col("t.id").as("id"),
+        (col("i") + 1).cast("int").as("rank"))
+    val w = Window.partitionBy(col("g")).orderBy(col("s"), col("id"))
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select(col("g"), col("s"), col("id"), col("rank"))
+    assert(got.count() == 13 * 7 &&
+      got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
