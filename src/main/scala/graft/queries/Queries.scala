@@ -40,6 +40,7 @@ object AllQueries {
     DedupQueries,
     CurationQueries,
     TextQueries,
+    TokenizerQueries,
     SimilarityQueries,
     StreamingQueries,
   )

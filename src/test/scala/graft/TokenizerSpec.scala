@@ -1,0 +1,78 @@
+package graft
+
+import graft.pipeline.Tokenizer
+import org.apache.spark.sql.functions._
+
+/** BPE induction against the hand-walked classic corpus (the Sennrich
+  * et al. running example, minus the end-of-word marker — documented in
+  * Tokenizer's scaladoc): merge order, tie breaks, and the greedy encode
+  * path are all pinned to hand-computed values.
+  */
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // low×5 lower×2 newest×6 widest×3 — one doc per word occurrence plus a
+  // mixed doc exercising normalization (case, digits, punctuation-words).
+  private def corpus = (
+    Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+  ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+
+  test("bpeTrain: merge table matches the hand computation incl. ties") {
+    val merges = Tokenizer.bpeTrain(corpus, "text", 5)
+    // r1: pair counts peak at 9 for both "e s" and "s t" (newest 6 +
+    // widest 3); ascending-pair tie break picks "e s". r2: "es t" = 9.
+    // r3: "l o" ties "o w" at 7 → "l o". r4: "lo w" = 7. r5: "e w"
+    // ties "n e" (6) → "e w".
+    assert(merges.map(m => (m.rank, m.pair, m.merged, m.n)) == Seq(
+      (1, "e s", "es", 9L),
+      (2, "es t", "est", 9L),
+      (3, "l o", "lo", 7L),
+      (4, "lo w", "low", 7L),
+      (5, "e w", "ew", 6L)))
+  }
+
+  test("bpeTrain: normalization drops non-[a-z]+ words, case-folds") {
+    val mixed = Seq((0L, "LOW low"), (1L, "l0w low-est low!")).toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(mixed, "text", 1)
+    // vocab is {low: 2} only → single pair round: "l o" (2) vs "o w" (2),
+    // tie → "l o"
+    assert(merges.map(m => (m.pair, m.n)) == Seq(("l o", 2L)))
+  }
+
+  test("bpeTrain: stops early when no adjacent pair remains") {
+    val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(tiny, "text", 5)
+    // round 1 fuses the only pair; rounds 2+ have single-symbol words only
+    assert(merges.map(m => (m.pair, m.n)) == Seq(("a b", 2L)))
+  }
+
+  test("encodeWord: greedy rank-order replay, leftmost non-overlapping") {
+    val merges = Tokenizer.bpeTrain(corpus, "text", 5)
+    val enc = Seq("lowest", "newest", "aaa").toDF("w")
+      .select(Tokenizer.encodeWord(col("w"), merges).as("syms"))
+    // lowest: l o w e s t → es → est → lo → low → [low, est]
+    // newest: n e w e s t → es → est → (no lo/low) → ew → [n, ew, est]
+    // aaa: untouched by any merge → [a, a, a]
+    assert(rows(enc).map(_.head) == Seq(
+      Seq("low", "est"), Seq("n", "ew", "est"), Seq("a", "a", "a")))
+  }
+
+  test("bpeTokenCount: sums per-word symbol counts over [a-z]+ words") {
+    val merges = Tokenizer.bpeTrain(corpus, "text", 5)
+    val df = Seq("low lowest 123", "", "Widest!").toDF("t")
+      .select(Tokenizer.bpeTokenCount(col("t"), merges).as("n"))
+    // "low"→1, "lowest"→2, "123" out of alphabet; empty doc → 0;
+    // "Widest!" fails [a-z]+ after folding (trailing '!') → 0
+    assert(rows(df).map(_.head) == Seq(3L, 0L, 0L))
+  }
+
+  test("leftmost non-overlapping merge: a a a + (a,a) → [aa, a]") {
+    val tiny = Seq((0L, "aaa aaa")).toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(tiny, "text", 1)
+    assert(merges.head.pair == "a a")
+    val enc = Seq("aaa").toDF("w")
+      .select(Tokenizer.encodeWord(col("w"), merges).as("syms"))
+    assert(rows(enc).head.head == Seq("aa", "a"))
+  }
+}
