@@ -364,4 +364,69 @@ object Curation {
       emails.cast("long").as("n_emails"),
       phones.cast("long").as("n_phones"))
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw-corpus
+    * documents by how much more likely their hashed n-gram features are
+    * under a target-domain bag-of-buckets model than under the raw-corpus
+    * model — the standard "make web data look like the quality domain"
+    * selection signal.
+    *
+    * Features: word unigrams + adjacent bigrams, md5-hashed into `dim`
+    * buckets (the repo's portable hash, so the oracle replays them).
+    * Importance log-weight of a doc with bucket occurrences g_1..g_L:
+    *
+    *   score = Σ_i [ bits(t_{g_i}+1) − bits(r_{g_i}+1) ]
+    *           − L · [ bits(Tt+dim) − bits(Tr+dim) ]
+    *
+    * i.e. the add-1-smoothed log-likelihood ratio with log2 quantized to
+    * the integer binary-digit count (bits(x) = floor(log2 x)+1 — the
+    * established cross-engine-exact discipline; no libm double ever
+    * crosses engines, so ranking ties are exact, broken by ascending id).
+    *
+    * Plan at 100 TB: both bucket models are `dim`-row aggregations (the
+    * corpora reduce map-side); the scoring pass explodes the raw corpus
+    * to (id, bucket) pairs, joins the broadcast dim-row model table, and
+    * folds per doc in one combinable aggregation. The text column never
+    * shuffles; only (id, bucket) pairs do.
+    *
+    * Returns (id, n_grams, dsir_bits) for every raw doc.
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame, id: String,
+      text: String, dim: Int): DataFrame = {
+    def grams(t: Column): Column = {
+      val ws = split(lower(trim(t)), "\\s+")
+      concat(ws, zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    }
+    def bucket(g: Column): Column =
+      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(dim.toLong))
+    def bits(c: Column): Column = length(bin(c)).cast("long")
+    def model(docs: DataFrame, cnt: String, tot: String): DataFrame = {
+      // dense dim-row model: every bucket present (add-1 smoothing needs
+      // the zero rows), total folded in so one broadcast carries both
+      val counts = docs
+        .select(explode(grams(col(text))).as("__g"))
+        .groupBy(bucket(col("__g")).as("__b"))
+        .agg(count(lit(1)).as(cnt))
+      val dense = raw.sparkSession.range(dim).select(col("id").as("__b"))
+        .join(counts, Seq("__b"), "left")
+        .select(col("__b"), coalesce(col(cnt), lit(0L)).as(cnt))
+      dense.crossJoin(broadcast(
+        dense.agg(sum(col(cnt)).as(tot))))
+    }
+    val m = model(target, "__t", "__tt")
+      .join(model(raw, "__r", "__rt"), Seq("__b"))
+    val pairs = raw.select(col(id), explode(grams(col(text))).as("__g"))
+      .select(col(id), bucket(col("__g")).as("__b"))
+    pairs.join(broadcast(m), Seq("__b"))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        (sum(bits(col("__t") + 1L) - bits(col("__r") + 1L)) -
+          count(lit(1)) * (bits(first(col("__tt")) + dim) -
+            bits(first(col("__rt")) + dim))).as("dsir_bits"))
+  }
 }

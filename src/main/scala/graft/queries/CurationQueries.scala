@@ -217,6 +217,54 @@ object CurationQueries extends QueryModule {
                     count(1) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
              FROM documents GROUP BY 1 ORDER BY split"""))
 
+  // DSIR importance scoring: raw docs ranked by quantized log-likelihood
+  // ratio of hashed unigram+bigram features under the target-domain model
+  // (sources srcN with N%5=0) vs the raw-corpus model. Integer bits-log2
+  // throughout, so the full model fit + scoring replays in DuckDB.
+  private val curateDsir = Q(
+    "curate_dsir",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val target = docs.filter(srcIdx % 5 === 0)
+      val raw = docs.filter(srcIdx % 5 =!= 0)
+      Curation.dsirScores(raw, target, "doc_id", "text", 64)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tgt AS (SELECT text FROM documents WHERE $srcIdxSql % 5 = 0),
+            rawd AS (SELECT doc_id, text FROM documents WHERE $srcIdxSql % 5 <> 0),
+            tg AS (SELECT unnest(list_concat(ws,
+                     list_transform(range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i + 1]))) AS g
+                   FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
+                         FROM tgt)),
+            rg AS (SELECT doc_id, unnest(list_concat(ws,
+                     list_transform(range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i + 1]))) AS g
+                   FROM (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\\s+') AS ws
+                         FROM rawd)),
+            tm AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS b,
+                          count(1) AS t
+                   FROM tg GROUP BY 1),
+            rm AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS b,
+                          count(1) AS r
+                   FROM rg GROUP BY 1),
+            bkt AS (SELECT unnest(range(0, 64)) AS b),
+            m AS (SELECT bkt.b, coalesce(tm.t, 0) AS t, coalesce(rm.r, 0) AS r
+                  FROM bkt LEFT JOIN tm USING (b) LEFT JOIN rm USING (b)),
+            tot AS (SELECT length(bin(CAST(sum(t) AS BIGINT) + 64)) -
+                           length(bin(CAST(sum(r) AS BIGINT) + 64)) AS norm
+                    FROM m),
+            p AS (SELECT doc_id,
+                         ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS b
+                  FROM rg)
+            SELECT p.doc_id, count(1) AS n_grams,
+                   CAST(sum(length(bin(m.t + 1)) - length(bin(m.r + 1))) -
+                        count(1) * (SELECT norm FROM tot) AS BIGINT)
+                     AS dsir_bits
+            FROM p JOIN m USING (b)
+            GROUP BY p.doc_id ORDER BY p.doc_id"""))
+
   // Benchmark decontamination: training docs sharing any word 3-gram with
   // the benchmark slice (doc_id % 53 = 0). The benchmark gram set is
   // broadcast; corpus text never shuffles.
@@ -761,5 +809,6 @@ object CurationQueries extends QueryModule {
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
     qualityPercentileGate, shardConcat, corpusDiff, mixTemperature,
-    corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap)
+    corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap,
+    curateDsir)
 }

@@ -15,6 +15,19 @@ object TokenizerQueries extends QueryModule {
 
   private val Rounds = 10
 
+  // The merge table is a pure function of (corpus, rounds) — memoize it
+  // per session like Profiles.cachedWarehouse, so the train and encode
+  // entry points (and repeated invocations in a long-lived session) share
+  // one training sweep instead of re-running the 10-round recursion.
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Tokenizer.Merge]]()
+
+  private def trainedMerges(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[Tokenizer.Merge] =
+    mergeCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir + "|" + Rounds,
+      _ => Tokenizer.bpeTrain(Tables.load(s, dir, "documents"), "text", Rounds))
+
   /** Shared oracle prelude: the word-frequency vocab (w0), char-level
     * reprs (r0), then per round r: pair counts (p_r), the winning pair
     * (b_r), and the merged vocab (r_r). Mirrors Tokenizer.bpeTrain
@@ -60,8 +73,7 @@ object TokenizerQueries extends QueryModule {
   private val textBpeTrain = Q(
     "text_bpe_train",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val merges = Tokenizer.bpeTrain(docs, "text", Rounds)
+      val merges = trainedMerges(s, dir)
       s.createDataFrame(merges).select(
         col("rank"), col("pair"), col("merged"), col("n"))
         .orderBy(col("rank"))
@@ -83,7 +95,7 @@ object TokenizerQueries extends QueryModule {
     "text_bpe_encode",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val merges = Tokenizer.bpeTrain(docs, "text", Rounds)
+      val merges = trainedMerges(s, dir)
       docs.select(col("doc_id"),
           size(Tokenizer.alphaWords(col("text"))).cast("long").as("n_words"),
           Tokenizer.bpeTokenCount(col("text"), merges).as("n_bpe"))

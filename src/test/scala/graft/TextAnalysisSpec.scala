@@ -417,4 +417,49 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Double)].collect().map(_._1).toSeq
     assert(got == Seq(4L, 5L))
   }
+
+  test("dsirScores equals a sequential reference fold (hash, bits, norm)") {
+    import graft.pipeline.Curation
+    val dim = 64
+    // local reimplementation of the quantized DSIR formula
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).take(15), 16) % dim
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    def grams(t: String): Seq[String] = {
+      val ws = t.trim.toLowerCase.split("\\s+").toSeq
+      ws ++ ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val target = Seq("apple pie recipe", "apple tart", "pie crust apple")
+    val raw = Seq(
+      1L -> "apple pie with apple", 2L -> "zebra quagga okapi",
+      3L -> "pie zebra", 4L -> "apple")
+    val t = target.flatMap(grams).groupBy(bucket).view.mapValues(_.size.toLong)
+    val r = raw.flatMap(d => grams(d._2)).groupBy(bucket).view.mapValues(_.size.toLong)
+    val norm = bits(t.values.sum + dim) - bits(r.values.sum + dim)
+    val want = raw.map { case (id, tx) =>
+      val gs = grams(tx).map(bucket)
+      (id, gs.size.toLong,
+        gs.map(b => bits(t.getOrElse(b, 0L) + 1) - bits(r.getOrElse(b, 0L) + 1)).sum
+          - gs.size * norm)
+    }
+    val got = Curation.dsirScores(
+        raw.toDF("doc_id", "text"), target.map(Tuple1(_)).toDF("text"),
+        "doc_id", "text", dim)
+      .orderBy(col("doc_id")).as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("dsirScores separates in-domain from off-domain docs") {
+    import graft.pipeline.Curation
+    // bits-quantized log needs count ratios past powers of two to
+    // separate — size the target model accordingly
+    val target = Seq.fill(64)("apple pie").map(Tuple1(_)).toDF("text")
+    val raw = Seq(1L -> "apple pie", 2L -> "zebra horse").toDF("doc_id", "text")
+    val got = Curation.dsirScores(raw, target, "doc_id", "text", 64)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> x._3).toMap
+    assert(got(1L) > got(2L))
+  }
 }
