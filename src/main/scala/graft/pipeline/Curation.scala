@@ -412,13 +412,13 @@ object Curation {
         .groupBy(bucket(col("__g")).as("__b"))
         .agg(count(lit(1)).as(cnt))
       val dense = raw.sparkSession.range(dim).select(col("id").as("__b"))
-        .join(counts, Seq("__b"), "left")
+        .join(broadcast(counts), Seq("__b"), "left")
         .select(col("__b"), coalesce(col(cnt), lit(0L)).as(cnt))
       dense.crossJoin(broadcast(
         dense.agg(sum(col(cnt)).as(tot))))
     }
     val m = model(target, "__t", "__tt")
-      .join(model(raw, "__r", "__rt"), Seq("__b"))
+      .join(broadcast(model(raw, "__r", "__rt")), Seq("__b"))
     val pairs = raw.select(col(id), explode(grams(col(text))).as("__g"))
       .select(col(id), bucket(col("__g")).as("__b"))
     pairs.join(broadcast(m), Seq("__b"))

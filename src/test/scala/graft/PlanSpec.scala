@@ -409,6 +409,21 @@ class PlanSpec extends SparkSpec {
       s"guard join must key on cid:\n${plan.take(3000)}")
   }
 
+  test("curate_dsir: model dims broadcast; corpus never sort-merge joins") {
+    val plan = planOf("curate_dsir")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast model joins:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side scoring must not sort-merge join:\n${plan.take(3000)}")
+  }
+
+  test("text_bpe_encode: encode under frozen merges is narrow — no join, no hash shuffle") {
+    val plan = planOf("text_bpe_encode")
+    assert(!plan.contains("Join"), s"no join expected:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no hash exchange expected:\n${plan.take(2000)}")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)

@@ -341,4 +341,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.filter(org.apache.spark.sql.functions.col("doc_id") === 3)
       .select("score").as[Double].head() == 0.0)
   }
+
+  test("BPE encode under frozen merges tokenizes a stream (tokenize-on-ingest)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // train on a batch corpus, then the encode column (a chain of literal
+    // replaces) runs unchanged on the ingest stream — the tokenizer-
+    // freeze/apply split every pretraining pipeline uses
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = graft.pipeline.Tokenizer.bpeTrain(corpus, "text", 5)
+
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.pipeline.Tokenizer.bpeTokenCount(col("text"), merges).as("n_bpe"))
+
+    val docs = Seq((100L, "the lowest newest low"), (101L, "zzz 42"))
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val q = enc(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_bpe_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("stream_bpe_sink")
+    val batch = enc(docs.toDF("doc_id", "text"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // hand check: "the"→[t,h,e]=3, "lowest"→[low,est]=2, "newest"→[n,ew,est]=3,
+    // "low"→1; doc 101 has no [a-z]+ word except zzz→[z,z,z]=3
+    val got = batch.orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq(100L -> 9L, 101L -> 3L))
+  }
 }
