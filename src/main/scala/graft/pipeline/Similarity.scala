@@ -249,6 +249,51 @@ object Similarity {
   }
 
 
+  /** One NN-descent refinement round (Dong et al. 2011, "Efficient K-NN
+    * Graph Construction for Generic Similarity Measures") over the IVF
+    * directed seed graph: a vector's improved neighbor candidates are its
+    * neighbors' neighbors, in both edge directions — the local-search
+    * insight that makes graph ANN indexes (NN-descent, HNSW builds)
+    * converge without ever touching the O(n²) pair space.
+    *
+    * Pipeline: seed = ivfTopK (k per node) → symmetrize (forward ∪
+    * reverse, ids only) → neighbors-of-neighbors self-join (ids only,
+    * ≤ (2k)² candidates per node) → distinct → exact cosine re-score with
+    * vectors re-attached per surviving pair → bounded top-k.
+    *
+    * Scale posture (100 TB): every shuffle before re-scoring carries id
+    * pairs only — the d-dim vectors join back exactly once per distinct
+    * candidate; ranking is the bounded two-phase [[bottomK]], never a
+    * full-width window. Deterministic throughout (exact kernel, ties by
+    * ascending neighbor_id), so the whole round — seed graph included —
+    * replays as a DuckDB oracle.
+    *
+    * Output: (query_id, neighbor_id, cos, rank) — the refined top-k.
+    */
+  def nnDescentRound(corpus: DataFrame, id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val seed = ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val undirected = seed.union(seed.select(
+        col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id")))
+      .distinct()
+    val non = undirected.toDF("query_id", "__mid")
+      .join(undirected.toDF("__mid", "neighbor_id"), Seq("__mid"))
+      .select(col("query_id"), col("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val candidates = seed.union(non).distinct()
+    val v = corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
+    val scored = candidates
+      .join(v.select(col("__id").as("query_id"), col("__v").as("qv")), Seq("query_id"))
+      .join(v.select(col("__id").as("neighbor_id"), col("__v").as("cv")), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    explodeRanked(scored.groupBy(col("query_id"))
+        .agg(bottomK(
+          struct((-col("cos")).as("neg"), col("neighbor_id")), k).as("__tk")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        (-col("__t.neg")).as("cos"), col("rank"))
+  }
+
   /** SemDedup-style semantic dedup: coarse-cluster the corpus into `nlist`
     * IVF cells (deterministic centroids = first `nlist` vectors by id, as
     * in [[ivfTopK]]), then compare ONLY within a cell — a row is dropped

@@ -331,6 +331,75 @@ object SimilarityQueries extends QueryModule {
   // Mutual-kNN graph (IVF path, every vector both query and corpus side):
   // the full pipeline — centroid pick, cell assign, probe, rank, mutual
   // self-join — replays in the oracle.
+  // One NN-descent refinement round over the IVF seed graph (same seed
+  // parameters as sim_mutual_knn, so the oracle's seed replay is shared
+  // verbatim): neighbors-of-neighbors candidates in both directions,
+  // exact re-score, bounded top-k. Ids-only shuffles until the one
+  // vector re-attach; the oracle replays seed + refinement end to end.
+  private val simNnDescent = Q(
+    "sim_nn_descent",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.nnDescentRound(emb, "vec_id", "embedding",
+          k = 5, nlist = 32, nprobe = 3)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32) t),
+            norm AS MATERIALIZED (
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            assign_all AS (
+              SELECT nm.vec_id, nm.v, nm.n, c.list_id,
+                     list_dot_product(nm.v, c.cvec)
+                       / (nm.n * sqrt(list_dot_product(c.cvec, c.cvec))) AS cd
+              FROM norm nm, cent c),
+            corpus_assigned AS (
+              SELECT vec_id AS neighbor_id, v AS cv, n AS cn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all) t WHERE r = 1),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, n AS qn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all) t WHERE r <= 3),
+            scored AS (
+              SELECT p.query_id, a.neighbor_id,
+                     list_dot_product(p.qv, a.cv) / (p.qn * a.cn) AS cos
+              FROM probes p JOIN corpus_assigned a USING (list_id)
+              WHERE p.query_id <> a.neighbor_id),
+            knn AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+                FROM scored) t WHERE rank <= 5),
+            und AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM knn
+              UNION
+              SELECT neighbor_id, query_id FROM knn),
+            cand AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM knn
+              UNION
+              SELECT u.query_id, w.neighbor_id
+              FROM und u JOIN und w ON u.neighbor_id = w.query_id
+              WHERE u.query_id <> w.neighbor_id),
+            resc AS (
+              SELECT c.query_id, c.neighbor_id,
+                     list_dot_product(q.v, nb.v) / (q.n * nb.n) AS cos
+              FROM cand c JOIN norm q ON c.query_id = q.vec_id
+                          JOIN norm nb ON c.neighbor_id = nb.vec_id),
+            rr AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+              FROM resc)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rr WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
   private val simMutualKnn = Q(
     "sim_mutual_knn",
     (s, dir) => {
@@ -579,5 +648,5 @@ object SimilarityQueries extends QueryModule {
 
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
-    simMutualKnn, simKmeans, simIvfTrained, simPq)
+    simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent)
 }

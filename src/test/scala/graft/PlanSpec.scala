@@ -57,7 +57,7 @@ class PlanSpec extends SparkSpec {
     // Window in these plans is the 100 TB scale-killer regressing.
     for (q <- Seq("sim_cosine_topk", "sim_quantized", "sim_pq",
         "sim_ivf_ann", "sim_lsh_ann", "q2_topn_similar",
-        "text_tfidf_topk")) {
+        "text_tfidf_topk", "sim_nn_descent")) {
       val plan = planOf(q)
       assert(!plan.contains("Window"),
         s"$q: per-query window rank over the unpruned corpus:\n${plan.take(3000)}")
