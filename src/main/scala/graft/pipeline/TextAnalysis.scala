@@ -299,6 +299,47 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Count-min sketch of the corpus token stream (Cormode & Muthukrishnan
+    * 2005): `d` hash rows × `w` counters, bucket = md5(j + "|" + token)
+    * mod w — the repo's portable hash, so the sketch (and every estimate
+    * read from it) replays exactly in the oracle. Returns (j, b, c), at
+    * most d·w rows.
+    *
+    * This is the bounded-memory frequency structure for 100 TB streams:
+    * the aggregation state is d·w counters regardless of vocabulary size,
+    * the (j, b) key space is tiny so hot tokens combine map-side, and
+    * sketches from disjoint corpus shards MERGE by counter addition
+    * (count-min is a linear sketch) — the same definition therefore runs
+    * unchanged under Structured Streaming with `update` aggregation.
+    */
+  def cmsSketch(docs: DataFrame, text: String, d: Int, w: Int): DataFrame =
+    docs.select(explode(split(lower(trim(col(text))), "\\s+")).as("__tok"))
+      .select(col("__tok"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .groupBy(col("j"), cmsBucket(col("j"), col("__tok"), w).as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Row-j counter index of a token: md5(j + "|" + token) mod w. */
+  def cmsBucket(j: Column, tok: Column, w: Int): Column =
+    pmod(conv(substring(md5(
+      concat(j.cast("string"), lit("|"), tok)), 1, 15), 16, 10).cast("long"),
+      lit(w.toLong))
+
+  /** Point estimates from a count-min sketch: for each candidate token,
+    * min over the d row counters it hashes to — never an underestimate,
+    * overestimate bounded by collisions (ε = e/w with probability
+    * 1 − e^−d). The sketch is d·w rows and broadcasts; candidates stay
+    * distributed.
+    */
+  def cmsEstimate(candidates: DataFrame, tok: String,
+      sketch: DataFrame, d: Int, w: Int): DataFrame = {
+    val keyed = candidates
+      .select(col("*"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("b", cmsBucket(col("j"), col(tok), w))
+    keyed.join(broadcast(sketch), Seq("j", "b"))
+      .groupBy(candidates.columns.map(col): _*)
+      .agg(min(col("c")).as("n_cms"))
+  }
+
   /** Rolling polynomial fingerprint (Karp-Rabin family) of the document:
     * hash = sum(byte_i * B^i mod P) over the first `prefix` chars —
     * content-stable, order-sensitive, cheap. Built-ins only.

@@ -617,8 +617,45 @@ object TextQueries extends QueryModule {
             ORDER BY lift_bp DESC, w1, w2
             LIMIT 25"""))
 
+  // Heavy hitters against a count-min sketch: the top-25 exact tokens
+  // with their CMS point estimates (d=4 × w=256 counters, md5-derived
+  // buckets). The sketch is the bounded-memory 100 TB structure — state
+  // is d·w counters no matter the vocabulary, shard sketches merge by
+  // addition — and with portable hashing the whole thing (build +
+  // estimates) replays in DuckDB.
+  private val textHeavyHitters = Q(
+    "text_heavy_hitters",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val words = docs.select(
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      val exact = words.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("word")).limit(25)
+      val sketch = TextAnalysis.cmsSketch(docs, "text", 4, 256)
+      TextAnalysis.cmsEstimate(exact, "word", sketch, 4, 256)
+        .orderBy(col("n_exact").desc, col("word"))
+    },
+    Some("""WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                         AS word
+                       FROM documents),
+            ex AS (SELECT word, count(1) AS n_exact FROM w GROUP BY word
+                   ORDER BY n_exact DESC, word LIMIT 25),
+            sk AS (SELECT j,
+                     ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || word), 1, 15))::BIGINT
+                       % 256 AS b,
+                     count(1) AS c
+                   FROM w CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2)
+            SELECT e.word, CAST(e.n_exact AS BIGINT) AS n_exact,
+                   CAST(min(sk.c) AS BIGINT) AS n_cms
+            FROM ex e CROSS JOIN range(0, 4) t(j)
+                 JOIN sk ON sk.j = t.j AND
+                   sk.b = ('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' || e.word), 1, 15))::BIGINT
+                     % 256
+            GROUP BY e.word, e.n_exact
+            ORDER BY n_exact DESC, word"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
     textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
-    textTopNgrams, textTfidfTopk, textPmiPairs)
+    textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters)
 }

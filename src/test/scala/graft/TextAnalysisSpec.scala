@@ -452,6 +452,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("count-min sketch: bounded size, never underestimates, merges by addition") {
+    val docs = Seq((1L, "a b a c d a"), (2L, "b b e f a"), (3L, "g a b"))
+      .toDF("doc_id", "text")
+    val d = 4; val w = 32
+    val sketch = TextAnalysis.cmsSketch(docs, "text", d, w).cache()
+    assert(sketch.count() <= d.toLong * w)
+    val exact = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+    val est = TextAnalysis.cmsEstimate(exact, "word", sketch, d, w)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(est.size == 7)
+    // the count-min guarantee: a point estimate never undercounts
+    assert(est.forall { case (_, ex, cms) => cms >= ex })
+    // linear sketch: building per shard and adding counters equals the
+    // one-pass sketch — the property shard-parallel 100 TB builds rest on
+    val merged = TextAnalysis.cmsSketch(docs.filter(col("doc_id") <= 2), "text", d, w)
+      .union(TextAnalysis.cmsSketch(docs.filter(col("doc_id") === 3), "text", d, w))
+      .groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
+    assert(merged.exceptAll(sketch).isEmpty && sketch.exceptAll(merged).isEmpty)
+  }
+
   test("dsirScores separates in-domain from off-domain docs") {
     import graft.pipeline.Curation
     // bits-quantized log needs count ratios past powers of two to
