@@ -342,6 +342,30 @@ class StreamingSpec extends SparkSpec {
       .select("score").as[Double].head() == 0.0)
   }
 
+  test("count-min sketch builds on a stream (complete mode) = batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the sketch is one groupBy aggregation over a tiny fixed key space,
+    // so the batch definition runs unchanged as a streaming aggregation —
+    // the bounded-state frequency view over an unbounded token stream
+    val docs = Seq((1L, "a b a c d a"), (2L, "b b e f a"), (3L, "g a b"))
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.cmsSketch(df, "text", 4, 32)
+
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val q = sk(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_cms_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("stream_cms_sink")
+    val batch = sk(docs.toDF("doc_id", "text"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("BPE encode under frozen merges tokenizes a stream (tokenize-on-ingest)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
