@@ -253,6 +253,59 @@ object AggQueries extends QueryModule {
                    count(DISTINCT l_suppkey) AS n_supps
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // A13's scale path made oracle-checkable: a HyperLogLog register sketch
+  // (m=64) with the repo's portable md5 hash, so BOTH engines build the
+  // identical registers and the raw estimate replays bit-for-bit. Dups
+  // collapse map-side into (group, register) maxes — the aggregation
+  // state is 64 small ints per group no matter the cardinality, and
+  // shard sketches merge by register max (the 100 TB property exact
+  // countDistinct lacks). The register sum folds in ascending-register
+  // order on both engines (dyadic 2^-M terms, deterministic rounding);
+  // the small-range linear-counting correction is deliberately NOT
+  // applied — it needs ln() and belongs to the consumer (we emit the
+  // zero-register count it would use). Exact distinct rides along as the
+  // error witness.
+  private val a13Hll = Q(
+    "a13_hll_distinct",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val sparse = graft.operators.Hll.registers(
+        li, Seq("l_returnflag"), "l_suppkey", 64)
+      val est = graft.operators.Hll.estimate(sparse, Seq("l_returnflag"), 64)
+        .select(col("l_returnflag"), round(col("hll_raw"), 4).as("hll_est"),
+          col("n_zero_regs"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_exact"))
+      exact.join(est, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"), col("hll_est"),
+          col("n_zero_regs"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH h AS (SELECT l_returnflag AS rf,
+                     ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT AS h
+                   FROM lineitem),
+            r AS (SELECT rf, h % 64 AS j,
+                         CASE WHEN h // 64 = 0 THEN 55
+                              ELSE 55 - length(bin(h // 64)) END AS rho
+                  FROM h),
+            mr AS (SELECT rf, j, max(rho) AS m FROM r GROUP BY rf, j),
+            g AS (SELECT DISTINCT rf FROM h),
+            dense AS (SELECT g.rf, t.j, coalesce(mr.m, 0) AS m
+                      FROM g CROSS JOIN range(0, 64) t(j)
+                      LEFT JOIN mr ON mr.rf = g.rf AND mr.j = t.j),
+            est AS (SELECT rf,
+                           list_sum(list(pow(2.0, -m) ORDER BY j)) AS s,
+                           sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS zeros
+                    FROM dense GROUP BY rf),
+            ex AS (SELECT l_returnflag AS rf,
+                          count(DISTINCT l_suppkey) AS n_exact
+                   FROM lineitem GROUP BY 1)
+            SELECT ex.rf AS l_returnflag, CAST(ex.n_exact AS BIGINT) AS n_exact,
+                   round(0.709 * 4096.0 / est.s, 4) AS hll_est,
+                   CAST(est.zeros AS BIGINT) AS n_zero_regs
+            FROM ex JOIN est USING (rf)
+            ORDER BY l_returnflag"""))
+
   // A6 via the typed Aggregator (§2.12): single-pass N-stats with map-side
   // partial merge — the groupBy-friendly form of a6_n50's window approach.
   private val a6NStatsAgg = Q(
@@ -452,5 +505,5 @@ object AggQueries extends QueryModule {
   val qs: Seq[Q] = Seq(
     a1Breakdown, a2Crosstab, a3CountHaving, a4Completion, a5SeqbinStats,
     a6N50, a6NStatsAgg, a7Stats, a7Histogram, a8Combinations, a9Top5,
-    a12Growth, a13Distinct, seqbinBreakdown, reportIsolate)
+    a12Growth, a13Distinct, a13Hll, seqbinBreakdown, reportIsolate)
 }
