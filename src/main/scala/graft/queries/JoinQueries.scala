@@ -248,7 +248,29 @@ object JoinQueries extends QueryModule {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1 ORDER BY 1"""))
 
+  // Bloom-accelerated semi join: the small side's keys build a portable
+  // deterministic Bloom filter whose words inline as a plan literal; the
+  // fact is prefiltered by a NARROW bitwise test before anything reaches
+  // a shuffle, then the exact broadcast semi join returns precisely the
+  // plain semi-join result (no false negatives) — which is therefore the
+  // oracle: one line of SQL checks the whole structure.
+  private val bloomSemiJoin = Q(
+    "bloom_semi_join",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+      graft.operators.Bloom.semiJoin(orders, "o_custkey", cust, "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_acctbal > 9000)
+            ORDER BY o_orderkey"""))
+
   val qs: Seq[Q] = Seq(
     j1DesignationAnd, j2NullDesignation, j3SchemeFieldCache, j4TwoHop,
-    j9SizeFilter, j11BroadcastDims, setIntersect, a11BoolOr, j1Bucketed)
+    j9SizeFilter, j11BroadcastDims, setIntersect, a11BoolOr, j1Bucketed,
+    bloomSemiJoin)
 }

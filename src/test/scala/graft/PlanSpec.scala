@@ -409,6 +409,16 @@ class PlanSpec extends SparkSpec {
       s"guard join must key on cid:\n${plan.take(3000)}")
   }
 
+  test("bloom_semi_join: membership is a narrow filter; one broadcast semi join") {
+    val plan = planOf("bloom_semi_join")
+    // the Bloom words are a plan literal — membership must not be a join
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side must never sort-merge join:\n${plan.take(3000)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 1 &&
+      plan.contains("LeftSemi"),
+      s"expected exactly the one exact semi join:\n${plan.take(3000)}")
+  }
+
   test("curate_dsir: model dims broadcast; corpus never sort-merge joins") {
     val plan = planOf("curate_dsir")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
