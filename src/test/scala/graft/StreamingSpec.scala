@@ -366,6 +366,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("HLL registers build on a stream (complete mode) = batch registers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // like the CMS: register maxes are one bounded-key aggregation, so
+    // the batch sketch definition IS the streaming cardinality view
+    val rows = (1L to 400L).map(i => ("g", s"key-$i"))
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Hll.registers(df, Seq("g"), "k", 64)
+
+    val in = MemoryStream[(String, String)]
+    in.addData(rows: _*)
+    val q = regs(in.toDF.toDF("g", "k"))
+      .writeStream.format("memory").queryName("stream_hll_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("stream_hll_sink")
+    val batch = regs(rows.toDF("g", "k"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("BPE encode under frozen merges tokenizes a stream (tokenize-on-ingest)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
