@@ -217,6 +217,87 @@ object CurationQueries extends QueryModule {
                     count(1) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
              FROM documents GROUP BY 1 ORDER BY split"""))
 
+  // Corpus-overlap estimation by HLL sketch algebra: two snapshot slices'
+  // content-key cardinalities, their union (register max merge), and the
+  // inclusion-exclusion intersection estimate — the way 100 TB corpus
+  // overlap is measured without ever joining the corpora. Exact values
+  // ride along as the error witness; everything (registers, ordered
+  // dyadic sums, inclusion-exclusion arithmetic) replays in DuckDB.
+  private val corpusOverlapHll = Q(
+    "corpus_overlap_hll",
+    (s, dir) => {
+      import graft.operators.Hll
+      val docs = Tables.load(s, dir, "documents")
+      def lab(m: Int, l: String) = docs.filter(col("doc_id") % m === 0)
+        .select(lit(l).as("which"), md5(col("text")).as("key"))
+      val ab = lab(2, "a").union(lab(3, "b"))
+      val tagged = ab.union(ab.select(lit("union").as("which"), col("key")))
+      val est = Hll.estimate(
+        Hll.registers(tagged, Seq("which"), "key", 64), Seq("which"), 64)
+      val exact = tagged.groupBy(col("which"))
+        .agg(countDistinct(col("key")).as("n_exact"))
+      val three = exact.join(est, Seq("which"))
+        .select(col("which"), col("n_exact"),
+          round(col("hll_raw"), 4).as("hll_est"))
+      val wide = est.groupBy().agg(
+        max(when(col("which") === "a", col("hll_raw"))).as("ra"),
+        max(when(col("which") === "b", col("hll_raw"))).as("rb"),
+        max(when(col("which") === "union", col("hll_raw"))).as("ru"))
+      val interExact = lab(2, "a").select(col("key"))
+        .intersect(lab(3, "b").select(col("key")))
+        .agg(count(lit(1)).as("n_exact"))
+      val inter = interExact.crossJoin(wide)
+        .select(lit("inter").as("which"), col("n_exact"),
+          round(col("ra") + col("rb") - col("ru"), 4).as("hll_est"))
+      three.union(inter).orderBy(col("which"))
+    },
+    Some("""WITH ab AS (
+              SELECT 'a' AS which, md5(text) AS key FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'b' AS which, md5(text) AS key FROM documents WHERE doc_id % 3 = 0),
+            tg AS MATERIALIZED (
+              SELECT which, key FROM ab
+              UNION ALL
+              SELECT 'union' AS which, key FROM ab),
+            h AS (SELECT which,
+                    ('0x' || substr(md5(key), 1, 15))::BIGINT AS h
+                  FROM tg),
+            r AS (SELECT which, h % 64 AS j,
+                         CASE WHEN h // 64 = 0 THEN 55
+                              ELSE 55 - length(bin(h // 64)) END AS rho
+                  FROM h),
+            mr AS (SELECT which, j, max(rho) AS m FROM r GROUP BY which, j),
+            g AS (SELECT DISTINCT which FROM tg),
+            dense AS (SELECT g.which, t.j, coalesce(mr.m, 0) AS m
+                      FROM g CROSS JOIN range(0, 64) t(j)
+                      LEFT JOIN mr ON mr.which = g.which AND mr.j = t.j),
+            est AS MATERIALIZED (
+              SELECT which,
+                     0.709 * 4096.0 / list_sum(list(pow(2.0, -m) ORDER BY j))
+                       AS raw
+              FROM dense GROUP BY which),
+            ex AS (SELECT which, count(DISTINCT key) AS n_exact
+                   FROM tg GROUP BY 1),
+            three AS (
+              SELECT ex.which, CAST(ex.n_exact AS BIGINT) AS n_exact,
+                     round(est.raw, 4) AS hll_est
+              FROM ex JOIN est USING (which)),
+            xi AS (SELECT CAST(count(1) AS BIGINT) AS n_exact FROM (
+                     SELECT key FROM ab WHERE which = 'a'
+                     INTERSECT
+                     SELECT key FROM ab WHERE which = 'b')),
+            inter AS (
+              SELECT 'inter' AS which, xi.n_exact,
+                     round((SELECT raw FROM est WHERE which = 'a')
+                         + (SELECT raw FROM est WHERE which = 'b')
+                         - (SELECT raw FROM est WHERE which = 'union'), 4)
+                       AS hll_est
+              FROM xi)
+            SELECT which, n_exact, hll_est FROM three
+            UNION ALL
+            SELECT which, n_exact, hll_est FROM inter
+            ORDER BY which"""))
+
   // DSIR importance scoring: raw docs ranked by quantized log-likelihood
   // ratio of hashed unigram+bigram features under the target-domain model
   // (sources srcN with N%5=0) vs the raw-corpus model. Integer bits-log2
@@ -810,5 +891,5 @@ object CurationQueries extends QueryModule {
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
     qualityPercentileGate, shardConcat, corpusDiff, mixTemperature,
     corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap,
-    curateDsir)
+    curateDsir, corpusOverlapHll)
 }
