@@ -67,6 +67,22 @@ class TokenizerSpec extends SparkSpec {
     assert(rows(df).map(_.head) == Seq(3L, 0L, 0L))
   }
 
+  test("encode is lossless on random corpora: symbols concatenate back to the word") {
+    val rnd = new scala.util.Random(7)
+    // small alphabet → dense merge activity across all 8 rounds
+    val words = Seq.fill(60)(
+      Seq.fill(1 + rnd.nextInt(8))(('a' + rnd.nextInt(4)).toChar).mkString)
+    val corpus = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(corpus, "text", 8)
+    assert(merges.nonEmpty)
+    val bad = words.distinct.toDF("w")
+      .select(col("w"),
+        concat_ws("", Tokenizer.encodeWord(col("w"), merges)).as("rejoined"))
+      .filter(col("w") =!= col("rejoined")).count()
+    assert(bad == 0)
+  }
+
   test("leftmost non-overlapping merge: a a a + (a,a) → [aa, a]") {
     val tiny = Seq((0L, "aaa aaa")).toDF("doc_id", "text")
     val merges = Tokenizer.bpeTrain(tiny, "text", 1)
