@@ -67,15 +67,23 @@ object Tables {
     // oracle does when it reads the same file).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) if name == "events" =>
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) if name == "events" =>
         // integer div, not `/` (double): epoch-nanos exceed double's 53-bit
         // exact range, so float division can land 1µs off the oracle's
         // integer truncation
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) if name == "events" =>
+        // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+        // TIMESTAMP_NTZ; downstream epoch arithmetic (unix_micros) wants
+        // TIMESTAMP. The session timezone is pinned to UTC everywhere
+        // (Verify/Bench/SparkSpec), so the cast maps wall time to the
+        // identical epoch micros DuckDB's epoch_ns(ts)//1000 produces.
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
