@@ -306,6 +306,62 @@ object AggQueries extends QueryModule {
             FROM ex JOIN est USING (rf)
             ORDER BY l_returnflag"""))
 
+  // The sketch family's quantile member: a KMV bottom-k sample (k=256) per
+  // group over the portable 60-bit md5 hash of l_partkey, carrying
+  // l_extendedprice. One combinable typed-Aggregator pass — state is k
+  // (hash, value) pairs per group no matter the group size, merged by
+  // keep-k-smallest — yielding empirical quartiles of the carried value
+  // (integer-rank selection over the hash-uniform sample, no float
+  // arithmetic) plus the (k-1)*2^60/h_k distinct estimate (two exact
+  // int->double conversions and one division; identical IEEE rounding in
+  // DuckDB). Exact distinct rides along as the error witness.
+  private val a13Kmv = Q(
+    "a13_kmv_quantile",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.select(col("l_returnflag"),
+          graft.operators.Hll.hash60(col("l_partkey")).as("h"),
+          col("l_extendedprice").cast("double").as("v"))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.operators.Kmv.agg(col("h"), col("v"), 256).as("sk"),
+          countDistinct(col("h")).as("n_exact"))
+        .select(col("l_returnflag"), col("sk.sample_size").as("sample_size"),
+          col("sk.kth_hash").as("kth_hash"),
+          round(col("sk.est_distinct"), 4).as("est_distinct"),
+          col("sk.q25").as("q25"), col("sk.q50").as("q50"),
+          col("sk.q75").as("q75"), col("n_exact"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH h AS (SELECT l_returnflag AS rf,
+                   ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hh,
+                   CAST(l_extendedprice AS DOUBLE) AS v
+                   FROM lineitem),
+            d AS (SELECT rf, hh, min(v) AS v FROM h GROUP BY rf, hh),
+            r AS (SELECT rf, hh, v,
+                         row_number() OVER (PARTITION BY rf ORDER BY hh) AS rn
+                  FROM d),
+            s AS (SELECT rf, hh, v FROM r WHERE rn <= 256),
+            m AS (SELECT rf, CAST(count(1) AS BIGINT) AS m, max(hh) AS kth
+                  FROM s GROUP BY rf),
+            q AS (SELECT s.rf, s.v,
+                         row_number() OVER (PARTITION BY s.rf
+                           ORDER BY s.v, s.hh) AS vr
+                  FROM s),
+            sel AS (SELECT q.rf,
+                           max(CASE WHEN vr = (25 * m.m + 99) // 100 THEN v END) AS q25,
+                           max(CASE WHEN vr = (50 * m.m + 99) // 100 THEN v END) AS q50,
+                           max(CASE WHEN vr = (75 * m.m + 99) // 100 THEN v END) AS q75
+                    FROM q JOIN m ON q.rf = m.rf GROUP BY q.rf),
+            ex AS (SELECT rf, CAST(count(DISTINCT hh) AS BIGINT) AS n_exact
+                   FROM h GROUP BY rf)
+            SELECT m.rf AS l_returnflag, m.m AS sample_size, m.kth AS kth_hash,
+                   round(CASE WHEN m.m >= 256 AND m.kth > 0
+                              THEN CAST(m.m - 1 AS DOUBLE) * pow(2.0, 60) / CAST(m.kth AS DOUBLE)
+                              ELSE CAST(m.m AS DOUBLE) END, 4) AS est_distinct,
+                   sel.q25, sel.q50, sel.q75, ex.n_exact
+            FROM m JOIN sel ON m.rf = sel.rf JOIN ex ON m.rf = ex.rf
+            ORDER BY l_returnflag"""))
+
   // A6 via the typed Aggregator (§2.12): single-pass N-stats with map-side
   // partial merge — the groupBy-friendly form of a6_n50's window approach.
   private val a6NStatsAgg = Q(
@@ -505,5 +561,5 @@ object AggQueries extends QueryModule {
   val qs: Seq[Q] = Seq(
     a1Breakdown, a2Crosstab, a3CountHaving, a4Completion, a5SeqbinStats,
     a6N50, a6NStatsAgg, a7Stats, a7Histogram, a8Combinations, a9Top5,
-    a12Growth, a13Distinct, a13Hll, seqbinBreakdown, reportIsolate)
+    a12Growth, a13Distinct, a13Hll, a13Kmv, seqbinBreakdown, reportIsolate)
 }

@@ -388,6 +388,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("KMV sketch builds on a stream (complete mode) = batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the bottom-k buffer is a mergeable bounded aggregation state, so the
+    // batch sketch definition runs unchanged as a streaming quantile +
+    // cardinality view — k pairs per group regardless of stream length
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 600).map(i =>
+      ("g", rnd.nextLong().abs % (1L << 60), (i % 97).toDouble))
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g"))
+        .agg(graft.operators.Kmv.agg(col("h"), col("v"), 64).as("sk"))
+        .select(col("g"), col("sk.*"))
+
+    val in = MemoryStream[(String, Long, Double)]
+    in.addData(rows: _*)
+    val q = sk(in.toDF.toDF("g", "h", "v"))
+      .writeStream.format("memory").queryName("stream_kmv_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("stream_kmv_sink")
+    val batch = sk(rows.toDF("g", "h", "v"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("BPE encode under frozen merges tokenizes a stream (tokenize-on-ingest)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
