@@ -141,4 +141,70 @@ object Align {
     ExpressionUtils.column(ProjectGaps(
       ExpressionUtils.expression(aAli), ExpressionUtils.expression(bAli),
       ExpressionUtils.expression(prof)))
+
+  /** BLASTN-style similarity scoring (match +2 / mismatch -3 / linear gap
+    * -5) — the scoring the reference's ranking actually runs on: BLAST
+    * hands back a bitscore and get_best_partial_match keeps the max
+    * (lib/BIGSdb/Offline/Blast.pm:201-231). The raw score is an integer
+    * (exact in both engines); the bitscore (lambda*S - ln K)/ln 2 is
+    * emitted display-side from inlined double literals (no libm ln call,
+    * so cross-engine deterministic) and is a strictly increasing function
+    * of S — ranking by bitscore IS ranking by the integer raw score.
+    */
+  val BlastnMatch = 2
+  val BlastnMismatch = -3
+  val BlastnGap = -5
+
+  /** Representative Karlin-Altschul display constants for the +2/-3
+    * scoring; inlined as decimal literals on both engines (= ln 0.41 and
+    * ln 2 to double precision).
+    */
+  val BlastnLambda = 0.625
+  val BlastnLnK = -0.8915981192837836
+  val Ln2 = 0.6931471805599453
+
+  /** Global max-score DP with linear gaps, two-row O(min memory) form.
+    * Same MaxDpCells posture as nw (time is O(n*m) either way).
+    */
+  def blastnScore(a: String, b: String): Int = {
+    val n = a.length; val m = b.length
+    if ((n + 1).toLong * (m + 1).toLong > MaxDpCells)
+      throw new IllegalArgumentException(
+        s"Align.blastnScore inputs too long: $n x $m (> $MaxDpCells DP cells)")
+    var prev = Array.tabulate(m + 1)(j => j * BlastnGap)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i * BlastnGap
+      var j = 1
+      while (j <= m) {
+        val s = prev(j - 1) +
+          (if (a.charAt(i - 1) == b.charAt(j - 1)) BlastnMatch else BlastnMismatch)
+        cur(j) = math.max(s,
+          math.max(prev(j) + BlastnGap, cur(j - 1) + BlastnGap))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  def blastnScoreUtf(a: UTF8String, b: UTF8String): Int =
+    blastnScore(a.toString, b.toString)
+
+  case class NwScore(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      blastnScoreUtf(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Align.blastnScoreUtf($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  def nwScore(a: Column, b: Column): Column =
+    ExpressionUtils.column(NwScore(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

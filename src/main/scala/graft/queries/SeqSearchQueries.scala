@@ -543,7 +543,84 @@ object SeqSearchQueries extends QueryModule {
             FROM p3
             ORDER BY cid, locus, start_pos, reverse"""))
 
+  // Q2 under the reference's ACTUAL ranking currency: BLAST hands back a
+  // bitscore and get_best_partial_match keeps the max
+  // (lib/BIGSdb/Offline/Blast.pm:201-231). The in-engine stand-in scores
+  // each pair with a global max-score DP under BLASTN-style +2/-3/-5
+  // (codegen'd Align.NwScore, integer result, oracle-replayed by a
+  // max-over-k recursive-CTE DP); the bitscore (lambda*S - lnK)/ln2 is
+  // derived from the integer score with inlined double literals (0.625*S
+  // is dyadic-exact; one add + one divide → identical IEEE rounding in
+  // DuckDB — no libm ln at query time). Ranking by bitscore == ranking by
+  // integer score (strictly increasing), so the top-1 cut is exact; ties
+  // break to the smallest lib_id (the reference's hash-order first-wins
+  // is nondeterministic — documented swap). Same min-struct top-1 shape
+  // as q2_best_partial: no rank window, partial min map-side.
+  private val q2BitscoreRank = Q(
+    "q2_bitscore_rank",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lib = docs.filter(col("doc_id") < 150)
+        .select(col("doc_id").as("lib_id"),
+          substring(col("text"), 1, 24).as("lib_seq"))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 24).as("q_seq"))
+      val scored = lib.join(broadcast(queries), col("query_id") =!= col("lib_id"))
+        .withColumn("score",
+          graft.functions.Align.nwScore(col("q_seq"), col("lib_seq")).cast("long"))
+      scored.groupBy(col("query_id"))
+        .agg(min(struct((-col("score")).as("neg"), col("lib_id"))).as("b"))
+        .select(col("query_id"), col("b.lib_id").as("lib_id"),
+          (-col("b.neg")).as("score"))
+        .withColumn("bitscore", round(
+          (col("score").cast("double") * lit(graft.functions.Align.BlastnLambda) +
+            lit(-graft.functions.Align.BlastnLnK)) / lit(graft.functions.Align.Ln2), 4))
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH RECURSIVE qq AS (
+              SELECT doc_id AS query_id, substring(text, 1, 24) AS qs
+              FROM documents WHERE doc_id < 5),
+            ll AS (
+              SELECT doc_id AS lib_id, substring(text, 1, 24) AS ls
+              FROM documents WHERE doc_id < 150),
+            pairs AS (
+              SELECT query_id, lib_id, qs AS a, ls AS b
+              FROM qq JOIN ll ON query_id != lib_id),
+            dp AS (
+              SELECT query_id, lib_id, a, b, 0 AS i,
+                     list_transform(range(0, length(b) + 1), j -> -5 * j) AS row
+              FROM pairs
+              UNION ALL
+              SELECT query_id, lib_id, a, b, i + 1,
+                     list_transform(range(0, length(b) + 1), j ->
+                       list_max(list_transform(range(0, j + 1),
+                         k -> t[k + 1] - 5 * (j - k)))) AS row
+              FROM (
+                SELECT query_id, lib_id, a, b, i,
+                       list_transform(range(0, length(b) + 1), j ->
+                         CASE WHEN j = 0 THEN row[1] - 5
+                              ELSE greatest(row[j + 1] - 5,
+                                row[j] + CASE WHEN substring(a, CAST(i + 1 AS INTEGER), 1)
+                                                  = substring(b, CAST(j AS INTEGER), 1)
+                                              THEN 2 ELSE -3 END) END) AS t
+                FROM dp WHERE i < length(a)) s),
+            sc AS (
+              SELECT query_id, lib_id, row[length(b) + 1] AS score
+              FROM dp WHERE i = length(a)),
+            best AS (
+              SELECT query_id, lib_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, lib_id) AS rn
+              FROM sc)
+            SELECT query_id, lib_id, CAST(score AS BIGINT) AS score,
+                   round((CAST(score AS DOUBLE) * CAST(0.625 AS DOUBLE)
+                            + CAST(0.8915981192837836 AS DOUBLE))
+                         / CAST(0.6931471805599453 AS DOUBLE), 4) AS bitscore
+            FROM best WHERE rn = 1
+            ORDER BY query_id"""))
+
   val qs: Seq[Q] = Seq(q1ExactMatch, q1ExactHet, q2BestPartial, q2Banded,
     q2Translated, q2TopnSimilar, bioRevcomp, bioComposition, bioTranslate,
-    codonUsage, alleleSearch, q2Boundaries)
+    codonUsage, alleleSearch, q2Boundaries, q2BitscoreRank)
 }

@@ -86,4 +86,37 @@ class AlignSpec extends SparkSpec {
       .agg(sum(col("n"))).as[Long].collect().head
     assert(sf == msa.map(_._3.length).sum)
   }
+
+  test("blastnScore matches a full-matrix reference DP on random strings") {
+    // independent O(n*m) full-matrix reference of the same recurrence
+    def ref(a: String, b: String): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 0 to a.length) dp(i)(0) = i * Align.BlastnGap
+      for (j <- 0 to b.length) dp(0)(j) = j * Align.BlastnGap
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.max(
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) Align.BlastnMatch
+                              else Align.BlastnMismatch),
+          math.max(dp(i - 1)(j) + Align.BlastnGap,
+            dp(i)(j - 1) + Align.BlastnGap))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(5)
+    def randSeq(n: Int) = Seq.fill(n)("ACGT"(rnd.nextInt(4))).mkString
+    for (_ <- 1 to 50) {
+      val a = randSeq(rnd.nextInt(30)); val b = randSeq(rnd.nextInt(30))
+      assert(Align.blastnScore(a, b) == ref(a, b), s"a=$a b=$b")
+    }
+    // known cases: identity, single mismatch, pure gap
+    assert(Align.blastnScore("ACGT", "ACGT") == 8)
+    assert(Align.blastnScore("ACGT", "ACCT") == 2 + 2 + 2 - 3)
+    assert(Align.blastnScore("", "ACG") == -15)
+  }
+
+  test("nwScore expression evaluates via codegen on a DataFrame") {
+    val df = Seq(("ACGTACGT", "ACGTTCGT"), ("AAAA", "AAAA"))
+      .toDF("a", "b")
+      .select(Align.nwScore(col("a"), col("b")).as("s"))
+    assert(df.as[Int].collect().toSeq == Seq(11, 8))
+  }
 }
