@@ -118,4 +118,118 @@ object Tokenizer {
   def bpeTokenCount(text: Column, merges: Seq[Merge]): Column =
     aggregate(alphaWords(text), lit(0L),
       (acc, w) => acc + size(encodeWord(w, merges)).cast("long"))
+
+  // ---------------------------------------------------------------------
+  // Greedy maximal-munch segmentation (MaxMatch) — the WordPiece
+  // INFERENCE rule (Devlin et al. 2019 tokenization; also classic
+  // maximum-matching segmentation) under a frequency-induced piece
+  // vocabulary: at each position take the longest vocabulary piece that
+  // matches, emit it, advance. Unlike BPE's merge-replay this encode is
+  // a single left-to-right walk, so frozen-vocab tokenize-on-ingest costs
+  // O(len * maxPieceLen) per word with zero string rewriting.
+  //
+  // Scale posture mirrors bpeTrain: the corpus reduces ONCE to the word
+  // frequency vocabulary; piece induction explodes substrings of the
+  // VOCAB (bounded), aggregates map-side, and ships topN rows to the
+  // driver; encode inlines the piece set as a plan reference object into
+  // a narrow per-row kernel — no shuffle, stream-safe.
+  // ---------------------------------------------------------------------
+
+  /** Induce the maximal-munch piece vocabulary: the `topN` substrings of
+    * length 2..`maxLen` of the corpus word stream by weighted occurrence
+    * count (each occurrence inside a word counts that word's frequency),
+    * ties broken by ascending piece string. Single letters a-z are
+    * implicitly in the vocabulary (every [a-z]+ word stays encodable).
+    * Returns (piece, n) in rank order.
+    */
+  def maxMatchVocab(docs: DataFrame, text: String, topN: Int,
+      maxLen: Int): Seq[(String, Long)] = {
+    import org.apache.spark.sql.Row
+    wordFreq(docs, text)
+      .select(col("cnt"), explode(expr(
+        s"""flatten(transform(filter(sequence(2, $maxLen), l -> length(w) >= l),
+              l -> transform(sequence(1, length(w) - l + 1),
+                i -> substring(w, i, l))))""")).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("p").asc)
+      .limit(topN)
+      .collect()
+      .map { case Row(p: String, n: Long) => (p, n) }
+      .toSeq
+  }
+
+  /** The greedy walk over one word: longest vocabulary piece at each
+    * position (single letters always match via the implicit alphabet;
+    * the 1-char fallback is unreachable for [a-z]+ input but keeps the
+    * kernel total). Returns the piece count.
+    */
+  def maxMatchWordCount(w: String, vocab: java.util.HashSet[String],
+      maxLen: Int): Int = {
+    val n = w.length
+    var i = 0
+    var count = 0
+    while (i < n) {
+      var l = math.min(maxLen, n - i)
+      while (l > 1 && !vocab.contains(w.substring(i, i + l))) l -= 1
+      i += l
+      count += 1
+    }
+    count
+  }
+
+  /** The walk again, emitting the pieces (spec/inspection surface). */
+  def maxMatchPieces(w: String, vocab: java.util.HashSet[String],
+      maxLen: Int): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val n = w.length
+    var i = 0
+    while (i < n) {
+      var l = math.min(maxLen, n - i)
+      while (l > 1 && !vocab.contains(w.substring(i, i + l))) l -= 1
+      out += w.substring(i, i + l)
+      i += l
+    }
+    out.toSeq
+  }
+
+  def maxMatchWordCountUtf(w: org.apache.spark.unsafe.types.UTF8String,
+      vocab: java.util.HashSet[String], maxLen: Int): Int =
+    maxMatchWordCount(w.toString, vocab, maxLen)
+
+  /** Codegen'd per-word piece count under a frozen vocabulary. The piece
+    * set rides the plan as a reference object (one HashSet per executor,
+    * not per row).
+    */
+  case class MaxMatchCount(child: org.apache.spark.sql.catalyst.expressions.Expression,
+      pieces: Seq[String], maxLen: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+    @transient private lazy val set: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      pieces.foreach(s.add)
+      ('a' to 'z').foreach(c => s.add(c.toString))
+      s
+    }
+
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.IntegerType
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+    override def nullSafeEval(input: Any): Any =
+      maxMatchWordCountUtf(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], set, maxLen)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("mmVocab", set, "java.util.HashSet")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.pipeline.Tokenizer.maxMatchWordCountUtf($c, $ref, $maxLen)")
+    }
+  }
+
+  /** Per-document maximal-munch token count over the [a-z]+ word stream. */
+  def maxMatchTokenCount(text: Column, pieces: Seq[String], maxLen: Int): Column = {
+    val B = org.apache.spark.sql.graft.ColumnBridge
+    aggregate(alphaWords(text), lit(0L), (acc, w) =>
+      acc + B.column(MaxMatchCount(B.expression(w), pieces, maxLen)).cast("long"))
+  }
 }

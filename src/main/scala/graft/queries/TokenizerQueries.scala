@@ -129,5 +129,111 @@ object TokenizerQueries extends QueryModule {
         ORDER BY d.doc_id"""
     })
 
-  val qs: Seq[Q] = Seq(textBpeTrain, textBpeEncode)
+  // ---------------------------------------------------------------------
+  // Greedy maximal-munch (WordPiece-inference / MaxMatch) under a
+  // frequency-induced piece vocabulary — the walk-based encode that
+  // complements BPE's merge replay. Fully integer-deterministic:
+  // weighted substring counts with (n DESC, piece ASC) tie-break induce
+  // the vocab; the longest-piece-at-each-position walk is replayed by the
+  // oracle as a precomputed best-piece table + recursive descent.
+  // ---------------------------------------------------------------------
+
+  private val VocabN = 40
+  private val PieceLen = 6
+
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  private def trainedVocab(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, Long)] =
+    vocabCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir + s"|$VocabN|$PieceLen",
+      _ => Tokenizer.maxMatchVocab(
+        Tables.load(s, dir, "documents"), "text", VocabN, PieceLen))
+
+  /** Shared oracle prelude: word frequencies (w0) and the ranked piece
+    * vocabulary (v1) — mirrors Tokenizer.maxMatchVocab.
+    */
+  private val vocabCtes =
+    s"""w0 AS (
+        SELECT w, count(1) AS cnt
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$$')
+        GROUP BY w),
+      v1 AS (
+        SELECT p, CAST(sum(cnt) AS BIGINT) AS n
+        FROM (SELECT cnt,
+                unnest(flatten(list_transform(
+                  list_filter(range(2, ${PieceLen + 1}), l -> length(w) >= l),
+                  l -> list_transform(range(1, length(w) - l + 2),
+                    i -> w[i:i+l-1])))) AS p
+              FROM w0)
+        GROUP BY p ORDER BY n DESC, p LIMIT $VocabN)"""
+
+  private val textMaxMatchVocab = Q(
+    "text_maxmatch_vocab",
+    (s, dir) => {
+      val v = trainedVocab(s, dir)
+      s.createDataFrame(v.zipWithIndex.map { case ((p, n), i) => (i + 1L, p, n) })
+        .toDF("rank", "piece", "n")
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH $vocabCtes
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, p) AS BIGINT) AS rank,
+               p AS piece, n
+        FROM v1 ORDER BY rank"""))
+
+  // Tokenize-on-ingest under the frozen vocab: per-document piece count
+  // over the [a-z]+ word stream. The piece set rides the plan as one
+  // reference object; the per-word walk is a codegen'd kernel — no
+  // shuffle. The oracle precomputes the longest matching piece per
+  // (word, position) and replays the greedy walk as a recursive CTE over
+  // the DISTINCT word vocabulary, then joins counts back to documents.
+  private val textTokensMaxMatch = Q(
+    "text_tokens_maxmatch",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pieces = trainedVocab(s, dir).map(_._1)
+      docs.select(col("doc_id"),
+          size(Tokenizer.alphaWords(col("text"))).cast("long").as("n_words"),
+          Tokenizer.maxMatchTokenCount(col("text"), pieces, PieceLen).as("n_mm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $vocabCtes,
+        vv AS (SELECT p FROM v1
+               UNION ALL SELECT chr(CAST(96 + x AS INTEGER)) AS p
+                         FROM range(1, 27) t(x)),
+        pos AS (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM w0),
+        cand AS (SELECT pos.w, pos.i, vv.p
+                 FROM pos JOIN vv
+                   ON substr(pos.w, CAST(pos.i AS INTEGER), length(vv.p)) = vv.p),
+        best AS (SELECT w, i, p FROM (
+                   SELECT w, i, p, row_number() OVER (PARTITION BY w, i
+                     ORDER BY length(p) DESC, p) AS rn
+                   FROM cand) t WHERE rn = 1),
+        walk AS (SELECT w, CAST(1 AS BIGINT) AS i, 0 AS nt FROM w0
+                 UNION ALL
+                 SELECT walk.w, walk.i + length(b.p), walk.nt + 1
+                 FROM walk JOIN best b ON b.w = walk.w AND b.i = walk.i
+                 WHERE walk.i <= length(walk.w)),
+        done AS (SELECT w, nt FROM walk WHERE i = length(w) + 1),
+        wd AS (SELECT doc_id,
+                 unnest(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'),
+                   w -> regexp_matches(w, '^[a-z]+$$'))) AS w
+               FROM documents)
+        SELECT d.doc_id,
+               CAST(len(list_filter(
+                 string_split_regex(lower(trim(d.text)), '\\s+'),
+                 w -> regexp_matches(w, '^[a-z]+$$'))) AS BIGINT) AS n_words,
+               CAST(coalesce(sum(done.nt), 0) AS BIGINT) AS n_mm
+        FROM documents d
+        LEFT JOIN wd ON d.doc_id = wd.doc_id
+        LEFT JOIN done ON wd.w = done.w
+        GROUP BY d.doc_id, d.text
+        ORDER BY d.doc_id"""))
+
+  val qs: Seq[Q] = Seq(textBpeTrain, textBpeEncode, textMaxMatchVocab,
+    textTokensMaxMatch)
 }

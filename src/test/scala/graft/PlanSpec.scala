@@ -434,6 +434,32 @@ class PlanSpec extends SparkSpec {
       s"no hash exchange expected:\n${plan.take(2000)}")
   }
 
+  test("a13_kmv_quantile: one sketch aggregation, no window, no join blowup") {
+    // the KMV buffer is k pairs per group — the plan must be a plain
+    // (object) hash aggregate pair, never a per-group sort window
+    val plan = planOf("a13_kmv_quantile")
+    assert(!plan.contains("Window"), s"KMV grew a rank window:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(plan.contains("Aggregate"), plan.take(2500))
+  }
+
+  test("q2_bitscore_rank: broadcast query side, min-struct top-1, no window") {
+    val plan = planOf("q2_bitscore_rank")
+    assert(plan.contains("Broadcast"),
+      s"query side must broadcast:\n${plan.take(2500)}")
+    assert(!plan.contains("Window"),
+      s"top-1 must be the min-struct aggregate, not a rank window:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
+  test("text_tokens_maxmatch: frozen-vocab encode is narrow — no join, no shuffle before the sort") {
+    val plan = planOf("text_tokens_maxmatch")
+    assert(!plan.contains("Join"), s"encode must not join:\n${plan.take(2500)}")
+    // only exchanges: the output ORDER BY (range) — never a hash shuffle
+    assert(!plan.contains("hashpartitioning"),
+      s"no hash exchange expected in tokenize-on-ingest:\n${plan.take(2500)}")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)

@@ -91,4 +91,61 @@ class TokenizerSpec extends SparkSpec {
       .select(Tokenizer.encodeWord(col("w"), merges).as("syms"))
     assert(rows(enc).head.head == Seq("aa", "a"))
   }
+
+  test("maxMatchVocab: weighted substring counts with (n desc, piece) ties") {
+    // "lo" appears in low(5) and lower(2) = 7; "est" in newest(6)+widest(3)=9
+    val v = Tokenizer.maxMatchVocab(corpus, "text", 100, 3).toMap
+    assert(v("lo") == 7L)
+    assert(v("est") == 9L)
+    assert(v("new") == 6L)
+    // occurrences inside a word each count: "aaa" has two "aa" spans
+    val rep = Seq((0L, "aaa")).toDF("doc_id", "text")
+    assert(Tokenizer.maxMatchVocab(rep, "text", 10, 2).toMap.apply("aa") == 2L)
+  }
+
+  test("maxMatch walk: longest piece wins, letters always encodable") {
+    val set = new java.util.HashSet[String]()
+    Seq("newest", "new", "est", "ne").foreach(set.add)
+    ('a' to 'z').foreach(c => set.add(c.toString))
+    // whole word in vocab → one piece
+    assert(Tokenizer.maxMatchPieces("newest", set, 6) == Seq("newest"))
+    // maxLen caps the munch: with maxLen=4 "newest" → new + est
+    assert(Tokenizer.maxMatchPieces("newest", set, 4) == Seq("new", "est"))
+    // greedy is not optimal (documented semantics): "nest" takes "ne",
+    // leaving s+t singles rather than n+est
+    assert(Tokenizer.maxMatchPieces("nest", set, 6) == Seq("ne", "s", "t"))
+    // out-of-vocab letters fall back to singles
+    assert(Tokenizer.maxMatchPieces("zq", set, 6) == Seq("z", "q"))
+    assert(Tokenizer.maxMatchWordCount("newest", set, 4) == 2)
+  }
+
+  test("maxMatchTokenCount: per-doc sum over the [a-z]+ stream via codegen") {
+    val pieces = Seq("low", "est", "new")
+    val df = Seq((1L, "Low NEWest 42 foo-bar"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Tokenizer.maxMatchTokenCount(col("text"), pieces, 6).as("n"))
+      .orderBy(col("doc_id"))
+    // doc1: low→1, newest→new+est=2; "42"/"foo-bar" dropped by [a-z]+
+    assert(df.as[(Long, Long)].collect().toSeq == Seq((1L, 3L), (2L, 0L)))
+  }
+
+  test("maxMatch tokenize-on-ingest runs unchanged on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq((1L, "low lower newest"), (2L, "widest new est"))
+    val pieces = Seq("low", "est", "new", "wid")
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        Tokenizer.maxMatchTokenCount(col("text"), pieces, 6).as("n"))
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val q = enc(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_mm_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_mm_sink")
+    val batch = enc(docs.toDF("doc_id", "text"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
