@@ -319,12 +319,18 @@ object AggQueries extends QueryModule {
     "a13_kmv_quantile",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
+      // dedupe (group, hash) FIRST in a native codegen'd aggregation
+      // (duplicates collapse map-side), so the sketch udaf sees one row
+      // per distinct key and the exact witness is a plain count — no
+      // countDistinct Expand doubling rows through the object aggregate
       li.select(col("l_returnflag"),
           graft.operators.Hll.hash60(col("l_partkey")).as("h"),
           col("l_extendedprice").cast("double").as("v"))
+        .groupBy(col("l_returnflag"), col("h"))
+        .agg(min(col("v")).as("v"))
         .groupBy(col("l_returnflag"))
         .agg(graft.operators.Kmv.agg(col("h"), col("v"), 256).as("sk"),
-          countDistinct(col("h")).as("n_exact"))
+          count(lit(1)).as("n_exact"))
         .select(col("l_returnflag"), col("sk.sample_size").as("sample_size"),
           col("sk.kth_hash").as("kth_hash"),
           round(col("sk.est_distinct"), 4).as("est_distinct"),
