@@ -69,6 +69,58 @@ object SeqScan {
         col("start_pos").cast("long"), col("end_pos").cast("long"), col("reverse"))
   }
 
+  /** Incremental (autotagger) exact tag scan: scan ONLY the (contig,
+    * locus) pairs that do not already carry a tag — the reference's
+    * autotag.pl/scannew.pl posture (Offline/Scan.pm:63-287 re-runs limited
+    * to untagged isolates), and the shape that matters at 100 TB: the
+    * nightly delta run prunes with an ids-only anti join BEFORE the
+    * occurrence kernel ever touches contig text, and contigs with nothing
+    * pending drop out of the scan entirely.
+    *
+    * `existing`: (contigId, locus) rows already tagged. The pending-pair
+    * frame is ids-only (contig ids x the tiny locus dimension, then
+    * anti-join existing); contig text joins back once per contig, and the
+    * broadcast library join filters to pending loci per contig.
+    */
+  def incrementalTagScan(
+      contigs: DataFrame, contigId: String, contigSeq: String,
+      existing: DataFrame,
+      library: DataFrame, locus: String, alleleId: String, alleleSeq: String,
+      overlapping: Boolean = false): DataFrame = {
+    val pos: (Column, Column) => Column =
+      if (overlapping) allOccurrencePositions else occurrencePositions
+    val lib = library.select(
+      col(locus), col(alleleId),
+      upper(col(alleleSeq)).as("__fwd"),
+      Bio.reverseComplement(upper(col(alleleSeq))).as("__rev"))
+    val loci = lib.select(col(locus)).distinct()
+    // ids-only: every (contig, locus) pair minus the already-tagged ones,
+    // grouped to one pending-locus set per contig
+    val pendingSets = contigs.select(col(contigId))
+      .crossJoin(broadcast(loci))
+      .join(existing.select(col(contigId), col(locus)).distinct(),
+        Seq(contigId, locus), "left_anti")
+      .groupBy(col(contigId))
+      .agg(collect_set(col(locus)).as("__pending"))
+    val joined = contigs
+      .select(col(contigId), upper(col(contigSeq)).as("__contig"))
+      .join(pendingSets, Seq(contigId)) // inner: fully-tagged contigs drop out
+      .join(broadcast(lib))
+      .filter(array_contains(col("__pending"), col(locus)))
+    val fwd = joined
+      .withColumn("start_pos", explode(pos(col("__contig"), col("__fwd"))))
+      .withColumn("reverse", lit(false))
+      .withColumn("end_pos", col("start_pos") + length(col("__fwd")) - 1)
+    val rev = joined
+      .filter(col("__rev") =!= col("__fwd"))
+      .withColumn("start_pos", explode(pos(col("__contig"), col("__rev"))))
+      .withColumn("reverse", lit(true))
+      .withColumn("end_pos", col("start_pos") + length(col("__rev")) - 1)
+    fwd.unionByName(rev)
+      .select(col(contigId), col(locus), col(alleleId),
+        col("start_pos").cast("long"), col("end_pos").cast("long"), col("reverse"))
+  }
+
   /** Q2 partial-match boundary prediction (Blast.pm:642-668
     * _predict_allele_ends): given a LOCAL alignment of an allele segment
     * against a contig — contig span [start, end], allele (subject) span

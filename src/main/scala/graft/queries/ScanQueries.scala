@@ -87,6 +87,40 @@ object ScanQueries extends QueryModule {
     },
     q4TagScan.oracle)
 
+  // Q4 incremental (the autotagger's actual nightly posture — autotag.pl
+  // re-runs limited to untagged isolates): even-doc tags exist from "the
+  // previous run" (fixture = the exact scan over even docs); the
+  // incremental job anti-joins the ids-only pending (contig, locus) frame
+  // against them BEFORE any contig text is touched and scans only the
+  // remainder. Result == the full scan minus already-tagged pairs (odd-doc
+  // hits here: even pending pairs rescan to nothing on identical data —
+  // the union property is pinned in SeqScanSpec).
+  private val q4AutotagIncremental = Q(
+    "q4_autotag_incremental",
+    (s, dir) => {
+      val docs = dnaDocs(s, dir)
+      val contigs = docs.filter(length(col("dna")) >= 8)
+      val lib = docs.filter(col("doc_id") < 3 && length(col("dna")) >= 12)
+        .select(concat(lit("L"), col("doc_id")).as("locus"),
+          lit("1").as("allele_id"),
+          substring(col("dna"), 3, 8).as("allele_seq"))
+      val existing = SeqScan.exactTagScan(
+          contigs.filter(col("doc_id") % 2 === 0), "doc_id", "dna",
+          lib, "locus", "allele_id", "allele_seq", overlapping = true)
+        .select(col("doc_id"), col("locus"))
+      SeqScan.incrementalTagScan(
+          contigs, "doc_id", "dna", existing,
+          lib, "locus", "allele_id", "allele_seq", overlapping = true)
+        .select(col("doc_id"), col("locus"), col("start_pos"),
+          col("end_pos"), col("reverse"))
+        .orderBy(col("doc_id"), col("locus"), col("start_pos"), col("reverse"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, $dnaSql AS dna FROM documents),
+             $q4HitCtesSql
+             SELECT doc_id, locus, start_pos, end_pos, reverse FROM hits
+             WHERE doc_id % 2 = 1
+             ORDER BY doc_id, locus, start_pos, reverse"""))
+
   // Genome-shaped scan pair: ~6 kb contigs (100 docs concatenated) × a
   // ~200-allele library through both paths. Exact = O(|library|) kernel
   // scans per contig; seeded = one dictionary sweep + kernel scans on
@@ -784,7 +818,8 @@ object ScanQueries extends QueryModule {
              FROM orient o JOIN agg a USING (id) LEFT JOIN fl f USING (id)
              ORDER BY o.id, o.ord"""))
 
-  val qs: Seq[Q] = Seq(q4TagScan, q4TagScanSeeded, q3ExemplarPrune,
+  val qs: Seq[Q] = Seq(q4TagScan, q4TagScanSeeded, q4AutotagIncremental,
+    q3ExemplarPrune,
     q4LongExact, q4LongSeeded,
     q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, mmTile,
     mmInterleave, g7SiteFreq, pcrProducts, pcrSummary, q4PcrFiltered,

@@ -153,4 +153,29 @@ class SeqScanSpec extends SparkSpec {
     assert(out == Map(1L -> "wild_type", 2L -> "variant", 3L -> "other"))
     // sid 4 too short: filtered
   }
+
+  test("incrementalTagScan: new tags + already-tagged pairs == the full scan") {
+    // 3 contigs x 2 loci; existing covers a PARTIAL locus set per contig
+    // (contig 1 tagged for L1 only, contig 2 for both, contig 3 untagged)
+    val contigs = Seq(
+      (1L, "AAGGCCTTAAGGCCTT"), (2L, "GGCCAATTGGCC"), (3L, "TTAACCGGTTAA"))
+      .toDF("cid", "seq")
+    val lib = Seq(("L1", "1", "GGCC"), ("L2", "1", "TTAA"))
+      .toDF("locus", "allele_id", "allele_seq")
+    val full = SeqScan.exactTagScan(
+      contigs, "cid", "seq", lib, "locus", "allele_id", "allele_seq",
+      overlapping = true)
+    val existing = Seq((1L, "L1"), (2L, "L1"), (2L, "L2")).toDF("cid", "locus")
+    val inc = SeqScan.incrementalTagScan(
+      contigs, "cid", "seq", existing, lib, "locus", "allele_id", "allele_seq",
+      overlapping = true)
+    // no scanned pair is already tagged
+    assert(inc.join(existing, Seq("cid", "locus"), "left_semi").count() == 0)
+    // delta + the full scan's rows on tagged pairs == the full scan
+    val replayed = full.join(existing, Seq("cid", "locus"), "left_semi")
+    val union = inc.unionByName(replayed)
+    assert(union.exceptAll(full).isEmpty && full.exceptAll(union).isEmpty)
+    // a fully-tagged contig never reaches the kernel: its id is absent
+    assert(!inc.select("cid").as[Long].collect().contains(2L))
+  }
 }
