@@ -213,6 +213,34 @@ object AggQueries extends QueryModule {
 
   // A12: growth curve — cumulative count over date (date_entered index
   // pattern, sql/isolatedb.sql:160). Daily counts + running total.
+  // A9 widening: the dashboard's multi-level breakdown in ONE pass — a
+  // ROLLUP over (nation, segment) yields leaf counts, per-nation
+  // subtotals, and the grand total from a single Expand+aggregate (the
+  // reference fires one SQL statement per level,
+  // lib/BIGSdb/DashboardPage.pm element queries). grouping_id
+  // disambiguates levels on both engines (same bitmask convention);
+  // the balance sum stays exact DECIMAL until one final cast to double.
+  // Null rollup keys order via coalesce (Spark sorts nulls first,
+  // DuckDB last — pinned explicitly on both sides).
+  private val a9Rollup = Q(
+    "a9_rollup",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      cust.rollup(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal")).cast("double").as("bal"),
+          grouping_id().cast("long").as("lvl"))
+        .orderBy(col("lvl"), coalesce(col("c_nationkey"), lit(-1)),
+          coalesce(col("c_mktsegment"), lit("")))
+    },
+    Some("""SELECT c_nationkey, c_mktsegment,
+                   count(1) AS n,
+                   CAST(sum(c_acctbal) AS DOUBLE) AS bal,
+                   CAST(grouping(c_nationkey, c_mktsegment) AS BIGINT) AS lvl
+            FROM customer
+            GROUP BY ROLLUP(c_nationkey, c_mktsegment)
+            ORDER BY lvl, coalesce(c_nationkey, -1), coalesce(c_mktsegment, '')"""))
+
   private val a12Growth = Q(
     "a12_growth",
     (s, dir) => {
@@ -567,5 +595,6 @@ object AggQueries extends QueryModule {
   val qs: Seq[Q] = Seq(
     a1Breakdown, a2Crosstab, a3CountHaving, a4Completion, a5SeqbinStats,
     a6N50, a6NStatsAgg, a7Stats, a7Histogram, a8Combinations, a9Top5,
-    a12Growth, a13Distinct, a13Hll, a13Kmv, seqbinBreakdown, reportIsolate)
+    a9Rollup, a12Growth, a13Distinct, a13Hll, a13Kmv, seqbinBreakdown,
+    reportIsolate)
 }

@@ -416,6 +416,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("incremental autotag scan runs on a contig stream (tag-on-ingest)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the nightly delta run as a stream: contigs arrive in micro-batches
+    // and the batch operator runs unchanged per batch via foreachBatch —
+    // Spark's documented pattern for stateless batch-operator reuse (the
+    // pending-set aggregation inside the scan is per-batch, so no
+    // streaming-aggregation state is involved)
+    val contigs = Seq((1L, "AAGGCCTTAAGGCCTT"), (2L, "GGCCAATTGGCC"),
+      (3L, "TTAACCGGTTAA"))
+    val lib = Seq(("L1", "1", "GGCC"), ("L2", "1", "TTAA"))
+      .toDF("locus", "allele_id", "allele_seq")
+    val existing = Seq((1L, "L1"), (2L, "L1"), (2L, "L2")).toDF("cid", "locus")
+    def scan(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.SeqScan.incrementalTagScan(
+        df, "cid", "seq", existing, lib, "locus", "allele_id", "allele_seq",
+        overlapping = true)
+
+    val got = new scala.collection.concurrent.TrieMap[
+      (Long, String, Long, Long, Boolean), Int]()
+    val in = MemoryStream[(Long, String)]
+    in.addData(contigs.take(2): _*)
+    in.addData(contigs.drop(2): _*)
+    val q = in.toDF.toDF("cid", "seq").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        scan(b).as[(Long, String, String, Long, Long, Boolean)].collect()
+          .foreach(r => got.updateWith((r._1, r._2, r._4, r._5, r._6))(
+            c => Some(c.getOrElse(0) + 1)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batch = scan(contigs.toDF("cid", "seq"))
+      .as[(Long, String, String, Long, Long, Boolean)].collect()
+      .groupBy(r => (r._1, r._2, r._4, r._5, r._6)).view.mapValues(_.length).toMap
+    assert(got.toMap == batch)
+  }
+
   test("BPE encode under frozen merges tokenizes a stream (tokenize-on-ingest)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
