@@ -659,4 +659,41 @@ object Similarity {
       .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
         col("__t.adc").as("adc"), col("rank"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected edge list — the community detector that pairs with
+    * [[mutualKnnGraph]] for semantic-cluster curation (SemDeDup-style
+    * cluster-then-prune): connectedComponents merges everything touching,
+    * LPA splits dense regions joined by thin bridges.
+    *
+    * Determinism: synchronous rounds (all vertices update from the SAME
+    * previous labeling), the new label is the most frequent neighbor
+    * label with ties to the SMALLEST label, and the initial label is the
+    * vertex id — a pure function of the edge list, so a fixed round count
+    * replays on any engine (the classic async/random-order LPA is not).
+    *
+    * Scale: each round is one ids-only equi join (labels onto edge
+    * sources) + two map-side-combinable aggregations; labels checkpoint
+    * per round so plan lineage stays flat. No vectors, no windows.
+    */
+  def labelPropagate(edges: DataFrame, id1: String, id2: String,
+      rounds: Int): DataFrame = {
+    val sym = edges.select(col(id1).as("src"), col(id2).as("dst"))
+      .unionByName(edges.select(col(id2).as("src"), col(id1).as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var r = 0
+    while (r < rounds) {
+      labels = sym
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("label"))).as("b"))
+        .select(col("dst").as("id"), col("b.label").as("label"))
+        .localCheckpoint()
+      r += 1
+    }
+    labels
+  }
 }

@@ -409,7 +409,18 @@ object SimilarityQueries extends QueryModule {
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("id1"), col("id2"))
     },
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    Some(s"""WITH $mutualKnnCteSql
+            SELECT id1, id2, round(cos, 4) AS cos,
+                   CAST(rank1 AS BIGINT) AS rank1,
+                   CAST(rank2 AS BIGINT) AS rank2
+            FROM mpairs
+            ORDER BY id1, id2"""))
+
+  // shared oracle fragment: the mutual-kNN graph (IVF probe + bounded
+  // top-k + mutuality join), ending in mpairs(id1 < id2, cos, rank1,
+  // rank2) — used by sim_mutual_knn and the label-propagation query below
+  private def mutualKnnCteSql =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cent AS (
               SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32) t),
@@ -438,15 +449,48 @@ object SimilarityQueries extends QueryModule {
                        ORDER BY cos DESC, neighbor_id) AS rank
               FROM scored),
             knn AS (SELECT query_id, neighbor_id, cos, rank
-                    FROM ranked WHERE rank <= 5)
-            SELECT a.query_id AS id1, a.neighbor_id AS id2,
-                   round(a.cos, 4) AS cos,
-                   CAST(a.rank AS BIGINT) AS rank1,
-                   CAST(b.rank AS BIGINT) AS rank2
-            FROM knn a JOIN knn b
-              ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
-            WHERE a.query_id < a.neighbor_id
-            ORDER BY id1, id2"""))
+                    FROM ranked WHERE rank <= 5),
+            mpairs AS (
+              SELECT a.query_id AS id1, a.neighbor_id AS id2, a.cos,
+                     a.rank AS rank1, b.rank AS rank2
+              FROM knn a JOIN knn b
+                ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+              WHERE a.query_id < a.neighbor_id)"""
+
+  // Community detection over the mutual-kNN graph: 3 synchronous label-
+  // propagation rounds (most-frequent neighbor label, ties to the
+  // smallest) — the cluster step of SemDeDup-style semantic curation,
+  // deterministic by construction so the oracle replays every round as a
+  // grouped-argmax CTE. Each Spark round is an ids-only equi join + two
+  // map-side-combinable aggregations; no windows, no vectors shuffled.
+  private def lpaRoundSql(prev: String, r: Int): String =
+    s"""rc$r AS (SELECT e.dst, l.label, count(1) AS cnt
+              FROM edges e JOIN $prev l ON e.src = l.id
+              GROUP BY e.dst, l.label),
+            r$r AS (SELECT dst AS id, label FROM (
+              SELECT dst, label, row_number() OVER (PARTITION BY dst
+                ORDER BY cnt DESC, label) AS rn FROM rc$r) t
+              WHERE rn = 1)"""
+
+  private val simLabelProp = Q(
+    "sim_label_prop",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val g = Similarity.mutualKnnGraph(emb, "vec_id", "embedding",
+        k = 5, nlist = 32, nprobe = 3)
+      Similarity.labelPropagate(g, "id1", "id2", rounds = 3)
+        .select(col("id").as("vec_id"), col("label").as("community"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $mutualKnnCteSql,
+            edges AS (SELECT id1 AS src, id2 AS dst FROM mpairs
+                      UNION ALL SELECT id2 AS src, id1 AS dst FROM mpairs),
+            l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+            ${lpaRoundSql("l0", 1)},
+            ${lpaRoundSql("r1", 2)},
+            ${lpaRoundSql("r2", 3)}
+            SELECT id AS vec_id, label AS community
+            FROM r3 ORDER BY vec_id"""))
 
   // Lloyd's k-means (k=8, 2 assign/update rounds + final assignment) —
   // the IVF centroid-training sweep as a first-class op. Deterministic
@@ -648,5 +692,6 @@ object SimilarityQueries extends QueryModule {
 
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
-    simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent)
+    simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
+    simLabelProp)
 }

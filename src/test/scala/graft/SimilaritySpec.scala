@@ -252,4 +252,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count() == 13 * 7 &&
       got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("labelPropagate: two triangles joined by a bridge split into two communities") {
+    // triangle {1,2,3}, triangle {10,11,12}, bridge 3-10
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L)).toDF("id1", "id2")
+    val out = Similarity.labelPropagate(edges, "id1", "id2", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // round-by-round hand check: labels converge to the min id of each
+    // triangle; the bridge endpoints keep their triangle's majority
+    assert(out.size == 6)
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(Set(out(10L), out(11L), out(12L)).size == 1)
+    assert(out(1L) != out(10L), s"bridge merged the triangles: $out")
+  }
+
+  test("labelPropagate: synchronous rounds are partitioning-insensitive") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 60).map(_ =>
+      (rnd.nextInt(30).toLong, 30L + rnd.nextInt(30))).distinct
+    val df = edges.toDF("id1", "id2")
+    val a = Similarity.labelPropagate(df, "id1", "id2", 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Similarity.labelPropagate(df.repartition(17), "id1", "id2", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }
