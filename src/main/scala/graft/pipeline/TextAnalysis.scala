@@ -355,4 +355,83 @@ object TextAnalysis {
         pmod(acc.getField("pow") * 131L, lit(p)).as("pow")),
       acc => acc.getField("h"))
   }
+
+  // ---------------------------------------------------------------------
+  // Longest repeated substring — the suffix-array statistic behind
+  // within-document repetition removal (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better", uses corpus-level suffix
+  // arrays for the same reduction): LRS length == max LCP of
+  // suffix-array-adjacent suffixes. Per document the array fits in one
+  // task, so the right engine shape is a narrow codegen'd kernel (suffix
+  // sort + one adjacent-LCP scan per row) — per-doc parallelism IS the
+  // 100 TB posture; a single giant sequence would instead take the
+  // prefix-doubling route (log n sort/re-rank rounds over (pos, rank)
+  // pairs). Deterministic: bytewise suffix order (Spark and DuckDB both
+  // compare binary), ties on the max take the lexicographically smallest
+  // repeated substring.
+  // ---------------------------------------------------------------------
+
+  /** (lrs_len, lrs) of one string: suffix sort, adjacent LCP scan. */
+  def lrs(t: String): (Int, String) = {
+    val n = t.length
+    if (n < 2) return (0, "")
+    val sa = Array.tabulate(n)(identity)
+    // suffix comparator over shared chars — O(n) worst per compare; docs
+    // are bounded by the caller (the query truncates), so n^2 log n worst
+    // stays small per row
+    val cmp = new java.util.Comparator[Integer] {
+      def compare(a: Integer, b: Integer): Int = {
+        var i = a.intValue; var j = b.intValue
+        while (i < n && j < n) {
+          val c = t.charAt(i) - t.charAt(j)
+          if (c != 0) return c
+          i += 1; j += 1
+        }
+        (n - a.intValue) - (n - b.intValue)
+      }
+    }
+    val boxed = sa.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, cmp)
+    var bestLen = 0
+    var best = ""
+    var k = 1
+    while (k < n) {
+      var i = boxed(k - 1).intValue; var j = boxed(k).intValue
+      var l = 0
+      while (i + l < n && j + l < n && t.charAt(i + l) == t.charAt(j + l)) l += 1
+      if (l > bestLen) { bestLen = l; best = t.substring(i, i + l) }
+      else if (l == bestLen && l > 0) {
+        val cand = t.substring(i, i + l)
+        if (cand < best) best = cand
+      }
+      k += 1
+    }
+    (bestLen, best)
+  }
+
+  def lrsRow(t: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val (l, s) = lrs(t.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](l, org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+  }
+
+  case class Lrs(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.types._
+    override def dataType: DataType = StructType(Seq(
+      StructField("lrs_len", IntegerType, nullable = false),
+      StructField("lrs", StringType, nullable = false)))
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+    override def nullSafeEval(input: Any): Any =
+      lrsRow(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.pipeline.TextAnalysis.lrsRow($c)")
+  }
+
+  def longestRepeatedSubstring(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(Lrs(
+      org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 }

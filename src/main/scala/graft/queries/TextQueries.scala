@@ -654,8 +654,55 @@ object TextQueries extends QueryModule {
             GROUP BY e.word, e.n_exact
             ORDER BY n_exact DESC, word"""))
 
+  // Longest repeated substring per document (truncated to 200 chars) —
+  // the suffix-array statistic behind within-doc repetition removal (Lee
+  // et al. 2022 run the same reduction corpus-wide): LRS len = max LCP of
+  // SA-adjacent suffixes. One narrow codegen'd kernel per row (suffix
+  // sort + adjacent-LCP scan, TextAnalysis.Lrs); the oracle sorts the
+  // suffixes directly and takes the lag-LCP max, ties to the smallest
+  // repeated substring on both sides.
+  private val textLrs = Q(
+    "text_lrs",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TextAnalysis.longestRepeatedSubstring(
+            substring(col("text"), 1, 200)).as("r"))
+        .select(col("doc_id"), col("r.lrs_len").as("lrs_len"),
+          col("r.lrs").as("lrs"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, substring(text, 1, 200) AS t FROM documents),
+            sfx AS (SELECT doc_id,
+                      unnest(list_transform(range(1, length(t) + 1),
+                        i -> substr(t, CAST(i AS INTEGER)))) AS s
+                    FROM t WHERE length(t) >= 2),
+            ord AS (SELECT doc_id, s,
+                           lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+                    FROM sfx),
+            lcp AS (SELECT doc_id, s, prev,
+                           CASE WHEN prev IS NULL THEN 0
+                                ELSE coalesce(list_min(list_filter(
+                                         range(1, least(length(s), length(prev)) + 1),
+                                         l -> substr(s, CAST(l AS INTEGER), 1)
+                                              != substr(prev, CAST(l AS INTEGER), 1))),
+                                       least(length(s), length(prev)) + 1) - 1
+                           END AS l
+                    FROM ord),
+            mx AS (SELECT doc_id, max(l) AS lrs_len FROM lcp GROUP BY doc_id),
+            pick AS (SELECT lcp.doc_id,
+                            min(substr(s, 1, CAST(mx.lrs_len AS INTEGER))) AS lrs
+                     FROM lcp JOIN mx ON lcp.doc_id = mx.doc_id
+                                     AND lcp.l = mx.lrs_len
+                     WHERE mx.lrs_len > 0
+                     GROUP BY lcp.doc_id)
+            SELECT t.doc_id, CAST(coalesce(mx.lrs_len, 0) AS INTEGER) AS lrs_len,
+                   coalesce(pick.lrs, '') AS lrs
+            FROM t LEFT JOIN mx USING (doc_id) LEFT JOIN pick USING (doc_id)
+            ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
     textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
-    textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters)
+    textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters, textLrs)
 }

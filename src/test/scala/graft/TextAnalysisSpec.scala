@@ -484,4 +484,41 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(x => x._1 -> x._3).toMap
     assert(got(1L) > got(2L))
   }
+
+  test("lrs: suffix-sort kernel matches brute force on random strings") {
+    // independent O(n^4)-ish brute force: every substring, count occurrences
+    def brute(t: String): (Int, String) = {
+      val n = t.length
+      var best = (0, "")
+      for (l <- 1 until n; i <- 0 to n - l) {
+        val s = t.substring(i, i + l)
+        var occ = 0; var p = t.indexOf(s)
+        while (p >= 0) { occ += 1; p = t.indexOf(s, p + 1) }
+        if (occ >= 2 && (l > best._1 || (l == best._1 && s < best._2)))
+          best = (l, s)
+      }
+      best
+    }
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 40) {
+      val t = Seq.fill(3 + rnd.nextInt(25))("abc"(rnd.nextInt(3))).mkString
+      assert(TextAnalysis.lrs(t) == brute(t), s"t=$t")
+    }
+    // known cases
+    assert(TextAnalysis.lrs("banana") == (3, "ana"))
+    assert(TextAnalysis.lrs("abcd") == (0, ""))
+    assert(TextAnalysis.lrs("aa") == (1, "a"))
+    assert(TextAnalysis.lrs("") == (0, ""))
+    assert(TextAnalysis.lrs("x") == (0, ""))
+  }
+
+  test("longestRepeatedSubstring expression evaluates via codegen") {
+    val df = Seq((1L, "banana"), (2L, "mississippi"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.longestRepeatedSubstring(col("text")).as("r"))
+      .select(col("doc_id"), col("r.lrs_len"), col("r.lrs"))
+    assert(df.as[(Long, Int, String)].collect().toSet ==
+      Set((1L, 3, "ana"), (2L, 4, "issi")))
+  }
 }
