@@ -207,4 +207,82 @@ object Align {
   def nwScore(a: Column, b: Column): Column =
     ExpressionUtils.column(NwScore(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Gotoh affine-gap global max score (Gotoh 1982) under the classic
+    * BLASTN scoring task: match +2 / mismatch -3 / gap open -5 /
+    * gap extend -2 (a gap of length g costs open + ext*(g-1)). Three
+    * two-row DP lanes (M diagonal, X vertical, Y horizontal); integer
+    * throughout, so the oracle replays the row recursion exactly — the
+    * horizontal lane unrolls as a max-over-k left-run closure, the same
+    * trick the unit-cost replay uses.
+    */
+  val GapOpen = -5
+  val GapExt = -2
+  private val NegInf = -1000000000 // safe sentinel: no path, never selected
+
+  def gotohScore(a: String, b: String): Int = {
+    val n = a.length; val m = b.length
+    if (n == 0) return if (m == 0) 0 else GapOpen + GapExt * (m - 1)
+    if (m == 0) return GapOpen + GapExt * (n - 1)
+    if ((n + 1).toLong * (m + 1).toLong > MaxDpCells)
+      throw new IllegalArgumentException(
+        s"Align.gotohScore inputs too long: $n x $m (> $MaxDpCells DP cells)")
+    // prev-row lanes
+    var mP = new Array[Int](m + 1)
+    var xP = new Array[Int](m + 1)
+    var yP = new Array[Int](m + 1)
+    mP(0) = 0; xP(0) = NegInf; yP(0) = NegInf
+    var j = 1
+    while (j <= m) {
+      mP(j) = NegInf; xP(j) = NegInf
+      yP(j) = GapOpen + GapExt * (j - 1)
+      j += 1
+    }
+    var mC = new Array[Int](m + 1)
+    var xC = new Array[Int](m + 1)
+    var yC = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      mC(0) = NegInf; yC(0) = NegInf
+      xC(0) = GapOpen + GapExt * (i - 1)
+      j = 1
+      while (j <= m) {
+        val s = if (a.charAt(i - 1) == b.charAt(j - 1)) BlastnMatch else BlastnMismatch
+        val diag = math.max(mP(j - 1), math.max(xP(j - 1), yP(j - 1)))
+        mC(j) = if (diag <= NegInf) NegInf else diag + s
+        val fromM = if (mP(j) <= NegInf) NegInf else mP(j) + GapOpen
+        val fromY = if (yP(j) <= NegInf) NegInf else yP(j) + GapOpen
+        val fromX = if (xP(j) <= NegInf) NegInf else xP(j) + GapExt
+        xC(j) = math.max(fromM, math.max(fromY, fromX))
+        val openY = if (mC(j - 1) <= NegInf) NegInf else mC(j - 1) + GapOpen
+        val extY0 = math.max(if (xC(j - 1) <= NegInf) NegInf else xC(j - 1) + GapOpen,
+          if (yC(j - 1) <= NegInf) NegInf else yC(j - 1) + GapExt)
+        yC(j) = math.max(openY, extY0)
+        j += 1
+      }
+      val tm = mP; mP = mC; mC = tm
+      val tx = xP; xP = xC; xC = tx
+      val ty = yP; yP = yC; yC = ty
+      i += 1
+    }
+    math.max(mP(m), math.max(xP(m), yP(m)))
+  }
+
+  def gotohScoreUtf(a: UTF8String, b: UTF8String): Int =
+    gotohScore(a.toString, b.toString)
+
+  case class GotohScore(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      gotohScoreUtf(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Align.gotohScoreUtf($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  def gotohScoreCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(GotohScore(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

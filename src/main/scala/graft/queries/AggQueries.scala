@@ -226,16 +226,21 @@ object AggQueries extends QueryModule {
     "a9_rollup",
     (s, dir) => {
       val cust = Tables.load(s, dir, "customer")
+      // c_acctbal is a DOUBLE column: quantize to integer cents BEFORE the
+      // sum (README float discipline — the sf0.1 stress sweep catches the
+      // order-dependent double sum) and divide once at the end
       cust.rollup(col("c_nationkey"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
-          sum(col("c_acctbal")).cast("double").as("bal"),
+          (sum(round(col("c_acctbal") * 100).cast("long")).cast("double")
+            / 100.0).as("bal"),
           grouping_id().cast("long").as("lvl"))
         .orderBy(col("lvl"), coalesce(col("c_nationkey"), lit(-1)),
           coalesce(col("c_mktsegment"), lit("")))
     },
     Some("""SELECT c_nationkey, c_mktsegment,
                    count(1) AS n,
-                   CAST(sum(c_acctbal) AS DOUBLE) AS bal,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0 AS bal,
                    CAST(grouping(c_nationkey, c_mktsegment) AS BIGINT) AS lvl
             FROM customer
             GROUP BY ROLLUP(c_nationkey, c_mktsegment)

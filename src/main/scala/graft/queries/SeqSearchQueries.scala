@@ -620,7 +620,102 @@ object SeqSearchQueries extends QueryModule {
             FROM best WHERE rn = 1
             ORDER BY query_id"""))
 
+  // The affine-gap (Gotoh) upgrade of the bitscore ranking — the actual
+  // blastn task scoring (+2/-3, gap open 5, extend 2: a length-g gap
+  // costs open + ext*(g-1)). Integer three-lane DP (Align.GotohScore);
+  // the oracle replays the row recursion with the horizontal lane
+  // unrolled as the max-over-k left-run closure over the current row's
+  // M/X lanes (computed in nested subselects first). Same broadcast +
+  // min-struct top-1 shape; ranking by bitscore == ranking by the
+  // integer score.
+  private val q2BitscoreAffine = Q(
+    "q2_bitscore_affine",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lib = docs.filter(col("doc_id") < 150)
+        .select(col("doc_id").as("lib_id"),
+          substring(col("text"), 1, 24).as("lib_seq"))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 24).as("q_seq"))
+      val scored = lib.join(broadcast(queries), col("query_id") =!= col("lib_id"))
+        .withColumn("score",
+          graft.functions.Align.gotohScoreCol(col("q_seq"), col("lib_seq")).cast("long"))
+      scored.groupBy(col("query_id"))
+        .agg(min(struct((-col("score")).as("neg"), col("lib_id"))).as("b"))
+        .select(col("query_id"), col("b.lib_id").as("lib_id"),
+          (-col("b.neg")).as("score"))
+        .withColumn("bitscore", round(
+          (col("score").cast("double") * lit(graft.functions.Align.BlastnLambda) +
+            lit(-graft.functions.Align.BlastnLnK)) / lit(graft.functions.Align.Ln2), 4))
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH RECURSIVE qq AS (
+              SELECT doc_id AS query_id, substring(text, 1, 24) AS qs
+              FROM documents WHERE doc_id < 5),
+            ll AS (
+              SELECT doc_id AS lib_id, substring(text, 1, 24) AS ls
+              FROM documents WHERE doc_id < 150),
+            pairs AS (
+              SELECT query_id, lib_id, qs AS a, ls AS b
+              FROM qq JOIN ll ON query_id != lib_id),
+            dp AS (
+              SELECT query_id, lib_id, a, b, 0 AS i,
+                     list_transform(range(0, length(b) + 1),
+                       j -> CASE WHEN j = 0 THEN 0 ELSE -1000000000 END) AS m,
+                     list_transform(range(0, length(b) + 1),
+                       j -> -1000000000) AS x,
+                     list_transform(range(0, length(b) + 1),
+                       j -> CASE WHEN j = 0 THEN -1000000000
+                                 ELSE -5 - 2 * (j - 1) END) AS y
+              FROM pairs
+              UNION ALL
+              SELECT query_id, lib_id, a, b, i + 1, mn, xn,
+                     list_transform(range(0, length(b) + 1), j ->
+                       CASE WHEN j = 0 THEN -1000000000 ELSE
+                         list_max(list_transform(range(0, j), k ->
+                           CASE WHEN greatest(mn[k + 1], xn[k + 1]) <= -1000000000
+                                THEN -1000000000
+                                ELSE greatest(mn[k + 1], xn[k + 1])
+                                     - 5 - 2 * (j - k - 1) END)) END) AS yn
+              FROM (
+                SELECT query_id, lib_id, a, b, i,
+                       list_transform(range(0, length(b) + 1), j ->
+                         CASE WHEN j = 0 THEN -1000000000 ELSE
+                           CASE WHEN greatest(m[j], x[j], y[j]) <= -1000000000
+                                THEN -1000000000
+                                ELSE greatest(m[j], x[j], y[j]) +
+                                  CASE WHEN substring(a, CAST(i + 1 AS INTEGER), 1)
+                                            = substring(b, CAST(j AS INTEGER), 1)
+                                       THEN 2 ELSE -3 END END END) AS mn,
+                       list_transform(range(0, length(b) + 1), j ->
+                         CASE WHEN j = 0 THEN -5 - 2 * i ELSE
+                           greatest(
+                             CASE WHEN m[j + 1] <= -1000000000
+                                  THEN -1000000000 ELSE m[j + 1] - 5 END,
+                             CASE WHEN y[j + 1] <= -1000000000
+                                  THEN -1000000000 ELSE y[j + 1] - 5 END,
+                             CASE WHEN x[j + 1] <= -1000000000
+                                  THEN -1000000000 ELSE x[j + 1] - 2 END) END) AS xn
+                FROM dp WHERE i < length(a)) s),
+            sc AS (
+              SELECT query_id, lib_id,
+                     greatest(m[length(b) + 1], x[length(b) + 1],
+                              y[length(b) + 1]) AS score
+              FROM dp WHERE i = length(a)),
+            best AS (
+              SELECT query_id, lib_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, lib_id) AS rn
+              FROM sc)
+            SELECT query_id, lib_id, CAST(score AS BIGINT) AS score,
+                   round((CAST(score AS DOUBLE) * CAST(0.625 AS DOUBLE)
+                            + CAST(0.8915981192837836 AS DOUBLE))
+                         / CAST(0.6931471805599453 AS DOUBLE), 4) AS bitscore
+            FROM best WHERE rn = 1
+            ORDER BY query_id"""))
+
   val qs: Seq[Q] = Seq(q1ExactMatch, q1ExactHet, q2BestPartial, q2Banded,
     q2Translated, q2TopnSimilar, bioRevcomp, bioComposition, bioTranslate,
-    codonUsage, alleleSearch, q2Boundaries, q2BitscoreRank)
+    codonUsage, alleleSearch, q2Boundaries, q2BitscoreRank, q2BitscoreAffine)
 }

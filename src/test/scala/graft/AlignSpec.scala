@@ -119,4 +119,43 @@ class AlignSpec extends SparkSpec {
       .select(Align.nwScore(col("a"), col("b")).as("s"))
     assert(df.as[Int].collect().toSeq == Seq(11, 8))
   }
+
+  test("gotohScore matches exhaustive alignment enumeration on tiny strings") {
+    // independent reference: enumerate EVERY global alignment recursively,
+    // tracking whether the previous column was a gap in a / in b
+    def ref(a: String, b: String): Int = {
+      def go(i: Int, j: Int, last: Int): Int = { // last: 0 none/diag, 1 gapB(vert), 2 gapA(horiz)
+        if (i == a.length && j == b.length) 0
+        else {
+          var best = Int.MinValue
+          if (i < a.length && j < b.length) {
+            val s = if (a(i) == b(j)) Align.BlastnMatch else Align.BlastnMismatch
+            best = math.max(best, s + go(i + 1, j + 1, 0))
+          }
+          if (i < a.length) {
+            val c = if (last == 1) Align.GapExt else Align.GapOpen
+            best = math.max(best, c + go(i + 1, j, 1))
+          }
+          if (j < b.length) {
+            val c = if (last == 2) Align.GapExt else Align.GapOpen
+            best = math.max(best, c + go(i, j + 1, 2))
+          }
+          best
+        }
+      }
+      go(0, 0, 0)
+    }
+    val rnd = new scala.util.Random(23)
+    def randSeq(n: Int) = Seq.fill(n)("ACGT"(rnd.nextInt(4))).mkString
+    for (_ <- 1 to 60) {
+      val a = randSeq(rnd.nextInt(7)); val b = randSeq(rnd.nextInt(7))
+      assert(Align.gotohScore(a, b) == ref(a, b), s"a=$a b=$b")
+    }
+    // affine beats linear on a single long gap: AAAA vs AA
+    assert(Align.gotohScore("AAAA", "AA") == -3) // 2 matches + open+ext gap
+    assert(Align.blastnScore("AAAA", "AA") == -6) // linear pays per char
+    assert(Align.gotohScore("ACGT", "ACGT") == 8)
+    assert(Align.gotohScore("", "") == 0)
+    assert(Align.gotohScore("ACG", "") == -9) // open + 2 ext
+  }
 }
