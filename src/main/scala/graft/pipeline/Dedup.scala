@@ -317,4 +317,54 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
   }
+
+  /** EXACT all-pairs set-similarity self-join via prefix filtering
+    * (Chaudhuri et al. 2006 SSJoin / Xiao et al. PPJoin family) — the
+    * candidate generator that, unlike MinHash-LSH, has NO false negatives:
+    * under a global token order, two sets with |x∩y| >= a must share a
+    * token within their first (|x|-a+1) tokens; with a = ceil(t*|x|)
+    * (implied by Jaccard >= t since the overlap is at least t*|x|), a
+    * per-set prefix of length |x| - ceil(t*|x|) + 1 guarantees every
+    * qualifying pair collides on some prefix token.
+    *
+    * The global order is (ascending corpus frequency, token) — prefixes
+    * hold each set's RAREST tokens, so candidate buckets are naturally
+    * tiny: a token with corpus frequency f generates <= f(f-1)/2 pairs,
+    * and frequent tokens sink to the suffix where they are never indexed.
+    * All shuffles before verification carry (token, id) pairs only; the
+    * exact Jaccard check re-attaches the two token arrays once per
+    * surviving candidate.
+    */
+  def prefixFilterPairs(docs: DataFrame, id: String, tokens: Column,
+      t: Double): DataFrame = {
+    require(t > 0 && t <= 1, s"threshold must be in (0,1]: $t")
+    val tok = docs.select(col(id).as("__id"), array_distinct(tokens).as("__raw"))
+      .filter(size(col("__raw")) > 0)
+    val ex = tok.select(col("__id"), explode(col("__raw")).as("__t"))
+    val freq = ex.groupBy(col("__t")).agg(count(lit(1)).as("__f"))
+    val ordered = ex.join(freq, "__t")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__f"), col("__t")))).as("__st"))
+      .select(col("__id"),
+        transform(col("__st"), x => x.getField("__t")).as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+      .withColumn("__p",
+        (col("__n") - ceil(lit(t) * col("__n")) + 1).cast("int"))
+    val prefix = ordered.select(col("__id"),
+      explode(slice(col("__ts"), lit(1), col("__p"))).as("__t"))
+    val cands = prefix.select(col("__id").as("id1"), col("__t"))
+      .join(prefix.select(col("__id").as("id2"), col("__t")), "__t")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val a1 = ordered.select(col("__id").as("id1"),
+      col("__ts").as("__ts1"), col("__n").as("__n1"))
+    val a2 = ordered.select(col("__id").as("id2"),
+      col("__ts").as("__ts2"), col("__n").as("__n2"))
+    cands.join(a1, "id1").join(a2, "id2")
+      .withColumn("__i", size(array_intersect(col("__ts1"), col("__ts2"))))
+      .withColumn("jac", col("__i").cast("double") /
+        (col("__n1") + col("__n2") - col("__i")).cast("double"))
+      .filter(col("jac") >= t)
+      .select(col("id1"), col("id2"), col("jac"))
+  }
 }

@@ -359,6 +359,40 @@ object DedupQueries extends QueryModule {
                ON d.doc_id = v.did
              ORDER BY d.doc_id"""))
 
+  // EXACT all-pairs near-dup join via prefix filtering (no LSH false
+  // negatives): 3-gram shingle sets, global rarest-first token order,
+  // per-set prefix index, exact Jaccard verification. The oracle is the
+  // BRUTE-FORCE all-pairs join — value equality therefore proves the
+  // no-false-negative guarantee on this corpus, not just agreement on
+  // the candidate subset.
+  private val dedupPrefixJoin = Q(
+    "dedup_prefix_join",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.prefixFilterPairs(docs, "doc_id",
+          Dedup.shingles(col("text"), 3), t = 0.2)
+        .withColumn("jac", round(col("jac"), 4))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 1, 1)),
+                       i -> list_aggregate(
+                              string_split_regex(lower(text), '\s+')[i:i+2],
+                              'string_agg', ' '))) AS g
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2,
+                     CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(a.g) > 0 AND len(b.g) > 0)
+            SELECT id1, id2, round(jac, 4) AS jac
+            FROM p WHERE jac >= 0.2
+            ORDER BY id1, id2"""))
+
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupCluster, dedupSubstring, dedupSoft, dedupIncremental)
+    dedupCluster, dedupSubstring, dedupSoft, dedupIncremental,
+    dedupPrefixJoin)
 }

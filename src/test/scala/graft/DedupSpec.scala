@@ -203,4 +203,34 @@ class DedupSpec extends SparkSpec {
     assert(out(1)._2 == 1 && out(1)._3 == 7, out(1).toString)
     assert(out(2) == ((3L, 0L, 0L)) && out(3) == ((4L, 0L, 0L)))
   }
+
+  test("prefixFilterPairs == brute-force all-pairs Jaccard (no false negatives)") {
+    // random near-dup corpus: base docs + mutated copies
+    val rnd = new scala.util.Random(31)
+    val vocab = ('a' to 'z').map(_.toString)
+    def doc() = Seq.fill(12 + rnd.nextInt(10))(vocab(rnd.nextInt(26))).mkString(" ")
+    val base = (0 until 20).map(i => (i.toLong, doc()))
+    val mutated = base.take(8).map { case (i, d) =>
+      val ws = d.split(" ").toSeq
+      (100L + i, ws.updated(rnd.nextInt(ws.size), vocab(rnd.nextInt(26))).mkString(" "))
+    }
+    val docs = (base ++ mutated).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      graft.pipeline.Dedup.shingles(col("text"), 2).as("ts"))
+    val t = 0.3
+    val got = graft.pipeline.Dedup.prefixFilterPairs(
+        docs, "doc_id", graft.pipeline.Dedup.shingles(col("text"), 2), t)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the same token sets
+    val sets = toks.as[(Long, Seq[String])].collect()
+      .map { case (i, ts) => (i, ts.toSet) }.filter(_._2.nonEmpty)
+    val want = (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      inter = (a & b).size
+      jac = inter.toDouble / (a.size + b.size - inter)
+      if jac >= t
+    } yield (i, j, jac)).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.nonEmpty, "fixture must produce qualifying pairs")
+  }
 }
