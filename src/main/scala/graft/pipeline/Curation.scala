@@ -42,6 +42,35 @@ object Curation {
       .filter(hashBucket(col(id), 10000L) < col("rate_bp"))
       .drop("rate_bp")
 
+  /** Weighted bottom-k (priority) sample per stratum — sequential-Poisson
+    * / priority sampling (Ohlsson 1998; Duffield-Lund-Thorup 2007): item
+    * priority = uniform-hash / weight, keep the k smallest per group, so
+    * inclusion probability scales with weight while the whole sample
+    * stays deterministic and engine-replayable (portable md5 hash, one
+    * IEEE division, (priority, id) total order). State is k rows per
+    * group via the bounded CollectTopK aggregate — map-side partials
+    * never exceed k, shard samples merge by keep-k-smallest, the same
+    * 100 TB posture as the KMV sketch.
+    *
+    * The hash normalizes to [0,1) BEFORE the weight division (dividing by
+    * 2^60 is exact — power-of-two scaling), keeping priorities at unit
+    * magnitude where a display rounding is well-defined; at raw 10^15
+    * magnitude the ULP exceeds 4 decimals and engines disagree.
+    */
+  def weightedSample(docs: DataFrame, stratum: String, id: String,
+      weight: Column, k: Int): DataFrame = {
+    val pri = conv(substring(md5(col(id).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(math.pow(2.0, 60)) /
+      weight.cast("double")
+    docs.withColumn("__pri", pri)
+      .groupBy(col(stratum))
+      .agg(org.apache.spark.sql.graft.ColumnBridge.collectBottomK(
+        struct(col("__pri"), col(id)), k).as("__tk"))
+      .select(col(stratum), posexplode(col("__tk")).as(Seq("__i", "__t")))
+      .select(col(stratum), col(s"__t.$id").as(id),
+        col("__t.__pri").as("pri"), (col("__i") + 1).cast("long").as("rank"))
+  }
+
   /** Target-proportion domain mix: given per-stratum weights, sample each
     * stratum down so the output follows the weights exactly at the largest
     * total the corpus supports (the binding stratum is kept whole).

@@ -40,6 +40,34 @@ object CurationQueries extends QueryModule {
              WHERE $hashSql % 10000 < 500 + ($srcIdxSql % 7) * 1300
              GROUP BY source ORDER BY source"""))
 
+  // Weighted (priority) sample: k=8 per source with inclusion probability
+  // scaling with n_chars — priority = portable-hash / weight, keep the k
+  // smallest per stratum via the bounded CollectTopK aggregate (state k
+  // rows per group, shard samples merge by keep-k-smallest). One IEEE
+  // division per row; the oracle replays priorities and the rank cut.
+  private val sampleWeighted = Q(
+    "sample_weighted",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.weightedSample(docs, "source", "doc_id", col("n_chars"), 8)
+        .withColumn("pri", round(col("pri"), 6))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some(s"""WITH p AS (
+               SELECT source, doc_id,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           AS DOUBLE) / 1152921504606846976.0
+                        / CAST(n_chars AS DOUBLE) AS pri
+               FROM documents),
+             r AS (SELECT source, doc_id, pri,
+                          row_number() OVER (PARTITION BY source
+                            ORDER BY pri, doc_id) AS rank
+                   FROM p)
+             SELECT source, doc_id, round(pri, 6) AS pri,
+                    CAST(rank AS BIGINT) AS rank
+             FROM r WHERE rank <= 8
+             ORDER BY source, rank"""))
+
   // Domain mixing: weights 1..3 per source; budget = min(n_s div w_s) over
   // strata; each stratum keeps ~budget*w_s rows via a pure-integer hash
   // cutoff — the oracle replays counts, budget, cutoffs, and the kept set.
@@ -886,7 +914,7 @@ object CurationQueries extends QueryModule {
                    END AS jaccard_bp
             FROM p ORDER BY rule_a, rule_b"""))
 
-  val qs: Seq[Q] = Seq(sampleStratified, textDomainMix, dedupParagraph,
+  val qs: Seq[Q] = Seq(sampleStratified, sampleWeighted, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
     qualityPercentileGate, shardConcat, corpusDiff, mixTemperature,

@@ -460,6 +460,28 @@ class PlanSpec extends SparkSpec {
       s"no hash exchange expected in tokenize-on-ingest:\n${plan.take(2500)}")
   }
 
+  test("dedup_prefix_join: ids-only candidate join, no cartesian, one verify join") {
+    val plan = planOf("dedup_prefix_join")
+    assert(!plan.contains("CartesianProduct"),
+      s"prefix filter must never go all-pairs:\n${plan.take(2500)}")
+    assert(!plan.contains("Window"), plan.take(2500))
+  }
+
+  test("q4_autotag_incremental: pending pairs prune via an anti join") {
+    val plan = planOf("q4_autotag_incremental")
+    assert(plan.contains("LeftAnti"),
+      s"expected the ids-only anti join against existing tags:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
+  test("sim_label_prop / text_lrs / q2_bitscore_affine: no windows, no cartesian") {
+    for (q <- Seq("sim_label_prop", "text_lrs", "q2_bitscore_affine")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"), s"$q grew a window:\n${plan.take(2500)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2500)}")
+    }
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
