@@ -672,25 +672,45 @@ object Similarity {
     * vertex id — a pure function of the edge list, so a fixed round count
     * replays on any engine (the classic async/random-order LPA is not).
     *
-    * Scale: each round is one ids-only equi join (labels onto edge
-    * sources) + two map-side-combinable aggregations; labels checkpoint
-    * per round so plan lineage stays flat. No vectors, no windows.
+    * Scale: the symmetrized edge list pre-partitions on src ONCE before
+    * its checkpoint (LogicalRDD preserves the partitioning, so no round
+    * re-shuffles it); each round is then one ids-only equi join + ONE
+    * aggregation shuffle — the neighbor labels collect per vertex
+    * (degree-bounded arrays) and the most-frequent-min-tie argmax folds
+    * over the sorted array in-row, no second (dst, label) shuffle.
+    * Labels checkpoint per round so plan lineage stays flat. No vectors,
+    * no windows.
     */
   def labelPropagate(edges: DataFrame, id1: String, id2: String,
       rounds: Int): DataFrame = {
     val sym = edges.select(col(id1).as("src"), col(id2).as("dst"))
       .unionByName(edges.select(col(id2).as("src"), col(id1).as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
+    // mode of an ASCENDING label array: single fold, strict > keeps the
+    // first (smallest) label on count ties
+    def modeOfSorted(ls: Column): Column = {
+      val init = struct(lit(-1L).as("cur"), lit(0L).as("curN"),
+        lit(-1L).as("best"), lit(0L).as("bestN"))
+      aggregate(ls, init, (a, x) => {
+        val curN = when(a.getField("cur") === x, a.getField("curN") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("cur"), curN.as("curN"),
+          when(curN > a.getField("bestN"), x)
+            .otherwise(a.getField("best")).as("best"),
+          when(curN > a.getField("bestN"), curN)
+            .otherwise(a.getField("bestN")).as("bestN"))
+      }, a => a.getField("best"))
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     var r = 0
     while (r < rounds) {
       labels = sym
         .join(labels.select(col("id").as("src"), col("label")), "src")
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
-        .agg(min(struct((-col("cnt")).as("neg"), col("label"))).as("b"))
-        .select(col("dst").as("id"), col("b.label").as("label"))
+        .agg(sort_array(collect_list(col("label"))).as("__ls"))
+        .select(col("dst").as("id"), modeOfSorted(col("__ls")).as("label"))
         .localCheckpoint()
       r += 1
     }

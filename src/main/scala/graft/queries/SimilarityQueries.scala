@@ -400,12 +400,25 @@ object SimilarityQueries extends QueryModule {
             FROM rr WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
+  // The mutual-kNN graph is a pure function of (corpus, k, nlist, nprobe)
+  // — memoize the materialized edge list per session (the
+  // Profiles.cachedWarehouse posture), so the graph query and every
+  // graph-consuming operator (label propagation here; any future
+  // community/metric op) share ONE build instead of re-running the IVF
+  // probe + mutuality join each.
+  private val knnGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  private def cachedMutualKnn(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    knnGraphCache.computeIfAbsent(Tables.sessionKey(s) + "|" + dir + "|5|32|3",
+      _ => Similarity.mutualKnnGraph(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, nlist = 32, nprobe = 3).localCheckpoint())
+
   private val simMutualKnn = Q(
     "sim_mutual_knn",
     (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Similarity.mutualKnnGraph(emb, "vec_id", "embedding",
-          k = 5, nlist = 32, nprobe = 3)
+      cachedMutualKnn(s, dir)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("id1"), col("id2"))
     },
@@ -475,10 +488,8 @@ object SimilarityQueries extends QueryModule {
   private val simLabelProp = Q(
     "sim_label_prop",
     (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val g = Similarity.mutualKnnGraph(emb, "vec_id", "embedding",
-        k = 5, nlist = 32, nprobe = 3)
-      Similarity.labelPropagate(g, "id1", "id2", rounds = 3)
+      Similarity.labelPropagate(cachedMutualKnn(s, dir), "id1", "id2",
+          rounds = 3)
         .select(col("id").as("vec_id"), col("label").as("community"))
         .orderBy(col("vec_id"))
     },
