@@ -681,6 +681,22 @@ object Similarity {
     * Labels checkpoint per round so plan lineage stays flat. No vectors,
     * no windows.
     */
+  /** Per-vertex triangle counts of an undirected graph given as an
+    * ascending-oriented edge list (id1 < id2) — the clustering-coefficient
+    * numerator. Wedge join fan-out is bounded by out-degree squared under
+    * the orientation; all joins carry ids only.
+    */
+  def triangleCounts(edges: DataFrame, id1: String, id2: String): DataFrame = {
+    val e = edges.select(col(id1).as("id1"), col(id2).as("id2"))
+    val wedge = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+    val tri = wedge.join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
+    val per = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    e.select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
+      .join(per, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
   def labelPropagate(edges: DataFrame, id1: String, id2: String,
       rounds: Int): DataFrame = {
     val sym = edges.select(col(id1).as("src"), col(id2).as("dst"))

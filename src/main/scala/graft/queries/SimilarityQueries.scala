@@ -701,8 +701,37 @@ object SimilarityQueries extends QueryModule {
              FROM ranked WHERE rank <= 5
              ORDER BY query_id, rank"""))
 
+  // Per-vertex triangle counts on the mutual-kNN graph — the clustering-
+  // coefficient numerator (how clique-like each vector's neighborhood
+  // is: a quality metric for ANN graphs and a SemDeDup-cluster density
+  // signal). Edges orient ascending (id1 < id2), so the wedge join's
+  // fan-out is bounded by the out-degree (<= 2k in a mutual-kNN graph)
+  // squared; degree-orientation is the general fix for skewed graphs.
+  // All joins are ids-only; the oracle replays the 3-way join.
+  private val simTriangles = Q(
+    "sim_triangles",
+    (s, dir) => {
+      Similarity.triangleCounts(cachedMutualKnn(s, dir), "id1", "id2")
+        .select(col("id").as("vec_id"), col("n_tri"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $mutualKnnCteSql,
+            eg AS (SELECT id1 AS a, id2 AS b FROM mpairs),
+            wedge AS (SELECT e1.a, e1.b, e2.b AS c
+                      FROM eg e1 JOIN eg e2 ON e1.b = e2.a),
+            trig AS (SELECT w.a, w.b, w.c
+                     FROM wedge w JOIN eg e3 ON w.a = e3.a AND w.c = e3.b),
+            pv AS (SELECT vec_id, CAST(count(1) AS BIGINT) AS n_tri FROM (
+                     SELECT unnest([a, b, c]) AS vec_id FROM trig) t
+                   GROUP BY vec_id),
+            vv AS (SELECT DISTINCT x AS vec_id FROM (
+                     SELECT a AS x FROM eg UNION ALL SELECT b FROM eg) t)
+            SELECT vv.vec_id, coalesce(pv.n_tri, 0) AS n_tri
+            FROM vv LEFT JOIN pv ON vv.vec_id = pv.vec_id
+            ORDER BY vv.vec_id"""))
+
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
-    simLabelProp)
+    simLabelProp, simTriangles)
 }

@@ -267,6 +267,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) != out(10L), s"bridge merged the triangles: $out")
   }
 
+  test("triangleCounts: K4, triangle+tail, and a triangle-free path") {
+    // K4 on {1,2,3,4}: 4 triangles, every vertex is in 3
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("id1", "id2")
+    val got = Similarity.triangleCounts(k4, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle {1,2,3} with tail 3-4: vertex 4 participates in none
+    val tail = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
+    val got2 = Similarity.triangleCounts(tail, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // path graph: no triangles anywhere
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
+    assert(Similarity.triangleCounts(path, "id1", "id2")
+      .as[(Long, Long)].collect().toMap.values.forall(_ == 0L))
+  }
+
   test("labelPropagate: synchronous rounds are partitioning-insensitive") {
     val rnd = new scala.util.Random(13)
     val edges = (1 to 60).map(_ =>
