@@ -73,4 +73,21 @@ object Geo {
       .filter(col("km") <= dKm)
       .drop("__band")
   }
+
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative integer coordinates — x in the even positions, y in the
+    * odd. THE multi-dimensional clustering key for file layout: sorting by
+    * z before a partitioned write co-locates spatial neighbors inside
+    * row groups, so parquet min/max pruning skips files for 2-D range
+    * predicates (the Delta OPTIMIZE ZORDER move, here as a plain column).
+    * Statically unrolled literal shifts — pure integer codegen, exact on
+    * any engine.
+    */
+  def zOrderKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x.cast("long"), b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y.cast("long"), b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+  }
 }

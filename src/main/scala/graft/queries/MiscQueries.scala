@@ -388,7 +388,35 @@ object MiscQueries extends QueryModule {
             GROUP BY cohort_day, day_offset
             ORDER BY cohort_day, day_offset"""))
 
+  // Z-order clustering cells: the Morton key over the quantized synthetic
+  // geo point (integer longitude from custkey, floor'd latitude band from
+  // acctbal — same derivations as f9), aggregated per cell. Sorting by
+  // this key before a write co-locates spatial neighbors for min/max file
+  // pruning; here the key + cell rollup are the checked surface. Pure
+  // integer bit-interleave on both engines.
+  private val geoZorder = Q(
+    "geo_zorder_cells",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val qx = pmod(col("c_custkey") * 7, lit(360)).cast("long")
+      val qy = floor(pmod(col("c_acctbal"), lit(180.0))).cast("long")
+      c.select(Geo.zOrderKey(qx, qy, 9).as("z"))
+        .groupBy(col("z")).agg(count(lit(1)).as("n"))
+        .orderBy(col("z"))
+    },
+    Some("""WITH q AS (
+              SELECT ((c_custkey * 7) % 360 + 360) % 360 AS qx,
+                     CAST(floor(c_acctbal - 180.0 * floor(c_acctbal / 180.0))
+                          AS BIGINT) AS qy
+              FROM customer),
+            zv AS (
+              SELECT list_sum(list_transform(range(0, 9), b ->
+                       (((qx >> b) & 1) << (2 * b))
+                       + (((qy >> b) & 1) << (2 * b + 1)))) AS z
+              FROM q)
+            SELECT z, count(1) AS n FROM zv GROUP BY z ORDER BY z"""))
+
   val qs: Seq[Q] = Seq(f9Geo, geoDistance, geoWithinJoin, o5DictSort, a10PubBreakdown,
     compositeField, jsonShred, cacheIncremental, skewSaltedJoin,
-    eventSessionize, eventFunnel, eventRetention)
+    eventSessionize, eventFunnel, eventRetention, geoZorder)
 }

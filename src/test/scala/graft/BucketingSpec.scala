@@ -71,4 +71,23 @@ class BucketingSpec extends SparkSpec {
     val files = spark.table("graft_test_bkt_small").inputFiles
     assert(files.length == 2, files.mkString(", "))
   }
+
+  test("zOrderKey matches a bit-interleave reference and orders locally") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).sum
+    val rnd = new scala.util.Random(41)
+    val pts = Seq.fill(200)((rnd.nextInt(512).toLong, rnd.nextInt(512).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.Geo.zOrderKey(col("x"), col("y"), 9).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == ref(x, y, 9), s"($x,$y)") }
+    // known interleavings: (1,0)->1, (0,1)->2, (3,3)->15, (4,0)->16
+    assert(ref(1, 0, 9) == 1 && ref(0, 1, 9) == 2 &&
+      ref(3, 3, 9) == 15 && ref(4, 0, 9) == 16)
+    // locality: points in the same 2x2 block share z div 4
+    assert((0 until 2).forall(dx => (0 until 2).forall(dy =>
+      ref(6L + dx, 2L + dy, 9) / 4 == ref(6L, 2L, 9) / 4)))
+  }
 }
