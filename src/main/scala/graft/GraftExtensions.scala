@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer: thresholded levenshtein predicates drop to the O(n*band)
+    // banded kernel — exact rewrite, see BandedLevenshteinRewrite
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRewrite)
     inject(ext, "reverse_complement", "reverse-complements a DNA sequence",
       { case Seq(c) => functions.Bio.ReverseComplement(c) })
     inject(ext, "is_complete_cds", "start codon, in-frame terminal stop, no internal stop",

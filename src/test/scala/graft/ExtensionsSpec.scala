@@ -45,4 +45,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(r(0).getSeq[Int](1) == Seq(1, 3))
     assert(r(1).getSeq[Int](1) == Seq(7, 9))
   }
+
+  test("optimizer rewrites thresholded levenshtein to the banded kernel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a real scan source: a LocalRelation fixture would be constant-folded
+    // (filter evaluated at optimize time) before the rewrite is observable
+    val dir = java.nio.file.Files.createTempDirectory("graft_lev").toString
+    Seq(("kitten", "sitting"), ("abc", "abc"), ("abc", "xyzpq"),
+      ("", "ab"), ("aaaa", "aa")).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val filtered = df.filter(levenshtein(col("a"), col("b")) <= 2)
+    val plan = filtered.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("bandedlevenshtein"),
+      s"expected the banded rewrite in:\n$plan")
+    // exact equivalence vs the unrewritten computation (threshold in a
+    // projection is untouched — comparison against a column, no literal)
+    val want = df.withColumn("d", levenshtein(col("a"), col("b")))
+      .filter(col("d") <= col("d") * 0 + 2).drop("d")
+    assert(filtered.exceptAll(want).isEmpty && want.exceptAll(filtered).isEmpty)
+    // strict < and reversed literal forms rewrite too
+    for (f <- Seq(
+        df.filter(levenshtein(col("a"), col("b")) < 3),
+        df.filter(lit(2) >= levenshtein(col("a"), col("b"))),
+        df.filter(lit(3) > levenshtein(col("a"), col("b"))))) {
+      assert(f.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("bandedlevenshtein"))
+      assert(f.exceptAll(want).isEmpty && want.exceptAll(f).isEmpty)
+    }
+    // ranking use (no literal comparison) is left on the exact built-in
+    val rank = df.select(levenshtein(col("a"), col("b")).as("d"))
+    assert(!rank.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("bandedlevenshtein"))
+    assert(rank.as[Int].collect().sorted.toSeq == Seq(0, 2, 2, 3, 5))
+  }
 }
