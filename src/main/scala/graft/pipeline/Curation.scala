@@ -316,6 +316,34 @@ object Curation {
       .withColumn("keep", col(score) >= col("cut_score"))
   }
 
+  /** Cross-stratum score calibration: percentile-rank normalization of an
+    * integer score within its stratum — pct_bp = floor(10000 * |rows with
+    * strictly smaller score| / n). The calibration that makes a quality
+    * gate comparable ACROSS domains whose raw score distributions differ
+    * (gate on pct_bp, not score).
+    *
+    * Shape mirrors [[percentileGate]]: per-row work never windows — the
+    * corpus reduces to the (stratum, score) HISTOGRAM (map-side
+    * combinable), the cumulative runs on that bounded dimension, and the
+    * (below, n) columns broadcast back. Pure integer arithmetic end to
+    * end.
+    */
+  def rankNormalize(scored: DataFrame, stratum: String, score: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col(stratum), col(score))
+      .agg(count(lit(1)).as("__c"))
+    val below = Window.partitionBy(col(stratum)).orderBy(col(score))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dim = hist
+      .withColumn("__below", coalesce(sum(col("__c")).over(below), lit(0L)))
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy(col(stratum))))
+      .select(col(stratum), col(score), col("__below"), col("__n"))
+    scored.join(broadcast(dim), Seq(stratum, score))
+      .withColumn("pct_bp", expr("(__below * 10000) div __n"))
+      .drop("__below", "__n")
+  }
+
   /** Training-shard materialization: assign documents to `nShards` shards
     * by the deterministic id hash, concatenate each shard's texts in
     * ascending-id order with `sep` between documents, and emit the shard

@@ -617,6 +617,45 @@ object CurationQueries extends QueryModule {
             FROM t JOIN c USING (source)
             GROUP BY t.source ORDER BY source"""))
 
+  // Percentile-rank normalization: the stopword quality score calibrated
+  // within each source (pct_bp = floor(10000 * strictly-below / n)) so a
+  // single gate value means the same thing across domains with different
+  // raw-score distributions. Same histogram shape as the gate: the
+  // window runs on the (source, score) dimension, never on rows.
+  private val qualityRankNormalize = Q(
+    "quality_rank_normalize",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ws = split(lower(trim(col("text"))), "\\s+")
+      val toks = size(ws).cast("double")
+      val stops = size(filter(ws, w => w.isin(stopWords: _*))).cast("double")
+      val scored = docs.select(col("doc_id"), col("source"),
+        when(toks > 0, round(lit(10000.0) * stops / toks))
+          .otherwise(lit(0.0)).cast("long").as("score_bp"))
+      Curation.rankNormalize(scored, "source", "score_bp")
+        .select(col("doc_id"), col("source"), col("score_bp"), col("pct_bp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) > 0
+                       THEN CAST(round(
+                         (10000.0 * len(list_filter(
+                            string_split_regex(lower(trim(text)), '\s+'),
+                            w -> w IN ('the','a','an','and','or','of','to','in'))))
+                         / len(string_split_regex(lower(trim(text)), '\s+')))
+                         AS BIGINT)
+                       ELSE 0 END AS score_bp
+              FROM documents)
+            SELECT doc_id, source, score_bp,
+                   CAST((count(1) OVER (PARTITION BY source ORDER BY score_bp
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         * 10000)
+                        // (count(1) OVER (PARTITION BY source)) AS BIGINT)
+                     AS pct_bp
+            FROM t
+            ORDER BY doc_id"""))
+
   // Training-shard materialization: 16 hash shards, ascending-id concat
   // with an EOS separator, plus the per-shard document offset index —
   // witnessed byte-for-byte by payload/offset md5s.
@@ -917,7 +956,7 @@ object CurationQueries extends QueryModule {
   val qs: Seq[Q] = Seq(sampleStratified, sampleWeighted, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
-    qualityPercentileGate, shardConcat, corpusDiff, mixTemperature,
+    qualityPercentileGate, qualityRankNormalize, shardConcat, corpusDiff, mixTemperature,
     corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap,
     curateDsir, corpusOverlapHll)
 }
