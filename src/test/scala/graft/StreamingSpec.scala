@@ -416,6 +416,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("weighted sample builds on a stream (complete mode) = batch sample") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // priority sampling state is the bounded keep-k-smallest buffer, so
+    // the batch definition runs unchanged as a streaming aggregation
+    val rows = (1L to 300L).map(i => (s"s${i % 3}", i, 1L + i % 7))
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Curation.weightedSample(df, "source", "doc_id",
+        col("w"), 8)
+    val in = MemoryStream[(String, Long, Long)]
+    in.addData(rows: _*)
+    val q = sample(in.toDF.toDF("source", "doc_id", "w"))
+      .writeStream.format("memory").queryName("stream_wsample_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_wsample_sink")
+    val batch = sample(rows.toDF("source", "doc_id", "w"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("incremental autotag scan runs on a contig stream (tag-on-ingest)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
