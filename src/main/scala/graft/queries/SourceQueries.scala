@@ -306,6 +306,42 @@ object SourceQueries extends QueryModule {
             SELECT doc_id, field, rule, value FROM v
             ORDER BY doc_id, rule"""))
 
+  // WebDataset tar shards — the multimodal training-data interchange
+  // format: per-doc entries (NNNNNN.txt payload + NNNNNN.cls label)
+  // grouped into deterministic ustar shards (zero mtime/uid, name-sorted
+  // entries), written one file per shard from the executors, read back
+  // via the parallel binaryFile source + the TarEntries expression. The
+  // oracle checks post-roundtrip CONTENT (md5 per entry) straight from
+  // the parquet table — losslessness, not just row counts.
+  private val webdatasetRoundtrip = Q(
+    "webdataset_roundtrip",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val entries = docs.select((col("doc_id") % 8).as("shard"),
+        array(
+          struct(concat(lpad(col("doc_id").cast("string"), 6, "0"),
+            lit(".cls")).as("name"), col("source").cast("binary").as("data")),
+          struct(concat(lpad(col("doc_id").cast("string"), 6, "0"),
+            lit(".txt")).as("name"), col("text").cast("binary").as("data")))
+          .as("es"))
+        .groupBy(col("shard"))
+        .agg(sort_array(flatten(collect_list(col("es")))).as("entries"))
+      val path = s"/tmp/graft_wds_${dir.replaceAll("[^0-9.]", "")}"
+      graft.sources.WebDataset.write(entries, "shard", "entries", path)
+      graft.sources.WebDataset.read(s, path)
+        .select(split(col("name"), "\\.").getItem(0).cast("long").as("doc_id"),
+          split(col("name"), "\\.").getItem(1).as("ext"),
+          md5(col("data")).as("payload_md5"))
+        .orderBy(col("doc_id"), col("ext"))
+    },
+    Some("""SELECT doc_id, ext, payload_md5 FROM (
+              SELECT doc_id, 'cls' AS ext, md5(source) AS payload_md5
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'txt' AS ext, md5(text) AS payload_md5
+              FROM documents) t
+            ORDER BY doc_id, ext"""))
+
   val qs: Seq[Q] = Seq(s2SchemaConfig, s5LocusDownload, s6RemoteContigs,
-    s8Embl, s8Gff3, jsonlRoundtrip, curateValidate)
+    s8Embl, s8Gff3, jsonlRoundtrip, curateValidate, webdatasetRoundtrip)
 }

@@ -148,4 +148,53 @@ class SourcesSpec extends SparkSpec {
       .map(t => t._1 -> ((t._2, t._3))).toMap
     assert(got == Map("a" -> ((8L, 2L)), "b" -> ((5L, 1L))))
   }
+
+  test("webdataset tar: roundtrip, block edges, determinism, GNU tar interop") {
+    import graft.sources.WebDataset
+    val rnd = new scala.util.Random(47)
+    // sizes across block boundaries incl. empty and exactly-512
+    val entries = Seq(0, 1, 511, 512, 513, 1024, 3000).zipWithIndex.map {
+      case (n, i) =>
+        (f"$i%06d.bin", Array.fill[Byte](n)(rnd.nextInt(256).toByte))
+    }
+    val bytes = WebDataset.tarBytes(entries)
+    assert(bytes.length % 512 == 0)
+    val back = WebDataset.untar(bytes)
+    assert(back.map(_._1) == entries.map(_._1))
+    back.zip(entries).foreach { case ((_, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    // archives are a pure function of the entries
+    assert(java.util.Arrays.equals(bytes, WebDataset.tarBytes(entries)))
+    // the real `tar` reads our archives (interop, not just self-consistency)
+    val f = java.nio.file.Files.createTempFile("graft_wds", ".tar")
+    java.nio.file.Files.write(f, bytes)
+    val listed = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new ProcessBuilder("tar", "-tf", f.toString).start().getInputStream))
+      .lines().toArray.map(_.toString).toSeq
+    assert(listed == entries.map(_._1), s"tar -tf saw: $listed")
+  }
+
+  test("webdataset write/read: parallel shard roundtrip through binaryFile") {
+    import graft.sources.WebDataset
+    val docs = (1L to 40L).map(i => (i, s"text-$i", s"cls${i % 3}"))
+      .toDF("doc_id", "text", "cls")
+    val entries = docs.select((col("doc_id") % 4).as("shard"),
+      array(
+        struct(concat(lpad(col("doc_id").cast("string"), 6, "0"),
+          lit(".cls")).as("name"), col("cls").cast("binary").as("data")),
+        struct(concat(lpad(col("doc_id").cast("string"), 6, "0"),
+          lit(".txt")).as("name"), col("text").cast("binary").as("data")))
+        .as("es"))
+      .groupBy(col("shard"))
+      .agg(sort_array(flatten(collect_list(col("es")))).as("entries"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds_rt").toString
+    WebDataset.write(entries, "shard", "entries", dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tar")) == 4)
+    val back = WebDataset.read(spark, dir)
+      .select(col("name"), col("data").cast("string").as("payload"))
+      .as[(String, String)].collect().toMap
+    assert(back.size == 80)
+    assert(back("000007.txt") == "text-7" && back("000007.cls") == "cls1")
+  }
 }
