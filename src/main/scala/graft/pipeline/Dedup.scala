@@ -367,4 +367,57 @@ object Dedup {
       .filter(col("jac") >= t)
       .select(col("id1"), col("id2"), col("jac"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995) — the
+    * classic entity-resolution candidate generator: sort the corpus by a
+    * blocking key, then compare only rows whose sort ranks are within
+    * `window` of each other. Complements the hash-bucket generators above
+    * (LSH/SimHash): SNM catches near-dups that share a key PREFIX even when
+    * no shingle bucket collides, and its candidate count is exactly
+    * (window-1)·n — linear by construction, no skew failure mode.
+    *
+    * Scale shape: the global sort rank comes from the two-phase
+    * [[graft.operators.Numbering.numberBySort]] (range shuffle + broadcast
+    * partition offsets — never a single-partition Window.orderBy), and the
+    * "ranks within window" predicate is an EQUI join on rank after fanning
+    * one side out by the constant offsets 1..window-1 — never a range or
+    * cross join. Wide ops total: one range shuffle + one equi-join shuffle.
+    *
+    * Verification stage: exact word-`n`-gram Jaccard (fused codegen set
+    * kernel) ≥ `threshold`, so the output is a verified pair list, not just
+    * candidates. Docs with fewer than 2 words carry no shingles and are
+    * excluded (their Jaccard is undefined).
+    *
+    * Output: (id1, id2, jac) with id1 < id2, jac rounded to 4 decimals.
+    */
+  def sortedNeighborhood(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      keyLen: Int,
+      window: Int,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val keyed = docs
+      .filter(size(words(col(text))) >= 2)
+      .select(col(id).as("__id"),
+        shingles(col(text), n).as("__sh"),
+        substring(lower(trim(col(text))), 1, keyLen).as("__k"))
+      .withColumn("__sk", struct(col("__k"), col("__id")))
+    val ranked = graft.operators.Numbering
+      .numberBySort(keyed, "__sk", "__rn")
+      .select(col("__id"), col("__sh"), col("__rn"))
+    val fanned = ranked
+      .select(col("__id").as("__ida"), col("__sh").as("__sha"),
+        explode(sequence(lit(1), lit(window - 1))).as("__d"),
+        col("__rn"))
+      .withColumn("__rn", col("__rn") + col("__d"))
+      .drop("__d")
+    fanned.join(ranked, Seq("__rn"))
+      .withColumn("jac", round(jaccard(col("__sha"), col("__sh")), 4))
+      .filter(col("jac") >= threshold)
+      .select(least(col("__ida"), col("__id")).as("id1"),
+        greatest(col("__ida"), col("__id")).as("id2"),
+        col("jac"))
+  }
 }

@@ -392,7 +392,46 @@ object DedupQueries extends QueryModule {
             FROM p WHERE jac >= 0.2
             ORDER BY id1, id2"""))
 
+  // Sorted-neighborhood blocking (Hernández & Stolfo 1995): sort by a
+  // 16-char normalized-prefix key, compare only rank-adjacent rows (window
+  // 8), verify with exact 2-gram Jaccard >= 0.2. Candidate count is
+  // (window-1)·n by construction — the skew-free complement to the LSH
+  // family. Rank comes from the two-phase Numbering (no single-partition
+  // window); the window predicate is an equi join on rank after a
+  // constant fan-out, never a range join.
+  private val dedupSortedNeighborhood = Q(
+    "dedup_sorted_neighborhood",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.sortedNeighborhood(docs, "doc_id", "text",
+          keyLen = 16, window = 8, n = 2, threshold = 0.2)
+        .orderBy(col("id1"), col("id2"), col("jac"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, text,
+                     substr(lower(trim(text)), 1, 16) AS k,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(string_split_regex(lower(text), '\s+')), 1)),
+                       i -> list_aggregate(
+                              string_split_regex(lower(text), '\s+')[i:i+1],
+                              'string_agg', ' '))) AS g
+              FROM documents
+              WHERE len(string_split_regex(lower(text), '\s+')) >= 2),
+            r AS (
+              SELECT doc_id, g, row_number() OVER (ORDER BY k, doc_id) AS rn
+              FROM d),
+            p AS (
+              SELECT a.doc_id AS ida, b.doc_id AS idb,
+                     round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
+                       4) AS jac
+              FROM r a JOIN r b
+                ON b.rn > a.rn AND b.rn <= a.rn + 7)
+            SELECT least(ida, idb) AS id1, greatest(ida, idb) AS id2, jac
+            FROM p WHERE jac >= 0.2
+            ORDER BY id1, id2, jac"""))
+
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupCluster, dedupSubstring, dedupSoft, dedupIncremental,
-    dedupPrefixJoin)
+    dedupPrefixJoin, dedupSortedNeighborhood)
 }

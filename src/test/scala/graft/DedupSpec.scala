@@ -233,4 +233,39 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"got=${got.size} want=${want.size}")
     assert(want.nonEmpty, "fixture must produce qualifying pairs")
   }
+
+  test("sortedNeighborhood == in-memory SNM reference (rank window, verified jaccard)") {
+    // corpus where near-dups share key prefixes: base docs + copies mutated
+    // AFTER the 16-char key prefix, plus unrelated noise docs
+    val rnd = new scala.util.Random(47)
+    val vocab = ('a' to 'z').map(_.toString * 4) // 4-char words
+    def doc() = Seq.fill(10 + rnd.nextInt(6))(vocab(rnd.nextInt(26))).mkString(" ")
+    val base = (0 until 15).map(i => (i.toLong, doc()))
+    val copies = base.take(6).map { case (i, d) =>
+      val ws = d.split(" ").toSeq
+      (100L + i, ws.updated(ws.size - 1, vocab(rnd.nextInt(26))).mkString(" "))
+    }
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val (keyLen, window, t) = (16, 5, 0.3)
+    val got = Dedup.sortedNeighborhood(docs, "doc_id", "text", keyLen, window, 2, t)
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: sort by (key, id), pair ranks within window, exact jaccard
+    val rows = (base ++ copies)
+      .filter(_._2.split("\\s+").length >= 2)
+      .map { case (i, d) =>
+        val sh = d.toLowerCase.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+        (i, d.toLowerCase.trim.take(keyLen), sh)
+      }
+      .sortBy { case (i, k, _) => (k, i) }
+    val want = (for {
+      a <- rows.indices; b <- (a + 1) until math.min(a + window, rows.size)
+      (ia, _, sa) = rows(a); (ib, _, sb) = rows(b)
+      inter = (sa & sb).size
+      jac = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= t
+    } yield (math.min(ia, ib), math.max(ia, ib), jac)).toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(want.exists(_._3 < 1.0), "fixture must exercise non-identical pairs")
+  }
 }
