@@ -732,4 +732,52 @@ object Similarity {
     }
     labels
   }
+
+  /** Deterministic integer PageRank over an undirected edge list — the
+    * centrality complement to [[labelPropagate]] (communities) and the
+    * triangle counts: rank the corpus graph's hubs, e.g. to pick
+    * representative documents per semantic cluster.
+    *
+    * Float PageRank sums per-node contributions in partition order, so two
+    * runs (or two engines) disagree in the last ulp — unacceptable under
+    * the repo's bit-identical oracle discipline. This variant runs the
+    * whole power iteration in SCALED INTEGER arithmetic: pr₀ = `scale`,
+    * each round's contribution is `(pr·85) div (deg·100)` (integer floor
+    * division — the 0.85 damping), and
+    * `pr' = (scale·15 div 100) + Σ contributions`. Integer addition is
+    * exact and commutative, so the result is independent of partitioning
+    * and replays bit-identically as unrolled SQL CTEs in any engine. The
+    * quantization error vs real-valued PageRank is < deg·rounds ulps of
+    * 1/scale — irrelevant for ranking at scale = 10⁶.
+    *
+    * Scale shape per round: one broadcast-size join pr⋈deg (one row per
+    * node), one ids-only equi-join shuffle edges⋈contrib on src, one
+    * map-side-combinable sum keyed on dst. State between rounds is one
+    * (id, pr) row per node, checkpointed to keep lineage flat. Every node
+    * in an undirected graph has in-degree ≥ 1, so no dangling-mass term.
+    */
+  def pagerankInt(edges: DataFrame, id1: String, id2: String,
+      rounds: Int, scale: Long = 1000000L): DataFrame = {
+    val sym = edges.select(col(id1).as("src"), col(id2).as("dst"))
+      .unionByName(edges.select(col(id2).as("src"), col(id1).as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val base = scale * 15L / 100L
+    var pr = deg.select(col("src").as("id"), lit(scale).as("pr"))
+    var r = 0
+    while (r < rounds) {
+      val contrib = deg
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .select(col("src"), expr("(pr * 85) div (deg * 100)").as("__c"))
+      pr = sym.join(contrib, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__s"))
+        .select(col("dst").as("id"), (lit(base) + col("__s")).as("pr"))
+        .localCheckpoint()
+      r += 1
+    }
+    pr
+  }
 }

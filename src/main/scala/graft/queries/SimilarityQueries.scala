@@ -730,8 +730,41 @@ object SimilarityQueries extends QueryModule {
             FROM vv LEFT JOIN pv ON vv.vec_id = pv.vec_id
             ORDER BY vv.vec_id"""))
 
+  // Integer PageRank over the mutual-kNN graph (4 damped power-iteration
+  // rounds, scale 10^6): graph centrality — which vectors are the hubs of
+  // the semantic neighborhood graph (representative-exemplar picking per
+  // SemDeDup cluster). Scaled-integer arithmetic — (pr*85) div (deg*100)
+  // contributions, exact commutative sums — makes the whole iteration
+  // partition-order-independent and bit-identically replayable as
+  // unrolled CTEs (float PageRank could never hash-match cross-engine).
+  private def prRoundSql(prev: String, r: Int): String =
+    s"""pc$r AS (SELECT d.src, (p.pr * 85) // (d.deg * 100) AS c
+              FROM deg d JOIN $prev p ON d.src = p.id),
+            p$r AS (SELECT e.dst AS id, CAST(150000 + sum(c) AS BIGINT) AS pr
+              FROM edges e JOIN pc$r USING (src)
+              GROUP BY e.dst)"""
+
+  private val simPagerank = Q(
+    "sim_pagerank",
+    (s, dir) => {
+      Similarity.pagerankInt(cachedMutualKnn(s, dir), "id1", "id2",
+          rounds = 4)
+        .select(col("id").as("vec_id"), col("pr"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $mutualKnnCteSql,
+            edges AS (SELECT id1 AS src, id2 AS dst FROM mpairs
+                      UNION ALL SELECT id2 AS src, id1 AS dst FROM mpairs),
+            deg AS (SELECT src, count(1) AS deg FROM edges GROUP BY src),
+            p0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+            ${prRoundSql("p0", 1)},
+            ${prRoundSql("p1", 2)},
+            ${prRoundSql("p2", 3)},
+            ${prRoundSql("p3", 4)}
+            SELECT id AS vec_id, pr FROM p4 ORDER BY vec_id"""))
+
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
-    simLabelProp, simTriangles)
+    simLabelProp, simTriangles, simPagerank)
 }

@@ -296,4 +296,30 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("pagerankInt == in-memory integer power iteration; partitioning-insensitive") {
+    val rnd = new scala.util.Random(29)
+    val edgeSeq = (1 to 80).map(_ =>
+      (rnd.nextInt(25).toLong, 25L + rnd.nextInt(25))).distinct
+    val df = edgeSeq.toDF("id1", "id2")
+    val got = Similarity.pagerankInt(df, "id1", "id2", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // in-memory reference: same scaled-integer recurrence
+    val sym = edgeSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var pr = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4) {
+      val c = pr.map { case (u, p) => u -> (p * 85L) / (deg(u) * 100L) }
+      pr = sym.groupBy(_._2).map { case (v, es) =>
+        v -> (150000L + es.map(e => c(e._1)).sum)
+      }
+    }
+    assert(got == pr)
+    // invariance under a different physical layout
+    val again = Similarity.pagerankInt(df.repartition(17), "id1", "id2", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // hubs exist: scores are not all equal
+    assert(got.values.toSet.size > 1)
+  }
 }
