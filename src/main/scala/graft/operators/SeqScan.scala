@@ -69,6 +69,67 @@ object SeqScan {
         col("start_pos").cast("long"), col("end_pos").cast("long"), col("reverse"))
   }
 
+  /** One-pass multi-pattern tag scan — result-identical to
+    * [[exactTagScan]] with `overlapping = true`, computed with a single
+    * Aho-Corasick automaton walk per contig instead of one kernel pass per
+    * library entry ([[graft.functions.AcAutomaton]]).
+    *
+    * Scale shape: the library (already the broadcast-dim side of the tag
+    * scan) collects ONCE on the driver — `maxPatterns` guards the same
+    * boundary the broadcast join implies — into an automaton whose size is
+    * O(total pattern chars), shipped as one broadcast object. Each contig
+    * row then costs O(len + hits) regardless of library size, vs
+    * O(len × nPatterns) for the per-pattern kernel: at a 5k-allele
+    * library that is a three-orders-of-magnitude reduction in per-executor
+    * scan work, with the identical hit rows out. Both strands are compiled
+    * into the one automaton (reverse complements as extra patterns,
+    * palindromes not double-entered), so strand handling costs nothing
+    * extra per contig. Hits leave the kernel as packed longs
+    * (patternId<<32 | start) and meet the tiny pattern-metadata dimension
+    * in a broadcast join.
+    */
+  def multiPatternTagScan(
+      contigs: DataFrame, contigId: String, contigSeq: String,
+      library: DataFrame, locus: String, alleleId: String, alleleSeq: String,
+      maxPatterns: Int = 100000): DataFrame = {
+    val spark = contigs.sparkSession
+    val libRows = library
+      .select(col(locus).cast("string"), col(alleleId).cast("string"),
+        upper(col(alleleSeq)).as("__fwd"),
+        Bio.reverseComplement(upper(col(alleleSeq))).as("__rev"))
+      .limit(maxPatterns + 1)
+      .collect()
+    require(libRows.length <= maxPatterns,
+      s"library exceeds maxPatterns=$maxPatterns — not a broadcast dimension")
+    // one pattern per (library row, strand); palindromes single-entered
+    val meta = libRows.iterator.flatMap { r =>
+      val (loc, aid, fwd, rev) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      if (rev == fwd) Iterator((loc, aid, fwd, false))
+      else Iterator((loc, aid, fwd, false), (loc, aid, rev, true))
+    }.toArray
+    val ac = graft.functions.AcAutomaton.build(meta.map(_._3))
+    val bc = spark.sparkContext.broadcast(ac)
+    val metaDf = spark.createDataFrame(
+      meta.toIndexedSeq.zipWithIndex.map { case ((loc, aid, pat, rv), i) =>
+        (i, loc, aid, pat.length, rv)
+      })
+      .toDF("__p", locus, alleleId, "__plen", "reverse")
+    contigs
+      .select(col(contigId), upper(col(contigSeq)).as("__contig"))
+      .select(col(contigId),
+        explode(graft.functions.MultiPattern.acScan(col("__contig"), bc))
+          .as("__hit"))
+      .select(col(contigId),
+        shiftrightunsigned(col("__hit"), 32).cast("int").as("__p"),
+        col("__hit").bitwiseAND(lit(0xffffffffL)).as("start_pos"))
+      .join(broadcast(metaDf), "__p")
+      .select(col(contigId), col(locus), col(alleleId),
+        col("start_pos").cast("long"),
+        (col("start_pos") + col("__plen") - 1).cast("long").as("end_pos"),
+        col("reverse"))
+  }
+
   /** Incremental (autotagger) exact tag scan: scan ONLY the (contig,
     * locus) pairs that do not already carry a tag — the reference's
     * autotag.pl/scannew.pl posture (Offline/Scan.pm:63-287 re-runs limited

@@ -41,6 +41,31 @@ object ScanQueries extends QueryModule {
              SELECT doc_id, locus, start_pos, end_pos, reverse FROM hits
              ORDER BY doc_id, locus, start_pos, reverse"""))
 
+  // One-pass Aho-Corasick twin of q4_tag_scan: the WHOLE library (both
+  // strands) compiles into one broadcast automaton and each contig is
+  // walked once — O(len + hits) vs O(len × nPatterns) — with identical
+  // hit rows, so the oracle is the same replay. The scale case: a 5k-
+  // allele library costs the same contig pass as a 3-allele one.
+  private val q4MultiPattern = Q(
+    "q4_multi_pattern",
+    (s, dir) => {
+      val docs = dnaDocs(s, dir)
+      val lib = docs.filter(col("doc_id") < 3 && length(col("dna")) >= 12)
+        .select(concat(lit("L"), col("doc_id")).as("locus"),
+          lit("1").as("allele_id"),
+          substring(col("dna"), 3, 8).as("allele_seq"))
+      SeqScan.multiPatternTagScan(
+          docs.filter(length(col("dna")) >= 8), "doc_id", "dna",
+          lib, "locus", "allele_id", "allele_seq")
+        .select(col("doc_id"), col("locus"), col("start_pos"),
+          col("end_pos"), col("reverse"))
+        .orderBy(col("doc_id"), col("locus"), col("start_pos"), col("reverse"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, $dnaSql AS dna FROM documents),
+             $q4HitCtesSql
+             SELECT doc_id, locus, start_pos, end_pos, reverse FROM hits
+             ORDER BY doc_id, locus, start_pos, reverse"""))
+
   // shared oracle fragment: the q4 exact-scan hit CTEs (reference a `d`
   // CTE with the cleaned DNA; used by q4_tag_scan, the seeded twin, and
   // the PCR-filtered composition below)
@@ -818,7 +843,7 @@ object ScanQueries extends QueryModule {
              FROM orient o JOIN agg a USING (id) LEFT JOIN fl f USING (id)
              ORDER BY o.id, o.ord"""))
 
-  val qs: Seq[Q] = Seq(q4TagScan, q4TagScanSeeded, q4AutotagIncremental,
+  val qs: Seq[Q] = Seq(q4TagScan, q4MultiPattern, q4TagScanSeeded, q4AutotagIncremental,
     q3ExemplarPrune,
     q4LongExact, q4LongSeeded,
     q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, mmTile,

@@ -178,4 +178,41 @@ class SeqScanSpec extends SparkSpec {
     // a fully-tagged contig never reaches the kernel: its id is absent
     assert(!inc.select("cid").as[Long].collect().contains(2L))
   }
+
+  test("AcAutomaton: overlapping, nested, and suffix patterns all emit") {
+    val ac = graft.functions.AcAutomaton.build(Array("AA", "AAA", "BAA", "C"))
+    def scan(s: String): Set[(Int, Int)] = {
+      val arr = graft.functions.MultiPattern
+        .acScanKernel(org.apache.spark.unsafe.types.UTF8String.fromString(s), ac)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until arr.numElements()).map { i =>
+        val v = arr.getLong(i)
+        ((v >>> 32).toInt, (v & 0xffffffffL).toInt)
+      }.toSet
+    }
+    // AAAA: AA at 1,2,3; AAA at 1,2
+    assert(scan("AAAA") == Set((0, 1), (0, 2), (0, 3), (1, 1), (1, 2)))
+    // BAAC: BAA at 1, AA at 2 (via failure link), C at 4
+    assert(scan("BAAC") == Set((2, 1), (0, 2), (3, 4)))
+    assert(scan("XYZ").isEmpty)
+  }
+
+  test("multiPatternTagScan == exactTagScan(overlapping) on random DNA corpora") {
+    val rnd = new scala.util.Random(61)
+    def dna(n: Int) = Seq.fill(n)("ACGT"(rnd.nextInt(4))).mkString
+    val contigs = (1L to 40L).map(i => (i, dna(60 + rnd.nextInt(80)))).toDF("cid", "seq")
+    // short patterns so hits are plentiful; includes a palindrome (revcomp==self)
+    val lib = (Seq(("L0", "1", "ACGT")) ++ (1 to 8).map(i =>
+      (s"L$i", "1", dna(4 + rnd.nextInt(3))))).toDF("locus", "allele_id", "allele_seq")
+    val want = SeqScan.exactTagScan(contigs, "cid", "seq",
+        lib, "locus", "allele_id", "allele_seq", overlapping = true)
+      .select("cid", "locus", "allele_id", "start_pos", "end_pos", "reverse")
+    val got = SeqScan.multiPatternTagScan(contigs, "cid", "seq",
+        lib, "locus", "allele_id", "allele_seq")
+      .select("cid", "locus", "allele_id", "start_pos", "end_pos", "reverse")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"got=${got.count()} want=${want.count()}")
+    assert(want.count() > 0, "fixture must produce hits")
+    assert(want.filter(col("reverse")).count() > 0, "fixture must hit the reverse strand")
+  }
 }
