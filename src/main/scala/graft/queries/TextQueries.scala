@@ -701,8 +701,33 @@ object TextQueries extends QueryModule {
             FROM t LEFT JOIN mx USING (doc_id) LEFT JOIN pick USING (doc_id)
             ORDER BY doc_id"""))
 
+  // Exact heavy hitters by Misra-Gries candidates + exact recount: the
+  // deterministic complement to the CMS sketch above. Pass 1's state is
+  // <= 100 counters per merge path (no vocabulary ever ships); pass 2
+  // recounts only the candidate superset (semi join before the shuffle)
+  // and keeps n_exact*k > n_total — EXACT output by the MG guarantee, so
+  // the oracle is the plain HAVING query, no sketch replay needed.
+  private val textMgExactHeavy = Q(
+    "text_mg_exact_heavy",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val words = docs.select(
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      graft.operators.MisraGries.heavyHitters(words, "word", 100)
+        .orderBy(col("word"))
+    },
+    Some("""WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                         AS word
+                       FROM documents),
+            t AS (SELECT count(1) AS n FROM w)
+            SELECT word, CAST(count(1) AS BIGINT) AS n_exact
+            FROM w, t GROUP BY word, t.n
+            HAVING count(1) * 100 > t.n
+            ORDER BY word"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
     textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
-    textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters, textLrs)
+    textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters,
+    textMgExactHeavy, textLrs)
 }
