@@ -342,6 +342,31 @@ object SourceQueries extends QueryModule {
               FROM documents) t
             ORDER BY doc_id, ext"""))
 
+  // XLSX shard sink + reader — the reference's Excel export surface
+  // (Utils.pm text2excel backs every exporter plugin's .xlsx offer),
+  // closed with a pure-JVM OPC writer (java.util.zip + inline-string
+  // cells, fixed zip timestamps): one workbook per shard written from
+  // executors, read back via binaryFile + the XlsxRows parsing
+  // expression. The oracle proves post-roundtrip CONTENT equality
+  // against the source table — values survive the XML + zip round trip.
+  private val xlsxRoundtrip = Q(
+    "export_xlsx_roundtrip",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val staged = docs.select((col("doc_id") % 4).as("shard"),
+        col("doc_id"), col("lang"), col("n_chars"))
+      val path = s"/tmp/graft_xlsx_${dir.replaceAll("[^0-9.]", "")}"
+      graft.sources.Xlsx.write(staged, "shard", Seq("doc_id"), path)
+      graft.sources.Xlsx.read(s, path)
+        .filter(col("rn") >= 2) // skip each sheet's header row
+        .select(element_at(col("cells"), 1).cast("long").as("doc_id"),
+          element_at(col("cells"), 2).as("lang"),
+          element_at(col("cells"), 3).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(s2SchemaConfig, s5LocusDownload, s6RemoteContigs,
-    s8Embl, s8Gff3, jsonlRoundtrip, curateValidate, webdatasetRoundtrip)
+    s8Embl, s8Gff3, jsonlRoundtrip, curateValidate, webdatasetRoundtrip,
+    xlsxRoundtrip)
 }
