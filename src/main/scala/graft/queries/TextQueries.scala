@@ -725,9 +725,38 @@ object TextQueries extends QueryModule {
             HAVING count(1) * 100 > t.n
             ORDER BY word"""))
 
+  // Unicode normalization scrub (NFC + accent fold): the canonical first
+  // stage of a text pipeline — decomposed codepoint sequences must fold
+  // to one canonical form BEFORE any content hash/shingle, or visually
+  // identical documents evade exact dedup. Both kernels are codegen'd
+  // Expressions (java.text.Normalizer), exercised here against DuckDB's
+  // ICU implementations on text deterministically decorated with a
+  // DECOMPOSED accent (a + U+0301): NFC must recompose it (length
+  // shrinks), strip_accents must fold it back to plain 'a'.
+  private val textNormalize = Q(
+    "text_normalize",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val dec = regexp_replace(col("text"), "a", "á")
+      docs.select(col("doc_id"),
+          length(dec).as("n_raw"),
+          length(graft.functions.UnicodeNorm.nfc(dec)).as("n_nfc"),
+          md5(graft.functions.UnicodeNorm.stripAccents(
+            graft.functions.UnicodeNorm.nfc(dec))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                              replace(text, 'a', 'a' || chr(769)) AS dec
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(length(dec) AS BIGINT) AS n_raw,
+                   CAST(length(nfc_normalize(dec)) AS BIGINT) AS n_nfc,
+                   md5(strip_accents(nfc_normalize(dec))) AS clean_md5
+            FROM d ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
     textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
     textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters,
-    textMgExactHeavy, textLrs)
+    textMgExactHeavy, textLrs, textNormalize)
 }

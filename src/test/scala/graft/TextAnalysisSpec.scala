@@ -521,4 +521,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.as[(Long, Int, String)].collect().toSet ==
       Set((1L, 3, "ana"), (2L, 4, "issi")))
   }
+
+  test("UnicodeNorm: NFC recomposes, stripAccents folds, idempotent, ASCII-invariant") {
+    import graft.functions.UnicodeNorm
+    // explicit escapes -- no reliance on source-file normalization form
+    val decomposed = "Cafe\u0301 du re\u0301ve"  // e + combining acute (NFD)
+    val recomposed = "Caf\u00e9 du r\u00e9ve"    // precomposed e-acute (NFC)
+    val angstromNfd = "A\u030angstro\u0308m"     // A+ring, o+diaeresis
+    val df = Seq((1L, decomposed), (2L, "plain ascii"), (3L, angstromNfd))
+      .toDF("id", "t")
+      .select(col("id"), UnicodeNorm.nfc(col("t")).as("n"),
+        UnicodeNorm.stripAccents(UnicodeNorm.nfc(col("t"))).as("s"))
+    val byId = df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(byId(1L)._1 == recomposed)
+    assert(byId(1L)._2 == "Cafe du reve")
+    assert(byId(2L) == (("plain ascii", "plain ascii")))
+    assert(byId(3L)._1 == "\u00c5ngstr\u00f6m" && byId(3L)._2 == "Angstrom")
+    // NFC is idempotent on already-composed text
+    val again = Seq(recomposed).toDF("t")
+      .select(UnicodeNorm.nfc(col("t")).as("n")).as[String].head()
+    assert(again == recomposed)
+  }
 }
