@@ -416,7 +416,56 @@ object MiscQueries extends QueryModule {
               FROM q)
             SELECT z, count(1) AS n FROM zv GROUP BY z ORDER BY z"""))
 
+  // First-order Markov transition matrix over per-user event sequences —
+  // the "what happens next" companion to sessionize/funnel/retention
+  // (next-action prediction features, anomalous-flow detection). One
+  // user-partitioned lead() window pairs consecutive events (no
+  // self-join on timestamps), then two map-side-combinable aggregations;
+  // the per-source totals meet the pair counts in a tiny broadcast join.
+  // Probability is one double division rounded on both sides.
+  private val eventTransitions = Q(
+    "event_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val pairs = ev
+        .withColumn("dst", lead(col("event_type"), 1).over(ord))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val totals = pairs.groupBy(col("src"))
+        .agg(sum(col("n_pairs")).as("__tot"))
+      pairs.join(broadcast(totals), "src")
+        .select(col("src"), col("dst"), col("n_pairs"),
+          round(col("n_pairs").cast("double") / col("__tot").cast("double"),
+            4).as("p"))
+        .orderBy(col("src"), col("dst"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, event_type,
+                     epoch_ns(ts) // 1000 AS us
+              FROM events),
+            pr AS (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS dst
+              FROM e),
+            c AS (SELECT src, dst, CAST(count(1) AS BIGINT) AS n_pairs
+                  FROM pr WHERE dst IS NOT NULL GROUP BY src, dst),
+            t AS (SELECT src, CAST(sum(n_pairs) AS BIGINT) AS tot
+                  FROM c GROUP BY src)
+            SELECT c.src, c.dst, c.n_pairs,
+                   round(CAST(c.n_pairs AS DOUBLE) / CAST(t.tot AS DOUBLE), 4)
+                     AS p
+            FROM c JOIN t USING (src)
+            ORDER BY src, dst"""))
+
   val qs: Seq[Q] = Seq(f9Geo, geoDistance, geoWithinJoin, o5DictSort, a10PubBreakdown,
     compositeField, jsonShred, cacheIncremental, skewSaltedJoin,
-    eventSessionize, eventFunnel, eventRetention, geoZorder)
+    eventSessionize, eventFunnel, eventRetention, geoZorder,
+    eventTransitions)
 }
