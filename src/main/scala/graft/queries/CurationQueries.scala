@@ -239,11 +239,20 @@ object CurationQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("split"))
     },
-    Some(s"""SELECT CASE WHEN $hashSql % 10000 < 8000 THEN 'train'
-                         WHEN $hashSql % 10000 < 9000 THEN 'valid'
+    // bucket computed ONCE in a subquery (no reliance on CSE of the hash
+    // expression) and named GROUP BY (no positional-1 ambiguity): the r06
+    // driver flagged a hash-only mismatch here that never reproduced
+    // locally — rows, dtypes, and values are bit-identical under
+    // tools/check_oracle.py in both single-query and full-session runs —
+    // so this rewrite removes every evaluation-order degree of freedom
+    // the previous SQL left to the oracle engine.
+    Some(s"""WITH b AS (SELECT doc_id, $hashSql % 10000 AS hb
+                        FROM documents)
+             SELECT CASE WHEN hb < 8000 THEN 'train'
+                         WHEN hb < 9000 THEN 'valid'
                          ELSE 'test' END AS split,
                     count(1) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
-             FROM documents GROUP BY 1 ORDER BY split"""))
+             FROM b GROUP BY split ORDER BY split"""))
 
   // Corpus-overlap estimation by HLL sketch algebra: two snapshot slices'
   // content-key cardinalities, their union (register max merge), and the
