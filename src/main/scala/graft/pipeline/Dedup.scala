@@ -331,13 +331,34 @@ object Dedup {
     * hold each set's RAREST tokens, so candidate buckets are naturally
     * tiny: a token with corpus frequency f generates <= f(f-1)/2 pairs,
     * and frequent tokens sink to the suffix where they are never indexed.
-    * All shuffles before verification carry (token, id) pairs only; the
-    * exact Jaccard check re-attaches the two token arrays once per
-    * surviving candidate.
+    * All shuffles before verification carry (token, id, position, size)
+    * rows only; the exact Jaccard check re-attaches the two token arrays
+    * once per surviving candidate.
+    *
+    * Two PPJoin prunes fire on each prefix collision BEFORE the pair
+    * distinct (both are sound upper bounds, so no false negatives):
+    *   - length filter: J >= t forces t·max(n1,n2) <= min(n1,n2);
+    *   - position filter: a collision at 1-based prefix positions
+    *     (p1, p2) bounds the true overlap by
+    *     min(p1,p2) + min(n1-p1, n2-p2) (shared tokens before the
+    *     collision are at most min(p1,p2)-1, the collision token is 1,
+    *     and after it at most min of the remainders), which must reach
+    *     alpha = ceil(t/(1+t)·(n1+n2)), the overlap a Jaccard of t
+    *     implies. A qualifying pair passes on EVERY collision row, so
+    *     filtering rows (not pairs) preserves exactness.
+    *
+    * All threshold arithmetic is integer basis points (t = tb/10000):
+    * `ceil(0.2 * 35)` in doubles is 8, not 7 — binary 0.2 rounds the
+    * product up — which would silently shorten the prefix and drop
+    * qualifying pairs. ceil(t·n) = (n·tb + 9999) div 10000 is exact.
     */
   def prefixFilterPairs(docs: DataFrame, id: String, tokens: Column,
       t: Double): DataFrame = {
     require(t > 0 && t <= 1, s"threshold must be in (0,1]: $t")
+    val tb = math.round(t * 10000).toInt
+    require(math.abs(tb / 10000.0 - t) < 1e-12,
+      s"threshold must be expressible in basis points (got $t)")
+    def ceilBp(n: Column): Column = (n * tb + (10000 - 1)) / 10000
     val tok = docs.select(col(id).as("__id"), array_distinct(tokens).as("__raw"))
       .filter(size(col("__raw")) > 0)
     val ex = tok.select(col("__id"), explode(col("__raw")).as("__t"))
@@ -347,14 +368,25 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("__f"), col("__t")))).as("__st"))
       .select(col("__id"),
         transform(col("__st"), x => x.getField("__t")).as("__ts"))
-      .withColumn("__n", size(col("__ts")))
-      .withColumn("__p",
-        (col("__n") - ceil(lit(t) * col("__n")) + 1).cast("int"))
-    val prefix = ordered.select(col("__id"),
-      explode(slice(col("__ts"), lit(1), col("__p"))).as("__t"))
-    val cands = prefix.select(col("__id").as("id1"), col("__t"))
-      .join(prefix.select(col("__id").as("id2"), col("__t")), "__t")
+      .withColumn("__n", size(col("__ts")).cast("long"))
+      .withColumn("__p", (col("__n") - ceilBp(col("__n")) + 1).cast("int"))
+    val prefix = ordered.select(col("__id"), col("__n"),
+        posexplode(slice(col("__ts"), lit(1), col("__p"))).as(Seq("__i", "__t")))
+      .select(col("__id"), col("__n"), (col("__i") + 1).cast("long").as("__pp"),
+        col("__t"))
+    // alpha = ceil(t/(1+t)·(n1+n2)) in basis points: (tb·s + (10000+tb-1))
+    // div (10000+tb) — exact for rational t, no float ceil
+    val alpha = (lit(tb) * (col("__n1") + col("__n2")) + (10000 + tb - 1)) /
+      (10000 + tb)
+    val cands = prefix.select(col("__id").as("id1"), col("__n").as("__n1"),
+        col("__pp").as("__p1"), col("__t"))
+      .join(prefix.select(col("__id").as("id2"), col("__n").as("__n2"),
+        col("__pp").as("__p2"), col("__t")), "__t")
       .filter(col("id1") < col("id2"))
+      .filter(least(col("__n1"), col("__n2")) >=
+        ceilBp(greatest(col("__n1"), col("__n2"))))
+      .filter(least(col("__p1"), col("__p2")) +
+        least(col("__n1") - col("__p1"), col("__n2") - col("__p2")) >= alpha)
       .select(col("id1"), col("id2")).distinct()
     val a1 = ordered.select(col("__id").as("id1"),
       col("__ts").as("__ts1"), col("__n").as("__n1"))

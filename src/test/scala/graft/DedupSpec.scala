@@ -232,6 +232,22 @@ class DedupSpec extends SparkSpec {
     } yield (i, j, jac)).toSet
     assert(got == want, s"got=${got.size} want=${want.size}")
     assert(want.nonEmpty, "fixture must produce qualifying pairs")
+
+    // float-ceil regression: at t=0.2 a 35-token set has prefix length
+    // 35 - ceil(7.0) + 1 = 29, but double 0.2*35 rounds UP to 8 — basis
+    // -point arithmetic must keep the full prefix (no false negatives)
+    val t2 = 0.2
+    val got2 = graft.pipeline.Dedup.prefixFilterPairs(
+        docs, "doc_id", graft.pipeline.Dedup.shingles(col("text"), 2), t2)
+      .as[(Long, Long, Double)].collect().toSet
+    val want2 = (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      inter = (a & b).size
+      jac = inter.toDouble / (a.size + b.size - inter)
+      if jac >= t2
+    } yield (i, j, jac)).toSet
+    assert(got2 == want2, s"t=0.2: got=${got2.size} want=${want2.size}")
+    assert(want2.size >= want.size, "lower threshold admits a superset")
   }
 
   test("sortedNeighborhood == in-memory SNM reference (rank window, verified jaccard)") {
