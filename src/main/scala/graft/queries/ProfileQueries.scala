@@ -199,14 +199,21 @@ object ProfileQueries extends QueryModule {
       val li = Tables.load(s, dir, "lineitem")
       // presence = one bit per locus, folded with bit_or — a single
       // long-buffer aggregate instead of the 7-count pivot (the e2dcd2e
-      // bitmask idiom; the orderBy's range-sampling pass re-executes the
-      // child, so halving the agg cost pays twice)
-      li.groupBy(col("l_orderkey"))
+      // bitmask idiom). ONE exchange total: range-partition the projected
+      // fact FIRST — RangePartitioning on the group key satisfies the
+      // aggregate's ClusteredDistribution, so no second hash shuffle, and
+      // the range sampler reads the 2-column scan, not a re-executed
+      // aggregation (a trailing orderBy samples its child twice);
+      // sortWithinPartitions then yields global order since range
+      // partitions are themselves ordered.
+      li.select(col("l_orderkey"), col("l_linenumber"))
+        .repartitionByRange(col("l_orderkey"))
+        .groupBy(col("l_orderkey"))
         .agg(bit_or(expr("shiftleft(1L, l_linenumber)")).as("__mask"))
+        .sortWithinPartitions(col("l_orderkey"))
         .select(col("l_orderkey") +:
           (1 to NLoci).map(i =>
             (expr(s"(__mask >> $i) & 1") === 1).as(s"locus$i")): _*)
-        .orderBy(col("l_orderkey"))
     },
     Some("""SELECT l_orderkey,
                    count(1) FILTER (WHERE l_linenumber = 1) > 0 AS locus1,

@@ -79,6 +79,20 @@ class PlanSpec extends SparkSpec {
       "set_view membership must compose as a semi join")
   }
 
+  test("g6_presence_matrix: one exchange — range partitioning feeds the aggregate") {
+    // the ordered presence matrix range-partitions the projected fact
+    // BEFORE aggregating (RangePartitioning satisfies the groupBy's
+    // ClusteredDistribution); a trailing orderBy would add a second
+    // exchange AND re-execute the aggregation for range sampling
+    // count only above the InMemoryTableScan — the cached relation's
+    // nested plan text carries its own (already materialized) exchange
+    val plan = planOf("g6_presence_matrix").split("InMemoryTableScan")(0)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"expected range partitioning exchange:\n${plan.take(2000)}")
+  }
+
   test("a1_breakdown: hash aggregate with map-side partial aggregation") {
     val plan = planOf("a1_breakdown")
     val hashAggs = "HashAggregate".r.findAllIn(plan).size
