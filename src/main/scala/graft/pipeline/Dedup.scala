@@ -452,4 +452,90 @@ object Dedup {
         greatest(col("__ida"), col("__id")).as("id2"),
         col("jac"))
   }
+
+  /** Content-defined chunk boundaries (Manber, USENIX WTC '94 "Finding
+    * Similar Files") — the sub-document dedup granularity: cut after
+    * character position i+k-1 whenever the k-gram starting at i hashes to
+    * 0 mod `divisor`. Boundaries depend only on LOCAL content, so an
+    * insertion or deletion re-chunks at most the neighborhood of the edit
+    * while every chunk outside it survives byte-identical — the property
+    * fixed-size chunking lacks and the reason CDC is the storage/corpus
+    * dedup standard for near-identical document versions.
+    *
+    * This is the ORIGINAL stateless Manber rule, not FastCDC: no min/max
+    * chunk clamps, because those make each cut depend on the previous
+    * kept cut (sequential state), while the pure rule is decidable
+    * per-position — embarrassingly parallel in Spark (one HOF pass per
+    * row, no shuffle) and replayable by any SQL engine with md5
+    * (list_transform/list_filter in the DuckDB oracle). Expected chunk
+    * length is `divisor` characters; oversized chunks are rare
+    * geometric-tail events the dedup measures tolerate.
+    *
+    * The hash is the portable 60-bit md5 scheme ([[portableShingleHashes]]),
+    * so boundaries are bit-identical cross-engine. Returns the sorted
+    * boundary array [0, cuts..., len] (strictly increasing, so every
+    * derived chunk is non-empty).
+    */
+  def cdcBoundaries(text: Column, k: Int, divisor: Int): Column = {
+    val L = length(text)
+    val starts = when(L >= k, sequence(lit(1), L - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val cuts = filter(
+      transform(starts, i =>
+        when(pmod(conv(substring(md5(text.substr(i, lit(k))), 1, 15), 16, 10)
+          .cast("long"), lit(divisor.toLong)) === 0L, i + (k - 1))),
+      x => x.isNotNull)
+    array_sort(array_distinct(
+      concat(array(lit(0)), cuts, array(L))))
+  }
+
+  /** Slice `text` by a [[cdcBoundaries]] array into the chunk strings. */
+  def cdcSlices(text: Column, b: Column): Column =
+    transform(sequence(lit(1), size(b) - 1), j =>
+      text.substr(element_at(b, j) + 1,
+        element_at(b, j + 1) - element_at(b, j)))
+
+  /** CDC dedup report: chunk every document, key chunks by content md5,
+    * and measure per-document how much of its byte volume is shared with
+    * OTHER documents at chunk granularity — the sub-document complement
+    * to [[exact]] (whole-doc) and [[minhashLsh]] (similarity): two docs
+    * that share a long verbatim span but differ elsewhere show up here
+    * with high `share_ratio` even when their Jaccard is low.
+    *
+    * Scale shape: chunking is a narrow per-row pass; the chunk TEXT never
+    * crosses a shuffle — instances project to (doc, md5-key, length)
+    * before the key aggregation, and the per-doc rollup joins instances
+    * to key stats on the key. At 100 TB that is one ids-and-hashes
+    * shuffle keyed by chunk digest (high fan-out, no hot key: digests are
+    * uniform) plus one by doc id.
+    *
+    * Output: (id, n_chunks, n_shared_chunks, shared_bytes, total_bytes,
+    * share_ratio) — a chunk instance is "shared" iff its content occurs
+    * in >= 2 distinct documents.
+    */
+  def cdcDedup(docs: DataFrame, id: String, text: String,
+      k: Int, divisor: Int): DataFrame = {
+    val base = docs.filter(length(col(text)) >= 1)
+      .select(col(id).as("__id"), col(text).as("__t"))
+      .withColumn("__b", cdcBoundaries(col("__t"), k, divisor))
+      .withColumn("__cs", cdcSlices(col("__t"), col("__b")))
+    val inst = base
+      .select(col("__id"), explode(col("__cs")).as("__c"))
+      .select(col("__id"), md5(col("__c")).as("__key"),
+        length(col("__c")).cast("long").as("__len"))
+    val stats = inst.groupBy(col("__key"))
+      .agg(countDistinct(col("__id")).as("__n_docs"))
+    inst.join(stats, "__key")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__n_docs") >= 2, 1L).otherwise(0L))
+          .as("n_shared_chunks"),
+        sum(when(col("__n_docs") >= 2, col("__len")).otherwise(0L))
+          .as("shared_bytes"),
+        sum(col("__len")).as("total_bytes"))
+      .select(col("__id").as(id), col("n_chunks"), col("n_shared_chunks"),
+        col("shared_bytes"), col("total_bytes"),
+        round(col("shared_bytes").cast("double") /
+          col("total_bytes").cast("double"), 4).as("share_ratio"))
+  }
 }

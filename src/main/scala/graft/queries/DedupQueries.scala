@@ -431,7 +431,53 @@ object DedupQueries extends QueryModule {
             FROM p WHERE jac >= 0.2
             ORDER BY id1, id2, jac"""))
 
+  // Content-defined chunking dedup (Manber '94): sub-document shared-span
+  // measurement. Cuts are the stateless k-gram-hash rule on the portable
+  // 60-bit md5 scheme, so DuckDB replays boundaries, chunk digests, and
+  // every per-doc byte count exactly. k=12, divisor=64 => ~64-char
+  // expected chunks against the corpus's few-hundred-char documents.
+  private val dedupCdc = Q(
+    "dedup_cdc",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.cdcDedup(docs, "doc_id", "text", k = 12, divisor = 64)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text, len(text) AS L
+                       FROM documents WHERE len(text) >= 1),
+            b AS (SELECT doc_id, text,
+                    list_sort(list_distinct(
+                      [0] ||
+                      list_filter(list_transform(
+                        range(1, greatest(L - 11, 0) + 1),
+                        i -> CASE WHEN ('0x' || substr(md5(substr(text, i, 12)),
+                                        1, 15))::BIGINT % 64 = 0
+                             THEN i + 11 END), x -> x IS NOT NULL) ||
+                      [L])) AS bs
+                  FROM d),
+            inst AS (SELECT doc_id,
+                            md5(c) AS key, len(c) AS clen
+                     FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, len(bs)),
+                               j -> substr(text, bs[j] + 1, bs[j+1] - bs[j])))
+                               AS c
+                           FROM b)),
+            ks AS (SELECT key, count(DISTINCT doc_id) AS n_docs
+                   FROM inst GROUP BY key)
+            SELECT i.doc_id,
+                   count(1) AS n_chunks,
+                   CAST(sum(CASE WHEN ks.n_docs >= 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_shared_chunks,
+                   CAST(sum(CASE WHEN ks.n_docs >= 2 THEN i.clen ELSE 0 END)
+                     AS BIGINT) AS shared_bytes,
+                   CAST(sum(i.clen) AS BIGINT) AS total_bytes,
+                   round(CAST(sum(CASE WHEN ks.n_docs >= 2 THEN i.clen
+                                       ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(i.clen) AS DOUBLE), 4) AS share_ratio
+            FROM inst i JOIN ks ON i.key = ks.key
+            GROUP BY i.doc_id ORDER BY i.doc_id"""))
+
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupCluster, dedupSubstring, dedupSoft, dedupIncremental,
-    dedupPrefixJoin, dedupSortedNeighborhood)
+    dedupPrefixJoin, dedupSortedNeighborhood, dedupCdc)
 }

@@ -284,4 +284,68 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
     assert(want.exists(_._3 < 1.0), "fixture must exercise non-identical pairs")
   }
+
+  // sequential reference for the Manber cut rule, used by the CDC tests
+  private def cdcRef(text: String, k: Int, d: Int): Seq[String] = {
+    val cuts = (1 to text.length - k + 1).filter { i =>
+      graft.functions.Vectors.MinHashSig.md5Long60(
+        text.substring(i - 1, i - 1 + k)) % d == 0
+    }.map(_ + k - 1)
+    val bs = (Seq(0) ++ cuts ++ Seq(text.length)).distinct.sorted
+    bs.zip(bs.tail).map { case (a, b) => text.substring(a, b) }
+  }
+
+  test("cdcBoundaries/cdcSlices == sequential Manber reference; chunks rebuild the text") {
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 12).map { _ =>
+      (0 until 150 + rnd.nextInt(400))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    } :+ "short" :+ "x"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df
+      .withColumn("b", Dedup.cdcBoundaries(col("text"), 12, 64))
+      .select(col("doc_id"), Dedup.cdcSlices(col("text"), col("b")).as("cs"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val chunks = got(i.toLong)
+      assert(chunks == cdcRef(t, 12, 64), s"doc $i chunk mismatch")
+      assert(chunks.mkString == t, s"doc $i does not reassemble")
+      assert(chunks.forall(_.nonEmpty), s"doc $i has an empty chunk")
+    }
+  }
+
+  test("CDC stability: a prefix edit re-chunks only the edit neighborhood") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 2000)
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = "INSERTED-PREFIX-" + base
+    val bc = cdcRef(base, 12, 64)
+    val ec = cdcRef(edited, 12, 64)
+    // every cut whose k-gram lies beyond the edit survives (shifted), so
+    // all chunks after the first preserved cut are byte-identical
+    val shared = bc.toSet.intersect(ec.toSet).size
+    assert(bc.size >= 10, s"fixture too coarse: ${bc.size} chunks")
+    assert(shared >= bc.size - 2,
+      s"expected all but the head chunk shared, got $shared of ${bc.size}")
+  }
+
+  test("cdcDedup: planted shared span shows as shared bytes, unique docs at zero") {
+    val rnd = new scala.util.Random(13)
+    def blob(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val common = blob(600)
+    val docs = Seq(
+      (1L, blob(300) + common),
+      (2L, common + blob(250)),
+      (3L, blob(500))).toDF("doc_id", "text")
+    val out = Dedup.cdcDedup(docs, "doc_id", "text", 12, 64)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(3L)._3 == 0L && out(3L)._6 == 0.0, "unique doc must share nothing")
+    // the shared 600-char span dominates both carriers' byte volume
+    assert(out(1L)._4 > 300L, s"doc1 shared_bytes ${out(1L)._4}")
+    assert(out(2L)._4 > 300L, s"doc2 shared_bytes ${out(2L)._4}")
+    assert(out(1L)._6 > 0.3 && out(2L)._6 > 0.3, "share_ratio must reflect the span")
+  }
 }
