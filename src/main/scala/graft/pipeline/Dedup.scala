@@ -358,7 +358,12 @@ object Dedup {
     val tb = math.round(t * 10000).toInt
     require(math.abs(tb / 10000.0 - t) < 1e-12,
       s"threshold must be expressible in basis points (got $t)")
-    def ceilBp(n: Column): Column = (n * tb + (10000 - 1)) / 10000
+    // Column `/` is DOUBLE division — floor() restores integral div.
+    // Exact because the numerator (n·tb+9999, n ≤ doc token count) stays
+    // far below 2^45, where a double quotient just under an integer can
+    // never round up to it.
+    def ceilBp(n: Column): Column =
+      floor((n * tb + (10000 - 1)) / 10000).cast("long")
     val tok = docs.select(col(id).as("__id"), array_distinct(tokens).as("__raw"))
       .filter(size(col("__raw")) > 0)
     val ex = tok.select(col("__id"), explode(col("__raw")).as("__t"))
@@ -375,9 +380,11 @@ object Dedup {
       .select(col("__id"), col("__n"), (col("__i") + 1).cast("long").as("__pp"),
         col("__t"))
     // alpha = ceil(t/(1+t)·(n1+n2)) in basis points: (tb·s + (10000+tb-1))
-    // div (10000+tb) — exact for rational t, no float ceil
-    val alpha = (lit(tb) * (col("__n1") + col("__n2")) + (10000 + tb - 1)) /
-      (10000 + tb)
+    // div (10000+tb) — exact for rational t, no float ceil. floor() makes
+    // the double `/` integral (same < 2^45 exactness bound as ceilBp).
+    val alpha = floor(
+      (lit(tb) * (col("__n1") + col("__n2")) + (10000 + tb - 1)) /
+        (10000 + tb)).cast("long")
     val cands = prefix.select(col("__id").as("id1"), col("__n").as("__n1"),
         col("__pp").as("__p1"), col("__t"))
       .join(prefix.select(col("__id").as("id2"), col("__n").as("__n2"),
@@ -489,11 +496,17 @@ object Dedup {
       concat(array(lit(0)), cuts, array(L))))
   }
 
-  /** Slice `text` by a [[cdcBoundaries]] array into the chunk strings. */
+  /** Slice `text` by a [[cdcBoundaries]] array into the chunk strings.
+    * Guarded for the empty-text boundary array [0]: sequence(1, 0) in
+    * Spark is the DESCENDING array [1, 0], whose element_at(b, 0) would
+    * throw — an empty text has zero chunks, not an error.
+    */
   def cdcSlices(text: Column, b: Column): Column =
-    transform(sequence(lit(1), size(b) - 1), j =>
-      text.substr(element_at(b, j) + 1,
-        element_at(b, j + 1) - element_at(b, j)))
+    when(size(b) >= 2,
+      transform(sequence(lit(1), size(b) - 1), j =>
+        text.substr(element_at(b, j) + 1,
+          element_at(b, j + 1) - element_at(b, j))))
+      .otherwise(array().cast("array<string>"))
 
   /** CDC dedup report: chunk every document, key chunks by content md5,
     * and measure per-document how much of its byte volume is shared with

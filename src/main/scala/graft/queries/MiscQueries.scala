@@ -410,9 +410,9 @@ object MiscQueries extends QueryModule {
                           AS BIGINT) AS qy
               FROM customer),
             zv AS (
-              SELECT list_sum(list_transform(range(0, 9), b ->
+              SELECT CAST(list_sum(list_transform(range(0, 9), b ->
                        (((qx >> b) & 1) << (2 * b))
-                       + (((qy >> b) & 1) << (2 * b + 1)))) AS z
+                       + (((qy >> b) & 1) << (2 * b + 1)))) AS BIGINT) AS z
               FROM q)
             SELECT z, count(1) AS n FROM zv GROUP BY z ORDER BY z"""))
 

@@ -250,6 +250,28 @@ class DedupSpec extends SparkSpec {
     assert(want2.size >= want.size, "lower threshold admits a superset")
   }
 
+  test("prefixFilterPairs survives the exact-threshold boundary (integral div)") {
+    // Deterministic boundary fixture: doc 1 = 7 tokens that are a strict
+    // subset of doc 2's 35 tokens → Jaccard = 7/35 = 0.2 EXACTLY at t=0.2.
+    // Survival requires all three integral-arithmetic boundaries at once:
+    //   - prefix length 35 - ceil(0.2·35) + 1 = 29 (double ceil gives 28:
+    //     79999/10000 = 7.9999 must floor to 7, not stay 7.9999);
+    //   - length filter least(7,35) >= ceilBp(35): 7 >= 7 only if ceilBp
+    //     is the integer 7, not the double 7.9999;
+    //   - position filter with alpha = ceil(2000·42/12000) = 7 exactly
+    //     (42·tb is a multiple of 10000+tb — the fractional-alpha case).
+    // A float-division implementation drops this pair; integral division
+    // must return it.
+    val big = (0 until 35).map(i => f"tok$i%02d")
+    val small = big.take(7)
+    val docs = Seq((1L, small), (2L, big), (3L, Seq("zz1", "zz2", "zz3")))
+      .toDF("doc_id", "toks")
+    val got = graft.pipeline.Dedup.prefixFilterPairs(
+        docs, "doc_id", col("toks"), 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.2)), s"boundary pair lost: $got")
+  }
+
   test("sortedNeighborhood == in-memory SNM reference (rank window, verified jaccard)") {
     // corpus where near-dups share key prefixes: base docs + copies mutated
     // AFTER the 16-char key prefix, plus unrelated noise docs
