@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Driver benchmark: one JSON line with per-query wall seconds at
   * SPARK_GRAFT_SF_DIR (default sf0.1), local[SPARK_GRAFT_CPUS].
@@ -59,17 +60,37 @@ object Bench {
     // single-pass numbers showed 3-10× one-off outliers on queries whose
     // code hadn't changed). The min of two runs is the honest steady-state
     // latency estimate; the mode flag below says exactly what was measured.
-    def timedPass() = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    //
+    // Failure honesty: a timed pass that THROWS contributes no wall time —
+    // its time-to-failure is not a latency (round 7 recorded a
+    // webdataset min that was secretly one failed pass's abort time). The
+    // query gets one same-pass retry (transient /tmp races); a pass whose
+    // retry also throws yields None for that query, and a query with no
+    // successful pass at all lands in the "failed" list instead of the
+    // results map.
+    def timedPass(): Seq[(String, Option[Double])] =
+      selected.map { case (name, fn) =>
+        def once(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name pass failed: ${e.getMessage}")
+            None
+          }
+        }
+        name -> once().orElse(once())
+      }
     val p1 = timedPass()
     System.gc()
     val p2 = timedPass().toMap
-    val results = p1.map { case (n, t) => n -> math.min(t, p2(n)) }
+    val byName = p1.map { case (n, t1) =>
+      n -> Seq(t1, p2.getOrElse(n, None)).flatten
+    }
+    val results = byName.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
+    val failed = byName.collect { case (n, ts) if ts.isEmpty => n }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver keeps only a short TAIL of stdout and parses the JSON
     // line from it. 120+ queries no longer fit that tail (rounds 3-5 all
     // recorded "parsed": null), so the FULL per-query map goes to a file
@@ -78,10 +99,22 @@ object Bench {
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    val fullLine =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","mode":"steady-state-min2","n":${results.size},"failed":$failedJson,"queries":$fullJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(fullPath),
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","mode":"steady-state-min2","n":${results.size},"queries":$fullJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        java.nio.file.Paths.get(fullPath), fullLine.getBytes("UTF-8"))
+      // Archive a per-round copy: BENCH_FULL.json is overwritten each
+      // round, losing round-over-round comparison beyond the headliners.
+      // Round number = max existing BENCH_r*.json index + 1 (the driver
+      // writes BENCH_r{N}.json at round end, AFTER this runs).
+      val dir = java.nio.file.Paths.get(fullPath).toAbsolutePath.getParent
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val round = java.nio.file.Files.list(dir).iterator().asScala
+        .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString))
+        .map(_.group(1).toInt).foldLeft(0)(math.max) + 1
+      java.nio.file.Files.write(
+        dir.resolve(f"BENCH_FULL_r$round%02d.json"), fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // stdout line below still carries the headline
     val headline = Seq(
       "a1_breakdown", "a5_seqbin_stats", "a6_n50", "a12_growth",
@@ -100,7 +133,7 @@ object Bench {
     val rm = results.toMap
     val qs = headline.flatMap(n => rm.get(n).map(v => "\"" + n + "\":" + f(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","mode":"steady-state-min2","n":${results.size},"full":"$fullPath","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","mode":"steady-state-min2","n":${results.size},"failed":$failedJson,"full":"$fullPath","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

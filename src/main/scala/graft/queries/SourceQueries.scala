@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * straight from the parquet tables.
   */
 object SourceQueries extends QueryModule {
+  // process-unique suffix for the roundtrip sink dirs (see webdataset /
+  // xlsx roundtrips): JVM-wide monotonic, so repeated bench passes never
+  // share a directory
+  private val invocation = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def dnaDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
@@ -326,7 +330,10 @@ object SourceQueries extends QueryModule {
           .as("es"))
         .groupBy(col("shard"))
         .agg(sort_array(flatten(collect_list(col("es")))).as("entries"))
-      val path = s"/tmp/graft_wds_${dir.replaceAll("[^0-9.]", "")}"
+      // per-invocation dir: a shared path let one bench pass's glob race
+      // another pass's re-writer (r7 tail AnalysisException); each
+      // write/read pair now sees only its own files
+      val path = s"/tmp/graft_wds_${dir.replaceAll("[^0-9.]", "")}_${invocation.incrementAndGet()}"
       graft.sources.WebDataset.write(entries, "shard", "entries", path)
       graft.sources.WebDataset.read(s, path)
         .select(split(col("name"), "\\.").getItem(0).cast("long").as("doc_id"),
@@ -355,7 +362,7 @@ object SourceQueries extends QueryModule {
       val docs = Tables.load(s, dir, "documents")
       val staged = docs.select((col("doc_id") % 4).as("shard"),
         col("doc_id"), col("lang"), col("n_chars"))
-      val path = s"/tmp/graft_xlsx_${dir.replaceAll("[^0-9.]", "")}"
+      val path = s"/tmp/graft_xlsx_${dir.replaceAll("[^0-9.]", "")}_${invocation.incrementAndGet()}"
       graft.sources.Xlsx.write(staged, "shard", Seq("doc_id"), path)
       graft.sources.Xlsx.read(s, path)
         .filter(col("rn") >= 2) // skip each sheet's header row

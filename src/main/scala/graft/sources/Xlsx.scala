@@ -237,7 +237,9 @@ object Xlsx {
     * with rn 1-based (rn 1 = the header row), cells as strings.
     */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("binaryFile").load(s"$dir/*.xlsx")
+    // pathGlobFilter, not a `*` glob path (see WebDataset.read: the glob
+    // form makes FileStreamSink's metadata probe log a spurious WARN stack)
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.xlsx").load(dir)
       .select(col("path"), posexplode(xlsxRows(col("content"))))
       .withColumnRenamed("pos", "rn")
       .withColumnRenamed("col", "cells")
