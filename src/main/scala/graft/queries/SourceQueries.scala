@@ -310,6 +310,84 @@ object SourceQueries extends QueryModule {
             SELECT doc_id, field, rule, value FROM v
             ORDER BY doc_id, rule"""))
 
+  // Conditional validation rules (SubmissionHandler.pm run_validation_
+  // checks, sql/isolatedb.sql:1814-1860): multi-condition curator rules
+  // ("if source = X and n_chars < Y then reject with message") compiled
+  // by graft.api.ValidationRules into per-rule boolean Columns — the
+  // whole rule set evaluates in ONE codegen projection over the staged
+  // batch, no joins (rules are dimension-sized metadata). The fixture
+  // exercises every operator family: case-insensitive `=`, numeric
+  // `<`/`>=`, `NOT`, the `null` presence check (synthetic nulls at
+  // doc_id % 89), regex `starts with`, and the `[field]` cross-field
+  // form of `NOT contain`.
+  private val curateRules = Q(
+    "curate_rules",
+    (s, dir) => {
+      import graft.api.ValidationRules.{Condition, Rule}
+      val docs = Tables.load(s, dir, "documents")
+      val staged = docs.select(col("doc_id"), col("text"),
+        when(col("doc_id") % 89 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"),
+        col("source"), col("n_chars"))
+      val types = Map("doc_id" -> "int", "text" -> "text", "lang" -> "text",
+        "source" -> "text", "n_chars" -> "int")
+      val rules = Seq(
+        Rule(1, "Documents from src0 must have at least 200 characters",
+          Seq(Condition("source", "=", "SRC0"),
+            Condition("n_chars", "<", "200"))),
+        Rule(2, "Language must be provided",
+          Seq(Condition("lang", "=", "null"))),
+        Rule(3, "Short zh documents must come from src13",
+          Seq(Condition("lang", "=", "zh"),
+            Condition("n_chars", "<", "150"),
+            Condition("source", "NOT", "src13"))),
+        Rule(4, "Long documents must mention their language code",
+          Seq(Condition("text", "NOT contain", "[lang]"),
+            Condition("n_chars", ">=", "500"))),
+        Rule(5, "Source family src1x is reserved for en",
+          Seq(Condition("source", "starts with", "src1[0-9]"),
+            Condition("lang", "NOT", "en"))))
+      graft.api.ValidationRules.violations(staged, "doc_id", rules, types)
+        .orderBy(col("doc_id"), col("rule_id"))
+    },
+    Some("""WITH staged AS (
+              SELECT doc_id, text,
+                     CASE WHEN doc_id % 89 = 0 THEN NULL ELSE lang END AS lang,
+                     source, n_chars
+              FROM documents),
+            v AS (
+              SELECT doc_id, 1 AS rule_id,
+                     'Documents from src0 must have at least 200 characters'
+                       AS message
+              FROM staged
+              WHERE source IS NOT NULL AND source <> ''
+                AND lower(source) = lower('SRC0') AND n_chars < 200
+              UNION ALL
+              SELECT doc_id, 2, 'Language must be provided'
+              FROM staged WHERE lang IS NULL OR lang = ''
+              UNION ALL
+              SELECT doc_id, 3, 'Short zh documents must come from src13'
+              FROM staged
+              WHERE lang IS NOT NULL AND lang <> '' AND lower(lang) = 'zh'
+                AND n_chars < 150
+                AND source IS NOT NULL AND source <> ''
+                AND lower(source) <> 'src13'
+              UNION ALL
+              SELECT doc_id, 4,
+                     'Long documents must mention their language code'
+              FROM staged
+              WHERE text IS NOT NULL AND text <> ''
+                AND NOT regexp_matches(text, '(?i)' || lang)
+                AND n_chars >= 500
+              UNION ALL
+              SELECT doc_id, 5, 'Source family src1x is reserved for en'
+              FROM staged
+              WHERE source IS NOT NULL AND source <> ''
+                AND regexp_matches(source, '(?i)^(?:src1[0-9])')
+                AND lang IS NOT NULL AND lang <> '' AND lower(lang) <> 'en')
+            SELECT doc_id, rule_id, message FROM v
+            ORDER BY doc_id, rule_id"""))
+
   // WebDataset tar shards — the multimodal training-data interchange
   // format: per-doc entries (NNNNNN.txt payload + NNNNNN.cls label)
   // grouped into deterministic ustar shards (zero mtime/uid, name-sorted
@@ -374,6 +452,7 @@ object SourceQueries extends QueryModule {
     Some("""SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"""))
 
   val qs: Seq[Q] = Seq(s2SchemaConfig, s5LocusDownload, s6RemoteContigs,
-    s8Embl, s8Gff3, jsonlRoundtrip, curateValidate, webdatasetRoundtrip,
+    s8Embl, s8Gff3, jsonlRoundtrip, curateValidate, curateRules,
+    webdatasetRoundtrip,
     xlsxRoundtrip)
 }
