@@ -496,6 +496,83 @@ object Dedup {
       concat(array(lit(0)), cuts, array(L))))
   }
 
+  // --- rolling-hash CDC kernel -----------------------------------------
+  // The md5 rule above is the portable/oracle mode but costs a full md5
+  // per POSITION (O(len) digest invocations per document — the round-7
+  // bench's costliest query). This variant is the same stateless Manber
+  // rule under a 64-bit-arithmetic polynomial hash mod 2^31-1: one O(1)
+  // rolling update per position, ~10× cheaper, still deterministic and
+  // directly replayable in DuckDB as the NAIVE per-position polynomial
+  // (the DedupSpec differential proves rolling == naive on random
+  // corpora, so the O(1) update introduces no drift).
+
+  /** Mersenne-prime modulus: products stay within a signed 64-bit long
+    * (codepoint < 2^21, B·h < 2^39 after reduction — no overflow under
+    * ANSI arithmetic).
+    */
+  val CdcM: Long = 2147483647L // 2^31 - 1
+  val CdcB: Long = 131L
+
+  /** JVM kernel (also the codegen target): boundary array [0, cuts.., L]
+    * over CODEPOINTS (matching Spark's substring/length semantics), cut
+    * after position i+k-1 whenever the k-gram hash at i is 0 mod divisor.
+    */
+  def cdcRollingCuts(s: org.apache.spark.unsafe.types.UTF8String, k: Int,
+      divisor: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val L = cps.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int](2 + L / divisor)
+    out += 0
+    if (L >= k) {
+      var bk1 = 1L
+      var j = 1
+      while (j < k) { bk1 = bk1 * CdcB % CdcM; j += 1 }
+      var h = 0L
+      j = 0
+      while (j < k) { h = (h * CdcB + cps(j)) % CdcM; j += 1 }
+      var i = 0
+      var more = true
+      while (more) {
+        if (h % divisor == 0) out += i + k
+        if (i + k < L) {
+          // ((h - cp_out·B^(k-1))·B + cp_in) mod M; the +M keeps the
+          // difference non-negative, ·B stays < 2^40
+          h = ((h - cps(i) * bk1 % CdcM + CdcM) * CdcB + cps(i + k)) % CdcM
+          i += 1
+        } else more = false
+      }
+    }
+    if (out.last != L) out += L
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  case class CdcRollingBoundaries(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      k: Int, divisor: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.types._
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+    override def nullSafeEval(input: Any): Any =
+      cdcRollingCuts(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        k, divisor)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev,
+        c => s"graft.pipeline.Dedup.cdcRollingCuts($c, $k, $divisor)")
+  }
+
+  /** [[cdcBoundaries]] under the rolling polynomial hash: same boundary
+    * array contract, O(1) per position instead of one md5 per position.
+    */
+  def cdcBoundariesRolling(text: Column, k: Int, divisor: Int): Column = {
+    val B = org.apache.spark.sql.graft.ColumnBridge
+    B.column(CdcRollingBoundaries(B.expression(text), k, divisor))
+  }
+
   /** Slice `text` by a [[cdcBoundaries]] array into the chunk strings.
     * Guarded for the empty-text boundary array [0]: sequence(1, 0) in
     * Spark is the DESCENDING array [1, 0], whose element_at(b, 0) would
@@ -527,10 +604,13 @@ object Dedup {
     * in >= 2 distinct documents.
     */
   def cdcDedup(docs: DataFrame, id: String, text: String,
-      k: Int, divisor: Int): DataFrame = {
+      k: Int, divisor: Int, rolling: Boolean = false): DataFrame = {
+    val bounds =
+      if (rolling) cdcBoundariesRolling(col("__t"), k, divisor)
+      else cdcBoundaries(col("__t"), k, divisor)
     val base = docs.filter(length(col(text)) >= 1)
       .select(col(id).as("__id"), col(text).as("__t"))
-      .withColumn("__b", cdcBoundaries(col("__t"), k, divisor))
+      .withColumn("__b", bounds)
       .withColumn("__cs", cdcSlices(col("__t"), col("__b")))
     val inst = base
       .select(col("__id"), explode(col("__cs")).as("__c"))

@@ -432,26 +432,43 @@ object DedupQueries extends QueryModule {
             ORDER BY id1, id2, jac"""))
 
   // Content-defined chunking dedup (Manber '94): sub-document shared-span
-  // measurement. Cuts are the stateless k-gram-hash rule on the portable
-  // 60-bit md5 scheme, so DuckDB replays boundaries, chunk digests, and
-  // every per-doc byte count exactly. k=12, divisor=64 => ~64-char
-  // expected chunks against the corpus's few-hundred-char documents.
+  // measurement. Cuts are the stateless k-gram-hash rule under the O(1)
+  // ROLLING polynomial kernel (Dedup.cdcBoundariesRolling — one codegen
+  // call per row instead of one md5 per POSITION, the round-7 bench's
+  // costliest query). The oracle replays the SAME hash as the NAIVE
+  // per-position polynomial sum_j cp[i+j]·B^(k-1-j) mod 2^31-1 — a
+  // cross-engine proof that the rolling update drifts nowhere. k=12,
+  // divisor=64 => ~64-char expected chunks against the corpus's
+  // few-hundred-char documents. The md5 form stays available as
+  // Dedup.cdcBoundaries (portable oracle mode).
   private val dedupCdc = Q(
     "dedup_cdc",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Dedup.cdcDedup(docs, "doc_id", "text", k = 12, divisor = 64)
+      Dedup.cdcDedup(docs, "doc_id", "text", k = 12, divisor = 64,
+          rolling = true)
         .orderBy(col("doc_id"))
     },
-    Some("""WITH d AS (SELECT doc_id, text, len(text) AS L
+    Some {
+      // B^(k-1-j) mod M for j = 0..k-1, embedded as a DuckDB list literal
+      val k = 12
+      val powers = (0 until k).map { j =>
+        var p = 1L
+        var e = k - 1 - j
+        while (e > 0) { p = p * Dedup.CdcB % Dedup.CdcM; e -= 1 }
+        p
+      }.mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, text, len(text) AS L
                        FROM documents WHERE len(text) >= 1),
             b AS (SELECT doc_id, text,
                     list_sort(list_distinct(
                       [0] ||
                       list_filter(list_transform(
                         range(1, greatest(L - 11, 0) + 1),
-                        i -> CASE WHEN ('0x' || substr(md5(substr(text, i, 12)),
-                                        1, 15))::BIGINT % 64 = 0
+                        i -> CASE WHEN list_sum(list_transform(range(0, 12),
+                               j -> CAST(unicode(substring(text, i + j, 1))
+                                         AS BIGINT) * ($powers)[j + 1]))
+                               % ${Dedup.CdcM} % 64 = 0
                              THEN i + 11 END), x -> x IS NOT NULL) ||
                       [L])) AS bs
                   FROM d),
@@ -475,7 +492,8 @@ object DedupQueries extends QueryModule {
                                        ELSE 0 END) AS DOUBLE)
                      / CAST(sum(i.clen) AS DOUBLE), 4) AS share_ratio
             FROM inst i JOIN ks ON i.key = ks.key
-            GROUP BY i.doc_id ORDER BY i.doc_id"""))
+            GROUP BY i.doc_id ORDER BY i.doc_id"""
+    })
 
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupCluster, dedupSubstring, dedupSoft, dedupIncremental,

@@ -337,6 +337,54 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  // naive per-position polynomial — the DuckDB oracle's formulation; the
+  // rolling kernel must produce identical boundaries (no drift from the
+  // O(1) update)
+  private def cdcRollingRef(text: String, k: Int, d: Int): Seq[Int] = {
+    val cps = text.codePoints().toArray
+    val cuts = (0 to cps.length - k).filter { i =>
+      val h = (0 until k).foldLeft(0L) { (acc, j) =>
+        (acc * Dedup.CdcB + cps(i + j)) % Dedup.CdcM
+      }
+      h % d == 0
+    }.map(_ + k)
+    (Seq(0) ++ cuts ++ Seq(cps.length)).distinct.sorted
+  }
+
+  test("cdcBoundariesRolling == naive polynomial reference (rolling drift-free)") {
+    val rnd = new scala.util.Random(17)
+    val texts = (0 until 20).map { _ =>
+      (0 until rnd.nextInt(800))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    } ++ Seq("", "x", "exactly-12ch", "ünïcödé-texte-ä-ö-ü-ß-œ-π-λ-Ω" * 10)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (d <- Seq(16, 64)) {
+      val got = df
+        .select(col("doc_id"),
+          Dedup.cdcBoundariesRolling(col("text"), 12, d).as("b"))
+        .as[(Long, Seq[Int])].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == cdcRollingRef(t, 12, d),
+          s"doc $i divisor $d boundary drift")
+      }
+    }
+    // sanity: the rolling rule actually cuts on this corpus
+    val cuts = texts.map(cdcRollingRef(_, 12, 64).size - 2).sum
+    assert(cuts > 10, s"fixture produced only $cuts cuts")
+  }
+
+  test("cdcSlices of an empty text is an empty chunk array, not an error") {
+    val df = Seq((1L, ""), (2L, "enough-text-to-have-one-chunk"))
+      .toDF("doc_id", "text")
+    val got = df
+      .withColumn("b", Dedup.cdcBoundaries(col("text"), 12, 64))
+      .select(col("doc_id"), Dedup.cdcSlices(col("text"), col("b")).as("cs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq())
+    assert(got(2L).mkString == "enough-text-to-have-one-chunk")
+  }
+
   test("CDC stability: a prefix edit re-chunks only the edit neighborhood") {
     val rnd = new scala.util.Random(11)
     val base = (0 until 2000)
