@@ -274,6 +274,17 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val seed = ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe)
       .select(col("query_id"), col("neighbor_id")).cache()
+    val v = corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
+    nnDescentStep(seed, v, k)
+  }
+
+  /** One refinement step over the CURRENT directed edge list: symmetrize →
+    * neighbors-of-neighbors (ids only) → exact re-score → bounded top-k.
+    * Shared by [[nnDescentRound]] (single step) and [[nnDescent]] (the
+    * convergence loop).
+    */
+  def nnDescentStep(edges: DataFrame, v: DataFrame, k: Int): DataFrame = {
+    val seed = edges.select(col("query_id"), col("neighbor_id"))
     val undirected = seed.union(seed.select(
         col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id")))
       .distinct()
@@ -282,7 +293,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
     val candidates = seed.union(non).distinct()
-    val v = corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
     val scored = candidates
       .join(v.select(col("__id").as("query_id"), col("__v").as("qv")), Seq("query_id"))
       .join(v.select(col("__id").as("neighbor_id"), col("__v").as("cv")), Seq("neighbor_id"))
@@ -292,6 +302,45 @@ object Similarity {
           struct((-col("cos")).as("neg"), col("neighbor_id")), k).as("__tk")))
       .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
         (-col("__t.neg")).as("cos"), col("rank"))
+  }
+
+  /** NN-descent TO CONVERGENCE (Dong et al. 2011 §2.2): iterate
+    * [[nnDescentStep]] until the round admits fewer than `delta`·n·k NEW
+    * entries into the top-k lists (delta = 0 → run to the exact fixed
+    * point, where a further round provably changes nothing: zero new
+    * candidate edges means the re-score set and therefore the ranked
+    * lists are identical), or `maxRounds` as the safety cap. This is the
+    * BUILD form of the graph index — the single round is the refine form.
+    *
+    * Loop posture (the k-rows-per-round pattern shared with kmeans /
+    * labelPropagate / pagerankInt): each round's edge list is
+    * localCheckpoint()ed to keep lineage flat across iterations, and the
+    * only driver-side value per round is the scalar new-edge COUNT (an
+    * ids-only anti-join count — never edge data). Every shuffle inside a
+    * round carries id pairs; vectors attach once per distinct candidate.
+    */
+  def nnDescent(corpus: DataFrame, id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, maxRounds: Int = 8,
+      delta: Double = 0.0): DataFrame = {
+    val v = corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
+      .cache()
+    var topk = ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .localCheckpoint()
+    val n = v.count()
+    val threshold = delta * n * k
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val next = nnDescentStep(topk, v, k).localCheckpoint()
+      val newEdges = next.select(col("query_id"), col("neighbor_id"))
+        .except(topk.select(col("query_id"), col("neighbor_id")))
+        .count()
+      topk = next
+      converged = newEdges <= threshold
+      r += 1
+    }
+    topk
   }
 
   /** SemDedup-style semantic dedup: coarse-cluster the corpus into `nlist`

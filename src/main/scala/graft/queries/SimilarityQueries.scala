@@ -400,6 +400,88 @@ object SimilarityQueries extends QueryModule {
             FROM rr WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
+  // NN-descent run TO CONVERGENCE (the Dong et al. BUILD loop, vs the
+  // single refine round above): the engine iterates until a round admits
+  // zero new top-k entries — the exact fixed point, where a further round
+  // provably changes nothing. The oracle unrolls ORACLE_ROUNDS rounds of
+  // the identical refinement as generated CTEs; because rounds past the
+  // fixed point are no-ops, any unroll depth >= the engine's stopping
+  // round replays the same lists — the unroll depth is a safety margin,
+  // not a tuned constant (the engine's cap is higher; a corpus that
+  // genuinely needed more rounds would surface as a hash mismatch, not a
+  // silent truncation).
+  private val simNnDescentConverged = Q(
+    "sim_nn_descent_converged",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.nnDescent(emb, "vec_id", "embedding",
+          k = 5, nlist = 32, nprobe = 3, maxRounds = 12, delta = 0.0)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val oracleRounds = 8
+      val seed = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32) t),
+            norm AS MATERIALIZED (
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            assign_all AS (
+              SELECT nm.vec_id, nm.v, nm.n, c.list_id,
+                     list_dot_product(nm.v, c.cvec)
+                       / (nm.n * sqrt(list_dot_product(c.cvec, c.cvec))) AS cd
+              FROM norm nm, cent c),
+            corpus_assigned AS (
+              SELECT vec_id AS neighbor_id, v AS cv, n AS cn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all) t WHERE r = 1),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, n AS qn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all) t WHERE r <= 3),
+            scored AS (
+              SELECT p.query_id, a.neighbor_id,
+                     list_dot_product(p.qv, a.cv) / (p.qn * a.cn) AS cos
+              FROM probes p JOIN corpus_assigned a USING (list_id)
+              WHERE p.query_id <> a.neighbor_id),
+            knn0 AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+                FROM scored) t WHERE rank <= 5)"""
+      val rounds = (1 to oracleRounds).map { r =>
+        val prev = s"knn${r - 1}"
+        s""",
+            und$r AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM $prev
+              UNION
+              SELECT neighbor_id, query_id FROM $prev),
+            cand$r AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM $prev
+              UNION
+              SELECT u.query_id, w.neighbor_id
+              FROM und$r u JOIN und$r w ON u.neighbor_id = w.query_id
+              WHERE u.query_id <> w.neighbor_id),
+            knn$r AS MATERIALIZED (
+              SELECT query_id, neighbor_id, cos, rank FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       list_dot_product(q.v, nb.v) / (q.n * nb.n) AS cos,
+                       row_number() OVER (PARTITION BY c.query_id
+                         ORDER BY list_dot_product(q.v, nb.v) / (q.n * nb.n)
+                           DESC, c.neighbor_id) AS rank
+                FROM cand$r c JOIN norm q ON c.query_id = q.vec_id
+                              JOIN norm nb ON c.neighbor_id = nb.vec_id) t
+              WHERE rank <= 5)"""
+      }.mkString
+      seed + rounds + s"""
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+                   CAST(rank AS BIGINT) AS rank
+            FROM knn$oracleRounds
+            ORDER BY query_id, rank"""
+    })
+
   // The mutual-kNN graph is a pure function of (corpus, k, nlist, nprobe)
   // — memoize the materialized edge list per session (the
   // Profiles.cachedWarehouse posture), so the graph query and every
@@ -766,5 +848,5 @@ object SimilarityQueries extends QueryModule {
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
-    simLabelProp, simTriangles, simPagerank)
+    simNnDescentConverged, simLabelProp, simTriangles, simPagerank)
 }

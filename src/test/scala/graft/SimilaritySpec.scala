@@ -141,6 +141,30 @@ class SimilaritySpec extends SparkSpec {
     assert(rRef > rSeed, s"seed=$rSeed refined=$rRef")
   }
 
+  test("nnDescent converges to a fixed point; recall >= single round") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = edges(Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5))
+    val one = Similarity.nnDescentRound(emb, "vec_id", "embedding",
+      k = 5, nlist = 32, nprobe = 2)
+    val conv = Similarity.nnDescent(emb, "vec_id", "embedding",
+      k = 5, nlist = 32, nprobe = 2, maxRounds = 12, delta = 0.0)
+    // convergence (delta=0 → zero new edges) means one more refinement
+    // step returns exactly the same edge set — the fixed-point contract
+    // the unrolled DuckDB oracle relies on
+    val v = emb.select(col("vec_id").as("__id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x.cast("double")).as("__v"))
+    val convEdges = edges(conv)
+    val again = edges(Similarity.nnDescentStep(conv, v, 5))
+    assert(again == convEdges, "converged graph must be a fixed point")
+    // the converged build can only add recall over the single round
+    val r1 = exact.intersect(edges(one)).size.toDouble / exact.size
+    val rc = exact.intersect(convEdges).size.toDouble / exact.size
+    assert(rc >= r1, s"one-round=$r1 converged=$rc")
+  }
+
   test("normFilter flags zero, non-finite, and mis-dimensioned vectors") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f)),                    // good
