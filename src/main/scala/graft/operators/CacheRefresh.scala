@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   * (lib/BIGSdb/Datastore.pm:2165-2172).
   *
   * Spark-native equivalents over parquet snapshots (no table format
-  * dependency):
+  * dependency) — all four of the reference's `_method` values
+  * (`create_isolate_scheme_cache`, sql/isolatedb.sql:1439-1463):
   *   - full      → recompute + atomic directory swap
   *   - incremental → MERGE keyed on the cache key: changed entities'
   *     rows are recomputed and upserted, unchanged rows carry over —
   *     ONE anti join + union, no row-by-row trigger machinery
+  *   - daily     → [[dailyAdd]]: append rows for entities whose
+  *     datestamp is the refresh day and that are NOT yet cached
+  *   - daily_replace → [[dailyReplace]]: drop + re-add the refresh
+  *     day's entities (stale same-day rows get corrected)
   *   - streaming  → graft.streaming.IncrementalWarehouse (same result,
   *     continuous)
   */
@@ -27,6 +32,34 @@ object CacheRefresh {
   def upsert(current: DataFrame, updates: DataFrame, key: String): DataFrame =
     current.join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates)
+
+  /** `daily` refresh (sql/isolatedb.sql:1461 "Add cache for isolates
+    * updated today" / update_scheme_caches.pl:145): append `fresh` rows
+    * whose `datestamp` equals `today` and whose `key` is NOT already
+    * cached. Existing cache rows are never touched — a same-day row that
+    * is already cached keeps its (possibly stale) values; that is the
+    * reference's documented daily semantics, and exactly what
+    * [[dailyReplace]] exists to correct. One ids-only anti join, no
+    * wide-row shuffle of the standing cache.
+    */
+  def dailyAdd(current: DataFrame, fresh: DataFrame, key: String,
+      datestamp: String, today: org.apache.spark.sql.Column): DataFrame =
+    current.unionByName(
+      fresh.filter(col(datestamp) === today)
+        .join(current.select(col(key)), Seq(key), "left_anti"))
+
+  /** `daily_replace` refresh (sql/isolatedb.sql:1462, the DELETE at
+    * :1471-1473 followed by the daily add): drop the cached rows of every
+    * entity whose `datestamp` equals `today`, then add those entities'
+    * fresh rows — same-day records get corrected, all other cache rows
+    * carry over untouched. Anti join on the (small) today key set + union.
+    */
+  def dailyReplace(current: DataFrame, fresh: DataFrame, key: String,
+      datestamp: String, today: org.apache.spark.sql.Column): DataFrame = {
+    val todays = fresh.filter(col(datestamp) === today)
+    current.join(todays.select(col(key)), Seq(key), "left_anti")
+      .unionByName(todays)
+  }
 
   /** Full refresh published through a pointer file — the snapshot-isolation
     * form of the reference's rename-swap (Datastore.pm:2165-2172).

@@ -231,6 +231,69 @@ object MiscQueries extends QueryModule {
                    CAST(sum(l_quantity) AS BIGINT) AS total_qty
             FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
+  // §4.1 daily / daily_replace cache refresh — the reference's two
+  // datestamp-gated modes (sql/isolatedb.sql:1461-1473,
+  // update_scheme_caches.pl:145-146), completing the four-mode policy
+  // matrix (full = the oracle itself, incremental = cache_incremental).
+  // Scenario: "today" = the corpus's latest order date; the stale cache
+  // holds every pre-today row verbatim plus the EVEN-keyed half of
+  // today's rows with outdated values (yesterday's snapshot of records
+  // since updated). `daily` must append only the missing odd-keyed
+  // today rows and leave the stale even-keyed values in place; `daily_
+  // replace` must correct them all. Both policies emitted side by side
+  // under a policy column; the oracle replays both set algebras.
+  private val cacheDaily = Q(
+    "cache_daily",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val v = o.select(col("o_orderkey").as("id"),
+        col("o_orderdate").cast("string").as("datestamp"),
+        round(col("o_totalprice")).cast("long").as("val"))
+      // the refresh day: a 1-row dimension collect (driver traffic is one
+      // date string, the k-rows-per-round posture)
+      val today = v.agg(max(col("datestamp"))).head.getString(0)
+      val stale = v.filter(col("datestamp") < today)
+        .unionByName(v
+          .filter(col("datestamp") === today && col("id") % 2 === 0)
+          .withColumn("val", col("val") - 1000L))
+      val daily = graft.operators.CacheRefresh
+        .dailyAdd(stale, v, "id", "datestamp", lit(today))
+      val replaced = graft.operators.CacheRefresh
+        .dailyReplace(stale, v, "id", "datestamp", lit(today))
+      daily.withColumn("policy", lit("daily"))
+        .unionByName(replaced.withColumn("policy", lit("daily_replace")))
+        .select(col("policy"), col("id"), col("datestamp"), col("val"))
+        .orderBy(col("policy"), col("id"))
+    },
+    Some("""WITH v AS (
+              SELECT o_orderkey AS id,
+                     CAST(o_orderdate AS VARCHAR) AS datestamp,
+                     CAST(round(o_totalprice) AS BIGINT) AS val
+              FROM orders),
+            t AS (SELECT max(datestamp) AS today FROM v),
+            stale AS (
+              SELECT id, datestamp, val FROM v, t WHERE datestamp < today
+              UNION ALL
+              SELECT id, datestamp, val - 1000 FROM v, t
+              WHERE datestamp = today AND id % 2 = 0),
+            daily AS (
+              SELECT id, datestamp, val FROM stale
+              UNION ALL
+              SELECT v.id, v.datestamp, v.val FROM v, t
+              WHERE v.datestamp = today
+                AND v.id NOT IN (SELECT id FROM stale)),
+            repl AS (
+              SELECT s.id, s.datestamp, s.val FROM stale s
+              WHERE s.id NOT IN (SELECT v.id FROM v, t
+                                 WHERE v.datestamp = today)
+              UNION ALL
+              SELECT v.id, v.datestamp, v.val FROM v, t
+              WHERE v.datestamp = today)
+            SELECT 'daily' AS policy, id, datestamp, val FROM daily
+            UNION ALL
+            SELECT 'daily_replace' AS policy, id, datestamp, val FROM repl
+            ORDER BY policy, id"""))
+
   // Skew-mitigation salted join: the hot-key-proof join must return
   // EXACTLY the plain equi-join's rows — proven against the plain-join
   // oracle. The fact (lineitem) side salts on a stable row fingerprint;
@@ -465,7 +528,7 @@ object MiscQueries extends QueryModule {
             ORDER BY src, dst"""))
 
   val qs: Seq[Q] = Seq(f9Geo, geoDistance, geoWithinJoin, o5DictSort, a10PubBreakdown,
-    compositeField, jsonShred, cacheIncremental, skewSaltedJoin,
+    compositeField, jsonShred, cacheIncremental, cacheDaily, skewSaltedJoin,
     eventSessionize, eventFunnel, eventRetention, geoZorder,
     eventTransitions)
 }

@@ -71,6 +71,37 @@ class SkewCacheSpec extends SparkSpec {
     assert(merged == Set((1L, "a", 1), (2L, "B", 2), (3L, "c", 1), (4L, "d", 2)))
   }
 
+  test("daily/daily_replace policy matrix vs full and incremental") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // fresh view: ids 1-6; 4-6 were updated "today" (d2). The stale cache
+    // predates today's edits: ids 1-3 current, id 4 cached with a STALE
+    // value, ids 5-6 not cached yet.
+    val fresh = Seq(
+      (1L, "d1", "a2"), (2L, "d1", "b2"), (3L, "d1", "c2"),
+      (4L, "d2", "D2"), (5L, "d2", "E2"), (6L, "d2", "F2"))
+      .toDF("id", "ds", "v")
+    val stale = Seq(
+      (1L, "d1", "a2"), (2L, "d1", "b2"), (3L, "d1", "c2"),
+      (4L, "d1", "D1")).toDF("id", "ds", "v")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, String)].collect().toSet
+    // daily: append today's UNCACHED ids only; id 4 keeps its stale row
+    assert(rowsOf(CacheRefresh.dailyAdd(stale, fresh, "id", "ds", lit("d2")))
+      == Set((1L, "d1", "a2"), (2L, "d1", "b2"), (3L, "d1", "c2"),
+             (4L, "d1", "D1"), (5L, "d2", "E2"), (6L, "d2", "F2")))
+    // daily_replace: id 4's stale row is corrected too
+    assert(rowsOf(CacheRefresh.dailyReplace(stale, fresh, "id", "ds", lit("d2")))
+      == Set((1L, "d1", "a2"), (2L, "d1", "b2"), (3L, "d1", "c2"),
+             (4L, "d2", "D2"), (5L, "d2", "E2"), (6L, "d2", "F2")))
+    // incremental (upsert with recomputed changed ids) and full both
+    // equal the fresh view here — daily_replace converges to them on a
+    // corpus where only today's rows changed, daily does not (id 4)
+    val changed = fresh.filter(col("ds") === "d2")
+    assert(rowsOf(CacheRefresh.upsert(stale, changed, "id")) == rowsOf(fresh))
+    assert(rowsOf(CacheRefresh.dailyReplace(stale, fresh, "id", "ds", lit("d2")))
+      == rowsOf(fresh))
+  }
+
   test("fullSwap: readers see complete snapshots across refreshes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-swap").toString + "/cache"
     CacheRefresh.fullSwap(Seq((1, "v1")).toDF("id", "v"), dir)
