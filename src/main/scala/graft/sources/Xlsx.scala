@@ -130,19 +130,49 @@ object Xlsx {
   /** Parse workbook bytes → rows of cell strings (header row included at
     * position 0; missing cells are null). DOM-based — the sheet is one
     * bounded shard by the sink contract.
+    *
+    * Accepts BOTH string encodings real workbooks use: the sink's
+    * inline-string cells (`t="inlineStr"`) and the shared-strings table
+    * (`t="s"` indices into `xl/sharedStrings.xml` — the form Excel itself
+    * and most writer libraries emit). Rich-text shared entries (`<si>`
+    * with multiple `<r><t>` runs) concatenate their runs, matching how
+    * spreadsheet tools render them. Falls back to the first .xml part
+    * under `xl/worksheets/` when the workbook doesn't name its sheet
+    * `sheet1.xml`.
     */
   def rowsOfXlsx(bytes: Array[Byte]): ArrayData = {
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     var sheet: Array[Byte] = null
+    var anySheet: Array[Byte] = null
+    var sstXml: Array[Byte] = null
     var e = zin.getNextEntry
     while (e != null) {
       if (e.getName == "xl/worksheets/sheet1.xml") sheet = zin.readAllBytes()
+      else if (anySheet == null
+          && e.getName.startsWith("xl/worksheets/")
+          && e.getName.endsWith(".xml")) anySheet = zin.readAllBytes()
+      else if (e.getName == "xl/sharedStrings.xml") sstXml = zin.readAllBytes()
       e = zin.getNextEntry
     }
-    require(sheet != null, "no xl/worksheets/sheet1.xml in workbook")
-    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder().parse(new java.io.ByteArrayInputStream(sheet))
+    if (sheet == null) sheet = anySheet
+    require(sheet != null, "no worksheet part in workbook")
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    // shared-strings table: one entry per <si>, rich-text runs joined
+    val sst: IndexedSeq[String] =
+      if (sstXml == null) IndexedSeq.empty
+      else {
+        val sdoc = dbf.newDocumentBuilder()
+          .parse(new java.io.ByteArrayInputStream(sstXml))
+        val sis = sdoc.getElementsByTagName("si")
+        (0 until sis.getLength).map { i =>
+          val ts = sis.item(i).asInstanceOf[org.w3c.dom.Element]
+            .getElementsByTagName("t")
+          (0 until ts.getLength).map(ts.item(_).getTextContent).mkString
+        }
+      }
+    val doc = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(sheet))
     val rowNodes = doc.getElementsByTagName("row")
     val out = new Array[Any](rowNodes.getLength)
     var i = 0
@@ -166,6 +196,10 @@ object Xlsx {
           if (t == "inlineStr") {
             val ts = c.getElementsByTagName("t")
             if (ts.getLength > 0) ts.item(0).getTextContent else ""
+          } else if (t == "s") { // shared-string index
+            val vs = c.getElementsByTagName("v")
+            if (vs.getLength == 0) null
+            else sst(vs.item(0).getTextContent.trim.toInt)
           } else {
             val vs = c.getElementsByTagName("v")
             if (vs.getLength > 0) vs.item(0).getTextContent else null

@@ -41,6 +41,44 @@ class XlsxSpec extends SparkSpec {
     assert(cell(3, 1) == "  leading trailing  ") // xml:space=preserve holds
   }
 
+  test("reader resolves shared-strings workbooks (t=\"s\", rich-text runs, non-sheet1 name)") {
+    // hand-built workbook in the form Excel/writer libraries emit: cell
+    // strings as indices into xl/sharedStrings.xml (entry 1 is a
+    // rich-text <si> with two runs), worksheet named data.xml
+    def part(name: String, content: String): (String, Array[Byte]) =
+      name -> content.getBytes("UTF-8")
+    val parts = Seq(
+      part("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>"""),
+      part("xl/sharedStrings.xml",
+        """<?xml version="1.0"?>""" +
+          """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">""" +
+          """<si><t>hello</t></si>""" +
+          """<si><r><rPr/><t>rich </t></r><r><t xml:space="preserve">text</t></r></si>""" +
+          """<si><t>wörld 漢字</t></si></sst>"""),
+      part("xl/worksheets/data.xml",
+        """<?xml version="1.0"?>""" +
+          """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+          """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>42</v></c></row>""" +
+          """<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2" t="s"><v>2</v></c></row>""" +
+          """</sheetData></worksheet>"""))
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    parts.foreach { case (n, b) =>
+      zip.putNextEntry(new java.util.zip.ZipEntry(n))
+      zip.write(b); zip.closeEntry()
+    }
+    zip.close()
+    val arr = Xlsx.rowsOfXlsx(bos.toByteArray)
+    def cell(r: Int, c: Int): String = {
+      val row = arr.getArray(r)
+      if (row.isNullAt(c)) null else row.getUTF8String(c).toString
+    }
+    assert(arr.numElements() == 2)
+    assert(cell(0, 0) == "hello" && cell(0, 1) == "42")
+    assert(cell(1, 0) == "rich text" && cell(1, 1) == "wörld 漢字")
+  }
+
   test("sharded write + read reassembles the table exactly") {
     val df = (1L to 57L).map(i => (i % 3, i, s"name_$i", i * 10))
       .toDF("shard", "id", "name", "v")
