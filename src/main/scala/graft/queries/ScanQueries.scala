@@ -454,7 +454,11 @@ object ScanQueries extends QueryModule {
       val imgsAt = assign.groupBy(col("doc_id"), col("pos"))
         .agg(sort_array(collect_list(col("vec_id"))).as("imgs"),
           count(lit(1)).as("n_img"))
-      chunks.join(imgsAt, Seq("doc_id", "pos"), "left")
+      // imgsAt is at most one row per image (dimension-sized) but hides
+      // behind two aggregates, so Catalyst can't see it's broadcastable —
+      // without the hint this ran as a SortMergeJoin shuffling every wide
+      // chunk row on (doc_id, pos)
+      chunks.join(broadcast(imgsAt), Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"),
           concat(col("chunk"),
             coalesce(array_join(transform(col("imgs"),

@@ -93,6 +93,16 @@ class PlanSpec extends SparkSpec {
       s"expected range partitioning exchange:\n${plan.take(2000)}")
   }
 
+  test("mm_interleave: image-placement join broadcasts — no SortMergeJoin") {
+    // imgsAt (≤ one row per image) hides behind two aggregates, so
+    // without an explicit broadcast() the chunk⋈imgsAt left join shuffled
+    // every wide chunk row on (doc_id, pos) as a SortMergeJoin — the
+    // round-7 mm_interleave regression
+    val plan = planOf("mm_interleave")
+    assert(!plan.contains("SortMergeJoin"),
+      s"expected broadcast-only joins:\n${plan.take(2000)}")
+  }
+
   test("a1_breakdown: hash aggregate with map-side partial aggregation") {
     val plan = planOf("a1_breakdown")
     val hashAggs = "HashAggregate".r.findAllIn(plan).size
