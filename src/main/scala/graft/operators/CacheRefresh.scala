@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *     datestamp is the refresh day and that are NOT yet cached
   *   - daily_replace → [[dailyReplace]]: drop + re-add the refresh
   *     day's entities (stale same-day rows get corrected)
+  *   - completion_metrics → rebuild only the per-entity completion
+  *     status aggregate, leaving field caches untouched
+  *     (update_scheme_caches.pl:147, Offline/UpdateSchemeCaches.pm:97) —
+  *     the `cache_completion_metrics` query
   *   - streaming  → graft.streaming.IncrementalWarehouse (same result,
   *     continuous)
   */

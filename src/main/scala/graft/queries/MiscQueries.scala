@@ -294,6 +294,46 @@ object MiscQueries extends QueryModule {
             SELECT 'daily_replace' AS policy, id, datestamp, val FROM repl
             ORDER BY policy, id"""))
 
+  // §4.1 completion_metrics refresh — the fifth reference mode
+  // (update_scheme_caches.pl:58,147, Offline/UpdateSchemeCaches.pm:97-130,
+  // Datastore.pm create_temp_scheme_status_table:2188): rebuild ONLY the
+  // per-entity completion-status cache (id, locus_count) while the field
+  // caches are left untouched. The scenario proves the mode's isolation:
+  // a stale FIELD cache (missing the post-cutoff entities) rides along
+  // unmodified while the completion metric recomputes fresh — output is
+  // the fresh metric joined with a flag for whether the entity's field
+  // cache row is still the stale one.
+  private val cacheCompletionMetrics = Q(
+    "cache_completion_metrics",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val cutoff = "1995-01-01"
+      // field cache as of the cutoff (NOT refreshed by this mode)
+      val staleField = li.filter(col("l_shipdate") < cutoff)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_parts"))
+      // completion_metrics = full recompute of the status metric alone
+      val completion = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_linenumber")).as("locus_count"))
+      completion.join(staleField, Seq("l_orderkey"), "left")
+        .select(col("l_orderkey"), col("locus_count"),
+          (col("locus_count") === 7).as("complete"),
+          col("n_parts").isNotNull.as("in_field_cache"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""WITH sf AS (
+              SELECT l_orderkey, count(1) AS n_parts FROM lineitem
+              WHERE l_shipdate < DATE '1995-01-01' GROUP BY l_orderkey),
+            cm AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_linenumber) AS locus_count
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT cm.l_orderkey, cm.locus_count,
+                   cm.locus_count = 7 AS complete,
+                   sf.l_orderkey IS NOT NULL AS in_field_cache
+            FROM cm LEFT JOIN sf ON cm.l_orderkey = sf.l_orderkey
+            ORDER BY cm.l_orderkey"""))
+
   // Skew-mitigation salted join: the hot-key-proof join must return
   // EXACTLY the plain equi-join's rows — proven against the plain-join
   // oracle. The fact (lineitem) side salts on a stable row fingerprint;
@@ -528,7 +568,8 @@ object MiscQueries extends QueryModule {
             ORDER BY src, dst"""))
 
   val qs: Seq[Q] = Seq(f9Geo, geoDistance, geoWithinJoin, o5DictSort, a10PubBreakdown,
-    compositeField, jsonShred, cacheIncremental, cacheDaily, skewSaltedJoin,
+    compositeField, jsonShred, cacheIncremental, cacheDaily,
+    cacheCompletionMetrics, skewSaltedJoin,
     eventSessionize, eventFunnel, eventRetention, geoZorder,
     eventTransitions)
 }
