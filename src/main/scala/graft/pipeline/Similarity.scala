@@ -271,11 +271,14 @@ object Similarity {
     * Output: (query_id, neighbor_id, cos, rank) — the refined top-k.
     */
   def nnDescentRound(corpus: DataFrame, id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val seed = ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe)
-      .select(col("query_id"), col("neighbor_id")).cache()
+      nlist: Int = 16, nprobe: Int = 4,
+      seed: Option[DataFrame] = None): DataFrame = {
+    val s = seed.getOrElse(
+      ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe).cache())
+      .select(col("query_id"), col("neighbor_id"))
     val v = corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
-    nnDescentStep(seed, v, k)
+      .cache()
+    nnDescentStep(s, v, k, broadcastVectors = v.count() <= 50000)
   }
 
   /** One refinement step over the CURRENT directed edge list: symmetrize →
@@ -283,19 +286,32 @@ object Similarity {
     * Shared by [[nnDescentRound]] (single step) and [[nnDescent]] (the
     * convergence loop).
     */
-  def nnDescentStep(edges: DataFrame, v: DataFrame, k: Int): DataFrame = {
+  def nnDescentStep(edges: DataFrame, v: DataFrame, k: Int,
+      broadcastVectors: Boolean = false): DataFrame = {
     val seed = edges.select(col("query_id"), col("neighbor_id"))
+    // no distinct on the symmetrized list: duplicate undirected edges only
+    // duplicate NoN candidate rows, which the candidates distinct removes
+    // anyway — the dedup shuffle here was one whole stage per round of
+    // pure overhead
     val undirected = seed.union(seed.select(
         col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id")))
-      .distinct()
     val non = undirected.toDF("query_id", "__mid")
       .join(undirected.toDF("__mid", "neighbor_id"), Seq("__mid"))
       .select(col("query_id"), col("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
     val candidates = seed.union(non).distinct()
+    // The candidate pair list (~n·(2k)² rows) dwarfs the vector table
+    // (n rows): shuffling the pairs TWICE to attach vectors is the
+    // per-round bottleneck. Under the size gate (caller counted n) the
+    // vector table broadcasts instead and both attaches go map-side —
+    // the gate keeps the unbounded-broadcast failure mode out at corpus
+    // scale, where the plain equi joins remain the plan.
+    def side(d: DataFrame) = if (broadcastVectors) broadcast(d) else d
     val scored = candidates
-      .join(v.select(col("__id").as("query_id"), col("__v").as("qv")), Seq("query_id"))
-      .join(v.select(col("__id").as("neighbor_id"), col("__v").as("cv")), Seq("neighbor_id"))
+      .join(side(v.select(col("__id").as("query_id"), col("__v").as("qv"))),
+        Seq("query_id"))
+      .join(side(v.select(col("__id").as("neighbor_id"), col("__v").as("cv"))),
+        Seq("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     explodeRanked(scored.groupBy(col("query_id"))
         .agg(bottomK(
@@ -321,20 +337,32 @@ object Similarity {
     */
   def nnDescent(corpus: DataFrame, id: String, vec: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, maxRounds: Int = 8,
-      delta: Double = 0.0): DataFrame = {
+      delta: Double = 0.0, seed: Option[DataFrame] = None): DataFrame = {
     val v = corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
       .cache()
-    var topk = ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe)
+    var topk = seed
+      .getOrElse(ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe))
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
       .localCheckpoint()
     val n = v.count()
     val threshold = delta * n * k
+    // 64-dim doubles ≈ 520 B/row → 50k rows ≈ 26 MB, comfortably under
+    // Spark's broadcast ceiling; beyond it the attach joins stay plain
+    val bcast = n <= 50000
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
-      val next = nnDescentStep(topk, v, k).localCheckpoint()
-      val newEdges = next.select(col("query_id"), col("neighbor_id"))
-        .except(topk.select(col("query_id"), col("neighbor_id")))
+      val next = nnDescentStep(topk, v, k, broadcastVectors = bcast)
+        .localCheckpoint()
+      // new-edge count via anti join, not except(): top-k lists are
+      // duplicate-free by construction, so except()'s extra distinct
+      // aggregation is a wasted shuffle per round. Under the same size
+      // gate the previous round's n·k id pairs broadcast and the count
+      // is map-side.
+      val prevIds = topk.select(col("query_id"), col("neighbor_id"))
+      val newEdges = next
+        .join(if (bcast) broadcast(prevIds) else prevIds,
+          Seq("query_id", "neighbor_id"), "left_anti")
         .count()
       topk = next
       converged = newEdges <= threshold

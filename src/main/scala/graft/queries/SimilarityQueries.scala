@@ -336,12 +336,33 @@ object SimilarityQueries extends QueryModule {
   // verbatim): neighbors-of-neighbors candidates in both directions,
   // exact re-score, bounded top-k. Ids-only shuffles until the one
   // vector re-attach; the oracle replays seed + refinement end to end.
+  // The IVF seed graph (k=5, nlist=32, nprobe=3) is shared by the single
+  // refinement round AND the convergence build — memoize the materialized
+  // edge list per (session, corpus) like knnGraphCache, so the two
+  // queries (and repeated invocations) pay for ONE seed sweep.
+  private val ivfSeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  private def cachedIvfSeed(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    ivfSeedCache.entrySet.removeIf(
+      _.getValue.sparkSession.sparkContext.isStopped)
+    ivfSeedCache.computeIfAbsent(
+      graft.Tables.sessionKey(s) + "|" + dir,
+      _ => Similarity.ivfTopK(
+          Tables.load(s, dir, "embeddings"),
+          Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, nlist = 32, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .localCheckpoint())
+  }
+
   private val simNnDescent = Q(
     "sim_nn_descent",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.nnDescentRound(emb, "vec_id", "embedding",
-          k = 5, nlist = 32, nprobe = 3)
+          k = 5, nlist = 32, nprobe = 3, seed = Some(cachedIvfSeed(s, dir)))
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -415,7 +436,8 @@ object SimilarityQueries extends QueryModule {
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.nnDescent(emb, "vec_id", "embedding",
-          k = 5, nlist = 32, nprobe = 3, maxRounds = 12, delta = 0.0)
+          k = 5, nlist = 32, nprobe = 3, maxRounds = 12, delta = 0.0,
+          seed = Some(cachedIvfSeed(s, dir)))
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))
     },
