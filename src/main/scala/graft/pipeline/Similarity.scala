@@ -364,6 +364,13 @@ object Similarity {
         .join(if (bcast) broadcast(prevIds) else prevIds,
           Seq("query_id", "neighbor_id"), "left_anti")
         .count()
+      // the superseded round's checkpoint blocks are dead from here on —
+      // free them now instead of letting them pile up in the block
+      // manager for the session's remaining queries (r > 0 only: round
+      // 0's `topk` may be a caller-owned seed, e.g. the memoized shared
+      // IVF seed)
+      if (r > 0) org.apache.spark.sql.graft.ColumnBridge
+        .unpersistCheckpoint(topk)
       topk = next
       converged = newEdges <= threshold
       r += 1

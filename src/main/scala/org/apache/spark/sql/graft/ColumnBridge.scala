@@ -26,6 +26,20 @@ object ColumnBridge {
         .topK(ExpressionUtils.expression(child), num, reverse = true)
         .toAggregateExpression())
 
+  /** Free the materialized blocks of a `localCheckpoint()`ed DataFrame.
+    * Iterative operators (NN-descent, label propagation) supersede one
+    * checkpoint per round; without an explicit unpersist the dead rounds'
+    * blocks sit in the block manager until the ContextCleaner happens to
+    * GC them, inflating memory pressure for whatever runs next. LogicalRDD
+    * is `private[sql]`, hence the bridge.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** `SparkSession.sessionUUID` is `private[sql]`; memo keys need a
     * session identity that can't be reused after GC the way
     * identityHashCode can.
