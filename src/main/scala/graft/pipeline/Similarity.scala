@@ -275,7 +275,7 @@ object Similarity {
       seed: Option[DataFrame] = None): DataFrame = {
     val s = seed.getOrElse(
       ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe).cache())
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
     val v = corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
       .cache()
     nnDescentStep(s, v, k, broadcastVectors = v.count() <= 50000)
@@ -285,39 +285,105 @@ object Similarity {
     * neighbors-of-neighbors (ids only) → exact re-score → bounded top-k.
     * Shared by [[nnDescentRound]] (single step) and [[nnDescent]] (the
     * convergence loop).
+    *
+    * `newIds` (Dong et al. 2011 §2.3, "incremental search"): when the
+    * caller knows which edges were ADDED in the previous round, only NoN
+    * pairs touching at least one NEW edge need scoring. An old-old pair's
+    * two edges were both in the list two rounds back, so the pair was
+    * already a candidate then — and because top-k lists are MONOTONE
+    * (the current list is always in the candidate set, so a slot only
+    * ever improves), a pair that lost once can never enter later. The
+    * incremental step therefore returns EXACTLY the full step's lists
+    * (SimilaritySpec pins the equivalence per round) while the candidate
+    * volume collapses as the graph converges — the last rounds, where
+    * almost nothing is new, cost almost nothing. Current-list edges keep
+    * their carried `cos` (same deterministic kernel that produced it)
+    * instead of being re-scored.
     */
   def nnDescentStep(edges: DataFrame, v: DataFrame, k: Int,
-      broadcastVectors: Boolean = false): DataFrame = {
+      broadcastVectors: Boolean = false,
+      newIds: Option[DataFrame] = None): DataFrame =
+    nnDescentStepTagged(edges, v, k, broadcastVectors, newIds).drop("__new")
+
+  /** [[nnDescentStep]] plus a `__new` provenance flag per output edge.
+    *
+    * Candidate pairs are anti-joined against the CURRENT list before any
+    * vector attaches, and current-list edges ride through on their carried
+    * `cos` (the same deterministic kernel produced it — no re-score, no
+    * re-attach). Every scored survivor is therefore new BY CONSTRUCTION
+    * and every carried one old, so the flag that [[nnDescent]] needs for
+    * both its convergence count and the next round's incremental-search
+    * seed falls out of the union provenance — no per-round anti-join job
+    * against the previous list. The flag sits LAST in the top-k sort
+    * struct, behind the already-unique (cos, neighbor_id) key, so it can
+    * never influence ranking.
+    */
+  private[pipeline] def nnDescentStepTagged(edges: DataFrame, v: DataFrame,
+      k: Int, broadcastVectors: Boolean = false,
+      newIds: Option[DataFrame] = None): DataFrame = {
     val seed = edges.select(col("query_id"), col("neighbor_id"))
+    def side(d: DataFrame) = if (broadcastVectors) broadcast(d) else d
+    def swap(d: DataFrame) = d.select(
+      col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"))
     // no distinct on the symmetrized list: duplicate undirected edges only
     // duplicate NoN candidate rows, which the candidates distinct removes
     // anyway — the dedup shuffle here was one whole stage per round of
     // pure overhead
-    val undirected = seed.union(seed.select(
-        col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id")))
-    val non = undirected.toDF("query_id", "__mid")
-      .join(undirected.toDF("__mid", "neighbor_id"), Seq("__mid"))
+    val allUnd = seed.union(swap(seed))
+    val non = newIds match {
+      case None =>
+        // full sweep: every edge counts as new
+        allUnd.toDF("query_id", "__mid")
+          .join(allUnd.toDF("__mid", "neighbor_id"), Seq("__mid"))
+      case Some(fresh) =>
+        // Dong et al. incremental search: a new-involving NoN pair has a
+        // NEW edge on at least one side, so instead of enumerating the
+        // full (2k)²-per-node product and filtering, join the (shrinking)
+        // new-edge undirected list against the full list from EACH side —
+        // new⋈all covers new-first pairs, all⋈new covers new-second; the
+        // overlap (new⋈new) duplicates rows the candidates distinct
+        // removes anyway. As the graph converges the new side collapses,
+        // and with it the whole round's candidate volume — old-old pairs
+        // are never materialized at all.
+        val newU = fresh.select(col("query_id"), col("neighbor_id"))
+        val newUnd = newU.union(swap(newU))
+        side(newUnd.toDF("query_id", "__mid"))
+            .join(allUnd.toDF("__mid", "neighbor_id"), Seq("__mid"))
+          .union(allUnd.toDF("query_id", "__mid")
+            .join(side(newUnd.toDF("__mid", "neighbor_id")), Seq("__mid")))
+    }
+    // known-edge pairs drop BEFORE the distinct (map-side under the
+    // broadcast gate; at corpus scale the (q,n)-keyed anti-join shuffle is
+    // reused by the distinct on the same keys), so the dedup and both
+    // vector attaches only ever see genuinely fresh pairs.
+    val candidates = non
       .select(col("query_id"), col("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    val candidates = seed.union(non).distinct()
-    // The candidate pair list (~n·(2k)² rows) dwarfs the vector table
-    // (n rows): shuffling the pairs TWICE to attach vectors is the
-    // per-round bottleneck. Under the size gate (caller counted n) the
-    // vector table broadcasts instead and both attaches go map-side —
+      .join(side(seed), Seq("query_id", "neighbor_id"), "left_anti")
+      .distinct()
+    // The candidate pair list (~n·(2k)² rows on a full sweep) dwarfs the
+    // vector table (n rows): shuffling the pairs TWICE to attach vectors
+    // is the per-round bottleneck. Under the size gate (caller counted n)
+    // the vector table broadcasts instead and both attaches go map-side —
     // the gate keeps the unbounded-broadcast failure mode out at corpus
     // scale, where the plain equi joins remain the plan.
-    def side(d: DataFrame) = if (broadcastVectors) broadcast(d) else d
-    val scored = candidates
+    val scoredFresh = candidates
       .join(side(v.select(col("__id").as("query_id"), col("__v").as("qv"))),
         Seq("query_id"))
       .join(side(v.select(col("__id").as("neighbor_id"), col("__v").as("cv"))),
         Seq("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    explodeRanked(scored.groupBy(col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        lit(true).as("__new"))
+    val all = scoredFresh.union(
+      edges.select(col("query_id"), col("neighbor_id"), col("cos"),
+        lit(false).as("__new")))
+    explodeRanked(all.groupBy(col("query_id"))
         .agg(bottomK(
-          struct((-col("cos")).as("neg"), col("neighbor_id")), k).as("__tk")))
+          struct((-col("cos")).as("neg"), col("neighbor_id"), col("__new")),
+          k).as("__tk")))
       .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
-        (-col("__t.neg")).as("cos"), col("rank"))
+        (-col("__t.neg")).as("cos"), col("rank"), col("__t.__new").as("__new"))
   }
 
   /** NN-descent TO CONVERGENCE (Dong et al. 2011 §2.2): iterate
@@ -351,27 +417,35 @@ object Similarity {
     val bcast = n <= 50000
     var r = 0
     var converged = false
+    // which edges the LAST round added — None on round 0 (everything is
+    // new, the step runs the full NoN sweep); thereafter the incremental
+    // step scores only new-involving pairs (see nnDescentStepTagged) so
+    // round cost tracks the shrinking churn, not the graph size
+    var fresh: Option[DataFrame] = None
     while (r < maxRounds && !converged) {
-      val next = nnDescentStep(topk, v, k, broadcastVectors = bcast)
-        .localCheckpoint()
-      // new-edge count via anti join, not except(): top-k lists are
-      // duplicate-free by construction, so except()'s extra distinct
-      // aggregation is a wasted shuffle per round. Under the same size
-      // gate the previous round's n·k id pairs broadcast and the count
-      // is map-side.
-      val prevIds = topk.select(col("query_id"), col("neighbor_id"))
-      val newEdges = next
-        .join(if (bcast) broadcast(prevIds) else prevIds,
-          Seq("query_id", "neighbor_id"), "left_anti")
-        .count()
+      // one materialization per round: the tagged step's __new provenance
+      // flag IS the new-edge set, so the convergence count is a plain
+      // filter-scan over the freshly checkpointed blocks and the next
+      // round's incremental seed is the same filter — no anti-join job
+      // against the previous list, nothing extra to checkpoint
+      val next = nnDescentStepTagged(topk, v, k, broadcastVectors = bcast,
+          newIds = fresh).localCheckpoint()
+      val freshNext = next.filter(col("__new"))
+        .select(col("query_id"), col("neighbor_id"))
+      val newEdges = freshNext.count()
+      if (sys.env.contains("GRAFT_NND_DEBUG"))
+        System.err.println(s"[nnDescent] round=$r new=$newEdges t=${System.nanoTime()/1e9}")
       // the superseded round's checkpoint blocks are dead from here on —
       // free them now instead of letting them pile up in the block
       // manager for the session's remaining queries (r > 0 only: round
       // 0's `topk` may be a caller-owned seed, e.g. the memoized shared
-      // IVF seed)
+      // IVF seed; `fresh` shares the superseded round's blocks, so the
+      // one unpersist frees both views)
       if (r > 0) org.apache.spark.sql.graft.ColumnBridge
         .unpersistCheckpoint(topk)
-      topk = next
+      topk = next.select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank"))
+      fresh = Some(freshNext)
       converged = newEdges <= threshold
       r += 1
     }

@@ -165,6 +165,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rc >= r1, s"one-round=$r1 converged=$rc")
   }
 
+  test("incremental NN-descent step equals the full step, round by round") {
+    // Dong et al. §2.3: scoring only new-involving NoN pairs must leave
+    // every round's top-k lists EXACTLY unchanged (old-old pairs were
+    // candidates two rounds back and lists are monotone). This is what
+    // lets nnDescent's late rounds cost ~nothing without drifting off the
+    // unrolled full-rescore oracle.
+    val rnd = new scala.util.Random(47)
+    val vecs = (1L to 80L)
+      .map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val v = vecs.select(col("vec_id").as("__id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x.cast("double")).as("__v"))
+    def lists(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+    var full = Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding",
+        k = 4, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id", "cos", "rank")
+    var incr = full
+    var fresh: Option[org.apache.spark.sql.DataFrame] = None
+    for (round <- 1 to 3) {
+      val fullNext = Similarity.nnDescentStep(full, v, 4)
+      val incrNext = Similarity.nnDescentStep(incr, v, 4, newIds = fresh)
+      assert(lists(incrNext) == lists(fullNext),
+        s"round $round: incremental step diverged from the full step")
+      fresh = Some(incrNext.select("query_id", "neighbor_id")
+        .join(incr.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti"))
+      full = fullNext
+      incr = incrNext
+    }
+  }
+
   test("normFilter flags zero, non-finite, and mis-dimensioned vectors") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f)),                    // good
