@@ -107,14 +107,18 @@ object Bench {
       // Archive a per-round copy: BENCH_FULL.json is overwritten each
       // round, losing round-over-round comparison beyond the headliners.
       // Round number = max existing BENCH_r*.json index + 1 (the driver
-      // writes BENCH_r{N}.json at round end, AFTER this runs).
-      val dir = java.nio.file.Paths.get(fullPath).toAbsolutePath.getParent
-      val rx = "BENCH_r(\\d+)\\.json".r
-      val round = java.nio.file.Files.list(dir).iterator().asScala
-        .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString))
-        .map(_.group(1).toInt).foldLeft(0)(math.max) + 1
-      java.nio.file.Files.write(
-        dir.resolve(f"BENCH_FULL_r$round%02d.json"), fullLine.getBytes("UTF-8"))
+      // writes BENCH_r{N}.json at round end, AFTER this runs). Filtered
+      // SPARK_GRAFT_ONLY profiling runs must NOT archive — a 2-query map
+      // would clobber the round's full archive.
+      if (only.isEmpty) {
+        val dir = java.nio.file.Paths.get(fullPath).toAbsolutePath.getParent
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val round = java.nio.file.Files.list(dir).iterator().asScala
+          .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString))
+          .map(_.group(1).toInt).foldLeft(0)(math.max) + 1
+        java.nio.file.Files.write(
+          dir.resolve(f"BENCH_FULL_r$round%02d.json"), fullLine.getBytes("UTF-8"))
+      }
     } catch { case _: Throwable => () } // stdout line below still carries the headline
     val headline = Seq(
       "a1_breakdown", "a5_seqbin_stats", "a6_n50", "a12_growth",

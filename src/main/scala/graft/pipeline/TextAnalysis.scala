@@ -77,6 +77,95 @@ object TextAnalysis {
       acc + lit(w) * t
     }
 
+  /** TRAIN a linear probe by full-batch gradient descent under squared
+    * loss — the CCNet/fastText-style move of fitting a cheap classifier
+    * on surface features against a weak label, done IN the engine rather
+    * than shipped in as curated weights (which is what [[linearScore]]
+    * consumes at inference time).
+    *
+    *   w ← w − η · (2/n) · Σᵢ (xᵢ·w − yᵢ) · xᵢ
+    *
+    * Scale posture (100 TB): each iteration is ONE narrow aggregation —
+    * d+1 partial sums with map-side combine — and the only driver
+    * traffic per round is the (d+1)-double coefficient vector (the
+    * k-rows-per-round pattern shared with kmeansTrain / PQ training).
+    *
+    * Determinism (the oracle contract): double summation order depends
+    * on partitioning, so each row's gradient term rounds ONCE to
+    * DECIMAL(38,18) — deterministic per element — and the sum is exact
+    * integer arithmetic, order-free (the kmeansTrain scheme). The
+    * per-row residual is a left-associated chain of IEEE double ops, so
+    * any engine replaying the same chain reproduces every iteration
+    * bit-for-bit; a DuckDB oracle unrolls the iterations as chained
+    * CTEs. `features` must therefore be drift-free double expressions
+    * (ratios of counts are; transcendentals are not).
+    *
+    * Returns ("bias" +: feature names) zipped with trained weights.
+    */
+  def linearProbeTrain(
+      docs: DataFrame, features: Seq[(String, Column)], label: Column,
+      eta: Double, iters: Int): Seq[(String, Double)] = {
+    val feats = ("bias", lit(1.0).as("bias")) +: features
+    val x = docs.select(
+      feats.map { case (n, c) => c.cast("double").as(n) } :+
+        label.cast("double").as("__y"): _*)
+    val n = x.count()
+    var w = IndexedSeq.fill(feats.size)(0.0)
+    val step = eta * 2.0
+    for (_ <- 0 until iters) {
+      val pred = feats.zip(w).foldLeft(lit(0.0): Column) {
+        case (acc, ((nm, _), wi)) => acc + lit(wi) * col(nm)
+      }
+      val resid = pred - col("__y")
+      // d+1 exact decimal sums, one pass
+      val gradCols = feats.zipWithIndex.map { case ((nm, _), i) =>
+        sum((resid * col(nm)).cast("decimal(38,18)"))
+          .cast("double").as(s"g$i")
+      }
+      val grads = x.agg(gradCols.head, gradCols.tail: _*).collect()(0)
+      w = w.indices.map(j => w(j) - step * grads.getDouble(j) / n)
+    }
+    feats.map(_._1).zip(w)
+  }
+
+  /** Exact tie-aware ROC-AUC of `score` against binary `label` — the
+    * Mann-Whitney rank-sum form with AVERAGE ranks on tied scores
+    * (identical to sklearn's roc_auc_score):
+    *
+    *   AUC = (Σ_{i:pos} rank(scoreᵢ) − n₊(n₊+1)/2) / (n₊ · n₋)
+    *
+    * Scale posture: ranks never come from a global `Window.orderBy`
+    * (single-partition at corpus scale). Scores first collapse to the
+    * DISTINCT-score table (one hash aggregation, cardinality ≤ n and
+    * usually ≪ n), then the cumulative position below each distinct
+    * score is a [[graft.operators.Numbering.runningBySort]] — range
+    * shuffle + two linear passes. Everything stays integer until the
+    * single closing division, so the value is engine-exact.
+    *
+    * Returns one row: (n_pos, n_neg, auc).
+    */
+  def rocAuc(scored: DataFrame, score: String, label: Column): DataFrame = {
+    val g = scored
+      .groupBy(col(score).as("__s"))
+      .agg(sum(label.cast("long")).as("__pos"),
+        sum(lit(1L) - label.cast("long")).as("__neg"))
+    // exclusive running count of rows strictly below each distinct score;
+    // tied rows share the average rank cum + (cnt+1)/2 — doubled to stay
+    // integral: 2·rank_sum(pos in group) = pos · (2·cum + cnt + 1)
+    val cum = graft.operators.Numbering
+      .runningBySort(g, "__s", col("__pos") + col("__neg"), "__cumIncl")
+      .withColumn("__cum", col("__cumIncl") - (col("__pos") + col("__neg")))
+    cum.agg(
+        sum(col("__pos")).as("np"),
+        sum(col("__neg")).as("nn"),
+        sum(col("__pos") * (lit(2L) * col("__cum") + col("__pos") +
+          col("__neg") + lit(1L))).as("r2"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        ((col("r2").cast("double") / 2.0d -
+          col("np").cast("double") * (col("np").cast("double") + 1.0d) / 2.0d) /
+          (col("np").cast("double") * col("nn").cast("double"))).as("auc"))
+  }
+
   /** Language-ID by stopword-set voting: the language whose marker-word set
     * has the highest hit count (word occurrences, duplicates counted) wins;
     * ties break to the ascending language name; documents hitting no marker

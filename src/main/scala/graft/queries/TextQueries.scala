@@ -754,9 +754,179 @@ object TextQueries extends QueryModule {
                    md5(strip_accents(nfc_normalize(dec))) AS clean_md5
             FROM d ORDER BY doc_id"""))
 
+  // ---- Linear probe TRAINING (weak supervision) + exact ROC-AUC ----
+  //
+  // The CCNet/fastText pipeline move: fit a cheap linear classifier on
+  // surface features against a weak label (here: is the labeled lang
+  // English?), IN the engine, then evaluate it exactly. Training is
+  // full-batch GD with order-free DECIMAL(38,18) gradient sums
+  // (TextAnalysis.linearProbeTrain), so every iteration — and therefore
+  // the weights and every downstream score — replays bit-for-bit in the
+  // unrolled DuckDB oracle below.
+  private val ProbeEta = 0.5
+  private val ProbeIters = 12
+
+  /** Probe features: English-marker hit ratio (fastText-langid shape),
+    * scaled token count, scaled mean word length. All ratios/scalings of
+    * counts — drift-free IEEE doubles, replayable in DuckDB verbatim.
+    * (C4-style punct/upper features are dead on this corpus — the
+    * synthetic text is lowercase and unpunctuated — and the per-language
+    * marker ratios carry no signal because the filler text is English-ish
+    * for every `lang` label; kept out so every reported weight is live.)
+    */
+  private def probeFeatures: Seq[(String, org.apache.spark.sql.Column)] = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val toks = size(split(trim(col("text")), "\\s+")).cast("double")
+    val chars = length(col("text")).cast("double")
+    val enHits = size(filter(words, w => w.isin(markers("en"): _*)))
+      .cast("double")
+    Seq(
+      "r_en" -> when(toks > 0, enHits / toks).otherwise(lit(0.0)),
+      "ntok_scaled" -> (toks / 100.0),
+      "mwl_scaled" ->
+        (when(toks > 0, chars / toks).otherwise(lit(0.0)) / 10.0))
+  }
+
+  /** The same features as DuckDB SQL expressions over the `raw` CTE's
+    * toks/chars/h_en columns — index-aligned with [[probeFeatures]] plus
+    * the implicit leading bias x0.
+    */
+  private def probeFeatureSql: Seq[String] = Seq(
+    "CASE WHEN toks > 0 THEN h_en / toks ELSE 0.0 END",
+    "toks / 100.0",
+    "(CASE WHEN toks > 0 THEN chars / toks ELSE 0.0 END) / 10.0")
+
+  private def probeFeatureNames: Seq[String] =
+    Seq("r_en", "ntok_scaled", "mwl_scaled")
+
+  /** Weak label: the Gopher/C4-style length gate (metadata `n_chars`
+    * ≥ 300) — the standing pattern of bootstrapping a cheap learned
+    * filter from a rule-based one.
+    */
+  private def probeLabel: org.apache.spark.sql.Column =
+    (col("n_chars") >= 300).cast("double")
+  private val probeLabelSql =
+    "CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END"
+
+  // train + auc share one fit per (session, corpus): 12 aggregation
+  // passes run once, both queries read the (d+1)-double result
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+
+  private def trainedProbe(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, Double)] =
+    probeCache.computeIfAbsent(
+      graft.Tables.sessionKey(s) + "|" + dir,
+      _ => TextAnalysis.linearProbeTrain(
+        Tables.load(s, dir, "documents"), probeFeatures, probeLabel,
+        eta = ProbeEta, iters = ProbeIters))
+
+  /** The oracle's feature + unrolled-GD CTE prefix, ending at CTE
+    * `w{ProbeIters}` — shared by the train and auc oracles. Arithmetic
+    * mirrors the engine chain EXACTLY (left-associated adds, one decimal
+    * round per gradient term, (step·g)/n updates).
+    */
+  private def probeDim: Int = probeFeatureNames.size + 1 // + bias x0
+
+  /** The engine's per-row prediction chain as SQL: the SAME left-assoc
+    * fold linearProbeTrain builds, so every intermediate double matches.
+    */
+  private def probePredSql: String =
+    (0 until probeDim).foldLeft("0.0") { (acc, j) =>
+      s"($acc + w.b$j * f.x$j)"
+    }
+
+  private def probeOraclePrefix: String = {
+    val step = java.lang.Double.toString(ProbeEta * 2.0)
+    val enList = markers("en").map(w => s"'$w'").mkString(",")
+    val xCols = ("1.0" +: probeFeatureSql).zipWithIndex
+      .map { case (e, j) => s"$e AS x$j" }
+      .mkString(",\n                     ")
+    val zeroW = (0 until probeDim).map(j => s"0.0 AS b$j").mkString(", ")
+    val base = s"""WITH raw AS (
+              SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS toks,
+                     CAST(length(text) AS DOUBLE) AS chars,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       w -> w IN ($enList))) AS DOUBLE) AS h_en,
+                     $probeLabelSql AS y
+              FROM documents),
+            f AS MATERIALIZED (
+              SELECT $xCols,
+                     y
+              FROM raw),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+            w0 AS (SELECT $zeroW)"""
+    val rounds = (1 to ProbeIters).map { t =>
+      val gs = (0 until probeDim).map(j =>
+        s"sum(CAST((($probePredSql) - f.y) * f.x$j AS DECIMAL(38,18))) AS g$j")
+        .mkString(",\n                     ")
+      val ws = (0 until probeDim).map(j =>
+        s"w.b$j - ($step * CAST(g.g$j AS DOUBLE)) / n.n AS b$j")
+        .mkString(",\n                     ")
+      s""",
+            g$t AS MATERIALIZED (SELECT $gs
+              FROM f, w${t - 1} w),
+            w$t AS MATERIALIZED (SELECT $ws
+              FROM w${t - 1} w, g$t g, nn n)"""
+    }.mkString
+    base + rounds
+  }
+
+  private val textProbeTrain = Q(
+    "text_probe_train",
+    (s, dir) => {
+      val w = trainedProbe(s, dir)
+      s.createDataFrame(w).toDF("feature", "weight")
+        .withColumn("weight", round(col("weight"), 6))
+        .orderBy(col("feature"))
+    },
+    Some {
+      val sel = ("bias" +: probeFeatureNames).zipWithIndex.map { case (nm, j) =>
+        s"SELECT '$nm' AS feature, round(b$j, 6) AS weight FROM w$ProbeIters"
+      }.mkString("\n            UNION ALL ")
+      s"""$probeOraclePrefix
+            $sel
+            ORDER BY feature"""
+    })
+
+  private val textProbeAuc = Q(
+    "text_probe_auc",
+    (s, dir) => {
+      val w = trainedProbe(s, dir).map(_._2)
+      val score = probeFeatures.map(_._2).+:(lit(1.0): org.apache.spark.sql.Column)
+        .zip(w).foldLeft(lit(0.0): org.apache.spark.sql.Column) {
+          case (acc, (c, wi)) => acc + lit(wi) * c
+        }
+      val scored = Tables.load(s, dir, "documents")
+        .select(score.as("score"), probeLabel.as("y"))
+      TextAnalysis.rocAuc(scored, "score", col("y"))
+        .withColumn("auc", round(col("auc"), 6))
+    },
+    Some {
+      s"""$probeOraclePrefix,
+            sc AS (SELECT ($probePredSql) AS s, f.y
+              FROM f, w$ProbeIters w),
+            g AS (SELECT s,
+                     CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                     CAST(sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+              FROM sc GROUP BY s),
+            c AS (SELECT pos, neg,
+                     sum(pos + neg) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                       - (pos + neg) AS cum
+              FROM g),
+            t AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+                     CAST(sum(neg) AS BIGINT) AS nneg,
+                     CAST(sum(pos * (2 * cum + pos + neg + 1)) AS BIGINT) AS r2
+              FROM c)
+            SELECT np AS n_pos, nneg AS n_neg,
+                   round((CAST(r2 AS DOUBLE) / 2.0 - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2.0)
+                     / (CAST(np AS DOUBLE) * CAST(nneg AS DOUBLE)), 6) AS auc
+            FROM t"""
+    })
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
     textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
     textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters,
-    textMgExactHeavy, textLrs, textNormalize)
+    textMgExactHeavy, textLrs, textNormalize, textProbeTrain, textProbeAuc)
 }

@@ -542,4 +542,80 @@ class TextAnalysisSpec extends SparkSpec {
       .select(UnicodeNorm.nfc(col("t")).as("n")).as[String].head()
     assert(again == recomposed)
   }
+
+  test("linearProbeTrain: loss decreases, partitioning-invariant bits") {
+    val rnd = new scala.util.Random(11)
+    // separable-ish synthetic: y=1 rows lean to higher x1, lower x2
+    val docs = (1 to 400).map { i =>
+      val y = i % 2
+      val x1 = rnd.nextDouble() * 0.5 + (if (y == 1) 0.4 else 0.0)
+      val x2 = rnd.nextDouble() * 0.5 + (if (y == 1) 0.0 else 0.4)
+      (i.toLong, x1, x2, y.toDouble)
+    }.toDF("id", "x1", "x2", "y")
+    val feats = Seq("x1" -> col("x1"), "x2" -> col("x2"))
+    def sse(w: Seq[Double]): Double = {
+      val pred = Seq(lit(1.0), col("x1"), col("x2")).zip(w)
+        .foldLeft(lit(0.0): org.apache.spark.sql.Column) {
+          case (acc, (c, wi)) => acc + lit(wi) * c
+        }
+      docs.agg(sum(pow(pred - col("y"), 2.0))).as[Double].head()
+    }
+    val w0 = TextAnalysis.linearProbeTrain(docs, feats, col("y"), 0.2, 1).map(_._2)
+    val w8 = TextAnalysis.linearProbeTrain(docs, feats, col("y"), 0.2, 8).map(_._2)
+    assert(sse(w8) < sse(w0), s"GD must reduce loss: ${sse(w0)} -> ${sse(w8)}")
+    // the separating direction must be learned
+    assert(w8(1) > 0 && w8(2) < 0, s"weights $w8")
+    // decimal-sum gradients: weights are BIT-identical regardless of
+    // partitioning (the property the DuckDB oracle replay rests on)
+    val wA = TextAnalysis.linearProbeTrain(docs.repartition(3), feats, col("y"), 0.2, 8)
+    val wB = TextAnalysis.linearProbeTrain(docs.repartition(17), feats, col("y"), 0.2, 8)
+    assert(wA.map(_._2).zip(wB.map(_._2)).forall { case (a, b) => a == b },
+      s"partitioning changed the trained weights: $wA vs $wB")
+  }
+
+  test("rocAuc: matches the hand-computed tie-aware value; bounds") {
+    // scores: pos at {0.9, 0.8, 0.5}, neg at {0.5, 0.3} — one tie at 0.5.
+    // ranks (avg ties): 0.3→1, 0.5→2.5 (×2), 0.8→4, 0.9→5
+    // AUC = (5 + 4 + 2.5 - 3·4/2) / (3·2) = 5.5/6
+    val df = Seq((0.9, 1.0), (0.8, 1.0), (0.5, 1.0), (0.5, 0.0), (0.3, 0.0))
+      .toDF("score", "y")
+    val r = TextAnalysis.rocAuc(df, "score", col("y"))
+      .select("n_pos", "n_neg", "auc").as[(Long, Long, Double)].head()
+    assert(r._1 == 3 && r._2 == 2)
+    assert(math.abs(r._3 - 5.5 / 6.0) < 1e-12, s"auc=${r._3}")
+    // perfect and inverted separations hit the bounds exactly
+    val perfect = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0)).toDF("score", "y")
+    assert(TextAnalysis.rocAuc(perfect, "score", col("y"))
+      .select("auc").as[Double].head() == 1.0)
+    val inverted = Seq((0.1, 1.0), (0.9, 0.0)).toDF("score", "y")
+    assert(TextAnalysis.rocAuc(inverted, "score", col("y"))
+      .select("auc").as[Double].head() == 0.0)
+  }
+
+  test("trained probe separates the weak label on the corpus (AUC > 0.7)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // the query's features: en-marker ratio, scaled token count, scaled
+    // mean word length; weak label = the Gopher-style length gate
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val toks = size(split(trim(col("text")), "\\s+")).cast("double")
+    val enHits = size(filter(words, w => w.isin(Seq("the", "and", "of"): _*)))
+      .cast("double")
+    val feats = Seq(
+      "r_en" -> when(toks > 0, enHits / toks).otherwise(lit(0.0)),
+      "ntok_scaled" -> (toks / 100.0),
+      "mwl_scaled" -> (when(toks > 0,
+        length(col("text")).cast("double") / toks).otherwise(lit(0.0)) / 10.0))
+    val label = (col("n_chars") >= 300).cast("double")
+    val w = TextAnalysis.linearProbeTrain(docs, feats,
+      label, eta = 0.5, iters = 12).map(_._2)
+    val score = (lit(1.0) +: feats.map(_._2)).zip(w)
+      .foldLeft(lit(0.0): org.apache.spark.sql.Column) {
+        case (acc, (c, wi)) => acc + lit(wi) * c
+      }
+    val auc = TextAnalysis.rocAuc(
+        docs.select(score.as("s"), label.as("y")),
+        "s", col("y"))
+      .select("auc").as[Double].head()
+    assert(auc > 0.7 && auc <= 1.0, s"auc=$auc")
+  }
 }
