@@ -962,10 +962,41 @@ object CurationQueries extends QueryModule {
                    END AS jaccard_bp
             FROM p ORDER BY rule_a, rule_b"""))
 
+  // Group-aware (leakage-safe) split: the split key is the GROUP (source
+  // host), not the document — near-duplicates and templated pages from one
+  // host land in ONE split, so eval can't be contaminated by train-side
+  // siblings (the document-keyed split_hash cannot guarantee this). Same
+  // md5-bucket arithmetic as trainValTestSplit, keyed on `source`; the
+  // single-valuedness of group → split is definitional (a pure function
+  // of the group key), which the oracle's per-split distinct-group counts
+  // witness: n_groups sums to the corpus's distinct sources.
+  private val splitGroup = Q(
+    "split_group",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"), col("source"),
+          Curation.trainValTestSplit(col("source"), 8000, 1000).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_groups"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH b AS (SELECT doc_id, source,
+                              ('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 15))::BIGINT % 10000 AS hb
+                       FROM documents)
+            SELECT CASE WHEN hb < 8000 THEN 'train'
+                        WHEN hb < 9000 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   count(1) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM b GROUP BY split ORDER BY split"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, sampleWeighted, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
     qualityPercentileGate, qualityRankNormalize, shardConcat, corpusDiff, mixTemperature,
     corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap,
-    curateDsir, corpusOverlapHll)
+    curateDsir, corpusOverlapHll, splitGroup)
 }

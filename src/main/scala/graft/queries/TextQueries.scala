@@ -889,16 +889,22 @@ object TextQueries extends QueryModule {
             ORDER BY feature"""
     })
 
+  /** The trained probe's score as a Column — the SAME left-assoc chain
+    * the trainer used, so scores replay bit-for-bit against the oracle's
+    * `sc` CTE.
+    */
+  private def probeScore(w: Seq[Double]): org.apache.spark.sql.Column =
+    (lit(1.0).as("x0") +: probeFeatures.map(_._2))
+      .zip(w).foldLeft(lit(0.0): org.apache.spark.sql.Column) {
+        case (acc, (c, wi)) => acc + lit(wi) * c
+      }
+
   private val textProbeAuc = Q(
     "text_probe_auc",
     (s, dir) => {
-      val w = trainedProbe(s, dir).map(_._2)
-      val score = probeFeatures.map(_._2).+:(lit(1.0): org.apache.spark.sql.Column)
-        .zip(w).foldLeft(lit(0.0): org.apache.spark.sql.Column) {
-          case (acc, (c, wi)) => acc + lit(wi) * c
-        }
       val scored = Tables.load(s, dir, "documents")
-        .select(score.as("score"), probeLabel.as("y"))
+        .select(probeScore(trainedProbe(s, dir).map(_._2)).as("score"),
+          probeLabel.as("y"))
       TextAnalysis.rocAuc(scored, "score", col("y"))
         .withColumn("auc", round(col("auc"), 6))
     },
@@ -924,9 +930,54 @@ object TextQueries extends QueryModule {
             FROM t"""
     })
 
+  // Reliability-diagram data for the trained probe: 10 equal-width score
+  // bins → count, mean score, observed positive rate per bin (the
+  // calibration check that tells you whether a learned filter's scores
+  // can be thresholded meaningfully). Per-bin means use the order-free
+  // DECIMAL(38,18) sum so the doubles replay exactly; bin edges come from
+  // the global min/max (two exact aggregates, broadcast as one row).
+  private val textProbeCalibration = Q(
+    "text_probe_calibration",
+    (s, dir) => {
+      val sc = Tables.load(s, dir, "documents")
+        .select(probeScore(trainedProbe(s, dir).map(_._2)).as("s"),
+          probeLabel.as("y"))
+      val mm = sc.agg(min(col("s")).as("smin"), max(col("s")).as("smax"))
+      sc.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          when(col("smax") > col("smin"),
+            least(floor(((col("s") - col("smin")) /
+              (col("smax") - col("smin"))) * 10).cast("long"), lit(9L)))
+            .otherwise(lit(0L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)), 6).as("mean_score"),
+          round(sum(when(col("y") === 1.0, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("pos_rate"))
+        .orderBy(col("bin"))
+    },
+    Some {
+      s"""$probeOraclePrefix,
+            sc AS (SELECT ($probePredSql) AS s, f.y
+              FROM f, w$ProbeIters w),
+            mm AS (SELECT min(s) AS smin, max(s) AS smax FROM sc),
+            bins AS (SELECT
+                CASE WHEN smax > smin
+                     THEN LEAST(CAST(floor(((s - smin) / (smax - smin)) * 10) AS BIGINT), 9)
+                     ELSE 0 END AS bin,
+                s, y
+              FROM sc, mm)
+            SELECT bin, count(1) AS n,
+                   round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE) / count(1), 6) AS mean_score,
+                   round(CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(1), 6) AS pos_rate
+            FROM bins GROUP BY bin ORDER BY bin"""
+    })
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
     textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
     textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters,
-    textMgExactHeavy, textLrs, textNormalize, textProbeTrain, textProbeAuc)
+    textMgExactHeavy, textLrs, textNormalize, textProbeTrain, textProbeAuc,
+    textProbeCalibration)
 }
