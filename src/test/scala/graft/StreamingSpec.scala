@@ -512,4 +512,38 @@ class StreamingSpec extends SparkSpec {
     val got = batch.orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
     assert(got == Seq(100L -> 9L, 101L -> 3L))
   }
+
+  test("trained probe gates a document stream exactly like batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.TextAnalysis
+    // train on the batch corpus; gating under the frozen weights is a
+    // narrow literal fold — the learned-filter-on-ingest shape
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val toks = size(split(trim(col("text")), "\\s+")).cast("double")
+    val feats = Seq("ntok_scaled" -> (toks / 100.0))
+    val w = TextAnalysis.linearProbeTrain(corpus, feats,
+      (col("n_chars") >= 300).cast("double"), eta = 0.5, iters = 8).map(_._2)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        (lit(w(0)) + lit(w(1)) * (size(split(trim(col("text")), "\\s+"))
+          .cast("double") / 100.0)).as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+    val docs = Seq(
+      (1L, Seq.fill(90)("w").mkString(" ")),
+      (2L, "short doc"),
+      (3L, Seq.fill(40)("w").mkString(" ")))
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val q = gate(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_probe_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_probe_sink")
+    val batch = gate(docs.toDF("doc_id", "text"))
+    assert(streamed.count() == 3 &&
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
