@@ -519,6 +519,35 @@ object SimilarityQueries extends QueryModule {
       _ => Similarity.mutualKnnGraph(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", k = 5, nlist = 32, nprobe = 3).localCheckpoint())
 
+  // Connected components over the mutual-kNN graph — the canonical
+  // near-dup CLUSTER id (component = min member id, the same labeling the
+  // adaptive union-find/min-label operator guarantees at any scale). The
+  // oracle replays the graph CTE and closes it with a recursive
+  // reachability CTE: lab-set of a node = everything reachable in the
+  // symmetrized graph, component = min of that set — identical by
+  // definition on an undirected graph.
+  private val simComponents = Q(
+    "sim_components",
+    (s, dir) => {
+      val g = cachedMutualKnn(s, dir)
+        .select(col("id1").as("src"), col("id2").as("dst"))
+      graft.operators.Clustering.connectedComponents(g)
+        .select(col("node").as("vec_id"), col("component"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE $mutualKnnCteSql,
+            sym AS MATERIALIZED (
+              SELECT id1 AS src, id2 AS dst FROM mpairs
+              UNION
+              SELECT id2 AS src, id1 AS dst FROM mpairs),
+            reach AS (
+              SELECT src AS node, src AS lab FROM sym
+              UNION
+              SELECT r.node, s.dst AS lab
+              FROM reach r JOIN sym s ON r.lab = s.src)
+            SELECT node AS vec_id, min(lab) AS component
+            FROM reach GROUP BY node ORDER BY vec_id"""))
+
   private val simMutualKnn = Q(
     "sim_mutual_knn",
     (s, dir) => {
@@ -870,5 +899,6 @@ object SimilarityQueries extends QueryModule {
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
-    simNnDescentConverged, simLabelProp, simTriangles, simPagerank)
+    simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
+    simComponents)
 }
