@@ -506,6 +506,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_probe_auc: ranks come from prefix sums, never a global window") {
+    // tie-aware AUC ranks over the distinct-score table use
+    // Numbering.runningBySort (range shuffle + two linear passes); a
+    // Window node here would be the single-partition global sort that
+    // breaks at corpus scale.
+    val plan = planOf("text_probe_auc")
+    assert(!plan.contains("Window"), s"global window in AUC plan:\n${plan.take(2500)}")
+  }
+
+  test("text_probe_calibration: bin edges broadcast, no window, no sort-merge") {
+    val plan = planOf("text_probe_calibration")
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"min/max row should broadcast:\n${plan.take(2500)}")
+  }
+
+  test("split_group: group split label is a narrow projection before the aggregate") {
+    val plan = planOf("split_group")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      plan.take(2000))
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
