@@ -111,4 +111,25 @@ object SecurityView {
         coalesce(col("set_name"), loci(idCol).cast("string")))
       .drop("__alias_locus", "set_name")
   }
+
+  /** Embargo publish transition — the `check_embargoes.pl` maintenance
+    * job (scripts/maintenance/check_embargoes.pl:96-127): every private
+    * record whose embargo date has arrived (embargo ≤ `asOf`, NULLs keep
+    * their indefinite privacy) leaves the private set, and an audit row
+    * ("Record made public (embargo date reached)") is appended to the
+    * embargo history. Both outputs are narrow filters/projections of the
+    * private-records dimension — one scan, no shuffle, trivially
+    * idempotent (running twice publishes nothing new).
+    *
+    * Returns (remaining private records, history rows to append).
+    */
+  def embargoPublish(privateRecords: DataFrame, asOf: Column)
+      : (DataFrame, DataFrame) = {
+    val due = col("embargo").isNotNull && col("embargo") <= asOf
+    val remaining = privateRecords.filter(!due)
+    val history = privateRecords.filter(due)
+      .select(col("entity_id"), col("embargo"),
+        lit("Record made public (embargo date reached)").as("action"))
+    (remaining, history)
+  }
 }

@@ -541,8 +541,38 @@ object ApiQueries extends QueryModule {
                 WHERE o_totalprice > 300000.0 AND o_orderkey % 3 = 0)
             ORDER BY o_orderkey"""))
 
+  // The check_embargoes.pl batch transition: records whose embargo date
+  // arrived leave the private set with an audit action; NULL embargoes
+  // stay private indefinitely. Output = the post-run state of every
+  // private record (published flag), which pins BOTH mutations (the
+  // remaining set and the history append partition the input).
+  private val apiEmbargoPublish = Q(
+    "api_embargo_publish",
+    (s, dir) => {
+      val pr = catalog(s, dir).privateRecords.get
+      val (remaining, history) = graft.api.SecurityView.embargoPublish(
+        pr, lit("1996-06-01").cast("date"))
+      remaining.select(col("entity_id"),
+          date_format(col("embargo"), "yyyy-MM-dd").as("embargo"),
+          lit(false).as("published"))
+        .unionByName(history.select(col("entity_id"),
+          date_format(col("embargo"), "yyyy-MM-dd").as("embargo"),
+          lit(true).as("published")))
+        .orderBy(col("entity_id"))
+    },
+    Some("""WITH pr AS (
+              SELECT o_orderkey AS entity_id,
+                     CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                          ELSE CAST(o_orderdate AS DATE)
+                               + CAST((o_orderkey % 3) * 45 AS INTEGER) END AS embargo
+              FROM orders WHERE o_totalprice > 300000.0)
+            SELECT entity_id,
+                   strftime(embargo, '%Y-%m-%d') AS embargo,
+                   (embargo IS NOT NULL AND embargo <= DATE '1996-06-01') AS published
+            FROM pr ORDER BY entity_id"""))
+
   val qs: Seq[Q] = Seq(apiCompiled, apiMissing, s1Security, restParsed,
     apiComposedFull, apiTagModes, apiStatusVariation, apiAssemblyChecks,
     f6Extended, f12OldVersion, apiOrCombinators, apiSchemeQuery,
-    apiRestRouted, f8Embargo, f8EmbargoNull, s1SetView)
+    apiRestRouted, f8Embargo, f8EmbargoNull, s1SetView, apiEmbargoPublish)
 }

@@ -271,4 +271,29 @@ class QueryCompilerSpec extends SparkSpec {
     // locus 3 is in scheme 11, which set 1 does not include → invisible
     assert(got == Seq((1L, "1"), (2L, "2"), (4L, "renamed_4"), (5L, "5")))
   }
+
+  test("embargoPublish: due records publish, NULLs stay, idempotent") {
+    import java.sql.Date
+    val pr = Seq(
+      (1L, Some(Date.valueOf("1996-01-01"))),  // due
+      (2L, Some(Date.valueOf("1997-01-01"))),  // future → stays
+      (3L, None),                              // indefinite → stays
+      (4L, Some(Date.valueOf("1996-06-01"))))  // boundary: due (<=)
+      .toDF("entity_id", "embargo")
+    val asOf = lit("1996-06-01").cast("date")
+    val (remaining, history) = SecurityView.embargoPublish(pr, asOf)
+    assert(remaining.select("entity_id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L))
+    val h = history.select("entity_id", "action").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(h.map(_._1) == Seq(1L, 4L))
+    assert(h.forall(_._2 == "Record made public (embargo date reached)"))
+    // remaining ∪ history ids partition the input exactly
+    assert((remaining.select("entity_id").as[Long].collect() ++
+      history.select("entity_id").as[Long].collect()).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    // idempotence: a second run over the remaining set publishes nothing
+    val (again, h2) = SecurityView.embargoPublish(remaining, asOf)
+    assert(h2.count() == 0 && again.count() == remaining.count())
+  }
 }
