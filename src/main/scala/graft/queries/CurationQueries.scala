@@ -993,10 +993,61 @@ object CurationQueries extends QueryModule {
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM b GROUP BY split ORDER BY split"""))
 
+  // Corpus drift monitor: per-token chi-square divergence between two
+  // snapshot slices (here: doc_id parity stands in for epoch N vs N+1) —
+  // the production data-quality check that a refreshed crawl hasn't
+  // shifted vocabulary distribution. Pure rational arithmetic on exact
+  // integer counts (observed vs expected under the pooled rate), so every
+  // double replays in DuckDB; output is the bounded top-20 drifted tokens
+  // (TakeOrderedAndProject — never a full sort at corpus scale). One
+  // token aggregation + a broadcast 1-row total: the same plan shape at
+  // 100 TB.
+  private val corpusDriftChi2 = Q(
+    "corpus_drift_chi2",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select((col("doc_id") % 2 === 0).as("half"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(
+        sum(when(col("half"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("half"), 0L).otherwise(1L)).as("b"))
+      val tot = counts.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      val ad = col("a").cast("double")
+      val bd = col("b").cast("double")
+      val ea = (col("a") + col("b")).cast("double") *
+        col("na").cast("double") / (col("na") + col("nb")).cast("double")
+      val eb = (col("a") + col("b")).cast("double") *
+        col("nb").cast("double") / (col("na") + col("nb")).cast("double")
+      counts.crossJoin(broadcast(tot))
+        .withColumn("chi2", round(
+          (ad - ea) * (ad - ea) / ea + (bd - eb) * (bd - eb) / eb, 6))
+        .select(col("tok"), col("a"), col("b"), col("chi2"))
+        .orderBy(col("chi2").desc, col("tok"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id % 2 = 0 AS half, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+              FROM documents),
+            counts AS (
+              SELECT tok,
+                     CAST(sum(CASE WHEN half THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                     CAST(sum(CASE WHEN half THEN 0 ELSE 1 END) AS BIGINT) AS b
+              FROM toks GROUP BY tok),
+            tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM counts)
+            SELECT tok, a, b,
+                   round((CAST(a AS DOUBLE) - CAST(a + b AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                         * (CAST(a AS DOUBLE) - CAST(a + b AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                         / (CAST(a + b AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                       + (CAST(b AS DOUBLE) - CAST(a + b AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                         * (CAST(b AS DOUBLE) - CAST(a + b AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                         / (CAST(a + b AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE)), 6) AS chi2
+            FROM counts, tot
+            ORDER BY chi2 DESC, tok LIMIT 20"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, sampleWeighted, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
     qualityPercentileGate, qualityRankNormalize, shardConcat, corpusDiff, mixTemperature,
     corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap,
-    curateDsir, corpusOverlapHll, splitGroup)
+    curateDsir, corpusOverlapHll, splitGroup, corpusDriftChi2)
 }
