@@ -375,6 +375,11 @@ object Dedup {
         transform(col("__st"), x => x.getField("__t")).as("__ts"))
       .withColumn("__n", size(col("__ts")).cast("long"))
       .withColumn("__p", (col("__n") - ceilBp(col("__n")) + 1).cast("int"))
+      // consumed three ways (prefix explode + both verify attaches):
+      // cache so the explode→freq-join→collect pipeline runs once, not
+      // per consumer (CacheManager dedups by plan, so repeated calls on
+      // the same corpus reuse one materialization)
+      .cache()
     val prefix = ordered.select(col("__id"), col("__n"),
         posexplode(slice(col("__ts"), lit(1), col("__p"))).as(Seq("__i", "__t")))
       .select(col("__id"), col("__n"), (col("__i") + 1).cast("long").as("__pp"),
@@ -395,10 +400,20 @@ object Dedup {
       .filter(least(col("__p1"), col("__p2")) +
         least(col("__n1") - col("__p1"), col("__n2") - col("__p2")) >= alpha)
       .select(col("id1"), col("id2")).distinct()
-    val a1 = ordered.select(col("__id").as("id1"),
-      col("__ts").as("__ts1"), col("__n").as("__n1"))
-    val a2 = ordered.select(col("__id").as("id2"),
-      col("__ts").as("__ts2"), col("__n").as("__n2"))
+    // The candidate list (~10²·n pairs at low thresholds) dwarfs the
+    // ordered-token table (n rows): letting Catalyst sort-merge these
+    // joins shuffles BOTH docs' full shingle arrays once per candidate
+    // pair — measured ~2.5 GB of array traffic at sf0.1 against a 5 MB
+    // dimension. Under the size gate the token table broadcasts and both
+    // attaches go map-side (the Similarity.nnDescentStep scheme); above
+    // it the plain equi joins remain the plan — stats post-aggregation
+    // are unknown, so the hint must be explicit.
+    val nDocs = tok.count()
+    def side(d: DataFrame) = if (nDocs <= 100000) broadcast(d) else d
+    val a1 = side(ordered.select(col("__id").as("id1"),
+      col("__ts").as("__ts1"), col("__n").as("__n1")))
+    val a2 = side(ordered.select(col("__id").as("id2"),
+      col("__ts").as("__ts2"), col("__n").as("__n2")))
     cands.join(a1, "id1").join(a2, "id2")
       .withColumn("__i", size(array_intersect(col("__ts1"), col("__ts2"))))
       .withColumn("jac", col("__i").cast("double") /
