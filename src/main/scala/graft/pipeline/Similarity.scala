@@ -422,6 +422,11 @@ object Similarity {
     // step scores only new-involving pairs (see nnDescentStepTagged) so
     // round cost tracks the shrinking churn, not the graph size
     var fresh: Option[DataFrame] = None
+    // (Round FUSION — two lazy steps per materialization — was tried and
+    // reverted: without checkpointing the midpoint, the inner step's
+    // subplan is re-executed once per consumer (~6×) and the doubled tree
+    // blows up Catalyst optimization time, costing far more than the
+    // barrier it saves. One checkpointed step per round is the optimum.)
     while (r < maxRounds && !converged) {
       // one materialization per round: the tagged step's __new provenance
       // flag IS the new-edge set, so the convergence count is a plain
