@@ -592,6 +592,33 @@ class TextAnalysisSpec extends SparkSpec {
       .select("auc").as[Double].head() == 0.0)
   }
 
+  test("rocAuc matches an independent rank-sum reference on random inputs") {
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 4) {
+      // coarse score grid → plenty of ties, the case the formula must get
+      // right; labels independent of scores
+      val data = (1 to 300).map { _ =>
+        (math.floor(rnd.nextDouble() * 8) / 8.0, if (rnd.nextBoolean()) 1.0 else 0.0)
+      }
+      // reference: average ranks by sorting, mean rank per tie group
+      val sorted = data.map(_._1).sorted
+      val rankOf = data.map(_._1).distinct.map { s =>
+        val lo = sorted.indexWhere(_ == s) + 1
+        val hi = sorted.lastIndexWhere(_ == s) + 1
+        s -> (lo + hi) / 2.0
+      }.toMap
+      val np = data.count(_._2 == 1.0).toDouble
+      val nn = data.size - np
+      val expected =
+        (data.filter(_._2 == 1.0).map(d => rankOf(d._1)).sum - np * (np + 1) / 2.0) /
+          (np * nn)
+      val got = TextAnalysis.rocAuc(data.toDF("score", "y"), "score", col("y"))
+        .select("auc").as[Double].head()
+      assert(math.abs(got - expected) < 1e-9,
+        s"trial $trial: got $got expected $expected")
+    }
+  }
+
   test("trained probe separates the weak label on the corpus (AUC > 0.7)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     // the query's features: en-marker ratio, scaled token count, scaled
