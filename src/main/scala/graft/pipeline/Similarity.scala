@@ -594,14 +594,25 @@ object Similarity {
         col("rank"))
   }
 
-  /** LSH-bucketed ANN: probe only same-signature buckets (multi-probe via
+  /** LSH-bucketed ANN: probe only same-signature buckets (redundancy via
     * `tables` independent signatures). Recall < 1; the scale path.
     * Output: (query_id, neighbor_id, cos) — candidates above minCos.
+    *
+    * `probeHamming = 1` turns on MULTI-PROBE (Lv et al., VLDB 2007
+    * "Multi-probe LSH"): each query additionally probes every bucket at
+    * Hamming distance 1 from its own signature — for SRP, the buckets a
+    * near neighbor most likely fell into when one hyperplane cut between
+    * the pair. Recall rises toward that of `bits`+1-fold more tables at
+    * the cost of (bits+1)× QUERY bucket rows (ids only — the corpus side,
+    * which is what matters at 100 TB, is untouched: same one index, same
+    * storage, same corpus-side shuffle).
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, dim: Int, k: Int,
-      bits: Int = 12, tables: Int = 4): DataFrame = {
+      bits: Int = 12, tables: Int = 4, probeHamming: Int = 0): DataFrame = {
+    require(probeHamming == 0 || probeHamming == 1,
+      s"only Hamming radii 0 and 1 are supported: $probeHamming")
     val sigs = (0 until tables).map(t => srpSignature(toDouble(col(vec)), dim, bits, 42L + t))
     def withSigs(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col(id).as(idAs) +: toDouble(col(vec)).as(vecAs) +:
@@ -616,8 +627,15 @@ object Similarity {
       col(idCol),
       posexplode(array((0 until tables).map(i => col(s"sig$i")): _*))
         .as(Seq("tbl", "bucket")))
+    val qBuckets = {
+      val exact = explodedBuckets(q, "query_id")
+      if (probeHamming == 0) exact
+      else exact.select(col("query_id"), col("tbl"),
+        explode(array(col("bucket") +: (0 until bits).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    }
     val candidates = explodedBuckets(c, "neighbor_id")
-      .join(explodedBuckets(q, "query_id"), Seq("tbl", "bucket"))
+      .join(qBuckets, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()

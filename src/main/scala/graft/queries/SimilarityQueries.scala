@@ -128,6 +128,60 @@ object SimilarityQueries extends QueryModule {
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
+  // Multi-probe SRP-LSH (Lv et al., VLDB 2007): queries additionally
+  // probe every Hamming-distance-1 bucket of their own signature —
+  // recall approaching more hash tables from the SAME corpus-side index
+  // (half the tables of sim_lsh_ann here, bucket fan-out on the tiny
+  // query side only). The oracle replays the identical md5-derived
+  // hyperplanes and generates the probe set with xor/shift arithmetic.
+  private val simLshMultiprobe = Q(
+    "sim_lsh_multiprobe",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          dim = 64, k = 5, bits = 4, tables = 4, probeHamming = 1)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            planes AS (
+              SELECT t, b, list(h ORDER BY d) AS plane
+              FROM (SELECT t.t AS t, b.b AS b, d.d AS d,
+                           ('0x' || substr(md5('graft-srp-' || (42 + t.t) || '-' || b.b || '-' || d.d), 1, 15))::BIGINT
+                             / 576460752303423488.0 - 1.0 AS h
+                    FROM range(0, 4) t(t), range(0, 4) b(b), range(0, 64) d(d)) raw
+              GROUP BY t, b),
+            sigs AS (
+              SELECT e.vec_id, p.t,
+                     SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+              FROM e, planes p GROUP BY e.vec_id, p.t),
+            qprobes AS (
+              SELECT vec_id, t,
+                     CASE WHEN j.j = 0 THEN bucket
+                          ELSE xor(bucket, CAST(1 AS BIGINT) << (j.j - 1)) END AS bucket
+              FROM sigs, range(0, 5) j(j)
+              WHERE vec_id < 8),
+            pairs AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM qprobes q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+              WHERE q.vec_id <> c.vec_id),
+            norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            scored AS (
+              SELECT p.query_id, p.neighbor_id,
+                     list_dot_product(q.v, c.v) / (q.n * c.n) AS cos
+              FROM pairs p
+              JOIN norm q ON p.query_id = q.vec_id
+              JOIN norm c ON p.neighbor_id = c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
   // IVF-bucketed ANN (the inverted-file scale path). Centroids are the
   // first nlist corpus vectors by id — fully deterministic, so the oracle
   // replays assignment, probing, scoring, and ranking exactly.
@@ -900,5 +954,5 @@ object SimilarityQueries extends QueryModule {
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
-    simComponents)
+    simComponents, simLshMultiprobe)
 }

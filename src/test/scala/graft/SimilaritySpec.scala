@@ -165,6 +165,32 @@ class SimilaritySpec extends SparkSpec {
     assert(rc >= r1, s"one-round=$r1 converged=$rc")
   }
 
+  test("multi-probe LSH: candidate superset of exact probing, recall no worse") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = edges(Similarity.lshTopK(emb, q, "vec_id", "embedding",
+      dim = 64, k = 5, bits = 4, tables = 4))
+    val multi = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+      dim = 64, k = 5, bits = 4, tables = 4, probeHamming = 1)
+    // Hamming-1 probing only ADDS buckets, so per-query result quality is
+    // monotone: the summed top-k cosine can never drop
+    val exactSum = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+        dim = 64, k = 5, bits = 4, tables = 4)
+      .groupBy("query_id").agg(sum("cos").as("s"))
+      .as[(Long, Double)].collect().toMap
+    val multiSum = multi.groupBy("query_id").agg(sum("cos").as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(exactSum.keySet.subsetOf(multiSum.keySet))
+    assert(exactSum.forall { case (qid, s) => multiSum(qid) >= s - 1e-12 })
+    // and against brute-force truth, recall@5 must not drop either
+    val truth = edges(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5))
+    val rExact = truth.intersect(exact).size.toDouble / truth.size
+    val rMulti = truth.intersect(edges(multi)).size.toDouble / truth.size
+    assert(rMulti >= rExact, s"exact=$rExact multi=$rMulti")
+  }
+
   test("incremental NN-descent step equals the full step, round by round") {
     // Dong et al. §2.3: scoring only new-involving NoN pairs must leave
     // every round's top-k lists EXACTLY unchanged (old-old pairs were
