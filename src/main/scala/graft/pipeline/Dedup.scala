@@ -351,9 +351,32 @@ object Dedup {
     * `ceil(0.2 * 35)` in doubles is 8, not 7 — binary 0.2 rounds the
     * product up — which would silently shorten the prefix and drop
     * qualifying pairs. ceil(t·n) = (n·tb + 9999) div 10000 is exact.
+    *
+    * Materialization posture (`eager = true`, the default): the
+    * ordered-token dimension is consumed three ways (prefix explode +
+    * both verify attaches), so it is pinned ONCE per call via
+    * `localCheckpoint()` — this call's own execution, not a
+    * CacheManager entry keyed by plan. Plan-keyed `.cache()` made the
+    * cost nondeterministic under session cache pressure (a hit reused
+    * another call's blocks, an eviction silently tripled the work) and
+    * leaked session-lifetime blocks. The pair RESULT is then
+    * materialized inside the call and the dimension's blocks are freed
+    * before returning, so per-call cost is flat and nothing outlives
+    * the returned (caller-owned, checkpointed) pair list. `eager =
+    * false` returns the fully lazy plan — for plan inspection and for
+    * embedding in a larger lazy pipeline whose caller manages reuse.
+    *
+    * The verify-attach broadcast gate is on estimated BYTES of the
+    * dimension (token chars + per-token overhead, summed from the
+    * materialized dimension itself — no extra corpus scan), not row
+    * count: per-doc token arrays are unbounded, and a row-count gate
+    * could broadcast a few very long documents past the broadcast
+    * ceiling. `broadcastVerify` overrides the gate either way (the only
+    * option in lazy mode, where nothing is materialized to measure).
     */
   def prefixFilterPairs(docs: DataFrame, id: String, tokens: Column,
-      t: Double): DataFrame = {
+      t: Double, eager: Boolean = true,
+      broadcastVerify: Option[Boolean] = None): DataFrame = {
     require(t > 0 && t <= 1, s"threshold must be in (0,1]: $t")
     val tb = math.round(t * 10000).toInt
     require(math.abs(tb / 10000.0 - t) < 1e-12,
@@ -368,18 +391,16 @@ object Dedup {
       .filter(size(col("__raw")) > 0)
     val ex = tok.select(col("__id"), explode(col("__raw")).as("__t"))
     val freq = ex.groupBy(col("__t")).agg(count(lit(1)).as("__f"))
-    val ordered = ex.join(freq, "__t")
+    val orderedPlan = ex.join(freq, "__t")
       .groupBy(col("__id"))
       .agg(sort_array(collect_list(struct(col("__f"), col("__t")))).as("__st"))
       .select(col("__id"),
         transform(col("__st"), x => x.getField("__t")).as("__ts"))
       .withColumn("__n", size(col("__ts")).cast("long"))
       .withColumn("__p", (col("__n") - ceilBp(col("__n")) + 1).cast("int"))
-      // consumed three ways (prefix explode + both verify attaches):
-      // cache so the explode→freq-join→collect pipeline runs once, not
-      // per consumer (CacheManager dedups by plan, so repeated calls on
-      // the same corpus reuse one materialization)
-      .cache()
+    // consumed three ways (prefix explode + both verify attaches): pin
+    // THIS call's execution once; see the scaladoc materialization note
+    val ordered = if (eager) orderedPlan.localCheckpoint() else orderedPlan
     val prefix = ordered.select(col("__id"), col("__n"),
         posexplode(slice(col("__ts"), lit(1), col("__p"))).as(Seq("__i", "__t")))
       .select(col("__id"), col("__n"), (col("__i") + 1).cast("long").as("__pp"),
@@ -404,22 +425,39 @@ object Dedup {
     // ordered-token table (n rows): letting Catalyst sort-merge these
     // joins shuffles BOTH docs' full shingle arrays once per candidate
     // pair — measured ~2.5 GB of array traffic at sf0.1 against a 5 MB
-    // dimension. Under the size gate the token table broadcasts and both
+    // dimension. Under the byte gate the token table broadcasts and both
     // attaches go map-side (the Similarity.nnDescentStep scheme); above
     // it the plain equi joins remain the plan — stats post-aggregation
-    // are unknown, so the hint must be explicit.
-    val nDocs = tok.count()
-    def side(d: DataFrame) = if (nDocs <= 100000) broadcast(d) else d
+    // are unknown, so the hint must be explicit. The estimate scans the
+    // already-materialized dimension (fast, in-memory), never the corpus:
+    // 2 bytes/char UTF-16 + ~48 bytes/String object overhead per token.
+    val bcast = broadcastVerify.getOrElse(eager && {
+      val r = ordered.agg(
+        coalesce(sum(aggregate(col("__ts"), lit(0L),
+          (acc, x) => acc + length(x) * 2 + 48)), lit(0L))).head.getLong(0)
+      r <= (256L << 20)
+    })
+    def side(d: DataFrame) = if (bcast) broadcast(d) else d
     val a1 = side(ordered.select(col("__id").as("id1"),
       col("__ts").as("__ts1"), col("__n").as("__n1")))
     val a2 = side(ordered.select(col("__id").as("id2"),
       col("__ts").as("__ts2"), col("__n").as("__n2")))
-    cands.join(a1, "id1").join(a2, "id2")
+    val pairs = cands.join(a1, "id1").join(a2, "id2")
       .withColumn("__i", size(array_intersect(col("__ts1"), col("__ts2"))))
       .withColumn("jac", col("__i").cast("double") /
         (col("__n1") + col("__n2") - col("__i")).cast("double"))
       .filter(col("jac") >= t)
       .select(col("id1"), col("id2"), col("jac"))
+    if (!eager) pairs
+    else {
+      // materialize the (small — qualifying pairs only) result while the
+      // dimension is hot, then free the dimension's blocks: nothing this
+      // call pinned outlives the returned pair list (the nnDescent
+      // return posture — caller owns the checkpointed result)
+      val out = pairs.localCheckpoint()
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(ordered)
+      out
+    }
   }
 
   /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995) — the

@@ -484,11 +484,22 @@ class PlanSpec extends SparkSpec {
       s"no hash exchange expected in tokenize-on-ingest:\n${plan.take(2500)}")
   }
 
-  test("dedup_prefix_join: ids-only candidate join, no cartesian, one verify join") {
-    val plan = planOf("dedup_prefix_join")
+  test("dedup_prefix_join: ids-only candidate join, no cartesian, broadcast verify") {
+    // the shipped query materializes eagerly (its executed plan is a
+    // checkpoint scan), so the shape is pinned on the LAZY form the
+    // operator builds internally — same plan, uncollapsed
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = graft.pipeline.Dedup.prefixFilterPairs(docs, "doc_id",
+        graft.pipeline.Dedup.shingles(col("text"), 3), t = 0.2,
+        eager = false, broadcastVerify = Some(true))
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"prefix filter must never go all-pairs:\n${plan.take(2500)}")
     assert(!plan.contains("Window"), plan.take(2500))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2,
+      s"both verify attaches must broadcast the token dimension:\n${plan.take(2500)}")
   }
 
   test("q4_autotag_incremental: pending pairs prune via an anti join") {
