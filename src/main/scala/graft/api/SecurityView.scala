@@ -121,6 +121,11 @@ object SecurityView {
     * private-records dimension — one scan, no shuffle, trivially
     * idempotent (running twice publishes nothing new).
     *
+    * History rows carry a NULL embargo column — the reference inserts
+    * `undef` for the embargo value on the publish transition
+    * (scripts/maintenance/check_embargoes.pl:119-122: the new state has
+    * no embargo), not the date that just expired.
+    *
     * Returns (remaining private records, history rows to append).
     */
   def embargoPublish(privateRecords: DataFrame, asOf: Column)
@@ -128,7 +133,7 @@ object SecurityView {
     val due = col("embargo").isNotNull && col("embargo") <= asOf
     val remaining = privateRecords.filter(!due)
     val history = privateRecords.filter(due)
-      .select(col("entity_id"), col("embargo"),
+      .select(col("entity_id"), lit(null).cast("date").as("embargo"),
         lit("Record made public (embargo date reached)").as("action"))
     (remaining, history)
   }

@@ -299,6 +299,11 @@ object Similarity {
     * almost nothing is new, cost almost nothing. Current-list edges keep
     * their carried `cos` (same deterministic kernel that produced it)
     * instead of being re-scored.
+    *
+    * REQUIRED input schema for `edges` (and any caller-supplied seed):
+    * (query_id, neighbor_id, cos) — the carried-score contract. A
+    * score-less (query_id, neighbor_id) seed must be scored first (one
+    * attach + the cosine kernel) before entering the step.
     */
   def nnDescentStep(edges: DataFrame, v: DataFrame, k: Int,
       broadcastVectors: Boolean = false,
@@ -321,6 +326,10 @@ object Similarity {
   private[pipeline] def nnDescentStepTagged(edges: DataFrame, v: DataFrame,
       k: Int, broadcastVectors: Boolean = false,
       newIds: Option[DataFrame] = None): DataFrame = {
+    require(edges.columns.contains("cos"),
+      "nnDescentStep: edges must carry (query_id, neighbor_id, cos) — " +
+        "current-list edges ride on their carried score; score a raw " +
+        "(query_id, neighbor_id) seed before passing it in")
     val seed = edges.select(col("query_id"), col("neighbor_id"))
     def side(d: DataFrame) = if (broadcastVectors) broadcast(d) else d
     def swap(d: DataFrame) = d.select(

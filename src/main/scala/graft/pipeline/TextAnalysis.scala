@@ -110,6 +110,7 @@ object TextAnalysis {
       feats.map { case (n, c) => c.cast("double").as(n) } :+
         label.cast("double").as("__y"): _*)
     val n = x.count()
+    require(n > 0, "linearProbeTrain: empty corpus (gradient mean is 0/0)")
     var w = IndexedSeq.fill(feats.size)(0.0)
     val step = eta * 2.0
     for (_ <- 0 until iters) {
@@ -123,7 +124,14 @@ object TextAnalysis {
           .cast("double").as(s"g$i")
       }
       val grads = x.agg(gradCols.head, gradCols.tail: _*).collect()(0)
-      w = w.indices.map(j => w(j) - step * grads.getDouble(j) / n)
+      // a decimal(38,18) overflow nulls the per-row term and sum() would
+      // silently skip it, corrupting the gradient — fail loudly instead
+      w = w.indices.map { j =>
+        require(!grads.isNullAt(j), s"linearProbeTrain: gradient sum for " +
+          s"'${feats(j)._1}' is null — feature magnitude overflowed " +
+          "decimal(38,18); rescale the feature")
+        w(j) - step * grads.getDouble(j) / n
+      }
     }
     feats.map(_._1).zip(w)
   }
@@ -142,7 +150,10 @@ object TextAnalysis {
     * shuffle + two linear passes. Everything stays integer until the
     * single closing division, so the value is engine-exact.
     *
-    * Returns one row: (n_pos, n_neg, auc).
+    * Returns one row: (n_pos, n_neg, auc). If either class is empty
+    * (n_pos·n_neg = 0) `auc` is NULL — AUC is undefined with no
+    * cross-class pairs to rank (the 0/0 division yields SQL NULL, never
+    * NaN); callers needing a hard failure should assert both counts.
     */
   def rocAuc(scored: DataFrame, score: String, label: Column): DataFrame = {
     val g = scored

@@ -567,7 +567,8 @@ object ApiQueries extends QueryModule {
                                + CAST((o_orderkey % 3) * 45 AS INTEGER) END AS embargo
               FROM orders WHERE o_totalprice > 300000.0)
             SELECT entity_id,
-                   strftime(embargo, '%Y-%m-%d') AS embargo,
+                   CASE WHEN embargo IS NOT NULL AND embargo <= DATE '1996-06-01'
+                        THEN NULL ELSE strftime(embargo, '%Y-%m-%d') END AS embargo,
                    (embargo IS NOT NULL AND embargo <= DATE '1996-06-01') AS published
             FROM pr ORDER BY entity_id"""))
 
