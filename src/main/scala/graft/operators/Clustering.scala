@@ -63,10 +63,13 @@ object Clustering {
       maxIter: Int = 50,
       localEdgeThreshold: Long = 200000L): DataFrame = {
     val spark = edges.sparkSession
-    val sym = edges.select(col("src"), col("dst"))
+    // pinned eagerly (Pinning strategy): every path below consumes the
+    // symmetrized list at least twice, so it materializes exactly once
+    // either way — the pin makes the cost deterministic and gives the
+    // blocks an explicit free point (no session-lifetime CacheManager row)
+    val sym = Pinning.pin(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .cache()
+      .distinct())
     // node universe = explicit nodes ∪ edge endpoints: an endpoint missing
     // from `nodes` must still contribute its own id as a candidate label,
     // else min-label propagation can't return it as the component minimum
@@ -103,16 +106,17 @@ object Clustering {
       es.foreach { case (a, b) => uf.add(a); uf.add(b); uf.union(a, b) }
       // root = min member id: UnionFind unions by min root
       val out = uf.members.toSeq.sorted.map(n => (n, uf.find(n)))
-      sym.unpersist()
+      Pinning.unpin(sym)
       val nodeType = allNodes.schema("node").dataType
       return spark.createDataset(out).toDF("node", "component")
         .select(col("node").cast(nodeType).as("node"),
           col("component").cast(nodeType).as("component"))
     }
-    // localCheckpoint each round: truncates the compounding plan lineage
-    // (without it the logical plan doubles per iteration and planning OOMs)
-    var labels = allNodes.select(col("node"), col("node").as("component"))
-      .localCheckpoint()
+    // pin each round (Pinning strategy): truncates the compounding plan
+    // lineage (without it the logical plan doubles per iteration and
+    // planning OOMs)
+    var labels = Pinning.pin(
+      allNodes.select(col("node"), col("node").as("component")))
     // Convergence check without a join: labels only ever decrease, so
     // sum(component) strictly decreases iff any label changed this round
     // (decimal sum — immune to long overflow on large id spaces).
@@ -135,18 +139,18 @@ object Clustering {
       // ids, so re-resolving each label through the label table halves the
       // remaining chain length — neighbor propagation alone needs
       // diameter rounds on a path graph, propagate+jump needs O(log n).
-      val next = propagated
+      val next = Pinning.pin(propagated
         .join(propagated.select(col("node").as("component"), col("component").as("__cc")),
           Seq("component"), "left")
-        .select(col("node"), coalesce(col("__cc"), col("component")).as("component"))
-        .localCheckpoint()
+        .select(col("node"), coalesce(col("__cc"), col("component")).as("component")))
       val curSum = labelSum(next)
+      Pinning.unpin(labels) // superseded round
       labels = next
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       iter += 1
     }
-    sym.unpersist()
+    Pinning.unpin(sym)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations — " +
@@ -176,7 +180,9 @@ object Clustering {
     * Output: (entity, group_id, slv_count, is_founder).
     */
   def burst(wh: DataFrame, entity: String, nLoci: Int, grpdef: Int): DataFrame = {
-    val sim = Profiles.similarityJoin(wh, entity, 1).cache()
+    // per-call pin (consumed by both the grouping edges and the SLV
+    // degree count); GC-freed with the result — see Pinning
+    val sim = Pinning.pin(Profiles.similarityJoin(wh, entity, 1))
     val edges = sim.filter(col("shared") >= grpdef)
       .select(col("e1").as("src"), col("e2").as("dst"))
     val groups = connectedComponents(edges, Some(wh.select(col(entity).as("node"))))
@@ -619,12 +625,11 @@ object Clustering {
   def minimumSpanningForest(edges: DataFrame, maxIter: Int = 30,
       localEdgeThreshold: Long = 200000L): DataFrame = {
     // normalize to src < dst and collapse parallel edges to their min weight
-    val e0 = edges
+    val e0 = Pinning.pin(edges
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"), col("weight"))
-      .groupBy(col("src"), col("dst")).agg(min(col("weight")).as("weight"))
-      .localCheckpoint()
+      .groupBy(col("src"), col("dst")).agg(min(col("weight")).as("weight")))
     // Small-graph fast path (same adaptive posture as connectedComponents):
     // the profile-similarity graph is DIMENSION-sized (#ST pairs within
     // threshold), so below the edge cap a driver Kruskal beats ~log n
@@ -647,10 +652,9 @@ object Clustering {
         broadcast(chosen.result().toDF("src", "dst")), Seq("src", "dst"),
         "left_semi")
     }
-    var comp = e0.select(col("src").as("node"))
+    var comp = Pinning.pin(e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node")))
-      .distinct().withColumn("comp", col("node"))
-      .localCheckpoint()
+      .distinct().withColumn("comp", col("node")))
     var acc: Option[DataFrame] = None
     var it = 0
     var done = e0.isEmpty
@@ -663,36 +667,46 @@ object Clustering {
       // component's cheapest outgoing edge under the total order
       val edgeStruct = struct(col("weight"), col("src"), col("dst"),
         col("csrc"), col("cdst"))
-      val chosen = labeled.select(col("csrc").as("mcomp"), edgeStruct.as("e"))
-        .unionByName(labeled.select(col("cdst").as("mcomp"), edgeStruct.as("e")))
-        .groupBy(col("mcomp")).agg(min(col("e")).as("e"))
-        .select(col("e.weight").as("weight"), col("e.src").as("src"),
-          col("e.dst").as("dst"), col("e.csrc").as("csrc"),
-          col("e.cdst").as("cdst"))
-        .dropDuplicates("src", "dst")
-        .localCheckpoint() // truncate lineage: plans double per round otherwise
+      val chosen = Pinning.pin( // truncate lineage: plans double per round otherwise
+        labeled.select(col("csrc").as("mcomp"), edgeStruct.as("e"))
+          .unionByName(labeled.select(col("cdst").as("mcomp"), edgeStruct.as("e")))
+          .groupBy(col("mcomp")).agg(min(col("e")).as("e"))
+          .select(col("e.weight").as("weight"), col("e.src").as("src"),
+            col("e.dst").as("dst"), col("e.csrc").as("csrc"),
+            col("e.cdst").as("cdst"))
+          .dropDuplicates("src", "dst"))
       if (chosen.isEmpty) done = true
       else {
         val picked = chosen.select(col("src"), col("dst"), col("weight"))
-        acc = Some(acc.map(_.unionByName(picked).localCheckpoint())
-          .getOrElse(picked))
+        val accNext = Pinning.pin(
+          acc.map(_.unionByName(picked)).getOrElse(picked))
+        acc.foreach(Pinning.unpin) // superseded accumulator
+        acc = Some(accNext)
         // merge on the component graph (|chosen| nodes, halves each round)
         val merge = connectedComponents(
           chosen.select(col("csrc").as("src"), col("cdst").as("dst")))
           .select(col("node").as("comp"), col("component").as("newComp"))
-        comp = comp.join(merge, Seq("comp"), "left")
+        val compNext = Pinning.pin(comp.join(merge, Seq("comp"), "left")
           .select(col("node"),
-            coalesce(col("newComp"), col("comp")).as("comp"))
-          .localCheckpoint()
+            coalesce(col("newComp"), col("comp")).as("comp")))
+        Pinning.unpin(comp) // superseded labeling
+        Pinning.unpin(merge) // folded into compNext (no-op on the local path)
+        comp = compNext
       }
+      // acc and comp are pinned past it — this round's nominations are dead
+      Pinning.unpin(chosen)
       it += 1
     }
+    Pinning.unpin(comp) // the forest is in acc; the final labeling is not returned
     // same posture as connectedComponents: never return a silently-partial
     // forest — Borůvka halves components per round, so 30 rounds cover any
     // graph with < 2^30 components; hitting the cap means something is wrong
     if (!done)
       throw new IllegalStateException(
         s"minimumSpanningForest did not converge in $maxIter Borůvka rounds")
+    // with a non-empty forest the edge pin has no remaining consumer (the
+    // empty case returns a limit(0) OVER e0, which must stay pinned)
+    if (acc.nonEmpty) Pinning.unpin(e0)
     acc.getOrElse(e0.limit(0))
       .select(col("src"), col("dst"), col("weight"))
   }
@@ -728,9 +742,8 @@ object Clustering {
         "mismatch counts); fractional distances would truncate to wrong levels")
     // materialize once: the per-level filters below would otherwise
     // recompute the upstream similarity join per distinct weight
-    val e0 = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("weight").cast("int").as("weight"))
-      .localCheckpoint()
+    val e0 = Pinning.pin(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("weight").cast("int").as("weight")))
     val levels = e0.select(col("weight")).distinct().as[Int].collect().sorted
     val ids = nodes.select(col("node").cast("long")).as[Long].collect().sorted
     final case class Cl(repr: Long, formed: Int, str: String)
@@ -768,6 +781,8 @@ object Clustering {
             .map(m => s"${m.str}:${t - m.formed}").mkString("(", ",", ")"))
         }
     }
+    // the dendrogram is now driver-side strings — nothing pinned survives
+    Pinning.unpin(e0)
     clusters.map(c => (c.repr, c.str + ";")).toDF("root", "newick")
   }
 }

@@ -114,13 +114,13 @@ object Dedup {
       maxBucketSize: Int = 1000,
       hasher: Column => Column = shingleHashes): DataFrame = {
     val rows = k / bands
-    // signatures once, cached: reused by the band join and the final
-    // estimate join (signatures are k longs per doc — small)
-    val sigs = docs
+    // signatures once, pinned per call: reused by the band join and the
+    // final estimate join (signatures are k longs per doc — small);
+    // GC-freed with the result, never a session-lifetime CacheManager row
+    val sigs = graft.operators.Pinning.pin(docs
       .select(col(id).as("__id"), shingles(col(text), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("__id"), minhashSignature(hasher(col("sh")), k).as("sig"))
-      .cache()
+      .select(col("__id"), minhashSignature(hasher(col("sh")), k).as("sig")))
     // only (id, band, bucket) flows through the shuffle — the signature
     // arrays are re-attached after pair dedup, not dragged through the join
     val banded = sigs
@@ -195,8 +195,8 @@ object Dedup {
       .select(col("__id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("__id"), col("bk.band").as("band"),
         col("bk.bucket").as("bucket"))
-    val baseSigs = sigsOf(base).cache()
-    val deltaSigs = sigsOf(delta).cache()
+    val baseSigs = graft.operators.Pinning.pin(sigsOf(base))
+    val deltaSigs = graft.operators.Pinning.pin(sigsOf(delta))
     // the index side: per-(band, bucket) base-id lists with the
     // degenerate-bucket cap — this aggregate IS the materialized index
     val baseBuckets = bandedOf(baseSigs)

@@ -237,9 +237,9 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     // both directions read the directed list — materialize it once (ids,
     // cos, rank only: k rows per vector, far smaller than the corpus)
-    val edges = ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
-      .cache()
+    val edges = graft.operators.Pinning.pin(
+      ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank")))
     val rev = edges.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id"), col("rank").as("rank2"))
     edges.join(rev, Seq("query_id", "neighbor_id"))
@@ -273,11 +273,11 @@ object Similarity {
   def nnDescentRound(corpus: DataFrame, id: String, vec: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       seed: Option[DataFrame] = None): DataFrame = {
-    val s = seed.getOrElse(
-      ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe).cache())
+    val s = seed.getOrElse(graft.operators.Pinning.pin(
+        ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe)))
       .select(col("query_id"), col("neighbor_id"), col("cos"))
-    val v = corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
-      .cache()
+    val v = graft.operators.Pinning.pin(
+      corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v")))
     nnDescentStep(s, v, k, broadcastVectors = v.count() <= 50000)
   }
 
@@ -413,12 +413,11 @@ object Similarity {
   def nnDescent(corpus: DataFrame, id: String, vec: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, maxRounds: Int = 8,
       delta: Double = 0.0, seed: Option[DataFrame] = None): DataFrame = {
-    val v = corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
-      .cache()
-    var topk = seed
+    val v = graft.operators.Pinning.pin(
+      corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v")))
+    var topk = graft.operators.Pinning.pin(seed
       .getOrElse(ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe))
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
-      .localCheckpoint()
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank")))
     val n = v.count()
     val threshold = delta * n * k
     // 64-dim doubles ≈ 520 B/row → 50k rows ≈ 26 MB, comfortably under
@@ -442,27 +441,31 @@ object Similarity {
       // filter-scan over the freshly checkpointed blocks and the next
       // round's incremental seed is the same filter — no anti-join job
       // against the previous list, nothing extra to checkpoint
-      val next = nnDescentStepTagged(topk, v, k, broadcastVectors = bcast,
-          newIds = fresh).localCheckpoint()
+      val next = graft.operators.Pinning.pin(
+        nnDescentStepTagged(topk, v, k, broadcastVectors = bcast,
+          newIds = fresh))
       val freshNext = next.filter(col("__new"))
         .select(col("query_id"), col("neighbor_id"))
       val newEdges = freshNext.count()
       if (sys.env.contains("GRAFT_NND_DEBUG"))
         System.err.println(s"[nnDescent] round=$r new=$newEdges t=${System.nanoTime()/1e9}")
-      // the superseded round's checkpoint blocks are dead from here on —
-      // free them now instead of letting them pile up in the block
-      // manager for the session's remaining queries (r > 0 only: round
-      // 0's `topk` may be a caller-owned seed, e.g. the memoized shared
-      // IVF seed; `fresh` shares the superseded round's blocks, so the
-      // one unpersist frees both views)
-      if (r > 0) org.apache.spark.sql.graft.ColumnBridge
-        .unpersistCheckpoint(topk)
+      // the superseded round's pinned blocks are dead from here on — free
+      // them now instead of letting them pile up in the block manager for
+      // the session's remaining queries (round 0's topk is OUR pin of the
+      // caller's seed — never the caller's own blocks — so the unpin is
+      // unconditional; `fresh` shares the superseded round's blocks, so
+      // the one unpin frees both views)
+      graft.operators.Pinning.unpin(topk)
       topk = next.select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rank"))
       fresh = Some(freshNext)
       converged = newEdges <= threshold
       r += 1
     }
+    // the final lists are pinned blocks — the vector table is no longer
+    // an input of anything returned, so its pin is freed here (nothing
+    // this call pinned outlives the returned graph)
+    graft.operators.Pinning.unpin(v)
     topk
   }
 
@@ -626,8 +629,10 @@ object Similarity {
     def withSigs(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col(id).as(idAs) +: toDouble(col(vec)).as(vecAs) +:
         sigs.zipWithIndex.map { case (s, i) => s.as(s"sig$i") }: _*)
-    val c = withSigs(corpus, "neighbor_id", "cv").cache()
-    val q = withSigs(queries, "query_id", "qv").cache()
+    // per-call pins (consumed twice each: bucket explode + vector attach)
+    // — GC-freed with the result, never session-lifetime CacheManager rows
+    val c = graft.operators.Pinning.pin(withSigs(corpus, "neighbor_id", "cv"))
+    val q = graft.operators.Pinning.pin(withSigs(queries, "query_id", "qv"))
     // candidate generation carries IDS ONLY — the d-dim vectors are joined
     // back once per surviving pair, not dragged through union+distinct.
     // All tables join at once on the composite (table, bucket) key: one
@@ -889,10 +894,10 @@ object Similarity {
 
   def labelPropagate(edges: DataFrame, id1: String, id2: String,
       rounds: Int): DataFrame = {
-    val sym = edges.select(col(id1).as("src"), col(id2).as("dst"))
-      .unionByName(edges.select(col(id2).as("src"), col(id1).as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint()
+    val sym = graft.operators.Pinning.pin(
+      edges.select(col(id1).as("src"), col(id2).as("dst"))
+        .unionByName(edges.select(col(id2).as("src"), col(id1).as("dst")))
+        .repartition(col("src")))
     // mode of an ASCENDING label array: single fold, strict > keeps the
     // first (smallest) label on count ties
     def modeOfSorted(ls: Column): Column = {
@@ -912,14 +917,18 @@ object Similarity {
       .select(col("id"), col("id").as("label"))
     var r = 0
     while (r < rounds) {
-      labels = sym
+      val next = graft.operators.Pinning.pin(sym
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst"))
         .agg(sort_array(collect_list(col("label"))).as("__ls"))
-        .select(col("dst").as("id"), modeOfSorted(col("__ls")).as("label"))
-        .localCheckpoint()
+        .select(col("dst").as("id"), modeOfSorted(col("__ls")).as("label")))
+      if (r > 0) graft.operators.Pinning.unpin(labels) // superseded round
+      labels = next
       r += 1
     }
+    // the final labeling is pinned (rounds >= 1), so the edge pin has no
+    // remaining consumer; at rounds == 0 the lazy labeling still reads it
+    if (r > 0) graft.operators.Pinning.unpin(sym)
     labels
   }
 
@@ -948,12 +957,12 @@ object Similarity {
     */
   def pagerankInt(edges: DataFrame, id1: String, id2: String,
       rounds: Int, scale: Long = 1000000L): DataFrame = {
-    val sym = edges.select(col(id1).as("src"), col(id2).as("dst"))
-      .unionByName(edges.select(col(id2).as("src"), col(id1).as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val sym = graft.operators.Pinning.pin(
+      edges.select(col(id1).as("src"), col(id2).as("dst"))
+        .unionByName(edges.select(col(id2).as("src"), col(id1).as("dst")))
+        .repartition(col("src")))
+    val deg = graft.operators.Pinning.pin(
+      sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val base = scale * 15L / 100L
     var pr = deg.select(col("src").as("id"), lit(scale).as("pr"))
     var r = 0
@@ -961,12 +970,19 @@ object Similarity {
       val contrib = deg
         .join(pr.withColumnRenamed("id", "src"), "src")
         .select(col("src"), expr("(pr * 85) div (deg * 100)").as("__c"))
-      pr = sym.join(contrib, "src")
+      val next = graft.operators.Pinning.pin(sym.join(contrib, "src")
         .groupBy(col("dst"))
         .agg(sum(col("__c")).as("__s"))
-        .select(col("dst").as("id"), (lit(base) + col("__s")).as("pr"))
-        .localCheckpoint()
+        .select(col("dst").as("id"), (lit(base) + col("__s")).as("pr")))
+      if (r > 0) graft.operators.Pinning.unpin(pr) // superseded round
+      pr = next
       r += 1
+    }
+    // final ranks are pinned when any round ran — the graph pins have no
+    // remaining consumer then; at rounds == 0 the lazy pr still reads deg
+    if (r > 0) {
+      graft.operators.Pinning.unpin(sym)
+      graft.operators.Pinning.unpin(deg)
     }
     pr
   }

@@ -262,8 +262,9 @@ object TextAnalysis {
     * Plan at 100 TB: the work unit is the (id, word) COUNT, not the raw
     * token — one map-side-combinable aggregation collapses the token
     * stream to distinct (doc, word) pairs (Zipf: orders of magnitude
-    * fewer), cached once so the vocabulary rollup, the corpus total, and
-    * the scoring join all reuse it instead of re-exploding the corpus.
+    * fewer), pinned once per call so the vocabulary rollup, the corpus
+    * total, and the scoring join all reuse it instead of re-exploding the
+    * corpus.
     * The word-keyed joins diffuse (no skew pole); the corpus text column
     * itself never shuffles — only (id, word, n) triples.
     *
@@ -272,11 +273,11 @@ object TextAnalysis {
     */
   def unigramSurprisal(docs: DataFrame, id: String, text: String): DataFrame = {
     val bits = (c: Column) => length(bin(c)).cast("long")
-    val dw = docs.select(col(id).as("__did"),
-        explode(split(lower(trim(col(text))), "\\s+")).as("word"))
-      .groupBy(col("__did"), col("word"))
-      .agg(count(lit(1)).as("__n"))
-      .cache()
+    val dw = graft.operators.Pinning.pin(
+      docs.select(col(id).as("__did"),
+          explode(split(lower(trim(col(text))), "\\s+")).as("word"))
+        .groupBy(col("__did"), col("word"))
+        .agg(count(lit(1)).as("__n")))
     val vocab = dw.groupBy(col("word")).agg(sum(col("__n")).as("__cnt"))
     val totalBits = vocab.agg(bits(sum(col("__cnt"))).as("__nbits"))
     dw.join(vocab, Seq("word"))

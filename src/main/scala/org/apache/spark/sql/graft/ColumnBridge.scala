@@ -49,4 +49,27 @@ object ColumnBridge {
       case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
       case _ => None
     }
+
+  /** Whether the session's CacheManager holds ANY cached plan —
+    * `sharedState` is `private[sql]`. CacheLifecycleSpec uses this to
+    * prove library operators never register session-lifetime plan caches
+    * (the block-manager eviction pressure behind nondeterministic bench
+    * numbers); explicitly memoized session caches (Tables.load, the
+    * profile warehouse) are the only allowed entries.
+    */
+  def cacheManagerIsEmpty(s: org.apache.spark.sql.SparkSession): Boolean =
+    s match {
+      case c: org.apache.spark.sql.classic.SparkSession =>
+        c.sharedState.cacheManager.isEmpty
+      case _ => true
+    }
+
+  /** RDD ids of the checkpoint scans (`LogicalRDD`) in a frame's plan —
+    * lets a spec assert that the only blocks an operator left behind are
+    * the ones backing its returned result.
+    */
+  def pinnedRddIds(df: org.apache.spark.sql.DataFrame): Set[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Pinning}
+import graft.pipeline.Similarity
+
+/** The round-pin strategy only decides WHERE iterative state lives
+  * (executor-local blocks / reliable checkpoint files / replicated disk
+  * persist) — never WHAT it is. These specs prove bit-identical results
+  * across all three strategies on the loop operators, so a cluster
+  * deployment can flip `spark.graft.checkpoint` to `reliable` (surviving
+  * executor loss mid-build, the 100 TB posture) without revalidating
+  * semantics.
+  */
+class PinningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesFixture = Seq(
+    // two chains + a cycle + isolated pair: exercises pointer jumping
+    (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (12L, 10L),
+    (20L, 21L), (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L))
+    .toDF("src", "dst")
+
+  private def vecsFixture = {
+    val rnd = new scala.util.Random(7)
+    (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def withStrategy[A](s: String)(body: => A): A = {
+    spark.conf.set(Pinning.ConfKey, s)
+    try body finally spark.conf.unset(Pinning.ConfKey)
+  }
+
+  private val strategies = Seq("local", "reliable", "disk2")
+
+  test("connectedComponents: identical labels under every pin strategy") {
+    spark.conf.set(Pinning.DirKey,
+      "target/pinning-spec-ckpt") // reliable mode's checkpoint dir
+    val got = strategies.map { s =>
+      withStrategy(s) {
+        // force the distributed (iterative, pinned-per-round) path
+        Clustering.connectedComponents(edgesFixture, localEdgeThreshold = 0)
+          .as[(Long, Long)].collect().toSet
+      }
+    }
+    assert(got.distinct.size == 1, s"strategies disagree: $got")
+    assert(got.head.nonEmpty)
+    assert(got.head.contains((4L, 1L)) && got.head.contains((12L, 10L)))
+  }
+
+  test("pagerankInt + labelPropagate: identical under every pin strategy") {
+    val got = strategies.map { s =>
+      withStrategy(s) {
+        val pr = Similarity.pagerankInt(edgesFixture, "src", "dst", rounds = 4)
+          .as[(Long, Long)].collect().toSet
+        val lp = Similarity.labelPropagate(edgesFixture, "src", "dst", rounds = 3)
+          .as[(Long, Long)].collect().toSet
+        (pr, lp)
+      }
+    }
+    assert(got.distinct.size == 1, "strategies disagree")
+    assert(got.head._1.nonEmpty && got.head._2.nonEmpty)
+  }
+
+  test("nnDescent to convergence: identical graph under every pin strategy") {
+    val got = strategies.map { s =>
+      withStrategy(s) {
+        Similarity.nnDescent(vecsFixture, "vec_id", "embedding", k = 3,
+            nlist = 4, nprobe = 2, maxRounds = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .as[(Long, Long, Long)].collect().toSet
+      }
+    }
+    assert(got.distinct.size == 1, "strategies disagree")
+    assert(got.head.nonEmpty)
+  }
+
+  test("unknown strategy fails fast with the conf key in the message") {
+    val e = intercept[IllegalArgumentException] {
+      withStrategy("bogus") { Pinning.pin(edgesFixture) }
+    }
+    assert(e.getMessage.contains(Pinning.ConfKey))
+  }
+}
