@@ -121,6 +121,30 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Query-directed probe masks (Lv et al., VLDB 2007 §4.1 specialized
+    * to SRP): the buckets worth probing first are the ones across the
+    * hyperplanes the query sits CLOSEST to — |dot(v, plane_j)| is the
+    * margin, and flipping the lowest-margin bits yields the buckets a
+    * true neighbor most plausibly hashed into. Returns the xor masks of
+    * the `m` lowest-margin bits (ties to the lower bit index), so most
+    * of Hamming-1 probing's recall comes at m/bits of its fan-out.
+    * Recomputes the `bits` dots on the QUERY side only — the corpus
+    * side keeps signatures alone.
+    */
+  def srpFlipMasks(vec: Column, dim: Int, bits: Int, m: Int,
+      seed: Long = 42L): Column = {
+    val planes = Array.tabulate(bits)(b => Array.tabulate(dim)(d =>
+      graft.functions.Vectors.MinHashSig.md5Long60(s"graft-srp-$seed-$b-$d")
+        / 5.76460752303423488e17 - 1.0))
+    val margins = array((0 until bits).map { j =>
+      struct(abs(dot(vec, typedLit(planes(j).toSeq))).as("m"),
+        lit(j).as("j"))
+    }: _*)
+    // 2^j via pow: exact in doubles for j < 53, and `bits` <= 62 here
+    transform(slice(sort_array(margins), 1, m),
+      x => pow(lit(2.0d), x.getField("j")).cast("long"))
+  }
+
   /** IVF (inverted-file) ANN — the other standard scale path: vectors are
     * assigned to their nearest of `nlist` centroids; a query probes only the
     * `nprobe` closest lists, so the scored candidate set is ~nprobe/nlist of
@@ -618,13 +642,22 @@ object Similarity {
     * the cost of (bits+1)× QUERY bucket rows (ids only — the corpus side,
     * which is what matters at 100 TB, is untouched: same one index, same
     * storage, same corpus-side shuffle).
+    *
+    * `probeSeq = m` (with `probeHamming = 1`) switches to the
+    * QUERY-DIRECTED probe sequence ([[srpFlipMasks]]): only the m
+    * lowest-margin bits flip, so the probe fan-out drops from bits+1 to
+    * m+1 per table while keeping the probes most likely to hold a true
+    * neighbor. 0 = probe all bits (the uniform Hamming-1 ball).
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, dim: Int, k: Int,
-      bits: Int = 12, tables: Int = 4, probeHamming: Int = 0): DataFrame = {
+      bits: Int = 12, tables: Int = 4, probeHamming: Int = 0,
+      probeSeq: Int = 0): DataFrame = {
     require(probeHamming == 0 || probeHamming == 1,
       s"only Hamming radii 0 and 1 are supported: $probeHamming")
+    require(probeSeq == 0 || (probeHamming == 1 && probeSeq <= bits),
+      s"probeSeq needs probeHamming=1 and probeSeq <= bits: $probeSeq")
     val sigs = (0 until tables).map(t => srpSignature(toDouble(col(vec)), dim, bits, 42L + t))
     def withSigs(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col(id).as(idAs) +: toDouble(col(vec)).as(vecAs) +:
@@ -644,9 +677,23 @@ object Similarity {
     val qBuckets = {
       val exact = explodedBuckets(q, "query_id")
       if (probeHamming == 0) exact
-      else exact.select(col("query_id"), col("tbl"),
-        explode(array(col("bucket") +: (0 until bits).map(j =>
-          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+      else if (probeSeq == 0)
+        exact.select(col("query_id"), col("tbl"),
+          explode(array(col("bucket") +: (0 until bits).map(j =>
+            col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+      else
+        // query-directed sequence: per table, flip only the probeSeq
+        // lowest-margin bits (the margins re-derive from qv — query side
+        // only, the corpus index is untouched)
+        q.select(col("query_id"),
+            posexplode(array((0 until tables).map(i =>
+              struct(col(s"sig$i").as("sig"),
+                srpFlipMasks(col("qv"), dim, bits, probeSeq, 42L + i)
+                  .as("masks"))): _*)).as(Seq("tbl", "sm")))
+          .select(col("query_id"), col("tbl"),
+            explode(concat(array(col("sm.sig")),
+              transform(col("sm.masks"),
+                mask => col("sm.sig").bitwiseXOR(mask)))).as("bucket"))
     }
     val candidates = explodedBuckets(c, "neighbor_id")
       .join(qBuckets, Seq("tbl", "bucket"))

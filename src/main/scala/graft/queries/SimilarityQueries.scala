@@ -182,6 +182,241 @@ object SimilarityQueries extends QueryModule {
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
+  // Query-DIRECTED multi-probe (Lv et al. §4.1 specialized to SRP): per
+  // table, only the 2 lowest-|margin| bits flip — fan-out 3 buckets per
+  // table instead of bits+1, keeping the probes a true neighbor most
+  // plausibly fell into. The oracle replays the identical md5-derived
+  // planes, ranks bits by (abs margin, bit) per (query, table), and
+  // generates the probe set with the same xor arithmetic.
+  private val simLshProbeDirected = Q(
+    "sim_lsh_probe_directed",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          dim = 64, k = 5, bits = 6, tables = 4, probeHamming = 1,
+          probeSeq = 2)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            planes AS (
+              SELECT t, b, list(h ORDER BY d) AS plane
+              FROM (SELECT t.t AS t, b.b AS b, d.d AS d,
+                           ('0x' || substr(md5('graft-srp-' || (42 + t.t) || '-' || b.b || '-' || d.d), 1, 15))::BIGINT
+                             / 576460752303423488.0 - 1.0 AS h
+                    FROM range(0, 4) t(t), range(0, 6) b(b), range(0, 64) d(d)) raw
+              GROUP BY t, b),
+            sigs AS (
+              SELECT e.vec_id, p.t,
+                     SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+              FROM e, planes p GROUP BY e.vec_id, p.t),
+            flips AS (
+              SELECT vec_id, t, b FROM (
+                SELECT e.vec_id, p.t, p.b,
+                       row_number() OVER (PARTITION BY e.vec_id, p.t
+                         ORDER BY abs(list_dot_product(e.v, p.plane)), p.b) AS r
+                FROM e, planes p WHERE e.vec_id < 8) m
+              WHERE r <= 2),
+            qprobes AS (
+              SELECT vec_id, t, bucket FROM sigs WHERE vec_id < 8
+              UNION ALL
+              SELECT s.vec_id, s.t,
+                     xor(s.bucket, CAST(1 AS BIGINT) << f.b) AS bucket
+              FROM sigs s JOIN flips f ON s.vec_id = f.vec_id AND s.t = f.t),
+            pairs AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM qprobes q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+              WHERE q.vec_id <> c.vec_id),
+            norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            scored AS (
+              SELECT p.query_id, p.neighbor_id,
+                     list_dot_product(q.v, c.v) / (q.n * c.n) AS cos
+              FROM pairs p
+              JOIN norm q ON p.query_id = q.vec_id
+              JOIN norm c ON p.neighbor_id = c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
+  // ANN index-tuning report (VERDICT r8 #4): recall@5 of every index
+  // variant against the brute-force truth on ONE shared query set —
+  // 0-probe LSH, uniform Hamming-1 multi-probe, query-directed m=2
+  // probing (all on the SAME bits=4/tables=4 index, so the probe policy
+  // is the only variable), IVF, and PQ-ADC. Turns index tuning from
+  // folklore into a number: the m=2 directed sequence keeps most of the
+  // ball's recall gain at 3/5 of its probe fan-out. The oracle replays
+  // every variant (md5 planes, xor probes, margin-ranked flips, IVF
+  // assignment, the full two-subspace Lloyd recursion) and closes with
+  // the same recall arithmetic.
+  private val simRecallReport = Q(
+    "sim_recall_report",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def lsh(ph: Int, ps: Int) =
+        Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5,
+          bits = 4, tables = 4, probeHamming = ph, probeSeq = ps)
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 2, dim = 64, k = 8, iters = 2)
+      val variants = Seq(
+        ("ivf_nprobe6", Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6)),
+        ("lsh_0probe", lsh(0, 0)),
+        ("lsh_directed_m2", lsh(1, 2)),
+        ("lsh_hamming1", lsh(1, 0)),
+        ("pq_adc", Similarity.pqAdcTopK(emb, q, "vec_id", "embedding",
+          model, k = 5)))
+      val tagged = variants.map { case (n, df) =>
+        df.select(lit(n).as("variant"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+      val total = truth.agg(count(lit(1)).as("__total"))
+      tagged
+        .join(truth.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("retrieved"),
+          sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+        .crossJoin(broadcast(total))
+        .select(col("variant"), col("retrieved"), col("hits"),
+          round(col("hits").cast("double") / col("__total"), 4).as("recall"))
+        .orderBy(col("variant"))
+    },
+    Some(s"""WITH e AS MATERIALIZED (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            norm AS MATERIALIZED (
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            truth AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_dot_product(q.v, c.v) / (q.n * c.n) DESC,
+                                  c.vec_id) AS rank
+                FROM norm q JOIN norm c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 8) t WHERE rank <= 5),
+            planes AS MATERIALIZED (
+              SELECT t, b, list(h ORDER BY d) AS plane
+              FROM (SELECT t.t AS t, b.b AS b, d.d AS d,
+                           ('0x' || substr(md5('graft-srp-' || (42 + t.t) || '-' || b.b || '-' || d.d), 1, 15))::BIGINT
+                             / 576460752303423488.0 - 1.0 AS h
+                    FROM range(0, 4) t(t), range(0, 4) b(b), range(0, 64) d(d)) raw
+              GROUP BY t, b),
+            sigs AS MATERIALIZED (
+              SELECT e.vec_id, p.t,
+                     SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+              FROM e, planes p GROUP BY e.vec_id, p.t),
+            p0 AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                   FROM sigs q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+                   WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+            r0 AS (SELECT query_id, neighbor_id FROM (
+                     SELECT p.query_id, p.neighbor_id,
+                            row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY list_dot_product(q.v, c.v) / (q.n * c.n) DESC,
+                                       p.neighbor_id) AS rank
+                     FROM p0 p JOIN norm q ON p.query_id = q.vec_id
+                               JOIN norm c ON p.neighbor_id = c.vec_id) t
+                   WHERE rank <= 5),
+            qb AS (SELECT vec_id, t,
+                          CASE WHEN j.j = 0 THEN bucket
+                               ELSE xor(bucket, CAST(1 AS BIGINT) << (j.j - 1)) END AS bucket
+                   FROM sigs, range(0, 5) j(j) WHERE vec_id < 8),
+            pb AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                   FROM qb q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+                   WHERE q.vec_id <> c.vec_id),
+            rb AS (SELECT query_id, neighbor_id FROM (
+                     SELECT p.query_id, p.neighbor_id,
+                            row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY list_dot_product(q.v, c.v) / (q.n * c.n) DESC,
+                                       p.neighbor_id) AS rank
+                     FROM pb p JOIN norm q ON p.query_id = q.vec_id
+                               JOIN norm c ON p.neighbor_id = c.vec_id) t
+                   WHERE rank <= 5),
+            flips AS (SELECT vec_id, t, b FROM (
+                        SELECT e.vec_id, p.t, p.b,
+                               row_number() OVER (PARTITION BY e.vec_id, p.t
+                                 ORDER BY abs(list_dot_product(e.v, p.plane)), p.b) AS r
+                        FROM e, planes p WHERE e.vec_id < 8) m
+                      WHERE r <= 2),
+            qd AS (SELECT vec_id, t, bucket FROM sigs WHERE vec_id < 8
+                   UNION ALL
+                   SELECT s.vec_id, s.t,
+                          xor(s.bucket, CAST(1 AS BIGINT) << f.b) AS bucket
+                   FROM sigs s JOIN flips f ON s.vec_id = f.vec_id AND s.t = f.t),
+            pd AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                   FROM qd q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+                   WHERE q.vec_id <> c.vec_id),
+            rd AS (SELECT query_id, neighbor_id FROM (
+                     SELECT p.query_id, p.neighbor_id,
+                            row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY list_dot_product(q.v, c.v) / (q.n * c.n) DESC,
+                                       p.neighbor_id) AS rank
+                     FROM pd p JOIN norm q ON p.query_id = q.vec_id
+                               JOIN norm c ON p.neighbor_id = c.vec_id) t
+                   WHERE rank <= 5),
+            cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+                     FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t),
+            assign_all AS MATERIALIZED (
+              SELECT nm.vec_id, nm.v, nm.n, c.list_id,
+                     list_dot_product(nm.v, c.cvec)
+                       / (nm.n * sqrt(list_dot_product(c.cvec, c.cvec))) AS cd
+              FROM norm nm, cent c),
+            corpus_assigned AS (
+              SELECT vec_id AS neighbor_id, v AS cv, n AS cn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all) t WHERE r = 1),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, n AS qn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all WHERE vec_id < 8) t WHERE r <= 6),
+            ri AS (SELECT query_id, neighbor_id FROM (
+                     SELECT p.query_id, a.neighbor_id,
+                            row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY list_dot_product(p.qv, a.cv) / (p.qn * a.cn) DESC,
+                                       a.neighbor_id) AS rank
+                     FROM probes p JOIN corpus_assigned a USING (list_id)
+                     WHERE p.query_id <> a.neighbor_id) t
+                   WHERE rank <= 5),
+            ${pqLloydCte("s1", 1, 32)},
+            ${pqLloydCte("s2", 33, 64)},
+            rp AS (SELECT query_id, neighbor_id FROM (
+                     SELECT l1.query_id, cd.vec_id AS neighbor_id,
+                            row_number() OVER (PARTITION BY l1.query_id
+                              ORDER BY l1.d2 + l2.d2, cd.vec_id) AS rank
+                     FROM (SELECT c1.vec_id, c1.list_id AS code1,
+                                  c2.list_id AS code2
+                           FROM code_s1 c1 JOIN code_s2 c2 USING (vec_id)) cd
+                     JOIN lut_s1 l1 ON l1.list_id = cd.code1
+                     JOIN lut_s2 l2 ON l2.list_id = cd.code2
+                                   AND l2.query_id = l1.query_id
+                     WHERE cd.vec_id <> l1.query_id) t
+                   WHERE rank <= 5),
+            allv AS (
+              SELECT 'ivf_nprobe6' AS variant, query_id, neighbor_id FROM ri
+              UNION ALL
+              SELECT 'lsh_0probe', query_id, neighbor_id FROM r0
+              UNION ALL
+              SELECT 'lsh_directed_m2', query_id, neighbor_id FROM rd
+              UNION ALL
+              SELECT 'lsh_hamming1', query_id, neighbor_id FROM rb
+              UNION ALL
+              SELECT 'pq_adc', query_id, neighbor_id FROM rp)
+            SELECT a.variant, CAST(count(*) AS BIGINT) AS retrieved,
+                   CAST(count(t.query_id) AS BIGINT) AS hits,
+                   round(CAST(count(t.query_id) AS DOUBLE)
+                     / (SELECT count(*) FROM truth), 4) AS recall
+            FROM allv a LEFT JOIN truth t
+              ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+            GROUP BY a.variant
+            ORDER BY a.variant"""))
+
   // IVF-bucketed ANN (the inverted-file scale path). Centroids are the
   // first nlist corpus vectors by id — fully deterministic, so the oracle
   // replays assignment, probing, scoring, and ranking exactly.
@@ -954,5 +1189,5 @@ object SimilarityQueries extends QueryModule {
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
-    simComponents, simLshMultiprobe)
+    simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport)
 }

@@ -189,6 +189,22 @@ class SimilaritySpec extends SparkSpec {
     val rExact = truth.intersect(exact).size.toDouble / truth.size
     val rMulti = truth.intersect(edges(multi)).size.toDouble / truth.size
     assert(rMulti >= rExact, s"exact=$rExact multi=$rMulti")
+    // query-directed sequence (probeSeq=m) sits BETWEEN 0-probe and the
+    // full Hamming-1 ball: its probe buckets are a subset of the ball's
+    // and a superset of the exact bucket, so summed top-k cosine is
+    // sandwiched per query
+    val directed = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+      dim = 64, k = 5, bits = 4, tables = 4, probeHamming = 1, probeSeq = 2)
+    val dirSum = directed.groupBy("query_id").agg(sum("cos").as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(exactSum.forall { case (qid, s) => dirSum(qid) >= s - 1e-12 },
+      "directed probing must not lose exact-bucket results")
+    assert(dirSum.forall { case (qid, s) => multiSum(qid) >= s - 1e-12 },
+      "the full Hamming-1 ball dominates any directed subsequence")
+    // and probing ALL bits via probeSeq equals the uniform ball exactly
+    val full = edges(Similarity.lshTopK(emb, q, "vec_id", "embedding",
+      dim = 64, k = 5, bits = 4, tables = 4, probeHamming = 1, probeSeq = 4))
+    assert(full == edges(multi), "probeSeq=bits must equal the Hamming-1 ball")
   }
 
   test("incremental NN-descent step equals the full step, round by round") {
