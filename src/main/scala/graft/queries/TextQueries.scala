@@ -808,59 +808,72 @@ object TextQueries extends QueryModule {
   private val probeLabelSql =
     "CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END"
 
-  // train + auc share one fit per (session, corpus): 12 aggregation
-  // passes run once, both queries read the (d+1)-double result
+  /** A reusable trained-filter specification (VERDICT r9 #8): the engine
+    * feature columns, the index-aligned DuckDB expressions over a `raw`
+    * CTE the spec also provides, the weak label, and the GD
+    * hyperparameters. `TextAnalysis.linearProbeTrain` consumes the
+    * engine half; [[probeOraclePrefixFor]] unrolls the oracle half —
+    * so a new corpus/feature-set needs one ProbeSpec, not a new oracle
+    * generator.
+    */
+  private case class ProbeSpec(
+      key: String,
+      eta: Double,
+      iters: Int,
+      featureNames: Seq[String],
+      features: Seq[(String, org.apache.spark.sql.Column)],
+      rawCteSql: String, // "raw AS (SELECT ..cols.., <label> AS y FROM ...)"
+      featureSql: Seq[String]) { // over raw's columns, index-aligned
+    def dim: Int = featureNames.size + 1 // + bias x0
+  }
+
+  // train + auc + calibration share one fit per (session, corpus, spec):
+  // iters×(d+1) aggregation passes run once, every query reads the
+  // (d+1)-double result
   private val probeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
 
-  private def trainedProbe(
+  private def trainedProbeFor(p: ProbeSpec)(
       s: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, Double)] =
     probeCache.computeIfAbsent(
-      graft.Tables.sessionKey(s) + "|" + dir,
+      graft.Tables.sessionKey(s) + "|" + dir + "|" + p.key,
       _ => TextAnalysis.linearProbeTrain(
-        Tables.load(s, dir, "documents"), probeFeatures, probeLabel,
-        eta = ProbeEta, iters = ProbeIters))
-
-  /** The oracle's feature + unrolled-GD CTE prefix, ending at CTE
-    * `w{ProbeIters}` — shared by the train and auc oracles. Arithmetic
-    * mirrors the engine chain EXACTLY (left-associated adds, one decimal
-    * round per gradient term, (step·g)/n updates).
-    */
-  private def probeDim: Int = probeFeatureNames.size + 1 // + bias x0
+        Tables.load(s, dir, "documents"), p.features, probeLabel,
+        eta = p.eta, iters = p.iters))
 
   /** The engine's per-row prediction chain as SQL: the SAME left-assoc
     * fold linearProbeTrain builds, so every intermediate double matches.
     */
-  private def probePredSql: String =
-    (0 until probeDim).foldLeft("0.0") { (acc, j) =>
+  private def probePredSql(dim: Int): String =
+    (0 until dim).foldLeft("0.0") { (acc, j) =>
       s"($acc + w.b$j * f.x$j)"
     }
 
-  private def probeOraclePrefix: String = {
-    val step = java.lang.Double.toString(ProbeEta * 2.0)
-    val enList = markers("en").map(w => s"'$w'").mkString(",")
-    val xCols = ("1.0" +: probeFeatureSql).zipWithIndex
+  /** The oracle's feature + unrolled-GD CTE prefix for a spec, ending at
+    * CTE `w{iters}` — shared by the train/auc/calibration oracles.
+    * Arithmetic mirrors the engine chain EXACTLY (left-associated adds,
+    * one decimal round per gradient term, (step·g)/n updates). Deep CTE
+    * chains MUST stay MATERIALIZED — inlining goes exponential in the
+    * unroll depth.
+    */
+  private def probeOraclePrefixFor(p: ProbeSpec): String = {
+    val step = java.lang.Double.toString(p.eta * 2.0)
+    val xCols = ("1.0" +: p.featureSql).zipWithIndex
       .map { case (e, j) => s"$e AS x$j" }
       .mkString(",\n                     ")
-    val zeroW = (0 until probeDim).map(j => s"0.0 AS b$j").mkString(", ")
-    val base = s"""WITH raw AS (
-              SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS toks,
-                     CAST(length(text) AS DOUBLE) AS chars,
-                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                       w -> w IN ($enList))) AS DOUBLE) AS h_en,
-                     $probeLabelSql AS y
-              FROM documents),
+    val zeroW = (0 until p.dim).map(j => s"0.0 AS b$j").mkString(", ")
+    val base = s"""WITH ${p.rawCteSql},
             f AS MATERIALIZED (
               SELECT $xCols,
                      y
               FROM raw),
             nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
             w0 AS (SELECT $zeroW)"""
-    val rounds = (1 to ProbeIters).map { t =>
-      val gs = (0 until probeDim).map(j =>
-        s"sum(CAST((($probePredSql) - f.y) * f.x$j AS DECIMAL(38,18))) AS g$j")
+    val rounds = (1 to p.iters).map { t =>
+      val gs = (0 until p.dim).map(j =>
+        s"sum(CAST(((${probePredSql(p.dim)}) - f.y) * f.x$j AS DECIMAL(38,18))) AS g$j")
         .mkString(",\n                     ")
-      val ws = (0 until probeDim).map(j =>
+      val ws = (0 until p.dim).map(j =>
         s"w.b$j - ($step * CAST(g.g$j AS DOUBLE)) / n.n AS b$j")
         .mkString(",\n                     ")
       s""",
@@ -871,6 +884,32 @@ object TextQueries extends QueryModule {
     }.mkString
     base + rounds
   }
+
+  /** The flagship probe: the r8 feature set, unchanged. */
+  private def mainProbe: ProbeSpec = {
+    val enList = markers("en").map(w => s"'$w'").mkString(",")
+    ProbeSpec(
+      key = "main",
+      eta = ProbeEta,
+      iters = ProbeIters,
+      featureNames = probeFeatureNames,
+      features = probeFeatures,
+      rawCteSql = s"""raw AS (
+              SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS toks,
+                     CAST(length(text) AS DOUBLE) AS chars,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       w -> w IN ($enList))) AS DOUBLE) AS h_en,
+                     $probeLabelSql AS y
+              FROM documents)""",
+      featureSql = probeFeatureSql)
+  }
+
+  // back-compat shims for the three r8 queries below
+  private def trainedProbe(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, Double)] =
+    trainedProbeFor(mainProbe)(s, dir)
+  private def probeOraclePrefix: String = probeOraclePrefixFor(mainProbe)
+  private def probePredSql: String = probePredSql(mainProbe.dim)
 
   private val textProbeTrain = Q(
     "text_probe_train",
@@ -974,10 +1013,60 @@ object TextQueries extends QueryModule {
             FROM bins GROUP BY bin ORDER BY bin"""
     })
 
+  /** A SECOND feature set through the same spec-driven pipeline (r9 #8's
+    * "done" condition): lexical-diversity features — unique-word ratio,
+    * mean word length, scaled char count — with its own iteration count.
+    * No new oracle generator: the spec is the only addition.
+    */
+  private def lexicalProbe: ProbeSpec = ProbeSpec(
+    key = "lexical",
+    eta = 0.5,
+    iters = 8,
+    featureNames = Seq("uniq_ratio", "mwl_scaled", "chars_scaled"),
+    features = {
+      val words = split(lower(trim(col("text"))), "\\s+")
+      val toks = size(split(trim(col("text")), "\\s+")).cast("double")
+      val chars = length(col("text")).cast("double")
+      val uniq = size(array_distinct(words)).cast("double")
+      Seq(
+        "uniq_ratio" -> when(toks > 0, uniq / toks).otherwise(lit(0.0)),
+        "mwl_scaled" ->
+          (when(toks > 0, chars / toks).otherwise(lit(0.0)) / 10.0),
+        "chars_scaled" -> (chars / 1000.0))
+    },
+    rawCteSql = s"""raw AS (
+              SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS toks,
+                     CAST(length(text) AS DOUBLE) AS chars,
+                     CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE) AS uniq,
+                     $probeLabelSql AS y
+              FROM documents)""",
+    featureSql = Seq(
+      "CASE WHEN toks > 0 THEN uniq / toks ELSE 0.0 END",
+      "(CASE WHEN toks > 0 THEN chars / toks ELSE 0.0 END) / 10.0",
+      "chars / 1000.0"))
+
+  private val textProbeTrainLexical = Q(
+    "text_probe_train_lexical",
+    (s, dir) => {
+      val w = trainedProbeFor(lexicalProbe)(s, dir)
+      s.createDataFrame(w).toDF("feature", "weight")
+        .withColumn("weight", round(col("weight"), 6))
+        .orderBy(col("feature"))
+    },
+    Some {
+      val p = lexicalProbe
+      val sel = ("bias" +: p.featureNames).zipWithIndex.map { case (nm, j) =>
+        s"SELECT '$nm' AS feature, round(b$j, 6) AS weight FROM w${p.iters}"
+      }.mkString("\n            UNION ALL ")
+      s"""${probeOraclePrefixFor(p)}
+            $sel
+            ORDER BY feature"""
+    })
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
     textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
     textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters,
     textMgExactHeavy, textLrs, textNormalize, textProbeTrain, textProbeAuc,
-    textProbeCalibration)
+    textProbeCalibration, textProbeTrainLexical)
 }
