@@ -26,8 +26,74 @@ object RemoteContigs {
     def fetch(uri: String): String
   }
 
+  /** The REAL transport (lib/BIGSdb/ContigManager.pm:119-215, the
+    * unauthenticated path): GET the contig URI (appending `?no_loci=1`
+    * when no query string, ContigManager.pm:122-124), parse the JSON
+    * record's `sequence` field, and fail loudly on an empty sequence
+    * (ContigManager.pm:129-131). Retry semantics mirror
+    * `_get_remote_record` (ContigManager.pm:196-204): up to
+    * `maxAttempts` tries, stopping immediately on success OR on a
+    * definitive 401/404, sleeping `retryDelayMs` between other failures
+    * (transport errors, 5xx).
+    *
+    * NOT the default — the sandbox has no egress, so [[StubFetcher]]
+    * ships as the default and this class is exercised against an
+    * in-process HTTP fixture server in SourcesSpec. One instance per
+    * task via [[fetchAll]]'s mapPartitions; md5-checksum verification
+    * stays in [[fetchAll]], shared with every other fetcher.
+    */
+  final case class HttpFetcher(
+      maxAttempts: Int = 5,
+      retryDelayMs: Long = 1000L) extends ContigFetcher {
+    def fetch(uri: String): String = {
+      val full = if (uri.contains("?")) uri else uri + "?no_loci=1"
+      var attempt = 0
+      var last: Either[(Int, String), String] = Left((-1, "not attempted"))
+      var done = false
+      while (!done && attempt < maxAttempts) {
+        attempt += 1
+        last = tryOnce(full)
+        done = last match {
+          case Right(_) => true
+          case Left((code, _)) if code == 401 || code == 404 => true
+          case _ =>
+            if (attempt < maxAttempts) Thread.sleep(retryDelayMs)
+            false
+        }
+      }
+      last match {
+        case Right(body) => parseSequence(body, full)
+        case Left((code, msg)) => throw new java.io.IOException(
+          s"GET $full failed after $attempt attempt(s): $code $msg")
+      }
+    }
+
+    private def tryOnce(uri: String): Either[(Int, String), String] = {
+      val conn = java.net.URI.create(uri).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestProperty("User-Agent", "graft")
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      try {
+        val code = conn.getResponseCode
+        if (code >= 200 && code < 300)
+          Right(new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+        else Left((code, Option(conn.getResponseMessage).getOrElse("")))
+      } catch {
+        case e: java.io.IOException => Left((-1, String.valueOf(e.getMessage)))
+      } finally conn.disconnect()
+    }
+
+    private def parseSequence(body: String, uri: String): String = {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val s = node.get("sequence")
+      require(s != null && s.asText.nonEmpty, s"Contig from $uri has no sequence")
+      s.asText
+    }
+  }
+
   /** Deterministic offline stand-in for the HTTP client: sequence derived
-    * from the URI alone. STUB — swap for a real client without touching
+    * from the URI alone. STUB — swap for [[HttpFetcher]] without touching
     * the materialization plan.
     */
   object StubFetcher extends ContigFetcher {

@@ -96,6 +96,63 @@ class SourcesSpec extends SparkSpec {
     assert(seqs(1L) == goodSeq && seqs.values.forall(_.matches("[ACGT]+")))
   }
 
+  test("RemoteContigs.HttpFetcher: real GET path against a local fixture server " +
+      "(retry on 5xx, fail-fast on 404, no_loci param, md5 verify end-to-end)") {
+    import graft.sources.RemoteContigs
+    val failuresBeforeOk = new java.util.concurrent.atomic.AtomicInteger(2)
+    val attempts404 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seenQuery = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    server.createContext("/db/iso/contigs/1",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        seenQuery.set(String.valueOf(ex.getRequestURI.getQuery))
+        respond(ex, 200, """{"sequence":"ACGTACGTAA","method":"Illumina"}""")
+      })
+    server.createContext("/db/iso/contigs/2",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        // flaky: two 503s, then success — the reference's retry loop
+        // (ContigManager.pm:196-204) must ride through
+        if (failuresBeforeOk.getAndDecrement() > 0) respond(ex, 503, "busy")
+        else respond(ex, 200, """{"sequence":"TTTTCCCCGG"}"""))
+    server.createContext("/db/iso/contigs/3",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        attempts404.incrementAndGet()
+        respond(ex, 404, "gone")
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/db/iso/contigs"
+      val fetcher = RemoteContigs.HttpFetcher(maxAttempts = 5, retryDelayMs = 10L)
+      val ck = java.security.MessageDigest.getInstance("MD5")
+        .digest("ACGTACGTAA".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val refs = Seq(
+        (1L, s"$base/1", ck),          // matches recorded checksum
+        (2L, s"$base/2", "deadbeef"))  // flaky route; stale checksum → flagged
+        .toDF("seqbin_id", "uri", "checksum")
+      val out = RemoteContigs.fetchAll(refs, "uri", "checksum", fetcher)
+        .select("seqbin_id", "sequence", "checksum_ok")
+        .as[(Long, String, Boolean)].collect()
+        .map { case (a, b, c) => a -> ((b, c)) }.toMap
+      assert(out(1L) == (("ACGTACGTAA", true)))
+      assert(out(2L) == (("TTTTCCCCGG", false)), "retries must reach the 200")
+      assert(seenQuery.get == "no_loci=1",
+        "a bare contig URI must gain ?no_loci=1 (ContigManager.pm:122-124)")
+      // 404 is definitive: exactly ONE attempt, then a loud failure
+      val e = intercept[Exception] { fetcher.fetch(s"$base/3") }
+      assert(e.getMessage.contains("404"), e.getMessage)
+      assert(attempts404.get == 1, s"404 must not retry: ${attempts404.get}")
+      // the flaky route burned its 2 failures + 1 success — no extra tries
+      assert(failuresBeforeOk.get == -1)
+    } finally server.stop(0)
+  }
+
   test("RestQuery: field/locus/operator/page grammar → QuerySpec") {
     val spec = RestQuery.parse(
       """{"field.country": "UK", "field.year": 2020,
