@@ -400,6 +400,62 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Global rank of a scored dimension-sized list: (id, rank) by
+    * (score DESC, id ASC), via the bounded two-phase CollectTopK — the
+    * map-side partial buffers hold at most `k` entries, so this never
+    * becomes the single-partition global-sort window even when the
+    * scored set is corpus-sized.
+    */
+  def rankByScore(df: DataFrame, id: String, score: String, k: Int): DataFrame =
+    df.groupBy()
+      .agg(org.apache.spark.sql.graft.ColumnBridge.collectBottomK(
+        struct((-col(score)).as("neg"), col(id)), k).as("__tk"))
+      .select(posexplode(col("__tk")).as(Seq("__i", "__t")))
+      .select(col(s"__t.$id").as(id),
+        (col("__i") + 1).cast("long").as("rank"))
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: each input list contributes
+    * 1/(c + rank) per id; the fused order is the descending sum. This is
+    * how a lexical (BM25) and a semantic (ANN) ranking merge into one
+    * result list without score calibration — ranks, not scores, fuse.
+    *
+    * `lists` are (name, DataFrame(id, rank)) pairs, ranks 1-based.
+    * Determinism: the per-id contributions fold in sorted (name, rank)
+    * order (the bm25 sorted-term-fold discipline), so the summed doubles
+    * replay bit-for-bit in any engine; the final top-k is the bounded
+    * CollectTopK by (rrf DESC, id ASC). Scale shape: one union + one
+    * aggregation keyed on id (map-side combinable), one k-bounded rank —
+    * no windows, no global sorts.
+    *
+    * Output: (id, rrf, n_lists, fused_rank), top `k` by fused score.
+    */
+  def rrfFuse(lists: Seq[(String, DataFrame)], id: String, k: Int,
+      c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val tagged = lists.map { case (n, df) =>
+      df.select(col(id), col("rank").cast("long").as("__rank"),
+        lit(n).as("__src"))
+    }.reduce(_ unionByName _)
+    val scored = tagged.groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("__src"), col("__rank"))))
+        .as("__rs"))
+      .select(col(id),
+        aggregate(col("__rs"), lit(0.0d), (acc, x) =>
+          acc + lit(1.0d) /
+            (lit(c.toDouble) + x.getField("__rank").cast("double")))
+          .as("rrf"),
+        size(col("__rs")).as("n_lists"))
+    scored.groupBy()
+      .agg(org.apache.spark.sql.graft.ColumnBridge.collectBottomK(
+        struct((-col("rrf")).as("neg"), col(id), col("n_lists")), k)
+        .as("__tk"))
+      .select(posexplode(col("__tk")).as(Seq("__i", "__t")))
+      .select(col(s"__t.$id").as(id), (-col("__t.neg")).as("rrf"),
+        col("__t.n_lists").as("n_lists"),
+        (col("__i") + 1).cast("long").as("fused_rank"))
+  }
+
   /** Count-min sketch of the corpus token stream (Cormode & Muthukrishnan
     * 2005): `d` hash rows × `w` counters, bucket = md5(j + "|" + token)
     * mod w — the repo's portable hash, so the sketch (and every estimate

@@ -465,6 +465,82 @@ object TextQueries extends QueryModule {
               SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
             ORDER BY doc_id"""))
 
+  // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-20
+  // and the brute-force ANN top-20 (query vector 0) into one fused
+  // top-10 — the standard lexical+semantic merge (Cormack et al. 2009),
+  // rank-based so no score calibration crosses the two systems. Both
+  // input rankings and the 1/(60+rank) fused sum replay exactly in the
+  // oracle (sorted-source fold, row_number ranks, same tie rules).
+  private val searchHybridRrf = Q(
+    "search_hybrid_rrf",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val lex = TextAnalysis.rankByScore(
+        TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "vector", "join"), k = 20),
+        "doc_id", "score", k = 20)
+      val ann = graft.pipeline.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      TextAnalysis.rrfFuse(Seq("ann" -> ann, "bm25" -> lex), "doc_id", k = 10)
+        .withColumn("rrf", round(col("rrf"), 6))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents),
+            dl AS (SELECT doc_id, len(w)::DOUBLE AS dl, w FROM t),
+            stats AS (SELECT count(*)::DOUBLE AS n,
+                             CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE)
+                               / count(*) AS avgdl
+                      FROM dl),
+            hits AS (
+              SELECT doc_id, dl, word, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, dl, unnest(w) AS word FROM dl)
+              WHERE word IN ('spark', 'vector', 'join')
+              GROUP BY 1, 2, 3),
+            dfs AS (SELECT word, count(*)::DOUBLE AS df FROM hits GROUP BY 1),
+            bscored AS (
+              SELECT doc_id, list_sum(list(s ORDER BY word)) AS score FROM (
+                SELECT h.doc_id, h.word,
+                       ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * h.tf * (1.2 + 1)
+                         / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / st.avgdl))
+                         AS s
+                FROM hits h JOIN dfs d USING (word), stats st)
+              GROUP BY 1),
+            bmr AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+              FROM (SELECT * FROM bscored ORDER BY score DESC, doc_id LIMIT 20)),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            annr AS (
+              SELECT doc_id, rank FROM (
+                SELECT c.vec_id AS doc_id,
+                       CAST(row_number() OVER (
+                         ORDER BY list_dot_product(q.v, c.v) / (q.n * c.n) DESC,
+                                  c.vec_id) AS BIGINT) AS rank
+                FROM norm q JOIN norm c ON c.vec_id <> 0
+                WHERE q.vec_id = 0) r
+              WHERE rank <= 20),
+            u AS (SELECT 'ann' AS src, doc_id, rank FROM annr
+                  UNION ALL
+                  SELECT 'bm25' AS src, doc_id, rank FROM bmr),
+            f AS (SELECT doc_id,
+                         list_sum(list(1.0 / (60 + rank) ORDER BY src, rank)) AS rrf,
+                         CAST(count(*) AS INTEGER) AS n_lists
+                  FROM u GROUP BY doc_id),
+            topk AS (SELECT doc_id, rrf, n_lists,
+                            CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+                              AS fused_rank
+                     FROM f)
+            SELECT doc_id, round(rrf, 6) AS rrf, n_lists, fused_rank
+            FROM topk WHERE fused_rank <= 10
+            ORDER BY doc_id"""))
+
   // Exact top-k frequent word trigrams — the boilerplate/template-mining
   // sweep a corpus release runs before training (frequent n-grams surface
   // shared headers, license blurbs, scraped chrome). Heavy-hitter posture:
@@ -1068,5 +1144,5 @@ object TextQueries extends QueryModule {
     textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
     textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters,
     textMgExactHeavy, textLrs, textNormalize, textProbeTrain, textProbeAuc,
-    textProbeCalibration, textProbeTrainLexical)
+    textProbeCalibration, textProbeTrainLexical, searchHybridRrf)
 }

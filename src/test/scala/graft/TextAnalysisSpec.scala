@@ -645,4 +645,27 @@ class TextAnalysisSpec extends SparkSpec {
       .select("auc").as[Double].head()
     assert(auc > 0.7 && auc <= 1.0, s"auc=$auc")
   }
+
+  test("rrfFuse == hand-computed reciprocal-rank fusion; no windows in plan") {
+    // two ranked lists with partial overlap: id 3 is #1 lexically and #2
+    // semantically, id 1 only lexical, id 7 only semantic
+    val lex = Seq((3L, 1L), (1L, 2L), (5L, 3L)).toDF("doc_id", "rank")
+    val ann = Seq((7L, 1L), (3L, 2L), (5L, 4L)).toDF("doc_id", "rank")
+    val got = TextAnalysis.rrfFuse(
+        Seq("ann" -> ann, "bm25" -> lex), "doc_id", k = 10, c = 60)
+      .as[(Long, Double, Int, Long)].collect()
+      .map { case (id, rrf, n, fr) => id -> ((rrf, n, fr)) }.toMap
+    def r(ranks: Long*) = ranks.map(x => 1.0 / (60 + x)).sum
+    assert(got(3L)._1 === r(2, 1)) // ann rank 2 folds before bm25 rank 1
+    assert(got(5L)._1 === r(4, 3))
+    assert(got(1L) == ((r(2), 1, got(1L)._3)))
+    assert(got(7L) == ((r(1), 1, got(7L)._3)))
+    // fused order: two ranks beat one — 1/64+1/63 (id 5) > 1/61 (id 7)
+    assert(got.toSeq.sortBy(_._2._3).map(_._1) == Seq(3L, 5L, 7L, 1L))
+    assert(got(3L)._2 == 2 && got(5L)._2 == 2)
+    // scale shape: bounded CollectTopK rank, never a window
+    val plan = TextAnalysis.rrfFuse(Seq("a" -> lex), "doc_id", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
 }
