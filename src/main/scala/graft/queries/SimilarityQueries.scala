@@ -1123,6 +1123,56 @@ object SimilarityQueries extends QueryModule {
              FROM ranked WHERE rank <= 5
              ORDER BY query_id, rank"""))
 
+  // PQ at m=4 subspaces (16 dims each, same k=8 codes): the subspace
+  // count is PQ's fidelity lever — 8^4 product cells vs sim_pq's 8^2 at
+  // 2x the bytes per code. Beside sim_pq (m=2), this pins both ends of
+  // the compression-fidelity tradeoff the recall report surfaces;
+  // SimilaritySpec asserts the provable half (m=4 quantization
+  // distortion < m=2's). The oracle replays all four sliced Lloyd
+  // recursions.
+  private val simPqM4 = Q(
+    "sim_pq_m4",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 4, dim = 64, k = 8, iters = 2)
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding", model, k = 5)
+        .withColumn("adc", round(col("adc"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             ${pqLloydCte("s1", 1, 16)},
+             ${pqLloydCte("s2", 17, 32)},
+             ${pqLloydCte("s3", 33, 48)},
+             ${pqLloydCte("s4", 49, 64)},
+             scored AS (
+               SELECT l1.query_id, cd.vec_id AS neighbor_id,
+                      l1.d2 + l2.d2 + l3.d2 + l4.d2 AS adc
+               FROM (SELECT c1.vec_id, c1.list_id AS k1, c2.list_id AS k2,
+                            c3.list_id AS k3, c4.list_id AS k4
+                     FROM code_s1 c1 JOIN code_s2 c2 USING (vec_id)
+                                     JOIN code_s3 c3 USING (vec_id)
+                                     JOIN code_s4 c4 USING (vec_id)) cd
+               JOIN lut_s1 l1 ON l1.list_id = cd.k1
+               JOIN lut_s2 l2 ON l2.list_id = cd.k2
+                             AND l2.query_id = l1.query_id
+               JOIN lut_s3 l3 ON l3.list_id = cd.k3
+                             AND l3.query_id = l1.query_id
+               JOIN lut_s4 l4 ON l4.list_id = cd.k4
+                             AND l4.query_id = l1.query_id
+               WHERE cd.vec_id <> l1.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, adc,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, neighbor_id, round(adc, 4) AS adc,
+                    CAST(rank AS BIGINT) AS rank
+             FROM ranked WHERE rank <= 5
+             ORDER BY query_id, rank"""))
+
   // Per-vertex triangle counts on the mutual-kNN graph — the clustering-
   // coefficient numerator (how clique-like each vector's neighborhood
   // is: a quality metric for ANN graphs and a SemDeDup-cluster density
@@ -1189,5 +1239,6 @@ object SimilarityQueries extends QueryModule {
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
-    simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport)
+    simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
+    simPqM4)
 }

@@ -207,6 +207,37 @@ class SimilaritySpec extends SparkSpec {
     assert(full == edges(multi), "probeSeq=bits must equal the Hamming-1 ball")
   }
 
+  test("PQ: quadrupling subspaces cuts quantization distortion (k^m cells)") {
+    // the PROVABLE lever is distortion, not recall (recall on a tiny
+    // fixture can wiggle either way): m=4's 8^4 product cells must fit
+    // the corpus better than m=2's 8^2. Distortion per vector is exactly
+    // the ADC of the vector against its OWN codes.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = edges(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5))
+    def stats(m: Int): (Double, Double) = {
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = m, dim = 64, k = 8, iters = 2)
+      val selfAdc = model.subs.zipWithIndex.map { case ((start, len, cents), j) =>
+        graft.functions.Vectors.l2sq(
+          Similarity.toDouble(slice(col("embedding"), start, len)),
+          element_at(typedLit(cents.sortBy(_._1).map(_._2)),
+            col(s"code_${j + 1}").cast("int")))
+      }.reduce(_ + _)
+      val dist = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+        .join(emb, "vec_id").agg(avg(selfAdc)).head.getDouble(0)
+      val recall = truth.intersect(edges(Similarity.pqAdcTopK(
+        emb, q, "vec_id", "embedding", model, 5))).size.toDouble / truth.size
+      (dist, recall)
+    }
+    val (d2, r2) = stats(2)
+    val (d4, r4) = stats(4)
+    assert(d4 < d2, s"m=2 distortion $d2, m=4 distortion $d4")
+    assert(r2 > 0.0 && r4 > 0.0, s"recalls m2=$r2 m4=$r4")
+  }
+
   test("incremental NN-descent step equals the full step, round by round") {
     // Dong et al. §2.3: scoring only new-involving NoN pairs must leave
     // every round's top-k lists EXACTLY unchanged (old-old pairs were
