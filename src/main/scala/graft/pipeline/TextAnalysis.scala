@@ -400,6 +400,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PII patterns chosen to behave IDENTICALLY under Java regex (Spark
+    * codegen) and RE2 (DuckDB): character classes, bounded repetition,
+    * ASCII \\b only — no backreferences, no lookaround (RE2 has
+    * neither). (name, pattern, replacement).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"))
+
+  /** PII scrubbing pass — the redaction stage every corpus release runs
+    * before training (emails, IPs, national-id shapes). Per doc: one
+    * match count per pattern (counted on the ORIGINAL text, independent
+    * per pattern) and the scrubbed text with replacements applied in
+    * pattern order. A pure narrow projection — codegen'd regex kernels,
+    * no shuffle, embarrassingly parallel at any corpus size, and the
+    * same Column works unchanged on a stream.
+    */
+  def piiScrub(docs: DataFrame, id: String, text: String,
+      patterns: Seq[(String, String, String)] = piiPatterns): DataFrame = {
+    val t = col(text)
+    val counts = patterns.map { case (n, p, _) =>
+      regexp_count(t, lit(p)).cast("long").as(s"n_$n") }
+    val scrubbed = patterns.foldLeft(t) { case (acc, (_, p, r)) =>
+      regexp_replace(acc, p, r) }
+    docs.select(col(id) +: counts :+ scrubbed.as("scrubbed"): _*)
+  }
+
   /** Global rank of a scored dimension-sized list: (id, rank) by
     * (score DESC, id ASC), via the bounded two-phase CollectTopK — the
     * map-side partial buffers hold at most `k` entries, so this never

@@ -465,6 +465,47 @@ object TextQueries extends QueryModule {
               SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
             ORDER BY doc_id"""))
 
+  // PII scrubbing (the pre-release redaction stage): the synthetic corpus
+  // carries no PII, so the query INJECTS deterministic email/IP/SSN
+  // shapes per doc (the text_normalize accent-injection precedent), then
+  // counts and redacts them. Patterns are Java-regex/RE2 compatible by
+  // construction (TextAnalysis.piiPatterns), so the oracle replays count
+  // and replacement exactly. Narrow projection — no shuffle.
+  private val textPiiScrub = Q(
+    "text_pii_scrub",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("t", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 ssn 123-45-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      TextAnalysis.piiScrub(docs, "doc_id", "t")
+        .withColumn("scrub_md5", md5(col("scrubbed"))).drop("scrubbed")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7 ssn 123-45-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t,
+                     '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t,
+                     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                     '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g')) AS scrub_md5
+            FROM d ORDER BY doc_id"""))
+
   // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-20
   // and the brute-force ANN top-20 (query vector 0) into one fused
   // top-10 — the standard lexical+semantic merge (Cormack et al. 2009),
@@ -1144,5 +1185,6 @@ object TextQueries extends QueryModule {
     textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
     textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters,
     textMgExactHeavy, textLrs, textNormalize, textProbeTrain, textProbeAuc,
-    textProbeCalibration, textProbeTrainLexical, searchHybridRrf)
+    textProbeCalibration, textProbeTrainLexical, searchHybridRrf,
+    textPiiScrub)
 }
