@@ -272,6 +272,29 @@ object Similarity {
         col("cos"), col("rank").as("rank1"), col("rank2"))
   }
 
+  /** Append-only IVF index maintenance: new vectors join an EXISTING
+    * index without retraining. The cell structure is frozen at the
+    * BASE's deterministic centroid sample (exactly what `ivfTopK(base)`
+    * builds), the delta is assigned to those frozen cells by the same
+    * narrow fold, and queries probe the merged corpus — so an ingest
+    * pipeline appends vectors forever (cell assignment is stateless and
+    * stream-safe, the kmeansAssign posture StreamingSpec proves) and
+    * only re-trains when cell-balance drift warrants it. In production
+    * the base's (list_id, vector) assignment is a materialized snapshot
+    * (the Federation pattern); recomputing it here keeps the operator
+    * self-contained without changing semantics.
+    */
+  def ivfAppendTopK(base: DataFrame, delta: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val frozen: Seq[(Long, Seq[Double])] = firstNCentroids(base, id, vec, nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+      .sortBy(_._1).toIndexedSeq
+    ivfTopK(base.unionByName(delta), queries, id, vec, k, nlist, nprobe,
+      trained = Some(frozen))
+  }
+
 
   /** One NN-descent refinement round (Dong et al. 2011, "Efficient K-NN
     * Graph Construction for Generic Similarity Measures") over the IVF

@@ -1123,6 +1123,59 @@ object SimilarityQueries extends QueryModule {
              FROM ranked WHERE rank <= 5
              ORDER BY query_id, rank"""))
 
+  // Append-only IVF maintenance: the index's cell structure is FROZEN at
+  // the base corpus's centroid sample (vec_id >= 100 here, so the sample
+  // provably differs from a full-corpus rebuild), the delta (< 100)
+  // assigns to those frozen cells, and the delta's own queries probe the
+  // merged index — the ingest path that appends vectors without
+  // retraining. The oracle replays base-derived centroids, merged
+  // assignment, probing, and ranking exactly.
+  private val simIvfAppend = Q(
+    "sim_ivf_append",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") >= 100)
+      val delta = emb.filter(col("vec_id") < 100)
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.ivfAppendTopK(base, delta, queries, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+              FROM (SELECT vec_id, v FROM e WHERE vec_id >= 100
+                    ORDER BY vec_id LIMIT 16) t),
+            norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            assign_all AS (
+              SELECT nm.vec_id, nm.v, nm.n, c.list_id,
+                     list_dot_product(nm.v, c.cvec)
+                       / (nm.n * sqrt(list_dot_product(c.cvec, c.cvec))) AS cd
+              FROM norm nm, cent c),
+            corpus_assigned AS (
+              SELECT vec_id AS neighbor_id, v AS cv, n AS cn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all) t WHERE r = 1),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, n AS qn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all WHERE vec_id < 8) t WHERE r <= 6),
+            scored AS (
+              SELECT p.query_id, a.neighbor_id,
+                     list_dot_product(p.qv, a.cv) / (p.qn * a.cn) AS cos
+              FROM probes p JOIN corpus_assigned a USING (list_id)
+              WHERE p.query_id <> a.neighbor_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
   // PQ at m=4 subspaces (16 dims each, same k=8 codes): the subspace
   // count is PQ's fidelity lever — 8^4 product cells vs sim_pq's 8^2 at
   // 2x the bytes per code. Beside sim_pq (m=2), this pins both ends of
@@ -1240,5 +1293,5 @@ object SimilarityQueries extends QueryModule {
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
-    simPqM4)
+    simPqM4, simIvfAppend)
 }

@@ -122,6 +122,24 @@ class CacheLifecycleSpec extends SparkSpec {
       "unpinning every returned frame must restore the baseline")
   }
 
+  test("round-9 edge branches: empty eager prefix join; zero-round loops " +
+      "keep their lazy result readable") {
+    import org.apache.spark.sql.functions.col
+    // empty corpus through the EAGER path: the byte-estimate agg must
+    // coalesce to 0 (not NPE on a null sum) and return an empty pair list
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(empty, "doc_id",
+      Dedup.shingles(col("text"), 2), t = 0.2)
+    assert(got.count() == 0)
+    // rounds = 0: the returned frame is LAZY over the pinned graph —
+    // the unpin-inputs guard must NOT fire (a freed localCheckpoint is
+    // unrecomputable, so a premature unpin would throw on this count)
+    val lp0 = Similarity.labelPropagate(edgesFixture, "src", "dst", rounds = 0)
+    assert(lp0.count() > 0)
+    val pr0 = Similarity.pagerankInt(edgesFixture, "src", "dst", rounds = 0)
+    assert(pr0.count() > 0)
+  }
+
   test("prefixFilterPairs eager call leaves only its checkpointed result") {
     val base = pinnedCount
     val pairs = Dedup.prefixFilterPairs(docsFixture, "doc_id",

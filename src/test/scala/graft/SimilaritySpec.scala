@@ -207,6 +207,28 @@ class SimilaritySpec extends SparkSpec {
     assert(full == edges(multi), "probeSeq=bits must equal the Hamming-1 ball")
   }
 
+  test("ivfAppendTopK: empty delta == plain ivfTopK; appended vectors become findable") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.filter(col("vec_id") >= 20)
+    val delta = emb.filter(col("vec_id") < 20)
+    val q = emb.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+    // frozen centroids ARE the base's own sample, so with nothing
+    // appended the incremental form must equal the plain index exactly
+    val plain = rows(Similarity.ivfTopK(base, q, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4))
+    val empty = rows(Similarity.ivfAppendTopK(base, delta.limit(0), q,
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4))
+    assert(empty == plain)
+    // with the delta appended, its vectors are findable by the same index
+    val inc = Similarity.ivfAppendTopK(base, delta, q,
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4)
+    assert(inc.filter(col("neighbor_id") < 20).count() > 0,
+      "appended vectors never surfaced in any top-k")
+  }
+
   test("PQ: quadrupling subspaces cuts quantization distortion (k^m cells)") {
     // the PROVABLE lever is distortion, not recall (recall on a tiny
     // fixture can wiggle either way): m=4's 8^4 product cells must fit

@@ -546,4 +546,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == 3 &&
       streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("PII scrubbing runs unchanged on a document stream (redact-on-ingest)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "reach me at alice@example.com or 10.1.2.3"),
+      (2L, "ssn 123-45-6789 plus bob@host.org"),
+      (3L, "nothing sensitive here"))
+    def scrub(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.piiScrub(df, "doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val q = scrub(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_pii_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_pii_sink")
+    val batch = scrub(docs.toDF("doc_id", "text"))
+    assert(streamed.count() == 3 &&
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    val r = streamed.filter($"doc_id" === 2L)
+      .select($"n_ssn", $"n_email", $"scrubbed").as[(Long, Long, String)].head()
+    assert(r == ((1L, 1L, "ssn <SSN> plus <EMAIL>")))
+  }
 }
