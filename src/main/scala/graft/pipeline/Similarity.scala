@@ -192,6 +192,25 @@ object Similarity {
         .otherwise(acc)
     })
 
+  /** Probe side of an IVF scan: top-nprobe lists per query as a NARROW
+    * projection — score all centroids per row, array_sort by (cos desc,
+    * list_id), slice. The windowed form shuffled the query set WITH its
+    * vectors by query_id; when queries are corpus-scale (the mutual-kNN
+    * graph), that is a full-corpus vector shuffle for what is per-row
+    * math. Output: (query_id, qv, list_id) — one row per probed cell.
+    */
+  private def probeCells(queries: DataFrame, id: String, vec: String,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
+    val cells = slice(array_sort(transform(col("__cents"), c =>
+      struct((-cosine(col("qv"), c.getField("cvec"))).as("negCd"),
+        c.getField("list_id").as("list_id")))), 1, nprobe)
+    queries.select(col(id).as("query_id"), toDouble(col(vec)).as("qv"))
+      .crossJoin(centroidArray(centroids))
+      .select(col("query_id"), col("qv"),
+        explode(cells).as("__cell"))
+      .select(col("query_id"), col("qv"), col("__cell.list_id").as("list_id"))
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
@@ -214,21 +233,7 @@ object Similarity {
       .crossJoin(centroidArray(centroids))
       .withColumn("__best", foldBestCell(col("cv")))
       .select(col("neighbor_id"), col("cv"), col("__best.list_id").as("list_id"))
-    // probe side: top-nprobe lists per query as a NARROW projection —
-    // score all centroids per row, array_sort by (cos desc, list_id),
-    // slice. The windowed form shuffled the query set WITH its vectors
-    // by query_id; when queries are corpus-scale (the mutual-kNN graph),
-    // that is a full-corpus vector shuffle for what is per-row math.
-    val probes = {
-      val cells = slice(array_sort(transform(col("__cents"), c =>
-        struct((-cosine(col("qv"), c.getField("cvec"))).as("negCd"),
-          c.getField("list_id").as("list_id")))), 1, nprobe)
-      queries.select(col(id).as("query_id"), toDouble(col(vec)).as("qv"))
-        .crossJoin(centroidArray(centroids))
-        .select(col("query_id"), col("qv"),
-          explode(cells).as("__cell"))
-        .select(col("query_id"), col("qv"), col("__cell.list_id").as("list_id"))
-    }
+    val probes = probeCells(queries, id, vec, centroids, nprobe)
     val scored = assigned.join(probes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
@@ -887,14 +892,85 @@ object Similarity {
 
   /** Encode: ONE narrow projection emitting every subspace code — the
     * compression pass (and, unchanged, the stream encoder on ingest).
+    * `keep` carries extra columns (e.g. the IVF cell id) through the
+    * projection without a join back.
     */
   def pqEncode(vecs: DataFrame, id: String, vec: String,
-      model: PqModel): DataFrame =
-    vecs.select(col(id) +: model.subs.zipWithIndex.map {
-      case ((start, len, cents), j) =>
-        kmeansBest(toDouble(slice(col(vec), start, len)), cents)
-          .getField("list_id").as(s"code_${j + 1}")
-    }: _*)
+      model: PqModel, keep: Seq[String] = Nil): DataFrame =
+    vecs.select(col(id) +: (keep.map(col) ++
+      model.subs.zipWithIndex.map {
+        case ((start, len, cents), j) =>
+          kmeansBest(toDouble(slice(col(vec), start, len)), cents)
+            .getField("list_id").as(s"code_${j + 1}")
+      }): _*)
+
+  /** IVF-PQ (Jégou et al. 2011 §V, the FAISS IVFPQ shape): coarse IVF
+    * cells prune the scan to nprobe cells per query, and within the
+    * probed cells candidates are scanned as PQ CODES of their RESIDUAL
+    * (vector minus its cell centroid) — the composition that makes
+    * billion-vector search fit in memory: the coarse quantizer bounds
+    * candidates, the residual codes bound bytes-per-candidate.
+    *
+    * Train/index: cell structure is the deterministic centroid sample
+    * (exactly [[ivfTopK]]'s; cosine cell assignment, same narrow fold),
+    * residuals are one `zip_with` projection pinned for the duration of
+    * the Lloyd sweeps (each [[pqTrain]] iteration rescans its input —
+    * at corpus scale that MUST be a materialization, not a recompute
+    * through the assignment fold), codebooks train on residuals.
+    *
+    * Search: probe top-nprobe cells (narrow projection), form the
+    * per-(query, cell) residual once — nprobe rows per query, NOT per
+    * candidate — then ADC against the code table joined on the cell id:
+    * the only corpus-sized input in the scored join is the narrow code
+    * table, and the rank is the bounded two-phase [[bottomK]].
+    *
+    * Eager contract (the prefixFilterPairs posture): the top-k result
+    * (|queries|·k rows) is pinned and the residual materialization freed
+    * before return — no session-lifetime blocks escape.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      nlist: Int = 8, nprobe: Int = 3,
+      m: Int = 2, dim: Int = 64, kCodes: Int = 8, iters: Int = 2): DataFrame = {
+    val centroids = firstNCentroids(corpus, id, vec, nlist)
+    val assigned = corpus
+      .select(col(id).as("neighbor_id"), toDouble(col(vec)).as("cv"))
+      .crossJoin(centroidArray(centroids))
+      .withColumn("__best", foldBestCell(col("cv")))
+      .select(col("neighbor_id"), col("cv"),
+        col("__best.list_id").as("list_id"))
+    val res = graft.operators.Pinning.pin(
+      assigned.join(broadcast(centroids), Seq("list_id"))
+        .select(col("neighbor_id"), col("list_id"),
+          zip_with(col("cv"), col("cvec"), (a, b) => a - b).as("rv")))
+    try {
+      val model = pqTrain(res, "neighbor_id", "rv", m, dim, kCodes, iters)
+      val codes = pqEncode(res, "neighbor_id", "rv", model,
+        keep = Seq("list_id"))
+      // per-(query, probed cell) residual: nprobe rows per query
+      val qres = probeCells(queries, id, vec, centroids, nprobe)
+        .join(broadcast(centroids), Seq("list_id"))
+        .select(col("query_id"), col("list_id"),
+          zip_with(col("qv"), col("cvec"), (a, b) => a - b).as("qr"))
+      val adc = model.subs.zipWithIndex.map { case ((start, len, cents), j) =>
+        val book = typedLit(cents.sortBy(_._1).map(_._2))
+        graft.functions.Vectors.l2sq(
+          slice(col("qr"), start, len),
+          element_at(book, col(s"code_${j + 1}").cast("int")))
+      }.reduce(_ + _)
+      // broadcast the query side (|queries|·nprobe rows): the code table
+      // is the corpus-sized side and must never shuffle for this join
+      val scored = codes.join(broadcast(qres), Seq("list_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adc", adc)
+      graft.operators.Pinning.pin(
+        explodeRanked(scored.groupBy(col("query_id"))
+            .agg(bottomK(
+              struct(col("adc"), col("neighbor_id")), k).as("__tk")))
+          .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+            col("__t.adc").as("adc"), col("rank")))
+    } finally graft.operators.Pinning.unpin(res)
+  }
 
   /** ADC top-k: scan the CODES (not the vectors), summing per-subspace
     * exact query-to-centroid distances. The query batch broadcasts; the

@@ -273,7 +273,10 @@ object SimilarityQueries extends QueryModule {
         ("lsh_directed_m2", lsh(1, 2)),
         ("lsh_hamming1", lsh(1, 0)),
         ("pq_adc", Similarity.pqAdcTopK(emb, q, "vec_id", "embedding",
-          model, k = 5)))
+          model, k = 5)),
+        ("ivfpq_nprobe6", Similarity.ivfPqTopK(emb, q, "vec_id",
+          "embedding", k = 5, nlist = 16, nprobe = 6, m = 2, dim = 64,
+          kCodes = 8, iters = 2)))
       val tagged = variants.map { case (n, df) =>
         df.select(lit(n).as("variant"), col("query_id"), col("neighbor_id"))
       }.reduce(_ unionByName _)
@@ -384,6 +387,42 @@ object SimilarityQueries extends QueryModule {
                      FROM probes p JOIN corpus_assigned a USING (list_id)
                      WHERE p.query_id <> a.neighbor_id) t
                    WHERE rank <= 5),
+            eres AS MATERIALIZED (
+              SELECT a.neighbor_id AS vec_id, a.list_id,
+                     list_transform(range(1, 65), i -> a.cv[i] - c.cvec[i]) AS v
+              FROM corpus_assigned a JOIN cent c USING (list_id)),
+            ${pqLloydCte("r1", 1, 32, base = "eres")},
+            ${pqLloydCte("r2", 33, 64, base = "eres")},
+            qres AS MATERIALIZED (
+              SELECT p.query_id, p.list_id,
+                     list_transform(range(1, 65), i -> p.qv[i] - c.cvec[i]) AS qr
+              FROM probes p JOIN cent c USING (list_id)),
+            lutq_r1 AS (
+              SELECT q.query_id, q.list_id, cb.list_id AS code,
+                     list_sum(list_transform(range(1, 33), i ->
+                       (q.qr[i] - cb.cvec[i]) * (q.qr[i] - cb.cvec[i]))) AS d2
+              FROM qres q, c2_r1 cb),
+            lutq_r2 AS (
+              SELECT q.query_id, q.list_id, cb.list_id AS code,
+                     list_sum(list_transform(range(1, 33), i ->
+                       (q.qr[32 + i] - cb.cvec[i])
+                         * (q.qr[32 + i] - cb.cvec[i]))) AS d2
+              FROM qres q, c2_r2 cb),
+            rq AS (SELECT query_id, neighbor_id FROM (
+                     SELECT l1.query_id, cd.vec_id AS neighbor_id,
+                            row_number() OVER (PARTITION BY l1.query_id
+                              ORDER BY l1.d2 + l2.d2, cd.vec_id) AS rank
+                     FROM (SELECT r.vec_id, r.list_id,
+                                  c1.list_id AS code1, c2.list_id AS code2
+                           FROM eres r JOIN code_r1 c1 USING (vec_id)
+                                       JOIN code_r2 c2 USING (vec_id)) cd
+                     JOIN lutq_r1 l1 ON l1.list_id = cd.list_id
+                                    AND l1.code = cd.code1
+                     JOIN lutq_r2 l2 ON l2.query_id = l1.query_id
+                                    AND l2.list_id = cd.list_id
+                                    AND l2.code = cd.code2
+                     WHERE cd.vec_id <> l1.query_id) t
+                   WHERE rank <= 5),
             ${pqLloydCte("s1", 1, 32)},
             ${pqLloydCte("s2", 33, 64)},
             rp AS (SELECT query_id, neighbor_id FROM (
@@ -407,7 +446,9 @@ object SimilarityQueries extends QueryModule {
               UNION ALL
               SELECT 'lsh_hamming1', query_id, neighbor_id FROM rb
               UNION ALL
-              SELECT 'pq_adc', query_id, neighbor_id FROM rp)
+              SELECT 'pq_adc', query_id, neighbor_id FROM rp
+              UNION ALL
+              SELECT 'ivfpq_nprobe6', query_id, neighbor_id FROM rq)
             SELECT a.variant, CAST(count(*) AS BIGINT) AS retrieved,
                    CAST(count(t.query_id) AS BIGINT) AS hits,
                    round(CAST(count(t.query_id) AS DOUBLE)
@@ -1034,12 +1075,13 @@ object SimilarityQueries extends QueryModule {
   // Parameterized Lloyd replay over a vector SLICE [lo..hi] (k=8, 2
   // rounds), CTE names suffixed — the per-subspace codebook trainer of the
   // PQ oracle below. Same structure as kmeansCteSql.
-  private def pqLloydCte(sfx: String, lo: Int, hi: Int): String = {
+  private def pqLloydCte(sfx: String, lo: Int, hi: Int,
+      base: String = "e"): String = {
     val d = hi - lo + 1
     val rng = s"range(1, ${d + 1})"
     def d2(v: String, c: String) =
       s"list_sum(list_transform($rng, i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
-    s"""e_$sfx AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+    s"""e_$sfx AS (SELECT vec_id, v[$lo:$hi] AS v FROM $base),
         c0_$sfx AS (SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
                            v AS cvec
                     FROM (SELECT vec_id, v FROM e_$sfx ORDER BY vec_id
@@ -1112,6 +1154,93 @@ object SimilarityQueries extends QueryModule {
                JOIN lut_s1 l1 ON l1.list_id = cd.code1
                JOIN lut_s2 l2 ON l2.list_id = cd.code2
                              AND l2.query_id = l1.query_id
+               WHERE cd.vec_id <> l1.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, adc,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, neighbor_id, round(adc, 4) AS adc,
+                    CAST(rank AS BIGINT) AS rank
+             FROM ranked WHERE rank <= 5
+             ORDER BY query_id, rank"""))
+
+  // IVF-PQ (Jégou et al. 2011 §V, the FAISS IVFPQ composition): coarse
+  // cosine cells prune the scan to nprobe cells per query; within the
+  // probed cells, candidates are scanned as PQ codes of their RESIDUAL
+  // (vector minus cell centroid), ADC'd against a per-(query, cell)
+  // residual LUT. The oracle replays the WHOLE chain: coarse assignment,
+  // residual projection, two sliced Lloyd recursions ON RESIDUALS,
+  // argmin encoding, per-probed-cell query residuals, LUT join, ADC rank.
+  private val simIvfPq = Q(
+    "sim_ivfpq",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
+          nlist = 8, nprobe = 3, m = 2, dim = 64, kCodes = 8, iters = 2)
+        .withColumn("adc", round(col("adc"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                             v AS cvec
+                      FROM (SELECT vec_id, v FROM e ORDER BY vec_id
+                            LIMIT 8) t),
+             nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n
+                     FROM e),
+             assign_all AS (
+               SELECT nm.vec_id, nm.v, nm.n, c.list_id,
+                      list_dot_product(nm.v, c.cvec)
+                        / (nm.n * sqrt(list_dot_product(c.cvec, c.cvec))) AS cd
+               FROM nrm nm, cent c),
+             corpus_assigned AS (
+               SELECT vec_id, v, list_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cd DESC, list_id) AS r
+                 FROM assign_all) t WHERE r = 1),
+             eres AS (
+               SELECT a.vec_id, a.list_id,
+                      list_transform(range(1, 65), i -> a.v[i] - c.cvec[i]) AS v
+               FROM corpus_assigned a JOIN cent c USING (list_id)),
+             ${pqLloydCte("s1", 1, 32, base = "eres")},
+             ${pqLloydCte("s2", 33, 64, base = "eres")},
+             probes AS (
+               SELECT vec_id AS query_id, list_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cd DESC, list_id) AS r
+                 FROM assign_all WHERE vec_id < 8) t WHERE r <= 3),
+             qres AS (
+               SELECT p.query_id, p.list_id,
+                      list_transform(range(1, 65), i -> nm.v[i] - c.cvec[i]) AS qr
+               FROM probes p JOIN cent c USING (list_id)
+                             JOIN nrm nm ON nm.vec_id = p.query_id),
+             lutq_s1 AS (
+               SELECT q.query_id, q.list_id, cb.list_id AS code,
+                      list_sum(list_transform(range(1, 33), i ->
+                        (q.qr[i] - cb.cvec[i]) * (q.qr[i] - cb.cvec[i]))) AS d2
+               FROM qres q, c2_s1 cb),
+             lutq_s2 AS (
+               SELECT q.query_id, q.list_id, cb.list_id AS code,
+                      list_sum(list_transform(range(1, 33), i ->
+                        (q.qr[32 + i] - cb.cvec[i])
+                          * (q.qr[32 + i] - cb.cvec[i]))) AS d2
+               FROM qres q, c2_s2 cb),
+             cd AS (
+               SELECT r.vec_id, r.list_id,
+                      c1.list_id AS code1, c2.list_id AS code2
+               FROM eres r JOIN code_s1 c1 USING (vec_id)
+                           JOIN code_s2 c2 USING (vec_id)),
+             scored AS (
+               SELECT l1.query_id, cd.vec_id AS neighbor_id,
+                      l1.d2 + l2.d2 AS adc
+               FROM cd
+               JOIN lutq_s1 l1 ON l1.list_id = cd.list_id
+                              AND l1.code = cd.code1
+               JOIN lutq_s2 l2 ON l2.query_id = l1.query_id
+                              AND l2.list_id = cd.list_id
+                              AND l2.code = cd.code2
                WHERE cd.vec_id <> l1.query_id),
              ranked AS (
                SELECT query_id, neighbor_id, adc,
@@ -1293,5 +1422,5 @@ object SimilarityQueries extends QueryModule {
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
-    simPqM4, simIvfAppend)
+    simPqM4, simIvfAppend, simIvfPq)
 }

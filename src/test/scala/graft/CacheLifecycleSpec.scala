@@ -140,6 +140,25 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(pr0.count() > 0)
   }
 
+  test("ivfPqTopK eager call leaves only its pinned result") {
+    val base = pinnedCount
+    val vecs = vecsFixture
+    val got = Similarity.ivfPqTopK(vecs, vecs.filter(col("vec_id") < 4),
+      "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2,
+      m = 2, dim = 6, kCodes = 4, iters = 1)
+    assert(got.count() > 0)
+    // the residual materialization must already be freed; only the
+    // returned result's pin may remain. Upper bounds only: the
+    // ContextCleaner reclaims PRIOR tests' dead pins asynchronously, so
+    // the baseline can shrink underneath an equality check.
+    assert(pinnedCount <= base + 1,
+      s"expected at most one surviving pin, base=$base now=$pinnedCount")
+    Pinning.unpin(got)
+    assert(pinnedCount <= base,
+      s"unpinning the returned frame must leave no net growth, " +
+        s"base=$base now=$pinnedCount")
+  }
+
   test("prefixFilterPairs eager call leaves only its checkpointed result") {
     val base = pinnedCount
     val pairs = Dedup.prefixFilterPairs(docsFixture, "doc_id",

@@ -229,6 +229,29 @@ class SimilaritySpec extends SparkSpec {
       "appended vectors never surfaced in any top-k")
   }
 
+  test("ivfPqTopK: widening the probe never worsens the best match; " +
+      "k rows per query; no self matches") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+    def run(nprobe: Int) = Similarity.ivfPqTopK(emb, q, "vec_id",
+      "embedding", k = 5, nlist = 8, nprobe = nprobe, m = 2, dim = 64,
+      kCodes = 8, iters = 2)
+    val narrow = run(2)
+    val full = run(8)
+    assert(narrow.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(narrow.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() == 0,
+      "every query must return exactly k rows")
+    // a candidate's ADC is a function of ITS cell alone, so widening the
+    // probe only ADDS candidates — the per-query minimum cannot rise
+    val best = narrow.filter(col("rank") === 1)
+      .select(col("query_id"), col("adc").as("adc_narrow"))
+      .join(full.filter(col("rank") === 1)
+        .select(col("query_id"), col("adc").as("adc_full")), "query_id")
+    assert(best.filter(col("adc_full") > col("adc_narrow") + lit(1e-9))
+      .count() == 0, "full probe found a worse best match than narrow")
+  }
+
   test("PQ: quadrupling subspaces cuts quantization distortion (k^m cells)") {
     // the PROVABLE lever is distortion, not recall (recall on a tiny
     // fixture can wiggle either way): m=4's 8^4 product cells must fit
