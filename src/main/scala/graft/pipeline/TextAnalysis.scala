@@ -290,6 +290,48 @@ object TextAnalysis {
         expr("(surprisal_sum * 10000) div n_tokens").as("mean_surprisal_bp"))
   }
 
+  /** Add-one bigram LM surprisal — the CCNet-posture LM quality filter
+    * (perplexity under a corpus-trained n-gram model flags incoherent
+    * text that unigram stats cannot: right words, wrong order) made
+    * oracle-exact with the same integer floor-log2 scheme as
+    * [[unigramSurprisal]]: P(w|p) = (c(p,w)+1)/(ctx(p)+V) with
+    * surprisal bits(ctx(p)+V) − bits(c(p,w)+1), where ctx(p) is p's
+    * total bigram-left occurrences and V the distinct next-word
+    * vocabulary. No float log crosses the oracle boundary.
+    *
+    * Scale shape: bigrams form in ONE narrow per-row projection (the
+    * word array zipped with its own tail — no positional self-join),
+    * then one (doc, p, w) aggregation pinned per call; the model's
+    * count dimensions (c(p,w), ctx(p)) stack on that aggregate, so the
+    * token explode is scanned once, and V broadcasts back as a scalar.
+    * Per-doc totals are a second aggregation of the SAME pinned frame —
+    * the corpus never re-tokenizes.
+    */
+  def bigramSurprisal(docs: DataFrame, id: String, text: String): DataFrame = {
+    val bits = (c: Column) => length(bin(c)).cast("long")
+    val words = split(lower(trim(col(text))), "\\s+")
+    val nb = greatest(size(words) - 1, lit(0))
+    val db = graft.operators.Pinning.pin(
+      docs.select(col(id).as("__did"),
+          explode(zip_with(slice(words, lit(1), nb), slice(words, lit(2), nb),
+            (a, b) => struct(a.as("p"), b.as("w")))).as("__b"))
+        .select(col("__did"), col("__b.p").as("p"), col("__b.w").as("w"))
+        .groupBy(col("__did"), col("p"), col("w"))
+        .agg(count(lit(1)).as("__n")))
+    val bgDim = db.groupBy(col("p"), col("w")).agg(sum(col("__n")).as("__c"))
+    val ctxDim = bgDim.groupBy(col("p")).agg(sum(col("__c")).as("__ctx"))
+    val vocab = bgDim.agg(countDistinct(col("w")).as("__v"))
+    db.join(bgDim, Seq("p", "w"))
+      .join(ctxDim, Seq("p"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("__did"))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        sum(col("__n") * (bits(col("__ctx") + col("__v"))
+          - bits(col("__c") + 1))).as("surprisal_sum"))
+      .select(col("__did").as(id), col("n_bigrams"), col("surprisal_sum"),
+        expr("(surprisal_sum * 10000) div n_bigrams").as("mean_surprisal_bp"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a small literal query-term
     * set — the lexical-search half of a hybrid (BM25 + ANN) retrieval
     * stack, and the standard relevance filter for targeted corpus audits.

@@ -382,6 +382,41 @@ object TextQueries extends QueryModule {
             FROM w JOIN v USING (word), n
             GROUP BY w.doc_id ORDER BY w.doc_id"""))
 
+  // Bigram LM surprisal (the CCNet-style coherence filter): add-one
+  // conditional model trained on the corpus itself, scored in exact
+  // integer floor-log2 bits — bits(ctx+V) - bits(c+1) per bigram. The
+  // oracle rebuilds the bigram stream with an unnest-of-list_transform
+  // (no positional self-join there either), the two count dimensions,
+  // the next-word vocabulary, and the same integer arithmetic.
+  private val textBigramSurprisal = Q(
+    "text_bigram_surprisal",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ws AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents),
+            b AS (
+              SELECT doc_id, z['p'] AS p, z['w'] AS w
+              FROM ws, unnest(list_transform(range(1, len(ws)),
+                i -> {'p': ws[i], 'w': ws[i + 1]})) t(z)),
+            bg AS (SELECT p, w, count(1) AS c FROM b GROUP BY p, w),
+            ctx AS (SELECT p, sum(c) AS ctx FROM bg GROUP BY p),
+            v AS (SELECT count(DISTINCT w) AS v FROM bg)
+            SELECT b.doc_id,
+                   count(1) AS n_bigrams,
+                   CAST(sum(length(bin(ctx.ctx + v.v))
+                        - length(bin(bg.c + 1))) AS BIGINT)
+                     AS surprisal_sum,
+                   CAST(sum(length(bin(ctx.ctx + v.v))
+                        - length(bin(bg.c + 1))) * 10000
+                        // count(1) AS BIGINT) AS mean_surprisal_bp
+            FROM b JOIN bg USING (p, w) JOIN ctx USING (p), v
+            GROUP BY b.doc_id ORDER BY b.doc_id"""))
+
   // Vocabulary growth: distinct n-gram types vs total n-gram tokens for
   // n = 1..3 (type/token ratio in integer bp) — the Heaps-law corpus
   // observability view behind tokenizer/vocab sizing decisions. Each n is
@@ -1182,7 +1217,8 @@ object TextQueries extends QueryModule {
 
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
-    textHashFeatures, textSurprisal, textVocabGrowth, textBm25,
+    textHashFeatures, textSurprisal, textBigramSurprisal, textVocabGrowth,
+    textBm25,
     textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters,
     textMgExactHeavy, textLrs, textNormalize, textProbeTrain, textProbeAuc,
     textProbeCalibration, textProbeTrainLexical, searchHybridRrf,

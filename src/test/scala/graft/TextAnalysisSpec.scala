@@ -256,6 +256,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == ((2L, 2L, 3L, 15000L)))
   }
 
+  test("bigramSurprisal: integer-log2 golden; rare transitions score higher") {
+    // bigram counts: (a,b)=3, (b,a)=3, (a,c)=1; ctx(a)=4, ctx(b)=3; V=3
+    // S(a,b)=bits(7)-bits(4)=0, S(b,a)=bits(6)-bits(4)=0,
+    // S(a,c)=bits(7)-bits(2)=1
+    // doc1 "a b a b a b": 5 bigrams, sum 0 → 0 bp
+    // doc2 "b a c": 2 bigrams, sum 1 → 5000 bp (the rare transition)
+    val docs = Seq((1L, "a b a b a b"), (2L, "b a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 5L, 0L, 0L)))
+    assert(out(1) == ((2L, 2L, 1L, 5000L)))
+    // single-word and empty docs produce no bigrams and drop out
+    val edge = Seq((3L, "solo"), (4L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramSurprisal(edge, "doc_id", "text").count() == 0)
+  }
+
   test("hostCap: at most cap per host, deterministic, stable under growth") {
     import graft.pipeline.Curation
     val docs = (1L to 99L)
