@@ -232,4 +232,137 @@ object Tokenizer {
     aggregate(alphaWords(text), lit(0L), (acc, w) =>
       acc + B.column(MaxMatchCount(B.expression(w), pieces, maxLen)).cast("long"))
   }
+
+  // ---------------------------------------------------------------------
+  // Unigram-LM Viterbi segmentation (Kudo 2018 inference): each word is
+  // segmented into the MINIMUM-surprisal piece sequence over a lattice of
+  // vocabulary pieces — the optimal-decode counterpart to maxmatch's
+  // greedy walk, and the third induced-tokenizer family beside BPE.
+  // Piece surprisal stays in integer floor-log2 bits (the house scheme),
+  // so the lattice DP is exact integer shortest-path and the oracle
+  // replays it as an unrolled per-position min recursion.
+  // ---------------------------------------------------------------------
+
+  /** Weighted corpus count of every single character of the word stream —
+    * the implicit alphabet's unigram weights (the fallback pieces that
+    * keep every word segmentable). One aggregation over the word vocab.
+    */
+  def charCounts(docs: DataFrame, text: String): Seq[(String, Long)] = {
+    import org.apache.spark.sql.Row
+    wordFreq(docs, text)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("p"))
+      .collect().map { case Row(p: String, n: Long) => (p, n) }.toSeq
+  }
+
+  /** Integer piece costs from weighted counts: cost(p) = bits(T) −
+    * bits(n(p)) with bits = binary digit count — the same floor-log2
+    * surprisal every other integer-exact scorer here uses. `vocab` is the
+    * multi-char piece table (e.g. [[maxMatchVocab]]) and `chars` the
+    * alphabet weights; T sums over both.
+    */
+  def unigramCosts(vocab: Seq[(String, Long)],
+      chars: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val all = vocab ++ chars
+    val total = all.iterator.map(_._2).sum
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    all.map { case (p, n) => (p, bits(total) - bits(n)) }
+  }
+
+  /** The per-word lattice DP. State p = next char to consume (0-based
+    * here, 1-based in the oracle); an edge consumes a piece of length
+    * 1..maxLen present in the cost table (single chars absent from the
+    * table fall back to `fallback` — unreachable for corpus-derived
+    * tables, which cover the alphabet by construction). The minimized
+    * objective is the composite `cost · 2^20 + pieceCount`, additive per
+    * edge, so min-composite = lexicographic (min cost, then fewest
+    * pieces) as long as a word has < 2^20 pieces — and the SAME composite
+    * is what the SQL replay minimizes, tie handling included.
+    */
+  def viterbiWordComposite(w: String,
+      costs: java.util.HashMap[String, java.lang.Long], maxLen: Int,
+      fallback: Long): Long = {
+    val n = w.length
+    val INF = Long.MaxValue / 4
+    val best = Array.fill(n + 1)(INF)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lmax = math.min(maxLen, i)
+      while (l <= lmax) {
+        val j = i - l
+        if (best(j) < INF) {
+          val c = costs.get(w.substring(j, i))
+          val cost: Long =
+            if (c != null) c.longValue()
+            else if (l == 1) fallback
+            else -1L
+          if (cost >= 0L) {
+            val cand = best(j) + cost * 1048576L + 1L
+            if (cand < best(i)) best(i) = cand
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    best(n)
+  }
+
+  def viterbiWordCompositeUtf(w: org.apache.spark.unsafe.types.UTF8String,
+      costs: java.util.HashMap[String, java.lang.Long], maxLen: Int,
+      fallback: Long): Long =
+    viterbiWordComposite(w.toString, costs, maxLen, fallback)
+
+  /** Codegen'd per-word Viterbi composite under a frozen cost table (one
+    * HashMap per executor via a plan reference object — the
+    * [[MaxMatchCount]] posture).
+    */
+  case class ViterbiComposite(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      costs: Seq[(String, Long)], maxLen: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+    @transient private lazy val map: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      costs.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+      m
+    }
+    private def fallback: Long = costs.iterator.map(_._2).max + 1L
+
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+    override def nullSafeEval(input: Any): Any =
+      viterbiWordCompositeUtf(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        map, maxLen, fallback)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("vitCosts", map, "java.util.HashMap")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.pipeline.Tokenizer.viterbiWordCompositeUtf($c, $ref, $maxLen, ${fallback}L)")
+    }
+  }
+
+  /** Per-document Viterbi totals over the [a-z]+ word stream:
+    * struct(cost = Σ min surprisal bits, pieces = Σ optimal piece count).
+    * One narrow codegen'd projection — no shuffle, stream-safe.
+    */
+  def viterbiTokenStats(text: Column, costs: Seq[(String, Long)],
+      maxLen: Int): Column = {
+    val B = org.apache.spark.sql.graft.ColumnBridge
+    aggregate(alphaWords(text),
+      struct(lit(0L).as("cost"), lit(0L).as("pieces")),
+      (acc, w) => {
+        val comp = B.column(ViterbiComposite(B.expression(w), costs, maxLen))
+        struct(
+          (acc.getField("cost") + shiftright(comp, 20)).as("cost"),
+          (acc.getField("pieces") + comp.bitwiseAND(lit(1048575L))).as("pieces"))
+      })
+  }
 }

@@ -234,6 +234,110 @@ object TokenizerQueries extends QueryModule {
         GROUP BY d.doc_id, d.text
         ORDER BY d.doc_id"""))
 
+  // ---------------------------------------------------------------------
+  // Unigram-LM Viterbi segmentation (Kudo 2018 inference): optimal
+  // minimum-surprisal decode over the SAME induced piece vocabulary the
+  // maxmatch walk uses, plus the alphabet's corpus weights — the third
+  // tokenizer family beside BPE and greedy maxmatch. Costs are integer
+  // floor-log2 bits, the lattice DP minimizes the additive composite
+  // cost·2^20 + pieces (= lexicographic min-cost-then-fewest-pieces), and
+  // the oracle replays the DP as an unrolled per-position min recursion
+  // over an edge table — no recursive path enumeration, no float.
+  // ---------------------------------------------------------------------
+
+  private val VitUnroll = 16 // covers the corpus' max word length (8) 2x over
+
+  private val charCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  private def trainedChars(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, Long)] =
+    charCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir,
+      _ => Tokenizer.charCounts(Tables.load(s, dir, "documents"), "text"))
+
+  /** The DP replay: char weights (c1), the combined cost table (vcost),
+    * the lattice edge table (vedge), then states vb2..vb{n+1} where
+    * vb_p = min composite over every edge landing on position p, and the
+    * per-word result (vres) read from the state matching the word's
+    * length. Every state is MATERIALIZED — later states reference earlier
+    * ones up to PieceLen times.
+    */
+  private def viterbiCtes: String = {
+    val sb = new StringBuilder
+    sb.append(s"""c1 AS (
+        SELECT p, CAST(sum(cnt) AS BIGINT) AS n
+        FROM (SELECT cnt, unnest(list_transform(range(1, length(w) + 1),
+                i -> w[i:i])) AS p
+              FROM w0)
+        GROUP BY p),
+      vc AS (SELECT p, n FROM v1 UNION ALL SELECT p, n FROM c1),
+      tb AS (SELECT length(bin(sum(n))) AS tbits FROM vc),
+      vcost AS (SELECT p, CAST(tb.tbits - length(bin(n)) AS BIGINT) AS c
+                FROM vc, tb),
+      vpos AS (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM w0),
+      vedge AS MATERIALIZED (
+        SELECT vpos.w, vpos.i AS j, vpos.i + length(vcost.p) AS p2, vcost.c
+        FROM vpos JOIN vcost
+          ON substr(vpos.w, CAST(vpos.i AS INTEGER), length(vcost.p)) = vcost.p),
+      vb1 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS comp FROM w0)""")
+    for (p <- 2 to VitUnroll + 1) {
+      val branches = (1 to math.min(PieceLen, p - 1)).map { l =>
+        val j = p - l
+        s"""SELECT e.w, b.comp + e.c * 1048576 + 1 AS comp
+            FROM vedge e JOIN vb$j b ON e.w = b.w
+            WHERE e.j = $j AND e.p2 = $p"""
+      }.mkString("\n          UNION ALL ")
+      sb.append(s""",
+      vb$p AS MATERIALIZED (SELECT w, min(comp) AS comp FROM (
+          $branches) t GROUP BY w)""")
+    }
+    val res = (2 to VitUnroll + 1).map { p =>
+      s"SELECT b.w, b.comp FROM vb$p b JOIN w0 ON w0.w = b.w AND length(w0.w) = ${p - 1}"
+    }.mkString("\n          UNION ALL ")
+    sb.append(s""",
+      vres AS (
+          $res)""")
+    sb.toString
+  }
+
+  // Per-document optimal piece count and total surprisal under the
+  // frozen cost table. The cost table rides the plan as one reference
+  // object; the per-word lattice DP is a codegen'd kernel — no shuffle,
+  // stream-safe (the maxmatch posture, optimal instead of greedy).
+  private val textTokensViterbi = Q(
+    "text_tokens_viterbi",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val costs = Tokenizer.unigramCosts(trainedVocab(s, dir),
+        trainedChars(s, dir))
+      val st = Tokenizer.viterbiTokenStats(col("text"), costs, PieceLen)
+      docs.select(col("doc_id"),
+          size(Tokenizer.alphaWords(col("text"))).cast("long").as("n_words"),
+          st.getField("pieces").as("n_vit"),
+          st.getField("cost").as("vit_cost_bits"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $vocabCtes,
+        $viterbiCtes,
+        wd AS (SELECT doc_id,
+                 unnest(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'),
+                   w -> regexp_matches(w, '^[a-z]+$$'))) AS w
+               FROM documents)
+        SELECT d.doc_id,
+               CAST(len(list_filter(
+                 string_split_regex(lower(trim(d.text)), '\\s+'),
+                 w -> regexp_matches(w, '^[a-z]+$$'))) AS BIGINT) AS n_words,
+               CAST(coalesce(sum(r.comp % 1048576), 0) AS BIGINT) AS n_vit,
+               CAST(coalesce(sum(r.comp // 1048576), 0) AS BIGINT)
+                 AS vit_cost_bits
+        FROM documents d
+        LEFT JOIN wd ON d.doc_id = wd.doc_id
+        LEFT JOIN vres r ON wd.w = r.w
+        GROUP BY d.doc_id, d.text
+        ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(textBpeTrain, textBpeEncode, textMaxMatchVocab,
-    textTokensMaxMatch)
+    textTokensMaxMatch, textTokensViterbi)
 }

@@ -148,4 +148,75 @@ class TokenizerSpec extends SparkSpec {
     val batch = enc(docs.toDF("doc_id", "text"))
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  private def vitStats(text: String, costs: Seq[(String, Long)],
+      maxLen: Int = 6): (Long, Long) =
+    Seq((1L, text)).toDF("doc_id", "text")
+      .select(Tokenizer.viterbiTokenStats(col("text"), costs, maxLen).as("s"))
+      .select(col("s.cost"), col("s.pieces"))
+      .as[(Long, Long)].head()
+
+  test("viterbi: optimal decode beats greedy left-to-right on the lattice") {
+    // costs: ab=1, a=3, b=3 → "aab" = a|ab (cost 4, 2 pieces), not
+    // a|a|b (9, 3); greedy longest-first from the left would take ab
+    // first and strand nothing here, but cost-greedy a|a|b is beaten
+    val costs = Seq(("ab", 1L), ("a", 3L), ("b", 3L))
+    assert(vitStats("aab", costs) == ((4L, 2L)))
+  }
+
+  test("viterbi: equal-cost tie resolves to fewest pieces (composite min)") {
+    // "aa": aa (cost 2, 1 piece) vs a|a (cost 2, 2 pieces) → aa
+    val costs = Seq(("aa", 2L), ("a", 1L))
+    assert(vitStats("aa", costs) == ((2L, 1L)))
+  }
+
+  test("viterbi: uncovered single chars fall back at maxCost+1") {
+    // only b is priced (cost 1); 'a' falls back at 1+1=2
+    val costs = Seq(("b", 1L))
+    assert(vitStats("ab", costs) == ((3L, 2L)))
+  }
+
+  test("viterbi is never worse than maxmatch under uniform costs") {
+    // with all pieces equally priced the composite minimizes PIECES, and
+    // the optimum is <= any greedy walk, word by word
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(6)(Seq.fill(2 + rnd.nextInt(6))(
+        ('a' + rnd.nextInt(3)).toChar).mkString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val pieces = Seq("ab", "ba", "abc", "cab", "aa", "bb", "cc", "abab")
+    val uniform = pieces.map((_, 1L)) ++
+      Seq("a", "b", "c").map((_, 1L))
+    val out = docs.select(
+        Tokenizer.viterbiTokenStats(col("text"), uniform, 6)
+          .getField("pieces").as("nv"),
+        Tokenizer.maxMatchTokenCount(col("text"), pieces, 6).as("nm"))
+      .as[(Long, Long)].collect()
+    assert(out.forall { case (nv, nm) => nv <= nm },
+      s"viterbi exceeded maxmatch: ${out.find { case (nv, nm) => nv > nm }}")
+    assert(out.exists { case (nv, nm) => nv < nm },
+      "fixture never exercised a strict improvement")
+  }
+
+  test("viterbi tokenize-on-ingest runs unchanged on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq((1L, "low lower newest"), (2L, "widest new est"))
+    val costs = Seq(("low", 2L), ("est", 2L), ("new", 2L), ("wid", 2L)) ++
+      ('a' to 'z').map(c => (c.toString, 5L))
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        Tokenizer.viterbiTokenStats(col("text"), costs, 6).as("s"))
+        .select(col("doc_id"), col("s.cost").as("c"), col("s.pieces").as("n"))
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val q = enc(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_vit_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_vit_sink")
+    val batch = enc(docs.toDF("doc_id", "text"))
+    assert(streamed.count() == 2 &&
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
