@@ -925,51 +925,73 @@ object Similarity {
     * table, and the rank is the bounded two-phase [[bottomK]].
     *
     * Eager contract (the prefixFilterPairs posture): the top-k result
-    * (|queries|·k rows) is pinned and the residual materialization freed
+    * (|queries|·k rows) is pinned and any training materialization freed
     * before return — no session-lifetime blocks escape.
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
-      id: String, vec: String, k: Int,
-      nlist: Int = 8, nprobe: Int = 3,
-      m: Int = 2, dim: Int = 64, kCodes: Int = 8, iters: Int = 2): DataFrame = {
-    val centroids = firstNCentroids(corpus, id, vec, nlist)
-    val assigned = corpus
+  /** Per-vector cell residuals: (neighbor_id, list_id, rv = v − c(cell)).
+    * One narrow fold + broadcast attach — no shuffle of the corpus.
+    */
+  private def ivfResiduals(corpus: DataFrame, id: String, vec: String,
+      centroids: DataFrame): DataFrame =
+    corpus
       .select(col(id).as("neighbor_id"), toDouble(col(vec)).as("cv"))
       .crossJoin(centroidArray(centroids))
       .withColumn("__best", foldBestCell(col("cv")))
       .select(col("neighbor_id"), col("cv"),
         col("__best.list_id").as("list_id"))
+      .join(broadcast(centroids), Seq("list_id"))
+      .select(col("neighbor_id"), col("list_id"),
+        zip_with(col("cv"), col("cvec"), (a, b) => a - b).as("rv"))
+
+  /** Train the residual codebooks alone — the index-build half of
+    * [[ivfPqTopK]], split out so a long-lived session (or the query
+    * layer's keyed memo) trains ONCE and scores many times against the
+    * frozen model. The residual projection is pinned for the duration of
+    * the Lloyd sweeps (each [[pqTrain]] iteration rescans its input — at
+    * corpus scale that MUST be a materialization, not a recompute through
+    * the assignment fold) and freed before return.
+    */
+  def ivfPqModel(corpus: DataFrame, id: String, vec: String,
+      nlist: Int, m: Int, dim: Int, kCodes: Int, iters: Int): PqModel = {
     val res = graft.operators.Pinning.pin(
-      assigned.join(broadcast(centroids), Seq("list_id"))
-        .select(col("neighbor_id"), col("list_id"),
-          zip_with(col("cv"), col("cvec"), (a, b) => a - b).as("rv")))
-    try {
-      val model = pqTrain(res, "neighbor_id", "rv", m, dim, kCodes, iters)
-      val codes = pqEncode(res, "neighbor_id", "rv", model,
-        keep = Seq("list_id"))
-      // per-(query, probed cell) residual: nprobe rows per query
-      val qres = probeCells(queries, id, vec, centroids, nprobe)
-        .join(broadcast(centroids), Seq("list_id"))
-        .select(col("query_id"), col("list_id"),
-          zip_with(col("qv"), col("cvec"), (a, b) => a - b).as("qr"))
-      val adc = model.subs.zipWithIndex.map { case ((start, len, cents), j) =>
-        val book = typedLit(cents.sortBy(_._1).map(_._2))
-        graft.functions.Vectors.l2sq(
-          slice(col("qr"), start, len),
-          element_at(book, col(s"code_${j + 1}").cast("int")))
-      }.reduce(_ + _)
-      // broadcast the query side (|queries|·nprobe rows): the code table
-      // is the corpus-sized side and must never shuffle for this join
-      val scored = codes.join(broadcast(qres), Seq("list_id"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("adc", adc)
-      graft.operators.Pinning.pin(
-        explodeRanked(scored.groupBy(col("query_id"))
-            .agg(bottomK(
-              struct(col("adc"), col("neighbor_id")), k).as("__tk")))
-          .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
-            col("__t.adc").as("adc"), col("rank")))
-    } finally graft.operators.Pinning.unpin(res)
+      ivfResiduals(corpus, id, vec, firstNCentroids(corpus, id, vec, nlist)))
+    try pqTrain(res, "neighbor_id", "rv", m, dim, kCodes, iters)
+    finally graft.operators.Pinning.unpin(res)
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      nlist: Int = 8, nprobe: Int = 3,
+      m: Int = 2, dim: Int = 64, kCodes: Int = 8, iters: Int = 2,
+      trainedPq: Option[PqModel] = None): DataFrame = {
+    val centroids = firstNCentroids(corpus, id, vec, nlist)
+    val model = trainedPq.getOrElse(
+      ivfPqModel(corpus, id, vec, nlist, m, dim, kCodes, iters))
+    // encode scans the lazy residual chain exactly once — no pin needed
+    val codes = pqEncode(ivfResiduals(corpus, id, vec, centroids),
+      "neighbor_id", "rv", model, keep = Seq("list_id"))
+    // per-(query, probed cell) residual: nprobe rows per query
+    val qres = probeCells(queries, id, vec, centroids, nprobe)
+      .join(broadcast(centroids), Seq("list_id"))
+      .select(col("query_id"), col("list_id"),
+        zip_with(col("qv"), col("cvec"), (a, b) => a - b).as("qr"))
+    val adc = model.subs.zipWithIndex.map { case ((start, len, cents), j) =>
+      val book = typedLit(cents.sortBy(_._1).map(_._2))
+      graft.functions.Vectors.l2sq(
+        slice(col("qr"), start, len),
+        element_at(book, col(s"code_${j + 1}").cast("int")))
+    }.reduce(_ + _)
+    // broadcast the query side (|queries|·nprobe rows): the code table
+    // is the corpus-sized side and must never shuffle for this join
+    val scored = codes.join(broadcast(qres), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+    graft.operators.Pinning.pin(
+      explodeRanked(scored.groupBy(col("query_id"))
+          .agg(bottomK(
+            struct(col("adc"), col("neighbor_id")), k).as("__tk")))
+        .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+          col("__t.adc").as("adc"), col("rank")))
   }
 
   /** ADC top-k: scan the CODES (not the vectors), summing per-subspace

@@ -264,8 +264,7 @@ object SimilarityQueries extends QueryModule {
       def lsh(ph: Int, ps: Int) =
         Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5,
           bits = 4, tables = 4, probeHamming = ph, probeSeq = ps)
-      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
-        m = 2, dim = 64, k = 8, iters = 2)
+      val model = cachedPqModel(s, dir, m = 2)
       val variants = Seq(
         ("ivf_nprobe6", Similarity.ivfTopK(emb, q, "vec_id", "embedding",
           k = 5, nlist = 16, nprobe = 6)),
@@ -276,7 +275,8 @@ object SimilarityQueries extends QueryModule {
           model, k = 5)),
         ("ivfpq_nprobe6", Similarity.ivfPqTopK(emb, q, "vec_id",
           "embedding", k = 5, nlist = 16, nprobe = 6, m = 2, dim = 64,
-          kCodes = 8, iters = 2)))
+          kCodes = 8, iters = 2,
+          trainedPq = Some(cachedIvfPqModel(s, dir, nlist = 16)))))
       val tagged = variants.map { case (n, df) =>
         df.select(lit(n).as("variant"), col("query_id"), col("neighbor_id"))
       }.reduce(_ unionByName _)
@@ -1134,8 +1134,7 @@ object SimilarityQueries extends QueryModule {
     "sim_pq",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
-        m = 2, dim = 64, k = 8, iters = 2)
+      val model = cachedPqModel(s, dir, m = 2)
       val queries = emb.filter(col("vec_id") < 8)
       Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding", model, k = 5)
         .withColumn("adc", round(col("adc"), 4))
@@ -1178,7 +1177,8 @@ object SimilarityQueries extends QueryModule {
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
       Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
-          nlist = 8, nprobe = 3, m = 2, dim = 64, kCodes = 8, iters = 2)
+          nlist = 8, nprobe = 3, m = 2, dim = 64, kCodes = 8, iters = 2,
+          trainedPq = Some(cachedIvfPqModel(s, dir, nlist = 8)))
         .withColumn("adc", round(col("adc"), 4))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -1305,6 +1305,30 @@ object SimilarityQueries extends QueryModule {
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
+  // Trained PQ models are pure functions of (corpus, params) and feed
+  // several queries (sim_pq, sim_pq_m4, sim_ivfpq, the recall report) —
+  // memoize per (session, corpus, params) like trainedMerges/
+  // cachedWarehouse, so each model pays its Lloyd sweeps ONCE per
+  // session instead of once per invocation. The models are k·dim
+  // doubles on the driver — no executor storage, nothing to unpersist.
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqModel]()
+
+  private def cachedPqModel(s: org.apache.spark.sql.SparkSession,
+      dir: String, m: Int): Similarity.PqModel =
+    pqModelCache.computeIfAbsent(
+      Tables.sessionKey(s) + s"|$dir|raw|$m",
+      _ => Similarity.pqTrain(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", m = m, dim = 64, k = 8, iters = 2))
+
+  private def cachedIvfPqModel(s: org.apache.spark.sql.SparkSession,
+      dir: String, nlist: Int): Similarity.PqModel =
+    pqModelCache.computeIfAbsent(
+      Tables.sessionKey(s) + s"|$dir|res|$nlist",
+      _ => Similarity.ivfPqModel(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", nlist = nlist, m = 2, dim = 64,
+        kCodes = 8, iters = 2))
+
   // PQ at m=4 subspaces (16 dims each, same k=8 codes): the subspace
   // count is PQ's fidelity lever — 8^4 product cells vs sim_pq's 8^2 at
   // 2x the bytes per code. Beside sim_pq (m=2), this pins both ends of
@@ -1316,8 +1340,7 @@ object SimilarityQueries extends QueryModule {
     "sim_pq_m4",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
-        m = 4, dim = 64, k = 8, iters = 2)
+      val model = cachedPqModel(s, dir, m = 4)
       val queries = emb.filter(col("vec_id") < 8)
       Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding", model, k = 5)
         .withColumn("adc", round(col("adc"), 4))
