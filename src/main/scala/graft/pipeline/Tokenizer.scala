@@ -349,6 +349,128 @@ object Tokenizer {
     }
   }
 
+  /** The optimal segmentation itself: forward DP (identical to
+    * [[viterbiWordComposite]]) then a deterministic backtrack — at each
+    * position take the LONGEST piece among edges achieving the optimal
+    * composite (= smallest predecessor state; unique per predecessor
+    * since the consumed substring is fixed by (j, i)). The SQL replay
+    * backtracks with the same min-predecessor rule.
+    */
+  def viterbiPieces(w: String,
+      costs: java.util.HashMap[String, java.lang.Long], maxLen: Int,
+      fallback: Long): Seq[String] = {
+    val n = w.length
+    val INF = Long.MaxValue / 4
+    val best = Array.fill(n + 1)(INF)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lmax = math.min(maxLen, i)
+      while (l <= lmax) {
+        val j = i - l
+        if (best(j) < INF) {
+          val c = costs.get(w.substring(j, i))
+          val cost: Long =
+            if (c != null) c.longValue()
+            else if (l == 1) fallback
+            else -1L
+          if (cost >= 0L) {
+            val cand = best(j) + cost * 1048576L + 1L
+            if (cand < best(i)) best(i) = cand
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = n
+    while (p > 0) {
+      var l = math.min(maxLen, p)
+      var found = false
+      while (l >= 1 && !found) {
+        val j = p - l
+        val c = costs.get(w.substring(j, p))
+        val cost: Long =
+          if (c != null) c.longValue()
+          else if (l == 1) fallback
+          else -1L
+        if (cost >= 0L && best(j) < INF &&
+            best(j) + cost * 1048576L + 1L == best(p)) {
+          out += w.substring(j, p)
+          p = j
+          found = true
+        } else l -= 1
+      }
+      if (!found) return Seq.empty // unreachable word (no fallback path)
+    }
+    out.reverse.toSeq
+  }
+
+  def viterbiPiecesUtf(w: org.apache.spark.unsafe.types.UTF8String,
+      costs: java.util.HashMap[String, java.lang.Long], maxLen: Int,
+      fallback: Long): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      viterbiPieces(w.toString, costs, maxLen, fallback)
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+        .toArray[Any])
+
+  /** Codegen'd optimal segmentation per word (array of pieces). */
+  case class ViterbiPieceSeq(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      costs: Seq[(String, Long)], maxLen: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+    @transient private lazy val map: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      costs.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+      m
+    }
+    private def fallback: Long = costs.iterator.map(_._2).max + 1L
+
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+    override def nullSafeEval(input: Any): Any =
+      viterbiPiecesUtf(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        map, maxLen, fallback)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("vitCosts", map, "java.util.HashMap")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.pipeline.Tokenizer.viterbiPiecesUtf($c, $ref, $maxLen, ${fallback}L)")
+    }
+  }
+
+  /** One hard-EM (Viterbi-EM) re-estimation round — the M-step of
+    * unigram-LM training under hard assignments (SentencePiece's EM with
+    * the E-step's posteriors collapsed to the optimal path, which keeps
+    * every count an exact integer): segment every distinct word
+    * optimally under the current costs, then recount piece usage
+    * weighted by word frequency. Distributed end to end (the kernel
+    * segments per word, the reduce is one aggregation over the word
+    * vocab); only the re-estimated piece table — bounded by the cost
+    * table's size — reaches the driver, the [[maxMatchVocab]] contract.
+    * Output in (n DESC, piece ASC) rank order.
+    */
+  def unigramEmCounts(docs: DataFrame, text: String,
+      costs: Seq[(String, Long)], maxLen: Int): Seq[(String, Long)] = {
+    import org.apache.spark.sql.Row
+    val B = org.apache.spark.sql.graft.ColumnBridge
+    wordFreq(docs, text)
+      .select(col("cnt"),
+        explode(B.column(ViterbiPieceSeq(B.expression(col("w")), costs,
+          maxLen))).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("p").asc)
+      .collect()
+      .map { case Row(p: String, n: Long) => (p, n) }.toSeq
+  }
+
   /** Per-document Viterbi totals over the [a-z]+ word stream:
     * struct(cost = Σ min surprisal bits, pieces = Σ optimal piece count).
     * One narrow codegen'd projection — no shuffle, stream-safe.

@@ -277,7 +277,8 @@ object TokenizerQueries extends QueryModule {
                 FROM vc, tb),
       vpos AS (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM w0),
       vedge AS MATERIALIZED (
-        SELECT vpos.w, vpos.i AS j, vpos.i + length(vcost.p) AS p2, vcost.c
+        SELECT vpos.w, vpos.i AS j, vpos.i + length(vcost.p) AS p2,
+               vcost.c, vcost.p
         FROM vpos JOIN vcost
           ON substr(vpos.w, CAST(vpos.i AS INTEGER), length(vcost.p)) = vcost.p),
       vb1 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS comp FROM w0)""")
@@ -300,6 +301,70 @@ object TokenizerQueries extends QueryModule {
           $res)""")
     sb.toString
   }
+
+  /** The backtrack replay for the hard-EM round: vball stacks every DP
+    * state (w, pos, comp); bt_s walks one edge backwards per step from
+    * (w, len+1), choosing — among edges that land on the current state
+    * with an optimal composite — the smallest predecessor position
+    * (= the longest piece, the engine kernel's rule); seg unions each
+    * step's chosen piece.
+    */
+  private def viterbiBacktrackCtes: String = {
+    val vball = (1 to VitUnroll + 1).map(p =>
+      s"SELECT w, $p AS pos, comp FROM vb$p").mkString("\n          UNION ALL ")
+    val sb = new StringBuilder
+    sb.append(s""",
+      vball AS MATERIALIZED (
+          $vball),
+      bt0 AS (SELECT w, length(w) + 1 AS pos FROM w0)""")
+    for (st <- 1 to VitUnroll) {
+      sb.append(s""",
+      bt$st AS MATERIALIZED (
+        SELECT w, pos, p FROM (
+          SELECT t.w, e.j AS pos, e.p,
+                 row_number() OVER (PARTITION BY t.w ORDER BY e.j) AS rn
+          FROM bt${st - 1} t
+          JOIN vball cur ON cur.w = t.w AND cur.pos = t.pos
+          JOIN vedge e ON e.w = t.w AND e.p2 = t.pos
+          JOIN vball prv ON prv.w = t.w AND prv.pos = e.j
+          WHERE prv.comp + e.c * 1048576 + 1 = cur.comp) x
+        WHERE rn = 1)""")
+    }
+    val seg = (1 to VitUnroll).map(st =>
+      s"SELECT w, p FROM bt$st").mkString("\n          UNION ALL ")
+    sb.append(s""",
+      vseg AS (
+          $seg)""")
+    sb.toString
+  }
+
+  // One hard-EM (Viterbi-EM) re-estimation round: segment every distinct
+  // word optimally under the induced costs, recount piece usage weighted
+  // by word frequency — the integer-exact M-step of unigram-LM training
+  // (SentencePiece's EM with the E-step collapsed to the optimal path).
+  // The oracle replays forward DP, deterministic backtrack (smallest
+  // predecessor = longest piece), and the weighted recount.
+  private val textUnigramEmVocab = Q(
+    "text_unigram_em_vocab",
+    (s, dir) => {
+      val costs = Tokenizer.unigramCosts(trainedVocab(s, dir),
+        trainedChars(s, dir))
+      val docs = Tables.load(s, dir, "documents")
+      val counts = Tokenizer.unigramEmCounts(docs, "text", costs, PieceLen)
+      s.createDataFrame(counts.zipWithIndex.map {
+        case ((p, n), i) => (i + 1L, p, n) })
+        .toDF("rank", "piece", "n")
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH $vocabCtes,
+        $viterbiCtes
+        $viterbiBacktrackCtes,
+        newv AS (SELECT s.p AS piece, CAST(sum(w0.cnt) AS BIGINT) AS n
+                 FROM vseg s JOIN w0 ON w0.w = s.w GROUP BY s.p)
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, piece) AS BIGINT)
+                 AS rank,
+               piece, n
+        FROM newv ORDER BY rank"""))
 
   // Per-document optimal piece count and total surprisal under the
   // frozen cost table. The cost table rides the plan as one reference
@@ -339,5 +404,5 @@ object TokenizerQueries extends QueryModule {
         ORDER BY d.doc_id"""))
 
   val qs: Seq[Q] = Seq(textBpeTrain, textBpeEncode, textMaxMatchVocab,
-    textTokensMaxMatch, textTokensViterbi)
+    textTokensMaxMatch, textTokensViterbi, textUnigramEmVocab)
 }

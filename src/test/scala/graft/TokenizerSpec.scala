@@ -198,6 +198,46 @@ class TokenizerSpec extends SparkSpec {
       "fixture never exercised a strict improvement")
   }
 
+  private def costMap(costs: Seq[(String, Long)]) = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    costs.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+    m
+  }
+
+  test("viterbiPieces: backtrack returns the optimal path; ambiguity " +
+      "resolves longest-piece-first") {
+    val m = costMap(Seq(("ab", 1L), ("a", 3L), ("b", 3L)))
+    assert(Tokenizer.viterbiPieces("aab", m, 6, 99L) == Seq("a", "ab"))
+    // "aba" with ab=1, ba=1, a=2: ab|a and a|ba both cost 3 in 2 pieces;
+    // the backtrack takes the LONGEST piece at the end → a|ba
+    val amb = costMap(Seq(("ab", 1L), ("ba", 1L), ("a", 2L), ("b", 5L)))
+    assert(Tokenizer.viterbiPieces("aba", amb, 6, 99L) == Seq("a", "ba"))
+  }
+
+  test("viterbiPieces is lossless and consistent with the composite") {
+    val rnd = new scala.util.Random(11)
+    val m = costMap(Seq(("ab", 1L), ("abc", 1L), ("bc", 2L), ("cab", 1L),
+      ("a", 3L), ("b", 3L), ("c", 4L)))
+    (1 to 200).foreach { _ =>
+      val w = Seq.fill(1 + rnd.nextInt(10))(('a' + rnd.nextInt(3)).toChar)
+        .mkString
+      val ps = Tokenizer.viterbiPieces(w, m, 6, 8L)
+      assert(ps.mkString == w, s"not a segmentation of $w: $ps")
+      val comp = Tokenizer.viterbiWordComposite(w, m, 6, 8L)
+      assert((comp & 1048575L) == ps.length,
+        s"$w: path pieces ${ps.length} != composite ${comp & 1048575L}")
+    }
+  }
+
+  test("unigramEmCounts: hand-checked hard-EM recount conserves pieces") {
+    // corpus: "ab ab b"×2 docs → word freqs ab=4, b=2; costs make "ab"
+    // the optimal single piece and chars the only alternative
+    val docs = Seq((1L, "ab ab b"), (2L, "ab ab b")).toDF("doc_id", "text")
+    val costs = Seq(("ab", 1L), ("a", 3L), ("b", 3L))
+    val out = Tokenizer.unigramEmCounts(docs, "text", costs, 6)
+    assert(out == Seq(("ab", 4L), ("b", 2L)))
+  }
+
   test("viterbi tokenize-on-ingest runs unchanged on a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
