@@ -963,7 +963,8 @@ object Similarity {
       id: String, vec: String, k: Int,
       nlist: Int = 8, nprobe: Int = 3,
       m: Int = 2, dim: Int = 64, kCodes: Int = 8, iters: Int = 2,
-      trainedPq: Option[PqModel] = None): DataFrame = {
+      trainedPq: Option[PqModel] = None,
+      eager: Boolean = true): DataFrame = {
     val centroids = firstNCentroids(corpus, id, vec, nlist)
     val model = trainedPq.getOrElse(
       ivfPqModel(corpus, id, vec, nlist, m, dim, kCodes, iters))
@@ -986,12 +987,14 @@ object Similarity {
     val scored = codes.join(broadcast(qres), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", adc)
-    graft.operators.Pinning.pin(
-      explodeRanked(scored.groupBy(col("query_id"))
-          .agg(bottomK(
-            struct(col("adc"), col("neighbor_id")), k).as("__tk")))
-        .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
-          col("__t.adc").as("adc"), col("rank")))
+    val ranked = explodeRanked(scored.groupBy(col("query_id"))
+        .agg(bottomK(
+          struct(col("adc"), col("neighbor_id")), k).as("__tk")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        col("__t.adc").as("adc"), col("rank"))
+    // eager=false exposes the lazy plan (PlanSpec's assertion surface —
+    // a pinned result is a flat checkpoint scan)
+    if (eager) graft.operators.Pinning.pin(ranked) else ranked
   }
 
   /** ADC top-k: scan the CODES (not the vectors), summing per-subspace

@@ -540,6 +540,46 @@ class PlanSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("sim_ivfpq: code table never shuffles — query residuals broadcast") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+    val model = Similarity.ivfPqModel(emb, "vec_id", "embedding",
+      nlist = 8, m = 2, dim = 64, kCodes = 8, iters = 1)
+    val plan = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = 3, m = 2, dim = 64, kCodes = 8, iters = 1,
+        trainedPq = Some(model), eager = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the qres broadcast join:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus-sized code table must not shuffle:\n${plan.take(3000)}")
+    assert(plan.contains("collect_top_k"),
+      s"expected the bounded two-phase rank:\n${plan.take(3000)}")
+  }
+
+  test("text_bigram_surprisal: bigram stream collapses before any join") {
+    // the (doc, p, w) pre-aggregation is PINNED before the count-dim
+    // joins (the unigram posture): no Generate may feed a join
+    val df = AllQueries.queries("text_bigram_surprisal")(spark, dir)
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    assert(analyzed.contains("Join"), s"expected the dim joins:\n$analyzed")
+    assert(!analyzed.contains("Generate"),
+      s"the bigram explode must be collapsed inside the pinned " +
+        s"pre-aggregation, never feed a join:\n$analyzed")
+    assert(analyzed.contains("LogicalRDD") || analyzed.contains("Scan ExistingRDD"),
+      s"expected the pinned (doc, p, w) table:\n$analyzed")
+  }
+
+  test("text_tokens_viterbi: frozen-cost decode is narrow — no join, no shuffle before the sort") {
+    val plan = planOf("text_tokens_viterbi")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    val beforeSort = plan.split("Sort ").last
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"per-doc viterbi must not shuffle:\n$plan")
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
