@@ -47,5 +47,40 @@ object StreamingQueries extends QueryModule {
             FROM events GROUP BY win_start, event_type
             ORDER BY win_start, event_type"""))
 
-  val qs: Seq[Q] = Seq(eventStats, windowed)
+  // First-seen-wins exact dedup on ingest (StreamDedup.firstSeenByContent):
+  // the at-most-once gate — key = md5 of (event_type, props), earliest
+  // (ts, event_id) wins deterministically, duplicate pressure counted.
+  // One map-side-combinable aggregation; the oracle replays the content
+  // hash, the argmin, and the counts.
+  private val streamDedup = Q(
+    "stream_dedup",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      graft.streaming.StreamDedup.firstSeenByContent(events,
+          Seq(col("event_type"), col("props")), "ts", "event_id")
+        .select(col("content_key"),
+          date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          col("first_id"), col("n_dups"))
+        .orderBy(col("content_key"))
+    },
+    Some("""WITH k AS (
+              SELECT md5(coalesce(CAST(event_type AS VARCHAR), '')
+                         || chr(CAST(1 AS INTEGER))
+                         || coalesce(CAST(props AS VARCHAR), ''))
+                       AS content_key,
+                     ts, event_id
+              FROM events),
+            f AS (SELECT content_key, ts, event_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY content_key
+                               ORDER BY ts, event_id) AS rn
+                    FROM k) t WHERE rn = 1),
+            g AS (SELECT content_key, count(1) AS n_dups
+                  FROM k GROUP BY content_key)
+            SELECT f.content_key,
+                   strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+                   f.event_id AS first_id, g.n_dups
+            FROM f JOIN g USING (content_key)
+            ORDER BY f.content_key"""))
+
+  val qs: Seq[Q] = Seq(eventStats, windowed, streamDedup)
 }

@@ -547,6 +547,35 @@ class StreamingSpec extends SparkSpec {
       streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("first-seen dedup: streamed aggregation state equals the batch result") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val events = Seq(
+      (1L, ts(5), "click", "{\"k\": 1}"),
+      (2L, ts(2), "click", "{\"k\": 1}"),   // earlier dup → wins
+      (3L, ts(9), "view", "{\"k\": 2}"),
+      (4L, ts(2), "click", "{\"k\": 1}"))   // ts tie with id 2 → id 2 wins
+    import org.apache.spark.sql.functions.col
+    def dedup(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamDedup.firstSeenByContent(df,
+        Seq(col("event_type"), col("props")), "ts", "event_id")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    in.addData(events: _*)
+    val q = dedup(in.toDF.toDF("event_id", "ts", "event_type", "props"))
+      .writeStream.format("memory").queryName("stream_fs_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_fs_sink")
+    val batch = dedup(events.toDF("event_id", "ts", "event_type", "props"))
+    assert(streamed.count() == 2 &&
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.filter(col("first_id") === 2L)
+      .select($"n_dups").as[Long].head() == 3L)
+  }
+
   test("PII scrubbing runs unchanged on a document stream (redact-on-ingest)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
