@@ -219,13 +219,7 @@ object Similarity {
     // `trained`: externally trained centroids (e.g. kmeansTrain) replace
     // the deterministic sample — the refinement the comment above defers —
     // without changing the query-side plan shape in any way
-    val centroids = trained match {
-      case Some(cs) =>
-        val spark = corpus.sparkSession
-        import spark.implicits._
-        cs.toDF("list_id", "cvec")
-      case None => firstNCentroids(corpus, id, vec, nlist)
-    }
+    val centroids = coarseCentroids(corpus, id, vec, nlist, trained)
     // corpus side: narrow fold (the corpus is the 100 TB side — never
     // blow it up nlist× or shuffle it per-vector just to pick a cell)
     val assigned = corpus
@@ -930,8 +924,11 @@ object Similarity {
     */
   /** Per-vector cell residuals: (neighbor_id, list_id, rv = v − c(cell)).
     * One narrow fold + broadcast attach — no shuffle of the corpus.
+    * Public surface so index-quality tooling (distortion reports, the
+    * SimilaritySpec residual-fidelity pin) can measure the residual
+    * distribution an IVF-PQ coder actually trains on.
     */
-  private def ivfResiduals(corpus: DataFrame, id: String, vec: String,
+  def ivfResiduals(corpus: DataFrame, id: String, vec: String,
       centroids: DataFrame): DataFrame =
     corpus
       .select(col(id).as("neighbor_id"), toDouble(col(vec)).as("cv"))
@@ -951,10 +948,27 @@ object Similarity {
     * corpus scale that MUST be a materialization, not a recompute through
     * the assignment fold) and freed before return.
     */
+  /** Coarse centroids for the IVF-PQ family: the deterministic sample by
+    * default, or externally trained ones (e.g. [[kmeansTrain]]) — the
+    * same refinement lever [[ivfTopK]]'s `trained` exposes, with genuine
+    * (smaller-variance) residuals as the payoff for the PQ coder.
+    */
+  private def coarseCentroids(corpus: DataFrame, id: String, vec: String,
+      nlist: Int, trained: Option[Seq[(Long, Seq[Double])]]): DataFrame =
+    trained match {
+      case Some(cs) =>
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        cs.toDF("list_id", "cvec")
+      case None => firstNCentroids(corpus, id, vec, nlist)
+    }
+
   def ivfPqModel(corpus: DataFrame, id: String, vec: String,
-      nlist: Int, m: Int, dim: Int, kCodes: Int, iters: Int): PqModel = {
+      nlist: Int, m: Int, dim: Int, kCodes: Int, iters: Int,
+      trainedCoarse: Option[Seq[(Long, Seq[Double])]] = None): PqModel = {
     val res = graft.operators.Pinning.pin(
-      ivfResiduals(corpus, id, vec, firstNCentroids(corpus, id, vec, nlist)))
+      ivfResiduals(corpus, id, vec,
+        coarseCentroids(corpus, id, vec, nlist, trainedCoarse)))
     try pqTrain(res, "neighbor_id", "rv", m, dim, kCodes, iters)
     finally graft.operators.Pinning.unpin(res)
   }
@@ -964,10 +978,12 @@ object Similarity {
       nlist: Int = 8, nprobe: Int = 3,
       m: Int = 2, dim: Int = 64, kCodes: Int = 8, iters: Int = 2,
       trainedPq: Option[PqModel] = None,
+      trainedCoarse: Option[Seq[(Long, Seq[Double])]] = None,
       eager: Boolean = true): DataFrame = {
-    val centroids = firstNCentroids(corpus, id, vec, nlist)
+    val centroids = coarseCentroids(corpus, id, vec, nlist, trainedCoarse)
     val model = trainedPq.getOrElse(
-      ivfPqModel(corpus, id, vec, nlist, m, dim, kCodes, iters))
+      ivfPqModel(corpus, id, vec, nlist, m, dim, kCodes, iters,
+        trainedCoarse))
     // encode scans the lazy residual chain exactly once — no pin needed
     val codes = pqEncode(ivfResiduals(corpus, id, vec, centroids),
       "neighbor_id", "rv", model, keep = Seq("list_id"))

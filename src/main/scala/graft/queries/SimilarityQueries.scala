@@ -1252,6 +1252,89 @@ object SimilarityQueries extends QueryModule {
              FROM ranked WHERE rank <= 5
              ORDER BY query_id, rank"""))
 
+  // IVF-PQ over TRAINED coarse cells: one k-means sweep provides the
+  // cell structure, so residuals are GENUINE displacement-from-mean
+  // vectors (smaller variance than residuals against sample centroids —
+  // the regime Jégou et al. analyze). The oracle chains three replays:
+  // Lloyd c0→c2, cosine assignment/probing against c2, and the two
+  // residual-sliced Lloyd recursions + ADC.
+  private val simIvfPqTrained = Q(
+    "sim_ivfpq_trained",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (cents, model) = cachedIvfPqTrained(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
+          nlist = 8, nprobe = 3, m = 2, dim = 64, kCodes = 8, iters = 2,
+          trainedPq = Some(model), trainedCoarse = Some(cents))
+        .withColumn("adc", round(col("adc"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH $kmeansCteSql,
+             nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n
+                     FROM e),
+             assign_all AS (
+               SELECT nm.vec_id, nm.v, nm.n, c.list_id,
+                      list_dot_product(nm.v, c.cvec)
+                        / (nm.n * sqrt(list_dot_product(c.cvec, c.cvec))) AS cd
+               FROM nrm nm, c2 c),
+             corpus_assigned AS (
+               SELECT vec_id, v, list_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cd DESC, list_id) AS r
+                 FROM assign_all) t WHERE r = 1),
+             eres AS (
+               SELECT a.vec_id, a.list_id,
+                      list_transform(range(1, 65), i -> a.v[i] - c.cvec[i]) AS v
+               FROM corpus_assigned a JOIN c2 c USING (list_id)),
+             ${pqLloydCte("t1", 1, 32, base = "eres")},
+             ${pqLloydCte("t2", 33, 64, base = "eres")},
+             probes AS (
+               SELECT vec_id AS query_id, list_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cd DESC, list_id) AS r
+                 FROM assign_all WHERE vec_id < 8) t WHERE r <= 3),
+             qres AS (
+               SELECT p.query_id, p.list_id,
+                      list_transform(range(1, 65), i -> nm.v[i] - c.cvec[i]) AS qr
+               FROM probes p JOIN c2 c USING (list_id)
+                             JOIN nrm nm ON nm.vec_id = p.query_id),
+             lutq_t1 AS (
+               SELECT q.query_id, q.list_id, cb.list_id AS code,
+                      list_sum(list_transform(range(1, 33), i ->
+                        (q.qr[i] - cb.cvec[i]) * (q.qr[i] - cb.cvec[i]))) AS d2
+               FROM qres q, c2_t1 cb),
+             lutq_t2 AS (
+               SELECT q.query_id, q.list_id, cb.list_id AS code,
+                      list_sum(list_transform(range(1, 33), i ->
+                        (q.qr[32 + i] - cb.cvec[i])
+                          * (q.qr[32 + i] - cb.cvec[i]))) AS d2
+               FROM qres q, c2_t2 cb),
+             cd AS (
+               SELECT r.vec_id, r.list_id,
+                      c1.list_id AS code1, c2.list_id AS code2
+               FROM eres r JOIN code_t1 c1 USING (vec_id)
+                           JOIN code_t2 c2 USING (vec_id)),
+             scored AS (
+               SELECT l1.query_id, cd.vec_id AS neighbor_id,
+                      l1.d2 + l2.d2 AS adc
+               FROM cd
+               JOIN lutq_t1 l1 ON l1.list_id = cd.list_id
+                              AND l1.code = cd.code1
+               JOIN lutq_t2 l2 ON l2.query_id = l1.query_id
+                              AND l2.list_id = cd.list_id
+                              AND l2.code = cd.code2
+               WHERE cd.vec_id <> l1.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, adc,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, neighbor_id, round(adc, 4) AS adc,
+                    CAST(rank AS BIGINT) AS rank
+             FROM ranked WHERE rank <= 5
+             ORDER BY query_id, rank"""))
+
   // Append-only IVF maintenance: the index's cell structure is FROZEN at
   // the base corpus's centroid sample (vec_id >= 100 here, so the sample
   // provably differs from a full-corpus rebuild), the delta (< 100)
@@ -1328,6 +1411,25 @@ object SimilarityQueries extends QueryModule {
       _ => Similarity.ivfPqModel(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", nlist = nlist, m = 2, dim = 64,
         kCodes = 8, iters = 2))
+
+  // trained-coarse IVFPQ: one k-means sweep yields the coarse cells AND
+  // the residual codebooks train against them — both memoized together
+  // (centroids + model are one index build)
+  private val ivfPqTrainedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Seq[Double])], Similarity.PqModel)]()
+
+  private def cachedIvfPqTrained(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(Long, Seq[Double])], Similarity.PqModel) =
+    ivfPqTrainedCache.computeIfAbsent(
+      Tables.sessionKey(s) + s"|$dir|km8",
+      _ => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+          k = 8, dim = 64, iters = 2)
+        (cents, Similarity.ivfPqModel(emb, "vec_id", "embedding",
+          nlist = 8, m = 2, dim = 64, kCodes = 8, iters = 2,
+          trainedCoarse = Some(cents)))
+      })
 
   // PQ at m=4 subspaces (16 dims each, same k=8 codes): the subspace
   // count is PQ's fidelity lever — 8^4 product cells vs sim_pq's 8^2 at
@@ -1445,5 +1547,5 @@ object SimilarityQueries extends QueryModule {
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
-    simPqM4, simIvfAppend, simIvfPq)
+    simPqM4, simIvfAppend, simIvfPq, simIvfPqTrained)
 }

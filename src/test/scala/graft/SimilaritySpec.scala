@@ -252,6 +252,25 @@ class SimilaritySpec extends SparkSpec {
       .count() == 0, "full probe found a worse best match than narrow")
   }
 
+  test("IVFPQ: trained coarse cells shrink the residuals the coder fits") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val trained = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+      k = 8, dim = 64, iters = 2).toDF("list_id", "cvec")
+    val sample = graft.operators.Numbering.numberBySort(
+        emb.orderBy(col("vec_id")).limit(8)
+          .select(col("vec_id").as("cid"),
+            Similarity.toDouble(col("embedding")).as("cvec")),
+        "cid", "list_id")
+      .select(col("list_id"), col("cvec"))
+    def meanResidualNorm2(c: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfResiduals(emb, "vec_id", "embedding", c)
+        .agg(avg(Similarity.dot(col("rv"), col("rv")))).head.getDouble(0)
+    val (t, s) = (meanResidualNorm2(trained), meanResidualNorm2(sample))
+    assert(t < s, s"trained residual energy $t !< sample $s — the " +
+      "trained-coarse index has no residual-coding advantage")
+  }
+
   test("PQ: quadrupling subspaces cuts quantization distortion (k^m cells)") {
     // the PROVABLE lever is distortion, not recall (recall on a tiny
     // fixture can wiggle either way): m=4's 8^4 product cells must fit
