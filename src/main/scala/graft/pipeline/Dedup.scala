@@ -460,6 +460,139 @@ object Dedup {
     }
   }
 
+  /** Exact shingle-containment pairs — the ASYMMETRIC near-dup Jaccard
+    * misses: a short document quoted wholesale inside a long one has
+    * containment |A∩B|/min(|A|,|B|) ≈ 1 while Jaccard |A∩B|/|A∪B| stays
+    * tiny. The standard quote/subset detector in training-data curation
+    * (near-dup doc absorption, boilerplate inclusion).
+    *
+    * Semantics (identical on the oracle side, so the output stays
+    * hash-exact): shingles with document frequency above `maxDf` are
+    * DROPPED before any pair forms — CCNet-style stop-gram removal —
+    * and sizes/intersections count over the FILTERED gram space. The DF
+    * cap is what bounds the inverted-index join at scale: a gram joins
+    * at most maxDf² doc pairs, so no stopword gram can quadratic-blow
+    * the candidate space; every shuffle carries (gram, id) or id pairs,
+    * never documents.
+    *
+    * Output: (id1 < id2, inter, containment) for containment ≥ t.
+    */
+  def containmentPairs(docs: DataFrame, id: String, shingleCol: Column,
+      t: Double, maxDf: Int): DataFrame = {
+    val sh = docs.select(col(id).as("__id"), explode(shingleCol).as("g"))
+    val kept = sh.join(
+      sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf)
+        .select(col("g")),
+      Seq("g"))
+    val sizes = kept.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.g") === col("b.g") &&
+        col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("__id").as("id1"), col("__n").as("__n1")),
+        Seq("id1"))
+      .join(sizes.select(col("__id").as("id2"), col("__n").as("__n2")),
+        Seq("id2"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("__n1"), col("__n2")), 4))
+      .filter(col("containment") >= t)
+      .select(col("id1"), col("id2"), col("inter"), col("containment"))
+  }
+
+  /** Bottom-k sketch containment (Broder 1997 resemblance/containment
+    * estimation) — the SCALE path for [[containmentPairs]], the same way
+    * MinHash-LSH is the scale path for exact Jaccard. The exact operator
+    * shuffles every (gram, id) row; at 100 TB that's the full shingle
+    * space through one join. Here each document is reduced ONCE (narrow)
+    * to a fixed-size state: its k smallest portable gram hashes plus its
+    * true distinct-gram count — k·8 bytes however long the document is —
+    * and everything downstream touches only sketches.
+    *
+    * Estimator: for a candidate pair, merge the two sketches and keep
+    * the kk = min(k, |union|) smallest values S — a uniform sample of
+    * A∪B. The fraction of S present in BOTH sketches estimates Jaccard
+    * J; |A∩B| follows as J/(1+J)·(|A|+|B|) and containment divides by
+    * min(|A|,|B|). Every step is deterministic (md5-derived hashes, no
+    * RNG), so an external SQL oracle replays it value-for-value.
+    *
+    * Candidates form where sketches COLLIDE (share any bottom-k hash) —
+    * a pair with containment c shares at least a c-fraction of the
+    * smaller doc's gram space, so its minimum gram hash lands in both
+    * sketches with probability ≥ c per retained slot; misses are the
+    * sketch trade. `maxBucketSize` drops degenerate buckets (a boiler-
+    * plate gram whose hash is bottom-k in millions of docs), the same
+    * guard as [[minhashLsh]] — shuffles carry (hash, id) rows and id
+    * pairs only, never documents or gram sets.
+    *
+    * Output: (id1 < id2, est_jaccard, est_containment) for
+    * est_containment ≥ t, both rounded to 4 decimals.
+    */
+  def containmentSketchPairs(docs: DataFrame, id: String, shingleCol: Column,
+      t: Double, k: Int, maxBucketSize: Int = 1000,
+      eager: Boolean = true): DataFrame = {
+    require(k > 0, s"sketch size must be positive: $k")
+    // per-doc reduction: distinct portable hashes, sorted, bottom-k kept
+    // beside the TRUE distinct-gram count (one long — the only exact
+    // cardinality the estimator needs)
+    val skPlan = docs
+      .select(col(id).as("__id"),
+        array_sort(array_distinct(portableShingleHashes(shingleCol))).as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col("__id"), slice(col("__hs"), 1, k).as("__sk"),
+        size(col("__hs")).cast("long").as("__n"))
+    // consumed three ways (bucket explode + both pair attaches): pin this
+    // call's execution once, free before return (the prefixFilterPairs
+    // lifecycle — no CacheManager entry, nothing outlives the result)
+    val sk = if (eager) graft.operators.Pinning.pin(skPlan) else skPlan
+    // candidate generation: one aggregation per colliding hash value,
+    // in-bucket pairs expanded locally from the sorted id list (the
+    // minhashLsh bucket scheme — saves a self-join shuffle)
+    val buckets = sk
+      .select(col("__id"), explode(col("__sk")).as("__h"))
+      .groupBy(col("__h"))
+      .agg(collect_list(col("__id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+    val sortedIds = array_sort(col("ids"))
+    val cands = buckets
+      .select(explode(flatten(transform(sortedIds, (x, i) =>
+        transform(slice(sortedIds, i + lit(2), size(sortedIds) - i - 1),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2")).distinct()
+    // sketch attach: pair list vs a k-longs-per-doc dimension — the
+    // post-aggregation-stats blind spot; gate an explicit broadcast on
+    // exact dimension bytes (fixed 8 B/hash, no corpus scan needed)
+    val bcast = eager && {
+      val rows = sk.count()
+      rows * (k * 8L + 64L) <= (256L << 20)
+    }
+    def side(d: DataFrame) = if (bcast) broadcast(d) else d
+    val a1 = side(sk.select(col("__id").as("id1"), col("__sk").as("__sk1"),
+      col("__n").as("__n1")))
+    val a2 = side(sk.select(col("__id").as("id2"), col("__sk").as("__sk2"),
+      col("__n").as("__n2")))
+    // merged-sketch estimator: all array ops over ≤ 2k elements per pair
+    val u = array_sort(array_union(col("__sk1"), col("__sk2")))
+    val kk = least(size(u), lit(k))
+    val both = size(array_intersect(
+      array_intersect(slice(u, lit(1), kk), col("__sk1")), col("__sk2")))
+    val j = both.cast("double") / kk.cast("double")
+    val estInter = j / (lit(1.0) + j) * (col("__n1") + col("__n2")).cast("double")
+    val pairs = cands.join(a1, "id1").join(a2, "id2")
+      .withColumn("est_jaccard", round(j, 4))
+      .withColumn("est_containment",
+        round(estInter / least(col("__n1"), col("__n2")).cast("double"), 4))
+      .filter(col("est_containment") >= t)
+      .select(col("id1"), col("id2"), col("est_jaccard"), col("est_containment"))
+    if (!eager) pairs
+    else {
+      val out = pairs.localCheckpoint()
+      graft.operators.Pinning.unpin(sk)
+      out
+    }
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995) — the
     * classic entity-resolution candidate generator: sort the corpus by a
     * blocking key, then compare only rows whose sort ranks are within

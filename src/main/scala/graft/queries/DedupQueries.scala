@@ -59,6 +59,103 @@ object DedupQueries extends QueryModule {
                         / len(list_distinct(a.grams || b.grams)), 4) >= 0.05
             ORDER BY id1, id2"""))
 
+  // Exact shingle containment — the ASYMMETRIC near-dup Jaccard misses
+  // (short doc quoted inside a long one: containment ≈ 1, Jaccard tiny).
+  // Stop-grams (df > 20) drop BEFORE pairing on both sides — the
+  // documented semantics that also bounds the inverted-index join at
+  // scale (a gram joins ≤ maxDf² pairs). Oracle replays gram sets, the
+  // df cap, pair intersections, and the min-size denominator.
+  private val dedupContainment = Q(
+    "dedup_containment",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.containmentPairs(docs, "doc_id",
+          Dedup.shingles(col("text"), 3), t = 0.6, maxDf = 20)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+              FROM w),
+            gr AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+            keepg AS (SELECT g FROM (
+                        SELECT g, count(1) AS df FROM gr GROUP BY g) t
+                      WHERE df <= 20),
+            kept AS (SELECT gr.doc_id, gr.g FROM gr JOIN keepg USING (g)),
+            sizes AS (SELECT doc_id, count(1) AS n FROM kept GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(1) AS inter
+              FROM kept a JOIN kept b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.id1, i.id2, CAST(i.inter AS BIGINT) AS inter,
+                   round(CAST(i.inter AS DOUBLE) / least(s1.n, s2.n), 4)
+                     AS containment
+            FROM inter i JOIN sizes s1 ON s1.doc_id = i.id1
+                         JOIN sizes s2 ON s2.doc_id = i.id2
+            WHERE round(CAST(i.inter AS DOUBLE) / least(s1.n, s2.n), 4) >= 0.6
+            ORDER BY id1, id2"""))
+
+  // Bottom-k sketch containment — the SCALE path for dedup_containment:
+  // each doc reduces to its k=16 smallest md5-derived gram hashes plus
+  // its true gram count; candidates form where sketches collide; the
+  // merged-sketch estimator (Broder) yields Jaccard and containment
+  // WITHOUT ever joining gram sets. Fully deterministic (md5 hashes, no
+  // RNG), so the oracle replays sketch, buckets, pairs, and estimator
+  // value-for-value.
+  private val dedupContainmentSketch = Q(
+    "dedup_containment_sketch",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.containmentSketchPairs(docs, "doc_id",
+          Dedup.shingles(col("text"), 3), t = 0.5, k = 16)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+              FROM w),
+            hs AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(list_transform(grams,
+                       g -> ('0x'||substr(md5(g),1,15))::BIGINT))) AS hs
+              FROM sh WHERE len(grams) > 0),
+            sk AS (
+              SELECT doc_id, hs[1:16] AS sk, len(hs)::BIGINT AS n FROM hs),
+            ex AS (SELECT doc_id, unnest(sk) AS h FROM sk),
+            keeph AS (SELECT h FROM (
+                        SELECT h, count(1) AS df FROM ex GROUP BY h) t
+                      WHERE df >= 2 AND df <= 1000),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              FROM ex a JOIN keeph USING (h)
+                        JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+            est AS (
+              SELECT c.id1, c.id2, s1.n AS n1, s2.n AS n2,
+                     len(list_intersect(list_intersect(
+                       (list_sort(list_distinct(s1.sk || s2.sk)))
+                         [1:least(len(list_distinct(s1.sk || s2.sk)), 16)],
+                       s1.sk), s2.sk))::DOUBLE
+                       / least(len(list_distinct(s1.sk || s2.sk)), 16) AS j
+              FROM cand c JOIN sk s1 ON s1.doc_id = c.id1
+                          JOIN sk s2 ON s2.doc_id = c.id2)
+            SELECT id1, id2, round(j, 4) AS est_jaccard,
+                   round(j / (1 + j) * (n1 + n2) / least(n1, n2), 4)
+                     AS est_containment
+            FROM est
+            WHERE round(j / (1 + j) * (n1 + n2) / least(n1, n2), 4) >= 0.5
+            ORDER BY id1, id2"""))
+
   // Shared oracle fragment: the full MinHash+LSH replay — shingling, the
   // k=64 md5-derived signature, 16-band bucketing (bucket equality =
   // signature-slice equality), pair generation, agreement estimate. `est`
@@ -497,5 +594,6 @@ object DedupQueries extends QueryModule {
 
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupCluster, dedupSubstring, dedupSoft, dedupIncremental,
-    dedupPrefixJoin, dedupSortedNeighborhood, dedupCdc)
+    dedupPrefixJoin, dedupSortedNeighborhood, dedupCdc, dedupContainment,
+    dedupContainmentSketch)
 }

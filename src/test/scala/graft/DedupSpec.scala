@@ -418,4 +418,56 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._4 > 300L, s"doc2 shared_bytes ${out(2L)._4}")
     assert(out(1L)._6 > 0.3 && out(2L)._6 > 0.3, "share_ratio must reflect the span")
   }
+
+  test("containmentPairs: quoted subset scores 1.0 where Jaccard stays low; " +
+      "the df cap drops stop-grams before pairing") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu nu xi")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id",
+        Dedup.shingles(col("text"), 3), t = 0.5, maxDf = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc1's 2 grams are all inside doc2 (6 grams): containment 1.0,
+    // Jaccard only 2/6 — the asymmetric case
+    assert(out == Seq((1L, 2L, 2L, 1.0)))
+    // df cap = 1: every shared gram has df 2 and drops → no pairs at all
+    assert(Dedup.containmentPairs(docs, "doc_id",
+      Dedup.shingles(col("text"), 3), t = 0.0, maxDf = 1).count() == 0)
+  }
+
+  test("containmentSketchPairs: exact when sketches hold the full gram set; " +
+      "truncated sketches still flag the quoted subset; bucket cap bounds") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu nu xi")).toDF("doc_id", "text")
+    // k=16 > every gram count: sketch == full hash set, estimator exact —
+    // doc1's 2 grams ⊂ doc2's 6: J = 2/6, inter = (1/3)/(4/3)·8 = 2,
+    // containment = 2/2 = 1.0
+    val out = Dedup.containmentSketchPairs(docs, "doc_id",
+        Dedup.shingles(col("text"), 3), t = 0.5, k = 16)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.3333, 1.0)))
+    // k=4 truncates doc2's sketch to its 4 smallest hashes — one shared
+    // hash ('beta gamma delta') survives: kk=4, x=1, j=0.25,
+    // est_inter = 0.2·8 = 1.6, est_containment = 0.8. The estimator
+    // under-reports the true 1.0 (truncation loss) but still flags the
+    // pair well above t=0.5 — pinned from hand-computed md5 values.
+    val k4 = Dedup.containmentSketchPairs(docs, "doc_id",
+        Dedup.shingles(col("text"), 3), t = 0.5, k = 4)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(k4 == Seq((1L, 2L, 0.25, 0.8)), s"k=4 estimate: $k4")
+    // k=1: doc2's single-slot sketch keeps its overall min gram hash,
+    // which is a doc2-only gram ('epsilon zeta eta' < every doc1 hash) —
+    // no collision, no pair: the documented sketch-miss trade
+    assert(Dedup.containmentSketchPairs(docs, "doc_id",
+      Dedup.shingles(col("text"), 3), t = 0.0, k = 1).count() == 0)
+    // bucket cap 1: every colliding hash bucket (size 2) drops → no pairs
+    assert(Dedup.containmentSketchPairs(docs, "doc_id",
+      Dedup.shingles(col("text"), 3), t = 0.0, k = 16,
+      maxBucketSize = 1).count() == 0)
+  }
 }
