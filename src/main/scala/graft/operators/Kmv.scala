@@ -109,4 +109,59 @@ object Kmv {
   def agg(hashCol: Column, valueCol: Column, k: Int): Column =
     org.apache.spark.sql.functions.udaf(aggregator(k))
       .apply(hashCol, valueCol)
+
+  /** KMV SET sketch: per group, the k smallest DISTINCT element hashes,
+    * sorted ascending (Broder bottom-k / Beyer et al. SIGMOD 2007) — the
+    * mergeable fixed-size state that answers |A|, |A∪B|, |A∩B|, |A\B|,
+    * and Jaccard across corpus slices WITHOUT ever joining the element
+    * spaces (the 100 TB cross-snapshot overlap-planning primitive; HLL
+    * gives |A∩B| only by inclusion–exclusion, whose error explodes for
+    * small intersections — the union-sample estimator below does not).
+    *
+    * Plan: one distinct on (group, hash) — the minimal shuffle any exact
+    * distinct sketch needs — then a bounded CollectBottomK aggregation
+    * whose map-side partial buffers hold at most k entries per group. A
+    * sketch shorter than k IS the complete hash set (estimates turn
+    * exact); bottom-k of a union equals bottom-k of unioned bottom-ks,
+    * so shard sketches merge associatively.
+    */
+  def setSketch(df: org.apache.spark.sql.DataFrame, group: Seq[String],
+      hashCol: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k > 0, s"sketch size must be positive: $k")
+    val d = df.select(group.map(col) :+ hashCol.as("__h"): _*).distinct()
+    d.groupBy(group.map(col): _*)
+      .agg(org.apache.spark.sql.graft.ColumnBridge.collectBottomK(
+        struct(col("__h")), k).as("__tk"))
+      .select(group.map(col) :+
+        transform(col("__tk"), x => x.getField("__h")).as("sk"): _*)
+  }
+
+  /** Set-operation estimates from two [[setSketch]] arrays (same k).
+    * The kk = min(k, |union|) smallest merged values are a uniform
+    * sample of A∪B: the fraction present in BOTH sketches estimates
+    * Jaccard, the classic (k−1)/h_k reads each cardinality, and
+    * |A∩B| = J·|A∪B|. Short sketches (complete sets) make every
+    * estimate exact. Returns a struct
+    * (est_a, est_b, est_union, est_inter, est_jaccard) — all double,
+    * deterministic, and replayable in any engine with list ops.
+    */
+  def setOpEstimates(ska: Column, skb: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    def card(sk: Column): Column =
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(TwoPow60) /
+          element_at(sk, k).cast("double"))
+    val u = array_sort(array_union(ska, skb))
+    val kk = least(size(u), lit(k))
+    val j = size(array_intersect(
+        array_intersect(slice(u, lit(1), kk), ska), skb)).cast("double") /
+      kk.cast("double")
+    val uEst = when(size(u) < k, size(u).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(TwoPow60) /
+        element_at(u, k).cast("double"))
+    struct(card(ska).as("est_a"), card(skb).as("est_b"),
+      uEst.as("est_union"), (j * uEst).as("est_inter"),
+      j.as("est_jaccard"))
+  }
 }

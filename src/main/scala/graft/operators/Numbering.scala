@@ -38,14 +38,26 @@ object Numbering {
       df: DataFrame,
       sortCol: String,
       value: Column,
+      outName: String): DataFrame =
+    runningBySort(df, Seq(col(sortCol)), value, outName)
+
+  /** [[runningBySort]] over a COMPOSITE sort order — `sortCols` may carry
+    * sort directions (`col.desc`), so "running token total in descending
+    * quality order, ties by id" is the same two-phase shape: one range
+    * shuffle on the full ordering, never a single-partition window.
+    */
+  def runningBySort(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      value: Column,
       outName: String): DataFrame = {
     val spark = df.sparkSession
     // NULL values count as 0 (the running total skips them) — the narrow
     // passes below read the long with getLong, which cannot express NULL
     val withV = df.withColumn("__v", coalesce(value.cast("long"), lit(0L)))
     val sorted = withV
-      .repartitionByRange(col(sortCol))
-      .sortWithinPartitions(col(sortCol))
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
     val vIdx = sorted.schema.fieldIndex("__v")
     val rdd = sorted.rdd
     // pass 1: per-partition totals (tiny: one long per partition)

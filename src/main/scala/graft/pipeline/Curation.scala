@@ -178,6 +178,100 @@ object Curation {
       .otherwise("test")
   }
 
+  /** Exact-allocation stratified split — Hamilton (largest-remainder)
+    * apportionment per stratum. [[trainValTestSplit]]'s hash buckets give
+    * BINOMIAL way sizes (a 10%-valid split of a 1000-doc stratum lands
+    * anywhere around 100±19 at 95%); eval sets and ablation grids need
+    * the allocation EXACT: each stratum contributes precisely its
+    * apportioned count to each way, remainder seats going to the largest
+    * fractional quotas (ties to the earlier way). Determinism comes from
+    * the same md5-of-id ordering the samplers use: a doc's way depends
+    * only on corpus content, never on partitioning or retry order.
+    *
+    * Plan at 100 TB: per-stratum ranks come from ONE global range
+    * shuffle ([[graft.operators.Numbering.numberBySort]] on the
+    * stratum|hash composite — never a `Window.partitionBy(stratum)`,
+    * which funnels each stratum through a single task); offsets, sizes,
+    * and the (stratum × way) allocation table are strata-sized
+    * aggregates computed with dimension windows and broadcast back. The
+    * corpus passes the shuffle once and is joined narrowly.
+    *
+    * `ways`: (name, basis points) in priority order, summing to 10000.
+    * Output: input row + `__rank` (1-based within stratum) + `way`.
+    */
+  def exactAllocationSplit(docs: DataFrame, id: String, stratum: String,
+      ways: Seq[(String, Int)]): DataFrame = {
+    require(ways.nonEmpty && ways.map(_._2).sum == 10000,
+      s"way shares must sum to 10000 basis points: $ways")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // deterministic total order inside each stratum: md5(id) then id —
+    // both rendered as strings so any SQL engine reproduces the sort
+    val keyed = docs.withColumn("__sk",
+      concat(col(stratum), lit("|"), md5(col(id).cast("string")),
+        lit("|"), col(id).cast("string")))
+    val numbered = graft.operators.Numbering.numberBySort(keyed, "__sk", "__gn")
+    // strata are contiguous in the global sort, so per-stratum rank =
+    // global number − stratum's min + 1 (offsets: a tiny aggregate)
+    val dims = numbered.groupBy(col(stratum).as("__s"))
+      .agg(min(col("__gn")).as("__off"), count(lit(1)).as("__n"))
+    // largest-remainder apportionment on the (stratum × way) dimension:
+    // integer quota arithmetic (n·bp < 2^45, so the double `/` under
+    // floor() is exact), remainder seats by (frac DESC, way order)
+    val waysDf = ways.zipWithIndex
+      .map { case ((w, bp), i) => (w, bp, i) }.toDF("way", "__bp", "__wi")
+    val perWay = dims.crossJoin(waysDf)
+      .withColumn("__fl", floor((col("__n") * col("__bp")) / 10000).cast("long"))
+      .withColumn("__fr", (col("__n") * col("__bp")) % 10000)
+    val ws = Window.partitionBy(col("__s"))
+    val alloc = perWay
+      .withColumn("__rem", col("__n") - sum(col("__fl")).over(ws))
+      .withColumn("__fri", row_number().over(
+        ws.orderBy(col("__fr").desc, col("__wi"))))
+      .withColumn("__alloc",
+        col("__fl") + when(col("__fri") <= col("__rem"), 1L).otherwise(0L))
+      .withColumn("__hi", sum(col("__alloc")).over(
+        ws.orderBy(col("__wi")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__lo", col("__hi") - col("__alloc"))
+      .select(col("__s"), col("__off"), col("way"), col("__lo"), col("__hi"))
+    numbered
+      .join(broadcast(alloc),
+        col(stratum) === col("__s") &&
+          col("__gn") - col("__off") + 1 > col("__lo") &&
+          col("__gn") - col("__off") + 1 <= col("__hi"))
+      .withColumn("__rank", col("__gn") - col("__off") + 1)
+      .drop("__sk", "__gn", "__s", "__off", "__lo", "__hi")
+  }
+
+  /** Token-budget corpus selection: take documents in descending `score`
+    * order (ties by id) until the cumulative token count would exceed
+    * `budget` — the standard "best data that fits the compute budget"
+    * curation step when a training run is sized in tokens, not documents.
+    *
+    * PREFIX semantics: selection stops at the first document that
+    * overflows the budget; later (worse) documents are not back-filled
+    * even if they would fit. That keeps the selected set a pure function
+    * of the ordering (replayable as one running sum — knapsack-style
+    * back-fill is sequential state no engine-independent oracle can
+    * replay without a recursive CTE) and monotone: growing the budget
+    * only ever ADDS documents, it never swaps one out.
+    *
+    * Plan at 100 TB: one range shuffle on (score DESC, id) + two linear
+    * passes ([[graft.operators.Numbering.runningBySort]]) — no global
+    * window, no driver-side data. Output: input row + `cum_tokens`.
+    */
+  def tokenBudgetSelect(docs: DataFrame, id: String, score: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val scored = docs.withColumn("__score", score)
+      .withColumn("__tok", tokens.cast("long"))
+    graft.operators.Numbering.runningBySort(
+        scored, Seq(col("__score").desc, col(id)), col("__tok"), "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .drop("__score", "__tok")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with an evaluation/benchmark set (the standard pretraining
     * hygiene step — eval items must not appear in training data).

@@ -260,6 +260,99 @@ object CurationQueries extends QueryModule {
   // overlap is measured without ever joining the corpora. Exact values
   // ride along as the error witness; everything (registers, ordered
   // dyadic sums, inclusion-exclusion arithmetic) replays in DuckDB.
+  // KMV set-operation report: bottom-k (k=128) sketches of the two
+  // source halves' distinct 3-gram spaces answer |A|, |B|, |A∪B|, |A∩B|
+  // and Jaccard from fixed-size state — the direct union-sample
+  // intersection estimator (HLL's inclusion–exclusion error explodes for
+  // small intersections). Exact counts ride along as the error
+  // reference (affordable here; at 100 TB only the sketches survive).
+  // Deterministic md5 hashing → the oracle replays sketch construction
+  // and every estimator division.
+  private val corpusKmvSetops = Q(
+    "corpus_kmv_setops",
+    (s, dir) => {
+      import graft.operators.Kmv
+      val docs = Tables.load(s, dir, "documents")
+      val hashed = docs
+        .select((srcIdx < 5).as("__side"),
+          explode(Dedup.shingles(col("text"), 3)).as("g"))
+        .select(col("__side"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("__h"))
+      val sk = Kmv.setSketch(hashed, Seq("__side"), col("__h"), 128)
+      val ska = sk.filter(col("__side")).select(col("sk").as("ska"))
+      val skb = sk.filter(!col("__side")).select(col("sk").as("skb"))
+      val exact = hashed.distinct()
+        .groupBy(col("__h"))
+        .agg(max(when(col("__side"), 1).otherwise(0)).as("ha"),
+          max(when(col("__side"), 0).otherwise(1)).as("hb"))
+        .agg(sum(col("ha")).as("n_a_exact"),
+          sum(col("hb")).as("n_b_exact"),
+          count(lit(1)).as("n_union_exact"),
+          sum(col("ha") * col("hb")).as("n_inter_exact"))
+      exact.crossJoin(broadcast(ska)).crossJoin(broadcast(skb))
+        .withColumn("e", Kmv.setOpEstimates(col("ska"), col("skb"), 128))
+        .select(col("n_a_exact"), col("n_b_exact"),
+          col("n_union_exact"), col("n_inter_exact"),
+          round(col("e.est_a"), 4).as("est_a"),
+          round(col("e.est_b"), 4).as("est_b"),
+          round(col("e.est_union"), 4).as("est_union"),
+          round(col("e.est_inter"), 4).as("est_inter"),
+          round(col("e.est_jaccard"), 4).as("est_jaccard"))
+    },
+    Some("""WITH w AS (
+              SELECT CAST(substr(source, 4, 10) AS INT) < 5 AS side,
+                     string_split_regex(lower(text), '\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT side,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+              FROM w),
+            gr AS (
+              SELECT DISTINCT side,
+                     ('0x'||substr(md5(g),1,15))::BIGINT AS h
+              FROM (SELECT side, unnest(grams) AS g FROM sh)),
+            ska AS (SELECT list(h ORDER BY h) AS sk FROM
+                      (SELECT h FROM gr WHERE side ORDER BY h LIMIT 128)),
+            skb AS (SELECT list(h ORDER BY h) AS sk FROM
+                      (SELECT h FROM gr WHERE NOT side ORDER BY h LIMIT 128)),
+            ex AS (
+              SELECT CAST(sum(ha) AS BIGINT) AS n_a_exact,
+                     CAST(sum(hb) AS BIGINT) AS n_b_exact,
+                     count(1) AS n_union_exact,
+                     CAST(sum(ha * hb) AS BIGINT) AS n_inter_exact
+              FROM (SELECT h, max(CASE WHEN side THEN 1 ELSE 0 END) AS ha,
+                           max(CASE WHEN side THEN 0 ELSE 1 END) AS hb
+                    FROM gr GROUP BY h)),
+            est AS (
+              SELECT a.sk AS ska, b.sk AS skb,
+                     list_sort(list_distinct(a.sk || b.sk)) AS u
+              FROM ska a, skb b),
+            est2 AS (
+              SELECT ska, skb, u, least(len(u), 128) AS kk,
+                     len(list_intersect(list_intersect(
+                       u[1:least(len(u), 128)], ska), skb))::DOUBLE
+                       / least(len(u), 128) AS j,
+                     CASE WHEN len(u) < 128 THEN len(u)::DOUBLE
+                          ELSE 127.0 * 1152921504606846976.0
+                               / CAST(u[128] AS DOUBLE) END AS ue
+              FROM est)
+            SELECT ex.n_a_exact, ex.n_b_exact, ex.n_union_exact,
+                   ex.n_inter_exact,
+                   round(CASE WHEN len(e.ska) < 128 THEN len(e.ska)::DOUBLE
+                              ELSE 127.0 * 1152921504606846976.0
+                                   / CAST(e.ska[128] AS DOUBLE) END, 4)
+                     AS est_a,
+                   round(CASE WHEN len(e.skb) < 128 THEN len(e.skb)::DOUBLE
+                              ELSE 127.0 * 1152921504606846976.0
+                                   / CAST(e.skb[128] AS DOUBLE) END, 4)
+                     AS est_b,
+                   round(e.ue, 4) AS est_union,
+                   round(e.j * e.ue, 4) AS est_inter,
+                   round(e.j, 4) AS est_jaccard
+            FROM ex, est2 e"""))
+
   private val corpusOverlapHll = Q(
     "corpus_overlap_hll",
     (s, dir) => {
@@ -962,6 +1055,104 @@ object CurationQueries extends QueryModule {
                    END AS jaccard_bp
             FROM p ORDER BY rule_a, rule_b"""))
 
+  // Exact-allocation stratified split: Hamilton largest-remainder
+  // apportionment per lang — every stratum contributes EXACTLY its
+  // quota to each way (hash-bucket splits are binomial around theirs),
+  // remainder seats by largest fractional part, doc order = md5(id).
+  // The oracle replays ranks, integer quota arithmetic, the remainder
+  // window, and the boundary join row-for-row.
+  private val splitExactAlloc = Q(
+    "split_exact_alloc",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.exactAllocationSplit(docs, "doc_id", "lang",
+          Seq(("train", 8000), ("valid", 1000), ("test", 1000)))
+        .select(col("doc_id"), col("lang"), col("__rank").as("rk"),
+          col("way"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                CAST(doc_id AS VARCHAR)) AS rk,
+                     count(1) OVER (PARTITION BY lang) AS n
+              FROM documents),
+            w AS (SELECT * FROM (VALUES ('train', 8000, 0),
+                                        ('valid', 1000, 1),
+                                        ('test', 1000, 2)) AS t(way, bp, wi)),
+            q AS (
+              SELECT s.lang, s.n, w.way, w.bp, w.wi,
+                     (s.n * w.bp) // 10000 AS fl,
+                     (s.n * w.bp) % 10000 AS fr
+              FROM (SELECT DISTINCT lang, n FROM r) s, w),
+            a AS (
+              SELECT *,
+                     n - sum(fl) OVER (PARTITION BY lang) AS rem,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY fr DESC, wi) AS fri
+              FROM q),
+            b AS (
+              SELECT lang, way, wi,
+                     fl + CASE WHEN fri <= rem THEN 1 ELSE 0 END AS alloc
+              FROM a),
+            c AS (
+              SELECT lang, way,
+                     sum(alloc) OVER (PARTITION BY lang ORDER BY wi
+                       ROWS UNBOUNDED PRECEDING) AS hi,
+                     sum(alloc) OVER (PARTITION BY lang ORDER BY wi
+                       ROWS UNBOUNDED PRECEDING) - alloc AS lo
+              FROM b)
+            SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk, c.way
+            FROM r JOIN c ON c.lang = r.lang
+                         AND r.rk > c.lo AND r.rk <= c.hi
+            ORDER BY doc_id"""))
+
+  // Token-budget selection: best documents by stopword density (the
+  // fluency proxy) until 15k tokens fill — the "size the corpus to the
+  // training run's token budget" step. PREFIX semantics (stop at first
+  // overflow, no back-fill) keep it one running sum; the engine computes
+  // it as a range shuffle + two linear passes (never a global window),
+  // the oracle as the equivalent ordered window sum.
+  private val curateTokenBudget = Q(
+    "curate_token_budget",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val f = graft.pipeline.TextAnalysis.qualityFeatures(col("text"),
+        graft.pipeline.TextAnalysis.DefaultStopwords)
+      val scored = docs.select(col("doc_id"), f.as("f"))
+        .select(col("doc_id"),
+          col("f.n_tokens").cast("long").as("n_tokens"),
+          col("f.stopword_ratio").as("__d"))
+      Curation.tokenBudgetSelect(scored, "doc_id", col("__d"),
+          col("n_tokens"), budget = 15000L)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("__d"), 4).as("density"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                       AS toks,
+                     CAST(len(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       w -> w IN ('the','a','an','and','or','of','to','in')))
+                       AS DOUBLE) AS stops
+              FROM documents),
+            d AS (
+              SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens,
+                     CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END AS dens
+              FROM t),
+            c AS (
+              SELECT doc_id, n_tokens, dens,
+                     sum(n_tokens) OVER (ORDER BY dens DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d)
+            SELECT doc_id, n_tokens, round(dens, 4) AS density,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM c WHERE cum <= 15000
+            ORDER BY doc_id"""))
+
   // Group-aware (leakage-safe) split: the split key is the GROUP (source
   // host), not the document — near-duplicates and templated pages from one
   // host land in ONE split, so eval can't be contaminated by train-side
@@ -1049,5 +1240,6 @@ object CurationQueries extends QueryModule {
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
     qualityPercentileGate, qualityRankNormalize, shardConcat, corpusDiff, mixTemperature,
     corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap,
-    curateDsir, corpusOverlapHll, splitGroup, corpusDriftChi2)
+    curateDsir, corpusOverlapHll, corpusKmvSetops, splitGroup,
+    splitExactAlloc, curateTokenBudget, corpusDriftChi2)
 }

@@ -73,4 +73,46 @@ class KmvSpec extends SparkSpec {
     val got = sketch((1 to 7).map(i => ("g", i.toLong, i.toDouble * 10)), 8)
     assert(got.q25 == 20.0 && got.q50 == 40.0 && got.q75 == 60.0)
   }
+
+  test("setSketch/setOpEstimates: exact below k, bounded error above, " +
+      "sketches merge associatively") {
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // A = e0..e299, B = e200..e499: |A|=|B|=300, |A∩B|=100, |A∪B|=500
+    val rows = ((0 until 300).map(i => (true, md5h(s"e$i"))) ++
+      (200 until 500).map(i => (false, md5h(s"e$i"))))
+      .toDF("__side", "__h")
+    def ests(k: Int): (Double, Double, Double, Double, Double) = {
+      val sk = Kmv.setSketch(rows, Seq("__side"), col("__h"), k)
+      val a = sk.filter(col("__side")).select(col("sk").as("ska"))
+      val b = sk.filter(!col("__side")).select(col("sk").as("skb"))
+      val e = a.crossJoin(b)
+        .select(Kmv.setOpEstimates(col("ska"), col("skb"), k).as("e"))
+        .select("e.*").as[(Double, Double, Double, Double, Double)].head()
+      e
+    }
+    // k=1000 > every set: sketches are complete, estimates EXACT
+    assert(ests(1000) == (300.0, 300.0, 500.0, 100.0, 0.2))
+    // k=64 truncates: deterministic estimates, all within 35% relative
+    // error of truth (md5's uniformity at this sample size)
+    val (ea, eb, eu, ei, ej) = ests(64)
+    def rel(est: Double, truth: Double) = math.abs(est - truth) / truth
+    assert(rel(ea, 300) < 0.35 && rel(eb, 300) < 0.35 &&
+      rel(eu, 500) < 0.35 && rel(ei, 100) < 0.5 && rel(ej, 0.2) < 0.5,
+      s"estimates ($ea, $eb, $eu, $ei, $ej)")
+    // mergeability: the union sketch from the two bottom-k arrays equals
+    // the sketch of the pooled element stream (bottom-k of bottom-ks)
+    val pooled = Kmv.setSketch(rows.withColumn("__side", lit(true)),
+        Seq("__side"), col("__h"), 64)
+      .select(col("sk")).as[Seq[Long]].head()
+    val fromSketches = Kmv.setSketch(rows, Seq("__side"), col("__h"), 64)
+      .select(explode(col("sk")).as("__h")).withColumn("__side", lit(true))
+    val merged = Kmv.setSketch(fromSketches, Seq("__side"), col("__h"), 64)
+      .select(col("sk")).as[Seq[Long]].head()
+    assert(merged == pooled)
+  }
 }

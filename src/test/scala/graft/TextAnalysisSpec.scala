@@ -46,6 +46,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(grown.values.toSet.subsetOf(Set("train", "valid", "test")))
   }
 
+  test("exactAllocationSplit: Hamilton apportionment is exact per stratum; " +
+      "assignment is total, disjoint, and partitioning-insensitive") {
+    import graft.pipeline.Curation
+    // strata sized so remainders matter: 7 docs → quotas 5.6/0.7/0.7,
+    // floors 5/0/0, remainder 2 seats to the two 0.7s (valid, test) →
+    // (5,1,1); 10 docs → exact (8,1,1); 3 docs → 2.4/0.3/0.3, the one
+    // remainder seat to train's 0.4 → (3,0,0)
+    val docs = ((1L to 7L).map(i => (i, "a")) ++
+      (11L to 20L).map(i => (i, "b")) ++
+      (31L to 33L).map(i => (i, "c"))).toDF("id", "s")
+    val ways = Seq(("train", 8000), ("valid", 1000), ("test", 1000))
+    val out = Curation.exactAllocationSplit(docs, "id", "s", ways)
+    val counts = out.groupBy(col("s"), col("way")).count()
+      .as[(String, String, Long)].collect()
+      .map { case (s, w, n) => (s, w) -> n }.toMap
+    assert(counts == Map(
+      ("a", "train") -> 5L, ("a", "valid") -> 1L, ("a", "test") -> 1L,
+      ("b", "train") -> 8L, ("b", "valid") -> 1L, ("b", "test") -> 1L,
+      ("c", "train") -> 3L), s"allocation: $counts")
+    // total and disjoint: every doc assigned exactly once
+    assert(out.select(col("id")).distinct().count() == 20 &&
+      out.count() == 20)
+    // partitioning-insensitive: identical assignment from a skewed layout
+    val re = Curation.exactAllocationSplit(docs.repartition(7), "id", "s", ways)
+      .select(col("id"), col("way")).as[(Long, String)].collect().toMap
+    val base = out.select(col("id"), col("way"))
+      .as[(Long, String)].collect().toMap
+    assert(re == base)
+  }
+
+  test("tokenBudgetSelect: prefix fill in score order, monotone in budget, " +
+      "partitioning-insensitive") {
+    import graft.pipeline.Curation
+    // score order: 4(.9) → 1(.8) → 2(.5, id tiebreak) → 3(.5) → 5(.1)
+    val docs = Seq(
+      (1L, 0.8, 100L), (2L, 0.5, 80L), (3L, 0.5, 50L),
+      (4L, 0.9, 40L), (5L, 0.1, 10L)).toDF("id", "sc", "tok")
+    def sel(b: Long) = Curation.tokenBudgetSelect(
+        docs, "id", col("sc"), col("tok"), b)
+      .select(col("id"), col("cum_tokens")).as[(Long, Long)].collect().toMap
+    // budget 200: 4(40) + 1(140) fit; 2 overflows (220), and 3/5 (which
+    // WOULD fit at 50/10 tokens) are NOT back-filled — prefix semantics
+    assert(sel(200) == Map(4L -> 40L, 1L -> 140L))
+    // monotone: a larger budget only adds documents (280 admits all five:
+    // cums 40, 140, 220, 270, 280)
+    val s280 = sel(280)
+    assert(s280.keySet == Set(1L, 2L, 3L, 4L, 5L) &&
+      sel(200).keySet.subsetOf(s280.keySet))
+    // stable under a skewed layout
+    assert(Curation.tokenBudgetSelect(docs.repartition(5), "id",
+      col("sc"), col("tok"), 200)
+      .select(col("id"), col("cum_tokens")).as[(Long, Long)]
+      .collect().toMap == sel(200))
+  }
+
   test("packSequences: next-fit fill, oversize doc isolated") {
     import graft.pipeline.Curation
     // cap 256: 100+100 fit, third 100 opens bin 1; the 300-token doc
