@@ -244,6 +244,35 @@ object Curation {
       .drop("__sk", "__gn", "__s", "__off", "__lo", "__hi")
   }
 
+  /** Consistent-hash ring shard assignment (Karger et al. 1997):
+    * `vnodes` virtual points per shard on a 60-bit md5 ring; a document
+    * belongs to the owner of the first ring point at or after its own
+    * hash (wrapping to the smallest point). The property that makes this
+    * the RESHARDING primitive — where modulo hashing reshuffles nearly
+    * everything when the shard count changes — is that adding a shard
+    * only moves the documents that land on the NEW shard's ring arcs,
+    * an expected vnodes/(ring size) fraction; every other assignment is
+    * untouched, so a rebalance plan touches ~1/(n+1) of the corpus.
+    *
+    * The ring is metadata (shards·vnodes points, built driver-side from
+    * the same md5Long60 every oracle replays) and compiles into the
+    * projection as a sorted literal array — per-document assignment is
+    * one narrow codegen'd array scan, no join, no shuffle, identical on
+    * every engine.
+    */
+  def ringShard(id: Column, shards: Int, vnodes: Int): Column = {
+    require(shards > 0 && vnodes > 0, s"need positive ring: $shards x $vnodes")
+    val ring = (0 until shards).flatMap(i => (0 until vnodes).map(j =>
+        (graft.functions.Vectors.MinHashSig.md5Long60(s"shard-$i-v-$j"), i)))
+      .sortBy(_._1)
+    val ringCol = array(ring.map { case (rh, s) =>
+      struct(lit(rh).as("rh"), lit(s).as("shard")) }: _*)
+    val h = hashBucket(id, 1L << 60)
+    val ge = filter(ringCol, p => p.getField("rh") >= h)
+    when(size(ge) > 0, element_at(ge, 1).getField("shard"))
+      .otherwise(lit(ring.head._2))
+  }
+
   /** Token-budget corpus selection: take documents in descending `score`
     * order (ties by id) until the cumulative token count would exceed
     * `budget` — the standard "best data that fits the compute budget"

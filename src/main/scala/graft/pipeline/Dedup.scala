@@ -593,6 +593,27 @@ object Dedup {
     }
   }
 
+  /** Quality-aware canonical selection: the production alternative to
+    * min-id survivorship. Near-dup clustering decides WHICH documents
+    * are copies; this decides which copy to KEEP — the best-scoring
+    * member (highest `score`, ties to the smallest id), so a cluster of
+    * a clean original plus boilerplate-injected mirrors keeps the
+    * original, where min-id keeps whichever crawled first.
+    *
+    * `members`: (id, cluster) membership rows. One aggregation keyed on
+    * cluster: `min(struct(−score, id))` is the deterministic argmax —
+    * shuffle carries (cluster, score, id) triples only, combines
+    * map-side. Output: (cluster, canonical_id).
+    */
+  def canonicalByQuality(members: DataFrame, id: String, cluster: String,
+      score: Column): DataFrame =
+    members
+      .select(col(cluster),
+        struct((-score).as("__ns"), col(id).as("__cid")).as("__s"))
+      .groupBy(col(cluster))
+      .agg(min(col("__s")).as("__best"))
+      .select(col(cluster), col("__best.__cid").as("canonical_id"))
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995) — the
     * classic entity-resolution candidate generator: sort the corpus by a
     * blocking key, then compare only rows whose sort ranks are within

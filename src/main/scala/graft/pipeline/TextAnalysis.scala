@@ -484,6 +484,24 @@ object TextAnalysis {
       .select(col(s"__t.$id").as(id),
         (col("__i") + 1).cast("long").as("rank"))
 
+  /** Per-GROUP top-k by (score DESC, id ASC) — best-exemplar selection
+    * (top documents per domain, per language, per shard) with the same
+    * bounded CollectBottomK state: map-side partial buffers hold at most
+    * k entries PER GROUP, so this replaces the
+    * `Window.partitionBy(group).orderBy(score)` + rank filter, whose
+    * sort materializes every group's full membership. Output: group
+    * columns + (id, score, rank ≤ k).
+    */
+  def rankByScoreGrouped(df: DataFrame, group: Seq[String], id: String,
+      score: String, k: Int): DataFrame =
+    df.groupBy(group.map(col): _*)
+      .agg(org.apache.spark.sql.graft.ColumnBridge.collectBottomK(
+        struct((-col(score)).as("neg"), col(id)), k).as("__tk"))
+      .select(group.map(col) :+ posexplode(col("__tk")).as(Seq("__i", "__t")): _*)
+      .select(group.map(col) ++ Seq(col(s"__t.$id").as(id),
+        (-col("__t.neg")).as(score),
+        (col("__i") + 1).cast("long").as("rank")): _*)
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
     * the standard hybrid-retrieval combiner: each input list contributes
     * 1/(c + rank) per id; the fused order is the descending sum. This is

@@ -260,6 +260,104 @@ object CurationQueries extends QueryModule {
   // overlap is measured without ever joining the corpora. Exact values
   // ride along as the error witness; everything (registers, ordered
   // dyadic sums, inclusion-exclusion arithmetic) replays in DuckDB.
+  // Resharding plan under consistent hashing: assignments on an 8-shard
+  // vs a 9-shard md5 ring (16 vnodes each). The consistent-hashing
+  // guarantee — documents move ONLY onto the added shard, ~1/9 of the
+  // corpus — is visible in the rows (every moved doc's new_shard is 8)
+  // and spec-pinned; modulo hashing would reshuffle ~8/9 of them. The
+  // ring is a compiled literal array: assignment is one narrow codegen'd
+  // projection, and the oracle rebuilds the identical ring from the same
+  // md5 points.
+  private val shardRebalancePlan = Q(
+    "shard_rebalance_plan",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          Curation.ringShard(col("doc_id"), 8, 16).as("old_shard"),
+          Curation.ringShard(col("doc_id"), 9, 16).as("new_shard"))
+        .withColumn("moved", col("old_shard") =!= col("new_shard"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH r8 AS (
+              SELECT CAST(i AS INT) AS shard,
+                     ('0x'||substr(md5('shard-'||i||'-v-'||j),1,15))::BIGINT
+                       AS rh
+              FROM range(0, 8) t(i), range(0, 16) u(j)),
+            r9 AS (
+              SELECT CAST(i AS INT) AS shard,
+                     ('0x'||substr(md5('shard-'||i||'-v-'||j),1,15))::BIGINT
+                       AS rh
+              FROM range(0, 9) t(i), range(0, 16) u(j)),
+            d AS (
+              SELECT doc_id,
+                     ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                       AS h
+              FROM documents),
+            o8 AS (
+              SELECT doc_id, shard FROM (
+                SELECT d.doc_id, r.shard,
+                       row_number() OVER (PARTITION BY d.doc_id
+                         ORDER BY r.rh) AS rn
+                FROM d JOIN r8 r ON r.rh >= d.h) t WHERE rn = 1),
+            o9 AS (
+              SELECT doc_id, shard FROM (
+                SELECT d.doc_id, r.shard,
+                       row_number() OVER (PARTITION BY d.doc_id
+                         ORDER BY r.rh) AS rn
+                FROM d JOIN r9 r ON r.rh >= d.h) t WHERE rn = 1),
+            w8 AS (SELECT shard FROM r8 ORDER BY rh LIMIT 1),
+            w9 AS (SELECT shard FROM r9 ORDER BY rh LIMIT 1)
+            SELECT d.doc_id,
+                   coalesce(a.shard, (SELECT shard FROM w8)) AS old_shard,
+                   coalesce(b.shard, (SELECT shard FROM w9)) AS new_shard,
+                   coalesce(a.shard, (SELECT shard FROM w8))
+                     <> coalesce(b.shard, (SELECT shard FROM w9)) AS moved
+            FROM d LEFT JOIN o8 a USING (doc_id)
+                   LEFT JOIN o9 b USING (doc_id)
+            ORDER BY doc_id"""))
+
+  // Best exemplars per domain: top-3 documents per source by stopword
+  // density, via the bounded per-group CollectBottomK (map-side buffers
+  // hold ≤ k entries per group) — never the partitionBy window whose
+  // sort materializes every group's full membership. Oracle = the
+  // equivalent rank window.
+  private val curateTopkPerSource = Q(
+    "curate_topk_per_source",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val f = graft.pipeline.TextAnalysis.qualityFeatures(col("text"),
+        graft.pipeline.TextAnalysis.DefaultStopwords)
+      val scored = docs.select(col("source"), col("doc_id"),
+        f.getField("stopword_ratio").as("density"))
+      graft.pipeline.TextAnalysis.rankByScoreGrouped(
+          scored, Seq("source"), "doc_id", "density", k = 3)
+        .select(col("source"), col("doc_id"),
+          round(col("density"), 4).as("density"), col("rank"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""WITH t AS (
+              SELECT source, doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                       AS toks,
+                     CAST(len(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       w -> w IN ('the','a','an','and','or','of','to','in')))
+                       AS DOUBLE) AS stops
+              FROM documents),
+            d AS (
+              SELECT source, doc_id,
+                     CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END AS dens
+              FROM t),
+            r AS (
+              SELECT source, doc_id, dens,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY dens DESC, doc_id) AS rank
+              FROM d)
+            SELECT source, doc_id, round(dens, 4) AS density,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
+            ORDER BY source, rank"""))
+
   // KMV set-operation report: bottom-k (k=128) sketches of the two
   // source halves' distinct 3-gram spaces answer |A|, |B|, |A∪B|, |A∩B|
   // and Jaccard from fixed-size state — the direct union-sample
@@ -1241,5 +1339,6 @@ object CurationQueries extends QueryModule {
     qualityPercentileGate, qualityRankNormalize, shardConcat, corpusDiff, mixTemperature,
     corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap,
     curateDsir, corpusOverlapHll, corpusKmvSetops, splitGroup,
-    splitExactAlloc, curateTokenBudget, corpusDriftChi2)
+    splitExactAlloc, curateTokenBudget, curateTopkPerSource,
+    shardRebalancePlan, corpusDriftChi2)
 }

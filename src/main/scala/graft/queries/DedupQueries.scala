@@ -290,6 +290,68 @@ object DedupQueries extends QueryModule {
                     min(dst) = src AS keep
              FROM reach GROUP BY src ORDER BY doc_id"""))
 
+  // Quality-aware canonical selection: same near-dup clusters as
+  // dedup_cluster (the memoized component build), but survivorship goes
+  // to the highest-stopword-density member (ties to the smallest id)
+  // instead of the smallest id — keep the clean original, not whichever
+  // mirror crawled first. Oracle = the full recursive component replay
+  // plus a rank-1 window for the argmax.
+  private val dedupCanonicalQuality = Q(
+    "dedup_canonical_quality",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val f = graft.pipeline.TextAnalysis.qualityFeatures(col("text"),
+        graft.pipeline.TextAnalysis.DefaultStopwords)
+      val scored = docs.select(col("doc_id"),
+        f.getField("stopword_ratio").as("__q"))
+      val members = clusterVerdicts(s, dir)
+        .select(col("doc_id"), col("canonical_id").as("cluster_id"))
+        .join(scored, Seq("doc_id"))
+      val best = Dedup.canonicalByQuality(members, "doc_id", "cluster_id",
+        col("__q"))
+      members.join(best, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          round(col("__q"), 4).as("quality"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $minhashCtesSql,
+             fp AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.1),
+             edges AS (SELECT id1 AS src, id2 AS dst FROM fp
+                       UNION SELECT id2, id1 FROM fp),
+             nodes AS (SELECT DISTINCT doc_id AS node FROM documents),
+             reach AS (
+               SELECT node AS src, node AS dst FROM nodes
+               UNION
+               SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                      FROM reach GROUP BY src),
+             t AS (
+               SELECT doc_id,
+                      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                        AS toks,
+                      CAST(len(list_filter(
+                        string_split_regex(lower(trim(text)), '\\s+'),
+                        w -> w IN ('the','a','an','and','or','of','to','in')))
+                        AS DOUBLE) AS stops
+               FROM documents),
+             q AS (
+               SELECT doc_id,
+                      CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END AS dens
+               FROM t),
+             best AS (
+               SELECT cluster_id, doc_id AS canonical_id FROM (
+                 SELECT c.cluster_id, q.doc_id,
+                        row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY q.dens DESC, q.doc_id) AS r
+                 FROM comp c JOIN q USING (doc_id)) t
+               WHERE r = 1)
+             SELECT c.doc_id, c.cluster_id, round(q.dens, 4) AS quality,
+                    b.canonical_id, c.doc_id = b.canonical_id AS keep
+             FROM comp c JOIN q USING (doc_id)
+                         JOIN best b USING (cluster_id)
+             ORDER BY doc_id"""))
+
   // SimHash signatures over md5-derived (cross-engine-reproducible) shingle
   // hashes: the oracle replays shingling, hashing, and the per-bit vote in
   // SQL. Bits 60-63 are structurally 0 on both sides (60-bit hashes).
@@ -595,5 +657,5 @@ object DedupQueries extends QueryModule {
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupCluster, dedupSubstring, dedupSoft, dedupIncremental,
     dedupPrefixJoin, dedupSortedNeighborhood, dedupCdc, dedupContainment,
-    dedupContainmentSketch)
+    dedupContainmentSketch, dedupCanonicalQuality)
 }

@@ -470,4 +470,14 @@ class DedupSpec extends SparkSpec {
       Dedup.shingles(col("text"), 3), t = 0.0, k = 16,
       maxBucketSize = 1).count() == 0)
   }
+
+  test("canonicalByQuality: best-scoring member survives, ties to min id") {
+    import org.apache.spark.sql.functions.col
+    val members = Seq(
+      (1L, 10L, 0.2), (2L, 10L, 0.9), (3L, 10L, 0.9), // argmax tie: 2 < 3
+      (7L, 7L, 0.1)).toDF("id", "cluster", "q")       // singleton keeps itself
+    val got = Dedup.canonicalByQuality(members, "id", "cluster", col("q"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 2L, 7L -> 7L))
+  }
 }

@@ -101,6 +101,35 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().toMap == sel(200))
   }
 
+  test("rankByScoreGrouped: per-group top-k, score desc / id asc ties, " +
+      "groups shorter than k emit all members") {
+    val df = Seq(
+      ("a", 1L, 0.5), ("a", 2L, 0.9), ("a", 3L, 0.9), ("a", 4L, 0.1),
+      ("b", 5L, 0.7)).toDF("g", "id", "sc")
+    val got = TextAnalysis.rankByScoreGrouped(df, Seq("g"), "id", "sc", 2)
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 2L, 0.9, 1L), ("a", 3L, 0.9, 2L), ("b", 5L, 0.7, 1L)))
+  }
+
+  test("ringShard: adding a shard moves docs ONLY onto the new shard, " +
+      "a small fraction; removing it restores the original assignment") {
+    import graft.pipeline.Curation
+    val docs = (1L to 2000L).toDF("id")
+    val plan = docs.select(col("id"),
+        Curation.ringShard(col("id"), 8, 16).as("s8"),
+        Curation.ringShard(col("id"), 9, 16).as("s9"))
+      .as[(Long, Int, Int)].collect()
+    val moved = plan.filter(p => p._2 != p._3)
+    // the consistent-hashing guarantee: every moved doc lands on shard 8
+    assert(moved.forall(_._3 == 8), "a doc moved between OLD shards")
+    // expected fraction ≈ 1/9; deterministic, bound it loosely
+    assert(moved.length > 0 && moved.length < 2000 / 4,
+      s"moved ${moved.length}/2000")
+    // all old shards stay populated (uniformity sanity)
+    assert(plan.map(_._2).toSet == (0 until 8).toSet)
+  }
+
   test("packSequences: next-fit fill, oversize doc isolated") {
     import graft.pipeline.Curation
     // cap 256: 100+100 fit, third 100 opens bin 1; the 300-token doc
