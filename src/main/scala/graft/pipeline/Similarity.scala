@@ -104,6 +104,37 @@ object Similarity {
         (-col("__t.neg")).as("cos"), col("rank"))
   }
 
+  /** kNN label prediction: majority vote among each query's k nearest
+    * corpus neighbors (ties to the smallest label) — the standard
+    * embedding-quality eval loop (a labeled held-out slice probes
+    * whether the embedding space separates classes) and the simplest
+    * deployable classifier over an embedding column.
+    *
+    * Scale shape: the neighbor list is queries·k rows — broadcast
+    * against the corpus label dimension, voted with one map-side-
+    * combinable aggregation, argmaxed with `min(struct(−votes, label))`.
+    * The corpus itself only flows through [[bruteForceTopK]]'s bounded
+    * two-phase top-k (swap in an ANN variant for the 100 TB path; the
+    * vote plumbing is identical).
+    *
+    * Output: (query_id, pred_label, votes).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, label: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, id, vec, k)
+    val labels = corpus.select(col(id).as("neighbor_id"), col(label).as("__nl"))
+    labels
+      .join(broadcast(nn.select(col("query_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("__votes")).as("__nv"),
+        col("__nl").as("__lab"))).as("__b"))
+      .select(col("query_id"), col("__b.__lab").as("pred_label"),
+        (-col("__b.__nv")).as("votes"))
+  }
+
   /** Signed-random-projection signature: bit i = sign(v · h_i), packed into
     * a long. Hyperplane components derive from md5 of a seed-and-index tag
     * (uniform in [-1,1), symmetric — the SRP collision bound only needs a

@@ -502,6 +502,50 @@ object TextAnalysis {
         (-col("__t.neg")).as(score),
         (col("__i") + 1).cast("long").as("rank")): _*)
 
+  /** Heaps-law vocabulary growth curve: cumulative token count vs
+    * cumulative DISTINCT-token count at `buckets` evenly spaced corpus
+    * prefixes (docs in id order) — the corpus-health report behind "is
+    * more data still adding vocabulary?" (a flattening curve means new
+    * crawl is redundant; V(n) ≈ K·n^β with β the Heaps exponent read
+    * off the curve).
+    *
+    * The prefix-distinct count never recomputes per prefix: a token's
+    * contribution lands at its FIRST-occurrence document (one groupBy
+    * min per distinct token), per-doc new-vocab counts aggregate from
+    * that, and both cumulative series are
+    * [[graft.operators.Numbering.runningBySort]] range-shuffle passes —
+    * no global window, no per-prefix rescans. Bucket ends read off with
+    * max() since every series is nondecreasing in doc rank.
+    *
+    * Output: (bucket 1..buckets, docs, cum_tokens, cum_vocab).
+    */
+  def vocabGrowth(docs: DataFrame, id: String, text: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val words = Dedup.words(col(text))
+    val perDocTok = docs.select(col(id).as("__id"),
+      size(words).cast("long").as("__nt"))
+    val newPerDoc = docs
+      .select(col(id).as("__id"), explode(words).as("__t"))
+      .groupBy(col("__t")).agg(min(col("__id")).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__nv"))
+    val perDoc = perDocTok.join(newPerDoc, Seq("__id"), "left")
+      .na.fill(0L, Seq("__nv"))
+    val c1 = graft.operators.Numbering.runningBySort(
+      perDoc, "__id", col("__nt"), "__ct")
+    val c2 = graft.operators.Numbering.runningBySort(
+      c1, "__id", col("__nv"), "__cv")
+    val rn = graft.operators.Numbering.numberBySort(c2, "__id", "__rn")
+    val tot = rn.agg(max(col("__rn")).as("__n"))
+    rn.crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        floor((col("__rn") * buckets + col("__n") - 1) / col("__n"))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(max(col("__rn")).as("docs"), max(col("__ct")).as("cum_tokens"),
+        max(col("__cv")).as("cum_vocab"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
     * the standard hybrid-retrieval combiner: each input list contributes
     * 1/(c + rank) per id; the fused order is the descending sum. This is

@@ -32,6 +32,48 @@ object SimilarityQueries extends QueryModule {
             WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
+  // kNN classification report: majority vote of the 5 nearest neighbors
+  // (ties to the smallest label) against each query's true label — the
+  // embedding-quality eval loop as one query. The oracle replays the
+  // full cosine ranking, the vote count, and the argmax window.
+  private val simKnnClassify = Q(
+    "sim_knn_classify",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      Similarity.knnClassify(emb, queries, "vec_id", "embedding",
+          "label", k = 5)
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+        .withColumn("correct", col("pred_label") === col("true_label"))
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH ranked AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 20),
+            nn AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+            v AS (
+              SELECT nn.query_id, c.label AS l, count(1) AS votes
+              FROM nn JOIN embeddings c ON c.vec_id = nn.neighbor_id
+              GROUP BY 1, 2),
+            best AS (
+              SELECT query_id, l, votes FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY votes DESC, l) AS rn FROM v) t
+              WHERE rn = 1)
+            SELECT b.query_id, CAST(b.l AS INT) AS pred_label,
+                   CAST(b.votes AS BIGINT) AS votes,
+                   CAST(q.label AS INT) AS true_label,
+                   b.l = q.label AS correct
+            FROM best b JOIN embeddings q ON q.vec_id = b.query_id
+            ORDER BY query_id"""))
+
   // Centroid similarity per label group: mean embedding per label, cosine of
   // each vector to its own label centroid — the embedding-cosine near-dup /
   // clustering primitive, aggregation-shaped (scales as one groupBy + one
@@ -1547,5 +1589,5 @@ object SimilarityQueries extends QueryModule {
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
-    simPqM4, simIvfAppend, simIvfPq, simIvfPqTrained)
+    simPqM4, simIvfAppend, simIvfPq, simIvfPqTrained, simKnnClassify)
 }

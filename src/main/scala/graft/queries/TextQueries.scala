@@ -458,6 +458,44 @@ object TextQueries extends QueryModule {
                    n_types * 10000 // n_grams AS ttr_bp
             FROM agg ORDER BY n"""))
 
+  // Heaps-law growth curve: cumulative tokens vs cumulative distinct
+  // tokens at 10 corpus prefixes (docs in id order) — "is more data
+  // still adding vocabulary?" as one query. Prefix-distinct never
+  // rescans: each token contributes at its first-occurrence doc, the
+  // cumulative series are range-shuffle running sums, and bucket ends
+  // read off with max() (both series nondecreasing). Oracle = the
+  // first-seen aggregation + ordered window sums.
+  private val textHeapsCurve = Q(
+    "text_heaps_curve",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.vocabGrowth(docs, "doc_id", "text", buckets = 10)
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+              FROM documents),
+            pd AS (SELECT doc_id, len(w)::BIGINT AS nt FROM w),
+            tk AS (SELECT doc_id, unnest(w) AS t FROM w),
+            fs AS (SELECT t, min(doc_id) AS fd FROM tk GROUP BY t),
+            nv AS (SELECT fd AS doc_id, count(1) AS nv FROM fs GROUP BY fd),
+            pj AS (SELECT p.doc_id, p.nt, coalesce(v.nv, 0) AS nv
+                   FROM pd p LEFT JOIN nv v USING (doc_id)),
+            c AS (
+              SELECT doc_id,
+                     sum(nt) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS ct,
+                     sum(nv) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cv,
+                     row_number() OVER (ORDER BY doc_id) AS rn,
+                     count(1) OVER () AS n
+              FROM pj)
+            SELECT (rn * 10 + n - 1) // n AS bucket,
+                   CAST(max(rn) AS BIGINT) AS docs,
+                   CAST(max(ct) AS BIGINT) AS cum_tokens,
+                   CAST(max(cv) AS BIGINT) AS cum_vocab
+            FROM c GROUP BY 1 ORDER BY bucket"""))
+
   // BM25 top-20 for a three-term query (k1=1.2, b=0.75, the Robertson/
   // Sparck-Jones +1 idf). The oracle restates the identical pipeline;
   // `1.2 + 1` is kept as an addition on both engines (the 2.2 literal
@@ -1222,5 +1260,5 @@ object TextQueries extends QueryModule {
     textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters,
     textMgExactHeavy, textLrs, textNormalize, textProbeTrain, textProbeAuc,
     textProbeCalibration, textProbeTrainLexical, searchHybridRrf,
-    textPiiScrub)
+    textPiiScrub, textHeapsCurve)
 }

@@ -252,6 +252,29 @@ class SimilaritySpec extends SparkSpec {
       .count() == 0, "full probe found a worse best match than narrow")
   }
 
+  test("knnClassify: majority vote with smallest-label ties; a query deep " +
+      "inside a label cluster is classified correctly") {
+    import spark.implicits._
+    // 2D-style vectors embedded in the first two of 64 dims: label 0
+    // clusters near (1,0), label 1 near (0,1); query 0 sits in cluster 0
+    def v(x: Double, y: Double): Seq[Float] =
+      (Seq(x, y) ++ Seq.fill(62)(0.0)).map(_.toFloat)
+    val emb = Seq(
+      (0L, v(0.9, 0.1), 0), (1L, v(1.0, 0.0), 0), (2L, v(0.95, 0.05), 0),
+      (3L, v(0.0, 1.0), 1), (4L, v(0.1, 0.9), 1), (5L, v(0.05, 0.95), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "label", k = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    // neighbors of 0: vecs 1, 2 (label 0) then one of label 1 → vote 2:1
+    assert(got == Seq((0L, 0, 2L)))
+    // k=4: 2 votes each — the tie resolves to the smaller label (0)
+    val tied = Similarity.knnClassify(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "label", k = 4)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(tied == Seq((0L, 0, 2L)))
+  }
+
   test("IVFPQ: trained coarse cells shrink the residuals the coder fits") {
     import spark.implicits._
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -130,6 +130,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.map(_._2).toSet == (0 until 8).toSet)
   }
 
+  test("vocabGrowth: first-occurrence accounting — repeated tokens add " +
+      "to cum_tokens but never to cum_vocab; bucket ends are prefixes") {
+    // doc1: 3 tokens, 3 new; doc2: 2 tokens, 1 new (b, c seen);
+    // doc3: 2 tokens, 0 new
+    val docs = Seq(
+      (1L, "a b c"), (2L, "b d"), (3L, "a d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text", buckets = 3)
+      .orderBy(col("bucket"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 3L), (2L, 2L, 5L, 4L), (3L, 3L, 7L, 4L)))
+    // one bucket = whole-corpus totals
+    val tot = TextAnalysis.vocabGrowth(docs, "doc_id", "text", buckets = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(tot == Seq((1L, 3L, 7L, 4L)))
+  }
+
   test("packSequences: next-fit fill, oversize doc isolated") {
     import graft.pipeline.Curation
     // cap 256: 100+100 fit, third 100 opens bin 1; the 300-token doc
