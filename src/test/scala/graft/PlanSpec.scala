@@ -580,6 +580,60 @@ class PlanSpec extends SparkSpec {
       s"per-doc viterbi must not shuffle:\n$plan")
   }
 
+  test("containment family: inverted-index joins carry ids/hashes only — " +
+      "no cartesian, no window; sketch attaches broadcast when eager") {
+    // exact op: the df-capped gram join
+    val exact = planOf("dedup_containment")
+    assert(!exact.contains("CartesianProduct") && !exact.contains("Window"),
+      exact.take(2500))
+    // sketch op: pin the LAZY form (eager materializes to a checkpoint
+    // scan); candidate generation must be the bucket aggregation, never
+    // an all-pairs join
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val lazyPlan = graft.pipeline.Dedup.containmentSketchPairs(docs,
+        "doc_id", graft.pipeline.Dedup.shingles(col("text"), 3),
+        t = 0.5, k = 16, eager = false)
+      .queryExecution.executedPlan.toString
+    assert(!lazyPlan.contains("CartesianProduct") &&
+      !lazyPlan.contains("Window"), lazyPlan.take(2500))
+  }
+
+  test("bounded top-k queries: never a partitionBy window, no sort-merge " +
+      "of the corpus against a dimension") {
+    // curate_topk_per_source replaces Window.partitionBy(source) with
+    // per-group CollectBottomK; curate_token_budget's running sum is
+    // runningBySort; text_heaps_curve's prefix sums likewise; a Window
+    // node in any of these is the group-sort scale regression.
+    for (q <- Seq("curate_topk_per_source", "curate_token_budget",
+        "text_heaps_curve", "sim_knn_classify")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"), s"$q grew a window:\n${plan.take(2500)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2500)}")
+    }
+  }
+
+  test("shard_rebalance_plan: ring lookup is a pure narrow projection — " +
+      "no join, no aggregation, no shuffle before the output sort") {
+    val plan = planOf("shard_rebalance_plan")
+    assert(!plan.contains("Join"), s"ring must compile as a literal:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("HashAggregate"),
+      plan.take(2000))
+    val beforeSort = plan.split("Sort ").last
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"per-doc ring lookup must not shuffle:\n$plan")
+  }
+
+  test("split_exact_alloc: allocation dimension broadcasts back; the " +
+      "corpus itself never sort-merge joins") {
+    val plan = planOf("split_exact_alloc")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"),
+      s"boundary attach must broadcast the strata dimension:\n${plan.take(2500)}")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
