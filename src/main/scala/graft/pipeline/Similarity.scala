@@ -104,6 +104,53 @@ object Similarity {
         (-col("__t.neg")).as("cos"), col("rank"))
   }
 
+  /** Top principal direction of the embedding corpus (uncentered /
+    * second-moment PCA) via MATRIX-FREE power iteration: the d×d
+    * covariance never materializes — each round computes
+    * y = A·x = Σ_rows v·(v·x) as one corpus pass (per-row dot against
+    * the broadcast direction, then d order-free DECIMAL(38,18)
+    * component sums, the linearProbeTrain discipline that keeps the
+    * doubles bit-replayable in any engine). The d-vector is the only
+    * state between rounds; at 100 TB each iteration is one aggregation,
+    * and the driver never sees data.
+    *
+    * The report behind "is this embedding space collapsing?": a top
+    * share near 1 means one direction dominates (anisotropic /
+    * degenerate embeddings); healthy spaces spread variance.
+    *
+    * Output: (dim 1..d, weight of the unit top direction, lambda =
+    * ‖A·x‖ at the last round ≈ top eigenvalue, top_share = lambda /
+    * trace(A), the explained-variance share). Deterministic: x₀ is the
+    * uniform direction, every sum is order-free.
+    */
+  def pcaPower(corpus: DataFrame, vec: String, dim: Int,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val v = toDouble(col(vec))
+    def sums(frame: DataFrame, d: Column): DataFrame = {
+      val cols = (0 until dim).map(j =>
+        sum((element_at(v, j + 1) * d).cast("decimal(38,18)"))
+          .cast("double").as(s"__y$j"))
+      frame.agg(cols.head, cols.tail: _*)
+    }
+    def ya = array((0 until dim).map(j => col(s"__y$j")): _*)
+    val x0 = typedLit(Seq.fill(dim)(1.0 / math.sqrt(dim.toDouble)))
+    var cur = sums(corpus, dot(v, x0))
+    for (_ <- 2 to iters) {
+      val xPrev = cur.select(
+        transform(ya, e => e / sqrt(dot(ya, ya))).as("__x"))
+      cur = sums(corpus.crossJoin(broadcast(xPrev)), dot(v, col("__x")))
+    }
+    val trace = corpus.agg(
+      sum(dot(v, v).cast("decimal(38,18)")).cast("double").as("__tr"))
+    val lam = sqrt(dot(ya, ya))
+    cur.crossJoin(broadcast(trace))
+      .select(posexplode(transform(ya, e => e / lam)).as(Seq("__i", "weight")),
+        lam.as("lambda"), (lam / col("__tr")).as("top_share"))
+      .select((col("__i") + 1).cast("long").as("dim"), col("weight"),
+        col("lambda"), col("top_share"))
+  }
+
   /** kNN label prediction: majority vote among each query's k nearest
     * corpus neighbors (ties to the smallest label) — the standard
     * embedding-quality eval loop (a labeled held-out slice probes

@@ -74,6 +74,57 @@ object SimilarityQueries extends QueryModule {
             FROM best b JOIN embeddings q ON q.vec_id = b.query_id
             ORDER BY query_id"""))
 
+  // Top principal direction via matrix-free power iteration (2 rounds):
+  // the anisotropy report — top_share near 1 flags a collapsing
+  // embedding space. The covariance never materializes; each round is
+  // one corpus pass with order-free DECIMAL(38,18) component sums, so
+  // the oracle replays both rounds, the normalization, and the
+  // Rayleigh/trace ratio double-for-double.
+  private val simPcaPower = Q(
+    "sim_pca_power",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.pcaPower(emb, "embedding", dim = 64, iters = 2)
+        .select(col("dim"), round(col("weight"), 4).as("weight"),
+          round(col("lambda"), 4).as("lambda"),
+          round(col("top_share"), 4).as("top_share"))
+        .orderBy(col("dim"))
+    },
+    Some("""WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            d1 AS (
+              SELECT vec_id, v,
+                     list_dot_product(v,
+                       list_transform(range(1, 65), i -> 0.125)) AS d
+              FROM e),
+            ex1 AS (SELECT i, v[i] * d AS t FROM d1, range(1, 65) r(i)),
+            y1 AS (SELECT i,
+                     CAST(sum(CAST(t AS DECIMAL(38,18))) AS DOUBLE) AS y
+                   FROM ex1 GROUP BY i),
+            y1l AS (SELECT list(y ORDER BY i) AS y FROM y1),
+            x1 AS (SELECT list_transform(y,
+                     e -> e / sqrt(list_dot_product(y, y))) AS x
+                   FROM y1l),
+            d2 AS (SELECT e.vec_id, e.v,
+                     list_dot_product(e.v, x1.x) AS d
+                   FROM e, x1),
+            ex2 AS (SELECT i, v[i] * d AS t FROM d2, range(1, 65) r(i)),
+            y2 AS (SELECT i,
+                     CAST(sum(CAST(t AS DECIMAL(38,18))) AS DOUBLE) AS y
+                   FROM ex2 GROUP BY i),
+            y2l AS (SELECT list(y ORDER BY i) AS y FROM y2),
+            tr AS (SELECT CAST(sum(CAST(list_dot_product(v, v)
+                     AS DECIMAL(38,18))) AS DOUBLE) AS tr FROM e),
+            f AS (SELECT y, sqrt(list_dot_product(y, y)) AS lam FROM y2l)
+            SELECT CAST(r.i AS BIGINT) AS dim,
+                   round(f.y[r.i] / f.lam, 4) AS weight,
+                   round(f.lam, 4) AS lambda,
+                   round(f.lam / tr.tr, 4) AS top_share
+            FROM f, tr, range(1, 65) r(i)
+            ORDER BY dim"""))
+
   // Centroid similarity per label group: mean embedding per label, cosine of
   // each vector to its own label centroid — the embedding-cosine near-dup /
   // clustering primitive, aggregation-shaped (scales as one groupBy + one
@@ -1589,5 +1640,6 @@ object SimilarityQueries extends QueryModule {
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
-    simPqM4, simIvfAppend, simIvfPq, simIvfPqTrained, simKnnClassify)
+    simPqM4, simIvfAppend, simIvfPq, simIvfPqTrained, simKnnClassify,
+    simPcaPower)
 }

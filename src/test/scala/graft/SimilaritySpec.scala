@@ -275,6 +275,28 @@ class SimilaritySpec extends SparkSpec {
     assert(tied == Seq((0L, 0, 2L)))
   }
 
+  test("pcaPower: recovers the dominant direction of an anisotropic cloud; " +
+      "unit output; extra iterations only sharpen it") {
+    import spark.implicits._
+    // dominant variance along dim 1 (values ±10), noise along dim 2 (±1)
+    def v(x: Double, y: Double): Seq[Float] =
+      (Seq(x, y) ++ Seq.fill(62)(0.0)).map(_.toFloat)
+    val emb = Seq(
+      (0L, v(10.0, 1.0)), (1L, v(-10.0, 0.5)), (2L, v(9.5, -1.0)),
+      (3L, v(-9.0, -0.5)), (4L, v(10.5, 0.2))).toDF("vec_id", "embedding")
+    val w = Similarity.pcaPower(emb, "embedding", dim = 64, iters = 3)
+      .select(col("dim"), col("weight"), col("top_share"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    // unit vector
+    val n2 = w.map(_._2).map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-9, s"norm² $n2")
+    // dim 1 dominates, dim 2 small, the rest ~0
+    assert(math.abs(w(0)._2) > 0.99, s"w1 ${w(0)._2}")
+    assert(math.abs(w(1)._2) < 0.15 && w.drop(2).forall(x => x._2 == 0.0))
+    // nearly all second-moment mass on the top direction
+    assert(w(0)._3 > 0.95, s"top_share ${w(0)._3}")
+  }
+
   test("IVFPQ: trained coarse cells shrink the residuals the coder fits") {
     import spark.implicits._
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
