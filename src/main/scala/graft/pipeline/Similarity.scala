@@ -104,6 +104,64 @@ object Similarity {
         (-col("__t.neg")).as("cos"), col("rank"))
   }
 
+  /** DBSCAN (Ester et al., KDD 1996) over a similarity-pair graph. The
+    * pair source is PLUGGABLE — exact [[cosineNearDupPairs]] for small
+    * slices, [[lshNearDupPairs]] for the 100 TB path — so the density
+    * semantics never couple to how candidates were generated.
+    *
+    * Roles: a node with ≥ minPts neighbors is CORE; cores connected
+    * through core–core edges form one cluster (labeled by the minimum
+    * core id, via the adaptive connected-components build); a non-core
+    * node adjacent to a core is BORDER and joins its minimum-labeled
+    * core neighbor's cluster (DBSCAN's order-dependent border tie made
+    * deterministic); everything else is NOISE (cluster −1). Density
+    * asymmetry is preserved: a border node does NOT glue two clusters
+    * (only core–core edges merge), which is what separates DBSCAN from
+    * plain connected components on the same graph.
+    *
+    * Plan shape: one symmetrize + degree aggregation, two semi joins to
+    * classify edge endpoints, the bounded components build on the core
+    * subgraph, one min-aggregation for borders — ids only in every
+    * shuffle. Output: (id, degree, role, cluster).
+    */
+  def dbscan(nodes: DataFrame, pairs: DataFrame, id: String,
+      minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val edges = pairs.select(col("id1").as("n"), col("id2").as("m"))
+      .unionByName(pairs.select(col("id2").as("n"), col("id1").as("m")))
+    val deg = edges.groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val core = deg.filter(col("degree") >= minPts).select(col("n"))
+    val coreEdges = edges
+      .join(core.withColumnRenamed("n", "__cn"), col("n") === col("__cn"),
+        "left_semi")
+      .join(core.withColumnRenamed("n", "__cm"), col("m") === col("__cm"),
+        "left_semi")
+    val comp = graft.operators.Clustering.connectedComponents(
+      coreEdges.select(col("n").as("src"), col("m").as("dst")))
+    // cores: component label, or self for a core with no core neighbor
+    val coreClusters = core
+      .join(comp.select(col("node").as("n"), col("component")), Seq("n"), "left")
+      .select(col("n"), coalesce(col("component"), col("n")).as("cluster"),
+        lit("core").as("role"))
+    // borders: non-core endpoint adjacent to a core → min core cluster
+    val borderClusters = edges
+      .join(core.withColumnRenamed("n", "__cm"), col("m") === col("__cm"),
+        "left_semi")
+      .join(coreClusters.select(col("n").as("__b"), lit(1).as("__isCore")),
+        col("n") === col("__b"), "left_anti")
+      .join(coreClusters.select(col("n").as("m"), col("cluster")), Seq("m"))
+      .groupBy(col("n")).agg(min(col("cluster")).as("cluster"))
+      .select(col("n"), col("cluster"), lit("border").as("role"))
+    val labeled = coreClusters.unionByName(borderClusters)
+    nodes.select(col(id).as("n"))
+      .join(deg, Seq("n"), "left")
+      .join(labeled, Seq("n"), "left")
+      .select(col("n").as(id),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+  }
+
   /** Top principal direction of the embedding corpus (uncentered /
     * second-moment PCA) via MATRIX-FREE power iteration: the d×d
     * covariance never materializes — each round computes

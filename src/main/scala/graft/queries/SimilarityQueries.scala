@@ -74,6 +74,59 @@ object SimilarityQueries extends QueryModule {
             FROM best b JOIN embeddings q ON q.vec_id = b.query_id
             ORDER BY query_id"""))
 
+  // DBSCAN over the cosine neighborhood graph (eps = cos ≥ 0.35,
+  // minPts = 2) on a 500-vector slice: cores by degree, clusters by
+  // core–core components only (a border never glues two clusters — the
+  // density asymmetry that separates DBSCAN from plain components),
+  // borders to their minimum-labeled core neighbor, the rest noise.
+  // Oracle replays pairs, degrees, the recursive core-subgraph closure,
+  // and the border argmin.
+  private val simDbscan = Q(
+    "sim_dbscan",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        0.35)
+      Similarity.dbscan(emb, pairs, "vec_id", minPts = 2)
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH RECURSIVE e0 AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 500),
+            p AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2
+              FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+            ed AS (SELECT id1 AS n, id2 AS m FROM p
+                   UNION ALL SELECT id2, id1 FROM p),
+            d AS (SELECT n, count(1) AS degree FROM ed GROUP BY n),
+            core AS (SELECT n FROM d WHERE degree >= 2),
+            ce AS (SELECT e.n AS src, e.m AS dst FROM ed e
+                   JOIN core c1 ON c1.n = e.n
+                   JOIN core c2 ON c2.n = e.m),
+            reach AS (
+              SELECT n AS src, n AS dst FROM core
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN ce e ON r.dst = e.src),
+            comp AS (SELECT src AS n, min(dst) AS cluster
+                     FROM reach GROUP BY src),
+            border AS (
+              SELECT e.n, min(c.cluster) AS cluster
+              FROM ed e JOIN comp c ON c.n = e.m
+              WHERE e.n NOT IN (SELECT n FROM core)
+              GROUP BY e.n)
+            SELECT x.vec_id,
+                   CAST(coalesce(d.degree, 0) AS BIGINT) AS degree,
+                   CASE WHEN comp.n IS NOT NULL THEN 'core'
+                        WHEN border.n IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   CAST(coalesce(comp.cluster, border.cluster, -1) AS BIGINT)
+                     AS cluster
+            FROM e0 x LEFT JOIN d ON d.n = x.vec_id
+                      LEFT JOIN comp ON comp.n = x.vec_id
+                      LEFT JOIN border ON border.n = x.vec_id
+            ORDER BY vec_id"""))
+
   // Top principal direction via matrix-free power iteration (2 rounds):
   // the anisotropy report — top_share near 1 flags a collapsing
   // embedding space. The covariance never materializes; each round is
@@ -1641,5 +1694,5 @@ object SimilarityQueries extends QueryModule {
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
     simPqM4, simIvfAppend, simIvfPq, simIvfPqTrained, simKnnClassify,
-    simPcaPower)
+    simPcaPower, simDbscan)
 }

@@ -275,6 +275,42 @@ class SimilaritySpec extends SparkSpec {
     assert(tied == Seq((0L, 0, 2L)))
   }
 
+  test("dbscan: density asymmetry — a shared border never glues two " +
+      "clusters; isolated cores self-cluster; singletons are noise") {
+    import spark.implicits._
+    // two triangles joined ONLY through node 10 (degree 2); 20–21 an
+    // isolated pair; node 30 has no edges at all
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L, 10L, 20L, 21L, 30L).toDF("id")
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),    // triangle A (1 also sees 10)
+      (5L, 6L), (6L, 7L), (5L, 7L),    // triangle B (5 also sees 10)
+      (1L, 10L), (5L, 10L),            // 10 touches BOTH triangles
+      (20L, 21L)                       // isolated degree-1 pair
+    ).toDF("id1", "id2")
+    val got = Similarity.dbscan(nodes, pairs, "id", minPts = 2)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val strict = Similarity.dbscan(nodes, pairs, "id", minPts = 3)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // minPts=3: only 1 and 5 reach degree 3 → cores; no core-core edge
+    // exists, so each self-clusters
+    assert(strict(1L) == ((3L, "core", 1L)) &&
+      strict(5L) == ((3L, "core", 5L)), s"$strict")
+    // their triangles attach as borders; clusters stay separate
+    assert(strict(2L)._3 == 1L && strict(3L)._3 == 1L)
+    assert(strict(6L)._3 == 5L && strict(7L)._3 == 5L)
+    // border 10 touches both cores → joins the MIN cluster, no gluing
+    assert(strict(10L) == ((2L, "border", 1L)))
+    // 20/21's neighbors are not cores → noise; 30 isolated → noise
+    assert(strict(20L) == ((1L, "noise", -1L)))
+    assert(strict(21L) == ((1L, "noise", -1L)))
+    assert(strict(30L) == ((0L, "noise", -1L)))
+    // minPts=2 sanity: 10 becomes core and the chains DO merge (the
+    // parameter, not the implementation, decides)
+    assert(got(10L)._2 == "core" && got(6L)._3 == got(2L)._3)
+  }
+
   test("pcaPower: recovers the dominant direction of an anisotropic cloud; " +
       "unit output; extra iterations only sharpen it") {
     import spark.implicits._
