@@ -98,7 +98,13 @@ object Bench {
     // (one flagship per operator family) + a pointer to the full map.
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // Filtered SPARK_GRAFT_ONLY profiling runs get their own default
+    // output file: writing the 2-query map over BENCH_FULL.json loses the
+    // round's full sweep (it happened — an 11-query scale-probe run
+    // clobbered the 247-query artifact mid-round).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "/root/repo/BENCH_FULL.json"
+      else "/root/repo/BENCH_ONLY.json")
     val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","mode":"steady-state-min2","n":${results.size},"failed":$failedJson,"queries":$fullJson,"sf":"$sfDir"}"""
     try {

@@ -1333,6 +1333,202 @@ object CurationQueries extends QueryModule {
             FROM counts, tot
             ORDER BY chi2 DESC, tok LIMIT 20"""))
 
+  // Robust outlier gate on document length: median + MAD (median absolute
+  // deviation), the standard heavy-tail-safe alternative to mean/stddev
+  // z-scores (one 10 MB page would drag a mean gate; the median doesn't
+  // move). Exact `percentile` keeps the oracle replay bit-exact here; the
+  // 100 TB swap is approx_percentile with identical plan shape (the two
+  // scalars still broadcast — the per-row pass never shuffles). Both
+  // scalars are 1-row aggregates crossJoin'd back (broadcast by AQE).
+  private val qualityMadOutlier = Q(
+    "quality_mad_outlier",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val med = docs.agg(expr("percentile(n_chars, 0.5)").as("__med"))
+      val withMed = docs.crossJoin(broadcast(med))
+      val mad = withMed
+        .agg(expr("percentile(abs(n_chars - __med), 0.5)").as("__mad"))
+      withMed.crossJoin(broadcast(mad))
+        .select(col("doc_id"), col("n_chars"),
+          round(abs(col("n_chars") - col("__med")), 4).as("deviation"),
+          (abs(col("n_chars") - col("__med")) > lit(3.0) * col("__mad"))
+            .as("outlier"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH m AS (SELECT median(n_chars) AS med FROM documents),
+            d AS (SELECT abs(n_chars - med) AS dev
+                  FROM documents, m),
+            s AS (SELECT median(dev) AS mad FROM d)
+            SELECT doc_id, n_chars,
+                   round(abs(n_chars - m.med), 4) AS deviation,
+                   abs(n_chars - m.med) > 3.0 * s.mad AS outlier
+            FROM documents, m, s
+            ORDER BY doc_id"""))
+
+  // Per-document n-gram novelty: the fraction of a doc's DISTINCT word
+  // trigrams that appear in no other document — the memorization-risk /
+  // boilerplate signal (Lee et al. 2022's dedup rationale): novel_rate ~ 1
+  // means fresh text, ~ 0 means the doc is assembled from corpus-common
+  // shingles. Grams shuffle as md5-derived 60-bit fingerprints (fixed 8
+  // bytes however long the gram — the width that matters at 100 TB), a
+  // trick both engines replay; df reduces map-side; the join back to docs
+  // reuses the gram-hash partitioning.
+  private val corpusNgramNovelty = Q(
+    "corpus_ngram_novelty",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val grams = docs
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(t) >= 3
+               THEN transform(sequence(1, size(t) - 2),
+                      i -> concat_ws(' ', t[i - 1], t[i], t[i + 1]))
+               ELSE CAST(array() AS ARRAY<STRING>) END""")).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+        .distinct()
+      val df_ = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+      val perDoc = grams.join(df_, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(when(coalesce(col("n_grams"), lit(0L)) > 0L,
+            coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"))
+            .otherwise(lit(0.0)), 4).as("novel_rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH grams AS (
+              SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+              FROM (
+                SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(trim(text)), '\s+') AS t
+                      FROM documents) d,
+                     unnest(range(1, greatest(len(t) - 1, 1))) u(i)) x),
+            df AS (SELECT gh, count(1) AS df FROM grams GROUP BY gh),
+            per AS (
+              SELECT doc_id, count(1) AS n_grams,
+                     sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel
+              FROM grams JOIN df USING (gh)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+                   round(CASE WHEN coalesce(n_grams, 0) > 0
+                     THEN CAST(coalesce(n_novel, 0) AS DOUBLE) / n_grams
+                     ELSE 0.0 END, 4) AS novel_rate
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id"""))
+
+  // Pareto front over (quality score UP, length DOWN) — multi-objective
+  // doc selection without committing to a single weighting: the skyline
+  // is every doc not strictly dominated by another. 2-D skyline needs no
+  // O(n^2) dominance join: group to per-score minimum length (one bounded
+  // aggregation — the score domain is basis points, <= 10001 levels),
+  // running strict-prefix min over score levels on the driver (bounded by
+  // construction, the dimension-collect posture), broadcast the level
+  // table back. A doc is on the front iff it achieves its level's min
+  // length AND beats the best length of every strictly better score.
+  // The oracle is the definitional NOT EXISTS dominance scan.
+  private val curateParetoFront = Q(
+    "curate_pareto_front",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ws = split(lower(trim(col("text"))), "\\s+")
+      val toks = size(ws).cast("double")
+      val stops = size(filter(ws, w => w.isin(stopWords: _*))).cast("double")
+      val scored = docs.select(col("doc_id"), col("n_chars"),
+        when(toks > 0, round(lit(10000.0) * stops / toks))
+          .otherwise(lit(0.0)).cast("long").as("score_bp"))
+      val levels = scored.groupBy(col("score_bp"))
+        .agg(min(col("n_chars")).as("__minc"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(-_._1)
+      // exclusive running min over strictly-better (higher) score levels
+      val minHigher = levels.scanLeft(Long.MaxValue) {
+        case (acc, (_, minc)) => math.min(acc, minc)
+      }
+      val levelDim = levels.zip(minHigher).map {
+        case ((sc, minc), hi) => (sc, minc, hi)
+      }
+      val spark = s
+      import spark.implicits._
+      val dim = levelDim.toSeq
+        .toDF("score_bp", "__minc", "__min_higher")
+      scored.join(broadcast(dim), Seq("score_bp"))
+        .filter(col("n_chars") === col("__minc") &&
+          col("n_chars") < col("__min_higher"))
+        .select(col("doc_id"), col("score_bp"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) > 0
+                       THEN CAST(round(
+                         (10000.0 * len(list_filter(
+                            string_split_regex(lower(trim(text)), '\s+'),
+                            w -> w IN ('the','a','an','and','or','of','to','in'))))
+                         / len(string_split_regex(lower(trim(text)), '\s+')))
+                         AS BIGINT)
+                       ELSE 0 END AS score_bp
+              FROM documents)
+            SELECT a.doc_id, a.score_bp, a.n_chars
+            FROM t a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM t b
+              WHERE b.score_bp >= a.score_bp AND b.n_chars <= a.n_chars
+                AND (b.score_bp > a.score_bp OR b.n_chars < a.n_chars))
+            ORDER BY a.doc_id"""))
+
+  // Gini coefficient of the per-document token-count distribution — the
+  // one-number inequality report behind "is our corpus a few megadocs and
+  // a long tail?" (drives sharding and packing decisions). The sorted-rank
+  // identity G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) makes it one
+  // range shuffle (the two-phase Numbering rank, never a single-partition
+  // window) + a 3-value reduce; rank-weighted products sum as
+  // DECIMAL(38,0) (rank*tokens overflows int64 at real corpus scale;
+  // DuckDB sums to HUGEINT natively), and only the final ratio is double.
+  private val corpusGini = Q(
+    "corpus_gini",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+      val ranked = graft.operators.Numbering.runningBySort(
+        toks, Seq(col("t"), col("doc_id")), lit(1L), "i")
+      ranked
+        .agg(count(lit(1)).as("n"),
+          sum(col("t").cast("decimal(38,0)")).as("st"),
+          sum(col("i").cast("decimal(38,0)") * col("t")).as("sit"))
+        .select(col("n").cast("long").as("n_docs"),
+          col("st").cast("long").as("total_tokens"),
+          round(when(col("st") > 0,
+            (lit(2.0) * col("sit").cast("double")
+              - (col("n") + 1L).cast("double") * col("st").cast("double"))
+              / (col("n").cast("double") * col("st").cast("double")))
+            .otherwise(lit(0.0)), 4).as("gini"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS t
+              FROM documents),
+            r AS (SELECT t, row_number() OVER (ORDER BY t, doc_id) AS i FROM t),
+            s AS (SELECT count(1) AS n, sum(t) AS st, sum(i * t) AS sit FROM r)
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CAST(st AS BIGINT) AS total_tokens,
+                   round(CASE WHEN st > 0
+                     THEN (2.0 * CAST(sit AS DOUBLE)
+                           - CAST(n + 1 AS DOUBLE) * CAST(st AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(st AS DOUBLE))
+                     ELSE 0.0 END, 4) AS gini
+            FROM s"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, sampleWeighted, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
@@ -1340,5 +1536,6 @@ object CurationQueries extends QueryModule {
     corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap,
     curateDsir, corpusOverlapHll, corpusKmvSetops, splitGroup,
     splitExactAlloc, curateTokenBudget, curateTopkPerSource,
-    shardRebalancePlan, corpusDriftChi2)
+    shardRebalancePlan, corpusDriftChi2, qualityMadOutlier,
+    corpusNgramNovelty, curateParetoFront, corpusGini)
 }

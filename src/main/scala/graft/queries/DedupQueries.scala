@@ -654,8 +654,53 @@ object DedupQueries extends QueryModule {
             GROUP BY i.doc_id ORDER BY i.doc_id"""
     })
 
+  // MinHash estimator-error report: for every LSH candidate pair, the
+  // 64-hash signature estimate next to the TRUE shingle Jaccard — the
+  // index-tuning artifact that says whether k=64 is enough for the
+  // corpus's similarity regime (the sim_recall_report posture applied to
+  // dedup). Reuses the session pair materialization; the exact side joins
+  // the bounded candidate set (never all pairs) against the per-doc
+  // shingle dimension, so at 100 TB the exact-Jaccard verify costs
+  // |candidates|, not |corpus|².
+  private val dedupMinhashEstError = Q(
+    "dedup_minhash_est_error",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = minhashPairs(s, dir)
+        .select(col("id1"), col("id2"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+      val grams = docs.select(col("doc_id"),
+        Dedup.shingles(col("text"), 2).as("g"))
+      pairs
+        .join(grams.select(col("doc_id").as("id1"), col("g").as("__g1")),
+          Seq("id1"))
+        .join(grams.select(col("doc_id").as("id2"), col("g").as("__g2")),
+          Seq("id2"))
+        .withColumn("exact_jaccard",
+          round(Dedup.jaccard(col("__g1"), col("__g2")), 4))
+        .select(col("id1"), col("id2"), col("est_jaccard"),
+          col("exact_jaccard"),
+          // abs of the ROUNDED values: both are 1e-4 grid points, so the
+          // difference is exact and engine-independent
+          round(abs(col("est_jaccard") - col("exact_jaccard")), 4)
+            .as("abs_err"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""WITH $minhashCtesSql,
+            ex AS (
+              SELECT p.id1, p.id2, p.est_jaccard,
+                     round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                           / len(list_distinct(a.g || b.g)), 4) AS exact_jaccard
+              FROM est p
+              JOIN grams a ON a.doc_id = p.id1
+              JOIN grams b ON b.doc_id = p.id2
+              WHERE p.est_jaccard >= 0.1)
+            SELECT id1, id2, est_jaccard, exact_jaccard,
+                   round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
+            FROM ex ORDER BY id1, id2"""))
+
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupCluster, dedupSubstring, dedupSoft, dedupIncremental,
     dedupPrefixJoin, dedupSortedNeighborhood, dedupCdc, dedupContainment,
-    dedupContainmentSketch, dedupCanonicalQuality)
+    dedupContainmentSketch, dedupCanonicalQuality, dedupMinhashEstError)
 }

@@ -1688,11 +1688,214 @@ object SimilarityQueries extends QueryModule {
             ${prRoundSql("p3", 4)}
             SELECT id AS vec_id, pr FROM p4 ORDER BY vec_id"""))
 
+  // Per-class confusion report over the kNN classifier — precision /
+  // recall / F1 per label from exact integer tp/fp/fn counts (the eval
+  // loop's next step after sim_knn_classify's raw votes). Two bounded
+  // aggregations (one keyed by predicted label, one by true label) meet in
+  // a label-cardinality full-outer join; the corpus only ever flows through
+  // the bounded two-phase top-k inside knnClassify, so at 100 TB this is
+  // the ANN scan plus a k-class-sized reduce.
+  private val simConfusionF1 = Q(
+    "sim_confusion_f1",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      val preds = Similarity.knnClassify(emb, queries, "vec_id", "embedding",
+          "label", k = 5)
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+      val hit = when(col("pred_label") === col("true_label"), 1L).otherwise(0L)
+      val byPred = preds.groupBy(col("pred_label").as("label"))
+        .agg(count(lit(1)).as("__npred"), sum(hit).as("__tpp"))
+      val byTrue = preds.groupBy(col("true_label").as("label"))
+        .agg(count(lit(1)).as("__support"), sum(hit).as("__tpt"))
+      byPred.join(byTrue, Seq("label"), "full_outer")
+        .select(col("label"),
+          coalesce(col("__tpt"), col("__tpp"), lit(0L)).as("tp"),
+          (coalesce(col("__npred"), lit(0L)) - coalesce(col("__tpp"), lit(0L)))
+            .as("fp"),
+          (coalesce(col("__support"), lit(0L)) - coalesce(col("__tpt"), lit(0L)))
+            .as("fn"),
+          coalesce(col("__support"), lit(0L)).as("support"))
+        .withColumn("prec", round(when(col("tp") + col("fp") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fp")))
+          .otherwise(lit(0.0)), 4))
+        .withColumn("rec", round(when(col("tp") + col("fn") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fn")))
+          .otherwise(lit(0.0)), 4))
+        .withColumn("f1", round(when(
+          lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          lit(2.0) * col("tp") / (lit(2L) * col("tp") + col("fp") + col("fn")))
+          .otherwise(lit(0.0)), 4))
+        .orderBy(col("label"))
+    },
+    Some("""WITH ranked AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 50),
+            nn AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+            v AS (
+              SELECT nn.query_id, c.label AS l, count(1) AS votes
+              FROM nn JOIN embeddings c ON c.vec_id = nn.neighbor_id
+              GROUP BY 1, 2),
+            best AS (
+              SELECT query_id, l FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY votes DESC, l) AS rn FROM v) t
+              WHERE rn = 1),
+            preds AS (
+              SELECT b.query_id, b.l AS pred_label, q.label AS true_label
+              FROM best b JOIN embeddings q ON q.vec_id = b.query_id),
+            byp AS (
+              SELECT pred_label AS label, count(1) AS npred,
+                     sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS tpp
+              FROM preds GROUP BY 1),
+            byt AS (
+              SELECT true_label AS label, count(1) AS support,
+                     sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS tpt
+              FROM preds GROUP BY 1)
+            SELECT CAST(label AS INT) AS label,
+                   CAST(coalesce(tpt, tpp, 0) AS BIGINT) AS tp,
+                   CAST(coalesce(npred, 0) - coalesce(tpp, 0) AS BIGINT) AS fp,
+                   CAST(coalesce(support, 0) - coalesce(tpt, 0) AS BIGINT) AS fn,
+                   CAST(coalesce(support, 0) AS BIGINT) AS support,
+                   round(CASE WHEN coalesce(npred, 0) > 0
+                     THEN CAST(coalesce(tpp, 0) AS DOUBLE) / npred
+                     ELSE 0.0 END, 4) AS prec,
+                   round(CASE WHEN coalesce(support, 0) > 0
+                     THEN CAST(coalesce(tpt, 0) AS DOUBLE) / support
+                     ELSE 0.0 END, 4) AS rec,
+                   round(CASE WHEN 2 * coalesce(tpt, tpp, 0)
+                              + (coalesce(npred, 0) - coalesce(tpp, 0))
+                              + (coalesce(support, 0) - coalesce(tpt, 0)) > 0
+                     THEN 2.0 * coalesce(tpt, tpp, 0)
+                          / (2 * coalesce(tpt, tpp, 0)
+                             + (coalesce(npred, 0) - coalesce(tpp, 0))
+                             + (coalesce(support, 0) - coalesce(tpt, 0)))
+                     ELSE 0.0 END, 4) AS f1
+            FROM byp FULL OUTER JOIN byt USING (label)
+            ORDER BY label"""))
+
+  // Cluster-vs-label purity: after the Lloyd sweep, does each k-means cell
+  // collect one label? The standard unsupervised-quality eval (purity =
+  // majority-label fraction per cluster) — all counts exact integers from
+  // one (cluster,label) reduce; the majority pick is the same
+  // min(struct(-n, label)) bounded argmax as knnClassify's vote. The
+  // oracle replays the full Lloyd chain (shared kmeansCteSql) plus the
+  // assignment argmin, then the same aggregation.
+  private val simClusterPurity = Q(
+    "sim_cluster_purity",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val asg = Similarity.kmeansAssignments(emb, "vec_id", "embedding",
+        k = 8, dim = 64, iters = 2)
+      asg.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("list_id"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("list_id"))
+        .agg(sum(col("__n")).as("n_vecs"),
+          min(struct((-col("__n")).as("__neg"), col("label").as("__lab")))
+            .as("__b"))
+        .select(col("list_id"), col("n_vecs"),
+          col("__b.__lab").as("major_label"),
+          (-col("__b.__neg")).as("n_major"))
+        .withColumn("purity",
+          round(col("n_major").cast("double") / col("n_vecs"), 4))
+        .orderBy(col("list_id"))
+    },
+    Some(s"""WITH $kmeansCteSql,
+            df AS (SELECT e.vec_id, c.list_id,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS d2
+                   FROM e, c2 c),
+            asg AS (SELECT vec_id, list_id FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY d2, list_id) AS r
+                      FROM df) t WHERE r = 1),
+            cl AS (SELECT a.list_id, emb.label, count(1) AS n
+                   FROM asg a JOIN embeddings emb USING (vec_id)
+                   GROUP BY 1, 2),
+            agg AS (SELECT list_id, sum(n) AS n_vecs FROM cl GROUP BY 1),
+            mj AS (SELECT list_id, label AS major_label, n AS n_major FROM (
+                     SELECT *, row_number() OVER (PARTITION BY list_id
+                                                  ORDER BY n DESC, label) AS r
+                     FROM cl) t WHERE r = 1)
+            SELECT a.list_id, CAST(a.n_vecs AS BIGINT) AS n_vecs,
+                   CAST(m.major_label AS INT) AS major_label,
+                   CAST(m.n_major AS BIGINT) AS n_major,
+                   round(CAST(m.n_major AS DOUBLE) / a.n_vecs, 4) AS purity
+            FROM agg a JOIN mj m USING (list_id)
+            ORDER BY a.list_id"""))
+
+  // Johnson–Lindenstrauss signed random projection 64-d -> 16-d: the cheap
+  // dimensionality-reduction lever before any ANN index (4x narrower
+  // vectors = 4x less shuffle for every downstream cosine). Projection
+  // matrix entries are +-1 derived from md5 of a seed-and-index tag —
+  // broadcast-free compiled literals on the engine side and exactly
+  // replayable by the oracle (the sim_lsh_ann posture). The query emits
+  // original vs projected cosine per pair over a 30-vector slice, making
+  // the JL distortion a measured artifact rather than a constant in a
+  // paper; JlProjectSpec pins the mean distortion bound.
+  private val embedJlProject = Q(
+    "embed_jl_project",
+    (s, dir) => {
+      val kOut = 16
+      val dim = 64
+      val signs: IndexedSeq[Seq[Double]] = (0 until kOut).map(j =>
+        (0 until dim).map(d =>
+          if (graft.functions.Vectors.MinHashSig
+                .md5Long60(s"graft-jl-42-$j-$d") % 2L == 0L) 1.0 else -1.0))
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 30)
+      val ev = Similarity.toDouble(col("embedding"))
+      val projected = emb.select(col("vec_id"),
+        ev.as("embedding"),
+        array((0 until kOut).map(j =>
+          Similarity.dot(ev, typedLit(signs(j)))): _*).as("p"))
+      val a = projected.select(col("vec_id").as("id1"),
+        col("embedding").as("__e1"), col("p").as("__p1"))
+      val b = projected.select(col("vec_id").as("id2"),
+        col("embedding").as("__e2"), col("p").as("__p2"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(Similarity.cosine(col("__e1"), col("__e2")), 4).as("cos64"),
+          round(Similarity.cosine(col("__p1"), col("__p2")), 4).as("cos16"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""WITH signs AS (
+              SELECT j, d,
+                     CASE WHEN ('0x' || substr(md5('graft-jl-42-' || j || '-' || d),
+                       1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+              FROM range(0, 16) a(j), range(0, 64) b(d)),
+            comp AS (
+              SELECT e.vec_id, s.j,
+                     sum(e.embedding[s.d + 1] * s.sgn
+                         ORDER BY s.d) AS pj
+              FROM embeddings e, signs s
+              WHERE e.vec_id < 30
+              GROUP BY 1, 2),
+            proj AS (
+              SELECT c.vec_id, e.embedding,
+                     list(c.pj ORDER BY c.j) AS p
+              FROM comp c JOIN embeddings e USING (vec_id)
+              GROUP BY 1, 2)
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                     b.embedding::DOUBLE[]), 4) AS cos64,
+                   round(list_cosine_similarity(a.p, b.p), 4) AS cos16
+            FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+            ORDER BY id1, id2"""))
+
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
     simPqM4, simIvfAppend, simIvfPq, simIvfPqTrained, simKnnClassify,
-    simPcaPower, simDbscan)
+    simPcaPower, simDbscan, simConfusionF1, embedJlProject,
+    simClusterPurity)
 }

@@ -1253,6 +1253,208 @@ object TextQueries extends QueryModule {
             ORDER BY feature"""
     })
 
+  // Zipf rank-frequency slope — the corpus-health power-law check (a
+  // natural-language corpus fits slope ≈ -1; boilerplate/spam floods or
+  // template collapse bend it). Token frequencies reduce map-side; the
+  // global frequency rank comes from the two-phase Numbering shape (one
+  // range shuffle), never a single-partition window; the OLS fit runs in
+  // exact integer floor-log2 space (length(bin(x)) - 1, the same libm-free
+  // log2 as text_unigram_surprisal) so all five regression sums are
+  // integers on both engines and only the final slope/intercept divisions
+  // are (deterministic, scalar) doubles. At 100 TB nothing here grows
+  // beyond the vocabulary: the fit itself is a 5-long reduce.
+  private val textZipfSlope = Q(
+    "text_zipf_slope",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val freq = docs
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val ranked = graft.operators.Numbering.runningBySort(
+        freq, Seq(col("freq").desc, col("tok")), lit(1L), "rank")
+      ranked
+        .select((length(bin(col("rank"))) - 1).cast("long").as("x"),
+          (length(bin(col("freq"))) - 1).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").as("n_vocab"),
+          round(when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0L,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")))
+            .otherwise(lit(0.0)), 4).as("slope"),
+          round(when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0L,
+            (col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+              / col("n"))
+            .otherwise(lit(0.0)), 4).as("intercept"))
+    },
+    Some("""WITH f AS (
+              SELECT tok, count(1) AS freq FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                FROM documents) t
+              GROUP BY tok),
+            r AS (SELECT freq,
+                         row_number() OVER (ORDER BY freq DESC, tok) AS rank
+                  FROM f),
+            p AS (SELECT length(bin(rank)) - 1 AS x,
+                         length(bin(freq)) - 1 AS y FROM r),
+            s AS (SELECT count(1) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx FROM p)
+            SELECT CAST(n AS BIGINT) AS n_vocab,
+                   round(CASE WHEN n * sxx - sx * sx != 0
+                     THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                          / (n * sxx - sx * sx) ELSE 0.0 END, 4) AS slope,
+                   round(CASE WHEN n * sxx - sx * sx != 0
+                     THEN (sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                                / (n * sxx - sx * sx) * sx) / n
+                     ELSE 0.0 END, 4) AS intercept
+            FROM s"""))
+
+  // McNemar paired test between two quality gates over the SAME documents —
+  // the principled way to ask "does the new filter actually disagree with
+  // the old one beyond noise?" before swapping filters in a pipeline. The
+  // discordant counts b (A-only) and c (B-only) are exact integers from one
+  // map-side-combinable pass; chi2 = (b-c)^2/(b+c) (and the Edwards
+  // continuity-corrected variant) are final scalar doubles. One row out.
+  private val textFilterMcnemar = Q(
+    "text_filter_mcnemar",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val f = TextAnalysis.qualityFeatures(col("text"), stopwords)
+      val gated = docs.select(
+        (f.getField("n_tokens") >= 10 && f.getField("mean_word_len") < 12.0)
+          .as("ga"),
+        (f.getField("stopword_ratio") >= 0.05).as("gb"))
+      gated
+        .agg(sum(when(col("ga") && col("gb"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("ga") && !col("gb"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("ga") && col("gb"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("ga") && !col("gb"), 1L).otherwise(0L)).as("n00"))
+        .select(col("n11"), col("n10"), col("n01"), col("n00"),
+          round(when(col("n10") + col("n01") > 0L,
+            ((col("n10") - col("n01")) * (col("n10") - col("n01")))
+              .cast("double") / (col("n10") + col("n01")))
+            .otherwise(lit(0.0)), 4).as("chi2"),
+          round(when(col("n10") + col("n01") > 0L,
+            (abs(col("n10") - col("n01")) - lit(1L)).cast("double")
+              * (abs(col("n10") - col("n01")) - lit(1L))
+              / (col("n10") + col("n01")))
+            .otherwise(lit(0.0)), 4).as("chi2_corrected"),
+          round((col("n11") + col("n00")).cast("double")
+            / (col("n11") + col("n10") + col("n01") + col("n00")), 4)
+            .as("agree_rate"))
+    },
+    Some("""WITH t AS (
+              SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+                     CAST(length(text) AS DOUBLE) AS chars,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       w -> w IN ('the','a','an','and','or','of','to','in')))
+                       AS DOUBLE) AS stops
+              FROM documents),
+            g AS (
+              SELECT toks >= 10 AND
+                       (CASE WHEN toks > 0 THEN chars / toks ELSE 0.0 END) < 12.0 AS ga,
+                     (CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END) >= 0.05 AS gb
+              FROM t),
+            c AS (
+              SELECT sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS n11,
+                     sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS n10,
+                     sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS n01,
+                     sum(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END) AS n00
+              FROM g)
+            SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+                   CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+                   round(CASE WHEN n10 + n01 > 0
+                     THEN CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)
+                     ELSE 0.0 END, 4) AS chi2,
+                   round(CASE WHEN n10 + n01 > 0
+                     THEN CAST(abs(n10 - n01) - 1 AS DOUBLE)
+                          * (abs(n10 - n01) - 1) / (n10 + n01)
+                     ELSE 0.0 END, 4) AS chi2_corrected,
+                   round(CAST(n11 + n00 AS DOUBLE)
+                         / (n11 + n10 + n01 + n00), 4) AS agree_rate
+            FROM c"""))
+
+  // Inverse Simpson concentration of the corpus token distribution — the
+  // "effective vocabulary size" health signal (a template flood collapses
+  // it long before raw vocab counts move). lambda = sum f(f-1) / (N(N-1))
+  // is the unbiased pairwise-collision form, so the numerator and both
+  // denominator factors are EXACT integer sums (DECIMAL(38,0) on the
+  // engine side — a 100 TB corpus overflows int64; DuckDB sums to HUGEINT
+  // natively); only the final two divisions are doubles. One token-freq
+  // reduce, then a 3-long reduce — nothing grows past the vocabulary.
+  private val textSimpson = Q(
+    "text_simpson",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("f").cast("decimal(38,0)")).as("n"),
+          // cast BEFORE the product: a 100 TB-corpus stop-token frequency
+          // squares past int64 before the sum's decimal would catch it
+          sum(col("f").cast("decimal(38,0)") * (col("f") - 1L)).as("num"))
+        .select(col("vocab").cast("long").as("vocab"),
+          col("n").cast("long").as("n_tokens"),
+          round(when(col("n") > 1,
+            col("num").cast("double")
+              / (col("n").cast("double") * (col("n") - 1).cast("double")))
+            .otherwise(lit(0.0)), 6).as("simpson"),
+          round(when(col("num") > 0,
+            (col("n").cast("double") * (col("n") - 1).cast("double"))
+              / col("num").cast("double"))
+            .otherwise(lit(0.0)), 4).as("inv_simpson"))
+    },
+    Some("""WITH f AS (
+              SELECT tok, count(1) AS f FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                FROM documents) t
+              GROUP BY tok),
+            s AS (SELECT count(1) AS vocab, sum(f) AS n,
+                         sum(f * (f - 1)) AS num FROM f)
+            SELECT CAST(vocab AS BIGINT) AS vocab,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   round(CASE WHEN n > 1
+                     THEN CAST(num AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                     ELSE 0.0 END, 6) AS simpson,
+                   round(CASE WHEN num > 0
+                     THEN (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                          / CAST(num AS DOUBLE)
+                     ELSE 0.0 END, 4) AS inv_simpson
+            FROM s"""))
+
+  // Per-document type-token ratio — the lexical-diversity quality feature
+  // (low TTR = repetitive/generated text; pairs with text_repetition's
+  // bigram view). Entirely narrow: distinct-count inside the word array,
+  // no explode, no shuffle — the cheapest possible per-doc feature at any
+  // corpus size.
+  private val textTtr = Q(
+    "text_ttr",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ws = split(lower(trim(col("text"))), "\\s+")
+      docs.select(col("doc_id"),
+          size(ws).cast("long").as("n_tokens"),
+          size(array_distinct(ws)).cast("long").as("n_types"))
+        .withColumn("ttr", round(when(col("n_tokens") > 0L,
+          col("n_types").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)), 4))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+                   CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+                        AS BIGINT) AS n_types,
+                   round(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) > 0
+                     THEN CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+                               AS DOUBLE)
+                          / len(string_split_regex(lower(trim(text)), '\s+'))
+                     ELSE 0.0 END, 4) AS ttr
+            FROM documents ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textRepetition, textEntropy, textTokensBpe, textChunk, textQualityModel,
     textHashFeatures, textSurprisal, textBigramSurprisal, textVocabGrowth,
@@ -1260,5 +1462,6 @@ object TextQueries extends QueryModule {
     textTopNgrams, textTfidfTopk, textPmiPairs, textHeavyHitters,
     textMgExactHeavy, textLrs, textNormalize, textProbeTrain, textProbeAuc,
     textProbeCalibration, textProbeTrainLexical, searchHybridRrf,
-    textPiiScrub, textHeapsCurve)
+    textPiiScrub, textHeapsCurve, textZipfSlope, textFilterMcnemar,
+    textSimpson, textTtr)
 }

@@ -1,0 +1,232 @@
+package graft
+
+import graft.queries.AllQueries
+
+/** Round-9 eval/curation widening: JL projection distortion, confusion/F1
+  * invariants, McNemar counts, Zipf OLS, MAD gate, n-gram novelty, Pareto
+  * front. Each test re-derives the expected answer independently in Scala
+  * (collects are sf0.001-sized) rather than trusting the query's own math.
+  */
+class EvalCurationSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = AllQueries.queries(name)(spark, dir)
+
+  test("embed_jl_project: 16-d signed projection preserves cosine structure") {
+    val out = run("embed_jl_project")
+      .select("cos64", "cos16").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(out.nonEmpty)
+    val meanAbsErr = out.map { case (a, b) => math.abs(a - b) }.sum / out.length
+    // JL with k=16: per-pair cosine noise has sd ~ 1/sqrt(16); the mean
+    // |error| lands well under that. Measured ~0.11 on the fixture.
+    assert(meanAbsErr < 0.25, s"meanAbsErr=$meanAbsErr")
+    // structure is preserved, not just unbiased: strong linear association
+    val n = out.length.toDouble
+    val (mx, my) = (out.map(_._1).sum / n, out.map(_._2).sum / n)
+    val cov = out.map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = out.map { case (a, _) => (a - mx) * (a - mx) }.sum
+    val vy = out.map { case (_, b) => (b - my) * (b - my) }.sum
+    val r = cov / math.sqrt(vx * vy)
+    // the sf0.001 fixture's true cosine spread is narrow (near-orthogonal
+    // noise vectors), so k=16 JL noise (sd ~ 1/4) caps the attainable
+    // correlation — 0.43 measured; the distortion bound above is the
+    // actual JL guarantee, this just pins that association survives at all
+    assert(r > 0.3, s"pearson=$r")
+  }
+
+  test("sim_confusion_f1: counts tie out against the prediction set") {
+    val rows = run("sim_confusion_f1").collect()
+    val nQueries = Tables.load(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 50).count()
+    // every query contributes exactly one true label and one prediction
+    assert(rows.map(_.getAs[Long]("tp")).sum
+      + rows.map(_.getAs[Long]("fn")).sum == nQueries)
+    assert(rows.map(_.getAs[Long]("tp")).sum
+      + rows.map(_.getAs[Long]("fp")).sum == nQueries)
+    assert(rows.map(_.getAs[Long]("support")).sum == nQueries)
+    rows.foreach { r =>
+      val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+      val f1 = r.getAs[Double]("f1")
+      val expected = if (2 * tp + fp + fn > 0)
+        math.rint(2.0 * tp / (2 * tp + fp + fn) * 1e4) / 1e4 else 0.0
+      assert(math.abs(f1 - expected) < 1e-9, s"label=${r.get(0)}")
+    }
+  }
+
+  test("text_filter_mcnemar: chi2 matches the discordant counts") {
+    val r = run("text_filter_mcnemar").collect().head
+    val (n11, n10, n01, n00) = (r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    val total = Tables.load(spark, dir, "documents").count()
+    assert(n11 + n10 + n01 + n00 == total)
+    val expChi2 = if (n10 + n01 > 0)
+      math.rint(((n10 - n01) * (n10 - n01)).toDouble / (n10 + n01) * 1e4) / 1e4
+      else 0.0
+    assert(r.getAs[Double]("chi2") == expChi2)
+    assert(r.getAs[Double]("agree_rate") ==
+      math.rint((n11 + n00).toDouble / total * 1e4) / 1e4)
+  }
+
+  test("text_zipf_slope: OLS matches an independent recomputation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val freqs = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy("tok").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def log2i(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val pts = freqs.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((_, f), i) => (log2i(i + 1L), log2i(f)) }
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    val out = run("text_zipf_slope").collect().head
+    assert(out.getAs[Long]("n_vocab") == n)
+    assert(out.getAs[Double]("slope") == math.rint(slope * 1e4) / 1e4)
+    // a natural-language-shaped corpus decays: slope strictly negative
+    assert(out.getAs[Double]("slope") < 0.0)
+  }
+
+  test("quality_mad_outlier: median/MAD flags match a sorted recomputation") {
+    val lens = Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val med = median(lens.map(_._2.toDouble))
+    val mad = median(lens.map(l => math.abs(l._2 - med)))
+    val expected = lens.map { case (id, c) =>
+      id -> (math.abs(c - med) > 3.0 * mad)
+    }.toMap
+    val out = run("quality_mad_outlier").collect()
+    assert(out.length == lens.length)
+    out.foreach(r =>
+      assert(r.getAs[Boolean]("outlier") == expected(r.getAs[Long]("doc_id"))))
+    // the gate is meaningful on the fixture: it keeps most docs
+    assert(out.count(_.getAs[Boolean]("outlier")) < lens.length / 2)
+  }
+
+  test("corpus_ngram_novelty: per-doc rates tie out against raw trigrams") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val grams = docs.map { case (id, text) =>
+      val w = text.trim.toLowerCase.split("\\s+")
+      id -> (if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }.toMap
+    val df = grams.values.flatten.groupBy(identity).map { case (g, v) => g -> v.size }
+    val out = run("corpus_ngram_novelty").collect()
+    assert(out.length == docs.length)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val g = grams(id)
+      assert(r.getAs[Long]("n_grams") == g.size.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_novel") == g.count(df(_) == 1).toLong, s"doc $id")
+    }
+  }
+
+  test("corpus_gini: matches the definitional mean-absolute-difference form") {
+    val toks = Tables.load(spark, dir, "documents")
+      .select("text").collect()
+      .map(_.getString(0).trim.split("\\s+").length.toLong)
+    // definitional Gini: sum |xi - xj| / (2 n^2 mu) — O(n^2) is fine at 50
+    val n = toks.length
+    val mu = toks.sum.toDouble / n
+    val mad = (for (a <- toks; b <- toks) yield math.abs(a - b)).sum
+    val gini = mad / (2.0 * n * n * mu)
+    val out = run("corpus_gini").collect().head
+    assert(out.getAs[Long]("n_docs") == n.toLong)
+    // the sorted-rank identity equals the pairwise form up to rounding
+    assert(math.abs(out.getAs[Double]("gini") - gini) < 1.5e-4,
+      s"rank-form=${out.getAs[Double]("gini")} pairwise=$gini")
+  }
+
+  test("text_simpson: collision probability matches a direct recount") {
+    import org.apache.spark.sql.functions._
+    val freqs = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .groupBy("t").count().collect().map(_.getLong(1))
+    val nTok = freqs.sum
+    val num = freqs.map(f => f * (f - 1)).sum
+    val out = run("text_simpson").collect().head
+    assert(out.getAs[Long]("vocab") == freqs.length.toLong)
+    assert(out.getAs[Long]("n_tokens") == nTok)
+    val lambda = num.toDouble / (nTok.toDouble * (nTok - 1))
+    assert(out.getAs[Double]("simpson") == math.rint(lambda * 1e6) / 1e6)
+    assert(out.getAs[Double]("inv_simpson") > 1.0) // more than one token type
+  }
+
+  test("text_ttr: type-token ratio bounds and golden recount") {
+    val out = run("text_ttr").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttr >= 0.0 && ttr <= 1.0)
+    }
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, text) =>
+      val w = text.trim.toLowerCase.split("\\s+")
+      assert(byId(id).getAs[Long]("n_types") == w.distinct.length.toLong)
+    }
+  }
+
+  test("sim_cluster_purity: weighted purity in [1/k, 1], counts tie out") {
+    val out = run("sim_cluster_purity").collect()
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nVecs = emb.count()
+    val nLabels = emb.select("label").distinct().count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == nVecs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_major") <= r.getAs[Long]("n_vecs"))
+      // majority fraction can't be below uniform over the label alphabet
+      assert(r.getAs[Double]("purity") >= 1.0 / nLabels - 1e-9)
+    }
+  }
+
+  test("dedup_minhash_est_error: estimator is unbiased-ish on candidates") {
+    val out = run("dedup_minhash_est_error").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (est, ex) = (r.getAs[Double]("est_jaccard"), r.getAs[Double]("exact_jaccard"))
+      assert(est >= 0.1) // pair-cache threshold respected
+      assert(ex >= 0.0 && ex <= 1.0)
+      assert(r.getAs[Double]("abs_err") == math.rint(math.abs(est - ex) * 1e4) / 1e4)
+    }
+    // 64-hash MinHash: sd <= sqrt(s(1-s)/64) <= 1/16 — mean |err| stays small
+    val meanErr = out.map(_.getAs[Double]("abs_err")).sum / out.length
+    assert(meanErr < 0.15, s"meanErr=$meanErr")
+  }
+
+  test("curate_pareto_front: definitional dominance check both directions") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val stopSet = graft.pipeline.TextAnalysis.DefaultStopwords.toSet
+    val scored = docs.select("doc_id", "n_chars", "text").collect().map { r =>
+      val w = r.getString(2).trim.toLowerCase.split("\\s+")
+      val score = if (w.length > 0)
+        math.rint(10000.0 * w.count(stopSet) / w.length).toLong else 0L
+      (r.getLong(0), score, r.getLong(1))
+    }
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._2 >= b._2 && a._3 <= b._3 && (a._2 > b._2 || a._3 < b._3)
+    val front = run("curate_pareto_front").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_bp"),
+        r.getAs[Long]("n_chars"))).toSet
+    assert(front.nonEmpty)
+    // no front member is dominated by anything
+    front.foreach(f =>
+      assert(!scored.exists(s => dominates(s, f)), s"dominated front row $f"))
+    // every excluded doc is dominated by some front member
+    scored.filterNot(front.contains).foreach(s =>
+      assert(front.exists(f => dominates(f, s)), s"undominated non-front $s"))
+  }
+}
