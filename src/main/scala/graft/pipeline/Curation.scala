@@ -364,6 +364,57 @@ object Curation {
       .select(col(shard), col("__p.id").as(id), col("__p.bin").as("bin"))
   }
 
+  /** Best-fit-decreasing sequence packing — the fill-rate upgrade over
+    * [[packSequences]]'s next-fit walk: items place largest-first, each
+    * into the FULLEST bin that still fits (first such bin on fill ties),
+    * opening a new bin only when none fits. Same per-shard fold shape
+    * (one shuffle on the shard key, a collect_list + `aggregate` HOF per
+    * shard, no UDF, no driver), but the fold state carries the whole
+    * per-bin fill vector — bounded by the shard's bin count, which is
+    * bounded by the shard's item count, which is bounded by shard sizing.
+    * An item larger than `capacity` opens its own (overfull) bin and
+    * nothing ever joins it (fill + t <= capacity can't hold again).
+    *
+    * Deterministic: items order by (t DESC, id ASC); best-fit ties break
+    * to the earliest-opened bin (array_position takes the first match) —
+    * rules an external engine can replay exactly (the DuckDB oracle walks
+    * the identical recursion).
+    */
+  def packSequencesBestFit(
+      docs: DataFrame, shard: String, id: String, tokens: Column,
+      capacity: Long): DataFrame = {
+    val perDoc = docs.select(col(shard),
+      struct((-tokens.cast("long")).as("negt"),
+        col(id).cast("long").as("id")).as("__dt"))
+    val emptyFills = array().cast("array<bigint>")
+    val emptyOut = array().cast("array<struct<id:bigint,bin:int>>")
+    perDoc.groupBy(col(shard))
+      .agg(sort_array(collect_list(col("__dt"))).as("__ds"))
+      .select(col(shard), explode(aggregate(
+        col("__ds"),
+        struct(emptyFills.as("fills"), emptyOut.as("out")),
+        (acc, x) => {
+          val t = -x("negt")
+          val cands = filter(acc("fills"), f => f + t <= lit(capacity))
+          val fresh = size(cands) === 0
+          val idx = array_position(acc("fills"), array_max(cands))
+          val bin = when(fresh, size(acc("fills")) + 1)
+            .otherwise(idx.cast("int"))
+          val fills = when(fresh, concat(acc("fills"), array(t)))
+            .otherwise(concat(
+              slice(acc("fills"), lit(1), (idx - 1).cast("int")),
+              array(element_at(acc("fills"), idx.cast("int")) + t),
+              slice(acc("fills"), (idx + 1).cast("int"),
+                greatest(size(acc("fills")) - idx.cast("int"), lit(0)))))
+          struct(fills.as("fills"),
+            concat(acc("out"),
+              array(struct(x("id").as("id"), bin.cast("int").as("bin"))))
+              .as("out"))
+        },
+        acc => acc("out"))).as("__p"))
+      .select(col(shard), col("__p.id").as(id), col("__p.bin").as("bin"))
+  }
+
   /** Per-host document cap — the C4/RefinedWeb host-level curation step:
     * keep at most `cap` documents per URL host so no single site dominates
     * the corpus. Selection within a host is by ascending md5-hash of the

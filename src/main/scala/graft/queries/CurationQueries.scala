@@ -1529,6 +1529,97 @@ object CurationQueries extends QueryModule {
                      ELSE 0.0 END, 4) AS gini
             FROM s"""))
 
+  // Best-fit-decreasing packing next to pack_sequences' next-fit walk —
+  // the fill-rate lever (BFD wastes provably <= 11/9 OPT + 4 bins; next-
+  // fit can waste half). Same one-shuffle per-shard fold; the oracle
+  // replays the identical largest-first best-fit recursion with the bin
+  // fill vector carried as a LIST through a recursive CTE.
+  private val packBfd = Q(
+    "pack_bfd",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.packSequencesBestFit(docs, "source", "doc_id",
+          graft.pipeline.TextAnalysis.tokenCount(col("text")), 256L)
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+            tok AS (SELECT source, doc_id,
+                           CAST(len(string_split_regex(trim(text), '\s+'))
+                                AS BIGINT) AS t,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY t DESC, doc_id) AS rn
+                    FROM documents),
+            walk AS (
+              SELECT source, rn, doc_id, 1 AS bin, [t] AS fills
+              FROM tok WHERE rn = 1
+              UNION ALL
+              SELECT t.source, t.rn, t.doc_id,
+                     CASE WHEN len(list_filter(w.fills, f -> f + t.t <= 256)) = 0
+                          THEN len(w.fills) + 1
+                          ELSE list_position(w.fills,
+                            list_max(list_filter(w.fills, f -> f + t.t <= 256)))
+                          END AS bin,
+                     CASE WHEN len(list_filter(w.fills, f -> f + t.t <= 256)) = 0
+                          THEN list_append(w.fills, t.t)
+                          ELSE w.fills[1 :
+                                 list_position(w.fills,
+                                   list_max(list_filter(w.fills, f -> f + t.t <= 256))) - 1]
+                               || [w.fills[list_position(w.fills,
+                                     list_max(list_filter(w.fills, f -> f + t.t <= 256)))] + t.t]
+                               || w.fills[list_position(w.fills,
+                                     list_max(list_filter(w.fills, f -> f + t.t <= 256))) + 1 : ]
+                          END AS fills
+              FROM walk w JOIN tok t
+                ON t.source = w.source AND t.rn = w.rn + 1)
+            SELECT source, doc_id, CAST(bin AS INT) AS bin
+            FROM walk ORDER BY source, doc_id"""))
+
+  // Dedup-rate curve: candidate-pair and touched-document counts as a
+  // function of the similarity threshold — the tuning artifact that says
+  // where to SET the near-dup cutoff before committing a 100 TB dedup run
+  // (drop-off cliffs = natural thresholds). One pass over the session's
+  // cached MinHash candidate pairs against a 9-row broadcast threshold
+  // dimension; the corpus itself is never rescanned.
+  private def minhashOracleCtes = DedupQueries.minhashOracleCtes
+
+  private val corpusDedupCurve = Q(
+    "corpus_dedup_curve",
+    (s, dir) => {
+      val pairs = DedupQueries.minhashPairsShared(s, dir)
+        .select(col("id1"), col("id2"),
+          round(col("est_jaccard"), 4).as("e"))
+      val ths = typedLit(Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+      val atTh = pairs.select(col("id1"), col("id2"), col("e"),
+          explode(ths).as("threshold"))
+        .filter(col("e") >= col("threshold"))
+      val nPairs = atTh.groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = atTh
+        .select(col("threshold"), explode(array(col("id1"), col("id2"))).as("id"))
+        .distinct()
+        .groupBy(col("threshold")).agg(count(lit(1)).as("n_dup_docs"))
+      nPairs.join(nDocs, Seq("threshold"))
+        .select(round(col("threshold"), 2).as("threshold"),
+          col("n_pairs"), col("n_dup_docs"))
+        .orderBy(col("threshold"))
+    },
+    Some(s"""WITH $minhashOracleCtes,
+            th AS (SELECT * FROM (VALUES (0.1), (0.2), (0.3), (0.4), (0.5),
+                                         (0.6), (0.7), (0.8), (0.9)) v(th)),
+            att AS (SELECT th.th, e.id1, e.id2
+                    FROM est e JOIN th ON e.est_jaccard >= th.th
+                    WHERE e.est_jaccard >= 0.1),
+            np AS (SELECT th, count(1) AS n_pairs FROM att GROUP BY th),
+            nd AS (SELECT th, count(1) AS n_dup_docs FROM (
+                     SELECT DISTINCT th, id FROM (
+                       SELECT th, unnest([id1, id2]) AS id FROM att) u) d
+                   GROUP BY th)
+            SELECT round(CAST(np.th AS DOUBLE), 2) AS threshold,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(n_dup_docs AS BIGINT) AS n_dup_docs
+            FROM np JOIN nd USING (th)
+            ORDER BY threshold"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, sampleWeighted, textDomainMix, dedupParagraph,
     textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
@@ -1537,5 +1628,6 @@ object CurationQueries extends QueryModule {
     curateDsir, corpusOverlapHll, corpusKmvSetops, splitGroup,
     splitExactAlloc, curateTokenBudget, curateTopkPerSource,
     shardRebalancePlan, corpusDriftChi2, qualityMadOutlier,
-    corpusNgramNovelty, curateParetoFront, corpusGini)
+    corpusNgramNovelty, curateParetoFront, corpusGini, packBfd,
+    corpusDedupCurve)
 }

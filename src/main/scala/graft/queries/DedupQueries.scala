@@ -654,6 +654,12 @@ object DedupQueries extends QueryModule {
             GROUP BY i.doc_id ORDER BY i.doc_id"""
     })
 
+  // Shared with CurationQueries' corpus_dedup_curve: the session pair
+  // materialization and its oracle replay fragment.
+  private[queries] def minhashPairsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) = minhashPairs(s, dir)
+  private[queries] def minhashOracleCtes: String = minhashCtesSql
+
   // MinHash estimator-error report: for every LSH candidate pair, the
   // 64-hash signature estimate next to the TRUE shingle Jaccard — the
   // index-tuning artifact that says whether k=64 is enough for the

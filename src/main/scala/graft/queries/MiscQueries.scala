@@ -567,9 +567,64 @@ object MiscQueries extends QueryModule {
             FROM c JOIN t USING (src)
             ORDER BY src, dst"""))
 
+  // Temporal train/eval split with a leakage audit: the first 80% of
+  // events by (ts, event_id) order train, the rest evaluate — and the
+  // report counts users straddling the cutoff (the entities a user-keyed
+  // split would have kept whole; the split_group posture's missing
+  // temporal half). Exact rank cutoff from the two-phase Numbering shape
+  // (one range shuffle, never a single-partition window); epoch-micros
+  // integers everywhere so the cutoff is engine-exact.
+  private val splitTemporal = Q(
+    "split_temporal",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val ranked = graft.operators.Numbering.runningBySort(
+        ev, Seq(col("us"), col("event_id")), lit(1L), "i")
+      val n = ranked.agg(count(lit(1)).as("__n"))
+      val tagged = ranked.crossJoin(broadcast(n))
+        .withColumn("split",
+          when(col("i") * 10L <= col("__n") * 8L, lit("train"))
+            .otherwise(lit("eval")))
+      val shared = tagged.groupBy(col("user_id"))
+        .agg(countDistinct(col("split")).as("__ns"))
+        .agg(sum(when(col("__ns") === 2L, 1L).otherwise(0L)).as("__shared"))
+      tagged.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+        .crossJoin(broadcast(shared))
+        .select(col("split"), col("n_events"), col("n_users"),
+          col("min_us"), col("max_us"),
+          col("__shared").as("n_straddling_users"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+              FROM events),
+            r AS (SELECT *, row_number() OVER (ORDER BY us, event_id) AS i,
+                         count(1) OVER () AS n
+                  FROM e),
+            t AS (SELECT user_id, us,
+                         CASE WHEN i * 10 <= n * 8 THEN 'train'
+                              ELSE 'eval' END AS split
+                  FROM r),
+            sh AS (SELECT CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_straddling_users
+                   FROM (SELECT user_id, count(DISTINCT split) AS ns
+                         FROM t GROUP BY user_id) u)
+            SELECT split, count(1) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(min(us) AS BIGINT) AS min_us,
+                   CAST(max(us) AS BIGINT) AS max_us,
+                   sh.n_straddling_users
+            FROM t, sh
+            GROUP BY split, sh.n_straddling_users
+            ORDER BY split"""))
+
   val qs: Seq[Q] = Seq(f9Geo, geoDistance, geoWithinJoin, o5DictSort, a10PubBreakdown,
     compositeField, jsonShred, cacheIncremental, cacheDaily,
     cacheCompletionMetrics, skewSaltedJoin,
     eventSessionize, eventFunnel, eventRetention, geoZorder,
-    eventTransitions)
+    eventTransitions, splitTemporal)
 }

@@ -1832,6 +1832,39 @@ object SimilarityQueries extends QueryModule {
             FROM agg a JOIN mj m USING (list_id)
             ORDER BY a.list_id"""))
 
+  // Range (epsilon-ball) retrieval — ALL neighbors above a similarity
+  // floor, the other half of the ANN API surface next to top-k (dedup
+  // wants "everything above 0.8", not "the best 5"). Exact baseline:
+  // broadcast query side, one narrow filtered pass over the corpus —
+  // at 100 TB the LSH bucket pre-filter (sim_lsh_ann's shape) bounds the
+  // scan and this exact verify runs on the candidates only. The filter
+  // applies to the ROUNDED cosine so the boundary is a 1e-4 grid point
+  // both engines agree on.
+  private val simRangeQuery = Q(
+    "sim_range_query",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          Similarity.toDouble(col("embedding")).as("__qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        Similarity.toDouble(col("embedding")).as("__cv"))
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          round(Similarity.cosine(col("__qv"), col("__cv")), 4))
+        .filter(col("cos") >= 0.2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    },
+    Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[],
+                     c.embedding::DOUBLE[]), 4) AS cos
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < 8
+              AND round(list_cosine_similarity(q.embedding::DOUBLE[],
+                    c.embedding::DOUBLE[]), 4) >= 0.2
+            ORDER BY query_id, neighbor_id"""))
+
   // Johnson–Lindenstrauss signed random projection 64-d -> 16-d: the cheap
   // dimensionality-reduction lever before any ANN index (4x narrower
   // vectors = 4x less shuffle for every downstream cosine). Projection
@@ -1897,5 +1930,5 @@ object SimilarityQueries extends QueryModule {
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
     simPqM4, simIvfAppend, simIvfPq, simIvfPqTrained, simKnnClassify,
     simPcaPower, simDbscan, simConfusionF1, embedJlProject,
-    simClusterPurity)
+    simClusterPurity, simRangeQuery)
 }

@@ -206,6 +206,78 @@ class EvalCurationSpec extends SparkSpec {
     assert(meanErr < 0.15, s"meanErr=$meanErr")
   }
 
+  test("pack_bfd: capacity respected, never more bins than next-fit") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bfd = run("pack_bfd").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(bfd.map(_._2).distinct.length == toks.size) // every doc placed once
+    // no bin over capacity unless it holds a single oversized item
+    bfd.groupBy(b => (b._1, b._3)).foreach { case (_, items) =>
+      val fill = items.map(i => toks(i._2)).sum
+      assert(fill <= 256 || items.length == 1, s"overfull multi-item bin: $items")
+    }
+    // BFD's whole point: at most next-fit's bin count, per shard
+    val nf = run("pack_sequences").collect()
+      .map(r => (r.getString(0), r.getInt(2)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.length }
+    bfd.groupBy(_._1).foreach { case (shard, xs) =>
+      assert(xs.map(_._3).distinct.length <= nf(shard),
+        s"shard $shard: BFD used more bins than next-fit")
+    }
+  }
+
+  test("corpus_dedup_curve: monotone in the threshold, anchored at the pair set") {
+    val curve = run("corpus_dedup_curve").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(curve.nonEmpty)
+    curve.sliding(2).foreach {
+      case Array((_, p1, d1), (_, p2, d2)) =>
+        assert(p2 <= p1 && d2 <= d1, "dedup curve must be non-increasing")
+      case _ => ()
+    }
+    // the 0.1 point is exactly the session candidate-pair set
+    val pairs = run("dedup_minhash_lsh").count()
+    assert(curve.head._1 == 0.1 && curve.head._2 == pairs)
+  }
+
+  test("sim_range_query: exactly the epsilon-ball, no top-k truncation") {
+    import org.apache.spark.sql.functions._
+    val out = run("sim_range_query").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.foreach { case (_, _, c) => assert(c >= 0.2) }
+    // completeness: brute-force recount for one query
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      if (na * nb > 0) d / math.sqrt(na * nb) else 0.0
+    }
+    val q0 = emb(0L)
+    val expect = emb.filter { case (id, v) =>
+      id != 0L && math.rint(cos(q0, v) * 1e4) / 1e4 >= 0.2
+    }.keySet
+    assert(out.filter(_._1 == 0L).map(_._2).toSet == expect)
+  }
+
+  test("split_temporal: 80/20 rank cutoff, chronology, straddle audit") {
+    val rows = run("split_temporal").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (tr, ev) = (rows("train"), rows("eval"))
+    val n = tr.getAs[Long]("n_events") + ev.getAs[Long]("n_events")
+    assert(tr.getAs[Long]("n_events") == n * 8 / 10) // floor(0.8n) exactly
+    assert(tr.getAs[Long]("max_us") <= ev.getAs[Long]("min_us"))
+    val straddle = tr.getAs[Long]("n_straddling_users")
+    assert(straddle == ev.getAs[Long]("n_straddling_users"))
+    assert(straddle <= math.min(tr.getAs[Long]("n_users"), ev.getAs[Long]("n_users")))
+  }
+
   test("curate_pareto_front: definitional dominance check both directions") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, dir, "documents")
