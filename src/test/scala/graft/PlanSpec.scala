@@ -634,6 +634,35 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
   }
 
+  test("round-9 eval/curation additions: no global windows, no cartesian, " +
+      "scalar dimensions broadcast") {
+    // text_zipf_slope / corpus_gini: ranks come from the two-phase
+    // Numbering shape; a Window node means the single-partition sort
+    // came back. split_temporal likewise. text_ttr / text_simpson /
+    // text_filter_mcnemar are pure narrow+reduce pipelines.
+    for (q <- Seq("text_zipf_slope", "corpus_gini", "split_temporal",
+        "text_ttr", "text_simpson", "text_filter_mcnemar",
+        "corpus_ngram_novelty", "pack_bfd")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"), s"$q grew a window:\n${plan.take(2500)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2500)}")
+    }
+    // quality_mad_outlier: the two scalar aggregates attach via broadcast
+    // (BroadcastNestedLoopJoin over 1-row sides), never a sort-merge
+    val mad = planOf("quality_mad_outlier")
+    assert(!mad.contains("SortMergeJoin"),
+      s"median/MAD scalars must broadcast:\n${mad.take(2500)}")
+    // curate_pareto_front: the bounded level dimension broadcasts back
+    val pf = planOf("curate_pareto_front")
+    assert(pf.contains("BroadcastHashJoin"), pf.take(2500))
+    assert(!pf.contains("SortMergeJoin"), pf.take(2500))
+    // sim_range_query: query side broadcasts, corpus side stays narrow
+    val rq = planOf("sim_range_query")
+    assert(rq.contains("BroadcastNestedLoopJoin") ||
+      rq.contains("BroadcastHashJoin"), rq.take(2500))
+    assert(!rq.contains("CartesianProduct"), rq.take(2500))
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
