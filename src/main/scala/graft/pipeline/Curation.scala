@@ -152,18 +152,6 @@ object Curation {
       .drop("epochs_bp", "__n_epochs")
   }
 
-  /** Email-address pattern — deliberately RE2-compatible (no backrefs or
-    * lookaround) so the Java-regex Spark plan and an RE2-based oracle
-    * (DuckDB) match the identical spans.
-    */
-  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-
-  /** North-American-style phone pattern (the +1-NXX-XXXX shapes the
-    * synthetic corpus injects; a production deployment would configure the
-    * inventory per locale — patterns are data here, not code).
-    */
-  val phonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
-
   /** Deterministic train/valid/test split: the label is a pure function of
     * the row id (hash mod 10000 against basis-point cutoffs), so the split
     * is stable under corpus growth, reshuffling, and task retries — a row
@@ -207,10 +195,14 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     // deterministic total order inside each stratum: md5(id) then id —
-    // both rendered as strings so any SQL engine reproduces the sort
+    // both rendered as strings so any SQL engine reproduces the sort.
+    // The stratum is keyed by its md5, not its raw value: a FIXED-WIDTH
+    // hex prefix keeps every stratum contiguous in the global sort even
+    // when a stratum value itself contains the '|' separator (raw 'a'
+    // and 'a|b' would interleave because md5 hex sorts below '|').
     val keyed = docs.withColumn("__sk",
-      concat(col(stratum), lit("|"), md5(col(id).cast("string")),
-        lit("|"), col(id).cast("string")))
+      concat(md5(col(stratum).cast("string")), lit("|"),
+        md5(col(id).cast("string")), lit("|"), col(id).cast("string")))
     val numbered = graft.operators.Numbering.numberBySort(keyed, "__sk", "__gn")
     // strata are contiguous in the global sort, so per-stratum rank =
     // global number − stratum's min + 1 (offsets: a tiny aggregate)
@@ -578,22 +570,6 @@ object Curation {
           .when(col("__hb").isNull, "removed")
           .when(col("__ha") === col("__hb"), "unchanged")
           .otherwise("changed").as("status"))
-  }
-
-  /** PII scrub: replace every email/phone span with a typed placeholder and
-    * count the redactions. Returns a struct
-    * (scrubbed, n_emails, n_phones) — narrow, codegen'd, no UDF.
-    */
-  def piiScrub(text: Column): Column = {
-    val emails = size(regexp_extract_all(text, lit(emailPattern), lit(0)))
-    val phones = size(regexp_extract_all(text, lit(phonePattern), lit(0)))
-    val scrubbed = regexp_replace(
-      regexp_replace(text, emailPattern, "<EMAIL>"),
-      phonePattern, "<PHONE>")
-    struct(
-      scrubbed.as("scrubbed"),
-      emails.cast("long").as("n_emails"),
-      phones.cast("long").as("n_phones"))
   }
 
   /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for

@@ -355,8 +355,8 @@ object Dedup {
     * Materialization posture (`eager = true`, the default): the
     * ordered-token dimension is consumed three ways (prefix explode +
     * both verify attaches), so it is pinned ONCE per call via
-    * `localCheckpoint()` — this call's own execution, not a
-    * CacheManager entry keyed by plan. Plan-keyed `.cache()` made the
+    * `Pinning.pin` (strategy-selected: local / reliable / disk2) —
+    * this call's own execution, not a CacheManager entry keyed by plan. Plan-keyed `.cache()` made the
     * cost nondeterministic under session cache pressure (a hit reused
     * another call's blocks, an eviction silently tripled the work) and
     * leaked session-lifetime blocks. The pair RESULT is then
@@ -400,7 +400,8 @@ object Dedup {
       .withColumn("__p", (col("__n") - ceilBp(col("__n")) + 1).cast("int"))
     // consumed three ways (prefix explode + both verify attaches): pin
     // THIS call's execution once; see the scaladoc materialization note
-    val ordered = if (eager) orderedPlan.localCheckpoint() else orderedPlan
+    val ordered =
+      if (eager) graft.operators.Pinning.pin(orderedPlan) else orderedPlan
     val prefix = ordered.select(col("__id"), col("__n"),
         posexplode(slice(col("__ts"), lit(1), col("__p"))).as(Seq("__i", "__t")))
       .select(col("__id"), col("__n"), (col("__i") + 1).cast("long").as("__pp"),
@@ -453,9 +454,9 @@ object Dedup {
       // materialize the (small — qualifying pairs only) result while the
       // dimension is hot, then free the dimension's blocks: nothing this
       // call pinned outlives the returned pair list (the nnDescent
-      // return posture — caller owns the checkpointed result)
-      val out = pairs.localCheckpoint()
-      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(ordered)
+      // return posture — caller owns the pinned result)
+      val out = graft.operators.Pinning.pin(pairs)
+      graft.operators.Pinning.unpin(ordered)
       out
     }
   }
@@ -587,7 +588,7 @@ object Dedup {
       .select(col("id1"), col("id2"), col("est_jaccard"), col("est_containment"))
     if (!eager) pairs
     else {
-      val out = pairs.localCheckpoint()
+      val out = graft.operators.Pinning.pin(pairs)
       graft.operators.Pinning.unpin(sk)
       out
     }

@@ -252,6 +252,16 @@ object TextAnalysis {
         transform(acc, (c, i) => when(i.cast("long") === j, c + 1L).otherwise(c)))
   }
 
+  /** Lazy (\_\_did, word, \_\_n) doc-word count dimension: the work unit
+    * of [[unigramSurprisal]] — one map-side-combinable aggregation
+    * collapsing the token stream to distinct (doc, word) pairs.
+    */
+  def docWordCountsPlan(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("__did"),
+        explode(split(lower(trim(col(text))), "\\s+")).as("word"))
+      .groupBy(col("__did"), col("word"))
+      .agg(count(lit(1)).as("__n"))
+
   /** Corpus-derived unigram surprisal with cross-engine-exact integer
     * log2: bits(x) = length of x's binary representation = floor(log2 x)+1
     * (both engines' `bin()` agree digit-for-digit), so surprisal(w) =
@@ -270,15 +280,32 @@ object TextAnalysis {
     *
     * Output: (id, n_tokens, surprisal_sum, mean_surprisal_bp) per doc,
     * mean in integer basis points (×10000, floor-divided).
+    *
+    * `docWordCountsPlan` is the lazy (\_\_did, word, \_\_n) dimension it
+    * consumes, exposed so a session can materialize the tokenize+count
+    * pass ONCE and share it.
+    *
+    * `docWordCounts`: optionally supply the (\_\_did, word, \_\_n)
+    * doc-word count frame (e.g. an already-pinned session memo — the
+    * r10 fix for the bench paying the pin inside every timed pass);
+    * when supplied the CALLER owns its materialization and this call
+    * pins nothing.
     */
-  def unigramSurprisal(docs: DataFrame, id: String, text: String): DataFrame = {
+  def unigramSurprisal(docs: DataFrame, id: String, text: String,
+      docWordCounts: Option[DataFrame] = None): DataFrame = {
     val bits = (c: Column) => length(bin(c)).cast("long")
-    val dw = graft.operators.Pinning.pin(
-      docs.select(col(id).as("__did"),
-          explode(split(lower(trim(col(text))), "\\s+")).as("word"))
-        .groupBy(col("__did"), col("word"))
-        .agg(count(lit(1)).as("__n")))
-    val vocab = dw.groupBy(col("word")).agg(sum(col("__n")).as("__cnt"))
+    val dw = docWordCounts.getOrElse(
+      graft.operators.Pinning.pin(docWordCountsPlan(docs, id, text)))
+    val vocabPlan = dw.groupBy(col("word")).agg(sum(col("__n")).as("__cnt"))
+    // post-aggregation stats are unknown to Catalyst, so without a hint
+    // the word-keyed join sort-merges BOTH sides. When the dimension is
+    // materialized (caller-supplied memo) a cheap count gates an explicit
+    // broadcast — vocab has at most as many rows as dw; a 100 TB corpus
+    // vocabulary fails the gate and keeps the shuffle join.
+    val vocab =
+      if (docWordCounts.isDefined && dw.count() * 40L <= (64L << 20))
+        broadcast(vocabPlan)
+      else vocabPlan
     val totalBits = vocab.agg(bits(sum(col("__cnt"))).as("__nbits"))
     dw.join(vocab, Seq("word"))
       .crossJoin(broadcast(totalBits))

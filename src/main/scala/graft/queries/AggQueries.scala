@@ -523,9 +523,14 @@ object AggQueries extends QueryModule {
       val o = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem")
       val q = col("l_quantity").cast("long")
-      // ONE aggregation carries everything except the method argmax: the
-      // typed NStats Aggregator (a6) folds exact N50/L50 map-side next to
-      // the plain counts
+      // ONE aggregation carries everything INCLUDING the dominant-method
+      // argmax: the typed NStats Aggregator (a6) folds exact N50/L50
+      // map-side next to the plain counts, and `mode(col, true)` (Spark's
+      // deterministic mode: the LOWEST value among the most frequent —
+      // exactly the reference's `count DESC, then lowest status` tie
+      // rule) replaces what was previously a second two-stage argmax
+      // aggregation and its extra join (r10: the ~1 s of report_isolate's
+      // r9 cost those two stages added)
       val main = li.groupBy(col("l_orderkey")).agg(
         graft.functions.NStats.agg(q).as("st"),
         count(when(col("l_returnflag") === "A", 1)).as("n_warn"),
@@ -533,22 +538,14 @@ object AggQueries extends QueryModule {
         // bitmask distinct (locus domain 1..7) — avoids the Expand a
         // COUNT(DISTINCT) would force on every input row
         bit_count(bit_or(expr("shiftleft(1L, l_linenumber)")))
-          .cast("long").as("n_loci"))
+          .cast("long").as("n_loci"),
+        mode(col("l_linestatus"), deterministic = true).as("method"))
         .select(col("l_orderkey"),
           col("st.contigs").as("contigs"),
           col("st.totalLength").as("total_length"),
           col("st.n50").as("n50"), col("st.l50").as("l50"),
-          col("n_warn"), col("n_fail"), col("n_loci"))
-      // dominant method: argmax by (count, then lowest status string)
-      val method = li.groupBy(col("l_orderkey"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("l_orderkey"))
-        .agg(max(struct(col("cnt"),
-          // invert for min-string tie-break inside a max(struct)
-          (-ascii(col("l_linestatus"))).as("inv"),
-          col("l_linestatus"))).getField("l_linestatus").as("method"))
+          col("n_warn"), col("n_fail"), col("n_loci"), col("method"))
       o.join(main, o("o_orderkey") === main("l_orderkey"))
-        .join(method, main("l_orderkey") === method("l_orderkey"))
         .select(o("o_orderkey").as("id"),
           col("o_orderpriority").as("label"),
           col("contigs"), col("total_length"), col("n50"), col("l50"),

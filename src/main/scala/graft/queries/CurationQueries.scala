@@ -137,53 +137,9 @@ object CurationQueries extends QueryModule {
             JOIN k ON u.unit = k.unit AND u.doc_id * 100000 + u.pos = k.mk
             GROUP BY u.doc_id ORDER BY u.doc_id"""))
 
-  // PII scrub: deterministic synthetic emails/phones injected per doc_id
-  // (the corpus itself is PII-free word soup), then redacted + counted by
-  // the narrow regex kernel. Patterns are RE2-compatible so the DuckDB
-  // replay matches span-for-span.
-  private val textPiiScrub = Q(
-    "text_pii_scrub",
-    (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val idS = col("doc_id").cast("string")
-      val withPii = docs.select(col("doc_id"), concat(
-        col("text"),
-        when(pmod(col("doc_id"), lit(3)) =!= 0,
-          concat(lit(" user"), idS, lit("@example.com"))).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(2)) === 0,
-          concat(lit(" +1-"),
-            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
-            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
-          .otherwise(lit(""))).as("text"))
-      withPii.select(col("doc_id"), Curation.piiScrub(col("text")).as("p"))
-        .select(col("doc_id"), col("p.n_emails").as("n_emails"),
-          col("p.n_phones").as("n_phones"),
-          md5(col("p.scrubbed")).as("scrub_md5"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""WITH pii AS (
-              SELECT doc_id,
-                     text
-                     || CASE WHEN doc_id % 3 != 0
-                          THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                          ELSE '' END
-                     || CASE WHEN doc_id % 2 = 0
-                          THEN ' +1-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-                               || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                          ELSE '' END AS t
-              FROM documents)
-            SELECT doc_id,
-                   CAST(len(regexp_extract_all(t,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-                     AS n_emails,
-                   CAST(len(regexp_extract_all(t,
-                     '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
-                   md5(regexp_replace(
-                     regexp_replace(t,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                       '<EMAIL>', 'g'),
-                     '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
-            FROM pii ORDER BY doc_id"""))
+  // (The PII-scrub query lives in TextQueries — a second definition here
+  // once shadowed it through AllQueries' last-wins toMap; it was removed
+  // in r10 and AllQueries now rejects duplicate names outright.)
 
   // Quantized vector scan: int8 symmetric quantization (floor(+0.5), both
   // engines agree bit-for-bit), integer dot product rescaled by the two
@@ -1621,7 +1577,7 @@ object CurationQueries extends QueryModule {
             ORDER BY threshold"""))
 
   val qs: Seq[Q] = Seq(sampleStratified, sampleWeighted, textDomainMix, dedupParagraph,
-    textPiiScrub, simQuantized, splitHash, textDecontaminate, packSequences,
+    simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
     qualityPercentileGate, qualityRankNormalize, shardConcat, corpusDiff, mixTemperature,
     corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap,

@@ -44,7 +44,14 @@ object AllQueries {
     SimilarityQueries,
     StreamingQueries,
   )
-  lazy val all: Seq[Q] = modules.flatMap(_.qs)
+  lazy val all: Seq[Q] = {
+    val qs = modules.flatMap(_.qs)
+    // A name collision would make this toMap last-wins — silently replacing
+    // a verified query with an unverified one (the r9 text_pii_scrub bug).
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
   lazy val oracles: Map[String, String] =

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.pipeline.Similarity
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** ANN over `embeddings` (ARRAY<FLOAT> 64-dim): brute-force cosine top-k
@@ -830,7 +831,7 @@ object SimilarityQueries extends QueryModule {
           Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", k = 5, nlist = 32, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
-        .localCheckpoint())
+        .transform(graft.operators.Pinning.pin))
   }
 
   private val simNnDescent = Q(
@@ -992,8 +993,9 @@ object SimilarityQueries extends QueryModule {
   private def cachedMutualKnn(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     knnGraphCache.computeIfAbsent(Tables.sessionKey(s) + "|" + dir + "|5|32|3",
-      _ => Similarity.mutualKnnGraph(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 5, nlist = 32, nprobe = 3).localCheckpoint())
+      _ => graft.operators.Pinning.pin(
+        Similarity.mutualKnnGraph(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, nlist = 32, nprobe = 3)))
 
   // Connected components over the mutual-kNN graph — the canonical
   // near-dup CLUSTER id (component = min member id, the same labeling the
@@ -1873,7 +1875,20 @@ object SimilarityQueries extends QueryModule {
   // replayable by the oracle (the sim_lsh_ann posture). The query emits
   // original vs projected cosine per pair over a 30-vector slice, making
   // the JL distortion a measured artifact rather than a constant in a
-  // paper; JlProjectSpec pins the mean distortion bound.
+  // paper; EvalCurationSpec pins the mean distortion bound.
+  //
+  // Oracle-exactness posture (the r9 red-row fix): the float components
+  // are first quantized onto a 1e-4 integer grid via floor(x*1e4 + 0.5)
+  // — identical IEEE ops in both engines, so identical grids. Every
+  // downstream dot product is then a sum of integer-valued doubles
+  // bounded far below 2^53 (|q_i| <= ~6e3, sum of 64 squares <= 2.4e9;
+  // projected |p_j| <= 4e5, 16-term dot <= 2.6e12), making the sums
+  // EXACT and therefore order-independent — no cross-engine float-
+  // association tie to flip a rounded digit. The cosine of two exact
+  // integers through sqrt/mul/div is correctly-rounded IEEE on identical
+  // inputs, and the 4-decimal bucket is emitted as floor(cos*1e4)/1e4
+  // (floor of identical doubles is exact) instead of the tie-unstable
+  // round(double, 4).
   private val embedJlProject = Q(
     "embed_jl_project",
     (s, dir) => {
@@ -1883,8 +1898,14 @@ object SimilarityQueries extends QueryModule {
         (0 until dim).map(d =>
           if (graft.functions.Vectors.MinHashSig
                 .md5Long60(s"graft-jl-42-$j-$d") % 2L == 0L) 1.0 else -1.0))
+      def qcos(a: Column, b: Column): Column = {
+        val d2 = Similarity.dot(a, a) * Similarity.dot(b, b)
+        when(d2 > 0.0, Similarity.dot(a, b) / sqrt(d2)).otherwise(lit(0.0))
+      }
+      def bucket4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
       val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 30)
-      val ev = Similarity.toDouble(col("embedding"))
+      val ev = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("double"))
       val projected = emb.select(col("vec_id"),
         ev.as("embedding"),
         array((0 until kOut).map(j =>
@@ -1895,8 +1916,8 @@ object SimilarityQueries extends QueryModule {
         col("embedding").as("__e2"), col("p").as("__p2"))
       a.join(b, col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
-          round(Similarity.cosine(col("__e1"), col("__e2")), 4).as("cos64"),
-          round(Similarity.cosine(col("__p1"), col("__p2")), 4).as("cos16"))
+          bucket4(qcos(col("__e1"), col("__e2"))).as("cos64"),
+          bucket4(qcos(col("__p1"), col("__p2"))).as("cos16"))
         .orderBy(col("id1"), col("id2"))
     },
     Some("""WITH signs AS (
@@ -1904,22 +1925,28 @@ object SimilarityQueries extends QueryModule {
                      CASE WHEN ('0x' || substr(md5('graft-jl-42-' || j || '-' || d),
                        1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
               FROM range(0, 16) a(j), range(0, 64) b(d)),
+            e AS (SELECT vec_id,
+                         list_transform(embedding::DOUBLE[],
+                           x -> floor(x * 10000.0 + 0.5)) AS q
+                  FROM embeddings WHERE vec_id < 30),
             comp AS (
-              SELECT e.vec_id, s.j,
-                     sum(e.embedding[s.d + 1] * s.sgn
-                         ORDER BY s.d) AS pj
-              FROM embeddings e, signs s
-              WHERE e.vec_id < 30
+              SELECT e.vec_id, s.j, sum(e.q[s.d + 1] * s.sgn) AS pj
+              FROM e, signs s
               GROUP BY 1, 2),
             proj AS (
-              SELECT c.vec_id, e.embedding,
+              SELECT c.vec_id, e.q,
                      list(c.pj ORDER BY c.j) AS p
-              FROM comp c JOIN embeddings e USING (vec_id)
+              FROM comp c JOIN e USING (vec_id)
               GROUP BY 1, 2)
             SELECT a.vec_id AS id1, b.vec_id AS id2,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[],
-                     b.embedding::DOUBLE[]), 4) AS cos64,
-                   round(list_cosine_similarity(a.p, b.p), 4) AS cos16
+                   floor(list_dot_product(a.q, b.q) /
+                     sqrt(list_dot_product(a.q, a.q)
+                          * list_dot_product(b.q, b.q)) * 10000.0) / 10000.0
+                     AS cos64,
+                   floor(list_dot_product(a.p, b.p) /
+                     sqrt(list_dot_product(a.p, a.p)
+                          * list_dot_product(b.p, b.p)) * 10000.0) / 10000.0
+                     AS cos16
             FROM proj a JOIN proj b ON a.vec_id < b.vec_id
             ORDER BY id1, id2"""))
 

@@ -64,9 +64,8 @@ object StreamingQueries extends QueryModule {
         .orderBy(col("content_key"))
     },
     Some("""WITH k AS (
-              SELECT md5(coalesce(CAST(event_type AS VARCHAR), '')
-                         || chr(CAST(1 AS INTEGER))
-                         || coalesce(CAST(props AS VARCHAR), ''))
+              SELECT md5(md5(coalesce(CAST(event_type AS VARCHAR), ''))
+                         || md5(coalesce(CAST(props AS VARCHAR), '')))
                        AS content_key,
                      ts, event_id
               FROM events),

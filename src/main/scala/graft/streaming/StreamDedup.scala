@@ -36,16 +36,21 @@ object StreamDedup {
         col(s"__first.$idCol").as("first_id"),
         col("n_dups")): _*)
 
-  /** Content-hash variant: key = md5 of the payload columns joined on
-    * the \u0001 unit separator (so ("ab","c") and ("a","bc") cannot
-    * collide; null-safe via coalesce to empty string) — dedup by VALUE
-    * when no natural key exists. Oracle side: `chr(1)` is the same byte.
+  /** Content-hash variant: key = md5 over the concatenation of the
+    * PER-COLUMN md5s — each component hashes to a fixed-width hex block
+    * first, so the encoding is injective in the column values: no
+    * separator byte exists for a payload to collide with (("ab","c") vs
+    * ("a","bc"), or values containing the separator itself, all key
+    * differently — a guarantee a separator join cannot make). NULL is
+    * deliberately keyed like the empty string (coalesce) — dedup by
+    * VALUE when no natural key exists. Oracle side replays the same
+    * md5-of-md5s chain.
     */
   def firstSeenByContent(events: DataFrame, payload: Seq[Column],
       tsCol: String, idCol: String): DataFrame =
     firstSeen(
       events.withColumn("content_key",
-        md5(concat_ws("\u0001", payload.map(c => coalesce(c.cast("string"),
-          lit(""))): _*))),
+        md5(concat(payload.map(c =>
+          md5(coalesce(c.cast("string"), lit("")))): _*))),
       Seq("content_key"), tsCol, idCol)
 }

@@ -40,6 +40,38 @@ object ColumnBridge {
       case _ => ()
     }
 
+  /** disk2-pin support: re-resolve `df`'s logical plan (so a plan persisted
+    * a moment ago is substituted with its InMemoryRelation by the
+    * CacheManager) and wrap the resulting physical RDD in a flat
+    * `LogicalRDD` — the same lineage cut `Dataset.checkpoint` performs,
+    * but scanning replicated-on-disk cached blocks instead of checkpoint
+    * files. `fromDataset` carries the origin's output partitioning and
+    * ordering into the flat node, so downstream rounds keep co-partitioning
+    * info. Returns the flat frame plus the scan RDD's id (Pinning's unpin
+    * registry key).
+    */
+  def flattenToCachedScan(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fresh = org.apache.spark.sql.classic.Dataset.ofRows(
+      cs, df.queryExecution.logical)
+    val rdd = fresh.queryExecution.toRdd
+    val flat = org.apache.spark.sql.classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.LogicalRDD
+        .fromDataset(rdd, fresh, isStreaming = false).newInstance())
+    (flat.toDF(), rdd.id)
+  }
+
+  /** The ids of the `LogicalRDD`-wrapped scan RDDs anywhere in `df`'s
+    * analyzed plan — how Pinning.unpin finds the disk2 registry entries of
+    * a DERIVED frame (e.g. `pinned.select(...)`), where exact-plan
+    * `Dataset.unpersist` matching fails.
+    */
+  def logicalRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+
   /** `SparkSession.sessionUUID` is `private[sql]`; memo keys need a
     * session identity that can't be reused after GC the way
     * identityHashCode can.
@@ -62,6 +94,22 @@ object ColumnBridge {
       case c: org.apache.spark.sql.classic.SparkSession =>
         c.sharedState.cacheManager.isEmpty
       case _ => true
+    }
+
+  /** Debug/diagnostic: one-line summaries of every CacheManager entry —
+    * lets a spec report WHICH plan leaked, not just that one did.
+    */
+  def cachedPlanSummaries(s: org.apache.spark.sql.SparkSession): Seq[String] =
+    s match {
+      case c: org.apache.spark.sql.classic.SparkSession =>
+        val cm = c.sharedState.cacheManager
+        val m = cm.getClass.getDeclaredMethod("cachedData")
+        m.setAccessible(true)
+        m.invoke(cm)
+          .asInstanceOf[IndexedSeq[org.apache.spark.sql.execution.CachedData]]
+          .map(cd => cd.plan.nodeName + ": " +
+            cd.plan.treeString.linesIterator.take(3).mkString(" | "))
+      case _ => Seq.empty
     }
 
   /** RDD ids of the checkpoint scans (`LogicalRDD`) in a frame's plan —

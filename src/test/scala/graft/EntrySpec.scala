@@ -21,4 +21,14 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty,
       s"queries without a DuckDB oracle (driver downgrades to rows-only): $missing")
   }
+
+  test("declared-to-swept is 1:1 — a duplicate name cannot silently " +
+      "shadow a verified query (the r9 text_pii_scrub bug)") {
+    // AllQueries.all itself requires distinct names; this pins both that
+    // guard and the declared == swept count equality it protects.
+    val all = graft.queries.AllQueries.all
+    assert(all.map(_.name).distinct.size == all.size)
+    assert(all.size == SparkEntry.queries.size,
+      s"declared ${all.size} != swept ${SparkEntry.queries.size}")
+  }
 }

@@ -77,6 +77,57 @@ class PinningSpec extends SparkSpec {
     assert(got.head.nonEmpty)
   }
 
+  test("prefixFilterPairs (dedup_prefix_join core): identical pairs under " +
+      "every pin strategy") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "entirely different words live here today friends"),
+      (5L, "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val got = strategies.map { s =>
+      withStrategy(s) {
+        graft.pipeline.Dedup.prefixFilterPairs(docs, "doc_id",
+            split(col("text"), " "), t = 0.5)
+          .select(col("id1"), col("id2"), round(col("jac"), 6))
+          .as[(Long, Long, Double)].collect().toSet
+      }
+    }
+    assert(got.distinct.size == 1, s"strategies disagree: $got")
+    assert(got.head.contains((1L, 5L, 1.0)))
+  }
+
+  test("disk2 pin cuts logical-plan lineage and unpin releases derived " +
+      "frames' cache entries") {
+    // earlier tests in this suite returned disk2-pinned RESULTS (caller-
+    // owned by contract) without unpinning them — clear those so this test
+    // asserts only its own lifecycle
+    spark.catalog.clearCache()
+    withStrategy("disk2") {
+      // iterative shape: each round derives from the previous pin. Without
+      // the LogicalRDD cut the analyzed plan doubles per round.
+      var cur = Pinning.pin(edgesFixture)
+      val baseSize = cur.queryExecution.analyzed.treeString.length
+      (1 to 4).foreach { _ =>
+        val next = Pinning.pin(cur.withColumn("src", col("src") + 1L))
+        Pinning.unpin(cur)
+        cur = next
+      }
+      val endSize = cur.queryExecution.analyzed.treeString.length
+      assert(endSize <= baseSize * 2,
+        s"plan grew across rounds: $baseSize -> $endSize")
+      // unpin on a DERIVED frame must still release the backing cache
+      // entry (exact-plan Dataset.unpersist would no-op here)
+      val derived = cur.select(col("src"))
+      Pinning.unpin(derived)
+      assert(org.apache.spark.sql.graft.ColumnBridge
+        .cacheManagerIsEmpty(spark), "disk2 cache entry leaked past unpin: " +
+        org.apache.spark.sql.graft.ColumnBridge.cachedPlanSummaries(spark)
+          .mkString("\n"))
+    }
+  }
+
   test("unknown strategy fails fast with the conf key in the message") {
     val e = intercept[IllegalArgumentException] {
       withStrategy("bogus") { Pinning.pin(edgesFixture) }

@@ -38,7 +38,12 @@ for name in sorted(os.listdir(outdir)):
                 if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
                     a = a.astype("datetime64[us]"); b = b.astype("datetime64[us]")
                 a2 = pd.to_numeric(a, errors="raise"); b2 = pd.to_numeric(b, errors="raise")
-                eqs = ((a2 - b2).abs() < 1e-9) | (a2.isna() & b2.isna())
+                # GRAFT_EXACT=1: bit-exact like the driver's value hash —
+                # the 1e-9 tolerance hid the r9 embed_jl_project red row
+                if os.environ.get("GRAFT_EXACT"):
+                    eqs = (a2 == b2) | (a2.isna() & b2.isna())
+                else:
+                    eqs = ((a2 - b2).abs() < 1e-9) | (a2.isna() & b2.isna())
             except Exception:
                 eqs = (a.astype(str) == b.astype(str))
             if not eqs.all():
