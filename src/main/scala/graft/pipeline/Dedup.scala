@@ -433,9 +433,19 @@ object Dedup {
     // already-materialized dimension (fast, in-memory), never the corpus:
     // 2 bytes/char UTF-16 + ~48 bytes/String object overhead per token.
     val bcast = broadcastVerify.getOrElse(eager && {
+      // per-token byte estimate: UTF-16 chars + String header for string
+      // tokens; a flat 16 B (boxed long) for numeric tokens (the hashed-
+      // shingle path)
+      val elemIsString = ordered.schema("__ts").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) => true
+        case _ => false
+      }
+      val perTok: Column => Column =
+        if (elemIsString) x => length(x) * 2 + 48 else _ => lit(16L)
       val r = ordered.agg(
         coalesce(sum(aggregate(col("__ts"), lit(0L),
-          (acc, x) => acc + length(x) * 2 + 48)), lit(0L))).head.getLong(0)
+          (acc, x) => acc + perTok(x))), lit(0L))).head.getLong(0)
       r <= (256L << 20)
     })
     def side(d: DataFrame) = if (bcast) broadcast(d) else d

@@ -57,6 +57,31 @@ object Similarity {
       .select(col("query_id"), posexplode(col("__tk")).as(Seq("__i", "__t")))
       .withColumn("rank", (col("__i") + 1).cast("long"))
 
+  /** Exact cosine re-rank of an ANN candidate shortlist — the standard
+    * second stage behind any compressed-index scan (FAISS "refine"):
+    * the shortlist (ADC / LSH / IVF top-R, R > k) sets recall, the exact
+    * re-score restores precision, and only |shortlist| vectors are ever
+    * re-scored — never the corpus. `cands` needs (query_id, neighbor_id);
+    * output is the usual (query_id, neighbor_id, cos, rank) top-k via
+    * the bounded two-phase rank (no per-query window funnel).
+    */
+  def rerankTopK(cands: DataFrame, vecs: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    val v = vecs.select(col(id).as("__rid"), toDouble(col(vec)).as("__v"))
+    val scored = cands.select(col("query_id"), col("neighbor_id"))
+      .join(v.select(col("__rid").as("neighbor_id"), col("__v").as("__cv")),
+        Seq("neighbor_id"))
+      .join(v.select(col("__rid").as("query_id"), col("__v").as("__qv")),
+        Seq("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    explodeRanked(scored.groupBy(col("query_id"))
+        .agg(bottomK(
+          struct((-col("cos")).as("neg"),
+            col("neighbor_id")), k).as("__tk")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        (-col("__t.neg")).as("cos"), col("rank"))
+  }
+
   /** Embedding hygiene filter — the validation pass before any index
     * build or similarity math: flags zero vectors (cosine-undefined;
     * every ANN structure misplaces them), non-finite components (one NaN

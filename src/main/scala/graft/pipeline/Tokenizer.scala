@@ -471,6 +471,69 @@ object Tokenizer {
       .map { case Row(p: String, n: Long) => (p, n) }.toSeq
   }
 
+  /** Whole-document composite: tokenize exactly like [[alphaWords]]
+    * (trim, lowercase, split on whitespace runs, keep pure [a-z]+ words)
+    * and sum the per-word Viterbi composites INSIDE the kernel. Safe to
+    * sum raw composites: per-doc piece totals stay far below the 2^20
+    * field boundary, so Σ(cost<<20 | pieces) = (Σcost)<<20 | (Σpieces).
+    */
+  def viterbiDocCompositeUtf(text: org.apache.spark.unsafe.types.UTF8String,
+      costs: java.util.HashMap[String, java.lang.Long], maxLen: Int,
+      fallback: Long): Long = {
+    val s = text.toString.trim.toLowerCase(java.util.Locale.ROOT)
+    var total = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      var alpha = true
+      while (i < n && !Character.isWhitespace(s.charAt(i))) {
+        val c = s.charAt(i)
+        if (c < 'a' || c > 'z') alpha = false
+        i += 1
+      }
+      if (alpha && i > start)
+        total += viterbiWordComposite(s.substring(start, i), costs, maxLen,
+          fallback)
+    }
+    total
+  }
+
+  /** Codegen'd per-DOCUMENT Viterbi composite — the whole word loop runs
+    * inside one generated call, where the per-word [[ViterbiComposite]]
+    * wrapped in an `aggregate` HOF paid interpreted lambda + struct
+    * boxing per word (the r10 100×-probe constant on
+    * text_tokens_viterbi).
+    */
+  case class ViterbiDocComposite(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      costs: Seq[(String, Long)], maxLen: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+    @transient private lazy val map: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      costs.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+      m
+    }
+    private def fallback: Long = costs.iterator.map(_._2).max + 1L
+
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+    override def nullSafeEval(input: Any): Any =
+      viterbiDocCompositeUtf(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        map, maxLen, fallback)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("vitCosts", map, "java.util.HashMap")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.pipeline.Tokenizer.viterbiDocCompositeUtf($c, $ref, $maxLen, ${fallback}L)")
+    }
+  }
+
   /** Per-document Viterbi totals over the [a-z]+ word stream:
     * struct(cost = Σ min surprisal bits, pieces = Σ optimal piece count).
     * One narrow codegen'd projection — no shuffle, stream-safe.
@@ -478,13 +541,9 @@ object Tokenizer {
   def viterbiTokenStats(text: Column, costs: Seq[(String, Long)],
       maxLen: Int): Column = {
     val B = org.apache.spark.sql.graft.ColumnBridge
-    aggregate(alphaWords(text),
-      struct(lit(0L).as("cost"), lit(0L).as("pieces")),
-      (acc, w) => {
-        val comp = B.column(ViterbiComposite(B.expression(w), costs, maxLen))
-        struct(
-          (acc.getField("cost") + shiftright(comp, 20)).as("cost"),
-          (acc.getField("pieces") + comp.bitwiseAND(lit(1048575L))).as("pieces"))
-      })
+    val comp = B.column(ViterbiDocComposite(B.expression(text), costs, maxLen))
+    struct(
+      shiftright(comp, 20).as("cost"),
+      comp.bitwiseAND(lit(1048575L)).as("pieces"))
   }
 }

@@ -524,22 +524,34 @@ object DedupQueries extends QueryModule {
   // BRUTE-FORCE all-pairs join — value equality therefore proves the
   // no-false-negative guarantee on this corpus, not just agreement on
   // the candidate subset.
+  //
+  // Shingles enter the join as 60-bit portable hashes (the containment-
+  // sketch scheme, identical md5 chain on both engines): the r10 100×
+  // probe showed the verify attach shuffling ~60 B shingle STRINGS per
+  // array element was the dominant linear cost — 8 B longs cut the
+  // dimension and pair-attach bytes ~7× and make the in-row intersect a
+  // primitive comparison. Jaccard over hashed distinct sets equals
+  // Jaccard over the string sets unless two distinct shingles collide in
+  // 60 bits (~1e-10 per corpus pair here — and the brute-force oracle
+  // hashes identically, so even a collision stays value-equal).
   private val dedupPrefixJoin = Q(
     "dedup_prefix_join",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Dedup.prefixFilterPairs(docs, "doc_id",
-          Dedup.shingles(col("text"), 3), t = 0.2)
+          Dedup.portableShingleHashes(Dedup.shingles(col("text"), 3)),
+          t = 0.2)
         .withColumn("jac", round(col("jac"), 4))
         .orderBy(col("id1"), col("id2"))
     },
     Some("""WITH sh AS (
               SELECT doc_id,
-                     list_distinct(list_transform(
+                     list_distinct(list_transform(list_transform(
                        range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 1, 1)),
                        i -> list_aggregate(
                               string_split_regex(lower(text), '\s+')[i:i+2],
-                              'string_agg', ' '))) AS g
+                              'string_agg', ' ')),
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS g
               FROM documents),
             p AS (
               SELECT a.doc_id AS id1, b.doc_id AS id2,

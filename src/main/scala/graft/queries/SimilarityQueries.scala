@@ -412,30 +412,55 @@ object SimilarityQueries extends QueryModule {
         Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5,
           bits = 4, tables = 4, probeHamming = ph, probeSeq = ps)
       val model = cachedPqModel(s, dir, m = 2)
+      // (variant, index bits per corpus vector, top-k frame). Bits are
+      // exact index-payload metadata — together with recall they ARE the
+      // recall-vs-bytes curve a user tunes against: the three pq_adc
+      // rows sweep PQ's code rate (m=2/4/8 subspaces × 3-bit codes), the
+      // standard fix when low-rate ADC recall disappoints (m=2's 0.225
+      // in r9 — more subspaces, not a different index).
       val variants = Seq(
-        ("ivf_nprobe6", Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        ("ivf_nprobe6", 4, Similarity.ivfTopK(emb, q, "vec_id", "embedding",
           k = 5, nlist = 16, nprobe = 6)),
-        ("lsh_0probe", lsh(0, 0)),
-        ("lsh_directed_m2", lsh(1, 2)),
-        ("lsh_hamming1", lsh(1, 0)),
-        ("pq_adc", Similarity.pqAdcTopK(emb, q, "vec_id", "embedding",
+        ("lsh_0probe", 16, lsh(0, 0)),
+        ("lsh_directed_m2", 16, lsh(1, 2)),
+        ("lsh_hamming1", 16, lsh(1, 0)),
+        ("pq_adc", 6, Similarity.pqAdcTopK(emb, q, "vec_id", "embedding",
           model, k = 5)),
-        ("ivfpq_nprobe6", Similarity.ivfPqTopK(emb, q, "vec_id",
+        ("pq_adc_m4", 12, Similarity.pqAdcTopK(emb, q, "vec_id",
+          "embedding", cachedPqModel(s, dir, m = 4), k = 5)),
+        ("pq_adc_m8", 24, Similarity.pqAdcTopK(emb, q, "vec_id",
+          "embedding", cachedPqModel(s, dir, m = 8), k = 5)),
+        ("pq_adc_m8n", 24, {
+          val ne = normalizedVecs(emb)
+          Similarity.pqAdcTopK(ne, ne.filter(col("vec_id") < 8), "vec_id",
+            "embedding", cachedPqModelNorm(s, dir, m = 8), k = 5)
+        }),
+        // ADC shortlist (R=32) + exact re-rank — the FAISS-refine second
+        // stage: the compressed scan bounds the exact re-score to R
+        // candidates per query, so the scan still streams 3-byte codes
+        ("pq_adc_m8_rr32", 24, Similarity.rerankTopK(
+          Similarity.pqAdcTopK(emb, q, "vec_id", "embedding",
+              cachedPqModel(s, dir, m = 8), k = 32)
+            .select(col("query_id"), col("neighbor_id")),
+          emb, "vec_id", "embedding", k = 5)),
+        ("ivfpq_nprobe6", 10, Similarity.ivfPqTopK(emb, q, "vec_id",
           "embedding", k = 5, nlist = 16, nprobe = 6, m = 2, dim = 64,
           kCodes = 8, iters = 2,
           trainedPq = Some(cachedIvfPqModel(s, dir, nlist = 16)))))
-      val tagged = variants.map { case (n, df) =>
-        df.select(lit(n).as("variant"), col("query_id"), col("neighbor_id"))
+      val tagged = variants.map { case (n, bits, df) =>
+        df.select(lit(n).as("variant"), lit(bits.toLong).as("bits_per_vec"),
+          col("query_id"), col("neighbor_id"))
       }.reduce(_ unionByName _)
       val total = truth.agg(count(lit(1)).as("__total"))
       tagged
         .join(truth.withColumn("__hit", lit(1L)),
           Seq("query_id", "neighbor_id"), "left")
-        .groupBy(col("variant"))
+        .groupBy(col("variant"), col("bits_per_vec"))
         .agg(count(lit(1)).as("retrieved"),
           sum(coalesce(col("__hit"), lit(0L))).as("hits"))
         .crossJoin(broadcast(total))
-        .select(col("variant"), col("retrieved"), col("hits"),
+        .select(col("variant"), col("bits_per_vec"), col("retrieved"),
+          col("hits"),
           round(col("hits").cast("double") / col("__total"), 4).as("recall"))
         .orderBy(col("variant"))
     },
@@ -572,18 +597,32 @@ object SimilarityQueries extends QueryModule {
                    WHERE rank <= 5),
             ${pqLloydCte("s1", 1, 32)},
             ${pqLloydCte("s2", 33, 64)},
-            rp AS (SELECT query_id, neighbor_id FROM (
-                     SELECT l1.query_id, cd.vec_id AS neighbor_id,
-                            row_number() OVER (PARTITION BY l1.query_id
-                              ORDER BY l1.d2 + l2.d2, cd.vec_id) AS rank
-                     FROM (SELECT c1.vec_id, c1.list_id AS code1,
-                                  c2.list_id AS code2
-                           FROM code_s1 c1 JOIN code_s2 c2 USING (vec_id)) cd
-                     JOIN lut_s1 l1 ON l1.list_id = cd.code1
-                     JOIN lut_s2 l2 ON l2.list_id = cd.code2
-                                   AND l2.query_id = l1.query_id
-                     WHERE cd.vec_id <> l1.query_id) t
-                   WHERE rank <= 5),
+            ${pqRankSql("rp", Seq("s1", "s2"))},
+            ${(1 to 4).map(i => pqLloydCte(s"t$i", 1 + 16 * (i - 1), 16 * i))
+              .mkString(",\n            ")},
+            ${pqRankSql("rp4", (1 to 4).map("t" + _))},
+            ${(1 to 8).map(i => pqLloydCte(s"u$i", 1 + 8 * (i - 1), 8 * i))
+              .mkString(",\n            ")},
+            ${pqRankSql("rp8", (1 to 8).map("u" + _))},
+            en AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(v,
+                       x -> x / sqrt(list_dot_product(v, v))) AS v
+              FROM e),
+            ${(1 to 8).map(i =>
+                pqLloydCte(s"w$i", 1 + 8 * (i - 1), 8 * i, base = "en"))
+              .mkString(",\n            ")},
+            ${pqRankSql("rp8n", (1 to 8).map("w" + _))},
+            ${pqRankSql("short8", (1 to 8).map("u" + _), k = 32)},
+            rr8 AS (SELECT query_id, neighbor_id FROM (
+                      SELECT s.query_id, s.neighbor_id,
+                             row_number() OVER (PARTITION BY s.query_id
+                               ORDER BY list_dot_product(q.v, c.v) / (q.n * c.n) DESC,
+                                        s.neighbor_id) AS rank
+                      FROM short8 s
+                      JOIN norm q ON s.query_id = q.vec_id
+                      JOIN norm c ON s.neighbor_id = c.vec_id) t
+                    WHERE rank <= 5),
             allv AS (
               SELECT 'ivf_nprobe6' AS variant, query_id, neighbor_id FROM ri
               UNION ALL
@@ -595,14 +634,32 @@ object SimilarityQueries extends QueryModule {
               UNION ALL
               SELECT 'pq_adc', query_id, neighbor_id FROM rp
               UNION ALL
-              SELECT 'ivfpq_nprobe6', query_id, neighbor_id FROM rq)
-            SELECT a.variant, CAST(count(*) AS BIGINT) AS retrieved,
+              SELECT 'pq_adc_m4', query_id, neighbor_id FROM rp4
+              UNION ALL
+              SELECT 'pq_adc_m8', query_id, neighbor_id FROM rp8
+              UNION ALL
+              SELECT 'pq_adc_m8n', query_id, neighbor_id FROM rp8n
+              UNION ALL
+              SELECT 'pq_adc_m8_rr32', query_id, neighbor_id FROM rr8
+              UNION ALL
+              SELECT 'ivfpq_nprobe6', query_id, neighbor_id FROM rq),
+            bits AS (
+              SELECT * FROM (VALUES
+                ('ivf_nprobe6', 4), ('lsh_0probe', 16),
+                ('lsh_directed_m2', 16), ('lsh_hamming1', 16),
+                ('pq_adc', 6), ('pq_adc_m4', 12), ('pq_adc_m8', 24),
+                ('pq_adc_m8n', 24), ('pq_adc_m8_rr32', 24),
+                ('ivfpq_nprobe6', 10)) AS t(variant, bits_per_vec))
+            SELECT a.variant, CAST(b.bits_per_vec AS BIGINT) AS bits_per_vec,
+                   CAST(count(*) AS BIGINT) AS retrieved,
                    CAST(count(t.query_id) AS BIGINT) AS hits,
                    round(CAST(count(t.query_id) AS DOUBLE)
                      / (SELECT count(*) FROM truth), 4) AS recall
-            FROM allv a LEFT JOIN truth t
+            FROM allv a
+            JOIN bits b ON a.variant = b.variant
+            LEFT JOIN truth t
               ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
-            GROUP BY a.variant
+            GROUP BY a.variant, b.bits_per_vec
             ORDER BY a.variant"""))
 
   // IVF-bucketed ANN (the inverted-file scale path). Centroids are the
@@ -1223,6 +1280,34 @@ object SimilarityQueries extends QueryModule {
   // Parameterized Lloyd replay over a vector SLICE [lo..hi] (k=8, 2
   // rounds), CTE names suffixed — the per-subspace codebook trainer of the
   // PQ oracle below. Same structure as kmeansCteSql.
+  /** Oracle rank CTE for an m-subspace PQ ADC scan: the m code tables
+    * (code_<sfx>) joined per vector, the m per-query LUTs (lut_<sfx>)
+    * joined per code, summed ADC distance, per-query top-5 — the
+    * generator behind the recall report's code-rate sweep (m=2/4/8).
+    */
+  private def pqRankSql(name: String, sfx: Seq[String],
+      k: Int = 5): String = {
+    val codeJoin = sfx.zipWithIndex.map { case (t, i) =>
+      if (i == 0) s"code_$t c1" else s"JOIN code_$t c${i + 1} USING (vec_id)"
+    }.mkString(" ")
+    val codeCols = sfx.indices.map(i => s"c${i + 1}.list_id AS k${i + 1}")
+      .mkString(", ")
+    val lutJoins = sfx.zipWithIndex.map { case (t, i) =>
+      if (i == 0) s"JOIN lut_$t l1 ON l1.list_id = cd.k1"
+      else s"JOIN lut_$t l${i + 1} ON l${i + 1}.list_id = cd.k${i + 1} " +
+        s"AND l${i + 1}.query_id = l1.query_id"
+    }.mkString("\n               ")
+    val dsum = sfx.indices.map(i => s"l${i + 1}.d2").mkString(" + ")
+    s"""$name AS (SELECT query_id, neighbor_id FROM (
+         SELECT l1.query_id, cd.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY l1.query_id
+                  ORDER BY $dsum, cd.vec_id) AS rank
+         FROM (SELECT c1.vec_id, $codeCols
+               FROM $codeJoin) cd
+         $lutJoins
+         WHERE cd.vec_id <> l1.query_id) t WHERE rank <= $k)"""
+  }
+
   private def pqLloydCte(sfx: String, lo: Int, hi: Int,
       base: String = "e"): String = {
     val d = hi - lo + 1
@@ -1550,6 +1635,28 @@ object SimilarityQueries extends QueryModule {
     pqModelCache.computeIfAbsent(
       Tables.sessionKey(s) + s"|$dir|raw|$m",
       _ => Similarity.pqTrain(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", m = m, dim = 64, k = 8, iters = 2))
+
+  /** L2-normalized copy of the embeddings table: ADC scans rank by L2
+    * distance, but the retrieval truth is COSINE — on unnormalized
+    * vectors those orders genuinely differ (the r10 recall report
+    * measured exact-code-rate-independent ~0.25 recall ceilings for the
+    * whole raw-PQ family). Normalizing first makes L2 monotone in cosine
+    * (||a−b||² = 2−2·cos on the unit sphere), the standard cosine-PQ
+    * preprocessing.
+    */
+  private def normalizedVecs(emb: org.apache.spark.sql.DataFrame) =
+    emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("__v"))
+      .withColumn("__n", sqrt(Similarity.dot(col("__v"), col("__v"))))
+      .select(col("vec_id"),
+        transform(col("__v"), x => x / col("__n")).as("embedding"))
+
+  private def cachedPqModelNorm(s: org.apache.spark.sql.SparkSession,
+      dir: String, m: Int): Similarity.PqModel =
+    pqModelCache.computeIfAbsent(
+      Tables.sessionKey(s) + s"|$dir|nrm|$m",
+      _ => Similarity.pqTrain(
+        normalizedVecs(Tables.load(s, dir, "embeddings")),
         "vec_id", "embedding", m = m, dim = 64, k = 8, iters = 2))
 
   private def cachedIvfPqModel(s: org.apache.spark.sql.SparkSession,
