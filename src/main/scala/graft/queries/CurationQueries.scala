@@ -1576,6 +1576,193 @@ object CurationQueries extends QueryModule {
             FROM np JOIN nd USING (th)
             ORDER BY threshold"""))
 
+  // End-to-end pipeline composition: the curation operators verified
+  // individually above, chained as ONE lazy plan — ingest under duplicate
+  // pressure → first-seen content dedup (stream_dedup's aggregation, batch
+  // form) → quality gate → exact-allocation stratified split (train way)
+  // → token-budget selection → best-fit packing per stratum → consistent-
+  // hash reshard plan. One oracle replays the WHOLE chain, so any hidden
+  // materialization seam, column collision, or order-sensitivity between
+  // stages shows up as a value mismatch — the operators compose, not just
+  // pass alone. PlanSpec pins the composed plan (no cartesian; the only
+  // windows are the split's strata-dimension ones).
+  private val pipelineE2e = Q(
+    "pipeline_e2e",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ingest = docs.select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(docs.select(
+          (col("doc_id") + lit(10000000L)).as("doc_id"),
+          col("text"), col("lang")))
+      val surv = graft.streaming.StreamDedup.firstSeenByContent(
+          ingest.withColumn("__ts", col("doc_id")),
+          Seq(col("text")), "__ts", "doc_id")
+        .select(col("first_id").as("doc_id"))
+        .join(docs.select(col("doc_id"), col("text"), col("lang")),
+          Seq("doc_id"))
+      val f = graft.pipeline.TextAnalysis.qualityFeatures(col("text"),
+        graft.pipeline.TextAnalysis.DefaultStopwords)
+      val gated = surv.select(col("doc_id"), col("lang"),
+          f.getField("n_tokens").cast("long").as("n_tokens"),
+          f.getField("stopword_ratio").as("__d"))
+        .filter(col("n_tokens") >= 10 && col("__d") > 0.0)
+      val train = Curation.exactAllocationSplit(gated, "doc_id", "lang",
+          Seq(("train", 8000), ("valid", 1000), ("test", 1000)))
+        .filter(col("way") === "train")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("__d"))
+      val sel = Curation.tokenBudgetSelect(train, "doc_id", col("__d"),
+        col("n_tokens"), budget = 15000L)
+      val packed = Curation.packSequencesBestFit(sel, "lang", "doc_id",
+        col("n_tokens"), 256L)
+      // the packed dimension is BOUNDED by construction (the 15k-token
+      // budget caps selected docs at budget/min_tokens rows at ANY corpus
+      // size) — post-aggregation stats are unknown, so the broadcast must
+      // be explicit or Catalyst sort-merges the bin attach
+      sel.join(broadcast(packed), Seq("doc_id", "lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"), col("bin"),
+          Curation.ringShard(col("doc_id"), 8, 16).as("old_shard"),
+          Curation.ringShard(col("doc_id"), 9, 16).as("new_shard"))
+        .withColumn("moved", col("old_shard") =!= col("new_shard"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+            ingest AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text, lang FROM documents),
+            keyed AS (
+              SELECT md5(md5(coalesce(CAST(text AS VARCHAR), ''))) AS ck,
+                     doc_id
+              FROM ingest),
+            surv AS (
+              SELECT d.doc_id, d.text, d.lang
+              FROM (SELECT ck, min(doc_id) AS fid FROM keyed GROUP BY ck) f
+              JOIN documents d ON d.doc_id = f.fid),
+            t AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split_regex(trim(text), '\s+'))
+                          AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(
+                         string_split_regex(lower(trim(text)), '\s+'),
+                         w -> w IN ('the','a','an','and','or','of','to','in')))
+                       AS DOUBLE)
+                       / CAST(len(string_split_regex(trim(text), '\s+'))
+                              AS DOUBLE) AS dens
+              FROM surv),
+            g AS (SELECT * FROM t WHERE n_tokens >= 10 AND dens > 0),
+            r AS (
+              SELECT doc_id, lang, n_tokens, dens,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                CAST(doc_id AS VARCHAR)) AS rk,
+                     count(1) OVER (PARTITION BY lang) AS n
+              FROM g),
+            w AS (SELECT * FROM (VALUES ('train', 8000, 0),
+                                        ('valid', 1000, 1),
+                                        ('test', 1000, 2)) AS t(way, bp, wi)),
+            q AS (
+              SELECT s.lang, s.n, w.way, w.bp, w.wi,
+                     (s.n * w.bp) // 10000 AS fl,
+                     (s.n * w.bp) % 10000 AS fr
+              FROM (SELECT DISTINCT lang, n FROM r) s, w),
+            a AS (
+              SELECT *,
+                     n - sum(fl) OVER (PARTITION BY lang) AS rem,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY fr DESC, wi) AS fri
+              FROM q),
+            b AS (
+              SELECT lang, way, wi,
+                     fl + CASE WHEN fri <= rem THEN 1 ELSE 0 END AS alloc
+              FROM a),
+            c AS (
+              SELECT lang, way,
+                     sum(alloc) OVER (PARTITION BY lang ORDER BY wi
+                       ROWS UNBOUNDED PRECEDING) AS hi,
+                     sum(alloc) OVER (PARTITION BY lang ORDER BY wi
+                       ROWS UNBOUNDED PRECEDING) - alloc AS lo
+              FROM b),
+            train AS (
+              SELECT r.doc_id, r.lang, r.n_tokens, r.dens
+              FROM r JOIN c ON c.lang = r.lang
+                           AND r.rk > c.lo AND r.rk <= c.hi
+              WHERE c.way = 'train'),
+            cum AS (
+              SELECT doc_id, lang, n_tokens, dens,
+                     sum(n_tokens) OVER (ORDER BY dens DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM train),
+            sel AS (SELECT * FROM cum WHERE cum <= 15000),
+            tok AS (SELECT lang, doc_id, n_tokens AS t,
+                           row_number() OVER (PARTITION BY lang
+                                              ORDER BY n_tokens DESC, doc_id)
+                             AS rn
+                    FROM sel),
+            walk AS (
+              SELECT lang, rn, doc_id, 1 AS bin, [t] AS fills
+              FROM tok WHERE rn = 1
+              UNION ALL
+              SELECT t.lang, t.rn, t.doc_id,
+                     CASE WHEN len(list_filter(w.fills, f -> f + t.t <= 256)) = 0
+                          THEN len(w.fills) + 1
+                          ELSE list_position(w.fills,
+                            list_max(list_filter(w.fills, f -> f + t.t <= 256)))
+                          END AS bin,
+                     CASE WHEN len(list_filter(w.fills, f -> f + t.t <= 256)) = 0
+                          THEN list_append(w.fills, t.t)
+                          ELSE w.fills[1 :
+                                 list_position(w.fills,
+                                   list_max(list_filter(w.fills, f -> f + t.t <= 256))) - 1]
+                               || [w.fills[list_position(w.fills,
+                                     list_max(list_filter(w.fills, f -> f + t.t <= 256)))] + t.t]
+                               || w.fills[list_position(w.fills,
+                                     list_max(list_filter(w.fills, f -> f + t.t <= 256))) + 1 : ]
+                          END AS fills
+              FROM walk w JOIN tok t
+                ON t.lang = w.lang AND t.rn = w.rn + 1),
+            r8 AS (
+              SELECT CAST(i AS INT) AS shard,
+                     ('0x'||substr(md5('shard-'||i||'-v-'||j),1,15))::BIGINT
+                       AS rh
+              FROM range(0, 8) t(i), range(0, 16) u(j)),
+            r9 AS (
+              SELECT CAST(i AS INT) AS shard,
+                     ('0x'||substr(md5('shard-'||i||'-v-'||j),1,15))::BIGINT
+                       AS rh
+              FROM range(0, 9) t(i), range(0, 16) u(j)),
+            dh AS (
+              SELECT doc_id,
+                     ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                       AS h
+              FROM sel),
+            o8 AS (
+              SELECT doc_id,
+                     coalesce(
+                       (SELECT r.shard FROM r8 r WHERE r.rh >= dh.h
+                        ORDER BY r.rh LIMIT 1),
+                       (SELECT r.shard FROM r8 r ORDER BY r.rh LIMIT 1))
+                       AS shard
+              FROM dh),
+            o9 AS (
+              SELECT doc_id,
+                     coalesce(
+                       (SELECT r.shard FROM r9 r WHERE r.rh >= dh.h
+                        ORDER BY r.rh LIMIT 1),
+                       (SELECT r.shard FROM r9 r ORDER BY r.rh LIMIT 1))
+                       AS shard
+              FROM dh)
+            SELECT s.doc_id, s.lang, s.n_tokens,
+                   CAST(s.cum AS BIGINT) AS cum_tokens,
+                   CAST(wk.bin AS INT) AS bin,
+                   o8.shard AS old_shard, o9.shard AS new_shard,
+                   o8.shard != o9.shard AS moved
+            FROM sel s
+            JOIN walk wk ON wk.lang = s.lang AND wk.doc_id = s.doc_id
+            JOIN o8 ON o8.doc_id = s.doc_id
+            JOIN o9 ON o9.doc_id = s.doc_id
+            ORDER BY s.doc_id"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, sampleWeighted, textDomainMix, dedupParagraph,
     simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
@@ -1585,5 +1772,5 @@ object CurationQueries extends QueryModule {
     splitExactAlloc, curateTokenBudget, curateTopkPerSource,
     shardRebalancePlan, corpusDriftChi2, qualityMadOutlier,
     corpusNgramNovelty, curateParetoFront, corpusGini, packBfd,
-    corpusDedupCurve)
+    corpusDedupCurve, pipelineE2e)
 }

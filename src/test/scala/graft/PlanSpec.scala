@@ -663,6 +663,22 @@ class PlanSpec extends SparkSpec {
     assert(!rq.contains("CartesianProduct"), rq.take(2500))
   }
 
+  test("pipeline_e2e: the composed chain has no cartesian product and " +
+      "the only windows are the split's strata-dimension ones") {
+    val plan = planOf("pipeline_e2e")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // exactAllocationSplit legitimately windows over the (stratum × way)
+    // DIMENSION (a handful of rows); anything beyond that count means a
+    // corpus-sized window crept into the composition
+    val windows = "Window".r.findAllIn(plan).size
+    val splitAlone = "Window".r.findAllIn(planOf("split_exact_alloc")).size
+    assert(windows <= splitAlone,
+      s"composition grew windows beyond the split's dimension ones " +
+        s"($windows > $splitAlone):\n${plan.take(2500)}")
+    // the allocation boundary attach and ring lookup stay broadcast/narrow
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
