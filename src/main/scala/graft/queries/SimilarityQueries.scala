@@ -1286,7 +1286,7 @@ object SimilarityQueries extends QueryModule {
     * generator behind the recall report's code-rate sweep (m=2/4/8).
     */
   private def pqRankSql(name: String, sfx: Seq[String],
-      k: Int = 5): String = {
+      k: Int = 5, keepRank: Boolean = false): String = {
     val codeJoin = sfx.zipWithIndex.map { case (t, i) =>
       if (i == 0) s"code_$t c1" else s"JOIN code_$t c${i + 1} USING (vec_id)"
     }.mkString(" ")
@@ -1298,7 +1298,9 @@ object SimilarityQueries extends QueryModule {
         s"AND l${i + 1}.query_id = l1.query_id"
     }.mkString("\n               ")
     val dsum = sfx.indices.map(i => s"l${i + 1}.d2").mkString(" + ")
-    s"""$name AS (SELECT query_id, neighbor_id FROM (
+    val outCols = if (keepRank) "query_id, neighbor_id, rank"
+      else "query_id, neighbor_id"
+    s"""$name AS (SELECT $outCols FROM (
          SELECT l1.query_id, cd.vec_id AS neighbor_id,
                 row_number() OVER (PARTITION BY l1.query_id
                   ORDER BY $dsum, cd.vec_id) AS rank
@@ -2057,6 +2059,153 @@ object SimilarityQueries extends QueryModule {
             FROM proj a JOIN proj b ON a.vec_id < b.vec_id
             ORDER BY id1, id2"""))
 
+  // Ranking-quality eval beside the recall report: MRR and hits@1 per
+  // index variant against the brute-force cosine truth, in the repo's
+  // integer-exact posture — MRR is emitted as Σ 60/first_relevant_rank
+  // (every rank 1..5 divides 60, so the sum is an exact integer; no
+  // float reciprocal crosses the oracle). Known-item form: the relevant
+  // document is the TRUE nearest neighbor only, so the metric separates
+  // variants that recall-style set-overlap saturates at this corpus
+  // size; a query whose variant never surfaces the true NN contributes
+  // 0 to the sum and drops from n_hit_queries.
+  private val simRankEval = Q(
+    "sim_rank_eval",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 1)
+        .select(col("query_id"), col("neighbor_id"))
+      def lsh(ph: Int, ps: Int) =
+        Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5,
+          bits = 4, tables = 4, probeHamming = ph, probeSeq = ps)
+      val variants = Seq(
+        ("ivf_nprobe6", Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6)),
+        ("lsh_0probe", lsh(0, 0)),
+        ("lsh_hamming1", lsh(1, 0)),
+        ("pq_adc_m8_rr32", Similarity.rerankTopK(
+          Similarity.pqAdcTopK(emb, q, "vec_id", "embedding",
+              cachedPqModel(s, dir, m = 8), k = 32)
+            .select(col("query_id"), col("neighbor_id")),
+          emb, "vec_id", "embedding", k = 5)))
+      val tagged = variants.map { case (n, df) =>
+        df.select(lit(n).as("variant"), col("query_id"),
+          col("neighbor_id"), col("rank"))
+      }.reduce(_ unionByName _)
+      tagged.join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy(col("variant"), col("query_id"))
+        .agg(min(col("rank")).as("__fr"))
+        .groupBy(col("variant"))
+        .agg(sum(expr("60 div __fr")).as("mrr_x60"),
+          count(when(col("__fr") === 1, 1)).as("hits_at_1"),
+          count(lit(1)).as("n_hit_queries"))
+        .orderBy(col("variant"))
+    },
+    Some(s"""WITH e AS MATERIALIZED (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            norm AS MATERIALIZED (
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+            truth AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_dot_product(q.v, c.v) / (q.n * c.n) DESC,
+                                  c.vec_id) AS rank
+                FROM norm q JOIN norm c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 8) t WHERE rank <= 1),
+            planes AS MATERIALIZED (
+              SELECT t, b, list(h ORDER BY d) AS plane
+              FROM (SELECT t.t AS t, b.b AS b, d.d AS d,
+                           ('0x' || substr(md5('graft-srp-' || (42 + t.t) || '-' || b.b || '-' || d.d), 1, 15))::BIGINT
+                             / 576460752303423488.0 - 1.0 AS h
+                    FROM range(0, 4) t(t), range(0, 4) b(b), range(0, 64) d(d)) raw
+              GROUP BY t, b),
+            sigs AS MATERIALIZED (
+              SELECT e.vec_id, p.t,
+                     SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+              FROM e, planes p GROUP BY e.vec_id, p.t),
+            p0 AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                   FROM sigs q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+                   WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+            r0k AS (SELECT query_id, neighbor_id, rank FROM (
+                     SELECT p.query_id, p.neighbor_id,
+                            row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY list_dot_product(q.v, c.v) / (q.n * c.n) DESC,
+                                       p.neighbor_id) AS rank
+                     FROM p0 p JOIN norm q ON p.query_id = q.vec_id
+                               JOIN norm c ON p.neighbor_id = c.vec_id) t
+                   WHERE rank <= 5),
+            qb AS (SELECT vec_id, t,
+                          CASE WHEN j.j = 0 THEN bucket
+                               ELSE xor(bucket, CAST(1 AS BIGINT) << (j.j - 1)) END AS bucket
+                   FROM sigs, range(0, 5) j(j) WHERE vec_id < 8),
+            pb AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                   FROM qb q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+                   WHERE q.vec_id <> c.vec_id),
+            rbk AS (SELECT query_id, neighbor_id, rank FROM (
+                     SELECT p.query_id, p.neighbor_id,
+                            row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY list_dot_product(q.v, c.v) / (q.n * c.n) DESC,
+                                       p.neighbor_id) AS rank
+                     FROM pb p JOIN norm q ON p.query_id = q.vec_id
+                               JOIN norm c ON p.neighbor_id = c.vec_id) t
+                   WHERE rank <= 5),
+            cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+                     FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t),
+            assign_all AS MATERIALIZED (
+              SELECT nm.vec_id, nm.v, nm.n, c.list_id,
+                     list_dot_product(nm.v, c.cvec)
+                       / (nm.n * sqrt(list_dot_product(c.cvec, c.cvec))) AS cd
+              FROM norm nm, cent c),
+            corpus_assigned AS (
+              SELECT vec_id AS neighbor_id, v AS cv, n AS cn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all) t WHERE r = 1),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, n AS qn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, list_id) AS r
+                FROM assign_all WHERE vec_id < 8) t WHERE r <= 6),
+            rik AS (SELECT query_id, neighbor_id, rank FROM (
+                     SELECT p.query_id, a.neighbor_id,
+                            row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY list_dot_product(p.qv, a.cv) / (p.qn * a.cn) DESC,
+                                       a.neighbor_id) AS rank
+                     FROM probes p JOIN corpus_assigned a USING (list_id)
+                     WHERE p.query_id <> a.neighbor_id) t
+                   WHERE rank <= 5),
+            ${(1 to 8).map(i => pqLloydCte(s"u$i", 1 + 8 * (i - 1), 8 * i))
+              .mkString(",\n            ")},
+            ${pqRankSql("short8", (1 to 8).map("u" + _), k = 32)},
+            rr8k AS (SELECT query_id, neighbor_id, rank FROM (
+                      SELECT s.query_id, s.neighbor_id,
+                             row_number() OVER (PARTITION BY s.query_id
+                               ORDER BY list_dot_product(q.v, c.v) / (q.n * c.n) DESC,
+                                        s.neighbor_id) AS rank
+                      FROM short8 s
+                      JOIN norm q ON s.query_id = q.vec_id
+                      JOIN norm c ON s.neighbor_id = c.vec_id) t
+                    WHERE rank <= 5),
+            allv AS (
+              SELECT 'ivf_nprobe6' AS variant, query_id, neighbor_id, rank FROM rik
+              UNION ALL
+              SELECT 'lsh_0probe', query_id, neighbor_id, rank FROM r0k
+              UNION ALL
+              SELECT 'lsh_hamming1', query_id, neighbor_id, rank FROM rbk
+              UNION ALL
+              SELECT 'pq_adc_m8_rr32', query_id, neighbor_id, rank FROM rr8k),
+            fr AS (
+              SELECT a.variant, a.query_id, min(a.rank) AS fr
+              FROM allv a JOIN truth t
+                ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+              GROUP BY 1, 2)
+            SELECT variant,
+                   CAST(sum(60 // fr) AS BIGINT) AS mrr_x60,
+                   CAST(count(CASE WHEN fr = 1 THEN 1 END) AS BIGINT)
+                     AS hits_at_1,
+                   CAST(count(*) AS BIGINT) AS n_hit_queries
+            FROM fr GROUP BY variant ORDER BY variant"""))
+
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
@@ -2064,5 +2213,5 @@ object SimilarityQueries extends QueryModule {
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
     simPqM4, simIvfAppend, simIvfPq, simIvfPqTrained, simKnnClassify,
     simPcaPower, simDbscan, simConfusionF1, embedJlProject,
-    simClusterPurity, simRangeQuery)
+    simClusterPurity, simRangeQuery, simRankEval)
 }
