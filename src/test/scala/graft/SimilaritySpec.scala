@@ -598,4 +598,40 @@ class SimilaritySpec extends SparkSpec {
     // hubs exist: scores are not all equal
     assert(got.values.toSet.size > 1)
   }
+
+  test("Rings.lookup: binary search == linear first-at-or-after, wrap to 0") {
+    val rnd = new scala.util.Random(11)
+    val ring = Array.fill(37)(rnd.nextLong().abs).sorted
+    val owners = Array.tabulate(37)(i => i % 9)
+    def linear(h: Long): Int =
+      ring.indexWhere(_ >= h) match {
+        case -1 => owners(0)
+        case i  => owners(i)
+      }
+    val probes = Seq(Long.MinValue.abs.min(0L), 0L, ring.head, ring.head - 1,
+      ring.last, ring.last + 1, Long.MaxValue) ++
+      Seq.fill(200)(rnd.nextLong().abs)
+    probes.foreach { h =>
+      assert(graft.functions.Rings.lookup(h, ring, owners) == linear(h), s"h=$h")
+    }
+  }
+
+  test("rerankTopK: exact cosine re-rank of a shortlist equals the " +
+      "brute-force order restricted to the shortlist") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    // shortlist: all pairs for queries 0..2 (so re-rank over everything)
+    val cands = (for { q <- 0L until 3L; n <- 0L until 30L if q != n }
+      yield (q, n)).toDF("query_id", "neighbor_id")
+    val got = Similarity.rerankTopK(cands, vecs, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSet
+    val truth = Similarity.bruteForceTopK(vecs,
+        vecs.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == truth)
+  }
 }

@@ -259,4 +259,28 @@ class TokenizerSpec extends SparkSpec {
     assert(streamed.count() == 2 &&
       streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("viterbiDocComposite == sum of per-word composites under the " +
+      "alphaWords tokenization (the r10 whole-doc kernel rewrite)") {
+    val costs = Seq(("low", 2L), ("est", 2L), ("new", 2L), ("wid", 2L)) ++
+      ('a' to 'z').map(c => (c.toString, 5L))
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    costs.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+    val fb = costs.map(_._2).max + 1L
+    val texts = Seq(
+      "low lower newest",
+      "  Mixed CASE and    runs\tof whitespace  ",
+      "digits1 stay out a1b but pure words count",
+      "", "   ", "one",
+      "punct, words! drop; clean words stay")
+    texts.foreach { t =>
+      val words = t.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+      val expected = words.map(w =>
+        Tokenizer.viterbiWordComposite(w, m, 6, fb)).sum
+      val got = Tokenizer.viterbiDocCompositeUtf(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), m, 6, fb)
+      assert(got == expected, s"text='$t'")
+    }
+  }
 }
