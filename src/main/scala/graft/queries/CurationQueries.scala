@@ -1576,6 +1576,103 @@ object CurationQueries extends QueryModule {
             FROM np JOIN nd USING (th)
             ORDER BY threshold"""))
 
+  // Packing-efficiency report: both packers (next-fit walk vs best-fit-
+  // decreasing) on the identical input, reduced to the numbers a user
+  // picks a packer by — bin count, fill rate (integer basis points), and
+  // the fullest bin. The BFD <= next-fit bin-count guarantee becomes a
+  // visible data fact instead of a citation. Integer-exact throughout;
+  // the oracle replays both recursions and the same reduction.
+  private val packFillReport = Q(
+    "pack_fill_report",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tc = graft.pipeline.TextAnalysis.tokenCount(col("text"))
+      val toks = docs.select(col("doc_id"), tc.cast("long").as("__t"))
+      def report(name: String, packed: org.apache.spark.sql.DataFrame) =
+        packed.join(toks, Seq("doc_id"))
+          .groupBy(col("source"), col("bin"))
+          .agg(sum(col("__t")).as("__bt"))
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("__bt")).as("total_tokens"),
+            max(col("__bt")).as("max_bin_tokens"))
+          .select(lit(name).as("packer"), col("n_bins"), col("total_tokens"),
+            expr("total_tokens * 10000 div (n_bins * 256)").as("fill_bp"),
+            col("max_bin_tokens"))
+      report("best_fit_decreasing",
+          Curation.packSequencesBestFit(docs, "source", "doc_id", tc, 256L))
+        .unionByName(report("next_fit",
+          Curation.packSequences(docs, "source", "doc_id", tc, 256L)))
+        .orderBy(col("packer"))
+    },
+    Some("""WITH RECURSIVE
+            tk AS (SELECT source, doc_id,
+                          CAST(len(string_split_regex(trim(text), '\s+'))
+                               AS BIGINT) AS t
+                   FROM documents),
+            nftok AS (SELECT source, doc_id, t,
+                             row_number() OVER (PARTITION BY source
+                                                ORDER BY doc_id) AS rn
+                      FROM tk),
+            nfwalk AS (
+              SELECT source, rn, doc_id, 0 AS bin, t AS fill
+              FROM nftok WHERE rn = 1
+              UNION ALL
+              SELECT t.source, t.rn, t.doc_id,
+                     CASE WHEN w.fill + t.t > 256 AND w.fill > 0
+                          THEN w.bin + 1 ELSE w.bin END,
+                     CASE WHEN w.fill + t.t > 256 AND w.fill > 0
+                          THEN t.t ELSE w.fill + t.t END
+              FROM nfwalk w JOIN nftok t
+                ON t.source = w.source AND t.rn = w.rn + 1),
+            bftok AS (SELECT source, doc_id, t,
+                             row_number() OVER (PARTITION BY source
+                                                ORDER BY t DESC, doc_id) AS rn
+                      FROM tk),
+            bfwalk AS (
+              SELECT source, rn, doc_id, 1 AS bin, [t] AS fills
+              FROM bftok WHERE rn = 1
+              UNION ALL
+              SELECT t.source, t.rn, t.doc_id,
+                     CASE WHEN len(list_filter(w.fills, f -> f + t.t <= 256)) = 0
+                          THEN len(w.fills) + 1
+                          ELSE list_position(w.fills,
+                            list_max(list_filter(w.fills, f -> f + t.t <= 256)))
+                          END AS bin,
+                     CASE WHEN len(list_filter(w.fills, f -> f + t.t <= 256)) = 0
+                          THEN list_append(w.fills, t.t)
+                          ELSE w.fills[1 :
+                                 list_position(w.fills,
+                                   list_max(list_filter(w.fills, f -> f + t.t <= 256))) - 1]
+                               || [w.fills[list_position(w.fills,
+                                     list_max(list_filter(w.fills, f -> f + t.t <= 256)))] + t.t]
+                               || w.fills[list_position(w.fills,
+                                     list_max(list_filter(w.fills, f -> f + t.t <= 256))) + 1 : ]
+                          END AS fills
+              FROM bfwalk w JOIN bftok t
+                ON t.source = w.source AND t.rn = w.rn + 1),
+            nfb AS (SELECT w.source, w.bin, sum(k.t) AS bt
+                    FROM nfwalk w JOIN tk k
+                      ON k.source = w.source AND k.doc_id = w.doc_id
+                    GROUP BY 1, 2),
+            bfb AS (SELECT w.source, w.bin, sum(k.t) AS bt
+                    FROM bfwalk w JOIN tk k
+                      ON k.source = w.source AND k.doc_id = w.doc_id
+                    GROUP BY 1, 2)
+            SELECT packer, n_bins, total_tokens,
+                   total_tokens * 10000 // (n_bins * 256) AS fill_bp,
+                   max_bin_tokens
+            FROM (
+              SELECT 'best_fit_decreasing' AS packer,
+                     CAST(count(*) AS BIGINT) AS n_bins,
+                     CAST(sum(bt) AS BIGINT) AS total_tokens,
+                     CAST(max(bt) AS BIGINT) AS max_bin_tokens
+              FROM bfb
+              UNION ALL
+              SELECT 'next_fit', CAST(count(*) AS BIGINT),
+                     CAST(sum(bt) AS BIGINT), CAST(max(bt) AS BIGINT)
+              FROM nfb)
+            ORDER BY packer"""))
+
   // End-to-end pipeline composition: the curation operators verified
   // individually above, chained as ONE lazy plan — ingest under duplicate
   // pressure → first-seen content dedup (stream_dedup's aggregation, batch
@@ -1772,5 +1869,5 @@ object CurationQueries extends QueryModule {
     splitExactAlloc, curateTokenBudget, curateTopkPerSource,
     shardRebalancePlan, corpusDriftChi2, qualityMadOutlier,
     corpusNgramNovelty, curateParetoFront, corpusGini, packBfd,
-    corpusDedupCurve, pipelineE2e)
+    corpusDedupCurve, packFillReport, pipelineE2e)
 }

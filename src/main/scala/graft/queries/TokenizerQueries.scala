@@ -403,6 +403,81 @@ object TokenizerQueries extends QueryModule {
         GROUP BY d.doc_id, d.text
         ORDER BY d.doc_id"""))
 
+  // Tokenizer fertility report: corpus-total pieces per family
+  // (whitespace words, greedy maxmatch, optimal unigram-LM Viterbi) plus
+  // total surprisal bits where the family defines them — the "which
+  // tokenizer and at what compression" tuning artifact, all integer-
+  // exact (fertility in basis points via integer division; bits are the
+  // DP's exact integer composites). One corpus pass per family kernel;
+  // the oracle replays vocab induction, the greedy walk, and the
+  // unrolled lattice DP over the DISTINCT word vocabulary and weights by
+  // word frequency.
+  private val tokenizerFertility = Q(
+    "tokenizer_fertility",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pieces = trainedVocab(s, dir).map(_._1)
+      val costs = Tokenizer.unigramCosts(trainedVocab(s, dir),
+        trainedChars(s, dir))
+      val st = Tokenizer.viterbiTokenStats(col("text"), costs, PieceLen)
+      val tot = docs.select(
+          size(Tokenizer.alphaWords(col("text"))).cast("long").as("__w"),
+          Tokenizer.maxMatchTokenCount(col("text"), pieces, PieceLen)
+            .as("__mm"),
+          st.getField("pieces").as("__vit"),
+          st.getField("cost").as("__bits"))
+        .agg(sum(col("__w")).as("__w"), sum(col("__mm")).as("__mm"),
+          sum(col("__vit")).as("__vit"), sum(col("__bits")).as("__bits"))
+      tot.select(col("__w"), explode(array(
+          struct(lit("maxmatch_greedy").as("family"),
+            col("__mm").as("n_pieces"), lit(0L).as("total_bits")),
+          struct(lit("unigram_viterbi").as("family"),
+            col("__vit").as("n_pieces"), col("__bits").as("total_bits")),
+          struct(lit("whitespace").as("family"),
+            col("__w").as("n_pieces"), lit(0L).as("total_bits")))).as("f"))
+        .select(col("f.family").as("family"), col("__w").as("n_words"),
+          col("f.n_pieces").as("n_pieces"),
+          expr("f.n_pieces * 10000 div __w").as("fertility_bp"),
+          col("f.total_bits").as("total_bits"))
+        .orderBy(col("family"))
+    },
+    Some(s"""WITH RECURSIVE $vocabCtes,
+        vv AS (SELECT p FROM v1
+               UNION ALL SELECT chr(CAST(96 + x AS INTEGER)) AS p
+                         FROM range(1, 27) t(x)),
+        pos AS (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM w0),
+        cand AS (SELECT pos.w, pos.i, vv.p
+                 FROM pos JOIN vv
+                   ON substr(pos.w, CAST(pos.i AS INTEGER), length(vv.p)) = vv.p),
+        best AS (SELECT w, i, p FROM (
+                   SELECT w, i, p, row_number() OVER (PARTITION BY w, i
+                     ORDER BY length(p) DESC, p) AS rn
+                   FROM cand) t WHERE rn = 1),
+        walk AS (SELECT w, CAST(1 AS BIGINT) AS i, 0 AS nt FROM w0
+                 UNION ALL
+                 SELECT walk.w, walk.i + length(b.p), walk.nt + 1
+                 FROM walk JOIN best b ON b.w = walk.w AND b.i = walk.i
+                 WHERE walk.i <= length(walk.w)),
+        done AS (SELECT w, nt FROM walk WHERE i = length(w) + 1),
+        $viterbiCtes,
+        tot AS (
+          SELECT CAST(sum(w0.cnt) AS BIGINT) AS w,
+                 CAST(sum(done.nt * w0.cnt) AS BIGINT) AS mm,
+                 CAST(sum((r.comp % 1048576) * w0.cnt) AS BIGINT) AS vit,
+                 CAST(sum((r.comp // 1048576) * w0.cnt) AS BIGINT) AS bits
+          FROM w0 JOIN done USING (w) JOIN vres r USING (w))
+        SELECT family, n_words, n_pieces,
+               n_pieces * 10000 // n_words AS fertility_bp, total_bits
+        FROM (
+          SELECT 'maxmatch_greedy' AS family, t.w AS n_words,
+                 t.mm AS n_pieces, CAST(0 AS BIGINT) AS total_bits FROM tot t
+          UNION ALL
+          SELECT 'unigram_viterbi', t.w, t.vit, t.bits FROM tot t
+          UNION ALL
+          SELECT 'whitespace', t.w, t.w, CAST(0 AS BIGINT) FROM tot t)
+        ORDER BY family"""))
+
   val qs: Seq[Q] = Seq(textBpeTrain, textBpeEncode, textMaxMatchVocab,
-    textTokensMaxMatch, textTokensViterbi, textUnigramEmVocab)
+    textTokensMaxMatch, textTokensViterbi, textUnigramEmVocab,
+    tokenizerFertility)
 }
