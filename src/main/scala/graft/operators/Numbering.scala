@@ -77,4 +77,45 @@ object Numbering {
     val schema = sorted.schema.add(outName, LongType, nullable = false)
     spark.createDataFrame(out, schema).drop("__v")
   }
+
+  /** Running MAX of `value` (long) in ascending `sortCols` order, appended
+    * as column `outName` — `max(value) over (order by ... rows unbounded
+    * preceding)` (inclusive of the current row) without the
+    * single-partition window. Same two-phase shape as [[runningBySort]]:
+    * per-partition maxima (one long each) prefix-combine on the driver and
+    * seed a narrow running pass. NULL values are ignored by the max (they
+    * never raise it); rows before any non-NULL value carry Long.MinValue.
+    */
+  def runningMaxBySort(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      value: Column,
+      outName: String): DataFrame = {
+    val spark = df.sparkSession
+    val withV = df.withColumn("__v", coalesce(value.cast("long"), lit(Long.MinValue)))
+    val sorted = withV
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val rdd = sorted.rdd
+    // pass 1: per-partition maxima (tiny: one long per partition)
+    val maxima = rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var m = Long.MinValue; it.foreach(r => m = math.max(m, r.getLong(vIdx)))
+        Iterator.single(pid -> m)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // exclusive prefix maxima: seed for partition i = max of partitions < i
+    val seeds = maxima.scanLeft(Long.MinValue)(math.max)
+    val bc = spark.sparkContext.broadcast(seeds)
+    val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r =>
+        acc = math.max(acc, r.getLong(vIdx))
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    val schema = sorted.schema.add(outName, LongType, nullable = false)
+    spark.createDataFrame(out, schema).drop("__v")
+  }
 }

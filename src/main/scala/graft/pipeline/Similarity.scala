@@ -1280,6 +1280,63 @@ object Similarity {
     labels
   }
 
+  /** k-core structure via synchronous h-index iteration (Lü et al. 2016,
+    * "The H-index of a network node"): h_0 = degree; h_{t+1}(v) = H-index
+    * of { h_t(u) : u ∈ N(v) }. The sequence decreases monotonically to the
+    * vertex CORENESS (the largest k whose k-core contains v) — the peel
+    * depth that ranks hub documents vs fringe near-dups in a similarity
+    * graph without any sequential peeling. A FIXED `rounds` is the defined
+    * semantic (like [[labelPropagate]]) so the result is deterministic and
+    * oracle-replayable at any SF; convergence speed is graph-dependent
+    * (the caller picks a count with margin past the observed fixpoint —
+    * sim_coreness uses 5 where sf0.01 converges at 4). CorenessSpec pins
+    * converged-round = one-more-round = brute-force peel on fixtures, and
+    * each distributed round against the in-memory recurrence.
+    *
+    * Each round is one ids-only equi join + one map-side-combinable
+    * aggregation; the h-index itself is a single fold over the
+    * descending-sorted neighbor array (degree-bounded, codegen'd) — no
+    * windows, nothing but (id, long) pairs ever shuffles.
+    *
+    * Returns one row per vertex: (id, degree, coreness).
+    */
+  def corenessHIndex(edges: DataFrame, id1: String, id2: String,
+      rounds: Int): DataFrame = {
+    val sym = graft.operators.Pinning.pin(
+      edges.select(col(id1).as("src"), col(id2).as("dst"))
+        .unionByName(edges.select(col(id2).as("src"), col(id1).as("dst")))
+        .repartition(col("dst")))
+    // h-index of a DESCENDING value array: one fold carrying (position,
+    // best); h = max_i min(i, v_i)
+    def hIndexOfDesc(hs: Column): Column = {
+      val init = struct(lit(0L).as("pos"), lit(0L).as("h"))
+      aggregate(hs, init, (a, x) => {
+        val pos = a.getField("pos") + 1L
+        struct(pos.as("pos"),
+          greatest(a.getField("h"), least(pos, x)).as("h"))
+      }, a => a.getField("h"))
+    }
+    val deg = graft.operators.Pinning.pin(
+      sym.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("degree")))
+    var vals = deg.select(col("id"), col("degree").as("h"))
+    var r = 0
+    while (r < rounds) {
+      val next = graft.operators.Pinning.pin(sym
+        .join(vals.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst"))
+        .agg(sort_array(collect_list(col("h")), asc = false).as("__hs"))
+        .select(col("dst").as("id"), hIndexOfDesc(col("__hs")).as("h")))
+      if (r > 0) graft.operators.Pinning.unpin(vals) // superseded round
+      vals = next
+      r += 1
+    }
+    if (r > 0) graft.operators.Pinning.unpin(sym)
+    val out = deg.join(vals.select(col("id"), col("h").as("coreness")), "id")
+      .select(col("id"), col("degree"), col("coreness"))
+    out
+  }
+
   /** Deterministic integer PageRank over an undirected edge list — the
     * centrality complement to [[labelPropagate]] (communities) and the
     * triangle counts: rank the corpus graph's hubs, e.g. to pick

@@ -1860,6 +1860,173 @@ object CurationQueries extends QueryModule {
             JOIN o9 ON o9.doc_id = s.doc_id
             ORDER BY s.doc_id"""))
 
+  // k-anonymity audit over a generalization ladder (Sweeney 2002; the
+  // Mondrian intuition with deterministic, nested levels): quasi-identifier
+  // grain L0 = (lang, source, 500-char length bucket) coarsens to
+  // L1 = (lang, source), L2 = (lang), L3 = (). Because the levels are
+  // NESTED, a document's minimal safe level is a function of its L0 group
+  // alone — so the corpus is aggregated ONCE (the L0 groupBy, map-side
+  // combinable) and every ladder statistic is dimension arithmetic on that
+  // aggregate: L1/L2/L3 counts roll up from L0, and "resolved at level"
+  // sums L0 sizes by first-safe level. Nothing but the single corpus pass
+  // touches row data; at 100 TB the dims stay KB-scale. K = 5.
+  private val curateKAnonymity = Q(
+    "curate_k_anonymity",
+    (s, dir) => {
+      val k = 5L
+      val docs = Tables.load(s, dir, "documents")
+      val g0 = docs
+        .groupBy(col("lang"), col("source"),
+          (col("n_chars") / 500).cast("long").as("cb"))
+        .agg(count(lit(1)).as("n0"))
+      val g1 = g0.groupBy(col("lang"), col("source"))
+        .agg(sum(col("n0")).as("n1"))
+      val g2 = g1.groupBy(col("lang")).agg(sum(col("n1")).as("n2"))
+      val g3 = g2.agg(sum(col("n2")).as("n3"))
+      val lev = g0
+        .join(g1, Seq("lang", "source")).join(g2, Seq("lang")).crossJoin(g3)
+        .withColumn("min_level",
+          when(col("n0") >= k, 0L).when(col("n1") >= k, 1L)
+            .when(col("n2") >= k, 2L).otherwise(3L))
+      val resolved = lev.groupBy(col("min_level").as("level"))
+        .agg(sum(col("n0")).as("n_docs_resolved"))
+      def levelStats(df: org.apache.spark.sql.DataFrame, nCol: String,
+          level: Long) =
+        df.agg(count(lit(1)).as("n_groups"),
+            sum(when(col(nCol) >= k, 1L).otherwise(0L)).as("n_safe_groups"),
+            sum(when(col(nCol) >= k, col(nCol)).otherwise(0L))
+              .as("n_docs_safe"))
+          .withColumn("level", lit(level))
+      val stats = levelStats(g0, "n0", 0L)
+        .unionByName(levelStats(g1, "n1", 1L))
+        .unionByName(levelStats(g2, "n2", 2L))
+        .unionByName(levelStats(g3, "n3", 3L))
+      stats.join(resolved, Seq("level"), "left")
+        .select(col("level"), col("n_groups"), col("n_safe_groups"),
+          col("n_docs_safe"),
+          coalesce(col("n_docs_resolved"), lit(0L)).as("n_docs_resolved"))
+        .orderBy(col("level"))
+    },
+    Some("""WITH g0 AS (
+              SELECT lang, source, n_chars // 500 AS cb,
+                     CAST(count(1) AS BIGINT) AS n0
+              FROM documents GROUP BY 1, 2, 3),
+            g1 AS (SELECT lang, source, CAST(sum(n0) AS BIGINT) AS n1
+                   FROM g0 GROUP BY 1, 2),
+            g2 AS (SELECT lang, CAST(sum(n1) AS BIGINT) AS n2
+                   FROM g1 GROUP BY 1),
+            g3 AS (SELECT CAST(sum(n2) AS BIGINT) AS n3 FROM g2),
+            lev AS (
+              SELECT g0.n0,
+                     CASE WHEN g0.n0 >= 5 THEN 0 WHEN g1.n1 >= 5 THEN 1
+                          WHEN g2.n2 >= 5 THEN 2 ELSE 3 END AS min_level
+              FROM g0 JOIN g1 USING (lang, source) JOIN g2 USING (lang)
+                   CROSS JOIN g3),
+            resolved AS (
+              SELECT min_level AS level, CAST(sum(n0) AS BIGINT)
+                       AS n_docs_resolved
+              FROM lev GROUP BY 1),
+            stats AS (
+              SELECT 0 AS level, CAST(count(1) AS BIGINT) AS n_groups,
+                     CAST(sum(CASE WHEN n0 >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_safe_groups,
+                     CAST(sum(CASE WHEN n0 >= 5 THEN n0 ELSE 0 END) AS BIGINT)
+                       AS n_docs_safe
+              FROM g0
+              UNION ALL
+              SELECT 1, CAST(count(1) AS BIGINT),
+                     CAST(sum(CASE WHEN n1 >= 5 THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(sum(CASE WHEN n1 >= 5 THEN n1 ELSE 0 END) AS BIGINT)
+              FROM g1
+              UNION ALL
+              SELECT 2, CAST(count(1) AS BIGINT),
+                     CAST(sum(CASE WHEN n2 >= 5 THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(sum(CASE WHEN n2 >= 5 THEN n2 ELSE 0 END) AS BIGINT)
+              FROM g2
+              UNION ALL
+              SELECT 3, CAST(count(1) AS BIGINT),
+                     CAST(sum(CASE WHEN n3 >= 5 THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(sum(CASE WHEN n3 >= 5 THEN n3 ELSE 0 END) AS BIGINT)
+              FROM g3)
+            SELECT CAST(s.level AS BIGINT) AS level, s.n_groups,
+                   s.n_safe_groups, s.n_docs_safe,
+                   coalesce(r.n_docs_resolved, 0) AS n_docs_resolved
+            FROM stats s LEFT JOIN resolved r USING (level)
+            ORDER BY level"""))
+
+  // Local-DP category release via randomized response (Warner 1965): with
+  // probability p = 3/4 a document reports its true lang, else a uniform
+  // pick from the L known langs — both "coins" are md5 hashes of doc_id,
+  // so the mechanism is deterministic and the oracle replays the exact
+  // privatized counts. The unbiased estimator
+  // est = (obs − (1−p)·n/L) / p is emitted as an EXACT RATIONAL
+  // (est_num = 4·obs·L − n over est_den = 3·L) — no float division
+  // crosses the engines. One corpus pass (hash coin per row) + a
+  // broadcast-sized lang dim; the replacement pick joins the dim on the
+  // hash index, so nothing wider than (long, lang) ever shuffles.
+  private val curateRandResponse = Q(
+    "curate_rand_response",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ld = graft.operators.Numbering.numberBySort(
+        docs.select(col("lang")).distinct(), "lang", "idx")
+      val lc = ld.agg(count(lit(1)).as("L"))
+      def md5Long(tag: String) =
+        conv(substring(md5(concat(lit(tag), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long")
+      val d = docs.select(col("doc_id"), col("lang"))
+        .withColumn("c1", pmod(md5Long("rr1|"), lit(4L)))
+        .withColumn("c2", md5Long("rr2|"))
+      val rep = d.crossJoin(broadcast(lc))
+        .withColumn("pick", lit(1L) + pmod(col("c2"), col("L")))
+        .join(broadcast(ld.select(col("idx"), col("lang").as("rl"))),
+          col("pick") === col("idx"))
+        .select(when(col("c1") < 3, col("lang")).otherwise(col("rl"))
+          .as("rlang"))
+      val obs = rep.groupBy(col("rlang").as("lang"))
+        .agg(count(lit(1)).as("n_obs"))
+      val tru = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      ld.select(col("lang"))
+        .join(tru, Seq("lang"), "left").join(obs, Seq("lang"), "left")
+        .crossJoin(broadcast(lc)).crossJoin(broadcast(tot))
+        .select(col("lang"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          (lit(4L) * coalesce(col("n_obs"), lit(0L)) * col("L") - col("n"))
+            .as("est_num"),
+          (lit(3L) * col("L")).as("est_den"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH ld AS (
+              SELECT lang, CAST(row_number() OVER (ORDER BY lang) AS BIGINT)
+                       AS idx
+              FROM (SELECT DISTINCT lang FROM documents)),
+            lc AS (SELECT CAST(count(1) AS BIGINT) AS L FROM ld),
+            d AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5('rr1|' || CAST(doc_id AS VARCHAR)),
+                       1, 15))::BIGINT % 4 AS c1,
+                     ('0x' || substr(md5('rr2|' || CAST(doc_id AS VARCHAR)),
+                       1, 15))::BIGINT AS c2
+              FROM documents),
+            rep AS (
+              SELECT CASE WHEN d.c1 < 3 THEN d.lang ELSE r.lang END AS rlang
+              FROM d CROSS JOIN lc
+                   JOIN ld r ON r.idx = 1 + (d.c2 % lc.L)),
+            obs AS (SELECT rlang AS lang, CAST(count(1) AS BIGINT) AS n_obs
+                    FROM rep GROUP BY 1),
+            tru AS (SELECT lang, CAST(count(1) AS BIGINT) AS n_true
+                    FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(count(1) AS BIGINT) AS n FROM documents)
+            SELECT ld.lang, coalesce(tru.n_true, 0) AS n_true,
+                   coalesce(obs.n_obs, 0) AS n_obs,
+                   4 * coalesce(obs.n_obs, 0) * lc.L - tot.n AS est_num,
+                   3 * lc.L AS est_den
+            FROM ld LEFT JOIN tru USING (lang) LEFT JOIN obs USING (lang)
+                 CROSS JOIN lc CROSS JOIN tot
+            ORDER BY lang"""))
+
   val qs: Seq[Q] = Seq(sampleStratified, sampleWeighted, textDomainMix, dedupParagraph,
     simQuantized, splitHash, textDecontaminate, packSequences,
     corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
@@ -1869,5 +2036,6 @@ object CurationQueries extends QueryModule {
     splitExactAlloc, curateTokenBudget, curateTopkPerSource,
     shardRebalancePlan, corpusDriftChi2, qualityMadOutlier,
     corpusNgramNovelty, curateParetoFront, corpusGini, packBfd,
-    corpusDedupCurve, packFillReport, pipelineE2e)
+    corpusDedupCurve, packFillReport, pipelineE2e,
+    curateKAnonymity, curateRandResponse)
 }

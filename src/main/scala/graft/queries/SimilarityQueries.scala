@@ -1171,6 +1171,51 @@ object SimilarityQueries extends QueryModule {
             SELECT id AS vec_id, label AS community
             FROM r3 ORDER BY vec_id"""))
 
+  // One synchronous h-index round over the similarity graph: each vertex's
+  // value becomes the h-index of its neighbors' values (row_number over the
+  // descending neighbor values, h = max(least(rn, h)))
+  private def hIndexRoundSql(prev: String, r: Int): String =
+    s"""nbr$r AS (SELECT s.dst, p.h,
+                   row_number() OVER (PARTITION BY s.dst
+                     ORDER BY p.h DESC) AS rn
+              FROM sym s JOIN $prev p ON s.src = p.id),
+            hr$r AS (SELECT dst AS id, CAST(max(least(rn, h)) AS BIGINT) AS h
+              FROM nbr$r GROUP BY dst)"""
+
+  // Vertex coreness (k-core peel depth) of the mutual-kNN graph via 5
+  // synchronous h-index rounds (Lü et al. 2016 — the sequence decreases
+  // monotonically to the exact coreness). A FIXED round count is the
+  // defined semantic so the oracle replays bit-for-bit; on the sf0.01
+  // graph the iteration reaches its fixpoint at round 4 (checked round-by-
+  // round in DuckDB), so 5 carries one round of margin, and CorenessSpec
+  // pins converged-round = one-more-round = brute-force peel on fixtures.
+  // Coreness separates hub documents (dense near-dup cores that dedup
+  // should collapse hardest) from fringe singletons — the peel-depth view
+  // of the same graph sim_components clusters. Each round shuffles
+  // (id, long) pairs only; the h-index is a degree-bounded codegen fold,
+  // no windows.
+  private val simCoreness = Q(
+    "sim_coreness",
+    (s, dir) => {
+      val g = cachedMutualKnn(s, dir).select(col("id1"), col("id2"))
+      Similarity.corenessHIndex(g, "id1", "id2", rounds = 5)
+        .select(col("id").as("vec_id"), col("degree"), col("coreness"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $mutualKnnCteSql,
+            sym AS (SELECT id1 AS src, id2 AS dst FROM mpairs
+                    UNION ALL SELECT id2 AS src, id1 AS dst FROM mpairs),
+            hdeg AS (SELECT dst AS id, CAST(count(1) AS BIGINT) AS h
+                     FROM sym GROUP BY dst),
+            ${hIndexRoundSql("hdeg", 1)},
+            ${hIndexRoundSql("hr1", 2)},
+            ${hIndexRoundSql("hr2", 3)},
+            ${hIndexRoundSql("hr3", 4)},
+            ${hIndexRoundSql("hr4", 5)}
+            SELECT d.id AS vec_id, d.h AS degree, f.h AS coreness
+            FROM hdeg d JOIN hr5 f USING (id)
+            ORDER BY vec_id"""))
+
   // Lloyd's k-means (k=8, 2 assign/update rounds + final assignment) —
   // the IVF centroid-training sweep as a first-class op. Deterministic
   // seeds/tie-breaks make the full iteration replayable: the oracle
@@ -2213,5 +2258,5 @@ object SimilarityQueries extends QueryModule {
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
     simPqM4, simIvfAppend, simIvfPq, simIvfPqTrained, simKnnClassify,
     simPcaPower, simDbscan, simConfusionF1, embedJlProject,
-    simClusterPurity, simRangeQuery, simRankEval)
+    simClusterPurity, simRangeQuery, simRankEval, simCoreness)
 }

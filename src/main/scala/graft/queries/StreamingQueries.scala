@@ -81,5 +81,48 @@ object StreamingQueries extends QueryModule {
             FROM f JOIN g USING (content_key)
             ORDER BY f.content_key"""))
 
-  val qs: Seq[Q] = Seq(eventStats, windowed, streamDedup)
+  // Watermark late-data audit: BEFORE committing to a delayThreshold, a
+  // pipeline owner wants to know how many events a watermarked stateful
+  // operator would DROP at a given delay. Replayed as batch semantics: in
+  // arrival order (event_id — the ingest sequence), the stream's
+  // high-watermark is the running max event-time; an event is late iff its
+  // event-time sits more than the delay behind that max (exactly Spark's
+  // watermark drop rule for aggregation state). The running max is the
+  // two-phase scan (Numbering.runningMaxBySort) — one range shuffle, a
+  // one-long-per-partition driver combine, and a narrow pass; never a
+  // single-partition global window, so the audit survives 100 TB of
+  // events. Integer epoch-micros end-to-end (no float crosses the oracle).
+  private val lateAudit = Q(
+    "stream_late_audit",
+    (s, dir) => {
+      val delayUs = 3600000000L // 1 hour, the stream_windowed_counts horizon
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      graft.operators.Numbering
+        .runningMaxBySort(ev, Seq(col("event_id")), col("us"), "hwm")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("us") < col("hwm") - delayUs, 1L).otherwise(0L))
+            .as("n_late"),
+          max(when(col("us") < col("hwm") - delayUs, col("hwm") - col("us"))
+            .otherwise(0L)).as("max_behind_us"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH e AS (
+              SELECT event_id, event_type, epoch_ns(ts) // 1000 AS us
+              FROM events),
+            h AS (
+              SELECT event_type, us,
+                     max(us) OVER (ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS hwm
+              FROM e)
+            SELECT event_type, count(1) AS n_events,
+                   CAST(sum(CASE WHEN us < hwm - 3600000000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_late,
+                   CAST(max(CASE WHEN us < hwm - 3600000000 THEN hwm - us
+                     ELSE 0 END) AS BIGINT) AS max_behind_us
+            FROM h GROUP BY event_type ORDER BY event_type"""))
+
+  val qs: Seq[Q] = Seq(eventStats, windowed, streamDedup, lateAudit)
 }

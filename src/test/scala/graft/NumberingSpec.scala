@@ -23,6 +23,21 @@ class NumberingSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("runningMaxBySort matches a global running max; NULLs never raise it") {
+    val df = (1 to 100).map { i =>
+      val v: java.lang.Long = if (i % 9 == 0) null else ((i * 37) % 50).toLong
+      (i.toLong, v)
+    }.toDF("k", "v").repartition(5)
+    val got = Numbering.runningMaxBySort(df, Seq(col("k")), col("v"), "hwm")
+      .orderBy("k").select("k", "hwm").as[(Long, Long)].collect()
+    var acc = Long.MinValue
+    val want = (1 to 100).map { i =>
+      if (i % 9 != 0) acc = math.max(acc, (i * 37) % 50L)
+      (i.toLong, acc)
+    }
+    assert(got.toSeq == want)
+  }
+
   test("numberBySort on empty input returns empty") {
     val df = Seq.empty[Long].toDF("k")
     assert(Numbering.numberBySort(df, "k", "id").count() == 0)
