@@ -129,6 +129,111 @@ object Similarity {
         (-col("__t.neg")).as("cos"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (the ANCE/DPR recipe):
+    * for each labeled query, the top-k most-similar OTHER-label vectors —
+    * the negatives a contrastive loss learns most from — with a
+    * false-negative guard: candidates above `maxCos` are presumed
+    * unlabeled positives and excluded (Qu et al. 2021, RocketQA's
+    * denoising observation). Same scale shape as [[bruteForceTopK]]:
+    * queries broadcast, the corpus streams once, and the per-query top-k
+    * rides the bounded two-phase [[bottomK]] — the label carried as a
+    * trailing struct field behind the already-unique (cos, id) sort key,
+    * so it can never influence ranking. Swap the corpus side for an ANN
+    * shortlist at 100 TB; the semantics don't change.
+    *
+    * Output: (query_id, neg_id, neg_label, cos, neg_rank).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, labelCol: String, k: Int, maxCos: Double): DataFrame = {
+    val c = corpus.select(col(id).as("neg_id"), toDouble(col(vec)).as("cv"),
+      col(labelCol).as("neg_label"))
+    val q = queries.select(col(id).as("query_id"),
+      toDouble(col(vec)).as("qv"), col(labelCol).as("__ql"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neg_id"))
+      .filter(col("neg_label") =!= col("__ql"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos") <= maxCos)
+    scored.groupBy(col("query_id"))
+      .agg(bottomK(struct((-col("cos")).as("neg"), col("neg_id"),
+        col("neg_label")), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__i", "__t")))
+      .select(col("query_id"), col("__t.neg_id").as("neg_id"),
+        col("__t.neg_label").as("neg_label"), (-col("__t.neg")).as("cos"),
+        (col("__i") + 1).cast("long").as("neg_rank"))
+  }
+
+  /** Maximal Marginal Relevance diversified re-rank (Carbonell &
+    * Goldstein, SIGIR 1998) over a bounded shortlist: greedily pick k of
+    * the shortlist's s candidates, each pick maximizing
+    * λ·rel(d) − (1−λ)·max_{p∈picked} sim(d, p). λ is fixed at 3/4, and
+    * the objective is ranked through its ×4 integer-scaled monotone form
+    * 3·rel − maxsim, so both engines compare the SAME two-term double —
+    * no λ rounding enters the order. Ties break on ascending candidate
+    * id, making the whole greedy deterministic and oracle-replayable as
+    * k−1 unrolled SQL rounds.
+    *
+    * Scale shape: the corpus is touched once (the shortlist top-s via the
+    * bounded two-phase [[bruteForceTopK]], or any caller shortlist);
+    * everything after is per-query s² pairwise sims and k−1 rounds of
+    * (pick-max window over ≤ s rows per query) — all linear in |queries|,
+    * never in the corpus. The greedy is inherently sequential ACROSS
+    * picks but those k−1 rounds each run fully parallel across queries;
+    * each round pins its one-row-per-query pick (lineage stays flat).
+    *
+    * Output: (query_id, neighbor_id, pick_rank 1..k, rel).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, shortlist: Int, k: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $shortlist, $k")
+    import org.apache.spark.sql.expressions.Window
+    val short = graft.operators.Pinning.pin(
+      bruteForceTopK(corpus, queries, id, vec, shortlist)
+        .select(col("query_id"), col("neighbor_id").as("cand"),
+          col("cos").as("rel")))
+    // shortlist vectors attach once (|Q|·s rows), then per-query pairwise
+    // sims (|Q|·s² rows) — the corpus never re-enters
+    val cv = corpus.select(col(id).as("cand"), toDouble(col(vec)).as("__cv"))
+    val sv = short.select(col("query_id"), col("cand")).join(cv, "cand")
+    val psim = graft.operators.Pinning.pin(
+      sv.select(col("query_id"), col("cand").as("a"), col("__cv").as("av"))
+        .join(sv.select(col("query_id"), col("cand").as("b"),
+          col("__cv").as("bv")), Seq("query_id"))
+        .filter(col("a") =!= col("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          cosine(col("av"), col("bv")).as("sim")))
+    def pick(scored: DataFrame, rank: Int): DataFrame =
+      scored
+        .withColumn("__rn", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("__score").desc, col("cand"))))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("cand"), col("rel"),
+          lit(rank.toLong).as("pick_rank"))
+    var sel = graft.operators.Pinning.pin(
+      pick(short.withColumn("__score", col("rel")), 1))
+    var r = 2
+    while (r <= k) {
+      val pen = psim
+        .join(sel.select(col("query_id"), col("cand").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("cand"))
+        .agg(max(col("sim")).as("__maxsim"))
+      val scored = short
+        .join(sel.select(col("query_id"), col("cand")),
+          Seq("query_id", "cand"), "left_anti")
+        .join(pen, Seq("query_id", "cand"))
+        .withColumn("__score", lit(3.0) * col("rel") - col("__maxsim"))
+      val next = graft.operators.Pinning.pin(
+        sel.unionByName(pick(scored, r)))
+      graft.operators.Pinning.unpin(sel)
+      sel = next
+      r += 1
+    }
+    graft.operators.Pinning.unpin(psim)
+    graft.operators.Pinning.unpin(short)
+    sel.select(col("query_id"), col("cand").as("neighbor_id"),
+      col("pick_rank"), col("rel"))
+  }
+
   /** DBSCAN (Ester et al., KDD 1996) over a similarity-pair graph. The
     * pair source is PLUGGABLE — exact [[cosineNearDupPairs]] for small
     * slices, [[lshNearDupPairs]] for the 100 TB path — so the density

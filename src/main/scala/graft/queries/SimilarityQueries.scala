@@ -33,6 +33,127 @@ object SimilarityQueries extends QueryModule {
             WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
+  // one MMR greedy round in the oracle: penalties against everything
+  // picked so far, score the not-yet-picked shortlist, window-pick the max
+  private def mmrRoundSql(r: Int, prev: String): String =
+    s"""pen$r AS (
+              SELECT p.query_id, p.a AS cand, max(p.sim) AS ms
+              FROM ps p JOIN $prev x
+                ON x.query_id = p.query_id AND x.cand = p.b
+              GROUP BY 1, 2),
+            sc$r AS (
+              SELECT s.query_id, s.cand, s.rel, 3 * s.rel - pen$r.ms AS score
+              FROM sh s JOIN pen$r USING (query_id, cand)
+              LEFT JOIN $prev x
+                ON x.query_id = s.query_id AND x.cand = s.cand
+              WHERE x.cand IS NULL),
+            sel$r AS MATERIALIZED (
+              SELECT query_id, cand, rel, $r AS pick FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, cand) AS rn FROM sc$r) t
+              WHERE rn = 1),
+            selall$r AS MATERIALIZED (
+              SELECT * FROM $prev UNION ALL SELECT * FROM sel$r)"""
+
+  // MMR diversified top-5 (λ = 3/4) over the brute-force top-12 shortlist:
+  // the standard redundancy-vs-relevance re-rank for retrieval-augmented
+  // sampling — rel alone would return near-duplicate neighbors; the greedy
+  // penalizes each candidate by its max similarity to what's already
+  // picked. Ranked via the ×4-scaled monotone form 3·rel − maxsim (both
+  // engines compare the same two-term double; cosines mirror
+  // Vectors.cosine's dot/sqrt(na·nb) exactly). The k−1 greedy rounds
+  // unroll as SQL; everything after the one corpus-touching shortlist
+  // scan is per-query s²-bounded.
+  private val simMmr = Q(
+    "sim_mmr",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.mmrRerank(emb, queries, "vec_id", "embedding",
+          shortlist = 12, k = 5)
+        .withColumn("rel", round(col("rel"), 4))
+        .orderBy(col("query_id"), col("pick_rank"))
+    },
+    Some(s"""WITH eq AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            sh AS MATERIALIZED (
+              SELECT query_id, cand, rel FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand,
+                       list_dot_product(q.v, c.v)
+                         / sqrt(list_dot_product(q.v, q.v)
+                                * list_dot_product(c.v, c.v)) AS rel,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_dot_product(q.v, c.v)
+                           / sqrt(list_dot_product(q.v, q.v)
+                                  * list_dot_product(c.v, c.v)) DESC,
+                           c.vec_id) AS rn
+                FROM eq q JOIN eq c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 10) t
+              WHERE rn <= 12),
+            ps AS MATERIALIZED (
+              SELECT a.query_id, a.cand AS a, b.cand AS b,
+                     list_dot_product(ea.v, eb.v)
+                       / sqrt(list_dot_product(ea.v, ea.v)
+                              * list_dot_product(eb.v, eb.v)) AS sim
+              FROM sh a JOIN sh b
+                ON a.query_id = b.query_id AND a.cand != b.cand
+              JOIN eq ea ON ea.vec_id = a.cand
+              JOIN eq eb ON eb.vec_id = b.cand),
+            sel1 AS MATERIALIZED (
+              SELECT query_id, cand, rel, 1 AS pick FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, cand) AS rn FROM sh) t
+              WHERE rn = 1),
+            ${mmrRoundSql(2, "sel1")},
+            ${mmrRoundSql(3, "selall2")},
+            ${mmrRoundSql(4, "selall3")},
+            ${mmrRoundSql(5, "selall4")}
+            SELECT query_id, cand AS neighbor_id,
+                   CAST(pick AS BIGINT) AS pick_rank, round(rel, 4) AS rel
+            FROM selall5 ORDER BY query_id, pick_rank"""))
+
+  // Hard-negative mining: per labeled query, the 5 most-similar
+  // OTHER-label vectors with cos ≤ 0.9 (above that a candidate is
+  // presumed an unlabeled positive — the RocketQA denoising guard).
+  // The training-pair generator for a contrastive retriever as one
+  // oracle-checked query; bounded two-phase top-k, label rides the
+  // sort struct behind the unique (cos, id) key.
+  private val searchHardNegatives = Q(
+    "search_hard_negatives",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      Similarity.hardNegatives(emb, queries, "vec_id", "embedding",
+          "label", k = 5, maxCos = 0.9)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("neg_rank"))
+    },
+    Some("""WITH eq AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+              FROM embeddings)
+            SELECT query_id, neg_id, neg_label, round(cos, 4) AS cos,
+                   CAST(rnk AS BIGINT) AS neg_rank
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+                     CAST(c.label AS INT) AS neg_label,
+                     list_dot_product(q.v, c.v)
+                       / sqrt(list_dot_product(q.v, q.v)
+                              * list_dot_product(c.v, c.v)) AS cos,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.v, c.v)
+                         / sqrt(list_dot_product(q.v, q.v)
+                                * list_dot_product(c.v, c.v)) DESC,
+                         c.vec_id) AS rnk
+              FROM eq q JOIN eq c
+                ON q.vec_id != c.vec_id AND q.label != c.label
+              WHERE q.vec_id < 20
+                AND list_dot_product(q.v, c.v)
+                      / sqrt(list_dot_product(q.v, q.v)
+                             * list_dot_product(c.v, c.v)) <= 0.9) t
+            WHERE rnk <= 5
+            ORDER BY query_id, neg_rank"""))
+
   // kNN classification report: majority vote of the 5 nearest neighbors
   // (ties to the smallest label) against each query's true label — the
   // embedding-quality eval loop as one query. The oracle replays the
@@ -2258,5 +2379,6 @@ object SimilarityQueries extends QueryModule {
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
     simPqM4, simIvfAppend, simIvfPq, simIvfPqTrained, simKnnClassify,
     simPcaPower, simDbscan, simConfusionF1, embedJlProject,
-    simClusterPurity, simRangeQuery, simRankEval, simCoreness)
+    simClusterPurity, simRangeQuery, simRankEval, simCoreness, simMmr,
+    searchHardNegatives)
 }

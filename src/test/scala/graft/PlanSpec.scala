@@ -663,6 +663,35 @@ class PlanSpec extends SparkSpec {
     assert(!rq.contains("CartesianProduct"), rq.take(2500))
   }
 
+  test("round-10 additions: no cartesian; late-audit scan stays window-free; " +
+      "hard-negative corpus side never shuffles wide") {
+    // stream_late_audit: the running high-watermark is the two-phase
+    // Numbering scan — a Window node means the single-partition sort
+    // came back. sim_coreness: ids-only rounds, no windows either.
+    for (q <- Seq("stream_late_audit", "sim_coreness")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"), s"$q grew a window:\n${plan.take(2500)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2500)}")
+    }
+    // curate_k_anonymity / curate_rand_response: ladder/dim arithmetic —
+    // the only non-equi attaches are 1-row scalar broadcasts
+    for (q <- Seq("curate_k_anonymity", "curate_rand_response")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2500)}")
+    }
+    // search_hard_negatives: queries broadcast against the streamed
+    // corpus (non-equi join ⇒ BroadcastNestedLoopJoin), bounded top-k —
+    // no window, no cartesian, no sort-merge of the corpus
+    val hn = planOf("search_hard_negatives")
+    assert(hn.contains("BroadcastNestedLoopJoin"), hn.take(2500))
+    assert(!hn.contains("Window"), hn.take(2500))
+    assert(!hn.contains("CartesianProduct"), hn.take(2500))
+    assert(!hn.contains("SortMergeJoin"), hn.take(2500))
+    // sim_mmr is pin-eager (shortlist materializes at construction);
+    // the residual plan must still be cartesian-free
+    assert(!planOf("sim_mmr").contains("CartesianProduct"))
+  }
+
   test("pipeline_e2e: the composed chain has no cartesian product and " +
       "the only windows are the split's strata-dimension ones") {
     val plan = planOf("pipeline_e2e")

@@ -634,4 +634,55 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == truth)
   }
+
+  test("mmrRerank == in-memory greedy; a near-duplicate of pick 1 is demoted") {
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 24L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+    // vector 23 := vector whose id is the top-1 for query 0, + tiny noise,
+    // so rel ranks it ~2nd but MMR must push it past diverse candidates
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      val p = na * nb; if (p > 0) d / math.sqrt(p) else 0.0
+    }
+    val q = base.head._2
+    val top1 = base.tail.filter(_._1 < 23).maxBy(v => cos(q, v._2))
+    val vecsSeq = base.map { case (i, v) =>
+      if (i == 23L) (i, top1._2.map(x => x * 0.999 + 0.0003)) else (i, v)
+    }
+    val vecs = vecsSeq.map { case (i, v) => (i, v.map(_.toFloat).toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(vecs, vecs.filter(col("vec_id") < 2),
+        "vec_id", "embedding", shortlist = 10, k = 4)
+      .select(col("query_id"), col("neighbor_id"), col("pick_rank"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) =>
+        g -> rs.sortBy(_._3).map(_._2).toSeq }
+    // in-memory greedy with identical arithmetic and tie-breaks
+    val dv = vecsSeq.toMap
+    def greedy(qid: Long): Seq[Long] = {
+      val rel = vecsSeq.filter(_._1 != qid)
+        .map { case (i, v) => i -> cos(dv(qid), v) }
+        .sortBy { case (i, r) => (-r, i) }.take(10)
+      var picked = Vector(rel.head._1)
+      while (picked.size < 4) {
+        val cands = rel.filterNot(c => picked.contains(c._1))
+          .map { case (i, r) =>
+            val ms = picked.map(p => cos(dv(i), dv(p))).max
+            (i, 3.0 * r - ms)
+          }
+        picked :+= cands.minBy { case (i, sc) => (-sc, i) }._1
+      }
+      picked
+    }
+    assert(got == Map(0L -> greedy(0L), 1L -> greedy(1L)))
+    // and the diversification bites: the planted near-dup of query 0's
+    // pick 1 is in the rel top-2 but NOT query 0's MMR pick 2
+    val rel0 = vecsSeq.filter(_._1 != 0L)
+      .map { case (i, v) => i -> cos(dv(0L), v) }
+      .sortBy { case (i, r) => (-r, i) }.map(_._1)
+    assert(Set(rel0(0), rel0(1)) == Set(top1._1, 23L))
+    assert(got(0L)(1) != (if (got(0L).head == top1._1) 23L else top1._1))
+  }
 }
