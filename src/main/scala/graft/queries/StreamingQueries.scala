@@ -124,5 +124,54 @@ object StreamingQueries extends QueryModule {
                      ELSE 0 END) AS BIGINT) AS max_behind_us
             FROM h GROUP BY event_type ORDER BY event_type"""))
 
-  val qs: Seq[Q] = Seq(eventStats, windowed, streamDedup, lateAudit)
+  // View→click attribution via the stream-stream interval join
+  // (IntervalJoin.within — the watermarked two-stream stateful join,
+  // replayed here as the identical batch declaration): per user, the
+  // clicks landing within 30 min after a view. One user-keyed equi
+  // shuffle; the range predicate rides the join; all lags are exact
+  // integer micros. IntervalJoinSpec pins the watermarked MemoryStream
+  // form row-for-row against this batch form.
+  private val intervalJoin = Q(
+    "stream_interval_join",
+    (s, dir) => {
+      val horizonUs = 1800000000L // 30 min
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("us").as("v_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("us").as("c_us"))
+      graft.streaming.IntervalJoin
+        .within(views, clicks, Seq("user_id"), "v_us", "c_us", horizonUs)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("view_id")).as("n_attr_views"),
+          countDistinct(col("click_id")).as("n_attr_clicks"),
+          min(col("c_us") - col("v_us")).as("min_lag_us"),
+          max(col("c_us") - col("v_us")).as("max_lag_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS us
+              FROM events),
+            v AS (SELECT user_id, event_id AS view_id, us AS v_us
+                  FROM e WHERE event_type = 'view'),
+            c AS (SELECT user_id, event_id AS click_id, us AS c_us
+                  FROM e WHERE event_type = 'click'),
+            p AS (
+              SELECT v.user_id, v.view_id, c.click_id, c.c_us - v.v_us AS lag
+              FROM v JOIN c ON v.user_id = c.user_id
+              WHERE c.c_us > v.v_us AND c.c_us <= v.v_us + 1800000000)
+            SELECT user_id, CAST(count(1) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT view_id) AS BIGINT) AS n_attr_views,
+                   CAST(count(DISTINCT click_id) AS BIGINT) AS n_attr_clicks,
+                   CAST(min(lag) AS BIGINT) AS min_lag_us,
+                   CAST(max(lag) AS BIGINT) AS max_lag_us
+            FROM p GROUP BY user_id ORDER BY user_id"""))
+
+  val qs: Seq[Q] = Seq(eventStats, windowed, streamDedup, lateAudit,
+    intervalJoin)
 }
