@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Build a deterministic Fx scale slice of an sf dir for the scale probe
-(BENCH_SCALE.json): documents and embeddings are replicated F times,
-other tables symlinked.
+(BENCH_SCALE.json): documents, embeddings and events are replicated F
+times, other tables symlinked.
 
 Recipe (same family as the r9 10x probe):
   - documents: doc_id' = doc_id*1000 + i (i in 0..F-1). Copy 0 keeps the
@@ -12,6 +12,10 @@ Recipe (same family as the r9 10x probe):
   - embeddings: vec_id' = vec_id*1000 + i; per-component deterministic
     jitter x + ((i*31 + comp) % 7 - 3) * 1e-3 keeps copies spread out so
     ANN candidate sets scale like a genuinely bigger corpus.
+  - events: event_id' = event_id*1000 + i, user_id' = user_id*1000 + i,
+    ts unchanged — F times the users in the same time range, so
+    watermark/sessionization/attribution state scales linearly while the
+    arrival order (event_id) stays a valid global sequence.
 
 usage: make_scale_slice.py <src_sf_dir> <out_dir> <factor>
 """
@@ -52,8 +56,16 @@ COPY (
   FROM '{src}/embeddings.parquet' e, range(0, {F}) i(i)
   ORDER BY vec_id
 ) TO '{out}/embeddings.parquet' (FORMAT parquet)""")
+con.execute(f"""
+COPY (
+  SELECT e.event_id * 1000 + i.i AS event_id, e.ts,
+         e.user_id * 1000 + i.i AS user_id,
+         e.event_type, e.value, e.props
+  FROM '{src}/events.parquet' e, range(0, {F}) i(i)
+  ORDER BY event_id
+) TO '{out}/events.parquet' (FORMAT parquet)""")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events"]:
+          "lineitem"]:
     dst = f"{out}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{src}/{t}.parquet", dst)
