@@ -1437,8 +1437,14 @@ object Similarity {
       r += 1
     }
     if (r > 0) graft.operators.Pinning.unpin(sym)
-    val out = deg.join(vals.select(col("id"), col("h").as("coreness")), "id")
-      .select(col("id"), col("degree"), col("coreness"))
+    // pin the final (id, degree, coreness) frame and release the loop's
+    // working pins — the caller owns exactly ONE pin (the result), the
+    // same contract as labelPropagate/pagerankInt (CacheLifecycleSpec)
+    val out = graft.operators.Pinning.pin(
+      deg.join(vals.select(col("id"), col("h").as("coreness")), "id")
+        .select(col("id"), col("degree"), col("coreness")))
+    graft.operators.Pinning.unpin(deg)
+    if (r > 0) graft.operators.Pinning.unpin(vals)
     out
   }
 

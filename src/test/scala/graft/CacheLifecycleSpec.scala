@@ -116,6 +116,12 @@ class CacheLifecycleSpec extends SparkSpec {
       s"minimumSpanningForest left ${pinnedCount - base} pinned RDDs (want <=1: the forest)")
     Pinning.unpin(msf)
 
+    val core = Similarity.corenessHIndex(edgesFixture, "src", "dst", rounds = 3)
+    core.count()
+    assert(pinnedCount - base <= 1,
+      s"corenessHIndex left ${pinnedCount - base} pinned RDDs (want <=1: the result)")
+    Pinning.unpin(core)
+
     // <= not ==: the ContextCleaner may concurrently GC stray blocks
     // other suites' dropped results were holding at baseline time
     assert(pinnedCount <= base,
