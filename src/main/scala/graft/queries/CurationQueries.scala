@@ -1860,6 +1860,75 @@ object CurationQueries extends QueryModule {
             JOIN o9 ON o9.doc_id = s.doc_id
             ORDER BY s.doc_id"""))
 
+  // One DoReMi-flavored multiplicative-weights domain-reweighting round
+  // (Xie et al. 2023, linearized): domains with EXCESS loss under the
+  // corpus-trained unigram LM get upweighted vs the uniform prior —
+  // w_d ∝ 1 + η·excess_d with η = 1/2, the standard MW step with exp(x)
+  // linearized to 1+x so the whole round stays in EXACT INTEGER
+  // micro-units (per-token mean loss = loss_sum·1e6 div tokens; no exp,
+  // no float division crosses the oracle). Weights emit as exact
+  // rationals (w_num over the summed w_den). The per-doc loss reuses the
+  // integer floor-log2 surprisal (text_unigram_surprisal's session-memo
+  // word counts), so the corpus pays ONE tokenize+count shuffle across
+  // both queries; everything after the domain groupBy is dimension
+  // arithmetic on a handful of rows.
+  private val mixReweightRound = Q(
+    "mix_reweight_round",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val perDoc = graft.pipeline.TextAnalysis.unigramSurprisal(
+        docs, "doc_id", "text",
+        docWordCounts = Some(TextQueries.cachedDocWords(s, dir)))
+      val dom = perDoc
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("surprisal_sum")).as("loss_sum"))
+        .withColumn("mean_loss_u",
+          expr("(loss_sum * 1000000) div n_tokens"))
+      val minLoss = dom.agg(min(col("mean_loss_u")).as("__min_u"))
+      val w = dom.crossJoin(broadcast(minLoss))
+        .withColumn("excess_u", col("mean_loss_u") - col("__min_u"))
+        .withColumn("w_num", lit(1000000L) + expr("excess_u div 2"))
+      val tot = w.agg(sum(col("w_num")).as("w_den"))
+      w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("mean_loss_u"), col("excess_u"), col("w_num"), col("w_den"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS word
+              FROM documents),
+            v AS (SELECT word, count(1) AS cnt FROM w GROUP BY word),
+            n AS (SELECT length(bin(sum(cnt))) AS nbits FROM v),
+            perdoc AS (
+              SELECT w.doc_id, count(1) AS n_tokens,
+                     sum(n.nbits - length(bin(v.cnt))) AS loss
+              FROM w JOIN v USING (word), n
+              GROUP BY w.doc_id),
+            dom AS (
+              SELECT d.source, count(1) AS n_docs,
+                     sum(p.n_tokens) AS n_tokens, sum(p.loss) AS loss_sum
+              FROM perdoc p JOIN documents d USING (doc_id)
+              GROUP BY 1),
+            m AS (SELECT source, n_docs, n_tokens,
+                         (loss_sum * 1000000) // n_tokens AS mean_loss_u
+                  FROM dom),
+            mn AS (SELECT min(mean_loss_u) AS mn FROM m),
+            e AS (SELECT m.*, m.mean_loss_u - mn.mn AS excess_u FROM m, mn),
+            ww AS (SELECT e.*, 1000000 + excess_u // 2 AS w_num FROM e),
+            t AS (SELECT sum(w_num) AS w_den FROM ww)
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(mean_loss_u AS BIGINT) AS mean_loss_u,
+                   CAST(excess_u AS BIGINT) AS excess_u,
+                   CAST(w_num AS BIGINT) AS w_num,
+                   CAST(t.w_den AS BIGINT) AS w_den
+            FROM ww, t ORDER BY source"""))
+
   // k-anonymity audit over a generalization ladder (Sweeney 2002; the
   // Mondrian intuition with deterministic, nested levels): quasi-identifier
   // grain L0 = (lang, source, 500-char length bucket) coarsens to
@@ -2037,5 +2106,5 @@ object CurationQueries extends QueryModule {
     shardRebalancePlan, corpusDriftChi2, qualityMadOutlier,
     corpusNgramNovelty, curateParetoFront, corpusGini, packBfd,
     corpusDedupCurve, packFillReport, pipelineE2e,
-    curateKAnonymity, curateRandResponse)
+    curateKAnonymity, curateRandResponse, mixReweightRound)
 }

@@ -364,7 +364,7 @@ object TextQueries extends QueryModule {
   private val docWordCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
-  private def cachedDocWords(
+  private[queries] def cachedDocWords(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     docWordCache.entrySet.removeIf(
       _.getValue.sparkSession.sparkContext.isStopped)
