@@ -129,6 +129,68 @@ object Similarity {
         (-col("__t.neg")).as("cos"), col("rank"))
   }
 
+  /** Gonzalez k-center greedy coreset (Gonzalez 1985; the farthest-point
+    * traversal behind k-center coresets for data selection): start from
+    * the minimum id, then k−1 times pick the vector FARTHEST from the
+    * current pick set (lowest max-cosine to any picked center, ties to
+    * the smallest id). `far_cos` per pick is its similarity to the
+    * nearest earlier center at selection time — the coverage-radius
+    * curve as data (increasing toward 1 as the coreset saturates).
+    *
+    * Scale shape: per round ONE corpus-wide narrow update (the 1-row new
+    * pick broadcasts; best_cos = greatest(best_cos, cos(v, pick))) and
+    * ONE 1-row min-struct aggregation — k−1 linear passes, nothing but
+    * (id, best_cos) ever aggregates, the state frame re-pins per round
+    * so lineage stays flat. The greedy is inherently sequential across
+    * picks (SURVEY §7.4 posture) but each pass is fully parallel.
+    *
+    * Output: (pick_rank 1..k, vec_id, far_cos — NULL for the seed pick).
+    */
+  def kcenterCoreset(vecs: DataFrame, id: String, vec: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val v = graft.operators.Pinning.pin(
+      vecs.select(col(id).as("vec_id"), toDouble(col(vec)).as("__v")))
+    val first = graft.operators.Pinning.pin(
+      v.agg(min(col("vec_id")).as("vec_id")).join(v, "vec_id"))
+    var sel = graft.operators.Pinning.pin(
+      first.select(col("vec_id"), lit(1L).as("pick_rank"),
+        lit(null).cast("double").as("far_cos")))
+    var state = graft.operators.Pinning.pin(
+      v.crossJoin(broadcast(first.select(col("__v").as("__pv"))))
+        .select(col("vec_id"), col("__v"),
+          cosine(col("__v"), col("__pv")).as("best_cos")))
+    graft.operators.Pinning.unpin(first)
+    var r = 2
+    while (r <= k) {
+      val far = state
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .agg(min(struct(col("best_cos"), col("vec_id"))).as("__m"))
+        .select(col("__m.vec_id").as("vec_id"),
+          col("__m.best_cos").as("far_cos"))
+      val pick = graft.operators.Pinning.pin(far.join(v, "vec_id"))
+      val nextSel = graft.operators.Pinning.pin(
+        sel.unionByName(pick.select(col("vec_id"),
+          lit(r.toLong).as("pick_rank"), col("far_cos"))))
+      graft.operators.Pinning.unpin(sel)
+      sel = nextSel
+      if (r < k) { // the last round never consumes the updated state
+        val nextState = graft.operators.Pinning.pin(
+          state.crossJoin(broadcast(pick.select(col("__v").as("__pv"))))
+            .select(col("vec_id"), col("__v"),
+              greatest(col("best_cos"),
+                cosine(col("__v"), col("__pv"))).as("best_cos")))
+        graft.operators.Pinning.unpin(state)
+        state = nextState
+      }
+      graft.operators.Pinning.unpin(pick)
+      r += 1
+    }
+    graft.operators.Pinning.unpin(state)
+    graft.operators.Pinning.unpin(v)
+    sel.select(col("pick_rank"), col("vec_id"), col("far_cos"))
+  }
+
   /** Hard-negative mining for contrastive training (the ANCE/DPR recipe):
     * for each labeled query, the top-k most-similar OTHER-label vectors —
     * the negatives a contrastive loss learns most from — with a

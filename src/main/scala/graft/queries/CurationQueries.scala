@@ -1860,6 +1860,62 @@ object CurationQueries extends QueryModule {
             JOIN o9 ON o9.doc_id = s.doc_id
             ORDER BY s.doc_id"""))
 
+  // one Gonzalez greedy round in the oracle: recompute every candidate's
+  // best cosine to the pick set, argmin (ties to smallest id), append
+  private def coresetRoundSql(r: Int, prev: String): String =
+    s"""pv$r AS (SELECT q.v FROM $prev s JOIN eq q USING (vec_id)),
+            bc$r AS (
+              SELECT e.vec_id,
+                     max(list_dot_product(e.v, p.v)
+                       / sqrt(list_dot_product(e.v, e.v)
+                              * list_dot_product(p.v, p.v))) AS best_cos
+              FROM eq e CROSS JOIN pv$r p GROUP BY e.vec_id),
+            cand$r AS (
+              SELECT bc.vec_id, bc.best_cos FROM bc$r bc
+              LEFT JOIN $prev s ON s.vec_id = bc.vec_id
+              WHERE s.vec_id IS NULL),
+            pick$r AS (
+              SELECT vec_id, $r AS pick_rank, best_cos AS far_cos FROM (
+                SELECT *, row_number() OVER (ORDER BY best_cos, vec_id)
+                  AS rn FROM cand$r) t
+              WHERE rn = 1),
+            selall$r AS MATERIALIZED (
+              SELECT * FROM $prev UNION ALL SELECT * FROM pick$r)"""
+
+  // k-center coreset (Gonzalez farthest-point greedy, k = 8): the data-
+  // selection dual of dedup — pick the MOST diverse k exemplars, each
+  // round taking the vector least similar to every pick so far. far_cos
+  // is the coverage-radius curve as data. Engine: k−1 linear corpus
+  // passes with a broadcast 1-row pick and a min-struct argmin (ties to
+  // smallest id); oracle: the same greedy unrolled, recomputing each
+  // round's best-cos against the pick set (cosines mirror
+  // Vectors.cosine's dot/sqrt(na·nb) chain exactly).
+  private val curateCoreset = Q(
+    "curate_coreset",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.kcenterCoreset(emb, "vec_id", "embedding", k = 8)
+        .withColumn("far_cos", round(col("far_cos"), 4))
+        .orderBy(col("pick_rank"))
+    },
+    Some(s"""WITH eq AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            sel1 AS (
+              SELECT min(vec_id) AS vec_id, 1 AS pick_rank,
+                     CAST(NULL AS DOUBLE) AS far_cos
+              FROM eq),
+            ${coresetRoundSql(2, "sel1")},
+            ${coresetRoundSql(3, "selall2")},
+            ${coresetRoundSql(4, "selall3")},
+            ${coresetRoundSql(5, "selall4")},
+            ${coresetRoundSql(6, "selall5")},
+            ${coresetRoundSql(7, "selall6")},
+            ${coresetRoundSql(8, "selall7")}
+            SELECT CAST(pick_rank AS BIGINT) AS pick_rank, vec_id,
+                   round(far_cos, 4) AS far_cos
+            FROM selall8 ORDER BY pick_rank"""))
+
   // One DoReMi-flavored multiplicative-weights domain-reweighting round
   // (Xie et al. 2023, linearized): domains with EXCESS loss under the
   // corpus-trained unigram LM get upweighted vs the uniform prior —
@@ -2106,5 +2162,5 @@ object CurationQueries extends QueryModule {
     shardRebalancePlan, corpusDriftChi2, qualityMadOutlier,
     corpusNgramNovelty, curateParetoFront, corpusGini, packBfd,
     corpusDedupCurve, packFillReport, pipelineE2e,
-    curateKAnonymity, curateRandResponse, mixReweightRound)
+    curateKAnonymity, curateRandResponse, mixReweightRound, curateCoreset)
 }

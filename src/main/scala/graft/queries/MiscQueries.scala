@@ -622,9 +622,73 @@ object MiscQueries extends QueryModule {
             GROUP BY split, sh.n_straddling_users
             ORDER BY split"""))
 
+  // Type-2 slowly-changing-dimension compaction: each user's event_type
+  // stream collapses to validity intervals [valid_from, valid_to) — a
+  // new interval opens exactly where the tracked attribute CHANGES
+  // (lag-compare), the interval id is the running change count, and
+  // valid_to is the next interval's start (lead; NULL = current row, the
+  // open interval). The standard warehouse history-build from a change
+  // stream, all windows partitioned by user (millions of small
+  // partitions, never a global sort), integer epoch-micros throughout.
+  private val warehouseScd2 = Q(
+    "warehouse_scd2",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val prev = lag(col("event_type"), 1).over(ord)
+      val flagged = ev.withColumn("__chg",
+        when(prev.isNull || col("event_type") =!= prev, 1L).otherwise(0L))
+      val cum = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val intervals = flagged
+        .withColumn("seq", sum(col("__chg")).over(cum))
+        .groupBy(col("user_id"), col("seq"))
+        .agg(min(col("event_type")).as("event_type"), // constant per seq
+          count(lit(1)).as("n_events"),
+          min(col("us")).as("valid_from_us"))
+      intervals
+        .withColumn("valid_to_us",
+          lead(col("valid_from_us"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("seq"))))
+        .select(col("user_id"), col("seq"), col("event_type"),
+          col("n_events"), col("valid_from_us"), col("valid_to_us"))
+        .orderBy(col("user_id"), col("seq"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+              FROM events),
+            f AS (
+              SELECT user_id, event_id, event_type, us,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                            OR event_type != lag(event_type) OVER w
+                          THEN 1 ELSE 0 END AS chg
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            seqd AS (
+              SELECT user_id, event_type, us,
+                     CAST(sum(chg) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS seq
+              FROM f),
+            iv AS (
+              SELECT user_id, seq, min(event_type) AS event_type,
+                     count(1) AS n_events, min(us) AS valid_from_us
+              FROM seqd GROUP BY user_id, seq)
+            SELECT user_id, seq, event_type,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   valid_from_us,
+                   lead(valid_from_us) OVER (PARTITION BY user_id
+                     ORDER BY seq) AS valid_to_us
+            FROM iv ORDER BY user_id, seq"""))
+
   val qs: Seq[Q] = Seq(f9Geo, geoDistance, geoWithinJoin, o5DictSort, a10PubBreakdown,
     compositeField, jsonShred, cacheIncremental, cacheDaily,
     cacheCompletionMetrics, skewSaltedJoin,
     eventSessionize, eventFunnel, eventRetention, geoZorder,
-    eventTransitions, splitTemporal)
+    eventTransitions, splitTemporal, warehouseScd2)
 }

@@ -690,6 +690,18 @@ class PlanSpec extends SparkSpec {
     // sim_mmr is pin-eager (shortlist materializes at construction);
     // the residual plan must still be cartesian-free
     assert(!planOf("sim_mmr").contains("CartesianProduct"))
+    // warehouse_scd2: every window carries PARTITION BY user_id — the
+    // compaction must never fall back to a single-partition sort
+    val scd = planOf("warehouse_scd2")
+    assert(!scd.contains("CartesianProduct"), scd.take(2500))
+    val badWin = scd.linesIterator
+      .filter(l => l.contains("Window") && !l.contains("user_id")).toList
+    assert(badWin.isEmpty,
+      s"unpartitioned window in warehouse_scd2: $badWin")
+    // mix_reweight_round: dimension arithmetic — scalar attaches
+    // broadcast, never a cartesian
+    val mw = planOf("mix_reweight_round")
+    assert(!mw.contains("CartesianProduct"), mw.take(2500))
   }
 
   test("pipeline_e2e: the composed chain has no cartesian product and " +

@@ -635,6 +635,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("kcenterCoreset == in-memory Gonzalez greedy; radius curve rises") {
+    val rnd = new scala.util.Random(31)
+    val vecsSeq = (0L until 40L).map(i =>
+      (i, Array.fill(6)(rnd.nextDouble() * 2 - 1)))
+    val vecs = vecsSeq.map { case (i, v) => (i, v.map(_.toFloat).toSeq) }
+      .toDF("vec_id", "embedding")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      val p = na * nb; if (p > 0) d / math.sqrt(p) else 0.0
+    }
+    // the engine stores FLOAT vectors and casts to double — mirror that
+    // rounding or far_cos diverges in the 7th decimal
+    val dv = vecsSeq.map { case (i, v) =>
+      (i, v.map(x => x.toFloat.toDouble)) }.toMap
+    var picked = Vector(0L)
+    var fars = Vector.empty[Double]
+    while (picked.size < 6) {
+      val cands = vecsSeq.map(_._1).filterNot(picked.contains)
+        .map(i => (i, picked.map(p => cos(dv(i), dv(p))).max))
+      val best = cands.minBy { case (i, bc) => (bc, i) }
+      picked :+= best._1; fars :+= best._2
+    }
+    val got = Similarity.kcenterCoreset(vecs, "vec_id", "embedding", k = 6)
+      .orderBy(col("pick_rank"))
+      .select("vec_id", "far_cos")
+      .as[(Long, Option[Double])].collect()
+    assert(got.map(_._1).toSeq == picked)
+    assert(got.head._2.isEmpty, "seed pick carries NULL far_cos")
+    assert(got.tail.map(_._2.get).toSeq == fars)
+    // saturation: the farthest remaining point gets closer as picks land
+    assert(fars.last >= fars.head)
+  }
+
   test("mmrRerank == in-memory greedy; a near-duplicate of pick 1 is demoted") {
     val rnd = new scala.util.Random(17)
     val base = (0L until 24L).map(i =>
