@@ -1935,14 +1935,18 @@ object CurationQueries extends QueryModule {
       val perDoc = graft.pipeline.TextAnalysis.unigramSurprisal(
         docs, "doc_id", "text",
         docWordCounts = Some(TextQueries.cachedDocWords(s, dir)))
-      val dom = perDoc
+      // pin the domain-sized aggregate: the min/total scalar dims and the
+      // final select each re-execute their upstream otherwise, and the
+      // upstream here is the corpus-wide tokenize+vocab join (4 passes
+      // of it showed up as 4.4 s in the full bench; pinned: one pass)
+      val dom = graft.operators.Pinning.pin(perDoc
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),
           sum(col("surprisal_sum")).as("loss_sum"))
         .withColumn("mean_loss_u",
-          expr("(loss_sum * 1000000) div n_tokens"))
+          expr("(loss_sum * 1000000) div n_tokens")))
       val minLoss = dom.agg(min(col("mean_loss_u")).as("__min_u"))
       val w = dom.crossJoin(broadcast(minLoss))
         .withColumn("excess_u", col("mean_loss_u") - col("__min_u"))
@@ -2000,10 +2004,13 @@ object CurationQueries extends QueryModule {
     (s, dir) => {
       val k = 5L
       val docs = Tables.load(s, dir, "documents")
-      val g0 = docs
+      // pinned: the quasi-identifier aggregate feeds every ladder level,
+      // the resolution histogram AND the per-level stats — one corpus
+      // pass, then pure dimension arithmetic on the pinned KB-scale frame
+      val g0 = graft.operators.Pinning.pin(docs
         .groupBy(col("lang"), col("source"),
           (col("n_chars") / 500).cast("long").as("cb"))
-        .agg(count(lit(1)).as("n0"))
+        .agg(count(lit(1)).as("n0")))
       val g1 = g0.groupBy(col("lang"), col("source"))
         .agg(sum(col("n0")).as("n1"))
       val g2 = g1.groupBy(col("lang")).agg(sum(col("n1")).as("n2"))
