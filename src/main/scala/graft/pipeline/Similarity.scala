@@ -246,12 +246,26 @@ object Similarity {
     */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, shortlist: Int, k: Int): DataFrame = {
-    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $shortlist, $k")
-    import org.apache.spark.sql.expressions.Window
-    val short = graft.operators.Pinning.pin(
+    require(shortlist >= k, s"need shortlist >= k: $shortlist, $k")
+    mmrFromShortlist(
       bruteForceTopK(corpus, queries, id, vec, shortlist)
         .select(col("query_id"), col("neighbor_id").as("cand"),
-          col("cos").as("rel")))
+          col("cos").as("rel")),
+      corpus, id, vec, k)
+  }
+
+  /** [[mmrRerank]] over a CALLER-SUPPLIED relevance shortlist —
+    * (query_id, cand, rel) from any retrieval stage (RRF fusion, a
+    * learned scorer, an ANN index); the greedy and its scale shape are
+    * identical, only the candidate source changes. `corpus` supplies the
+    * vectors for the diversity penalty.
+    */
+  def mmrFromShortlist(shortRel: DataFrame, corpus: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val short = graft.operators.Pinning.pin(
+      shortRel.select(col("query_id"), col("cand"), col("rel")))
     // shortlist vectors attach once (|Q|·s rows), then per-query pairwise
     // sims (|Q|·s² rows) — the corpus never re-enters
     val cv = corpus.select(col(id).as("cand"), toDouble(col(vec)).as("__cv"))

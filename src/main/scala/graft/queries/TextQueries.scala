@@ -673,6 +673,170 @@ object TextQueries extends QueryModule {
             FROM topk WHERE fused_rank <= 10
             ORDER BY doc_id"""))
 
+  // one MMR greedy round over the fused shortlist (same shape as
+  // SimilarityQueries.mmrRoundSql; sh here carries cosine-to-query rel)
+  private def e2eMmrRoundSql(r: Int, prev: String): String =
+    s"""pen$r AS (
+              SELECT p.a AS cand, max(p.sim) AS ms
+              FROM ps p JOIN $prev x ON x.cand = p.b
+              GROUP BY 1),
+            sc$r AS (
+              SELECT s.cand, s.rel, 3 * s.rel - pen$r.ms AS score
+              FROM sh s JOIN pen$r USING (cand)
+              LEFT JOIN $prev x ON x.cand = s.cand
+              WHERE x.cand IS NULL),
+            sel$r AS MATERIALIZED (
+              SELECT cand, rel, $r AS pick FROM (
+                SELECT *, row_number() OVER (ORDER BY score DESC, cand)
+                  AS rn FROM sc$r) t
+              WHERE rn = 1),
+            selall$r AS MATERIALIZED (
+              SELECT * FROM $prev UNION ALL SELECT * FROM sel$r)"""
+
+  // The retrieval stack end-to-end as ONE oracle-checked chain — the
+  // search-side sibling of pipeline_e2e: BM25 top-20 + brute ANN top-20
+  // → reciprocal-rank fusion (recall stage) → embedding MMR top-5 over
+  // the fused pool (precision + diversity stage, rel = cosine to the
+  // query vector) → greedy context packing under a 1000-char budget in
+  // pick order (running sum, kept flag). Every stage is an
+  // already-verified operator; composing them in one lazy plan makes
+  // cross-stage seams (id drift, rank ties, rounding) surface as value
+  // mismatches against the single whole-chain oracle.
+  private val searchE2e = Q(
+    "search_e2e",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val lex = TextAnalysis.rankByScore(
+        TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "vector", "join"), k = 20),
+        "doc_id", "score", k = 20)
+      val ann = graft.pipeline.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = TextAnalysis.rrfFuse(
+        Seq("ann" -> ann, "bm25" -> lex), "doc_id", k = 10)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(graft.pipeline.Similarity.toDouble(col("embedding")).as("__qv"))
+      val shortlist = fused
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          "doc_id")
+        .crossJoin(broadcast(qv))
+        .select(lit(0L).as("query_id"), col("doc_id").as("cand"),
+          graft.functions.Vectors.cosine(
+            graft.pipeline.Similarity.toDouble(col("embedding")),
+            col("__qv")).as("rel"))
+      // full emb as the vector source: the query doc itself may sit in
+      // the fused pool (BM25 can rank it); the shortlist, not the
+      // corpus filter, decides candidacy
+      val picks = graft.pipeline.Similarity.mmrFromShortlist(
+        shortlist, emb, "vec_id", "embedding", k = 5)
+      val sized = picks
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("pick_rank"), col("rel"))
+        .join(fused.select(col("doc_id"), col("fused_rank")), "doc_id")
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      val cumW = Window.partitionBy(col("query_id"))
+        .orderBy(col("pick_rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sized.withColumn("cum_chars", sum(col("n_chars")).over(cumW))
+        .select(col("doc_id"), col("pick_rank"), col("fused_rank"),
+          round(col("rel"), 4).as("rel"), col("n_chars"),
+          col("cum_chars"), (col("cum_chars") <= 1000L).as("kept"))
+        .orderBy(col("pick_rank"))
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents),
+            dl AS (SELECT doc_id, len(w)::DOUBLE AS dl, w FROM t),
+            stats AS (SELECT count(*)::DOUBLE AS n,
+                             CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE)
+                               / count(*) AS avgdl
+                      FROM dl),
+            hits AS (
+              SELECT doc_id, dl, word, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, dl, unnest(w) AS word FROM dl)
+              WHERE word IN ('spark', 'vector', 'join')
+              GROUP BY 1, 2, 3),
+            dfs AS (SELECT word, count(*)::DOUBLE AS df FROM hits GROUP BY 1),
+            bscored AS (
+              SELECT doc_id, list_sum(list(s ORDER BY word)) AS score FROM (
+                SELECT h.doc_id, h.word,
+                       ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * h.tf * (1.2 + 1)
+                         / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / st.avgdl))
+                         AS s
+                FROM hits h JOIN dfs d USING (word), stats st)
+              GROUP BY 1),
+            bmr AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+              FROM (SELECT * FROM bscored ORDER BY score DESC, doc_id LIMIT 20)),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            annr AS (
+              SELECT doc_id, rank FROM (
+                SELECT c.vec_id AS doc_id,
+                       CAST(row_number() OVER (
+                         ORDER BY list_dot_product(q.v, c.v)
+                           / sqrt(list_dot_product(q.v, q.v)
+                                  * list_dot_product(c.v, c.v)) DESC,
+                                  c.vec_id) AS BIGINT) AS rank
+                FROM e q JOIN e c ON c.vec_id <> 0
+                WHERE q.vec_id = 0) r
+              WHERE rank <= 20),
+            u AS (SELECT 'ann' AS src, doc_id, rank FROM annr
+                  UNION ALL
+                  SELECT 'bm25' AS src, doc_id, rank FROM bmr),
+            f AS (SELECT doc_id,
+                         list_sum(list(1.0 / (60 + rank) ORDER BY src, rank)) AS rrf
+                  FROM u GROUP BY doc_id),
+            topk AS (SELECT doc_id, rrf,
+                            CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+                              AS fused_rank
+                     FROM f QUALIFY fused_rank <= 10),
+            sh AS MATERIALIZED (
+              SELECT tk.doc_id AS cand,
+                     list_dot_product(q.v, c.v)
+                       / sqrt(list_dot_product(q.v, q.v)
+                              * list_dot_product(c.v, c.v)) AS rel
+              FROM topk tk
+              JOIN e c ON c.vec_id = tk.doc_id
+              JOIN e q ON q.vec_id = 0),
+            ps AS MATERIALIZED (
+              SELECT a.cand AS a, b.cand AS b,
+                     list_dot_product(ea.v, eb.v)
+                       / sqrt(list_dot_product(ea.v, ea.v)
+                              * list_dot_product(eb.v, eb.v)) AS sim
+              FROM sh a JOIN sh b ON a.cand != b.cand
+              JOIN e ea ON ea.vec_id = a.cand
+              JOIN e eb ON eb.vec_id = b.cand),
+            sel1 AS MATERIALIZED (
+              SELECT cand, rel, 1 AS pick FROM (
+                SELECT *, row_number() OVER (ORDER BY rel DESC, cand)
+                  AS rn FROM sh) t
+              WHERE rn = 1),
+            ${e2eMmrRoundSql(2, "sel1")},
+            ${e2eMmrRoundSql(3, "selall2")},
+            ${e2eMmrRoundSql(4, "selall3")},
+            ${e2eMmrRoundSql(5, "selall4")},
+            sized AS (
+              SELECT s.cand AS doc_id, s.pick, s.rel, tk.fused_rank,
+                     d.n_chars
+              FROM selall5 s
+              JOIN topk tk ON tk.doc_id = s.cand
+              JOIN documents d ON d.doc_id = s.cand),
+            cum AS (
+              SELECT *, sum(n_chars) OVER (ORDER BY pick
+                ROWS UNBOUNDED PRECEDING) AS cum_chars
+              FROM sized)
+            SELECT doc_id, CAST(pick AS BIGINT) AS pick_rank, fused_rank,
+                   round(rel, 4) AS rel, n_chars,
+                   CAST(cum_chars AS BIGINT) AS cum_chars,
+                   cum_chars <= 1000 AS kept
+            FROM cum ORDER BY pick_rank"""))
+
   // Exact top-k frequent word trigrams — the boilerplate/template-mining
   // sweep a corpus release runs before training (frequent n-grams surface
   // shared headers, license blurbs, scraped chrome). Heavy-hitter posture:
@@ -1481,5 +1645,5 @@ object TextQueries extends QueryModule {
     textMgExactHeavy, textLrs, textNormalize, textProbeTrain, textProbeAuc,
     textProbeCalibration, textProbeTrainLexical, searchHybridRrf,
     textPiiScrub, textHeapsCurve, textZipfSlope, textFilterMcnemar,
-    textSimpson, textTtr)
+    textSimpson, textTtr, searchE2e)
 }

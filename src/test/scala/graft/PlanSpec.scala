@@ -702,6 +702,9 @@ class PlanSpec extends SparkSpec {
     // broadcast, never a cartesian
     val mw = planOf("mix_reweight_round")
     assert(!mw.contains("CartesianProduct"), mw.take(2500))
+    // search_e2e: the composed retrieval chain (BM25 + ANN → RRF → MMR →
+    // budget pack) — pin-eager like sim_mmr; residual plan cartesian-free
+    assert(!planOf("search_e2e").contains("CartesianProduct"))
   }
 
   test("pipeline_e2e: the composed chain has no cartesian product and " +
