@@ -594,9 +594,57 @@ object AggQueries extends QueryModule {
             JOIN method ON main.l_orderkey = method.l_orderkey
             ORDER BY id"""))
 
+  // EXACT per-group median + p90 without any per-row sort: for a
+  // bounded-domain measure (l_quantity: integers 1..50) the scalable
+  // exact form is a VALUE HISTOGRAM — one map-side-combinable count on
+  // (group, value), then a cumulative walk over the ≤50-row dimension
+  // per group (partitioned window over the histogram, never the rows).
+  // Lower median = first value with cum ≥ (n+1) div 2; p90 = first with
+  // cum ≥ ceil(9n/10) = (9n+9) div 10 — all integer arithmetic, the
+  // complement to the KMV approximate quantiles (a13_kmv_quantile) when
+  // the domain is enumerable. At 100 TB the shuffle carries one row per
+  // (group, distinct value) per task.
+  private val aggMedianExact = Q(
+    "agg_median_exact",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+      val h = li.groupBy(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("c"))
+      val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nW = Window.partitionBy(col("l_returnflag"))
+      h.withColumn("cum", sum(col("c")).over(cumW))
+        .withColumn("n", sum(col("c")).over(nW))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n_rows"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("qty")))
+            .as("median_qty"),
+          min(when(col("cum") * 10 >= col("n") * 9 + 9, col("qty")))
+            .as("p90_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH h AS (
+              SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                     count(1) AS c
+              FROM lineitem GROUP BY 1, 2),
+            w AS (
+              SELECT l_returnflag, qty, c,
+                     sum(c) OVER (PARTITION BY l_returnflag ORDER BY qty
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(c) OVER (PARTITION BY l_returnflag) AS n
+              FROM h)
+            SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+                   CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN qty END)
+                     AS BIGINT) AS median_qty,
+                   CAST(min(CASE WHEN cum * 10 >= n * 9 + 9 THEN qty END)
+                     AS BIGINT) AS p90_qty
+            FROM w GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val qs: Seq[Q] = Seq(
     a1Breakdown, a2Crosstab, a3CountHaving, a4Completion, a5SeqbinStats,
     a6N50, a6NStatsAgg, a7Stats, a7Histogram, a8Combinations, a9Top5,
     a9Rollup, a12Growth, a13Distinct, a13Hll, a13Kmv, seqbinBreakdown,
-    reportIsolate)
+    reportIsolate, aggMedianExact)
 }

@@ -686,9 +686,66 @@ object MiscQueries extends QueryModule {
                      ORDER BY seq) AS valid_to_us
             FROM iv ORDER BY user_id, seq"""))
 
+  // AS-OF join via the merge-scan form (the J13 variant SURVEY marked
+  // n/a for the reference — implemented here for the pipeline side):
+  // each purchase matches the LATEST preceding view of the same user.
+  // Instead of a per-row range join (candidate explosion at 100 TB),
+  // both streams union into ONE user-partitioned ordered scan and a
+  // last-non-null window carries the most recent view forward — one
+  // shuffle on user_id, state = one value per scan position. Ties at
+  // the same timestamp break by event_id (a view with the smaller id
+  // counts as preceding). Integer epoch-micros; NULL = no prior view.
+  private val joinAsof = Q(
+    "join_asof",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .filter(col("event_type").isin("view", "purchase"))
+      val tagged = ev
+        .withColumn("__vid",
+          when(col("event_type") === "view", col("event_id")))
+        .withColumn("__vus",
+          when(col("event_type") === "view", col("us")))
+      val scan = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_view_id", last(col("__vid"), ignoreNulls = true).over(scan))
+        .withColumn("asof_view_us", last(col("__vus"), ignoreNulls = true).over(scan))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("us").as("purchase_us"), col("asof_view_id"),
+          col("asof_view_us"),
+          (col("us") - col("asof_view_us")).as("lag_us"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+              FROM events
+              WHERE event_type IN ('view', 'purchase')),
+            t AS (
+              SELECT user_id, event_id, event_type, us,
+                     CASE WHEN event_type = 'view' THEN event_id END AS vid,
+                     CASE WHEN event_type = 'view' THEN us END AS vus
+              FROM e),
+            sc AS (
+              SELECT user_id, event_id, event_type, us,
+                     last_value(vid IGNORE NULLS) OVER w AS asof_view_id,
+                     last_value(vus IGNORE NULLS) OVER w AS asof_view_us
+              FROM t
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING))
+            SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+                   asof_view_id, asof_view_us,
+                   us - asof_view_us AS lag_us
+            FROM sc WHERE event_type = 'purchase'
+            ORDER BY purchase_id"""))
+
   val qs: Seq[Q] = Seq(f9Geo, geoDistance, geoWithinJoin, o5DictSort, a10PubBreakdown,
     compositeField, jsonShred, cacheIncremental, cacheDaily,
     cacheCompletionMetrics, skewSaltedJoin,
     eventSessionize, eventFunnel, eventRetention, geoZorder,
-    eventTransitions, splitTemporal, warehouseScd2)
+    eventTransitions, splitTemporal, warehouseScd2, joinAsof)
 }

@@ -705,6 +705,18 @@ class PlanSpec extends SparkSpec {
     // search_e2e: the composed retrieval chain (BM25 + ANN → RRF → MMR →
     // budget pack) — pin-eager like sim_mmr; residual plan cartesian-free
     assert(!planOf("search_e2e").contains("CartesianProduct"))
+    // join_asof: merge-scan as-of — windows partition by user, never a
+    // range join or cartesian
+    val ao = planOf("join_asof")
+    assert(!ao.contains("CartesianProduct"), ao.take(2500))
+    assert(ao.linesIterator.filter(_.contains("Window"))
+      .forall(_.contains("user_id")), s"unpartitioned window:\n${ao.take(2500)}")
+    // agg_median_exact: the cumulative walk runs over the ≤50-row value
+    // histogram, partitioned by group — no per-row window, no cartesian
+    val me = planOf("agg_median_exact")
+    assert(!me.contains("CartesianProduct"), me.take(2500))
+    assert(me.linesIterator.filter(_.contains("Window"))
+      .forall(_.contains("l_returnflag")), s"unpartitioned window:\n${me.take(2500)}")
   }
 
   test("pipeline_e2e: the composed chain has no cartesian product and " +
