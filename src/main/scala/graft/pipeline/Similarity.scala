@@ -34,6 +34,28 @@ object Similarity {
 
   def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
+  /** Oracle-exactness quantization (the embed_jl_project posture, SURVEY
+    * §2.18): snap each float component onto the 1e-4 integer grid via
+    * floor(x·1e4 + 0.5) — identical IEEE ops in every engine, so
+    * identical grids. Downstream dot products become sums of
+    * integer-valued doubles far below 2^53: EXACT, order-independent,
+    * immune to cross-engine float-association ties. Cosines of quantized
+    * vectors are deterministic doubles (exact ints through correctly-
+    * rounded mul/div/sqrt), so a floor-bucket emission can never flip a
+    * digit between engines. DuckDB mirror:
+    * `list_transform(v::DOUBLE[], x -> floor(x * 10000.0 + 0.5))`.
+    */
+  def gridQuantize(a: Column): Column =
+    transform(a, x => floor(x.cast("double") * lit(10000.0) + lit(0.5))
+      .cast("double"))
+
+  /** 4-decimal display bucket of a DETERMINISTIC double (e.g. a cosine
+    * of [[gridQuantize]]d vectors): floor(x·1e4)/1e4 — exact on
+    * identical inputs, unlike the tie-unstable round(double, 4).
+    * DuckDB mirror: `floor(x * 10000.0) / 10000.0`.
+    */
+  def bucket4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
+
   /** Bounded per-group bottom-k: the k smallest values of `child` under
     * natural struct order, returned as an ascending array. Wraps Spark's
     * `CollectTopK` (a BoundedPriorityQueue TypedImperativeAggregate), so
@@ -1483,6 +1505,7 @@ object Similarity {
     */
   def corenessHIndex(edges: DataFrame, id1: String, id2: String,
       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"corenessHIndex needs rounds >= 1, got $rounds")
     val sym = graft.operators.Pinning.pin(
       edges.select(col(id1).as("src"), col(id2).as("dst"))
         .unionByName(edges.select(col(id2).as("src"), col(id1).as("dst")))

@@ -86,15 +86,19 @@ object AggQueries extends QueryModule {
     "a5_seqbin_stats",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
+      // lengths are integer-valued: sum/max on BIGINT — exact in any
+      // association order, no float round crosses the oracle (§2.18)
       li.groupBy(col("l_orderkey")).agg(
           count(lit(1)).as("contigs"),
-          round(sum(col("l_quantity")), 4).as("total_length"),
-          round(max(col("l_quantity")), 4).as("max_length"))
+          sum(col("l_quantity").cast("long")).as("total_length"),
+          max(col("l_quantity").cast("long")).as("max_length"))
         .orderBy(col("l_orderkey"))
     },
     Some("""SELECT l_orderkey, count(1) AS contigs,
-                   round(sum(l_quantity), 4) AS total_length,
-                   round(max(l_quantity), 4) AS max_length
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS total_length,
+                   CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS max_length
             FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
   // A6: N50 — sort lengths desc within group, running sum, first value whose
@@ -120,10 +124,14 @@ object AggQueries extends QueryModule {
         .withColumn("half", sum(col("blocksum")).over(tot) / 2.0)
         .filter(col("cum") >= col("half"))
         .groupBy(col("l_returnflag"))
-        .agg(round(max(col("l_quantity")), 4).as("n50"))
+        // quantities are integer-valued: emit the crossing length as
+        // BIGINT — no float round crosses the oracle (§2.18)
+        .agg(max(col("l_quantity").cast("long")).as("n50"))
         .orderBy(col("l_returnflag"))
     },
-    Some("""SELECT l_returnflag, round(max(l_quantity), 4) AS n50 FROM (
+    Some("""SELECT l_returnflag,
+                   CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS n50
+            FROM (
               SELECT l_returnflag, l_quantity,
                      sum(l_quantity) OVER (PARTITION BY l_returnflag
                        ORDER BY l_quantity DESC, l_orderkey, l_linenumber
@@ -143,23 +151,29 @@ object AggQueries extends QueryModule {
       // rounding, order-free addition) feed the mean and the
       // sum-of-squares sd as deterministic double algebra both engines
       // evaluate identically
+      // min/max are raw stored 2-decimal doubles (bit-identical scans,
+      // no rounding needed at all); mean/sd are deterministic double
+      // algebra over the exact decimal sums, emitted as floor-buckets —
+      // never round(double, 4) (§2.18)
       val x = col("l_extendedprice")
       li.groupBy(col("l_returnflag")).agg(
           sum(x.cast("decimal(38,18)")).cast("double").as("__sx"),
           sum((x * x).cast("decimal(38,18)")).cast("double").as("__sxx"),
           count(lit(1)).cast("double").as("__n"),
-          round(min(x), 4).as("min_price"),
-          round(max(x), 4).as("max_price"))
+          min(x).as("min_price"),
+          max(x).as("max_price"))
         .select(col("l_returnflag"),
-          round(col("__sx") / col("__n"), 4).as("mean_price"),
-          round(sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n"))
-            / (col("__n") - 1)), 4).as("sd_price"),
+          (floor(col("__sx") / col("__n") * 10000.0) / 10000.0)
+            .as("mean_price"),
+          (floor(sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n"))
+            / (col("__n") - 1)) * 10000.0) / 10000.0).as("sd_price"),
           col("min_price"), col("max_price"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
-                   round(sx / n, 4) AS mean_price,
-                   round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS sd_price,
+                   floor(sx / n * 10000.0) / 10000.0 AS mean_price,
+                   floor(sqrt((sxx - sx * sx / n) / (n - 1)) * 10000.0)
+                     / 10000.0 AS sd_price,
                    min_price, max_price
             FROM (SELECT l_returnflag,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18)))
@@ -167,8 +181,8 @@ object AggQueries extends QueryModule {
                    CAST(sum(CAST(l_extendedprice * l_extendedprice
                      AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
                    count(*)::DOUBLE AS n,
-                   round(min(l_extendedprice), 4) AS min_price,
-                   round(max(l_extendedprice), 4) AS max_price
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price
                    FROM lineitem GROUP BY l_returnflag)
             ORDER BY l_returnflag"""))
 
@@ -600,7 +614,8 @@ object AggQueries extends QueryModule {
   // (group, value), then a cumulative walk over the ≤50-row dimension
   // per group (partitioned window over the histogram, never the rows).
   // Lower median = first value with cum ≥ (n+1) div 2; p90 = first with
-  // cum ≥ ceil(9n/10) = (9n+9) div 10 — all integer arithmetic, the
+  // cum ≥ ceil(9n/10), i.e. 10·cum ≥ 9n for integer cum — all integer
+  // arithmetic (nearest-rank definition, defined for every n ≥ 1), the
   // complement to the KMV approximate quantiles (a13_kmv_quantile) when
   // the domain is enumerable. At 100 TB the shuffle carries one row per
   // (group, distinct value) per task.
@@ -621,7 +636,7 @@ object AggQueries extends QueryModule {
         .agg(max(col("n")).as("n_rows"),
           min(when(col("cum") >= expr("(n + 1) div 2"), col("qty")))
             .as("median_qty"),
-          min(when(col("cum") * 10 >= col("n") * 9 + 9, col("qty")))
+          min(when(col("cum") * 10 >= col("n") * 9, col("qty")))
             .as("p90_qty"))
         .orderBy(col("l_returnflag"))
     },
@@ -638,7 +653,7 @@ object AggQueries extends QueryModule {
             SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
                    CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN qty END)
                      AS BIGINT) AS median_qty,
-                   CAST(min(CASE WHEN cum * 10 >= n * 9 + 9 THEN qty END)
+                   CAST(min(CASE WHEN cum * 10 >= n * 9 THEN qty END)
                      AS BIGINT) AS p90_qty
             FROM w GROUP BY l_returnflag ORDER BY l_returnflag"""))
 

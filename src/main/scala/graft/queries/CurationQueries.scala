@@ -1888,18 +1888,23 @@ object CurationQueries extends QueryModule {
   // is the coverage-radius curve as data. Engine: k−1 linear corpus
   // passes with a broadcast 1-row pick and a min-struct argmin (ties to
   // smallest id); oracle: the same greedy unrolled, recomputing each
-  // round's best-cos against the pick set (cosines mirror
-  // Vectors.cosine's dot/sqrt(na·nb) chain exactly).
+  // round's best-cos against the pick set. Oracle exactness: components
+  // quantize onto the 1e-4 integer grid (Similarity.gridQuantize) so
+  // every cosine — argmin comparisons included — is deterministic in
+  // both engines, and far_cos emits as a floor-bucket, never
+  // round(double, 4).
   private val curateCoreset = Q(
     "curate_coreset",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("embedding", Similarity.gridQuantize(col("embedding")))
       Similarity.kcenterCoreset(emb, "vec_id", "embedding", k = 8)
-        .withColumn("far_cos", round(col("far_cos"), 4))
+        .withColumn("far_cos", Similarity.bucket4(col("far_cos")))
         .orderBy(col("pick_rank"))
     },
     Some(s"""WITH eq AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              SELECT vec_id, list_transform(embedding::DOUBLE[],
+                       x -> floor(x * 10000.0 + 0.5)) AS v
               FROM embeddings),
             sel1 AS (
               SELECT min(vec_id) AS vec_id, 1 AS pick_rank,
@@ -1913,7 +1918,7 @@ object CurationQueries extends QueryModule {
             ${coresetRoundSql(7, "selall6")},
             ${coresetRoundSql(8, "selall7")}
             SELECT CAST(pick_rank AS BIGINT) AS pick_rank, vec_id,
-                   round(far_cos, 4) AS far_cos
+                   floor(far_cos * 10000.0) / 10000.0 AS far_cos
             FROM selall8 ORDER BY pick_rank"""))
 
   // One DoReMi-flavored multiplicative-weights domain-reweighting round

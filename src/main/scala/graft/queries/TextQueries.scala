@@ -717,21 +717,26 @@ object TextQueries extends QueryModule {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       val fused = TextAnalysis.rrfFuse(
         Seq("ann" -> ann, "bm25" -> lex), "doc_id", k = 10)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(graft.pipeline.Similarity.toDouble(col("embedding")).as("__qv"))
+      // precision stage on the 1e-4 integer grid (the embed_jl_project
+      // oracle-exactness posture): rel, the MMR pairwise sims, and the
+      // 3·rel − maxsim scores are all deterministic doubles in both
+      // engines, and rel emits as a floor-bucket, never round(double, 4)
+      val embQ = emb.withColumn("embedding",
+        graft.pipeline.Similarity.gridQuantize(col("embedding")))
+      val qv = embQ.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__qv"))
       val shortlist = fused
-        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        .join(embQ.select(col("vec_id").as("doc_id"), col("embedding")),
           "doc_id")
         .crossJoin(broadcast(qv))
         .select(lit(0L).as("query_id"), col("doc_id").as("cand"),
-          graft.functions.Vectors.cosine(
-            graft.pipeline.Similarity.toDouble(col("embedding")),
-            col("__qv")).as("rel"))
+          graft.functions.Vectors.cosine(col("embedding"), col("__qv"))
+            .as("rel"))
       // full emb as the vector source: the query doc itself may sit in
       // the fused pool (BM25 can rank it); the shortlist, not the
       // corpus filter, decides candidacy
       val picks = graft.pipeline.Similarity.mmrFromShortlist(
-        shortlist, emb, "vec_id", "embedding", k = 5)
+        shortlist, embQ, "vec_id", "embedding", k = 5)
       val sized = picks
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("pick_rank"), col("rel"))
@@ -742,7 +747,8 @@ object TextQueries extends QueryModule {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       sized.withColumn("cum_chars", sum(col("n_chars")).over(cumW))
         .select(col("doc_id"), col("pick_rank"), col("fused_rank"),
-          round(col("rel"), 4).as("rel"), col("n_chars"),
+          graft.pipeline.Similarity.bucket4(col("rel")).as("rel"),
+          col("n_chars"),
           col("cum_chars"), (col("cum_chars") <= 1000L).as("kept"))
         .orderBy(col("pick_rank"))
     },
@@ -775,6 +781,8 @@ object TextQueries extends QueryModule {
                      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
               FROM (SELECT * FROM bscored ORDER BY score DESC, doc_id LIMIT 20)),
             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            eqz AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                      x -> floor(x * 10000.0 + 0.5)) AS v FROM embeddings),
             annr AS (
               SELECT doc_id, rank FROM (
                 SELECT c.vec_id AS doc_id,
@@ -802,16 +810,16 @@ object TextQueries extends QueryModule {
                        / sqrt(list_dot_product(q.v, q.v)
                               * list_dot_product(c.v, c.v)) AS rel
               FROM topk tk
-              JOIN e c ON c.vec_id = tk.doc_id
-              JOIN e q ON q.vec_id = 0),
+              JOIN eqz c ON c.vec_id = tk.doc_id
+              JOIN eqz q ON q.vec_id = 0),
             ps AS MATERIALIZED (
               SELECT a.cand AS a, b.cand AS b,
                      list_dot_product(ea.v, eb.v)
                        / sqrt(list_dot_product(ea.v, ea.v)
                               * list_dot_product(eb.v, eb.v)) AS sim
               FROM sh a JOIN sh b ON a.cand != b.cand
-              JOIN e ea ON ea.vec_id = a.cand
-              JOIN e eb ON eb.vec_id = b.cand),
+              JOIN eqz ea ON ea.vec_id = a.cand
+              JOIN eqz eb ON eb.vec_id = b.cand),
             sel1 AS MATERIALIZED (
               SELECT cand, rel, 1 AS pick FROM (
                 SELECT *, row_number() OVER (ORDER BY rel DESC, cand)
@@ -832,7 +840,7 @@ object TextQueries extends QueryModule {
                 ROWS UNBOUNDED PRECEDING) AS cum_chars
               FROM sized)
             SELECT doc_id, CAST(pick AS BIGINT) AS pick_rank, fused_rank,
-                   round(rel, 4) AS rel, n_chars,
+                   floor(rel * 10000.0) / 10000.0 AS rel, n_chars,
                    CAST(cum_chars AS BIGINT) AS cum_chars,
                    cum_chars <= 1000 AS kept
             FROM cum ORDER BY pick_rank"""))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * ground truth it claims: synchronous h-index rounds decrease monotonically
   * to the exact vertex coreness (Lü et al. 2016), so a converged round count
   * must equal a brute-force k-core peel — and one extra round must change
-  * nothing. sim_coreness runs 3 rounds on the mutual-kNN graph (degree ≤ k);
+  * nothing. sim_coreness runs 5 rounds on the mutual-kNN graph (degree ≤ k);
   * these fixtures bound the same regime.
   */
 class CorenessSpec extends SparkSpec {
