@@ -394,8 +394,13 @@ object Clustering {
     * spilled to a memory-mapped temp file above `mmapThreshold` profiles —
     * the SAME fallback the reference takes when its PDL dismat outgrows
     * RAM (lincodes.pl mmap posture). Identical traversal semantics either
-    * way; the mmap path trades driver heap (n=200k would need 80 GiB) for
-    * a disk file the OS pages.
+    * way (ClusteringSpec pins heap == forced-mmap order); the mmap path
+    * trades driver heap (n=200k would need 80 GiB) for a disk file the
+    * OS pages. The default threshold (16384 → ≤ 512 MiB heap triangle)
+    * keeps driver HEAP O(n) on modest cluster drivers: beyond it the
+    * only O(n²) structure is the file, and resident pages are
+    * OS-evictable cache, not JVM heap. ScaleProbeG4 measures both
+    * assignment paths at growing profile counts.
     */
   private sealed trait TriStore {
     def get(idx: Long): Float
@@ -441,7 +446,7 @@ object Clustering {
       entity: String,
       maxMissing: Int = Int.MaxValue,
       batchSize: Int = 4096,
-      mmapThreshold: Int = 46000): Seq[Long] = {
+      mmapThreshold: Int = 16384): Seq[Long] = {
     val spark = wh.sparkSession
     import spark.implicits._
     val base = bulkProjection(wh, entity, maxMissing)
@@ -473,11 +478,20 @@ object Clustering {
       val hi = batch.last
       val a = prof.filter(col("__pos") >= batch.head && col("__pos") <= hi)
       val b = prof.filter(col("__pos") < hi)
-      b.as("b").join(broadcast(a.as("a")), col("b.__pos") < col("a.__pos"))
+      // toLocalIterator, not collect: a batch against a wide assigned
+      // prefix is up to batchSize·n triples — streamed one partition at
+      // a time into the triangle, transient driver memory stays
+      // O(partition), and the only O(n²) residence is the TriStore
+      // (heap ≤ 512 MiB, mmap'd file beyond)
+      val it = b.as("b")
+        .join(broadcast(a.as("a")), col("b.__pos") < col("a.__pos"))
         .select(col("b.__pos").as("i"), col("a.__pos").as("j"),
           refDistCol(col("a.__prof"), col("b.__prof")).cast("float").as("d"))
-        .as[(Int, Int, Float)].collect()
-        .foreach { case (i, j, d) => tri.set(j.toLong * (j - 1) / 2 + i, d) }
+        .as[(Int, Int, Float)].toLocalIterator()
+      while (it.hasNext) {
+        val (i, j, d) = it.next()
+        tri.set(j.toLong * (j - 1) / 2 + i, d)
+      }
     }
     def dist(i: Int, j: Int): Float =
       if (i < j) tri.get(j.toLong * (j - 1) / 2 + i)

@@ -391,6 +391,14 @@ object Dedup {
       .filter(size(col("__raw")) > 0)
     val ex = tok.select(col("__id"), explode(col("__raw")).as("__t"))
     val freq = ex.groupBy(col("__t")).agg(count(lit(1)).as("__f"))
+    // midprefix (PPJoin probe/index asymmetry, Xiao et al. TODS 2011):
+    // for the (n,id)-SMALLER record of a qualifying pair the overlap
+    // bound tightens to alpha >= ceil(2t/(1+t)·n), so its prefix can
+    // shrink to n − ceil(2t/(1+t)·n) + 1 tokens. 2t/(1+t) in basis
+    // points is 2·tb/(10000+tb); same floor()-division exactness bound
+    // as ceilBp (numerator < 2^45).
+    def ceilMidBp(n: Column): Column =
+      floor((n * (2 * tb) + (10000 + tb - 1)) / (10000 + tb)).cast("long")
     val orderedPlan = ex.join(freq, "__t")
       .groupBy(col("__id"))
       .agg(sort_array(collect_list(struct(col("__f"), col("__t")))).as("__st"))
@@ -398,30 +406,48 @@ object Dedup {
         transform(col("__st"), x => x.getField("__t")).as("__ts"))
       .withColumn("__n", size(col("__ts")).cast("long"))
       .withColumn("__p", (col("__n") - ceilBp(col("__n")) + 1).cast("int"))
+      .withColumn("__pm", (col("__n") - ceilMidBp(col("__n")) + 1).cast("int"))
     // consumed three ways (prefix explode + both verify attaches): pin
     // THIS call's execution once; see the scaladoc materialization note
     val ordered =
       if (eager) graft.operators.Pinning.pin(orderedPlan) else orderedPlan
-    val prefix = ordered.select(col("__id"), col("__n"),
+    val prefix = ordered.select(col("__id"), col("__n"), col("__pm"),
         posexplode(slice(col("__ts"), lit(1), col("__p"))).as(Seq("__i", "__t")))
-      .select(col("__id"), col("__n"), (col("__i") + 1).cast("long").as("__pp"),
-        col("__t"))
+      .select(col("__id"), col("__n"), col("__pm"),
+        (col("__i") + 1).cast("long").as("__pp"), col("__t"))
     // alpha = ceil(t/(1+t)·(n1+n2)) in basis points: (tb·s + (10000+tb-1))
     // div (10000+tb) — exact for rational t, no float ceil. floor() makes
     // the double `/` integral (same < 2^45 exactness bound as ceilBp).
     val alpha = floor(
       (lit(tb) * (col("__n1") + col("__n2")) + (10000 + tb - 1)) /
         (10000 + tb)).cast("long")
-    val cands = prefix.select(col("__id").as("id1"), col("__n").as("__n1"),
+    // Candidate join with the asymmetric prefixes: the (n,id)-lex-smaller
+    // record probes with its MIDPREFIX only, the larger is indexed under
+    // its full Jaccard prefix. Completeness: a qualifying pair (o >=
+    // alpha) shares a token within (n − o + 1)-prefixes of both sides
+    // (the classic prefix lemma on the global token order), and o >=
+    // ceil(2t/(1+t)·n_small) and o >= ceil(t·n_large) for any pair that
+    // can survive the length filter — so midprefix(small) × prefix(large)
+    // must collide. The lex order makes each unordered pair probe in
+    // exactly ONE orientation; every downstream filter is least/greatest-
+    // symmetric, so sides canonicalize to (min id, max id) at the end.
+    // The positional filter stays sound row-wise: for ANY common token of
+    // a qualifying pair, common-before <= min(p1,p2)−1 and common-after
+    // <= min(n1−p1, n2−p2) under the shared global order.
+    val cands = prefix.filter(col("__pp") <= col("__pm"))
+      .select(col("__id").as("id1_"), col("__n").as("__n1"),
         col("__pp").as("__p1"), col("__t"))
-      .join(prefix.select(col("__id").as("id2"), col("__n").as("__n2"),
+      .join(prefix.select(col("__id").as("id2_"), col("__n").as("__n2"),
         col("__pp").as("__p2"), col("__t")), "__t")
-      .filter(col("id1") < col("id2"))
+      .filter(col("__n1") < col("__n2") ||
+        (col("__n1") === col("__n2") && col("id1_") < col("id2_")))
       .filter(least(col("__n1"), col("__n2")) >=
         ceilBp(greatest(col("__n1"), col("__n2"))))
       .filter(least(col("__p1"), col("__p2")) +
         least(col("__n1") - col("__p1"), col("__n2") - col("__p2")) >= alpha)
-      .select(col("id1"), col("id2")).distinct()
+      .select(least(col("id1_"), col("id2_")).as("id1"),
+        greatest(col("id1_"), col("id2_")).as("id2"))
+      .distinct()
     // The candidate list (~10²·n pairs at low thresholds) dwarfs the
     // ordered-token table (n rows): letting Catalyst sort-merge these
     // joins shuffles BOTH docs' full shingle arrays once per candidate
@@ -448,7 +474,15 @@ object Dedup {
           (acc, x) => acc + perTok(x))), lit(0L))).head.getLong(0)
       r <= (256L << 20)
     })
-    def side(d: DataFrame) = if (bcast) broadcast(d) else d
+    // Post-gate attach strategy: SHUFFLE_HASH with the dimension as the
+    // build side. Sort-merge would SORT both inputs — including, on the
+    // second attach, the candidate rows already carrying the first
+    // doc's token array (tens of GB at 100×, the r10 probe's knee); the
+    // hash join streams the array-carrying side untouched and builds
+    // only the per-partition dimension slice (~dimension/shuffle-
+    // partitions, bounded by doc count not pair count).
+    def side(d: DataFrame) =
+      if (bcast) broadcast(d) else d.hint("SHUFFLE_HASH")
     val a1 = side(ordered.select(col("__id").as("id1"),
       col("__ts").as("__ts1"), col("__n").as("__n1")))
     val a2 = side(ordered.select(col("__id").as("id2"),
