@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Single-pass scale probe for operators whose 100× runs are too long
+  * for the bench harness's warm-up + min-of-2 discipline, plus the
+  * documented scale-path VARIANTS of fixture-capped queries:
+  *
+  *  - any name in SparkEntry.queries → that query, one timed pass
+  *    (cold-ish; numbers are upper bounds vs the bench's steady-state)
+  *  - `sim_dbscan_lsh` → DBSCAN over Similarity.lshNearDupPairs on the
+  *    FULL embeddings table (the operator contract's 100 TB pair
+  *    source; the bench's sim_dbscan runs exact all-pairs behind its
+  *    500-vector fixture cap, which the slice's vec_id relabeling
+  *    does not grow)
+  *
+  * usage: ScaleProbeOps <sfDir> <name>[,name...]
+  */
+object ScaleProbeOps {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").map(_.trim).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.names.foreach { t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
+    def dbscanLsh() = {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val pairs = graft.pipeline.Similarity.lshNearDupPairs(
+        emb, "vec_id", "embedding", dim = 64, minCos = 0.35,
+        bits = 16, tables = 4)
+      graft.pipeline.Similarity.dbscan(emb, pairs, "vec_id", minPts = 2)
+    }
+    names.foreach { name =>
+      val fn: () => org.apache.spark.sql.DataFrame =
+        if (name == "sim_dbscan_lsh") () => dbscanLsh()
+        else () => SparkEntry.queries(name)(spark, sfDir)
+      val t0 = System.nanoTime()
+      val n = fn().queryExecution.toRdd.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name%s","rows":$n%d,"sec":$secs%.3f,"mode":"single-pass","sf":"$sfDir%s"}""")
+    }
+    spark.stop()
+  }
+}

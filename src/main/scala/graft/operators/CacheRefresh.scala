@@ -76,10 +76,16 @@ object CacheRefresh {
     * on POSIX and HDFS). Readers resolve through [[resolveLive]], so they
     * always see a complete snapshot: either vN-1 or vN, never a partial or
     * missing directory. Older versions are pruned only after the pointer
-    * moves on.
+    * moves on, and never before `minRetainMs` of age — so an in-flight
+    * scan survives even a refresh STORM (several cycles inside one scan's
+    * lifetime; FederationSpec races a hammering reader against four
+    * back-to-back swaps), not just the single-cycle N-1 window. Under a
+    * cron-cadence refresh the grace never retains more than one extra
+    * version; a pathological storm retains at most its own burst.
     */
   def fullSwap(rebuilt: DataFrame, livePath: String,
-      numFiles: Option[Int] = None): Unit = {
+      numFiles: Option[Int] = None,
+      minRetainMs: Long = 10L * 60 * 1000): Unit = {
     val conf = rebuilt.sparkSession.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val pointer = new org.apache.hadoop.fs.Path(livePath + ".current")
@@ -104,11 +110,19 @@ object CacheRefresh {
     out.write(versioned.getBytes("UTF-8")); out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(conf)
       .rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // prune version N-2, keeping N-1 alive: a reader that resolved the old
-    // pointer just before the swap can still finish its scan; only readers
-    // older than one full refresh cycle lose their files
-    prevV.filter(_ >= 2).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$livePath.v${v - 1}"), true))
+    // prune STALE versions below N-1: a reader that resolved the old
+    // pointer just before the swap can still finish its scan (N-1 always
+    // survives), and the age grace keeps any version a live scan could
+    // still hold even when refreshes arrive faster than scans complete
+    prevV.filter(_ >= 2).foreach { pv =>
+      val now = System.currentTimeMillis()
+      (1 until pv).foreach { v =>
+        val p = new org.apache.hadoop.fs.Path(s"$livePath.v$v")
+        if (fs.exists(p) &&
+            now - fs.getFileStatus(p).getModificationTime > minRetainMs)
+          fs.delete(p, true)
+      }
+    }
   }
 
   /** Resolve the live snapshot directory for a cache published by

@@ -26,6 +26,59 @@ class FederationSpec extends SparkSpec {
     assert(rows(r2.orderBy("id")) == Seq(Seq(1L, "a2"), Seq(3L, "c")))
   }
 
+  test("a reader planned before the swap still scans its COMPLETE old " +
+      "snapshot (N-1 retention)") {
+    val live = tmpLive("dim_inflight")
+    Federation.replicateDimension(
+      Seq((1L, "old"), (2L, "old")).toDF("id", "v"), live)
+    // reader resolves the pointer NOW; the plan is lazy — the scan runs
+    // only after the swap below (the Datastore.pm rename-swap hazard:
+    // its drop-and-rename would yank the table out from under this scan)
+    val inflight = Federation.readDimension(spark, live)
+    Federation.replicateDimension(
+      Seq((1L, "new"), (3L, "new")).toDF("id", "v"), live)
+    assert(rows(inflight.orderBy("id")) ==
+      Seq(Seq(1L, "old"), Seq(2L, "old")),
+      "in-flight reader must finish against the version it resolved")
+    assert(rows(Federation.readDimension(spark, live).orderBy("id")) ==
+      Seq(Seq(1L, "new"), Seq(3L, "new")))
+  }
+
+  test("concurrent readers during a swap see exactly old-or-new, never " +
+      "partial") {
+    val live = tmpLive("dim_concurrent")
+    val nRows = 64
+    def snapshot(tag: String) =
+      spark.range(nRows).select(col("id"), lit(tag).as("v"))
+    Federation.replicateDimension(snapshot("old"), live)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        // resolve + full scan, exactly the query-layer read path
+        val got = Federation.readDimension(spark, live)
+          .select(col("v")).distinct().collect().map(_.getString(0)).toSet
+        val n = Federation.readDimension(spark, live).count()
+        if (!(got == Set("old") || got == Set("new")))
+          bad.add(s"mixed snapshot: $got")
+        if (n != nRows) bad.add(s"partial snapshot: $n rows")
+        reads.incrementAndGet()
+      }
+    })
+    reader.start()
+    try {
+      // several refresh cycles racing the reader; alternate content so a
+      // torn read would surface as a mixed tag set
+      for (i <- 1 to 4) {
+        Federation.replicateDimension(
+          snapshot(if (i % 2 == 0) "old" else "new"), live)
+      }
+    } finally { stop.set(true); reader.join(30000) }
+    assert(bad.isEmpty, s"torn reads: ${bad.toArray.mkString("; ")}")
+    assert(reads.get() > 0, "reader thread never completed a scan")
+  }
+
   test("schemeDimension carries st (min entity), profile and missing_loci") {
     val wh = Seq(
       (10L, Seq("1", "2", "0"), "m1"),

@@ -113,9 +113,11 @@ class SkewCacheSpec extends SparkSpec {
     val after = spark.read.parquet(live2).as[(Int, String)].collect().toSet
     assert(after == Set((1, "v2"), (2, "v2")))
     // N-1 stays alive for in-flight readers that resolved just before the
-    // swap; it is pruned one refresh cycle later
+    // swap; it is pruned one refresh cycle later (minRetainMs = 0 disables
+    // the storm grace so the cycle-based pruning itself is what's tested)
     assert(new java.io.File(live1).exists)
-    CacheRefresh.fullSwap(Seq((1, "v3")).toDF("id", "v"), dir)
+    CacheRefresh.fullSwap(Seq((1, "v3")).toDF("id", "v"), dir,
+      minRetainMs = 0L)
     assert(!new java.io.File(live1).exists, "v1 pruned after the next cycle")
     assert(new java.io.File(live2).exists, "v2 is now the N-1 survivor")
   }
