@@ -172,6 +172,38 @@ object StreamingQueries extends QueryModule {
                    CAST(max(lag) AS BIGINT) AS max_lag_us
             FROM p GROUP BY user_id ORDER BY user_id"""))
 
+  // §7.1(7) streaming scheme-field cache refresh (update_scheme_caches.pl
+  // `incremental` → foreachBatch MERGE, streaming/CacheStream.scala):
+  // designations arrive in shipdate-ordered chunks, each folded into the
+  // running per-entity cache by the ADDITIVE merge (union → re-agg —
+  // exact in any arrival order). This batch replay IS the micro-batch
+  // fold CacheStream.maintain performs; CacheStreamSpec drives the same
+  // chunks through a MemoryStream + foreachBatch + versioned-snapshot
+  // publish and pins the live cache row-for-row against this query. The
+  // oracle is the full rebuild — the trigger-maintained cache invariant.
+  private val cacheStreamMerge = Q(
+    "cache_stream_merge",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      def agg(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("l_quantity").cast("long")).as("total_qty"))
+      val cuts = Seq("1994-01-01", "1995-01-01", "1996-01-01")
+      val chunks =
+        (li.filter(col("l_shipdate") < cuts.head) +:
+          cuts.zip(cuts.tail).map { case (lo, hi) =>
+            li.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+          }) :+ li.filter(col("l_shipdate") >= cuts.last)
+      chunks.map(agg).reduce(
+        graft.streaming.CacheStream.mergeAdditive(_, _, "l_orderkey"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""SELECT l_orderkey, count(1) AS n_parts,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS total_qty
+            FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
   val qs: Seq[Q] = Seq(eventStats, windowed, streamDedup, lateAudit,
-    intervalJoin)
+    intervalJoin, cacheStreamMerge)
 }
