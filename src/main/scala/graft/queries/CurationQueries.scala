@@ -332,10 +332,15 @@ object CurationQueries extends QueryModule {
           explode(Dedup.shingles(col("text"), 3)).as("g"))
         .select(col("__side"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("__h"))
-      val sk = Kmv.setSketch(hashed, Seq("__side"), col("__h"), 128)
+      // the shingle explode + md5 feeds FOUR consumers (both sketch
+      // halves + the exact reference's two aggs) — pin the distincted
+      // (side, hash) dimension so the corpus-sized explode runs once
+      // (the mix_reweight_round posture)
+      val dh = graft.operators.Pinning.pin(hashed.distinct())
+      val sk = Kmv.setSketch(dh, Seq("__side"), col("__h"), 128)
       val ska = sk.filter(col("__side")).select(col("sk").as("ska"))
       val skb = sk.filter(!col("__side")).select(col("sk").as("skb"))
-      val exact = hashed.distinct()
+      val exact = dh
         .groupBy(col("__h"))
         .agg(max(when(col("__side"), 1).otherwise(0)).as("ha"),
           max(when(col("__side"), 0).otherwise(1)).as("hb"))
@@ -416,8 +421,11 @@ object CurationQueries extends QueryModule {
         .select(lit(l).as("which"), md5(col("text")).as("key"))
       val ab = lab(2, "a").union(lab(3, "b"))
       val tagged = ab.union(ab.select(lit("union").as("which"), col("key")))
-      val est = Hll.estimate(
-        Hll.registers(tagged, Seq("which"), "key", 64), Seq("which"), 64)
+      // the register build (corpus scan + md5 + per-register max) feeds
+      // the three-row join AND the wide inclusion-exclusion agg — pin
+      // the 3-row estimate so the upstream runs once
+      val est = graft.operators.Pinning.pin(Hll.estimate(
+        Hll.registers(tagged, Seq("which"), "key", 64), Seq("which"), 64))
       val exact = tagged.groupBy(col("which"))
         .agg(countDistinct(col("key")).as("n_exact"))
       val three = exact.join(est, Seq("which"))
