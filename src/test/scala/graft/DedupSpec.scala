@@ -272,6 +272,54 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0.2)), s"boundary pair lost: $got")
   }
 
+  test("midprefix probe side keeps no-false-negatives under size skew, " +
+      "equal-size ties and the shuffle-hash attach") {
+    // r11: the candidate join probes with the SHORTER PPJoin midprefix on
+    // the (n,id)-lex-smaller side. The risky regimes: strongly
+    // size-asymmetric qualifying pairs (containment-like), equal-size
+    // pairs (both sides reduce to midprefix; orientation falls to the id
+    // tie-break), and the post-broadcast-gate verify path. Sweep all
+    // against brute force at three thresholds.
+    val rnd = new scala.util.Random(47)
+    val vocab = (0 until 120).map(i => f"w$i%03d")
+    def pick(k: Int) = rnd.shuffle(vocab).take(k)
+    val docs0 = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    var id = 0L
+    // containment family: small strict subsets of big docs
+    (0 until 6).foreach { _ =>
+      val big = pick(30 + rnd.nextInt(10))
+      docs0 += ((id, big)); id += 1
+      docs0 += ((id, rnd.shuffle(big).take(big.size / 3))); id += 1
+    }
+    // equal-size near-dup twins (id tie-break decides orientation)
+    (0 until 6).foreach { _ =>
+      val a = pick(16)
+      docs0 += ((id, a)); id += 1
+      docs0 += ((id, a.updated(rnd.nextInt(a.size), vocab(rnd.nextInt(120)))))
+      id += 1
+    }
+    // noise
+    (0 until 8).foreach { _ => docs0 += ((id, pick(8 + rnd.nextInt(20)))); id += 1 }
+    val docs = docs0.toSeq.toDF("doc_id", "toks")
+    val sets = docs0.toSeq.map { case (i, ts) => (i, ts.toSet) }
+    for (t <- Seq(0.2, 0.3, 0.5); bcastVerify <- Seq(true, false)) {
+      val got = graft.pipeline.Dedup.prefixFilterPairs(
+          docs, "doc_id", col("toks"), t,
+          broadcastVerify = Some(bcastVerify))
+        .as[(Long, Long, Double)].collect()
+        .map { case (i, j, _) => (i, j) }.toSet
+      val want = (for {
+        (i, a) <- sets; (j, b) <- sets if i < j
+        inter = (a & b).size
+        if inter.toDouble / (a.size + b.size - inter) >= t
+      } yield (i, j)).toSet
+      assert(got == want,
+        s"t=$t bcast=$bcastVerify: missing=${want.diff(got)} " +
+          s"extra=${got.diff(want)}")
+      assert(want.nonEmpty, s"fixture must qualify pairs at t=$t")
+    }
+  }
+
   test("sortedNeighborhood == in-memory SNM reference (rank window, verified jaccard)") {
     // corpus where near-dups share key prefixes: base docs + copies mutated
     // AFTER the 16-char key prefix, plus unrelated noise docs

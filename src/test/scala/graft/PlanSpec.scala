@@ -735,6 +735,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
   }
 
+  test("post-gate prefix-join verify attaches are shuffle-hash, never a " +
+      "sort of array-carrying pair rows") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // lazy form, broadcast gate forced OFF: the plan must attach the
+    // token dimension via ShuffledHashJoin on BOTH id1 and id2 — a
+    // sort-merge here would SORT the candidate stream carrying the first
+    // doc's token array (the r10 100x knee, tens of GB at scale)
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 12).map(j => s"t${(i * 7 + j) % 60}"))).toDF(
+      "doc_id", "toks")
+    val pairs = graft.pipeline.Dedup.prefixFilterPairs(
+      docs, "doc_id", col("toks"), 0.3, eager = false,
+      broadcastVerify = Some(false))
+    val plan = pairs.queryExecution.executedPlan.toString
+    val shj = "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shj >= 2, s"expected >=2 shuffle-hash attaches, got $shj:\n" +
+      plan.take(3000))
+    // the array-carrying attach joins (on id1/id2) must not be SMJ; the
+    // token-key candidate join itself may legitimately sort-merge
+    val smjOnIds = plan.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && (l.contains("id1") || l.contains("id2")))
+    assert(!smjOnIds, "verify attach fell back to sort-merge:\n" +
+      plan.take(3000))
+  }
+
   test("whole-stage codegen covers the predicate pipeline") {
     // AQE only finalizes codegen wrapping at execution time
     val df = AllQueries.queries("f11_composed")(spark, dir)
