@@ -85,23 +85,38 @@ object CacheRefresh {
     */
   def fullSwap(rebuilt: DataFrame, livePath: String,
       numFiles: Option[Int] = None,
-      minRetainMs: Long = 10L * 60 * 1000): Unit = {
-    val conf = rebuilt.sparkSession.sparkContext.hadoopConfiguration
+      minRetainMs: Long = 10L * 60 * 1000): Unit =
+    publishVersioned(rebuilt.sparkSession, livePath, minRetainMs) { dir =>
+      // numFiles: snapshot caches are dimensions, and a dimension fanned
+      // out over every shuffle partition is the classic tiny-file problem
+      // — each later read pays per-file open/footer costs. Callers that
+      // know the size class should bound the file count (≥ tens of MB per
+      // file). repartition, NOT coalesce: coalesce folds the reduction
+      // into the whole rebuild plan, throttling the upstream joins/aggs
+      // to numFiles-way parallelism; one extra shuffle on a tiny
+      // dimension is the cheap side.
+      numFiles.map(rebuilt.repartition).getOrElse(rebuilt)
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** The versioned-pointer publish protocol, independent of WHAT gets
+    * written: `write` materializes the next version under the directory
+    * it is handed (one parquet table for [[fullSwap]], several coupled
+    * tables for a multi-table artifact like an ANN index — everything
+    * under ONE version flips with ONE pointer rename, so readers can
+    * never observe a torn combination of old and new parts).
+    */
+  def publishVersioned(spark: org.apache.spark.sql.SparkSession,
+      livePath: String, minRetainMs: Long = 10L * 60 * 1000)(
+      write: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val pointer = new org.apache.hadoop.fs.Path(livePath + ".current")
     val prev = readPointer(fs, pointer)
     val prevV = prev.flatMap(p => "\\.v(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toInt))
     val nextV = prevV.map(_ + 1).getOrElse(1)
     val versioned = s"$livePath.v$nextV"
-    // numFiles: snapshot caches are dimensions, and a dimension fanned out
-    // over every shuffle partition is the classic tiny-file problem — each
-    // later read pays per-file open/footer costs. Callers that know the
-    // size class should bound the file count (≥ tens of MB per file).
-    // repartition, NOT coalesce: coalesce folds the reduction into the whole
-    // rebuild plan, throttling the upstream joins/aggs to numFiles-way
-    // parallelism; one extra shuffle on a tiny dimension is the cheap side.
-    numFiles.map(rebuilt.repartition).getOrElse(rebuilt)
-      .write.mode("overwrite").parquet(versioned)
+    write(versioned)
     // atomic publish: rename-with-OVERWRITE via FileContext (single POSIX/
     // HDFS rename) — a delete-then-rename pair would leave a window with no
     // pointer at all, and a crash inside it would strand the cache

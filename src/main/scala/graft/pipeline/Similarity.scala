@@ -575,11 +575,16 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("__cell.list_id").as("list_id"))
   }
 
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame,
-      id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
-      trained: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
+  /** The two frames that ARE an IVF index — (centroids: list_id, cvec)
+    * and (assigned: neighbor_id, cv, list_id) — split out so they can be
+    * PERSISTED as parquet snapshots ([[IndexStore]]: build once, serve
+    * across sessions — the 100 TB operational posture) and queried
+    * through the same scoring kernel the in-session path uses.
+    */
+  def ivfIndexFrames(corpus: DataFrame, id: String, vec: String,
+      nlist: Int,
+      trained: Option[Seq[(Long, Seq[Double])]] = None):
+      (DataFrame, DataFrame) = {
     // `trained`: externally trained centroids (e.g. kmeansTrain) replace
     // the deterministic sample — the refinement the comment above defers —
     // without changing the query-side plan shape in any way
@@ -591,6 +596,18 @@ object Similarity {
       .crossJoin(centroidArray(centroids))
       .withColumn("__best", foldBestCell(col("cv")))
       .select(col("neighbor_id"), col("cv"), col("__best.list_id").as("list_id"))
+    (centroids, assigned)
+  }
+
+  /** Score queries against an IVF index given as its two frames —
+    * in-session ([[ivfTopK]]) or loaded back from a persisted snapshot
+    * ([[IndexStore.queryIvf]]); the kernel is byte-for-byte the same, so
+    * a round-tripped index answers bit-identically (parquet stores the
+    * double arrays exactly).
+    */
+  def ivfScoreTopK(centroids: DataFrame, assigned: DataFrame,
+      queries: DataFrame, id: String, vec: String, k: Int,
+      nprobe: Int): DataFrame = {
     val probes = probeCells(queries, id, vec, centroids, nprobe)
     val scored = assigned.join(probes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -603,6 +620,15 @@ object Similarity {
           struct((-col("cos")).as("neg"), col("neighbor_id")), k).as("__tk")))
       .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
         (-col("__t.neg")).as("cos"), col("rank"))
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      trained: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
+    val (centroids, assigned) = ivfIndexFrames(corpus, id, vec, nlist, trained)
+    ivfScoreTopK(centroids, assigned, queries, id, vec, k, nprobe)
   }
 
   /** Mutual-kNN graph over the corpus — the seed structure for

@@ -828,18 +828,11 @@ object SimilarityQueries extends QueryModule {
   // IVF-bucketed ANN (the inverted-file scale path). Centroids are the
   // first nlist corpus vectors by id — fully deterministic, so the oracle
   // replays assignment, probing, scoring, and ranking exactly.
-  // SimilaritySpec additionally checks recall.
-  private val simIvf = Q(
-    "sim_ivf_ann",
-    (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 8)
-      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 6)
-        .withColumn("cos", round(col("cos"), 4))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  // SimilaritySpec additionally checks recall. The oracle is SHARED with
+  // sim_ivf_persisted: the persisted index round-trips bit-exactly, so
+  // the same replay oracles both the in-session and the served path.
+  private val ivfAnnOracleSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cent AS (
               SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t),
@@ -868,7 +861,54 @@ object SimilarityQueries extends QueryModule {
               FROM scored)
             SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5
-            ORDER BY query_id, rank"""))
+            ORDER BY query_id, rank"""
+
+  private val simIvf = Q(
+    "sim_ivf_ann",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfAnnOracleSql))
+
+  // Build-once / serve-forever: the same IVF index PERSISTED as two
+  // parquet tables under one versioned pointer (pipeline/IndexStore) and
+  // queried back through the identical scoring kernel — the per-session
+  // serving cost is two parquet reads, zero corpus access, zero index
+  // build. Bit-exact round trip means the oracle is sim_ivf_ann's own
+  // replay, unchanged; the session memo mirrors a production session
+  // holding one served index.
+  private val ivfStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedIvfStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ivfStoreCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir,
+      _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-ivfidx")
+          .toString + "/ivf"
+        graft.pipeline.IndexStore.saveIvf(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          nlist = 16, livePath = p)
+        p
+      })
+
+  private val simIvfPersisted = Q(
+    "sim_ivf_persisted",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.pipeline.IndexStore.queryIvf(s, cachedIvfStore(s, dir),
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nprobe = 6)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfAnnOracleSql))
 
   // Embedding-cosine near-dup pairs (dedup family) on a bounded subset,
   // exact — DuckDB replicates with list_cosine_similarity.
@@ -2415,6 +2455,7 @@ object SimilarityQueries extends QueryModule {
             FROM fr GROUP BY variant ORDER BY variant"""))
 
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
+    simIvfPersisted,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,

@@ -1,0 +1,78 @@
+package graft
+
+import graft.pipeline.{IndexStore, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Persisted-index fidelity and refresh semantics: a saved IVF index
+  * served back through IndexStore.queryIvf must answer BIT-IDENTICALLY
+  * to the in-session ivfTopK on the same corpus (parquet round-trips
+  * the double arrays exactly; the scoring kernel is shared), and an
+  * index REFRESH must inherit the snapshot-swap property — a query
+  * planned against the old version completes against it while new
+  * queries see the new index.
+  */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextInt(2000) / 1000.0 - 1.0)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def live(name: String) =
+    java.nio.file.Files.createTempDirectory("graft-idx").toString + s"/$name"
+
+  test("served index answers bit-identically to the in-session build") {
+    val corpus = vecs(200, seed = 7)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val path = live("ivf")
+    IndexStore.saveIvf(corpus, "vec_id", "embedding", nlist = 8, path)
+    val served = IndexStore.queryIvf(spark, path, queries, "vec_id",
+        "embedding", k = 4, nprobe = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val inSession = Similarity.ivfTopK(corpus, queries, "vec_id",
+        "embedding", k = 4, nlist = 8, nprobe = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(served == inSession, "round-tripped index must be bit-exact")
+    assert(served.nonEmpty)
+  }
+
+  test("index refresh: in-flight query completes on the old version; " +
+      "new queries see the new index") {
+    val base = vecs(120, seed = 11)
+    val path = live("ivf_refresh")
+    IndexStore.saveIvf(base, "vec_id", "embedding", nlist = 8, path)
+    val queries = base.filter(col("vec_id") < 3)
+    // plan a query against the CURRENT (old) version — lazy, not yet run
+    val oldPlan = IndexStore.queryIvf(spark, path, queries, "vec_id",
+      "embedding", k = 3, nprobe = 3)
+    val oldExpected = oldPlan.as[(Long, Long, Double, Long)].collect().toSeq
+
+    // refresh with a grown corpus (new vectors shift cell contents)
+    val grown = base.unionByName(vecs(60, seed = 23)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+    IndexStore.saveIvf(grown, "vec_id", "embedding", nlist = 8, path)
+
+    // the old plan still scans its complete old snapshot (N-1 retention)
+    val oldAfter = oldPlan.as[(Long, Long, Double, Long)].collect().toSeq
+    assert(oldAfter == oldExpected,
+      "query planned before the refresh must complete on the old index")
+
+    // a fresh resolve serves the new index == in-session build on grown
+    val newServed = IndexStore.queryIvf(spark, path, queries, "vec_id",
+        "embedding", k = 3, nprobe = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val newExpected = Similarity.ivfTopK(grown, queries, "vec_id",
+        "embedding", k = 3, nlist = 8, nprobe = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(newServed == newExpected)
+    assert(newServed != oldExpected,
+      "refresh fixture must actually change results")
+  }
+}
