@@ -56,17 +56,28 @@ class FederationSpec extends SparkSpec {
     val reads = new java.util.concurrent.atomic.AtomicInteger(0)
     val reader = new Thread(() => {
       while (!stop.get()) {
-        // resolve + full scan, exactly the query-layer read path
-        val got = Federation.readDimension(spark, live)
-          .select(col("v")).distinct().collect().map(_.getString(0)).toSet
-        val n = Federation.readDimension(spark, live).count()
-        if (!(got == Set("old") || got == Set("new")))
-          bad.add(s"mixed snapshot: $got")
-        if (n != nRows) bad.add(s"partial snapshot: $n rows")
-        reads.incrementAndGet()
+        // resolve + full scan, exactly the query-layer read path; an
+        // exception IS a finding (a torn read manifests as a failed
+        // scan, not only as mixed content) — record it, don't die
+        try {
+          val got = Federation.readDimension(spark, live)
+            .select(col("v")).distinct().collect().map(_.getString(0)).toSet
+          val n = Federation.readDimension(spark, live).count()
+          if (!(got == Set("old") || got == Set("new")))
+            bad.add(s"mixed snapshot: $got")
+          if (n != nRows) bad.add(s"partial snapshot: $n rows")
+          reads.incrementAndGet()
+        } catch {
+          case e: Throwable => bad.add(s"reader scan failed: $e")
+        }
       }
     })
     reader.start()
+    // let the reader complete at least one scan before racing it, so the
+    // reads > 0 assertion never depends on scheduler luck under load
+    val deadline = System.currentTimeMillis() + 30000
+    while (reads.get() == 0 && bad.isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(10)
     try {
       // several refresh cycles racing the reader; alternate content so a
       // torn read would surface as a mixed tag set
