@@ -615,6 +615,57 @@ object CurationQueries extends QueryModule {
     Some(s"""SELECT doc_id, $hashSql % 1000000000000 AS shuffle_key
              FROM documents ORDER BY shuffle_key, doc_id"""))
 
+  // Seekable epoch shuffle: position = 4-round Feistel bijection over the
+  // dense doc_id domain, cycle-walked into [0, n) — corpus_shuffle's
+  // complement. The position column is a ZERO-shuffle codegen projection
+  // (no sort, no exchange to compute the order), it is invertible (a
+  // dataloader seeks "position p of epoch e" without a permutation table —
+  // FeistelSpec pins the round trip), and the epoch number in the round
+  // keys makes each epoch an independent permutation. DuckDB replays the
+  // identical md5 round walk as a recursive CTE.
+  private val packEpochShuffle = Q(
+    "pack_epoch_shuffle",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.count() // dense 0..n-1 ids; metadata-cheap count
+      docs.select(col("doc_id"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("epoch"))
+        .select(col("doc_id"), col("epoch"),
+          graft.functions.Feistel.permuteCol(
+            col("doc_id"), col("epoch"), n, 77L).as("pos"))
+        .orderBy(col("epoch"), col("doc_id"))
+    },
+    Some("""WITH RECURSIVE dims AS (
+              SELECT COUNT(*) AS n,
+                     CASE WHEN COUNT(*) <= 4 THEN 2
+                          WHEN COUNT(*) <= 16 THEN 4
+                          WHEN COUNT(*) <= 64 THEN 8
+                          WHEN COUNT(*) <= 256 THEN 16
+                          WHEN COUNT(*) <= 1024 THEN 32
+                          WHEN COUNT(*) <= 4096 THEN 64
+                          WHEN COUNT(*) <= 16384 THEN 128
+                          WHEN COUNT(*) <= 65536 THEN 256
+                          WHEN COUNT(*) <= 262144 THEN 512
+                          ELSE 1024 END AS hw
+              FROM documents),
+            walk AS (
+              SELECT d.doc_id, e.epoch, m.n, m.hw,
+                     d.doc_id // m.hw AS l, d.doc_id % m.hw AS r, 0 AS rnd
+              FROM documents d, (VALUES (0),(1),(2)) e(epoch), dims m
+              UNION ALL
+              SELECT doc_id, epoch, n, hw,
+                CASE WHEN rnd < 4 THEN r ELSE (l*hw+r) // hw END,
+                CASE WHEN rnd < 4
+                     THEN xor(l, ('0x'||substr(md5(
+                            'graft-feistel-77-'||epoch||'-'||(rnd+1)||'-'||r),
+                            1,15))::BIGINT % hw)
+                     ELSE (l*hw+r) % hw END,
+                CASE WHEN rnd < 4 THEN rnd+1 ELSE 0 END
+              FROM walk WHERE rnd < 4 OR l*hw+r >= n)
+            SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, l*hw+r AS pos
+            FROM walk WHERE rnd = 4 AND l*hw+r < n
+            ORDER BY epoch, doc_id"""))
+
   // Quality-filter funnel: per-filter drop counts + survivors — the
   // curation observability view (how many docs each C4/Gopher-style rule
   // removes). One pass, conditional counts, map-side combinable.
@@ -2174,7 +2225,7 @@ object CurationQueries extends QueryModule {
 
   val qs: Seq[Q] = Seq(sampleStratified, sampleWeighted, textDomainMix, dedupParagraph,
     simQuantized, splitHash, textDecontaminate, packSequences,
-    corpusShuffle, filterFunnel, mixEpochs, curateHostCap,
+    corpusShuffle, packEpochShuffle, filterFunnel, mixEpochs, curateHostCap,
     qualityPercentileGate, qualityRankNormalize, shardConcat, corpusDiff, mixTemperature,
     corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap,
     curateDsir, corpusOverlapHll, corpusKmvSetops, splitGroup,
