@@ -1094,6 +1094,56 @@ object CurationQueries extends QueryModule {
                      || md5(CAST(doc_id AS VARCHAR))) AS train_pos
             FROM documents ORDER BY train_pos"""))
 
+  // Deterministic weighted source interleave — the schedule that turns a
+  // per-source mixture ratio into an exact GLOBAL training order with no
+  // long single-source runs (a shuffled order only mixes in expectation;
+  // curriculum order doesn't mix at all). Each source's k-th document
+  // gets the integer deadline ceil(k·T/w_s) — earliest-deadline-first is
+  // the classic smooth/Bresenham weighted round-robin, so every prefix of
+  // the schedule carries each source in proportion w_s/T to within ±1
+  // emission while every source still has documents (InterleaveSpec pins
+  // the bound on a mixture-proportional corpus; a source that drains
+  // early tail-packs — upstream budget/epoch ops equalize sizes when the
+  // guarantee must hold corpus-wide). All-integer arithmetic:
+  // bit-exact cross-engine, no float weights anywhere. Scale shape: the
+  // per-source rank is one shuffle on source, and the global numbering is
+  // runningBySort's two-phase range exchange — both over narrow
+  // (id, source, deadline) projections, never the document payload.
+  private val mixInterleave = Q(
+    "mix_interleave",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val w = docs.select(col("source")).distinct()
+        .select(col("source"),
+          (lit(1000L) + (srcIdx % 7).cast("long") * 500L).as("ws"))
+      val tw = w.agg(sum(col("ws")).as("tw"))
+      val k = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val dl = docs.select(col("doc_id"), col("source"))
+        .join(broadcast(w), "source")
+        .crossJoin(broadcast(tw))
+        .withColumn("k", row_number().over(k).cast("long"))
+        .select(col("doc_id"), col("source"), col("k"),
+          expr("(k * tw + ws - 1) div ws").as("deadline"))
+      graft.operators.Numbering.runningBySort(dl,
+          Seq(col("deadline"), col("source"), col("k")), lit(1L), "global_pos")
+        .select(col("doc_id"), col("source"), col("deadline"), col("global_pos"))
+        .orderBy(col("global_pos"))
+    },
+    Some(s"""WITH w AS (SELECT source,
+                    1000 + ($srcIdxSql % 7) * 500 AS ws
+                  FROM (SELECT DISTINCT source FROM documents)),
+             t AS (SELECT CAST(SUM(ws) AS BIGINT) AS tw FROM w),
+             k AS (SELECT doc_id, d.source, ws, tw,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                               ORDER BY doc_id) AS BIGINT) AS k
+                   FROM documents d JOIN w USING(source) CROSS JOIN t)
+             SELECT doc_id, source,
+                    CAST((k*tw + ws - 1) // ws AS BIGINT) AS deadline,
+                    CAST(ROW_NUMBER() OVER (ORDER BY (k*tw + ws - 1) // ws,
+                         source, k) AS BIGINT) AS global_pos
+             FROM k ORDER BY global_pos"""))
+
   // Pairwise filter-overlap matrix — the ablation view a curation recipe
   // needs before reordering/removing rules: how much of each rule's drop
   // set another rule already covers (Jaccard in basis points). The rule
@@ -2225,7 +2275,8 @@ object CurationQueries extends QueryModule {
 
   val qs: Seq[Q] = Seq(sampleStratified, sampleWeighted, textDomainMix, dedupParagraph,
     simQuantized, splitHash, textDecontaminate, packSequences,
-    corpusShuffle, packEpochShuffle, filterFunnel, mixEpochs, curateHostCap,
+    corpusShuffle, packEpochShuffle, mixInterleave, filterFunnel, mixEpochs,
+    curateHostCap,
     qualityPercentileGate, qualityRankNormalize, shardConcat, corpusDiff, mixTemperature,
     corpusDatacard, textBoilerplateStrip, mixCurriculum, filterOverlap,
     curateDsir, corpusOverlapHll, corpusKmvSetops, splitGroup,
