@@ -53,10 +53,28 @@ object ScaleProbeOps {
       graft.pipeline.Similarity.nnDescent(emb, "vec_id", "embedding",
         k = 5, nlist = nlist, nprobe = 3, maxRounds = 12, delta = 0.0)
     }
+    // pack_epoch_shuffle over NON-dense ids (the scale slices relabel
+    // doc_id*1000+i): densify with runningBySort's two-phase numbering,
+    // then the zero-shuffle Feistel projection — the realistic path for a
+    // corpus without a precomputed dense index (one range exchange more
+    // than the dense fast path the CORRECTNESS query exercises).
+    def epochShuffleScaled() = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val n = docs.count()
+      val dense = graft.operators.Numbering.numberBySort(
+        docs.select(col("doc_id")), "doc_id", "idx")
+        .select(col("doc_id"), (col("idx") - 1L).as("idx"))
+      dense.select(col("doc_id"), col("idx"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("epoch"))
+        .select(col("doc_id"), col("epoch"),
+          graft.functions.Feistel.permuteCol(
+            col("idx"), col("epoch"), n, 77L).as("pos"))
+    }
     names.foreach { name =>
       val fn: () => org.apache.spark.sql.DataFrame =
         if (name == "sim_dbscan_lsh") () => dbscanLsh()
         else if (name == "sim_nn_descent_scaled") () => nnDescentScaled()
+        else if (name == "pack_epoch_shuffle_scaled") () => epochShuffleScaled()
         else () => SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
       val n = fn().queryExecution.toRdd.count()
