@@ -291,6 +291,49 @@ object Vectors {
     }
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Whole-array md5Long60: ARRAY<STRING> -> ARRAY<BIGINT> in one static
+    * call (thread-local digest, UTF8String bytes straight into the digest —
+    * no per-element String or expression-eval overhead). Bit-identical to
+    * mapping md5Long60 / `('0x'||substr(md5(s),1,15))::BIGINT`.
+    */
+  def md5ArrayKernel(arr: ArrayData): ArrayData = {
+    val d = md5Digest.get()
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      d.reset()
+      val h = d.digest(arr.getUTF8String(i).getBytes)
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  case class Md5Array60(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def nullSafeEval(input: Any): Any =
+      md5ArrayKernel(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Vectors.md5ArrayKernel($c)")
+  }
+
+  /** Portable 60-bit md5 of every array element, fused (see md5ArrayKernel). */
+  def md5Array60(a: Column): Column =
+    Bridge.column(Md5Array60(Bridge.expression(a)))
+
   def minhashSignature(hashes: Column, k: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSig(Bridge.expression(hashes), k, seed))
 

@@ -1436,27 +1436,41 @@ object CurationQueries extends QueryModule {
   // means fresh text, ~ 0 means the doc is assembled from corpus-common
   // shingles. Grams shuffle as md5-derived 60-bit fingerprints (fixed 8
   // bytes however long the gram — the width that matters at 100 TB), a
-  // trick both engines replay; df reduces map-side; the join back to docs
-  // reuses the gram-hash partitioning.
+  // trick both engines replay. ONE gram-sized shuffle total: per-doc
+  // dedup is array_distinct BEFORE the explode (no global DISTINCT
+  // exchange), n_grams is just size(ghs) (no exchange at all), and a
+  // df=1 gram names its sole owner via min(doc_id) inside the same df
+  // aggregation — so the gram->df join-back (which re-shuffled and then
+  // re-aggregated every gram row; the old 100x knee, exponent 0.602)
+  // disappears entirely. Everything after the df groupBy is per-DOC
+  // sized.
   private val corpusNgramNovelty = Q(
     "corpus_ngram_novelty",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val grams = docs
+      // fused md5 kernel over the gram array (Vectors.md5Array60: one
+      // static codegen call per row, thread-local digest), then
+      // array_distinct on the HASHES (= the old DISTINCT on (doc_id, gh),
+      // no exchange); pinned because counts and novel both read it
+      val arr = graft.operators.Pinning.pin(docs
         .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(t) >= 3
-               THEN transform(sequence(1, size(t) - 2),
-                      i -> concat_ws(' ', t[i - 1], t[i], t[i + 1]))
-               ELSE CAST(array() AS ARRAY<STRING>) END""")).as("g"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
-        .distinct()
-      val df_ = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
-      val perDoc = grams.join(df_, Seq("gh"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), array_distinct(
+          graft.functions.Vectors.md5Array60(expr(
+            """CASE WHEN size(t) >= 3
+                 THEN transform(sequence(1, size(t) - 2),
+                        i -> concat_ws(' ', t[i - 1], t[i], t[i + 1]))
+                 ELSE CAST(array() AS ARRAY<STRING>) END"""))).as("ghs")))
+      val counts = arr.select(col("doc_id"),
+        size(col("ghs")).cast("long").as("n_grams"))
+      val novel = arr.select(col("doc_id"), explode(col("ghs")).as("gh"))
+        .groupBy(col("gh"))
+        .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("__d0"))
+        .filter(col("__df") === 1L)
+        .groupBy(col("__d0").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      val perDoc = counts.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_grams"), lit(0L)).as("n_grams"),
