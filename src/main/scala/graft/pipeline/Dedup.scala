@@ -175,6 +175,36 @@ object Dedup {
     * best_est, is_dup) — best = highest estimated jaccard, ties to the
     * smallest base id; clean docs get (0, null, null, false).
     */
+  private[graft] def minhashSigsOf(df: DataFrame, id: String, text: String,
+      shingleN: Int, k: Int, hasher: Column => Column): DataFrame = df
+    .select(col(id).as("__id"), shingles(col(text), shingleN).as("sh"))
+    .filter(size(col("sh")) > 0)
+    .select(col("__id"), minhashSignature(hasher(col("sh")), k).as("sig"))
+
+  private[graft] def minhashBandedOf(sigs: DataFrame, bands: Int,
+      rows: Int): DataFrame = sigs
+    .select(col("__id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+    .select(col("__id"), col("bk.band").as("band"),
+      col("bk.bucket").as("bucket"))
+
+  /** The two frames a MinHash near-dup index consists of: per-doc
+    * signatures (__id, sig) and capped per-(band, bucket) id lists — the
+    * tables [[incrementalNearDup]] derives per call and
+    * [[graft.pipeline.IndexStore.saveMinhash]] persists once.
+    */
+  def minhashIndexFrames(base: DataFrame, id: String, text: String,
+      shingleN: Int, k: Int, bands: Int, maxBucketSize: Int,
+      hasher: Column => Column): (DataFrame, DataFrame) = {
+    val sigs = minhashSigsOf(base, id, text, shingleN, k, hasher)
+    // the index side: per-(band, bucket) base-id lists with the
+    // degenerate-bucket cap — this aggregate IS the materialized index
+    val buckets = minhashBandedOf(sigs, bands, k / bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("__id")).as("base_ids"))
+      .filter(size(col("base_ids")) <= maxBucketSize)
+    (sigs, buckets)
+  }
+
   def incrementalNearDup(
       base: DataFrame,
       delta: DataFrame,
@@ -186,24 +216,36 @@ object Dedup {
       minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 1000,
       hasher: Column => Column = shingleHashes): DataFrame = {
-    val rows = k / bands
-    def sigsOf(df: DataFrame) = df
-      .select(col(id).as("__id"), shingles(col(text), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("__id"), minhashSignature(hasher(col("sh")), k).as("sig"))
-    def bandedOf(sigs: DataFrame) = sigs
-      .select(col("__id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("__id"), col("bk.band").as("band"),
-        col("bk.bucket").as("bucket"))
-    val baseSigs = graft.operators.Pinning.pin(sigsOf(base))
-    val deltaSigs = graft.operators.Pinning.pin(sigsOf(delta))
-    // the index side: per-(band, bucket) base-id lists with the
-    // degenerate-bucket cap — this aggregate IS the materialized index
-    val baseBuckets = bandedOf(baseSigs)
+    // pin the signatures, then derive the bucket index from the PINNED
+    // frame so the shingle+minhash chain runs once for both index tables
+    val baseSigs = graft.operators.Pinning.pin(
+      minhashSigsOf(base, id, text, shingleN, k, hasher))
+    val baseBuckets = minhashBandedOf(baseSigs, bands, k / bands)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("__id")).as("base_ids"))
       .filter(size(col("base_ids")) <= maxBucketSize)
-    val candidates = bandedOf(deltaSigs)
+    nearDupVerdictsAgainst(baseSigs, baseBuckets, delta, id, text,
+      shingleN, k, bands, minEstJaccard, hasher)
+  }
+
+  /** Verdict core shared by the in-session and persisted-index paths:
+    * band the delta, probe the base bucket index, attach both signature
+    * sides after candidate dedup, estimate, argmax.
+    */
+  def nearDupVerdictsAgainst(
+      baseSigs: DataFrame,
+      baseBuckets: DataFrame,
+      delta: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int,
+      k: Int,
+      bands: Int,
+      minEstJaccard: Double,
+      hasher: Column => Column = shingleHashes): DataFrame = {
+    val deltaSigs = graft.operators.Pinning.pin(
+      minhashSigsOf(delta, id, text, shingleN, k, hasher))
+    val candidates = minhashBandedOf(deltaSigs, bands, k / bands)
       .join(baseBuckets, Seq("band", "bucket"))
       .select(col("__id").as("__did"), explode(col("base_ids")).as("__bid"))
       .distinct()

@@ -64,4 +64,46 @@ object IndexStore {
     Similarity.ivfScoreTopK(centroids, assigned, queries, id, vec, k,
       nprobe)
   }
+
+  /** Build and publish a MinHash near-dup index: per-doc signatures plus
+    * the capped (band, bucket) -> id-list bucket table — the base-side
+    * frames [[Dedup.incrementalNearDup]] derives per call, written once.
+    * Same one-pointer atomicity as the IVF store: a reader can never see
+    * new signatures with an old bucket table (bucket keys hash signature
+    * slices, so a torn pair would probe the wrong buckets).
+    */
+  def saveMinhash(base: DataFrame, id: String, text: String,
+      shingleN: Int, k: Int, bands: Int, maxBucketSize: Int,
+      livePath: String,
+      hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Dedup.shingleHashes): Unit = {
+    val (sigs, buckets) = Dedup.minhashIndexFrames(
+      base, id, text, shingleN, k, bands, maxBucketSize, hasher)
+    graft.operators.CacheRefresh.publishVersioned(
+      base.sparkSession, livePath) { dir =>
+      sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+      buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    }
+  }
+
+  /** Dedup an ingest batch against the persisted index — the daily-crawl
+    * access pattern with ZERO base-corpus access: the delta pays its own
+    * signature work plus one bucket-key join against the stored bucket
+    * table; base signatures attach only for surviving candidates.
+    * Parquet round-trips the BIGINT signatures exactly, so verdicts are
+    * bit-identical to the in-session [[Dedup.incrementalNearDup]]
+    * (IndexStoreSpec pins it; the dedup_index_persisted CORRECTNESS row
+    * shares dedup_incremental's oracle).
+    */
+  def queryMinhash(spark: SparkSession, livePath: String, delta: DataFrame,
+      id: String, text: String, shingleN: Int, k: Int, bands: Int,
+      minEstJaccard: Double,
+      hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Dedup.shingleHashes): DataFrame = {
+    val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
+    Dedup.nearDupVerdictsAgainst(
+      spark.read.parquet(s"$live/sigs"),
+      spark.read.parquet(s"$live/buckets"),
+      delta, id, text, shingleN, k, bands, minEstJaccard, hasher)
+  }
 }

@@ -489,7 +489,48 @@ object DedupQueries extends QueryModule {
         .withColumn("best_est", round(col("best_est"), 4))
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH $minhashCtesSql,
+    Some(incrementalOracleSql))
+
+  // Persisted-index variant of the same delta-vs-base verdicts: the base
+  // side's signatures + capped bucket table come back from parquet
+  // (pipeline/IndexStore, one versioned pointer — built once per
+  // (session, corpus) here, once per ingest cadence in production) and
+  // the delta probes them with ZERO base-corpus access. BIGINT
+  // signatures round-trip parquet exactly, so the verdicts are
+  // bit-identical and the oracle is dedup_incremental's own replay.
+  private val minhashStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedMinhashStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    minhashStoreCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir,
+      _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-mhidx")
+          .toString + "/mh"
+        val docs = Tables.load(s, dir, "documents")
+        graft.pipeline.IndexStore.saveMinhash(
+          docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text",
+          shingleN = 2, k = 64, bands = 16, maxBucketSize = 1000,
+          livePath = p, hasher = Dedup.portableShingleHashes)
+        p
+      })
+
+  private val dedupIndexPersisted = Q(
+    "dedup_index_persisted",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val delta = docs.filter(col("doc_id") % 11 === 0)
+      graft.pipeline.IndexStore.queryMinhash(s, cachedMinhashStore(s, dir),
+          delta, "doc_id", "text", shingleN = 2, k = 64, bands = 16,
+          minEstJaccard = 0.1, hasher = Dedup.portableShingleHashes)
+        .withColumn("best_est", round(col("best_est"), 4))
+        .orderBy(col("doc_id"))
+    },
+    Some(incrementalOracleSql))
+
+  private lazy val incrementalOracleSql =
+    s"""WITH $minhashCtesSql,
              cand AS (
                SELECT DISTINCT x.doc_id AS did, y.doc_id AS bid
                FROM banded x JOIN banded y ON x.t = y.t AND x.key = y.key
@@ -516,7 +557,7 @@ object DedupQueries extends QueryModule {
              FROM (SELECT doc_id FROM documents WHERE doc_id % 11 = 0) d
              LEFT JOIN (SELECT * FROM hits WHERE rn = 1) v
                ON d.doc_id = v.did
-             ORDER BY d.doc_id"""))
+             ORDER BY d.doc_id"""
 
   // EXACT all-pairs near-dup join via prefix filtering (no LSH false
   // negatives): 3-gram shingle sets, global rarest-first token order,
@@ -719,6 +760,7 @@ object DedupQueries extends QueryModule {
 
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupCluster, dedupSubstring, dedupSoft, dedupIncremental,
+    dedupIndexPersisted,
     dedupPrefixJoin, dedupSortedNeighborhood, dedupCdc, dedupContainment,
     dedupContainmentSketch, dedupCanonicalQuality, dedupMinhashEstError)
 }

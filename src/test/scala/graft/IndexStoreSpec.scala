@@ -75,4 +75,40 @@ class IndexStoreSpec extends SparkSpec {
     assert(newServed != oldExpected,
       "refresh fixture must actually change results")
   }
+
+  test("persisted MinHash index verdicts == in-session incrementalNearDup") {
+    // synthetic corpus with real near-dups: pairs (i, i+500) share most
+    // words so signatures collide; others are distinct
+    // doc i >= 40 near-dups doc (i+3) % 40 — offset 3 is coprime to the
+    // %5 split so pairs cross the delta/base boundary
+    // a copy above 40 reuses group (i+3) % 40 — offset 3 is coprime to
+    // the %5 split so pairs cross the delta/base boundary; groups >= 30
+    // get no copy, leaving genuinely clean docs on both sides
+    val docs = (0 until 80).map { i =>
+      val g = if (i < 40) i
+              else if ((i + 3) % 40 < 30) (i + 3) % 40
+              else i * 997
+      val w = (0 until 12).map(j => s"w${g * 13 + j}").mkString(" ")
+      (i.toLong, if (i < 40) w else w + " tail" + i)
+    }.toDF("doc_id", "text")
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val path = live("mh")
+    graft.pipeline.IndexStore.saveMinhash(base, "doc_id", "text",
+      shingleN = 2, k = 32, bands = 8, maxBucketSize = 100,
+      livePath = path, hasher = graft.pipeline.Dedup.portableShingleHashes)
+    val served = graft.pipeline.IndexStore.queryMinhash(spark, path, delta,
+        "doc_id", "text", shingleN = 2, k = 32, bands = 8,
+        minEstJaccard = 0.1,
+        hasher = graft.pipeline.Dedup.portableShingleHashes)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val inSession = graft.pipeline.Dedup.incrementalNearDup(base, delta,
+        "doc_id", "text", shingleN = 2, k = 32, bands = 8,
+        minEstJaccard = 0.1, maxBucketSize = 100,
+        hasher = graft.pipeline.Dedup.portableShingleHashes)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(served == inSession, "parquet round trip must be bit-exact")
+    assert(served.exists(r => r(4) == true), "fixture must contain dups")
+    assert(served.exists(r => r(4) == false), "fixture must contain clean docs")
+  }
 }
