@@ -53,6 +53,24 @@ object ScaleProbeOps {
       graft.pipeline.Similarity.nnDescent(emb, "vec_id", "embedding",
         k = 5, nlist = nlist, nprobe = 3, maxRounds = 12, delta = 0.0)
     }
+    // sim_components with the constant-cell-size coarse index (nlist ~
+    // n/64): the bench query's fixed nlist=32 is the SAME fixture-tuned
+    // knee as nn-descent's — at 100x each IVF cell holds ~15k vectors and
+    // the per-cell candidate pairs of the kNN-graph build go quadratic
+    // (measured 2423s; the CC label loop itself is rounds-bounded). The
+    // operator's own sizing rule restores at-most-linear build work.
+    def componentsScaled() = {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val n = emb.count()
+      val nlist = math.max(32, (n / 64).toInt)
+      val g = graft.operators.Pinning.pin(
+        graft.pipeline.Similarity.mutualKnnGraph(
+          emb, "vec_id", "embedding", k = 5, nlist = nlist, nprobe = 3))
+      val cc = graft.operators.Clustering.connectedComponents(
+        g.select(col("id1").as("src"), col("id2").as("dst")))
+        .select(col("node").as("vec_id"), col("component"))
+      cc
+    }
     // pack_epoch_shuffle over NON-dense ids (the scale slices relabel
     // doc_id*1000+i): densify with runningBySort's two-phase numbering,
     // then the zero-shuffle Feistel projection — the realistic path for a
@@ -75,6 +93,7 @@ object ScaleProbeOps {
         if (name == "sim_dbscan_lsh") () => dbscanLsh()
         else if (name == "sim_nn_descent_scaled") () => nnDescentScaled()
         else if (name == "pack_epoch_shuffle_scaled") () => epochShuffleScaled()
+        else if (name == "sim_components_scaled") () => componentsScaled()
         else () => SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
       val n = fn().queryExecution.toRdd.count()
