@@ -44,6 +44,19 @@ class FeistelSpec extends SparkSpec {
     assert(v >= 0L && v < 500L)
   }
 
+  test("inverse round-trips on a billion-scale domain (sampled)") {
+    // enumeration is impossible at n = 10^9; the inverse round trip plus
+    // range membership is the property that holds pointwise. Sample
+    // deterministically (md5-derived probes) across the domain.
+    val n = 1000000007L
+    (0 until 500).foreach { i =>
+      val x = graft.functions.Vectors.MinHashSig.md5Long60(s"probe-$i") % n
+      val p = Feistel.permute(x, n, 7L, 1L)
+      assert(p >= 0L && p < n)
+      assert(Feistel.inverse(p, n, 7L, 1L) === x)
+    }
+  }
+
   test("halfWidth covers n and is minimal") {
     assert(Feistel.halfWidth(1) === 1)
     assert(Feistel.halfWidth(4) === 1)
