@@ -1608,6 +1608,63 @@ object CurationQueries extends QueryModule {
                      ELSE 0.0 END, 4) AS gini
             FROM s"""))
 
+  // Length-bucketed batching ablation: equal-count token-length buckets,
+  // padding waste per bucket count k = 1..6 — the artifact that picks a
+  // bucketing for fixed-shape batches (each batch pads to its bucket
+  // max; k=1 is pad-to-corpus-max, more buckets monotonically cut the
+  // waste). Exact integer arithmetic end to end: rank from the
+  // two-phase range numbering (no single-partition window), bucket =
+  // (rank−1)·k div n, waste in basis points by integer division. Scale
+  // shape: ONE range exchange for the rank, then a map-side-combinable
+  // (k, bucket) aggregate over a 3-column projection — the 6 k-variants
+  // ride one explode, not six scans.
+  private val packLengthBuckets = Q(
+    "pack_length_buckets",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.count()
+      val tok = docs.select(col("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("__tok"))
+      val ranked = graft.operators.Numbering.runningBySort(
+        tok, Seq(col("__tok"), col("doc_id")), lit(1L), "__rank")
+      val perBucket = ranked.select(col("__tok"), col("__rank"),
+          explode(array((1 to 6).map(lit(_)): _*)).as("k"))
+        .withColumn("bucket", expr(s"((__rank - 1) * k) div ${n}L"))
+        .groupBy(col("k"), col("bucket"))
+        .agg(count(lit(1)).as("__cnt"), max(col("__tok")).as("__mx"),
+          sum(col("__tok")).as("__sum"))
+      perBucket.groupBy(col("k"))
+        .agg(sum(col("__cnt") * col("__mx")).as("padded_tokens"),
+          sum(col("__sum")).as("real_tokens"))
+        .select(col("k").cast("long").as("k"), col("real_tokens"),
+          col("padded_tokens"),
+          expr("((padded_tokens - real_tokens) * 10000) div padded_tokens")
+            .as("waste_bp"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+'))
+                          AS BIGINT) AS t
+              FROM documents),
+            rk AS (
+              SELECT t, CAST(row_number() OVER (ORDER BY t, doc_id)
+                             AS BIGINT) AS rank
+              FROM tok),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            b AS (SELECT k.k, (rk.rank - 1) * k.k // n.n AS bucket, rk.t
+                  FROM rk, n, range(1, 7) k(k)),
+            pb AS (SELECT k, bucket, count(1) AS cnt, max(t) AS mx,
+                          sum(t) AS sm
+                   FROM b GROUP BY k, bucket)
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(sum(sm) AS BIGINT) AS real_tokens,
+                   CAST(sum(cnt * mx) AS BIGINT) AS padded_tokens,
+                   CAST((sum(cnt * mx) - sum(sm)) * 10000 // sum(cnt * mx)
+                        AS BIGINT) AS waste_bp
+            FROM pb GROUP BY k ORDER BY k"""))
+
   // Best-fit-decreasing packing next to pack_sequences' next-fit walk —
   // the fill-rate lever (BFD wastes provably <= 11/9 OPT + 4 bins; next-
   // fit can waste half). Same one-shuffle per-shard fold; the oracle
@@ -2297,6 +2354,7 @@ object CurationQueries extends QueryModule {
     splitExactAlloc, curateTokenBudget, curateTopkPerSource,
     shardRebalancePlan, corpusDriftChi2, qualityMadOutlier,
     corpusNgramNovelty, curateParetoFront, corpusGini, packBfd,
+    packLengthBuckets,
     corpusDedupCurve, packFillReport, pipelineE2e,
     curateKAnonymity, curateRandResponse, mixReweightRound, curateCoreset)
 }
