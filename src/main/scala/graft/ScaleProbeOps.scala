@@ -49,6 +49,12 @@ object ScaleProbeOps {
     def nnDescentScaled() = {
       val emb = Tables.load(spark, sfDir, "embeddings")
       val n = emb.count()
+      // n/64 (constant cell size) measured FASTER than the classic
+      // sqrt(n) rule at 100x (71 vs 169 s for the kNN-graph build):
+      // per-probe CANDIDATE rows (n·probes·cellsize) price higher than
+      // assignment rows (n·nlist) in this engine, so small cells win
+      // until assignment's n²/64 row growth catches up beyond 100x —
+      // re-balance toward sqrt(n) there.
       val nlist = math.max(32, (n / 64).toInt)
       graft.pipeline.Similarity.nnDescent(emb, "vec_id", "embedding",
         k = 5, nlist = nlist, nprobe = 3, maxRounds = 12, delta = 0.0)
@@ -62,7 +68,7 @@ object ScaleProbeOps {
     def componentsScaled() = {
       val emb = Tables.load(spark, sfDir, "embeddings")
       val n = emb.count()
-      val nlist = math.max(32, (n / 64).toInt)
+      val nlist = math.max(32, (n / 64).toInt) // see nnDescentScaled note
       val g = graft.operators.Pinning.pin(
         graft.pipeline.Similarity.mutualKnnGraph(
           emb, "vec_id", "embedding", k = 5, nlist = nlist, nprobe = 3))

@@ -56,12 +56,20 @@ object Clustering {
     * iterated to fixpoint. Each iteration: one join edges⋈labels + one
     * groupBy — both shuffle on the node key, so co-partitioning is reused
     * across rounds; the label frontier shrinks monotonically.
+    *
+    * Crossover: below `localEdgeThreshold` symmetrized edges a driver
+    * union-find wins (5M edges collect to ~80 MB and union in ~1 s —
+    * several distributed label+jump rounds cost far more; measured 76.3 s
+    * for the 84k-node 100x mutual-kNN graph on the distributed path, the
+    * BENCH_SCALE sim_components_scaled row that validated that path).
+    * The distributed loop stays the beyond-threshold route and produces
+    * identical labels (ClusteringSpec forces it with threshold = 0).
     */
   def connectedComponents(
       edges: DataFrame,
       nodes: Option[DataFrame] = None,
       maxIter: Int = 50,
-      localEdgeThreshold: Long = 200000L): DataFrame = {
+      localEdgeThreshold: Long = 5000000L): DataFrame = {
     val spark = edges.sparkSession
     // pinned eagerly (Pinning strategy): every path below consumes the
     // symmetrized list at least twice, so it materializes exactly once
@@ -637,7 +645,7 @@ object Clustering {
     * Output: (src, dst, weight) rows of the forest, src < dst.
     */
   def minimumSpanningForest(edges: DataFrame, maxIter: Int = 30,
-      localEdgeThreshold: Long = 200000L): DataFrame = {
+      localEdgeThreshold: Long = 5000000L): DataFrame = {
     // normalize to src < dst and collapse parallel edges to their min weight
     val e0 = Pinning.pin(edges
       .filter(col("src") =!= col("dst"))
