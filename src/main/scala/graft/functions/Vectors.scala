@@ -334,6 +334,53 @@ object Vectors {
   def md5Array60(a: Column): Column =
     Bridge.column(Md5Array60(Bridge.expression(a)))
 
+  /** Nearest-centroid id: one fused loop over the broadcast centroid
+    * array — bit-identical to folding [[CosineSimilarity]] with strict >
+    * (first/lowest list_id wins exact ties; the array arrives sorted by
+    * list_id), but without the per-element HOF interpreter that dominated
+    * the 100x IVF build (500k rows x nlist lambda evals).
+    */
+  def bestCellKernel(v: ArrayData, cents: ArrayData): Long = {
+    val m = cents.numElements()
+    var best = Double.NegativeInfinity
+    var bestId = 0L
+    var c = 0
+    while (c < m) {
+      val row = cents.getStruct(c, 2)
+      val cv = row.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xi = v.getDouble(i); val yi = cv.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val d = na * nb
+      val cd = if (d > 0) dot / math.sqrt(d) else 0.0
+      if (cd > best) { best = cd; bestId = row.getLong(0) }
+      c += 1
+    }
+    bestId
+  }
+
+  case class BestCellId(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      bestCellKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.Vectors.bestCellKernel($a, $b)")
+  }
+
+  /** Nearest-centroid assignment, fused (see bestCellKernel). `cents` is
+    * the (list_id, cvec) struct array sorted by list_id.
+    */
+  def bestCellId(v: Column, cents: Column): Column =
+    Bridge.column(BestCellId(Bridge.expression(v), Bridge.expression(cents)))
+
   def minhashSignature(hashes: Column, k: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSig(Bridge.expression(hashes), k, seed))
 

@@ -525,7 +525,7 @@ object Similarity {
     * distributed numbering — the input is only nlist rows, but this keeps
     * src/main free of single-partition Window.orderBy entirely.
     */
-  private def firstNCentroids(
+  private[graft] def firstNCentroids(
       vecs: DataFrame, id: String, vec: String, nlist: Int): DataFrame =
     graft.operators.Numbering.numberBySort(
         vecs.orderBy(col(id)).limit(nlist)
@@ -536,7 +536,7 @@ object Similarity {
   /** The nlist centroids collapsed to ONE broadcast array row (sorted by
     * list_id) — the narrow-assignment side input.
     */
-  private def centroidArray(centroids: DataFrame): DataFrame =
+  private[graft] def centroidArray(centroids: DataFrame): DataFrame =
     broadcast(centroids.agg(
       sort_array(collect_list(struct(col("list_id"), col("cvec"))))
         .as("__cents")))
@@ -546,7 +546,7 @@ object Similarity {
     * windowed form's ORDER BY cd DESC, list_id. A narrow projection — no
     * nlist× row blow-up, no per-vector argmax shuffle.
     */
-  private def foldBestCell(v: Column): Column = aggregate(
+  private[graft] def foldBestCell(v: Column): Column = aggregate(
     col("__cents"),
     struct(lit(Double.NegativeInfinity).as("cd"), lit(0L).as("list_id")),
     (acc, c) => {
@@ -555,6 +555,16 @@ object Similarity {
         struct(cd.as("cd"), c.getField("list_id").as("list_id")))
         .otherwise(acc)
     })
+
+  /** [[foldBestCell]].list_id as ONE fused codegen call
+    * (Vectors.bestCellKernel): identical arithmetic (the CosineSimilarity
+    * loop) and tie rule (strict >, array sorted by list_id), minus the
+    * per-centroid HOF interpreter — the measured floor of the 100x
+    * mutual-kNN build (nlist lambda evals per corpus row). The HOF form
+    * above stays as the executable spec BestCellSpec diffs against.
+    */
+  private[graft] def bestCellId(v: Column): Column =
+    graft.functions.Vectors.bestCellId(v, col("__cents"))
 
   /** Probe side of an IVF scan: top-nprobe lists per query as a NARROW
     * projection — score all centroids per row, array_sort by (cos desc,
@@ -594,8 +604,8 @@ object Similarity {
     val assigned = corpus
       .select(col(id).as("neighbor_id"), toDouble(col(vec)).as("cv"))
       .crossJoin(centroidArray(centroids))
-      .withColumn("__best", foldBestCell(col("cv")))
-      .select(col("neighbor_id"), col("cv"), col("__best.list_id").as("list_id"))
+      .select(col("neighbor_id"), col("cv"),
+        bestCellId(col("cv")).as("list_id"))
     (centroids, assigned)
   }
 
@@ -925,8 +935,8 @@ object Similarity {
     val assigned = vecs
       .select(col(id).as("__id"), toDouble(col(vec)).as("__v"))
       .crossJoin(centroidArray(firstNCentroids(vecs, id, vec, nlist)))
-      .withColumn("__best", foldBestCell(col("__v")))
-      .select(col("__id"), col("__v"), col("__best.list_id").as("list_id"))
+      .select(col("__id"), col("__v"),
+        bestCellId(col("__v")).as("list_id"))
     val dups = assigned.select(col("list_id"), col("__id").as("id1"), col("__v").as("v1"))
       .join(assigned.select(col("list_id"), col("__id").as("id2"), col("__v").as("v2")),
         Seq("list_id"))
@@ -1323,9 +1333,8 @@ object Similarity {
     corpus
       .select(col(id).as("neighbor_id"), toDouble(col(vec)).as("cv"))
       .crossJoin(centroidArray(centroids))
-      .withColumn("__best", foldBestCell(col("cv")))
       .select(col("neighbor_id"), col("cv"),
-        col("__best.list_id").as("list_id"))
+        bestCellId(col("cv")).as("list_id"))
       .join(broadcast(centroids), Seq("list_id"))
       .select(col("neighbor_id"), col("list_id"),
         zip_with(col("cv"), col("cvec"), (a, b) => a - b).as("rv"))
