@@ -106,25 +106,50 @@ object CacheRefresh {
     * under ONE version flips with ONE pointer rename, so readers can
     * never observe a torn combination of old and new parts).
     */
+  /** Pointer IO must bypass Hadoop's client-side checksum layer: the
+    * local FileSystem/FileContext are ChecksumFs wrappers whose rename
+    * moves the data file and its `.crc` sidecar in TWO steps (a reader
+    * between them fails with ChecksumException against the stale crc)
+    * and whose OVERWRITE rename can delete-then-rename (a reader in the
+    * window sees NO pointer at all). FederationSpec's swap-race reader
+    * caught both under full-suite load. The raw filesystem's rename is
+    * one rename(2) on POSIX (atomic overwrite) and one atomic NN op on
+    * HDFS — and raw readers never consult crc sidecars.
+    */
+  private def rawFs(fs: org.apache.hadoop.fs.FileSystem): org.apache.hadoop.fs.FileSystem =
+    fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
   def publishVersioned(spark: org.apache.spark.sql.SparkSession,
       livePath: String, minRetainMs: Long = 10L * 60 * 1000)(
       write: String => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val fs = rawFs(org.apache.hadoop.fs.FileSystem.get(conf))
     val pointer = new org.apache.hadoop.fs.Path(livePath + ".current")
     val prev = readPointer(fs, pointer)
     val prevV = prev.flatMap(p => "\\.v(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toInt))
     val nextV = prevV.map(_ + 1).getOrElse(1)
     val versioned = s"$livePath.v$nextV"
     write(versioned)
-    // atomic publish: rename-with-OVERWRITE via FileContext (single POSIX/
-    // HDFS rename) — a delete-then-rename pair would leave a window with no
-    // pointer at all, and a crash inside it would strand the cache
     val tmp = new org.apache.hadoop.fs.Path(livePath + ".current.tmp")
     val out = fs.create(tmp, true)
     out.write(versioned.getBytes("UTF-8")); out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(conf)
-      .rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // heal sidecars a pre-raw writer may have left: a raw rename would
+    // leave them describing stale bytes, failing any checksummed reader
+    Seq(pointer, tmp).foreach { p =>
+      val crc = new org.apache.hadoop.fs.Path(
+        p.getParent, "." + p.getName + ".crc")
+      if (fs.exists(crc)) fs.delete(crc, false)
+    }
+    // atomic publish: ONE raw rename (POSIX rename(2) overwrites
+    // atomically; HDFS needs the explicit OVERWRITE fallback below —
+    // there FileContext.rename is a single atomic namenode op and HDFS
+    // has no client-side crc sidecars)
+    if (!fs.rename(tmp, pointer))
+      org.apache.hadoop.fs.FileContext.getFileContext(conf)
+        .rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // prune STALE versions below N-1: a reader that resolved the old
     // pointer just before the swap can still finish its scan (N-1 always
     // survives), and the age grace keeps any version a live scan could
@@ -145,7 +170,8 @@ object CacheRefresh {
     * directly, pre-pointer).
     */
   def resolveLive(spark: org.apache.spark.sql.SparkSession, livePath: String): String = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = rawFs(
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration))
     readPointer(fs, new org.apache.hadoop.fs.Path(livePath + ".current"))
       .getOrElse(livePath)
   }
