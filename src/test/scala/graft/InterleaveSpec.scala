@@ -50,6 +50,45 @@ class InterleaveSpec extends SparkSpec {
     }
   }
 
+  private def schedule(docs: org.apache.spark.sql.DataFrame,
+      w: org.apache.spark.sql.DataFrame): Seq[(String, Long)] = {
+    val tw = w.agg(sum($"ws").as("tw"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    val dl = docs.join(broadcast(w), "source").crossJoin(broadcast(tw))
+      .withColumn("k", row_number().over(win).cast("long"))
+      .select($"doc_id", $"source", $"k",
+        expr("(k * tw + ws - 1) div ws").as("deadline"))
+    graft.operators.Numbering
+      .runningBySort(dl, Seq($"deadline", $"source", $"k"), lit(1L), "global_pos")
+      .select($"source", $"global_pos").as[(String, Long)]
+      .collect().sortBy(_._2).toSeq
+  }
+
+  test("degenerate single source: schedule is the identity order") {
+    val docs = (0L until 50L).map((_, "only")).toDF("doc_id", "source")
+    val w = Seq(("only", 1000L)).toDF("source", "ws")
+    val s = schedule(docs, w)
+    assert(s.map(_._2) === (1L to 50L))
+    assert(s.forall(_._1 == "only"))
+  }
+
+  test("extreme 100:1 skew: the light source still lands evenly, never bunched") {
+    // 303 docs: 300 heavy (weight 100), 3 light (weight 1) — proportional
+    // sizes. The light source's deadlines are ceil(k*101*100/100)... its
+    // emissions must fall near positions ~101, ~202, ~303, not cluster.
+    val docs = ((0L until 300L).map((_, "heavy")) ++
+      (300L until 303L).map((_, "light"))).toDF("doc_id", "source")
+    val w = Seq(("heavy", 10000L), ("light", 100L)).toDF("source", "ws")
+    val s = schedule(docs, w)
+    assert(s.map(_._2).toSet === (1L to 303L).toSet)
+    val lightPos = s.filter(_._1 == "light").map(_._2)
+    assert(lightPos.size === 3)
+    // gaps between light emissions stay near 101 (within one emission)
+    val gaps = (0L +: lightPos).sliding(2).map(p => p(1) - p(0)).toSeq
+    gaps.foreach(g => assert(g >= 99 && g <= 103, s"gaps $gaps"))
+  }
+
   test("no run of a single source longer than the heaviest share implies") {
     // src0 holds half the weight: between two consecutive src0 emissions at
     // most 2 other docs can ever appear... conversely src0 can never run
