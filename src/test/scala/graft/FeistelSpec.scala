@@ -57,6 +57,26 @@ class FeistelSpec extends SparkSpec {
     }
   }
 
+  test("materializing an epoch order costs exactly one exchange") {
+    // position computation is exchange-free; physically laying out the
+    // epoch is repartitionByRange(pos) + local sort — ONE shuffle total,
+    // the claim the operator's 100 TB story rests on
+    val n = 512L
+    val df = spark.range(n).selectExpr("id AS doc_id")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        Feistel.permuteCol(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(0L), n, 7L).as("pos"))
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("pos"))
+      .sortWithinPartitions("pos")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+    // and the materialized order is the permutation's order
+    val got = df.collect().map(_.getLong(1))
+    assert(got.toSeq === got.sorted.toSeq)
+    assert(got.toSet === (0L until n).toSet)
+  }
+
   test("halfWidth covers n and is minimal") {
     assert(Feistel.halfWidth(1) === 1)
     assert(Feistel.halfWidth(4) === 1)
