@@ -3,17 +3,30 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Single-pass scale probe for operators whose 100× runs are too long
-  * for the bench harness's warm-up + min-of-2 discipline, plus the
-  * documented scale-path VARIANTS of fixture-capped queries:
+/** Scale probe for operators whose 100× runs are too long for the bench
+  * harness's full-sweep discipline, plus the documented scale-path
+  * VARIANTS of fixture-capped queries:
   *
-  *  - any name in SparkEntry.queries → that query, one timed pass
-  *    (cold-ish; numbers are upper bounds vs the bench's steady-state)
+  *  - any name in SparkEntry.queries → that query
   *  - `sim_dbscan_lsh` → DBSCAN over Similarity.lshNearDupPairs on the
   *    FULL embeddings table (the operator contract's 100 TB pair
   *    source; the bench's sim_dbscan runs exact all-pairs behind its
   *    500-vector fixture cap, which the slice's vec_id relabeling
   *    does not grow)
+  *  - `sim_nn_descent_scaled` / `sim_components_scaled` → the graph
+  *    builds as DIRECT operator calls (no session memo), so both timed
+  *    runs pay the full build — the honest build-cost number for ops
+  *    whose SparkEntry queries memoize the seed/graph per session
+  *
+  * Timing discipline (inherits Bench.scala's guard, r11 VERDICT #3): every
+  * probe runs TWICE with a System.gc() between; the reported `sec` is the
+  * min and both raw runs are emitted (`sec1`/`sec2`) so a sweep-context
+  * outlier (one 100× probe run measured 7.7× its re-run) can neither
+  * inflate a row nor hide behind an unmarked re-run. CAVEAT printed per
+  * row: SparkEntry queries with session memos (the similarity-graph
+  * family caches its seed per (session, dir)) are warm on run 2 — for
+  * those, `sec1` is the cold build number and the `_scaled` direct
+  * variants are the memo-free measurement.
   *
   * usage: ScaleProbeOps <sfDir> <name>[,name...]
   */
@@ -40,38 +53,22 @@ object ScaleProbeOps {
         bits = 16, tables = 4)
       graft.pipeline.Similarity.dbscan(emb, pairs, "vec_id", minPts = 2)
     }
-    // nn_descent with the CONSTANT-CELL-SIZE coarse index (nlist ~ n/64):
-    // the bench query's fixed nlist=32 is right at fixture scale but lets
-    // seed cells grow linearly with the corpus — per-cell candidate pairs
-    // then grow quadratically, the measured 100x knee. Scaling nlist with
-    // n (the standard IVF sizing rule) keeps the seed's per-cell work
-    // constant; the descent rounds themselves are n·k² edge-local.
+    // nn_descent via the operator DEFAULT (nlist = AutoNlist, constant
+    // ~64-vector cells — the r11 fixture-tuned nlist=32 knee is gone from
+    // the default path; see Similarity.autoNlist). Direct call, no cached
+    // seed: both timed runs pay the full seed + descent build.
     def nnDescentScaled() = {
       val emb = Tables.load(spark, sfDir, "embeddings")
-      val n = emb.count()
-      // n/64 (constant cell size) measured FASTER than the classic
-      // sqrt(n) rule at 100x (71 vs 169 s for the kNN-graph build):
-      // per-probe CANDIDATE rows (n·probes·cellsize) price higher than
-      // assignment rows (n·nlist) in this engine, so small cells win
-      // until assignment's n²/64 row growth catches up beyond 100x —
-      // re-balance toward sqrt(n) there.
-      val nlist = math.max(32, (n / 64).toInt)
       graft.pipeline.Similarity.nnDescent(emb, "vec_id", "embedding",
-        k = 5, nlist = nlist, nprobe = 3, maxRounds = 12, delta = 0.0)
+        k = 5, nprobe = 3, maxRounds = 12, delta = 0.0)
     }
-    // sim_components with the constant-cell-size coarse index (nlist ~
-    // n/64): the bench query's fixed nlist=32 is the SAME fixture-tuned
-    // knee as nn-descent's — at 100x each IVF cell holds ~15k vectors and
-    // the per-cell candidate pairs of the kNN-graph build go quadratic
-    // (measured 2423s; the CC label loop itself is rounds-bounded). The
-    // operator's own sizing rule restores at-most-linear build work.
+    // sim_components via the operator DEFAULT (auto-sized coarse index),
+    // direct call — no session graph memo, full build in every timed run.
     def componentsScaled() = {
       val emb = Tables.load(spark, sfDir, "embeddings")
-      val n = emb.count()
-      val nlist = math.max(32, (n / 64).toInt) // see nnDescentScaled note
       val g = graft.operators.Pinning.pin(
         graft.pipeline.Similarity.mutualKnnGraph(
-          emb, "vec_id", "embedding", k = 5, nlist = nlist, nprobe = 3))
+          emb, "vec_id", "embedding", k = 5, nprobe = 3))
       val cc = graft.operators.Clustering.connectedComponents(
         g.select(col("id1").as("src"), col("id2").as("dst")))
         .select(col("node").as("vec_id"), col("component"))
@@ -101,10 +98,16 @@ object ScaleProbeOps {
         else if (name == "pack_epoch_shuffle_scaled") () => epochShuffleScaled()
         else if (name == "sim_components_scaled") () => componentsScaled()
         else () => SparkEntry.queries(name)(spark, sfDir)
-      val t0 = System.nanoTime()
-      val n = fn().queryExecution.toRdd.count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$name%s","rows":$n%d,"sec":$secs%.3f,"mode":"single-pass","sf":"$sfDir%s"}""")
+      def once(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = fn().queryExecution.toRdd.count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (n1, s1) = once()
+      System.gc()
+      val (_, s2) = once()
+      val sec = math.min(s1, s2)
+      println(f"""{"op":"$name%s","rows":$n1%d,"sec":$sec%.3f,"sec1":$s1%.3f,"sec2":$s2%.3f,"mode":"min2-post-gc","sf":"$sfDir%s"}""")
     }
     spark.stop()
   }

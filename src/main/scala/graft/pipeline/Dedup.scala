@@ -192,17 +192,23 @@ object Dedup {
     * tables [[incrementalNearDup]] derives per call and
     * [[graft.pipeline.IndexStore.saveMinhash]] persists once.
     */
+  /** The bucket index derived from a signature frame: per-(band, bucket)
+    * base-id lists with the degenerate-bucket cap — this aggregate IS the
+    * materialized index side. Shared by every derivation site so sigs →
+    * buckets can never drift between the in-session and persisted paths.
+    */
+  def minhashBucketsOf(sigs: DataFrame, bands: Int, rows: Int,
+      maxBucketSize: Int): DataFrame =
+    minhashBandedOf(sigs, bands, rows)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("__id")).as("base_ids"))
+      .filter(size(col("base_ids")) <= maxBucketSize)
+
   def minhashIndexFrames(base: DataFrame, id: String, text: String,
       shingleN: Int, k: Int, bands: Int, maxBucketSize: Int,
       hasher: Column => Column): (DataFrame, DataFrame) = {
     val sigs = minhashSigsOf(base, id, text, shingleN, k, hasher)
-    // the index side: per-(band, bucket) base-id lists with the
-    // degenerate-bucket cap — this aggregate IS the materialized index
-    val buckets = minhashBandedOf(sigs, bands, k / bands)
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("__id")).as("base_ids"))
-      .filter(size(col("base_ids")) <= maxBucketSize)
-    (sigs, buckets)
+    (sigs, minhashBucketsOf(sigs, bands, k / bands, maxBucketSize))
   }
 
   def incrementalNearDup(
@@ -220,10 +226,8 @@ object Dedup {
     // frame so the shingle+minhash chain runs once for both index tables
     val baseSigs = graft.operators.Pinning.pin(
       minhashSigsOf(base, id, text, shingleN, k, hasher))
-    val baseBuckets = minhashBandedOf(baseSigs, bands, k / bands)
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("__id")).as("base_ids"))
-      .filter(size(col("base_ids")) <= maxBucketSize)
+    val baseBuckets = minhashBucketsOf(baseSigs, bands, k / bands,
+      maxBucketSize)
     nearDupVerdictsAgainst(baseSigs, baseBuckets, delta, id, text,
       shingleN, k, bands, minEstJaccard, hasher)
   }

@@ -36,14 +36,21 @@ object IndexStore {
   def saveIvf(corpus: DataFrame, id: String, vec: String, nlist: Int,
       livePath: String,
       trained: Option[Seq[(Long, Seq[Double])]] = None): Unit = {
-    val (centroids, assigned) =
-      Similarity.ivfIndexFrames(corpus, id, vec, nlist, trained)
-    graft.operators.CacheRefresh.publishVersioned(
-      corpus.sparkSession, livePath) { dir =>
-      centroids.repartition(1).write.mode("overwrite")
-        .parquet(s"$dir/centroids")
-      assigned.write.mode("overwrite").parquet(s"$dir/assigned")
-    }
+    // pin the centroid sample before deriving the assignment: `assigned`
+    // embeds the centroids (broadcast array), so unpinned the corpus-
+    // scale sample scan would execute twice inside one publish (ADVICE
+    // r11) — same discipline as incrementalNearDup's pinned signatures
+    val centroids = graft.operators.Pinning.pin(
+      Similarity.ivfCentroids(corpus, id, vec, nlist, trained))
+    val assigned = Similarity.ivfAssign(centroids, corpus, id, vec)
+    try {
+      graft.operators.CacheRefresh.publishVersioned(
+        corpus.sparkSession, livePath) { dir =>
+        centroids.repartition(1).write.mode("overwrite")
+          .parquet(s"$dir/centroids")
+        assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+      }
+    } finally graft.operators.Pinning.unpin(centroids)
   }
 
   /** Load the live (centroids, assigned) pair published by [[saveIvf]]. */
@@ -77,13 +84,20 @@ object IndexStore {
       livePath: String,
       hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         Dedup.shingleHashes): Unit = {
-    val (sigs, buckets) = Dedup.minhashIndexFrames(
-      base, id, text, shingleN, k, bands, maxBucketSize, hasher)
-    graft.operators.CacheRefresh.publishVersioned(
-      base.sparkSession, livePath) { dir =>
-      sigs.write.mode("overwrite").parquet(s"$dir/sigs")
-      buckets.write.mode("overwrite").parquet(s"$dir/buckets")
-    }
+    // pin the signatures before deriving the bucket table: unpinned, the
+    // corpus-scale shingle+minhash chain would execute twice inside one
+    // publish (ADVICE r11) — the same pin incrementalNearDup holds
+    val sigs = graft.operators.Pinning.pin(
+      Dedup.minhashSigsOf(base, id, text, shingleN, k, hasher))
+    val buckets = Dedup.minhashBucketsOf(sigs, bands, k / bands,
+      maxBucketSize)
+    try {
+      graft.operators.CacheRefresh.publishVersioned(
+        base.sparkSession, livePath) { dir =>
+        sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+        buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+      }
+    } finally graft.operators.Pinning.unpin(sigs)
   }
 
   /** Dedup an ingest batch against the persisted index — the daily-crawl

@@ -598,16 +598,29 @@ object Similarity {
     // `trained`: externally trained centroids (e.g. kmeansTrain) replace
     // the deterministic sample — the refinement the comment above defers —
     // without changing the query-side plan shape in any way
-    val centroids = coarseCentroids(corpus, id, vec, nlist, trained)
-    // corpus side: narrow fold (the corpus is the 100 TB side — never
-    // blow it up nlist× or shuffle it per-vector just to pick a cell)
-    val assigned = corpus
+    val centroids = ivfCentroids(corpus, id, vec, nlist, trained)
+    (centroids, ivfAssign(centroids, corpus, id, vec))
+  }
+
+  /** The centroid frame alone — split out so a caller that derives TWO
+    * frames from it (IndexStore's atomic two-table publish) can pin it
+    * first and pay the sample scan once.
+    */
+  def ivfCentroids(corpus: DataFrame, id: String, vec: String, nlist: Int,
+      trained: Option[Seq[(Long, Seq[Double])]] = None): DataFrame =
+    coarseCentroids(corpus, id, vec, nlist, trained)
+
+  /** The corpus-side assignment against GIVEN centroids: a narrow fold
+    * (the corpus is the 100 TB side — never blow it up nlist× or shuffle
+    * it per-vector just to pick a cell).
+    */
+  def ivfAssign(centroids: DataFrame, corpus: DataFrame,
+      id: String, vec: String): DataFrame =
+    corpus
       .select(col(id).as("neighbor_id"), toDouble(col(vec)).as("cv"))
       .crossJoin(centroidArray(centroids))
       .select(col("neighbor_id"), col("cv"),
         bestCellId(col("cv")).as("list_id"))
-    (centroids, assigned)
-  }
 
   /** Score queries against an IVF index given as its two frames —
     * in-session ([[ivfTopK]]) or loaded back from a persisted snapshot
@@ -632,12 +645,39 @@ object Similarity {
         (-col("__t.neg")).as("cos"), col("rank"))
   }
 
+  /** Sentinel `nlist`: size the coarse index from the corpus itself. */
+  val AutoNlist: Int = -1
+
+  /** Constant-cell-size IVF sizing: `nlist = max(32, n/64)` — cells hold
+    * ~64 vectors at any corpus size, so per-probe candidate work per
+    * query stays CONSTANT as the corpus grows (fixed nlist lets cells
+    * grow linearly and per-cell candidate pairs quadratically — the
+    * measured 100× knee of the graph builds: 2,423 s / 2,664 s at
+    * nlist=32 vs 57.7 s / 60.3 s auto-sized). The classic sqrt(n) rule
+    * measured SLOWER here (169 vs 71 s at 100×): scored candidate rows
+    * (n·nprobe·cellsize) price higher than assignment rows (n·nlist)
+    * because scoring materializes a row per (query, candidate) while
+    * assignment is one fused kernel call per corpus row
+    * ([[bestCellId]]). Re-balance toward sqrt(n) only beyond ~100×,
+    * where assignment's n²/64 row growth catches up.
+    */
+  def autoNlist(n: Long): Int =
+    math.min(math.max(32L, n / 64L), Int.MaxValue.toLong).toInt
+
+  /** Resolve an [[AutoNlist]] sentinel with one cheap count over the
+    * corpus frame (a metadata-only parquet count when the corpus is a
+    * table scan — negligible next to the index build it sizes).
+    */
+  private def resolveNlist(corpus: DataFrame, nlist: Int): Int =
+    if (nlist == AutoNlist) autoNlist(corpus.count()) else nlist
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       trained: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
-    val (centroids, assigned) = ivfIndexFrames(corpus, id, vec, nlist, trained)
+    val nl = resolveNlist(corpus, nlist)
+    val (centroids, assigned) = ivfIndexFrames(corpus, id, vec, nl, trained)
     ivfScoreTopK(centroids, assigned, queries, id, vec, k, nprobe)
   }
 
@@ -657,11 +697,16 @@ object Similarity {
     * Output: (id1 < id2, cos, rank1, rank2).
     */
   def mutualKnnGraph(corpus: DataFrame, id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = AutoNlist, nprobe: Int = 4): DataFrame = {
+    // DEFAULT nlist is [[AutoNlist]] (constant ~64-vector cells): a
+    // fixture-tuned fixed nlist is the one default that silently goes
+    // quadratic at corpus scale, so the scale-safe sizing is what a
+    // caller gets unless they pin a value explicitly.
+    val nl = resolveNlist(corpus, nlist)
     // both directions read the directed list — materialize it once (ids,
     // cos, rank only: k rows per vector, far smaller than the corpus)
     val edges = graft.operators.Pinning.pin(
-      ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe)
+      ivfTopK(corpus, corpus, id, vec, k, nl, nprobe)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank")))
     val rev = edges.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id"), col("rank").as("rank2"))
@@ -717,14 +762,18 @@ object Similarity {
     * Output: (query_id, neighbor_id, cos, rank) — the refined top-k.
     */
   def nnDescentRound(corpus: DataFrame, id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = AutoNlist, nprobe: Int = 4,
       seed: Option[DataFrame] = None): DataFrame = {
-    val s = seed.getOrElse(graft.operators.Pinning.pin(
-        ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe)))
-      .select(col("query_id"), col("neighbor_id"), col("cos"))
     val v = graft.operators.Pinning.pin(
       corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v")))
-    nnDescentStep(s, v, k, broadcastVectors = v.count() <= 50000)
+    // one count serves both the AutoNlist resolution and the broadcast
+    // gate (pinned frame — the count is a scan of already-pinned blocks)
+    val n = v.count()
+    val nl = if (nlist == AutoNlist) autoNlist(n) else nlist
+    val s = seed.getOrElse(graft.operators.Pinning.pin(
+        ivfTopK(corpus, corpus, id, vec, k, nl, nprobe)))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    nnDescentStep(s, v, k, broadcastVectors = n <= 50000)
   }
 
   /** One refinement step over the CURRENT directed edge list: symmetrize →
@@ -857,14 +906,18 @@ object Similarity {
     * round carries id pairs; vectors attach once per distinct candidate.
     */
   def nnDescent(corpus: DataFrame, id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, maxRounds: Int = 8,
+      nlist: Int = AutoNlist, nprobe: Int = 4, maxRounds: Int = 8,
       delta: Double = 0.0, seed: Option[DataFrame] = None): DataFrame = {
     val v = graft.operators.Pinning.pin(
       corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v")))
-    var topk = graft.operators.Pinning.pin(seed
-      .getOrElse(ivfTopK(corpus, corpus, id, vec, k, nlist, nprobe))
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank")))
+    // count BEFORE the seed build: it resolves the AutoNlist default
+    // (constant ~64-vector cells — the fixture-tuned fixed-nlist seed is
+    // the measured 100× quadratic knee) as well as the broadcast gate
     val n = v.count()
+    val nl = if (nlist == AutoNlist) autoNlist(n) else nlist
+    var topk = graft.operators.Pinning.pin(seed
+      .getOrElse(ivfTopK(corpus, corpus, id, vec, k, nl, nprobe))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank")))
     val threshold = delta * n * k
     // 64-dim doubles ≈ 520 B/row → 50k rows ≈ 26 MB, comfortably under
     // Spark's broadcast ceiling; beyond it the attach joins stay plain

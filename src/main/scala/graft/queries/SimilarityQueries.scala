@@ -1089,7 +1089,8 @@ object SimilarityQueries extends QueryModule {
       _ => Similarity.ivfTopK(
           Tables.load(s, dir, "embeddings"),
           Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 5, nlist = 32, nprobe = 3)
+          "vec_id", "embedding", k = 5, nlist = Similarity.AutoNlist,
+          nprobe = 3)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .transform(graft.operators.Pinning.pin))
   }
@@ -1099,14 +1100,18 @@ object SimilarityQueries extends QueryModule {
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.nnDescentRound(emb, "vec_id", "embedding",
-          k = 5, nlist = 32, nprobe = 3, seed = Some(cachedIvfSeed(s, dir)))
+          k = 5, nlist = Similarity.AutoNlist, nprobe = 3,
+          seed = Some(cachedIvfSeed(s, dir)))
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cent AS (
-              SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
-              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32) t),
+              SELECT list_id, cvec FROM (
+                SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                       greatest(32, count(*) OVER () // 64) AS nl, v AS cvec
+                FROM e) t
+              WHERE list_id <= nl),
             norm AS MATERIALIZED (
               SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
             assign_all AS (
@@ -1173,8 +1178,8 @@ object SimilarityQueries extends QueryModule {
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.nnDescent(emb, "vec_id", "embedding",
-          k = 5, nlist = 32, nprobe = 3, maxRounds = 12, delta = 0.0,
-          seed = Some(cachedIvfSeed(s, dir)))
+          k = 5, nlist = Similarity.AutoNlist, nprobe = 3, maxRounds = 12,
+          delta = 0.0, seed = Some(cachedIvfSeed(s, dir)))
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -1182,8 +1187,11 @@ object SimilarityQueries extends QueryModule {
       val oracleRounds = 8
       val seed = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cent AS (
-              SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
-              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32) t),
+              SELECT list_id, cvec FROM (
+                SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                       greatest(32, count(*) OVER () // 64) AS nl, v AS cvec
+                FROM e) t
+              WHERE list_id <= nl),
             norm AS MATERIALIZED (
               SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
             assign_all AS (
@@ -1252,10 +1260,11 @@ object SimilarityQueries extends QueryModule {
 
   private def cachedMutualKnn(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    knnGraphCache.computeIfAbsent(Tables.sessionKey(s) + "|" + dir + "|5|32|3",
+    knnGraphCache.computeIfAbsent(Tables.sessionKey(s) + "|" + dir + "|5|auto|3",
       _ => graft.operators.Pinning.pin(
         Similarity.mutualKnnGraph(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 5, nlist = 32, nprobe = 3)))
+          "vec_id", "embedding", k = 5, nlist = Similarity.AutoNlist,
+          nprobe = 3)))
 
   // Connected components over the mutual-kNN graph — the canonical
   // near-dup CLUSTER id (component = min member id, the same labeling the
@@ -1306,8 +1315,11 @@ object SimilarityQueries extends QueryModule {
   private def mutualKnnCteSql =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cent AS (
-              SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
-              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32) t),
+              SELECT list_id, cvec FROM (
+                SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                       greatest(32, count(*) OVER () // 64) AS nl, v AS cvec
+                FROM e) t
+              WHERE list_id <= nl),
             norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
             assign_all AS (
               SELECT nm.vec_id, nm.v, nm.n, c.list_id,

@@ -38,7 +38,11 @@ object CacheStream {
   def mergeAdditive(cache: DataFrame, updates: DataFrame,
       key: String): DataFrame = {
     val aggCols = cache.columns.filterNot(_ == key)
-    require(aggCols.sameElements(updates.columns.filterNot(_ == key)),
+    require(aggCols.nonEmpty,
+      s"mergeAdditive: cache carries no additive columns besides key " +
+        s"'$key' (schema ${cache.columns.toSeq}) — nothing to merge")
+    // column SETS must match; order may differ (unionByName aligns it)
+    require(aggCols.toSet == updates.columns.filterNot(_ == key).toSet,
       s"cache/update schemas differ: ${cache.columns.toSeq} vs " +
         s"${updates.columns.toSeq}")
     cache.unionByName(updates)
@@ -47,34 +51,93 @@ object CacheStream {
         aggCols.tail.map(c => sum(col(c)).as(c)): _*)
   }
 
+  /** Name of the applied-batch marker INSIDE each published version
+    * directory (underscore prefix → invisible to parquet readers). It
+    * records the last foreachBatch batchId folded into that version, and
+    * it flips atomically WITH the data — one pointer rename covers both —
+    * so the dedup check below can never observe a data/marker tear.
+    */
+  private[streaming] val BatchMarker = "_applied_batch"
+
+  private def readAppliedBatch(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, BatchMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        s.toLongOption
+      } finally in.close()
+    }
+  }
+
   /** Continuous cache maintenance: aggregate each micro-batch of
     * designation rows with `agg`, MERGE into the live snapshot, publish
     * the merged cache atomically through the versioned pointer. Readers
     * resolve via [[graft.sources.Federation.readDimension]] at any time
     * and see a complete (old or new) snapshot.
+    *
+    * foreachBatch is AT-LEAST-ONCE and the additive merge is not
+    * idempotent, so a batch replayed after a failure or restart would
+    * double-count. Two guards make the published cache exactly-once
+    * (ADVICE r11):
+    *  - every published version records its batchId ([[BatchMarker]],
+    *    written inside the version so it swaps atomically with the
+    *    data); a batch whose id is <= the current version's marker is
+    *    skipped — the classic foreachBatch idempotence pattern;
+    *  - the query runs with a checkpointLocation (caller-supplied, or
+    *    `livePath + ".checkpoint"`), so a restarted stream resumes at
+    *    the next unprocessed offset with CONTINUOUS batchIds. BatchIds
+    *    are only comparable within one checkpoint lineage: pointing a
+    *    FRESH checkpoint at an already-maintained livePath restarts ids
+    *    at 0 and the marker will (correctly, conservatively) skip them —
+    *    a new lineage needs a new livePath.
     */
   def maintain(designations: DataFrame, key: String,
-      agg: DataFrame => DataFrame, livePath: String): StreamingQuery = {
+      agg: DataFrame => DataFrame, livePath: String,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
     val spark = designations.sparkSession
     designations.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val updates = agg(batch)
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(livePath + ".checkpoint"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val hasCurrent = fs.exists(
           new org.apache.hadoop.fs.Path(livePath + ".current"))
-        val merged =
-          if (!hasCurrent) updates
-          else mergeAdditive(
-            graft.sources.Federation.readDimension(spark, livePath),
-            updates, key)
-        // merged reads the CURRENT version while fullSwap writes the
-        // next and only then moves the pointer — the read plan is
-        // executed (write) before the pointer flip, so the self-join on
-        // the snapshot is race-free
-        graft.operators.CacheRefresh.fullSwap(merged, livePath,
-          numFiles = Some(1))
+        val currentDir =
+          if (hasCurrent)
+            Some(graft.operators.CacheRefresh.resolveLive(spark, livePath))
+          else None
+        val alreadyApplied = currentDir
+          .flatMap(readAppliedBatch(fs, _)).exists(_ >= batchId)
+        if (alreadyApplied) {
+          // replay of a batch the current version already folded in
+          // (at-least-once redelivery): merging again would double-count
+          ()
+        } else {
+          val updates = agg(batch)
+          val merged =
+            if (currentDir.isEmpty) updates
+            else mergeAdditive(
+              graft.sources.Federation.readDimension(spark, livePath),
+              updates, key)
+          // merged reads the CURRENT version while publishVersioned
+          // writes the next and only then moves the pointer — the read
+          // plan is executed (write) before the pointer flip, so the
+          // self-join on the snapshot is race-free
+          graft.operators.CacheRefresh.publishVersioned(spark, livePath) {
+            dir =>
+              // repartition, not coalesce — same rationale as fullSwap's
+              // numFiles: don't throttle the merge plan to 1-way
+              merged.repartition(1).write.mode("overwrite").parquet(dir)
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(dir, BatchMarker), true)
+              out.write(batchId.toString.getBytes("UTF-8")); out.close()
+          }
+        }
         ()
       }
       .start()

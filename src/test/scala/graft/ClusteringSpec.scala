@@ -244,17 +244,37 @@ class ClusteringSpec extends SparkSpec {
       Seq(1L, 5L, 2L, 3L, 4L))
   }
 
-  test("primOrder: mmap-spilled triangle traverses identically to heap") {
-    // 60 distinct profiles, mmapThreshold=2 forces the spill path (the
-    // 50k heap ceiling is gone — the same traversal runs over the
-    // memory-mapped triangle); results must match the heap path bit-for-bit
+  test("primOrder: local, heap-triangle and mmap-spilled paths are " +
+      "bit-identical") {
+    // 60 distinct profiles. Default takes the LOCAL path (dictionary-
+    // coded matrix, no triangle); localWorkThreshold=0 forces the Spark
+    // fill; mmapThreshold=2 on top forces the spill store. All three must
+    // produce the same order bit-for-bit (shared primSelect loop; the
+    // distance kernels are pinned to the same float arithmetic).
     val f = (1 to 60).map(i =>
       (i.toLong, Seq((i % 7).toString, (i % 5).toString,
         (i % 3).toString, (i / 10).toString)))
       .toDF("iso", "profile")
-    val heap = Clustering.primOrder(f, "iso")
-    val spilled = Clustering.primOrder(f, "iso", mmapThreshold = 2)
-    assert(heap == spilled && heap.length == 60)
+    val local = Clustering.primOrder(f, "iso")
+    val heap = Clustering.primOrder(f, "iso", localWorkThreshold = 0)
+    val spilled = Clustering.primOrder(f, "iso", localWorkThreshold = 0,
+      mmapThreshold = 2)
+    assert(local == heap && heap == spilled && local.length == 60)
+  }
+
+  test("primOrder: local path handles missing-heavy and all-missing " +
+      "profiles like the triangle path") {
+    // all-missing pairs are distance 100 (0/0 in the reference); N is
+    // projected to missing BEFORE comparison on the bulk path — exercise
+    // both against the forced Spark fill
+    val f = Seq(
+      (1, Seq("0", "0", "0")), (2, Seq("0", "0", "0")),
+      (3, Seq("1", "N", "0")), (4, Seq("1", "2", "3")),
+      (5, Seq("1", "2", "4")))
+      .toDF("iso", "profile")
+    val local = Clustering.primOrder(f, "iso")
+    val spark = Clustering.primOrder(f, "iso", localWorkThreshold = 0)
+    assert(local == spark && local.length == 5)
   }
 
   test("primOrder: maxMissing gate excludes N-heavy profiles") {
