@@ -225,8 +225,11 @@ object Clustering {
     *
     * Assignment order is ascending id, so profile i's nearest-ASSIGNED
     * neighbour is its nearest among all LOWER ids — a quantity that
-    * depends only on the profiles, not on the codes. The O(n²·L) distance
-    * work therefore runs IN SPARK (a broadcast join of one id-batch
+    * depends only on the profiles, not on the codes. Within the local
+    * work gate ([[fitsLocal]]) that nearest map computes on the driver
+    * from the dictionary-coded O(n·L) matrix (bit-identical doubles and
+    * tie rule, zero serialization); beyond it the O(n²·L) distance
+    * work runs IN SPARK (a broadcast join of one id-batch
     * against the lower-id remainder, `batchSize` ids per job); the
     * inherently sequential part — threading code prefixes through the
     * assignment order (SURVEY §7.4 hard-part 1) — stays on the driver but
@@ -243,7 +246,8 @@ object Clustering {
       wh: DataFrame,
       entity: String,
       thresholds: Seq[Double],
-      batchSize: Int = 4096): DataFrame = {
+      batchSize: Int = 4096,
+      localWorkThreshold: Long = 20000000000L): DataFrame = {
     val spark = wh.sparkSession
     import spark.implicits._
     val levels = thresholds.length
@@ -251,6 +255,42 @@ object Clustering {
       col(entity).cast("long").as("__id"), col("profile").as("__prof"))
     // ids only — 8 bytes per ST, the one full-dimension driver collect
     val ids = prof.select(col("__id")).as[Long].collect().sorted
+    // LOCAL crossover (same gate as primOrder): within the n²·L work
+    // gate the whole nearest-lower-id map computes on the driver from
+    // the dictionary-coded matrix — identical doubles and tie rule
+    // (strict > keeps the earliest pid under the ascending scan = the
+    // max_by((pct, -pid)) rule), zero Spark jobs for the distance pass
+    val localBest: Option[Map[Long, (Long, Double)]] =
+      if (ids.length <= 1) None
+      else {
+        val l0 = prof.select(size(col("__prof")).as("l")).head().getInt(0)
+        if (!fitsLocal(ids.length, l0, localWorkThreshold)) None
+        else {
+          val posOf = ids.zipWithIndex.toMap
+          val lp = new LocalProfiles(
+            prof.select(col("__id"), col("__prof"))
+              .as[(Long, Seq[String])].collect(),
+            posOf)
+          // per-i computations are independent — chunk-parallel, each i
+          // writing only its own slots
+          val bq = new Array[Int](lp.n); val bp = new Array[Double](lp.n)
+          parChunks(lp.n) { (lo, hi) =>
+            var i = math.max(lo, 1)
+            while (i < hi) {
+              var q0 = 0; var p0 = lp.identity(0, i)
+              var q = 1
+              while (q < i) {
+                val p = lp.identity(q, i)
+                if (p > p0) { p0 = p; q0 = q }
+                q += 1
+              }
+              bq(i) = q0; bp(i) = p0
+              i += 1
+            }
+          }
+          Some((1 until lp.n).map(i => ids(i) -> (ids(bq(i)), bp(i))).toMap)
+        }
+      }
     // %identity as a column expression. The counts are exact integers and
     // the final `100.0 * shared / comparable` is the same IEEE-754
     // operation order as identityPct (and the DuckDB replay oracle), so
@@ -278,23 +318,26 @@ object Clustering {
           scala.collection.mutable.Set.empty[Int]) += code(d)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Vector[Int])]
     ids.grouped(math.max(batchSize, 1)).foreach { batch =>
-      // nearest lower-id neighbour per batch member, computed distributed:
+      // nearest lower-id neighbour per batch member: the precomputed
+      // local map within the work gate, else computed distributed —
       // candidates (everything below the batch max, including in-batch
       // lower ids) stream against the broadcast batch
       val hi = batch.last
-      val a = prof.filter(col("__id") >= batch.head && col("__id") <= hi)
-      val b = prof.filter(col("__id") < hi)
-      val best = b.as("b")
-        .join(broadcast(a.as("a")), col("b.__id") < col("a.__id"))
-        .select(col("a.__id").as("id"), col("b.__id").as("pid"),
-          pctCol(col("a.__prof"), col("b.__prof")).as("pct"))
-        .groupBy(col("id"))
-        // max pct, ties to lowest pid — the original maxBy((pct, -pid))
-        .agg(max_by(struct(col("pid"), col("pct")),
-          struct(col("pct"), -col("pid"))).as("b"))
-        .select(col("id"), col("b.pid"), col("b.pct"))
-        .as[(Long, Long, Double)].collect()
-        .map { case (id, pid, pct) => id -> (pid, pct) }.toMap
+      val best = localBest.getOrElse {
+        val a = prof.filter(col("__id") >= batch.head && col("__id") <= hi)
+        val b = prof.filter(col("__id") < hi)
+        b.as("b")
+          .join(broadcast(a.as("a")), col("b.__id") < col("a.__id"))
+          .select(col("a.__id").as("id"), col("b.__id").as("pid"),
+            pctCol(col("a.__prof"), col("b.__prof")).as("pct"))
+          .groupBy(col("id"))
+          // max pct, ties to lowest pid — the original maxBy((pct, -pid))
+          .agg(max_by(struct(col("pid"), col("pct")),
+            struct(col("pct"), -col("pid"))).as("b"))
+          .select(col("id"), col("b.pid"), col("b.pct"))
+          .as[(Long, Long, Double)].collect()
+          .map { case (id, pid, pct) => id -> (pid, pct) }.toMap
+      }
       batch.foreach { id =>
         val code: Vector[Int] =
           if (codes.isEmpty) Vector.fill(levels)(0) // globally first profile
@@ -479,8 +522,7 @@ object Clustering {
     // on total compare work (n²·L) and matrix size so the distributed
     // fill remains the beyond-gate route.
     val L = base.select(size(col("__prof")).as("l")).head().getInt(0)
-    if (n.toLong * n * L <= localWorkThreshold &&
-        n.toLong * L <= 64000000L)
+    if (fitsLocal(n, L, localWorkThreshold))
       return primOrderLocal(base, ids)
     val pairs = n.toLong * (n - 1) / 2
     // FALLBACK beyond the local-work gate: distances in Spark (batched
@@ -497,36 +539,34 @@ object Clustering {
     finally tri.close()
   }
 
-  /** Driver-local PRIM: profiles dictionary-coded into one flat int
-    * matrix (equal strings ↔ equal codes, so compare semantics are exact)
-    * and [[primSelect]] recomputes each distance on demand — identical
-    * float arithmetic to [[refDistCol]]`.cast("float")` (`100.0·diffs/
-    * denom` in double, one float rounding), so the order is bit-identical
-    * to the triangle path (ClusteringSpec pins local == spark-fill). No
-    * O(n²) structure exists on this path at all.
+  /** Dictionary-coded profile matrix for the driver-local crossover
+    * paths: equal strings ↔ equal codes, so compare semantics are exact,
+    * and both reference distance kernels reproduce the Column forms'
+    * IEEE-754 arithmetic bit-for-bit (`100.0·x/y` in double, same op
+    * order as [[refDistCol]] / the pctCol expression). O(n·L) ints —
+    * never any O(n²) structure.
     */
-  private def primOrderLocal(base: DataFrame, ids: Array[Long]): Seq[Long] = {
-    val spark = base.sparkSession
-    import spark.implicits._
-    val n = ids.length
-    val posOf = ids.zipWithIndex.toMap
-    val collected = base.select(col("__id"), col("__prof"))
-      .as[(Long, Seq[String])].collect()
-    val L = collected.head._2.length
-    val dict = new java.util.HashMap[String, Integer]()
-    def code(s: String): Int = {
+  private final class LocalProfiles(
+      rows: Array[(Long, Seq[String])], posOf: Long => Int) {
+    val n: Int = rows.length
+    val L: Int = if (n == 0) 0 else rows(0)._2.length
+    private val dict = new java.util.HashMap[String, Integer]()
+    private def code(s: String): Int = {
       val c = dict.get(s)
       if (c != null) c.intValue
       else { val nc = dict.size; dict.put(s, Integer.valueOf(nc)); nc }
     }
-    val missCode = code(AlleleIdS.Missing)
+    private val missCode = code(AlleleIdS.Missing)
+    private val arbCode = code(AlleleIdS.Arbitrary)
     val mat = new Array[Int](n * L)
-    collected.foreach { case (id, prof) =>
+    rows.foreach { case (id, prof) =>
       var o = posOf(id) * L
       val it = prof.iterator
       while (it.hasNext) { mat(o) = code(it.next()); o += 1 }
     }
-    def dist(i: Int, j: Int): Float = {
+    /** Bulk distance ([[refDistCol]]; inputs already N→missing
+      * projected): 100·diffs/(L − missEither), 100.0 when denom 0. */
+    def refDist(i: Int, j: Int): Double = {
       var diffs = 0; var missEither = 0
       var a = i * L; var b = j * L; val end = a + L
       while (a < end) {
@@ -536,9 +576,71 @@ object Clustering {
         a += 1; b += 1
       }
       val denom = L - missEither
-      (if (denom == 0) 100.0 else 100.0 * diffs / denom).toFloat
+      if (denom == 0) 100.0 else 100.0 * diffs / denom
     }
-    primSelect(n, dist).map(ids(_))
+    /** Wildcard %identity ([[identityPct]] / the incremental path's
+      * pctCol): N matches anything, 0.0 when nothing comparable. */
+    def identity(i: Int, j: Int): Double = {
+      var shared = 0; var comparable = 0
+      var a = i * L; var b = j * L; val end = a + L
+      while (a < end) {
+        val x = mat(a); val y = mat(b)
+        if (x != missCode && y != missCode) {
+          comparable += 1
+          if (x == y || x == arbCode || y == arbCode) shared += 1
+        }
+        a += 1; b += 1
+      }
+      if (comparable == 0) 0.0 else 100.0 * shared / comparable
+    }
+  }
+
+  /** Chunked driver-side parallelism for the local crossovers' big
+    * independent scans (per-item nearest maps, the PRIM global-min
+    * scan): `body(lo, hi)` ranges never overlap, so writes to disjoint
+    * slots race-free and any reduction merges DETERMINISTICALLY in the
+    * caller (total-order min). Small inputs stay single-threaded.
+    */
+  private def parChunks(n: Int)(body: (Int, Int) => Unit): Unit = {
+    val threads = math.max(1,
+      math.min(Runtime.getRuntime.availableProcessors, 16))
+    if (n < 4096 || threads == 1) { body(0, n); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val chunk = (n + threads - 1) / threads
+      (0 until threads).map { t =>
+        val lo = t * chunk; val hi = math.min(n, lo + chunk)
+        pool.submit(new Runnable {
+          def run(): Unit = if (lo < hi) body(lo, hi)
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+  }
+
+  /** The n²·L work gate + O(n·L) matrix-size gate shared by the local
+    * crossovers: within it the whole distance workload fits one driver
+    * comfortably (~20 s of int compares at the default), so recomputing
+    * distances locally beats ANY distributed plan's serialization floor;
+    * beyond it the batched-broadcast Spark paths remain the scale route
+    * (forced in specs via localWorkThreshold = 0).
+    */
+  private def fitsLocal(n: Long, l: Long, localWorkThreshold: Long): Boolean =
+    n * n * l <= localWorkThreshold && n * l <= 64000000L
+
+  /** Driver-local PRIM: [[LocalProfiles]] + [[primSelect]] recomputing
+    * each distance on demand — identical float arithmetic to
+    * [[refDistCol]]`.cast("float")`, so the order is bit-identical to the
+    * triangle path (ClusteringSpec pins local == spark-fill).
+    */
+  private def primOrderLocal(base: DataFrame, ids: Array[Long]): Seq[Long] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val posOf = ids.zipWithIndex.toMap
+    val lp = new LocalProfiles(
+      base.select(col("__id"), col("__prof"))
+        .as[(Long, Seq[String])].collect(),
+      posOf)
+    primSelect(lp.n, (i, j) => lp.refDist(i, j).toFloat).map(ids(_))
   }
 
   private def primTraverse(
@@ -580,40 +682,69 @@ object Clustering {
     * drift. Returns order POSITIONS (indices into the ascending-id list).
     */
   private def primSelect(n: Int, dist: (Int, Int) => Float): Seq[Int] = {
-    // initial pair: global min, ties to lexicographically smallest (i, j)
+    // initial pair: global min, ties to lexicographically smallest (i, j).
+    // Chunk-parallel over i (reads only — both TriStore impls and the
+    // local matrix are read-safe across threads), merged by the SAME
+    // (d, i, j) total order the serial scan's strict-< encodes, so the
+    // result is bit-identical at any thread count.
+    val ci = new Array[Int](n); val cj = new Array[Int](n)
+    val cd = new Array[Float](n)
+    parChunks(n) { (lo, hi) =>
+      var i = lo
+      while (i < hi) {
+        var bj0 = -1; var bd0 = Float.MaxValue
+        var j = i + 1
+        while (j < n) {
+          val d = dist(i, j); if (d < bd0) { bd0 = d; bj0 = j }; j += 1
+        }
+        ci(i) = i; cj(i) = bj0; cd(i) = bd0
+        i += 1
+      }
+    }
     var bi = 0; var bj = 1; var bd = Float.MaxValue
     var i = 0
     while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        val d = dist(i, j); if (d < bd) { bd = d; bi = i; bj = j }; j += 1
-      }
+      if (cj(i) >= 0 && cd(i) < bd) { bd = cd(i); bi = i; bj = cj(i) }
       i += 1
     }
     val ordered = scala.collection.mutable.ArrayBuffer(bi, bj)
     val inOrder = new Array[Boolean](n); inOrder(bi) = true; inOrder(bj) = true
     // dmin(u) = distance to the nearest ordered node; pmin(u) = the
-    // EARLIEST order position achieving it (strict-< updates keep it)
+    // EARLIEST order position achieving it (strict-< updates keep it).
+    // Plain while loops throughout: this and the selection sweep below
+    // run n times over n entries — Range closures here cost more than
+    // the distance arithmetic itself on the local path.
     val dmin = new Array[Float](n); val pmin = new Array[Int](n)
-    for (u <- 0 until n if !inOrder(u)) {
-      val d0 = dist(bi, u); val d1 = dist(bj, u)
-      if (d0 <= d1) { dmin(u) = d0; pmin(u) = 0 }
-      else { dmin(u) = d1; pmin(u) = 1 }
+    var u0 = 0
+    while (u0 < n) {
+      if (!inOrder(u0)) {
+        val d0 = dist(bi, u0); val d1 = dist(bj, u0)
+        if (d0 <= d1) { dmin(u0) = d0; pmin(u0) = 0 }
+        else { dmin(u0) = d1; pmin(u0) = 1 }
+      }
+      u0 += 1
     }
     while (ordered.size < n) {
       // next = min by (distance, earliest ordered position, index) — the
       // reference's v_min-then-minimum_ind selection, flattened
       var k = -1
-      for (u <- 0 until n if !inOrder(u))
-        if (k < 0 || dmin(u) < dmin(k) ||
+      var u = 0
+      while (u < n) {
+        if (!inOrder(u) && (k < 0 || dmin(u) < dmin(k) ||
             (dmin(u) == dmin(k) && (pmin(u) < pmin(k) ||
-              (pmin(u) == pmin(k) && u < k)))) k = u
+              (pmin(u) == pmin(k) && u < k))))) k = u
+        u += 1
+      }
       inOrder(k) = true
       val kPos = ordered.size
       ordered += k
-      for (u <- 0 until n if !inOrder(u)) {
-        val d = dist(k, u)
-        if (d < dmin(u)) { dmin(u) = d; pmin(u) = kPos }
+      var w = 0
+      while (w < n) {
+        if (!inOrder(w)) {
+          val d = dist(k, w)
+          if (d < dmin(w)) { dmin(w) = d; pmin(w) = kPos }
+        }
+        w += 1
       }
     }
     ordered.toSeq
@@ -633,8 +764,10 @@ object Clustering {
     * 100% identity.
     *
     * Same execution split as [[assignLinCodes]]: nearest-assigned is pure
-    * profile data (assigned ⊆ earlier order positions), so the O(n²·L)
-    * distance work runs in Spark per batch; the driver threads only code
+    * profile data (assigned ⊆ earlier order positions), so within the
+    * local work gate the whole nearest map computes on the driver from
+    * the dictionary-coded matrix, and beyond it the O(n²·L) distance
+    * work runs in Spark per batch; the driver threads only code
     * vectors. `thresholds` ascending minimum %-identity per level.
     */
   def assignLinCodesBulk(
@@ -642,16 +775,54 @@ object Clustering {
       entity: String,
       thresholds: Seq[Double],
       maxMissing: Int = Int.MaxValue,
-      batchSize: Int = 4096): DataFrame = {
+      batchSize: Int = 4096,
+      localWorkThreshold: Long = 20000000000L): DataFrame = {
     val spark = wh.sparkSession
     import spark.implicits._
     val levels = thresholds.length
-    val order = primOrder(wh, entity, maxMissing, batchSize)
+    val order = primOrder(wh, entity, maxMissing, batchSize,
+      localWorkThreshold = localWorkThreshold)
     val n = order.length
     val posDf = order.zipWithIndex.toSeq.toDF("__id", "__pos")
     val prof = bulkProjection(wh, entity, maxMissing)
       .join(broadcast(posDf), Seq("__id"))
       .select(col("__pos"), col("__prof"))
+    // LOCAL crossover for the nearest-assigned map (same gate as
+    // primOrder): min by (refDist, position) — the ascending-q scan with
+    // strict < keeps the earliest-assigned position, the min(struct(d,q))
+    // tie rule exactly; doubles identical (same op order as refDistCol)
+    val localNearest: Option[Map[Int, (Int, Double)]] =
+      if (n <= 1) None
+      else {
+        val l0 = prof.select(size(col("__prof")).as("l")).head().getInt(0)
+        if (!fitsLocal(n, l0, localWorkThreshold)) None
+        else {
+          val posOfId = order.zipWithIndex.toMap
+          val lp = new LocalProfiles(
+            bulkProjection(wh, entity, maxMissing)
+              .select(col("__id"), col("__prof"))
+              .as[(Long, Seq[String])].collect(),
+            posOfId)
+          // per-p computations independent — chunk-parallel (disjoint
+          // slots), the ascending-q strict-< scan preserved per p
+          val nq = new Array[Int](n); val nd = new Array[Double](n)
+          parChunks(n) { (lo, hi) =>
+            var p = math.max(lo, 1)
+            while (p < hi) {
+              var q0 = 0; var d0 = lp.refDist(0, p)
+              var q = 1
+              while (q < p) {
+                val d = lp.refDist(q, p)
+                if (d < d0) { d0 = d; q0 = q }
+                q += 1
+              }
+              nq(p) = q0; nd(p) = d0
+              p += 1
+            }
+          }
+          Some((1 until n).map(p => p -> (nq(p), nd(p))).toMap)
+        }
+      }
     val codes = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
     // prefix → max value seen at position |prefix| (increment_lincode
     // scans assigned codes for the max; an index keeps it O(1))
@@ -664,18 +835,20 @@ object Clustering {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Vector[Int])]
     (0 until n).grouped(math.max(batchSize, 1)).foreach { batch =>
       val hi = batch.last
-      val a = prof.filter(col("__pos") >= batch.head && col("__pos") <= hi)
-      val b = prof.filter(col("__pos") < hi)
-      val nearest = b.as("b")
-        .join(broadcast(a.as("a")), col("b.__pos") < col("a.__pos"))
-        .select(col("a.__pos").as("p"), col("b.__pos").as("q"),
-          refDistCol(col("a.__prof"), col("b.__prof")).as("d"))
-        .groupBy(col("p"))
-        // min distance, ties to earliest-assigned (smallest position)
-        .agg(min(struct(col("d"), col("q"))).as("m"))
-        .select(col("p"), col("m.q"), col("m.d"))
-        .as[(Int, Int, Double)].collect()
-        .map { case (p, q, d) => p -> (q, d) }.toMap
+      val nearest = localNearest.getOrElse {
+        val a = prof.filter(col("__pos") >= batch.head && col("__pos") <= hi)
+        val b = prof.filter(col("__pos") < hi)
+        b.as("b")
+          .join(broadcast(a.as("a")), col("b.__pos") < col("a.__pos"))
+          .select(col("a.__pos").as("p"), col("b.__pos").as("q"),
+            refDistCol(col("a.__prof"), col("b.__prof")).as("d"))
+          .groupBy(col("p"))
+          // min distance, ties to earliest-assigned (smallest position)
+          .agg(min(struct(col("d"), col("q"))).as("m"))
+          .select(col("p"), col("m.q"), col("m.d"))
+          .as[(Int, Int, Double)].collect()
+          .map { case (p, q, d) => p -> (q, d) }.toMap
+      }
       batch.foreach { p =>
         val code: Vector[Int] =
           if (p == 0) Vector.fill(levels)(0)

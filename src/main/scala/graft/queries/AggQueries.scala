@@ -622,22 +622,15 @@ object AggQueries extends QueryModule {
   private val aggMedianExact = Q(
     "agg_median_exact",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // the histogram walk lives in operators.ExactQuantiles so
+      // HandComputedAggSpec can pin the PRODUCTION formula against
+      // literal hand-worked fixtures (the r10 p90 bug survived the
+      // DuckDB compare because engine and oracle shared the formula)
       val li = Tables.load(s, dir, "lineitem")
-      val h = li.groupBy(col("l_returnflag"),
-          col("l_quantity").cast("long").as("qty"))
-        .agg(count(lit(1)).as("c"))
-      val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val nW = Window.partitionBy(col("l_returnflag"))
-      h.withColumn("cum", sum(col("c")).over(cumW))
-        .withColumn("n", sum(col("c")).over(nW))
-        .groupBy(col("l_returnflag"))
-        .agg(max(col("n")).as("n_rows"),
-          min(when(col("cum") >= expr("(n + 1) div 2"), col("qty")))
-            .as("median_qty"),
-          min(when(col("cum") * 10 >= col("n") * 9, col("qty")))
-            .as("p90_qty"))
+      graft.operators.ExactQuantiles.medianP90ByHistogram(
+          li, col("l_returnflag"), col("l_quantity"))
+        .select(col("grp").as("l_returnflag"), col("n_rows"),
+          col("median_v").as("median_qty"), col("p90_v").as("p90_qty"))
         .orderBy(col("l_returnflag"))
     },
     Some("""WITH h AS (

@@ -636,17 +636,15 @@ object CurationQueries extends QueryModule {
         .orderBy(col("epoch"), col("doc_id"))
     },
     Some("""WITH RECURSIVE dims AS (
+              -- hw = 2^w, w = smallest >=1 with 4^w >= n — derived
+              -- ARITHMETICALLY (ceil(bitlength(n-1)/2) via binary printf,
+              -- exact integers end to end) so it matches Feistel.halfWidth
+              -- at ANY corpus size; the r11 CASE ladder silently capped at
+              -- hw=1024 (wrong beyond 2^20 rows)
               SELECT COUNT(*) AS n,
-                     CASE WHEN COUNT(*) <= 4 THEN 2
-                          WHEN COUNT(*) <= 16 THEN 4
-                          WHEN COUNT(*) <= 64 THEN 8
-                          WHEN COUNT(*) <= 256 THEN 16
-                          WHEN COUNT(*) <= 1024 THEN 32
-                          WHEN COUNT(*) <= 4096 THEN 64
-                          WHEN COUNT(*) <= 16384 THEN 128
-                          WHEN COUNT(*) <= 65536 THEN 256
-                          WHEN COUNT(*) <= 262144 THEN 512
-                          ELSE 1024 END AS hw
+                     CAST(power(2, greatest(1, CAST(ceil(
+                       length(printf('%b', COUNT(*) - 1)) / 2.0)
+                       AS INT))) AS BIGINT) AS hw
               FROM documents),
             walk AS (
               SELECT d.doc_id, e.epoch, m.n, m.hw,

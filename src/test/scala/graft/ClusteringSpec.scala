@@ -311,6 +311,33 @@ class ClusteringSpec extends SparkSpec {
     assert(batched == got)
   }
 
+  test("assignLinCodes/assignLinCodesBulk: local crossover == forced " +
+      "Spark path, codes bit-identical") {
+    // 40 profiles mixing exact dups, near-dups, missing ("0") and
+    // wildcard ("N") loci — both distance kernels and both tie rules get
+    // exercised; localWorkThreshold=0 forces the distributed path
+    val f = (1 to 40).map { i =>
+      val base = Seq((i % 6).toString, (i % 4).toString,
+        (i % 3).toString, (i / 8).toString, (i % 2).toString)
+      val withMiss = if (i % 7 == 0) base.updated(1, "0") else base
+      val withN = if (i % 11 == 0) withMiss.updated(2, "N") else withMiss
+      (i.toLong, withN)
+    }.toDF("iso", "profile")
+    val th = Seq(40.0, 70.0, 90.0)
+    val incLocal = Clustering.assignLinCodes(f, "iso", th)
+      .as[(Long, Seq[Int])].collect().toMap
+    val incSpark = Clustering.assignLinCodes(f, "iso", th,
+        localWorkThreshold = 0)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(incLocal == incSpark && incLocal.size == 40)
+    val bulkLocal = Clustering.assignLinCodesBulk(f, "iso", th)
+      .as[(Long, Seq[Int])].collect().toMap
+    val bulkSpark = Clustering.assignLinCodesBulk(f, "iso", th,
+        localWorkThreshold = 0)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(bulkLocal == bulkSpark && bulkLocal.size == 40)
+  }
+
   test("assignLinCodes is deterministic across re-runs") {
     val f = Seq(
       (10, Seq("1", "2", "3")), (20, Seq("1", "2", "4")), (30, Seq("9", "9", "9")))

@@ -86,6 +86,22 @@ class FeistelSpec extends SparkSpec {
     assert(Feistel.halfWidth(1L << 40) === 20)
   }
 
+  test("halfWidth == ceil(bitlength(n-1)/2) — the oracle's arithmetic " +
+      "derivation is exact at every size") {
+    // pack_epoch_shuffle's DuckDB oracle derives hw as
+    // 2^max(1, ceil(length(printf('%b', n-1))/2.0)); this pins the Scala
+    // kernel to that formula so the two can never silently diverge (the
+    // r11 CASE-ladder oracle capped at hw=1024, wrong beyond 2^20 rows)
+    def bits(m: Long): Int =
+      if (m == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m)
+    def oracleW(n: Long): Int = math.max(1, (bits(n - 1) + 1) / 2)
+    val samples = (1L to 70L) ++
+      (0 to 59).flatMap(k => Seq((1L << k) - 1, 1L << k, (1L << k) + 1))
+        .filter(n => n >= 1 && n <= (1L << 60))
+    samples.foreach(n => assert(Feistel.halfWidth(n) === oracleW(n),
+      s"n=$n"))
+  }
+
   test("column form runs inside codegen and matches the kernel") {
     val n = 500L
     val df = spark.range(n).selectExpr("id AS doc_id")
