@@ -408,6 +408,25 @@ object TextAnalysis {
 
   final case class Bm25Stats(n: Double, avgdl: Double, df: Map[String, Double])
 
+  /** Binary-magnitude (libm-free) Robertson idf: with bits(x) =
+    * floor(log2 x) + 1 over exact integers, idf = bits(2N+2) − bits(2df+1)
+    * — the floor-log2 quantization of log2((N+1)/(df+0.5)), i.e. the
+    * classic idf rebased to 2 and snapped to integer bits (the
+    * text_unigram_surprisal kernel applied to idf). Replaces the r11
+    * ln() chain (whitelist class C5, retired r12): integer binary-digit
+    * counts reproduce bit-for-bit in any engine (DuckDB:
+    * length(printf('%b', x))), so no libm value ever crosses the oracle.
+    */
+  def idfBits(n: Long, df: Long): Double =
+    ((64 - java.lang.Long.numberOfLeadingZeros(2 * n + 2)) -
+      (64 - java.lang.Long.numberOfLeadingZeros(2 * df + 1))).toDouble
+
+  /** Column form of [[idfBits]]: length(bin(x)) is the binary digit
+    * count of a positive long — codegen'd, no libm. */
+  def idfBitsCol(n: Column, df: Column): Column =
+    (length(bin(n.cast("long") * 2 + 2)) -
+      length(bin(df.cast("long") * 2 + 1))).cast("double")
+
   /** Per-document BM25 score under FIXED stats — stateless and narrow
     * (term frequencies fold in-row over the token array; idf factors are
     * literals), so the same definition scores a batch or a document
@@ -420,7 +439,7 @@ object TextAnalysis {
     val dl = size(w).cast("double")
     val score = stats.df.toSeq.sortBy(_._1).map { case (term, dfv) =>
       val tf = size(filter(w, x => x === term)).cast("double")
-      val idf = math.log((stats.n - dfv + 0.5) / (dfv + 0.5) + 1.0)
+      val idf = idfBits(stats.n.toLong, dfv.toLong)
       when(tf > 0,
         lit(idf) * tf * (lit(k1) + 1)
           / (tf + lit(k1) * (lit(1) - lit(b) + lit(b) * dl / lit(stats.avgdl))))
@@ -452,7 +471,7 @@ object TextAnalysis {
       .join(broadcast(dfs), Seq("word"))
       .crossJoin(broadcast(stats))
       .withColumn("__s",
-        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+        idfBitsCol(col("__n"), col("__df"))
           * col("__tf") * (lit(k1) + 1)
           / (col("__tf") + lit(k1) *
              (lit(1) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))

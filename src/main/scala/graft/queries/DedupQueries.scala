@@ -758,9 +758,123 @@ object DedupQueries extends QueryModule {
                    round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
             FROM ex ORDER BY id1, id2"""))
 
+  // The full ingest gate, end to end (r11 VERDICT #7): an ingest batch
+  // (doc_id % 11 = 0, the established delta slice) runs
+  //   (1) exact first-seen dedup by content key (StreamDedup — the
+  //       stream operator's batch form; doc_id is the arrival order),
+  //   (2) the MinHash near-dup gate against the PERSISTED base index
+  //       (IndexStore.queryMinhash — zero base-corpus access),
+  //   (3) IVF append of the admitted docs' embeddings onto the frozen
+  //       base-centroid index, then an ANN query proving every admitted
+  //       vector is findable in the merged index.
+  // One row per (admitted embedded doc, rank): the stage-1 duplicate
+  // pressure rides along as n_dups. The oracle replays the whole chain —
+  // content-hash argmin, the shared MinHash replay fragment, and the
+  // frozen-centroid IVF probe — as one composed query (the pipeline_e2e
+  // discipline). Docs without an embedding admit through the text gates
+  // but drop at the vector join on both sides identically.
+  private val ingestE2e = Q(
+    "ingest_e2e",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val delta = docs.filter(col("doc_id") % 11 === 0)
+      val fs = graft.streaming.StreamDedup.firstSeenByContent(
+        delta.withColumn("arrival", col("doc_id")),
+        Seq(col("text")), "arrival", "doc_id")
+      val surv = fs.select(col("first_id").as("doc_id"), col("n_dups"))
+      val verdicts = graft.pipeline.IndexStore.queryMinhash(
+        s, cachedMinhashStore(s, dir),
+        delta.join(surv.select("doc_id"), Seq("doc_id")),
+        "doc_id", "text", shingleN = 2, k = 64, bands = 16,
+        minEstJaccard = 0.1, hasher = Dedup.portableShingleHashes)
+      val admitted = verdicts.filter(!col("is_dup")).select(col("doc_id"))
+        .join(surv, Seq("doc_id"))
+      val admVecs = emb
+        .join(admitted.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val baseVecs = emb.filter(col("vec_id") % 11 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val ann = graft.pipeline.Similarity.ivfAppendTopK(
+        baseVecs, admVecs, admVecs, "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 4)
+      admitted.join(ann, admitted("doc_id") === ann("query_id"))
+        .select(col("doc_id"), col("n_dups"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some(s"""WITH $minhashCtesSql,
+            delta AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % 11 = 0),
+            fs AS (
+              SELECT md5(md5(coalesce(CAST(text AS VARCHAR), ''))) AS ck,
+                     min(doc_id) AS doc_id, count(1) AS n_dups
+              FROM delta GROUP BY ck),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS did, y.doc_id AS bid
+              FROM banded x JOIN banded y ON x.t = y.t AND x.key = y.key
+              WHERE x.doc_id IN (SELECT doc_id FROM fs)
+                AND y.doc_id % 11 <> 0),
+            ge AS (
+              SELECT c.did,
+                     list_sum(list_transform(generate_series(1, 64),
+                       i -> CASE WHEN s1.sig[i] = s2.sig[i]
+                            THEN 1 ELSE 0 END)) / 64.0 AS est
+              FROM cand c
+              JOIN sigs s1 ON c.did = s1.doc_id
+              JOIN sigs s2 ON c.bid = s2.doc_id),
+            adm AS (
+              SELECT f.doc_id, f.n_dups FROM fs f
+              WHERE NOT EXISTS (SELECT 1 FROM ge
+                                WHERE ge.did = f.doc_id AND ge.est >= 0.1)),
+            basev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings WHERE vec_id % 11 <> 0),
+            admv AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+                     FROM embeddings e JOIN adm a ON e.vec_id = a.doc_id),
+            corpus AS (SELECT * FROM basev UNION ALL SELECT * FROM admv),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                     v AS cvec
+              FROM (SELECT vec_id, v FROM basev
+                    ORDER BY vec_id LIMIT 16) t),
+            norm AS MATERIALIZED (
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n
+              FROM corpus),
+            assign_all AS (
+              SELECT nm.vec_id, nm.v, nm.n, c.list_id,
+                     list_dot_product(nm.v, c.cvec)
+                       / (nm.n * sqrt(list_dot_product(c.cvec, c.cvec))) AS cd
+              FROM norm nm, cent c),
+            corpus_assigned AS (
+              SELECT vec_id AS neighbor_id, v AS cv, n AS cn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cd DESC, list_id) AS r
+                FROM assign_all) t WHERE r = 1),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, n AS qn, list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cd DESC, list_id) AS r
+                FROM assign_all
+                WHERE vec_id IN (SELECT vec_id FROM admv)) t WHERE r <= 4),
+            scored AS (
+              SELECT p.query_id, a.neighbor_id,
+                     list_dot_product(p.qv, a.cv) / (p.qn * a.cn) AS cos
+              FROM probes p JOIN corpus_assigned a USING (list_id)
+              WHERE p.query_id <> a.neighbor_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT a.doc_id, a.n_dups, r.neighbor_id,
+                   round(r.cos, 4) AS cos, CAST(r.rank AS BIGINT) AS rank
+            FROM adm a JOIN ranked r ON a.doc_id = r.query_id
+            WHERE r.rank <= 3
+            ORDER BY a.doc_id, r.rank"""))
+
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupCluster, dedupSubstring, dedupSoft, dedupIncremental,
-    dedupIndexPersisted,
+    dedupIndexPersisted, ingestE2e,
     dedupPrefixJoin, dedupSortedNeighborhood, dedupCdc, dedupContainment,
     dedupContainmentSketch, dedupCanonicalQuality, dedupMinhashEstError)
 }

@@ -162,12 +162,18 @@ object TextQueries extends QueryModule {
             FROM d LEFT JOIN pw ON pw.i < length(d.t)
             GROUP BY d.doc_id ORDER BY d.doc_id"""))
 
-  // Character-bigram Shannon entropy — the standard gibberish/boilerplate
-  // signal next to the repetition ratio: low entropy = repeated padding,
-  // high = random noise. Distributed form: explode bigrams → two hash
-  // aggregations (count per (doc, bigram), then Σ c·log2 c per doc) — both
-  // map-side combinable, no per-row maps that would blow up on long docs.
-  // H = log2(N) - (Σ c·log2 c)/N, exact in one pass over the counts.
+  // Character-bigram entropy — the standard gibberish/boilerplate signal
+  // next to the repetition ratio: low entropy = repeated padding, high =
+  // random noise. Distributed form: explode bigrams → two hash
+  // aggregations (count per (doc, bigram), then Σ c·flog2(c) per doc) —
+  // both map-side combinable, no per-row maps that would blow up on long
+  // docs. EMITTED IN INTEGER FLOOR-LOG2 BITS (the text_unigram_surprisal
+  // kernel; r11 whitelist class C4 retired): with flog2(x) = bits(x)−1
+  // over exact integer counts, n·H snaps to h_bits_total =
+  // n·flog2(n) − Σ c·flog2(c) — a pure-integer quantity both engines
+  // compute identically, preserving the signal's ordering (repeated
+  // padding → 0, diverse text → large). entropy_bits = h_bits_total/n is
+  // one exact-integer division (C2), the per-bigram form.
   private val textEntropy = Q(
     "text_ngram_entropy",
     (s, dir) => {
@@ -181,11 +187,15 @@ object TextQueries extends QueryModule {
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n"),
-          sum((col("c") * log2(col("c"))).cast("decimal(30,12)"))
-            .cast("double").as("clog"))
+          sum(col("c") * (length(bin(col("c"))) - 1).cast("long"))
+            .as("cbits"))
         .select(col("doc_id"),
           col("n").cast("long").as("n_bigrams"),
-          round(log2(col("n")) - col("clog") / col("n"), 4).as("entropy"))
+          ((length(bin(col("n"))) - 1).cast("long") * col("n")
+            - col("cbits")).cast("long").as("h_bits_total"),
+          round(((length(bin(col("n"))) - 1).cast("long") * col("n")
+            - col("cbits")).cast("double") / col("n"), 4)
+            .as("entropy_bits"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH bg AS (
@@ -193,13 +203,17 @@ object TextQueries extends QueryModule {
                        range(1, length(text)),
                        i -> substr(lower(text), CAST(i AS INT), 2))) AS b
               FROM documents WHERE length(text) >= 2),
-            cnt AS (SELECT doc_id, b, count(1) AS c FROM bg GROUP BY 1, 2),
-            agg AS (SELECT doc_id, sum(c) AS n,
-                           CAST(sum(CAST(c * log2(c) AS DECIMAL(30,12)))
-                                AS DOUBLE) AS clog
+            cnt AS (SELECT doc_id, b, CAST(count(1) AS BIGINT) AS c
+                    FROM bg GROUP BY 1, 2),
+            agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                           CAST(sum(c * (length(printf('%b', c)) - 1))
+                             AS BIGINT) AS cbits
                     FROM cnt GROUP BY 1)
-            SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
-                   round(log2(n) - clog / n, 4) AS entropy
+            SELECT doc_id, n AS n_bigrams,
+                   CAST((length(printf('%b', n)) - 1) * n - cbits
+                     AS BIGINT) AS h_bits_total,
+                   round(CAST((length(printf('%b', n)) - 1) * n - cbits
+                     AS DOUBLE) / n, 4) AS entropy_bits
             FROM agg ORDER BY doc_id"""))
 
   // BPE-ish token counting (GPT-2 pre-tokenizer shape: contractions,
@@ -546,7 +560,9 @@ object TextQueries extends QueryModule {
               -- per-doc fold in sorted-term order, mirroring the engine
               SELECT doc_id, list_sum(list(s ORDER BY word)) AS score FROM (
                 SELECT h.doc_id, h.word,
-                       ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       CAST(length(printf('%b', CAST(st.n AS BIGINT) * 2 + 2))
+                            - length(printf('%b', CAST(d.df AS BIGINT) * 2 + 1))
+                            AS DOUBLE)
                          * h.tf * (1.2 + 1)
                          / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / st.avgdl))
                          AS s
@@ -637,7 +653,9 @@ object TextQueries extends QueryModule {
             bscored AS (
               SELECT doc_id, list_sum(list(s ORDER BY word)) AS score FROM (
                 SELECT h.doc_id, h.word,
-                       ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       CAST(length(printf('%b', CAST(st.n AS BIGINT) * 2 + 2))
+                            - length(printf('%b', CAST(d.df AS BIGINT) * 2 + 1))
+                            AS DOUBLE)
                          * h.tf * (1.2 + 1)
                          / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / st.avgdl))
                          AS s
@@ -770,7 +788,9 @@ object TextQueries extends QueryModule {
             bscored AS (
               SELECT doc_id, list_sum(list(s ORDER BY word)) AS score FROM (
                 SELECT h.doc_id, h.word,
-                       ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       CAST(length(printf('%b', CAST(st.n AS BIGINT) * 2 + 2))
+                            - length(printf('%b', CAST(d.df AS BIGINT) * 2 + 1))
+                            AS DOUBLE)
                          * h.tf * (1.2 + 1)
                          / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / st.avgdl))
                          AS s

@@ -517,9 +517,11 @@ class TextAnalysisSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("b"), k = 10)
       .as[(Long, Double)].collect()
-    // replay the formula: N=3, avgdl=8/3, df(b)=2
-    val n = 3.0; val avgdl = 8.0 / 3.0; val df = 2.0
-    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    // replay the formula: N=3, avgdl=8/3, df(b)=2; the binary-magnitude
+    // idf is bits(2N+2) − bits(2df+1) = bits(8) − bits(5) = 4 − 3 = 1
+    val avgdl = 8.0 / 3.0
+    val idf = TextAnalysis.idfBits(3L, 2L)
+    assert(idf == 1.0)
     def s(tf: Double, dl: Double) =
       idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
     assert(got.map(_._1).toSeq == Seq(1L, 2L)) // ranked, doc 3 excluded
