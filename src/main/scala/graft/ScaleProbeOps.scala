@@ -91,7 +91,56 @@ object ScaleProbeOps {
           graft.functions.Feistel.permuteCol(
             col("idx"), col("epoch"), n, 77L).as("pos"))
     }
+    // WORK counters (r11 VERDICT #4): the ROWS an operator actually
+    // processes per scale, so an exponent computed on overhead-dominated
+    // sub-second walls can't masquerade as superlinear work (the
+    // dedup_prefix_join candidate-count discipline). Each prints its own
+    // JSON line of counts; no timing.
+    def workMinhash(): String = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val sigs = graft.operators.Pinning.pin(
+        graft.pipeline.Dedup.minhashSigsOf(docs, "doc_id", "text", 2, 64,
+          graft.pipeline.Dedup.portableShingleHashes))
+      val banded = graft.pipeline.Dedup.minhashBandedOf(sigs, 16, 4)
+      val sizes = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2 && col("n") <= 1000)
+      val expanded = sizes
+        .agg(sum(expr("n * (n - 1) div 2"))).head().getLong(0)
+      val ok = banded.join(sizes.select("band", "bucket"),
+        Seq("band", "bucket"))
+      val candidates = ok.as("a").join(ok.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.__id") < col("b.__id"))
+        .select(col("a.__id"), col("b.__id")).distinct().count()
+      val result = graft.pipeline.Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 16, minEstJaccard = 0.1,
+        hasher = graft.pipeline.Dedup.portableShingleHashes).count()
+      graft.operators.Pinning.unpin(sigs)
+      s""""expanded_bucket_pairs":$expanded,"distinct_candidates":$candidates,"result_pairs":$result"""
+    }
+    def workIvfPq(): String = {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val cents = graft.pipeline.Similarity.kmeansTrain(
+        emb, "vec_id", "embedding", k = 8, dim = 64, iters = 2)
+      val (centroids, assigned) = graft.pipeline.Similarity.ivfIndexFrames(
+        emb, "vec_id", "embedding", 8, Some(cents))
+      val probes = graft.pipeline.Similarity.probeCells(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", centroids, 3)
+      val scored = probes.join(assigned, Seq("list_id")).count()
+      val n = emb.count()
+      s""""assigned_rows":$n,"scored_candidates":$scored"""
+    }
     names.foreach { name =>
+      if (name.startsWith("work_")) {
+        val counts = name match {
+          case "work_minhash_lsh" => workMinhash()
+          case "work_ivfpq" => workIvfPq()
+          case other => sys.error(s"unknown work probe: $other")
+        }
+        println(s"""{"op":"$name",$counts,"sf":"$sfDir"}""")
+      } else {
       val fn: () => org.apache.spark.sql.DataFrame =
         if (name == "sim_dbscan_lsh") () => dbscanLsh()
         else if (name == "sim_nn_descent_scaled") () => nnDescentScaled()
@@ -108,6 +157,7 @@ object ScaleProbeOps {
       val (_, s2) = once()
       val sec = math.min(s1, s2)
       println(f"""{"op":"$name%s","rows":$n1%d,"sec":$sec%.3f,"sec1":$s1%.3f,"sec2":$s2%.3f,"mode":"min2-post-gc","sf":"$sfDir%s"}""")
+      }
     }
     spark.stop()
   }

@@ -573,7 +573,7 @@ object Similarity {
     * graph), that is a full-corpus vector shuffle for what is per-row
     * math. Output: (query_id, qv, list_id) — one row per probed cell.
     */
-  private def probeCells(queries: DataFrame, id: String, vec: String,
+  private[graft] def probeCells(queries: DataFrame, id: String, vec: String,
       centroids: DataFrame, nprobe: Int): DataFrame = {
     val cells = slice(array_sort(transform(col("__cents"), c =>
       struct((-cosine(col("qv"), c.getField("cvec"))).as("negCd"),

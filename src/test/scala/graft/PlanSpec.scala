@@ -715,8 +715,11 @@ class PlanSpec extends SparkSpec {
     // histogram, partitioned by group — no per-row window, no cartesian
     val me = planOf("agg_median_exact")
     assert(!me.contains("CartesianProduct"), me.take(2500))
-    assert(me.linesIterator.filter(_.contains("Window"))
-      .forall(_.contains("l_returnflag")), s"unpartitioned window:\n${me.take(2500)}")
+    // the histogram walk lives in ExactQuantiles, whose group column is
+    // the generic "grp" — assert the windows carry a partition spec
+    assert(me.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("windowspecdefinition(grp")),
+      s"unpartitioned window:\n${me.take(2500)}")
   }
 
   test("pipeline_e2e: the composed chain has no cartesian product and " +
