@@ -109,6 +109,39 @@ object IndexStore {
     * (IndexStoreSpec pins it; the dedup_index_persisted CORRECTNESS row
     * shares dedup_incremental's oracle).
     */
+  /** Persist a learned BPE merge table — the third artifact family with
+    * the build-once / serve-across-sessions lifecycle (IVF index, MinHash
+    * index, tokenizer): training sweeps the corpus once
+    * ([[Tokenizer.bpeTrain]]), the k-row merge table publishes under the
+    * versioned pointer, and every later session (or executor-side encode
+    * job) loads k rows instead of re-training. Strings and longs
+    * round-trip parquet exactly, so a loaded table encodes
+    * BIT-IDENTICALLY to the in-session merges (IndexStoreSpec pins it;
+    * the tokenizer_persisted CORRECTNESS row shares text_bpe_encode's
+    * oracle).
+    */
+  def saveTokenizer(spark: SparkSession, merges: Seq[Tokenizer.Merge],
+      livePath: String): Unit =
+    graft.operators.CacheRefresh.publishVersioned(spark, livePath) { dir =>
+      spark.createDataFrame(merges).repartition(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** Load the live merge table published by [[saveTokenizer]], in rank
+    * order (greedy BPE application order is part of the artifact's
+    * meaning — an unordered read would encode differently).
+    */
+  def loadTokenizer(spark: SparkSession,
+      livePath: String): Seq[Tokenizer.Merge] = {
+    val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
+    spark.read.parquet(live)
+      .select(col("rank"), col("pair"), col("merged"), col("n"))
+      .collect()
+      .map(r => Tokenizer.Merge(r.getInt(0), r.getString(1),
+        r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toIndexedSeq
+  }
+
   def queryMinhash(spark: SparkSession, livePath: String, delta: DataFrame,
       id: String, text: String, shingleN: Int, k: Int, bands: Int,
       minEstJaccard: Double,

@@ -1883,6 +1883,53 @@ object SimilarityQueries extends QueryModule {
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
+  // Streaming maintenance of the PERSISTED IVF index — sim_ivf_append's
+  // ingest path run through the IndexStream/IndexStore machinery: the
+  // base (vec_id >= 100) publishes once, the delta (< 100) folds in as
+  // three arrival-ordered chunks via IndexStream.appendBatch (the exact
+  // step the foreachBatch stream runs — the cache_stream_merge
+  // discipline), and the query serves ANN from the final published
+  // version. Frozen cells + append-only rows make the fold
+  // order-independent, so the result is bit-identical to the one-shot
+  // ivfAppendTopK and SHARES sim_ivf_append's oracle; IndexStreamSpec
+  // drives the same chunks through a real MemoryStream + maintain() and
+  // pins stream ≡ fold ≡ direct append.
+  private val ivfStreamStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedIvfStreamStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ivfStreamStoreCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir,
+      _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-ivfstream")
+          .toString + "/ivf"
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.pipeline.IndexStore.saveIvf(
+          emb.filter(col("vec_id") >= 100), "vec_id", "embedding",
+          nlist = 16, livePath = p)
+        (0 to 2).foreach { c =>
+          graft.streaming.IndexStream.appendBatch(
+            emb.filter(col("vec_id") < 100 && col("vec_id") % 3 === c)
+              .select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", p)
+        }
+        p
+      })
+
+  private val streamIvfMaintain = Q(
+    "stream_ivf_maintain",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.pipeline.IndexStore.queryIvf(
+          s, cachedIvfStreamStore(s, dir),
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nprobe = 6)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    simIvfAppend.oracle)
+
   // Trained PQ models are pure functions of (corpus, params) and feed
   // several queries (sim_pq, sim_pq_m4, sim_ivfpq, the recall report) —
   // memoize per (session, corpus, params) like trainedMerges/
@@ -2472,7 +2519,8 @@ object SimilarityQueries extends QueryModule {
     simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
-    simPqM4, simIvfAppend, simIvfPq, simIvfPqTrained, simKnnClassify,
+    simPqM4, simIvfAppend, streamIvfMaintain, simIvfPq, simIvfPqTrained,
+    simKnnClassify,
     simPcaPower, simDbscan, simConfusionF1, embedJlProject,
     simClusterPurity, simRangeQuery, simRankEval, simCoreness, simMmr,
     searchHardNegatives)

@@ -477,7 +477,42 @@ object TokenizerQueries extends QueryModule {
           SELECT 'whitespace', t.w, t.w, CAST(0 AS BIGINT) FROM tot t)
         ORDER BY family"""))
 
+  // Persisted tokenizer artifact (the third IndexStore family next to
+  // the IVF and MinHash indexes): the merge table trains once, publishes
+  // under the versioned pointer, and this query ENCODES FROM THE LOADED
+  // ARTIFACT — zero training work, k rows read. Strings/longs round-trip
+  // parquet exactly, so the encode is bit-identical to text_bpe_encode's
+  // in-session path and SHARES its oracle (the dedup_index_persisted
+  // discipline). Production cadence: re-train + atomic pointer flip when
+  // the corpus drifts; readers mid-encode keep the N-1 version.
+  private val tokenizerStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedTokenizerStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    tokenizerStoreCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir + "|" + Rounds,
+      _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-tokidx")
+          .toString + "/bpe"
+        graft.pipeline.IndexStore.saveTokenizer(s, trainedMerges(s, dir), p)
+        p
+      })
+
+  private val tokenizerPersisted = Q(
+    "tokenizer_persisted",
+    (s, dir) => {
+      val merges = graft.pipeline.IndexStore.loadTokenizer(
+        s, cachedTokenizerStore(s, dir))
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          size(Tokenizer.alphaWords(col("text"))).cast("long").as("n_words"),
+          Tokenizer.bpeTokenCount(col("text"), merges).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+    textBpeEncode.oracle)
+
   val qs: Seq[Q] = Seq(textBpeTrain, textBpeEncode, textMaxMatchVocab,
     textTokensMaxMatch, textTokensViterbi, textUnigramEmVocab,
-    tokenizerFertility)
+    tokenizerFertility, tokenizerPersisted)
 }

@@ -59,7 +59,7 @@ object CacheStream {
     */
   private[streaming] val BatchMarker = "_applied_batch"
 
-  private def readAppliedBatch(
+  private[streaming] def readAppliedBatch(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir, BatchMarker)
     if (!fs.exists(p)) None

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous maintenance of a PERSISTED IVF index
+  * ([[graft.pipeline.IndexStore]]) — the streaming form of
+  * `sim_ivf_append`'s batch path, closing the ingest loop: vectors
+  * arrive as a stream, each micro-batch assigns to the index's FROZEN
+  * centroid cells (stateless, no retrain — the `ivfAppendTopK`
+  * contract) and the grown assignment publishes under the next
+  * versioned pointer, so an ANN reader at any moment sees a complete
+  * (old or new) index and never a torn centroid/assignment pair.
+  *
+  * Exactly-once like [[CacheStream.maintain]]: the applied batchId
+  * rides INSIDE each published version ([[CacheStream.BatchMarker]],
+  * one pointer rename covers data + marker), replayed batchIds are
+  * skipped, and the query always runs with a checkpointLocation.
+  *
+  * Scale shape: a micro-batch pays its own assignment (one narrow
+  * fused-kernel pass over batch rows against the broadcast centroid
+  * array) plus the rewrite of the assigned table. At 100 TB the
+  * assigned table would be PARTITIONED by list_id and the union write
+  * appends only touched partitions (dynamic partition overwrite); the
+  * merge algebra — frozen cells, append-only rows — is unchanged.
+  * IndexStreamSpec pins stream ≡ batch-fold ≡ direct ivfAppendTopK.
+  */
+object IndexStream {
+
+  /** One append step, shared by the stream and the batch fold (the
+    * `stream_ivf_maintain` CORRECTNESS query replays exactly this): load
+    * the live (centroids, assigned) pair, assign `batch` to the frozen
+    * cells, publish centroids + base∪delta assignment atomically. The
+    * merged plan reads the CURRENT version while the write targets the
+    * NEXT — the pointer flips last, so the self-read is race-free.
+    */
+  def appendBatch(batch: DataFrame, id: String, vec: String,
+      livePath: String, marker: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val (centroids, assigned) =
+      graft.pipeline.IndexStore.loadIvf(spark, livePath)
+    val merged = assigned.unionByName(
+      graft.pipeline.Similarity.ivfAssign(centroids, batch, id, vec))
+    graft.operators.CacheRefresh.publishVersioned(spark, livePath) { dir =>
+      centroids.repartition(1).write.mode("overwrite")
+        .parquet(s"$dir/centroids")
+      merged.write.mode("overwrite").parquet(s"$dir/assigned")
+      marker.foreach { b =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          dir, CacheStream.BatchMarker), true)
+        out.write(b.toString.getBytes("UTF-8")); out.close()
+      }
+    }
+  }
+
+  /** Stream driver: `vectors` (id, vec) micro-batches append into the
+    * index at `livePath` (which must already hold a base index published
+    * by [[graft.pipeline.IndexStore.saveIvf]] — the frozen cell
+    * structure). Same batchId-lineage contract as CacheStream.maintain.
+    */
+  def maintain(vectors: DataFrame, id: String, vec: String,
+      livePath: String,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val spark = vectors.sparkSession
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(livePath + ".checkpoint"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
+        val alreadyApplied = live != livePath &&
+          CacheStream.readAppliedBatch(fs, live).exists(_ >= batchId)
+        if (!alreadyApplied)
+          appendBatch(batch, id, vec, livePath, marker = Some(batchId))
+        ()
+      }
+      .start()
+  }
+}

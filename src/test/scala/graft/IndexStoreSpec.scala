@@ -111,4 +111,35 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.exists(r => r(4) == true), "fixture must contain dups")
     assert(served.exists(r => r(4) == false), "fixture must contain clean docs")
   }
+
+  test("persisted tokenizer: loaded merges encode bit-identically; " +
+      "refresh flips atomically to the retrained table") {
+    import graft.pipeline.Tokenizer
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(10)(s"word${i % 7} stem${i % 5} tail${i % 3}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(docs, "text", rounds = 6)
+    val path = live("bpe")
+    IndexStore.saveTokenizer(spark, merges, path)
+    val loaded = IndexStore.loadTokenizer(spark, path)
+    assert(loaded == merges, "merge table must round-trip parquet exactly")
+    def encode(ms: Seq[Tokenizer.Merge]) = docs.select(col("doc_id"),
+        Tokenizer.bpeTokenCount(col("text"), ms).as("n"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(encode(loaded) == encode(merges),
+      "loaded artifact must encode bit-identically")
+    // refresh: retrain on a grown corpus, publish — the pointer flips to
+    // the new table and the old version survives (N-1 retention)
+    val grown = docs.unionByName(
+      Seq((100L, "brand new words appearing often often often"))
+        .toDF("doc_id", "text"))
+    val merges2 = Tokenizer.bpeTrain(grown, "text", rounds = 6)
+    IndexStore.saveTokenizer(spark, merges2, path)
+    assert(IndexStore.loadTokenizer(spark, path) == merges2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path + ".v1")),
+      "N-1 version must survive the refresh")
+  }
 }
