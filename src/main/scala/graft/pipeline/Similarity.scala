@@ -730,12 +730,16 @@ object Similarity {
     */
   def ivfAppendTopK(base: DataFrame, delta: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val frozen: Seq[(Long, Seq[Double])] = firstNCentroids(base, id, vec, nlist)
+      nlist: Int = AutoNlist, nprobe: Int = 4): DataFrame = {
+    // AutoNlist sizes from the BASE (the frozen cell structure belongs to
+    // the base corpus; appended deltas inherit it) — a fixed nlist here
+    // is the same default-parameter 100× knee the graph builds had
+    val nl = resolveNlist(base, nlist)
+    val frozen: Seq[(Long, Seq[Double])] = firstNCentroids(base, id, vec, nl)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
       .sortBy(_._1).toIndexedSeq
-    ivfTopK(base.unionByName(delta), queries, id, vec, k, nlist, nprobe,
+    ivfTopK(base.unionByName(delta), queries, id, vec, k, nl, nprobe,
       trained = Some(frozen))
   }
 

@@ -795,9 +795,13 @@ object DedupQueries extends QueryModule {
         .select(col("vec_id"), col("embedding"))
       val baseVecs = emb.filter(col("vec_id") % 11 =!= 0)
         .select(col("vec_id"), col("embedding"))
+      // AutoNlist (default): the frozen cell structure sizes from the
+      // BASE corpus — a fixed nlist made the 100× append probe 18k
+      // queries × 12.5k-vector cells (201 s); constant ~64-vector cells
+      // keep per-query candidate work flat as the corpus grows
       val ann = graft.pipeline.Similarity.ivfAppendTopK(
         baseVecs, admVecs, admVecs, "vec_id", "embedding",
-        k = 3, nlist = 16, nprobe = 4)
+        k = 3, nprobe = 4)
       admitted.join(ann, admitted("doc_id") === ann("query_id"))
         .select(col("doc_id"), col("n_dups"), col("neighbor_id"),
           round(col("cos"), 4).as("cos"), col("rank"))
@@ -833,10 +837,12 @@ object DedupQueries extends QueryModule {
                      FROM embeddings e JOIN adm a ON e.vec_id = a.doc_id),
             corpus AS (SELECT * FROM basev UNION ALL SELECT * FROM admv),
             cent AS (
-              SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
-                     v AS cvec
-              FROM (SELECT vec_id, v FROM basev
-                    ORDER BY vec_id LIMIT 16) t),
+              SELECT list_id, cvec FROM (
+                SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                       greatest(32, count(*) OVER () // 64) AS nl,
+                       v AS cvec
+                FROM basev) t
+              WHERE list_id <= nl),
             norm AS MATERIALIZED (
               SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n
               FROM corpus),
