@@ -153,4 +153,68 @@ object IndexStore {
       spark.read.parquet(s"$live/buckets"),
       delta, id, text, shingleN, k, bands, minEstJaccard, hasher)
   }
+
+  /** Cell-balance of the live IVF index: max cell size over mean cell
+    * size — the retrain trigger ([[compactIvf]]'s scaladoc). 1.0 is
+    * perfectly balanced; appends assigned to frozen cells drift it
+    * upward as the data distribution moves away from the base's. One
+    * nlist-sized aggregation over the assigned table.
+    */
+  def ivfImbalance(spark: SparkSession, livePath: String): Double = {
+    val (_, assigned) = loadIvf(spark, livePath)
+    val row = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).cast("double").as("mx"),
+        avg(col("c")).as("mean"))
+      .head()
+    row.getDouble(0) / row.getDouble(1)
+  }
+
+  /** Compact the persisted IVF index: retrain the coarse centroids and
+    * re-assign every vector, publishing the rebuilt index under the next
+    * versioned pointer. The input is the index's OWN assigned table —
+    * the index stores its vectors, so compaction never touches the raw
+    * corpus: at 100 TB the retrain job reads the (much smaller than
+    * raw) index snapshot and the corpus stays cold.
+    *
+    * This closes the index lifecycle: build ([[saveIvf]]) → append
+    * ([[graft.streaming.IndexStream.appendBatch]], frozen cells) →
+    * compact (here, when [[ivfImbalance]] crosses a threshold). Frozen-
+    * cell appends are what keep ingest cheap, and they are also what
+    * degrades the index: cells only grow where new data lands, so probe
+    * candidate lists bloat and recall-per-scanned-byte decays. Retraining
+    * is deterministic ([[Similarity.kmeansTrain]]: first-k-by-id seed,
+    * exact-decimal means, L2 ties by list_id), so a compacted index is
+    * BIT-IDENTICAL to a fresh trained build over the merged corpus —
+    * `compact(append(base, delta)) == build(base ∪ delta)` is the
+    * invariant IndexStoreSpec pins and the sim_ivf_compact CORRECTNESS
+    * row shares sim_ivf_trained's oracle through.
+    */
+  def compactIvf(spark: SparkSession, livePath: String,
+      k: Int, dim: Int, iters: Int): Unit = {
+    val (_, assigned) = loadIvf(spark, livePath)
+    // pin: kmeansTrain sweeps `iters + 1` times and saveIvf re-scans for
+    // the re-assignment — without the pin the parquet scan re-executes
+    // per sweep (cheap) but more importantly the frame must be STABLE
+    // across those passes while the old version may be pruned under us
+    val vecs = graft.operators.Pinning.pin(
+      assigned.select(col("neighbor_id"), col("cv")))
+    try {
+      val retrained = Similarity.kmeansTrain(vecs, "neighbor_id", "cv",
+        k, dim, iters)
+      saveIvf(vecs, "neighbor_id", "cv", nlist = k, livePath,
+        trained = Some(retrained))
+    } finally graft.operators.Pinning.unpin(vecs)
+  }
+
+  /** Compact iff the cell balance has drifted past `maxImbalance` —
+    * the maintenance policy an ingest pipeline runs after its appends.
+    * Returns whether a compaction was published.
+    */
+  def compactIfSkewed(spark: SparkSession, livePath: String,
+      maxImbalance: Double, k: Int, dim: Int, iters: Int): Boolean = {
+    val skewed = ivfImbalance(spark, livePath) > maxImbalance
+    if (skewed) compactIvf(spark, livePath, k, dim, iters)
+    skewed
+  }
 }

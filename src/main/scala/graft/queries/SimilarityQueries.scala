@@ -1495,20 +1495,11 @@ object SimilarityQueries extends QueryModule {
   // defers ("one k-means sweep would refine them without changing the
   // query-side plan shape"): kmeansTrain feeds ivfTopK, plan shape
   // untouched. The oracle chains both replays: Lloyd c0→c2, then the
-  // ivf assignment/probe/rank pipeline against c2.
-  private val simIvfTrained = Q(
-    "sim_ivf_trained",
-    (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
-        k = 8, dim = 64, iters = 2)
-      val queries = emb.filter(col("vec_id") < 8)
-      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
-          k = 5, nlist = 8, nprobe = 3, trained = Some(cents))
-        .withColumn("cos", round(col("cos"), 4))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some(s"""WITH $kmeansCteSql,
+  // ivf assignment/probe/rank pipeline against c2. SHARED with
+  // sim_ivf_compact: a compacted index is bit-identical to a fresh
+  // trained build over the merged corpus, so the same replay oracles
+  // both (the IndexStore.compactIvf invariant).
+  private val ivfTrainedOracleSql = s"""WITH $kmeansCteSql,
             norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
             assign_all AS (
               SELECT nm.vec_id, nm.v, nm.n, c.list_id,
@@ -1535,7 +1526,69 @@ object SimilarityQueries extends QueryModule {
             SELECT query_id, neighbor_id, round(cos, 4) AS cos,
                    CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5
-            ORDER BY query_id, rank"""))
+            ORDER BY query_id, rank"""
+
+  private val simIvfTrained = Q(
+    "sim_ivf_trained",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+        k = 8, dim = 64, iters = 2)
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          k = 5, nlist = 8, nprobe = 3, trained = Some(cents))
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfTrainedOracleSql))
+
+  // Index COMPACTION — the lifecycle step after build (sim_ivf_persisted)
+  // and append (sim_ivf_append / stream_ivf_maintain): frozen-cell appends
+  // keep ingest cheap but only grow cells where new data lands, so probe
+  // candidate lists bloat; when IndexStore.ivfImbalance crosses the
+  // policy threshold, compactIvf retrains the coarse centroids FROM THE
+  // INDEX'S OWN STORED VECTORS (zero raw-corpus access) and republishes
+  // under the next versioned pointer. Retraining is deterministic
+  // (first-k-by-id seed, exact-decimal means), so the compacted index is
+  // bit-identical to a fresh kmeansTrain+ivfTopK build over the merged
+  // corpus — the query serves from the compacted store and shares
+  // sim_ivf_trained's oracle verbatim. The session memo holds the
+  // base-build → skewed-append → compact chain once, as a production
+  // maintenance job would.
+  private val ivfCompactStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedCompactedStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ivfCompactStoreCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir,
+      _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-ivfcompact")
+          .toString + "/ivf"
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.pipeline.IndexStore.saveIvf(
+          emb.filter(col("vec_id") < 12), "vec_id", "embedding",
+          nlist = 8, livePath = p)
+        // the rest of the corpus arrives as an append onto the frozen
+        // 12-vector base cells — the distribution shift that skews them
+        graft.streaming.IndexStream.appendBatch(
+          emb.filter(col("vec_id") >= 12), "vec_id", "embedding", p)
+        graft.pipeline.IndexStore.compactIvf(s, p, k = 8, dim = 64,
+          iters = 2)
+        p
+      })
+
+  private val simIvfCompact = Q(
+    "sim_ivf_compact",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.pipeline.IndexStore.queryIvf(s, cachedCompactedStore(s, dir),
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nprobe = 3)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfTrainedOracleSql))
 
   // Parameterized Lloyd replay over a vector SLICE [lo..hi] (k=8, 2
   // rounds), CTE names suffixed — the per-subspace codebook trainer of the
@@ -2516,7 +2569,8 @@ object SimilarityQueries extends QueryModule {
   val qs: Seq[Q] = Seq(simCosineTopk, simCentroid, simLsh, simIvf,
     simIvfPersisted,
     dedupEmbedding, dedupLshCosine, dedupSemantic, embedNormFilter,
-    simMutualKnn, simKmeans, simIvfTrained, simPq, simNnDescent,
+    simMutualKnn, simKmeans, simIvfTrained, simIvfCompact, simPq,
+    simNnDescent,
     simNnDescentConverged, simLabelProp, simTriangles, simPagerank,
     simComponents, simLshMultiprobe, simLshProbeDirected, simRecallReport,
     simPqM4, simIvfAppend, streamIvfMaintain, simIvfPq, simIvfPqTrained,

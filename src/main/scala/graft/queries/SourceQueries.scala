@@ -451,8 +451,59 @@ object SourceQueries extends QueryModule {
     },
     Some("""SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"""))
 
+  // File-granularity zone-map data skipping (sources/ZoneMaps): the
+  // documents corpus written range-partitioned on the indexed column, a
+  // per-file (min, max, rows) stats table published once under the
+  // versioned pointer (the fourth persisted artifact), and the scan
+  // pruning its FILE LIST against the stats before Spark schedules a
+  // task — parquet row-group stats only help after the task exists; at
+  // 100 TB (~800k files) the win is never scheduling it. The predicate
+  // re-applies to the surviving files (zone maps prune, never decide),
+  // so the oracle is simply the same filtered aggregate over the full
+  // table — equality IS the proof that pruning lost nothing.
+  // ZoneMapsSpec additionally pins that files were actually skipped and
+  // the null-zone prune rule.
+  private val zonemapLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedZonemapLayout(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    zonemapLayoutCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir,
+      _ => {
+        val p = tmp(dir, s"zonemap_${invocation.incrementAndGet()}")
+        Tables.load(s, dir, "documents")
+          .repartitionByRange(16, col("n_chars"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$p/data")
+        graft.sources.ZoneMaps.saveStats(
+          graft.sources.ZoneMaps.buildStats(s, s"$p/data", Seq("n_chars")),
+          s"$p/stats")
+        p
+      })
+
+  private val scanZonemapPrune = Q(
+    "scan_zonemap_prune",
+    (s, dir) => {
+      val p = cachedZonemapLayout(s, dir)
+      val stats = graft.sources.ZoneMaps.loadStats(s, s"$p/stats")
+      val (pruned, _) = graft.sources.ZoneMaps.prunedRead(
+        s, s"$p/data", stats,
+        Seq(graft.sources.ZoneMaps.ColRange("n_chars", 150, 300)))
+      pruned.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM documents WHERE n_chars BETWEEN 150 AND 300
+            GROUP BY lang ORDER BY lang"""))
+
   val qs: Seq[Q] = Seq(s2SchemaConfig, s5LocusDownload, s6RemoteContigs,
     s8Embl, s8Gff3, jsonlRoundtrip, curateValidate, curateRules,
     webdatasetRoundtrip,
-    xlsxRoundtrip)
+    xlsxRoundtrip, scanZonemapPrune)
 }

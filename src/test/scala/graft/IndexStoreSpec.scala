@@ -142,4 +142,84 @@ class IndexStoreSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(path + ".v1")),
       "N-1 version must survive the refresh")
   }
+
+  // ---- compaction: the lifecycle step after build + append ----
+
+  /** The real degradation mechanism: the base is a NARROW SAMPLE (two
+    * tight modes — its first-8 centroid seed spans almost no direction
+    * space) while the appended delta is diverse (uniform random
+    * directions). Frozen cells route the diverse delta through the
+    * lopsided base centroids; retraining on the merged corpus spreads
+    * the centroids into the delta's mass. (A single tight delta mode is
+    * NOT fixable — k-means cannot split one mode — so that is correctly
+    * not what this asserts.)
+    */
+  private def skewedCorpus(nDelta: Int) = {
+    val rnd = new scala.util.Random(31)
+    def noise(s: Double) = Seq.fill(8)((rnd.nextDouble() - 0.5) * s)
+    def mode(j: Int) =
+      noise(0.2).zipWithIndex.map { case (x, i) => if (i == j) 1.0 + x else x }
+    val base = (0 until 12).map(i => (i.toLong, mode(i % 2)))
+    val delta = (0 until nDelta).map(i => (100L + i, noise(2.0)))
+    (base.toDF("vec_id", "embedding"), delta.toDF("vec_id", "embedding"))
+  }
+
+  test("compactIvf: skewed appends drift imbalance; compaction restores " +
+      "balance and answers like a fresh trained build") {
+    val (base, delta) = skewedCorpus(160)
+    val path = live("ivf_compact")
+    IndexStore.saveIvf(base, "vec_id", "embedding", nlist = 8, path)
+    graft.streaming.IndexStream.appendBatch(delta, "vec_id", "embedding",
+      path)
+    val before = IndexStore.ivfImbalance(spark, path)
+    assert(before > 1.6,
+      s"diverse appends through a narrow frozen seed must skew (got $before)")
+
+    IndexStore.compactIvf(spark, path, k = 8, dim = 8, iters = 2)
+    val after = IndexStore.ivfImbalance(spark, path)
+    assert(after < 1.5,
+      s"retrained cells must be more balanced ($before -> $after)")
+
+    // invariant: compact(append(base, delta)) == fresh trained build on
+    // the merged corpus, bit-identical
+    val merged = base.unionByName(delta)
+    val queries = merged.filter(col("vec_id") < 5)
+    val compacted = IndexStore.queryIvf(spark, path, queries, "vec_id",
+        "embedding", k = 4, nprobe = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val fresh = Similarity.ivfTopK(merged, queries, "vec_id", "embedding",
+        k = 4, nlist = 8, nprobe = 3,
+        trained = Some(Similarity.kmeansTrain(merged, "vec_id", "embedding",
+          k = 8, dim = 8, iters = 2)))
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(compacted == fresh,
+      "compacted index must equal a fresh trained build bit-for-bit")
+    assert(compacted.nonEmpty)
+
+    // versioned publish: the pre-compaction version survives (N-1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path + ".v2")),
+      "pre-compaction version must survive the compaction publish")
+  }
+
+  test("compactIfSkewed: triggers on drift, no-ops under the threshold") {
+    val (base, delta) = skewedCorpus(160)
+    val path = live("ivf_policy")
+    IndexStore.saveIvf(base, "vec_id", "embedding", nlist = 8, path)
+    graft.streaming.IndexStream.appendBatch(delta, "vec_id", "embedding",
+      path)
+    val drifted = IndexStore.ivfImbalance(spark, path)
+    assert(!IndexStore.compactIfSkewed(spark, path,
+        maxImbalance = drifted + 1.0, k = 8, dim = 8, iters = 2),
+      "under-threshold index must not be rebuilt")
+    assert(IndexStore.ivfImbalance(spark, path) == drifted,
+      "a no-op policy check must leave the index untouched")
+    assert(IndexStore.compactIfSkewed(spark, path,
+        maxImbalance = drifted - 0.2, k = 8, dim = 8, iters = 2),
+      "over-threshold index must compact")
+    assert(IndexStore.ivfImbalance(spark, path) < drifted)
+  }
 }

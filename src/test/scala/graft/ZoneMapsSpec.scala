@@ -1,0 +1,111 @@
+package graft
+
+import graft.sources.ZoneMaps
+import org.apache.spark.sql.functions._
+
+/** File-granularity zone-map skipping: pruning must actually skip files
+  * on a range-partitioned layout, and must NEVER lose rows — the pruned
+  * read equals the full-scan filter exactly, including the null-zone
+  * and no-survivor edges.
+  */
+class ZoneMapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def layout(rows: Seq[(Long, Long, String)], parts: Int = 8) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString +
+      "/data"
+    rows.toDF("id", "v", "tag")
+      .repartitionByRange(parts, col("v"), col("id"))
+      .write.parquet(dir)
+    dir
+  }
+
+  test("range layout: files are skipped and the pruned read equals the " +
+      "full-scan filter exactly") {
+    val rows = (0L until 400L).map(i => (i, i % 97 * 10, s"t${i % 3}"))
+    val dir = layout(rows)
+    val stats = ZoneMaps.buildStats(spark, dir, Seq("v"))
+    val ranges = Seq(ZoneMaps.ColRange("v", 200, 350))
+    val (pruned, report) = ZoneMaps.prunedRead(spark, dir, stats, ranges)
+    assert(report.filesKept < report.filesTotal,
+      s"a range layout must skip files (${report.filesKept}/${report.filesTotal})")
+    assert(report.filesKept > 0)
+    val got = pruned.select("id", "v", "tag")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    val want = spark.read.parquet(dir)
+      .filter(col("v").between(200, 350))
+      .select("id", "v", "tag")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(got == want, "pruning must never change the result")
+    assert(want.nonEmpty)
+  }
+
+  test("conjunction: a file must overlap EVERY predicate to survive") {
+    val rows = (0L until 200L).map(i => (i, i * 5, s"t${i % 2}"))
+    val dir = layout(rows)
+    val stats = ZoneMaps.buildStats(spark, dir, Seq("v", "id"))
+    val ranges = Seq(ZoneMaps.ColRange("v", 0, 995),
+      ZoneMaps.ColRange("id", 150, 160))
+    val (pruned, report) = ZoneMaps.prunedRead(spark, dir, stats, ranges)
+    // v covers the whole domain; the id interval alone must do the pruning
+    assert(report.filesKept < report.filesTotal)
+    val got = pruned.select("id").as[Long].collect().toSeq.sorted
+    assert(got == (150L to 160L),
+      "conjunction must keep exactly the intersection's rows")
+  }
+
+  test("null zones: an all-null file prunes, a mixed file survives with " +
+      "its non-null matches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString +
+      "/data"
+    // three explicit files: all-null, mixed, all-in-range
+    Seq((1L, None: Option[Long], "n"), (2L, None, "n"))
+      .toDF("id", "v", "tag").coalesce(1).write.parquet(dir)
+    Seq((3L, Some(50L), "m"), (4L, None: Option[Long], "m"))
+      .toDF("id", "v", "tag").coalesce(1).write.mode("append").parquet(dir)
+    Seq((5L, Some(60L), "r"), (6L, Some(70L), "r"))
+      .toDF("id", "v", "tag").coalesce(1).write.mode("append").parquet(dir)
+    val stats = ZoneMaps.buildStats(spark, dir, Seq("v"))
+    val ranges = Seq(ZoneMaps.ColRange("v", 40, 100))
+    val files = ZoneMaps.surviving(stats, ranges)
+    assert(files.size == 2,
+      s"the all-null file must prune (survivors: ${files.size})")
+    val (pruned, _) = ZoneMaps.prunedRead(spark, dir, stats, ranges)
+    val got = pruned.select("id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(3L, 5L, 6L),
+      "null rows in surviving files must still be filtered out")
+  }
+
+  test("no survivors: empty frame with the layout's schema, zero rows") {
+    val rows = (0L until 50L).map(i => (i, i, "t"))
+    val dir = layout(rows, parts = 4)
+    val stats = ZoneMaps.buildStats(spark, dir, Seq("v"))
+    val (pruned, report) = ZoneMaps.prunedRead(spark, dir, stats,
+      Seq(ZoneMaps.ColRange("v", 1000, 2000)))
+    assert(report.filesKept == 0)
+    assert(pruned.count() == 0)
+    assert(pruned.columns.toSeq == Seq("id", "v", "tag"))
+  }
+
+  test("persisted stats serve across a publish: load equals build, and a " +
+      "refresh flips atomically") {
+    val rows = (0L until 100L).map(i => (i, i * 3, "t"))
+    val dir = layout(rows, parts = 4)
+    val statsPath = java.nio.file.Files.createTempDirectory("graft-zm")
+      .toString + "/stats"
+    val built = ZoneMaps.buildStats(spark, dir, Seq("v"))
+    ZoneMaps.saveStats(built, statsPath)
+    val loaded = ZoneMaps.loadStats(spark, statsPath)
+    assert(loaded.orderBy("file").collect().toSeq ==
+      built.orderBy("file").collect().toSeq,
+      "stats must round-trip parquet exactly")
+    // refresh after a layout change publishes new stats; old version
+    // survives under the N-1 pointer convention
+    ZoneMaps.saveStats(ZoneMaps.buildStats(spark, dir, Seq("v", "id")),
+      statsPath)
+    assert(ZoneMaps.loadStats(spark, statsPath).columns.length == 6)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(statsPath + ".v1")))
+  }
+}
