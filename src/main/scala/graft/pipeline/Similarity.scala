@@ -283,11 +283,68 @@ object Similarity {
     * vectors for the diversity penalty.
     */
   def mmrFromShortlist(shortRel: DataFrame, corpus: DataFrame, id: String,
-      vec: String, k: Int): DataFrame = {
+      vec: String, k: Int, localWorkThreshold: Long = 4096L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     import org.apache.spark.sql.expressions.Window
     val short = graft.operators.Pinning.pin(
       shortRel.select(col("query_id"), col("cand"), col("rel")))
+    // Driver-local crossover (the Clustering G4 discipline): MMR is a
+    // greedy loop over a SHORTLIST — already bounded by construction —
+    // so under the gate the k rounds run on collected arrays with the
+    // kernel-identical cosine and the same (score DESC, cand ASC) pick
+    // rule, instead of k-1 checkpoint+shuffle rounds over a few dozen
+    // rows. Bit-identity pinned by SimilaritySpec (local == forced-Spark
+    // via localWorkThreshold = 0); the loop below remains the corpus-
+    // scale route for shortlists that genuinely don't fit one driver.
+    if (short.count() <= localWorkThreshold) {
+      val rows = short.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val cands = rows.map(_._2).distinct
+      val cv0 = corpus.select(col(id).as("cand"), toDouble(col(vec)).as("__cv"))
+      val spark0 = corpus.sparkSession
+      import spark0.implicits._
+      val vm = cv0.join(cands.toSeq.toDF("cand"), Seq("cand"), "left_semi")
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val out = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+        case (q, qr) =>
+          val entries = qr.map { case (_, c, rel) => (c, rel) }
+          val sel = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Double, Long)] // (cand, rel, pick_rank)
+          // pick 1: max rel, ties by cand — no pair penalty yet
+          val first = entries.minBy { case (c, rel) => (-rel, c) }
+          sel += ((first._1, first._2, 1L))
+          var r = 2
+          var stuck = false
+          while (r <= k && !stuck) {
+            val selected = sel.map(_._1).toSet
+            val scored = entries
+              .filter { case (c, _) => !selected.contains(c) }
+              .flatMap { case (c, rel) =>
+                // pen is an INNER join on the pairwise-sim frame: a
+                // candidate (or a selected pick) without a corpus vector
+                // contributes no pairs and so no eligibility
+                val sims = for {
+                  cvv <- vm.get(c).toSeq
+                  b <- sel.map(_._1)
+                  bv <- vm.get(b).toSeq
+                } yield cosLocal(cvv, bv)
+                if (sims.isEmpty) None
+                else Some((c, rel, 3.0 * rel - sims.max))
+              }
+            if (scored.isEmpty) stuck = true
+            else {
+              val (c, rel, _) =
+                scored.minBy { case (c, _, s) => (-s, c) }
+              sel += ((c, rel, r.toLong))
+            }
+            r += 1
+          }
+          sel.map { case (c, rel, pr) => (q, c, pr, rel) }
+      }
+      graft.operators.Pinning.unpin(short)
+      return out.toDF("query_id", "neighbor_id", "pick_rank", "rel")
+    }
     // shortlist vectors attach once (|Q|·s rows), then per-query pairwise
     // sims (|Q|·s² rows) — the corpus never re-enters
     val cv = corpus.select(col(id).as("cand"), toDouble(col(vec)).as("__cv"))
@@ -911,7 +968,8 @@ object Similarity {
     */
   def nnDescent(corpus: DataFrame, id: String, vec: String, k: Int,
       nlist: Int = AutoNlist, nprobe: Int = 4, maxRounds: Int = 8,
-      delta: Double = 0.0, seed: Option[DataFrame] = None): DataFrame = {
+      delta: Double = 0.0, seed: Option[DataFrame] = None,
+      localWorkThreshold: Long = 50000L): DataFrame = {
     val v = graft.operators.Pinning.pin(
       corpus.select(col(id).as("__id"), toDouble(col(vec)).as("__v")))
     // count BEFORE the seed build: it resolves the AutoNlist default
@@ -919,6 +977,32 @@ object Similarity {
     // the measured 100× quadratic knee) as well as the broadcast gate
     val n = v.count()
     val nl = if (nlist == AutoNlist) autoNlist(n) else nlist
+    // Driver-local crossover (the Clustering G4 discipline): within the
+    // n·k work gate the whole descent loop — NoN candidates, kernel
+    // cosine re-score, top-k, convergence count — runs on collected
+    // arrays with BIT-IDENTICAL doubles and tie rules (SimilaritySpec
+    // pins local == forced-Spark lists per fixture). The per-round
+    // Spark fixed cost (checkpoint + count + ~4 shuffles) dominates at
+    // fixture scale; the distributed loop below stays the forced-in-spec
+    // scale route (force with localWorkThreshold = 0). The gate is n·k —
+    // edge-list rows — because local memory and per-round work are both
+    // O(n·k²): at the 50k default and k=5 that is ≤10k vectors resident.
+    if (n * k <= localWorkThreshold) {
+      val seedDf = seed.getOrElse(ivfTopK(corpus, corpus, id, vec, k, nl,
+        nprobe))
+      val out = nnDescentLocal(
+        seedDf.select(col("query_id"), col("neighbor_id"), col("cos"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))),
+        v.collect()
+          .map(r => r.getLong(0) ->
+            r.getSeq[Double](1).toArray).toMap,
+        k, maxRounds, delta * n * k)
+      graft.operators.Pinning.unpin(v)
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      return out.toDF("query_id", "neighbor_id", "cos", "rank")
+    }
     var topk = graft.operators.Pinning.pin(seed
       .getOrElse(ivfTopK(corpus, corpus, id, vec, k, nl, nprobe))
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank")))
@@ -970,6 +1054,120 @@ object Similarity {
     // this call pinned outlives the returned graph)
     graft.operators.Pinning.unpin(v)
     topk
+  }
+
+  /** Kernel-identical local cosine: the exact sequential loop of
+    * [[graft.functions.Vectors.CosineSimilarity]] (dot and both norms in
+    * one pass, zero-norm → 0.0), so a driver-local crossover emits the
+    * same doubles the codegen kernel would.
+    */
+  private[pipeline] def cosLocal(x: Array[Double],
+      y: Array[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x(i); val yi = y(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val d = na * nb
+    if (d > 0) dot / math.sqrt(d) else 0.0
+  }
+
+  /** Driver-local NN-descent loop — the [[nnDescent]] crossover body.
+    * Replicates the distributed rounds exactly: symmetrize → NoN
+    * candidates (full sweep on round 0, new-involving only after —
+    * Dong §2.3) → exclude current pairs → kernel-cosine score → per-node
+    * top-k by (cos DESC, neighbor ASC) merging carried entries →
+    * converge when a round admits ≤ `threshold` new entries. Carried
+    * entries keep their cos; re-scoring would produce the same double
+    * (same kernel), so flag provenance is the only difference — exactly
+    * the distributed step's contract.
+    */
+  private[pipeline] def nnDescentLocal(
+      seed: Array[(Long, Long, Double)],
+      vecs: Map[Long, Array[Double]],
+      k: Int, maxRounds: Int, threshold: Double):
+      Seq[(Long, Long, Double, Long)] = {
+    import scala.collection.mutable
+    // current ranked lists: node -> (nbr, cos) in rank order
+    var lists: mutable.LinkedHashMap[Long, IndexedSeq[(Long, Double)]] = {
+      val m = mutable.LinkedHashMap.empty[Long, mutable.ArrayBuffer[(Long, Double)]]
+      seed.foreach { case (q, nb, c) =>
+        m.getOrElseUpdate(q, mutable.ArrayBuffer.empty) += ((nb, c))
+      }
+      m.map { case (q, b) =>
+        q -> b.sortBy { case (nb, c) => (-c, nb) }.toIndexedSeq
+      }
+    }
+    var fresh: Option[Array[(Long, Long)]] = None
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val edgeSet = mutable.HashSet.empty[(Long, Long)]
+      lists.foreach { case (q, l) => l.foreach { case (nb, _) =>
+        edgeSet += ((q, nb)) } }
+      // undirected adjacency: mid -> endpoints (both edge directions)
+      val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+      edgeSet.foreach { case (a, b) =>
+        adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+        adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+      }
+      val cand = mutable.HashSet.empty[(Long, Long)]
+      def emit(a: Long, b: Long): Unit =
+        if (a != b && !edgeSet.contains((a, b))) cand += ((a, b))
+      fresh match {
+        case None =>
+          // full sweep: all-pairs through each midpoint
+          adj.foreach { case (_, ends) =>
+            var i = 0
+            while (i < ends.length) {
+              var j = 0
+              while (j < ends.length) {
+                if (i != j) emit(ends(i), ends(j))
+                j += 1
+              }
+              i += 1
+            }
+          }
+        case Some(newEdges) =>
+          // new-involving pairs only: newUnd ⋈ allUnd from each side
+          val newAdj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+          newEdges.foreach { case (a, b) =>
+            newAdj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+            newAdj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+          }
+          newAdj.foreach { case (mid, newEnds) =>
+            val allEnds = adj.getOrElse(mid, mutable.ArrayBuffer.empty)
+            newEnds.foreach { ne =>
+              allEnds.foreach { ae => emit(ne, ae); emit(ae, ne) }
+            }
+          }
+      }
+      // merge carried + scored-fresh, top-k by (cos desc, nbr asc)
+      val freshByQ = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Double)]]
+      cand.foreach { case (q, nb) =>
+        freshByQ.getOrElseUpdate(q, mutable.ArrayBuffer.empty) +=
+          ((nb, cosLocal(vecs(q), vecs(nb))))
+      }
+      var newCount = 0L
+      val freshOut = mutable.ArrayBuffer.empty[(Long, Long)]
+      lists = lists.map { case (q, carried) =>
+        val merged = carried.map { case (nb, c) => (nb, c, false) } ++
+          freshByQ.getOrElse(q, mutable.ArrayBuffer.empty)
+            .map { case (nb, c) => (nb, c, true) }
+        val top = merged.sortBy { case (nb, c, _) => (-c, nb) }.take(k)
+        top.foreach { case (nb, _, isNew) =>
+          if (isNew) { newCount += 1; freshOut += ((q, nb)) } }
+        q -> top.map { case (nb, c, _) => (nb, c) }.toIndexedSeq
+      }
+      fresh = Some(freshOut.toArray)
+      converged = newCount <= threshold
+      r += 1
+    }
+    lists.toSeq.sortBy(_._1).flatMap { case (q, l) =>
+      l.zipWithIndex.map { case ((nb, c), i) => (q, nb, c, (i + 1).toLong) }
+    }
   }
 
   /** SemDedup-style semantic dedup: coarse-cluster the corpus into `nlist`

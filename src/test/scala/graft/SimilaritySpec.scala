@@ -165,6 +165,42 @@ class SimilaritySpec extends SparkSpec {
     assert(rc >= r1, s"one-round=$r1 converged=$rc")
   }
 
+  test("nnDescent driver-local crossover == forced-Spark loop, " +
+      "bit-for-bit including cos and ranks") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    val local = full(Similarity.nnDescent(emb, "vec_id", "embedding",
+      k = 5, nlist = 32, nprobe = 2, maxRounds = 12, delta = 0.0))
+    val dist = full(Similarity.nnDescent(emb, "vec_id", "embedding",
+      k = 5, nlist = 32, nprobe = 2, maxRounds = 12, delta = 0.0,
+      localWorkThreshold = 0L))
+    assert(local == dist,
+      "local descent must replay the distributed loop bit-identically")
+    assert(local.nonEmpty)
+  }
+
+  test("mmrFromShortlist driver-local crossover == forced-Spark greedy, " +
+      "bit-for-bit including pick order and rel") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+    val short = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      .select(col("query_id"), col("neighbor_id").as("cand"),
+        col("cos").as("rel"))
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "pick_rank", "rel")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val local = full(Similarity.mmrFromShortlist(short, emb, "vec_id",
+      "embedding", k = 5))
+    val dist = full(Similarity.mmrFromShortlist(short, emb, "vec_id",
+      "embedding", k = 5, localWorkThreshold = 0L))
+    assert(local == dist,
+      "local greedy must replay the distributed rounds bit-identically")
+    assert(local.size == 4 * 5)
+  }
+
   test("multi-probe LSH: candidate superset of exact probing, recall no worse") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") < 8)
