@@ -478,6 +478,12 @@ object SourceQueries extends QueryModule {
         graft.sources.ZoneMaps.saveStats(
           graft.sources.ZoneMaps.buildStats(s, s"$p/data", Seq("n_chars")),
           s"$p/stats")
+        // the point-predicate half of the skipping pair: per-file Bloom
+        // over doc_id (high-cardinality, scattered under the n_chars
+        // range layout — zone maps keep every file for a doc_id probe)
+        graft.sources.ZoneMaps.saveStats(
+          graft.sources.ZoneMaps.buildBloomStats(s, s"$p/data", "doc_id"),
+          s"$p/bloom")
         p
       })
 
@@ -502,8 +508,28 @@ object SourceQueries extends QueryModule {
             FROM documents WHERE n_chars BETWEEN 150 AND 300
             GROUP BY lang ORDER BY lang"""))
 
+  // Point-predicate file skipping over the SAME layout: doc_id is
+  // scattered under the n_chars range order, so its [min, max] zones
+  // span every file and zone maps prune nothing — the per-file Bloom
+  // prunes instead (no false negatives: survivors re-filter with the
+  // exact IN predicate, so the oracle is the plain filtered rows and
+  // equality proves skipping lost nothing). ZoneMapsSpec pins the
+  // actual file skipping.
+  private val scanBloomPrune = Q(
+    "scan_bloom_prune",
+    (s, dir) => {
+      val p = cachedZonemapLayout(s, dir)
+      val bloom = graft.sources.ZoneMaps.loadStats(s, s"$p/bloom")
+      val (pruned, _) = graft.sources.ZoneMaps.bloomPrunedRead(
+        s, s"$p/data", bloom, "doc_id", Seq(7L, 123L, 401L))
+      pruned.select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id IN (7, 123, 401) ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(s2SchemaConfig, s5LocusDownload, s6RemoteContigs,
     s8Embl, s8Gff3, jsonlRoundtrip, curateValidate, curateRules,
     webdatasetRoundtrip,
-    xlsxRoundtrip, scanZonemapPrune)
+    xlsxRoundtrip, scanZonemapPrune, scanBloomPrune)
 }

@@ -85,6 +85,125 @@ object ZoneMaps {
 
   final case class PruneReport(filesTotal: Long, filesKept: Long)
 
+  /** Incremental stats maintenance — the append discipline the persisted
+    * IVF index uses, applied to the skipping layer: a refresh after new
+    * files land scans ONLY the files absent from the published stats
+    * (at 100 TB an append adds a handful of files; rescanning the other
+    * 800k to refresh metadata would dwarf the ingest itself) and
+    * republishes the union under the next versioned pointer. Stats rows
+    * are per-file and independent, so append ≡ full rebuild exactly
+    * (ZoneMapsSpec pins row equality).
+    */
+  def appendStats(spark: SparkSession, dataDir: String, livePath: String,
+      cols: Seq[String]): Unit = {
+    val current = loadStats(spark, livePath)
+    val known = current.select(col("file"))
+      .collect().map(_.getString(0)).toSet
+    val all = spark.read.parquet(dataDir).inputFiles
+    val fresh = all.filterNot(known.contains)
+    val merged =
+      if (fresh.isEmpty) current
+      else current.unionByName(
+        spark.read.parquet(fresh.toIndexedSeq: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("rows"),
+            cols.flatMap(c => Seq(
+              min(col(c)).as(s"min_$c"),
+              max(col(c)).as(s"max_$c"))): _*))
+    saveStats(merged, livePath)
+  }
+
+  // ---- per-file Bloom filters: point-predicate skipping ----
+  //
+  // Zone maps prune RANGE predicates; an equality on a high-cardinality
+  // column that is scattered across the value range (doc_id under a
+  // layout ordered by something else) overlaps every file's [min, max]
+  // and zone maps keep everything. A small per-file Bloom filter over
+  // that column prunes point predicates instead — the second half of
+  // the Delta/Iceberg skipping pair. Representation is SPARSE PACKED:
+  // (file, word_idx, word) rows keep only non-zero 32-bit words of each
+  // file's bit array, built with one distributed aggregation keyed on
+  // (file, word_idx) — no driver-side bit packing, no dense mBits/8
+  // bytes per file. Probes reuse the md5 scheme of operators/Bloom
+  // (cross-engine-reproducible), so the filter is deterministic.
+
+  /** k md5-derived probe positions for one key value — the Column form
+    * (build side), identical arithmetic to [[bloomPositionsLocal]].
+    */
+  private def bloomProbe(i: Int, key: Column, mBits: Long): Column =
+    pmod(conv(substring(md5(
+      concat(lit(s"$i|"), key.cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(mBits))
+
+  /** The same k positions computed driver-side for the pruning decision
+    * — one md5 per (probe, key), no Spark job.
+    */
+  private[sources] def bloomPositionsLocal(key: String, mBits: Long,
+      k: Int): Seq[Long] =
+    (0 until k).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val v = java.lang.Long.parseLong(hex, 16)
+      ((v % mBits) + mBits) % mBits
+    }
+
+  /** Build the per-file Bloom table for `keyCol`: one distributed
+    * aggregation → (file, word_idx, word) sparse packed rows.
+    */
+  def buildBloomStats(spark: SparkSession, dataDir: String, keyCol: String,
+      mBits: Long = 1L << 13, k: Int = 3): DataFrame =
+    spark.read.parquet(dataDir)
+      .select(input_file_name().as("file"),
+        explode(array((0 until k).map(i =>
+          bloomProbe(i, col(keyCol), mBits)): _*)).as("pos"))
+      .groupBy(col("file"), floor(col("pos") / 32).cast("int").as("word_idx"))
+      // 2^(pos mod 32) via pow — exact in double up to 2^31, the
+      // operators/Bloom mask idiom (shiftleft takes only literal shifts)
+      .agg(bit_or(pow(lit(2.0), pmod(col("pos"), lit(32L)).cast("double"))
+        .cast("long")).as("word"))
+
+  /** Files that might contain ANY of `keys` — a file survives iff for at
+    * least one key EVERY probe bit is set in its sparse word map. The
+    * bloom table collects to the driver (one row per set word per file —
+    * metadata-sized like the zone stats; the same driver residency as
+    * Spark's own file index).
+    */
+  def survivingBloom(bloom: DataFrame, keys: Seq[String],
+      mBits: Long = 1L << 13, k: Int = 3): Seq[String] = {
+    val words = bloom.select(col("file"), col("word_idx"), col("word"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) =>
+        f -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap }
+    val probes = keys.map(bloomPositionsLocal(_, mBits, k))
+    words.collect { case (f, wm)
+        if probes.exists(_.forall(p =>
+          (wm.getOrElse((p >> 5).toInt, 0L) & (1L << (p & 31).toInt)) != 0L)) =>
+      f
+    }.toSeq.sorted
+  }
+
+  /** Read only the files whose Bloom filter might contain one of `keys`,
+    * with the exact IN predicate re-applied — no false negatives by
+    * Bloom's one-sided error, so pruning can only skip true-negative
+    * files.
+    */
+  def bloomPrunedRead(spark: SparkSession, dataDir: String,
+      bloom: DataFrame, keyCol: String, keys: Seq[Long],
+      mBits: Long = 1L << 13, k: Int = 3): (DataFrame, PruneReport) = {
+    val total = bloom.select(col("file")).distinct().count()
+    val files = survivingBloom(bloom, keys.map(_.toString), mBits, k)
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.parquet(dataDir).schema)
+      else spark.read.parquet(files: _*)
+    (df.filter(col(keyCol).isin(keys: _*)),
+      PruneReport(total, files.length.toLong))
+  }
+
   /** Read only the files whose zones overlap `ranges`, with the exact
     * predicate re-applied. Returns the frame plus the prune accounting
     * (how many of the layout's files were skipped without a task).

@@ -87,6 +87,70 @@ class ZoneMapsSpec extends SparkSpec {
     assert(pruned.columns.toSeq == Seq("id", "v", "tag"))
   }
 
+  test("bloom skipping: point predicates prune files zone maps cannot, " +
+      "and the pruned read equals the exact IN filter") {
+    // layout ordered by v — ids are scattered, so id zone maps span
+    // every file and only the Bloom can prune an id probe
+    val rows = (0L until 400L).map(i => (i, (i * 37) % 400, s"t${i % 3}"))
+    val dir = layout(rows)
+    val zones = ZoneMaps.buildStats(spark, dir, Seq("id"))
+    val zoneSurvivors = ZoneMaps.surviving(zones,
+      Seq(ZoneMaps.ColRange("id", 17, 17)))
+    val bloom = ZoneMaps.buildBloomStats(spark, dir, "id")
+    val keys = Seq(17L, 391L)
+    val (pruned, report) = ZoneMaps.bloomPrunedRead(spark, dir, bloom,
+      "id", keys)
+    assert(report.filesKept < report.filesTotal,
+      s"bloom must skip files (${report.filesKept}/${report.filesTotal})")
+    assert(report.filesKept.toInt < zoneSurvivors.size,
+      "bloom must out-prune id zone maps on a v-ordered layout")
+    val got = pruned.select("id", "v", "tag")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    val want = spark.read.parquet(dir).filter(col("id").isin(keys: _*))
+      .select("id", "v", "tag")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(got == want, "bloom pruning must never change the result")
+    assert(want.size == 2)
+  }
+
+  test("bloom: absent key prunes everything (no false negatives needed, " +
+      "false positives only cost reads)") {
+    val rows = (0L until 100L).map(i => (i, i, "t"))
+    val dir = layout(rows, parts = 4)
+    val bloom = ZoneMaps.buildBloomStats(spark, dir, "id")
+    val (pruned, report) = ZoneMaps.bloomPrunedRead(spark, dir, bloom,
+      "id", Seq(99999L))
+    assert(pruned.count() == 0)
+    // with mBits = 8192 and 100 keys the false-positive odds per file
+    // are negligible; tolerate them but expect usually-zero survivors
+    assert(report.filesKept <= 1,
+      s"an absent key should prune ~all files (kept ${report.filesKept})")
+  }
+
+  test("appendStats scans only the new files and equals a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString +
+      "/data"
+    (0L until 100L).map(i => (i, i * 2, "a")).toDF("id", "v", "tag")
+      .repartitionByRange(4, col("v")).write.parquet(dir)
+    val statsPath = java.nio.file.Files.createTempDirectory("graft-zm")
+      .toString + "/stats"
+    ZoneMaps.saveStats(ZoneMaps.buildStats(spark, dir, Seq("v")), statsPath)
+    // new files land (append); refresh incrementally
+    (100L until 150L).map(i => (i, i * 2, "b")).toDF("id", "v", "tag")
+      .coalesce(2).write.mode("append").parquet(dir)
+    ZoneMaps.appendStats(spark, dir, statsPath, Seq("v"))
+    val appended = ZoneMaps.loadStats(spark, statsPath)
+      .orderBy("file").collect().toSeq
+    val rebuilt = ZoneMaps.buildStats(spark, dir, Seq("v"))
+      .orderBy("file").collect().toSeq
+    assert(appended == rebuilt,
+      "incremental append must equal the full rebuild row-for-row")
+    // idempotent: nothing new -> same stats republished
+    ZoneMaps.appendStats(spark, dir, statsPath, Seq("v"))
+    assert(ZoneMaps.loadStats(spark, statsPath)
+      .orderBy("file").collect().toSeq == rebuilt)
+  }
+
   test("persisted stats serve across a publish: load equals build, and a " +
       "refresh flips atomically") {
     val rows = (0L until 100L).map(i => (i, i * 3, "t"))
