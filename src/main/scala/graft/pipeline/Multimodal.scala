@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -72,6 +72,62 @@ object Multimodal {
         (length(col(text)) % 1024).cast("int").as("width"),
         (length(col(text)) % 768).cast("int").as("height"),
         (length(col(text)).cast("long") * 10L).as("duration_ms")).as("meta"))
+
+  /** 60-bit perceptual-hash stand-in over a binary media column: the
+    * media splits into fixed 16-byte blocks, each block md5-hashes to a
+    * 60-bit value, and the block hashes fold into one SimHash signature
+    * (majority vote per bit, the fused
+    * [[graft.functions.Vectors.simhash64]] kernel). Structurally this IS
+    * the pHash pipeline — local features → bit signature whose Hamming
+    * distance tracks content similarity — with the feature step honestly
+    * stubbed (byte blocks where a real implementation takes DCT
+    * coefficients; no codec libs in this sandbox). Blocks stay
+    * POSITIONAL (no distinct): repeated content voting more is the
+    * perceptual behavior, unlike text shingle sets. Every step is
+    * md5-portable, so an external engine replays the signature exactly.
+    */
+  def phash60(media: Column): Column = {
+    val hx = hex(media)
+    val nBlocks = ceil(length(hx).cast("double") / 32.0).cast("long")
+    val blocks = when(length(hx) > 0,
+        transform(sequence(lit(0L), nBlocks - 1L),
+          i => conv(substring(
+              md5(hx.substr((i * 32 + 1).cast("int"), lit(32))), 1, 15),
+            16, 10).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+    graft.functions.Vectors.simhash64(blocks)
+  }
+
+  /** Banded near-dup pairs over [[phash60]] signatures — 4 bands of 15
+    * bits, EXACT for Hamming ≤ 3 by pigeonhole (3 differing bits touch
+    * at most 3 of the 4 bands, so one band always collides); candidates
+    * verify with the true bit_count(xor). One shuffle keyed on
+    * (band, 15-bit key) — the 100 TB shape; no all-pairs join.
+    * Output: (id1 < id2, hamming).
+    */
+  def phashNearDupPairs(media: DataFrame, id: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x15-bit banding is only exact for hamming <= 3: $maxHamming")
+    val sigs = media.select(col(id).as("__mid"),
+      phash60(col("media")).as("__ph"))
+    val banded = sigs.select(col("__mid"), col("__ph"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__ph"), b * 15).bitwiseAND(lit(0x7FFFL))
+            .as("key"))): _*)).as("__bk"))
+      .select(col("__mid"), col("__ph"),
+        col("__bk.band").as("band"), col("__bk.key").as("key"))
+    banded.select(col("band"), col("key"), col("__mid").as("id1"),
+        col("__ph").as("ph1"))
+      .join(banded.select(col("band"), col("key"), col("__mid").as("id2"),
+        col("__ph").as("ph2")), Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("ph1").bitwiseXOR(col("ph2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   /** Decode + feature-extract over (id, media, meta) — partition-preserving
     * mapPartitions; one decoder per partition, streaming iterator.

@@ -422,6 +422,48 @@ object ScanQueries extends QueryModule {
                        + tt % 2 * 16) * 2 + 1 AS INT), 32))) AS tile_md5
             FROM t ORDER BY doc_id, tile_y, tile_x"""))
 
+  // Multimodal near-dup: 60-bit perceptual-hash stand-in (16-byte media
+  // blocks → md5 block hashes → SimHash majority vote; the feature step
+  // is honestly stubbed — byte blocks where a real pHash takes DCT
+  // coefficients — while the signature algebra and the banded join ARE
+  // the production pipeline). 4×15-bit bands are EXACT for hamming ≤ 3
+  // by pigeonhole, so the oracle is the plain all-pairs hamming filter —
+  // no banding replay needed, equality proves the bands lost nothing.
+  private val mmPhashDedup = Q(
+    "mm_phash_dedup",
+    (s, dir) => {
+      val media = Multimodal.syntheticMedia(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.phashNearDupPairs(media, "doc_id", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""WITH hexs AS (
+              SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+            blocks AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0,
+                         CAST(ceil(len(hx) / 32.0) AS BIGINT) - 1),
+                       i -> ('0x' || substr(md5(substr(hx,
+                              CAST(i * 32 + 1 AS BIGINT), 32)), 1, 15))::BIGINT)
+                       AS bs
+              FROM hexs),
+            hv AS (SELECT doc_id, unnest(bs) AS h FROM blocks),
+            votes AS (
+              SELECT doc_id, r.b AS b,
+                     SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hv, range(0, 60) r(b) GROUP BY 1, 2),
+            sim AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                              ELSE 0 END) AS ph
+              FROM votes GROUP BY 1)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.ph, b.ph)) <= 3
+            ORDER BY id1, id2"""))
+
   // Multimodal document assembly (the MMC4/interleaved-pretraining shape):
   // images are assigned to the text chunk they score highest against,
   // then the document materializes as an interleaved token sequence
@@ -851,6 +893,7 @@ object ScanQueries extends QueryModule {
     q3ExemplarPrune,
     q4LongExact, q4LongSeeded,
     q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, mmTile,
-    mmInterleave, g7SiteFreq, pcrProducts, pcrSummary, q4PcrFiltered,
+    mmInterleave, mmPhashDedup, g7SiteFreq, pcrProducts, pcrSummary,
+    q4PcrFiltered,
     q4ProbeFiltered, j12TagIntrons)
 }

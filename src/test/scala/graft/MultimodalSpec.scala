@@ -82,4 +82,32 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1L) == 4L) // 300/64 = 4 (capped)
     assert(frames(2L) == 1L) // minimum one frame
   }
+
+  test("phash: near-identical media collide, unrelated media do not; " +
+      "banded pairs == brute-force hamming filter (pigeonhole exactness)") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 12).trim
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "hazy")),            // one block perturbed
+      (3L, "completely different content about spark shuffles and " +
+        "catalyst optimizer rules and parquet row groups and codegen " +
+        "stages repeated enough to fill several blocks of bytes here"),
+      (4L, base),                                     // exact copy of 1
+      (5L, "")).toDF("doc_id", "text")                // empty media -> ph 0
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val pairs = Multimodal.phashNearDupPairs(media, "doc_id", maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact copies must pair at hamming 0")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated media must not pair")
+    // brute-force ground truth: banding must be EXACT for hamming <= 3
+    val sigs = media.select(col("doc_id"),
+        Multimodal.phash60(col("media")).as("ph"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, pa) <- sigs; (b, pb) <- sigs if a < b
+      if java.lang.Long.bitCount(pa ^ pb) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == brute, "banded candidates must equal the brute filter")
+  }
 }
