@@ -148,32 +148,64 @@ object ZoneMaps {
       ((v % mBits) + mBits) % mBits
     }
 
+  /** Sentinel: size the filter from the corpus itself ([[autoBits]]). */
+  val AutoBits: Long = -1L
+
+  /** Auto-sized bit width: ~10 bits per expected key per FILE, rounded
+    * up to a power of two, floored at 2^13. A fixture-tuned constant is
+    * the default that silently dies at scale — the first 100× probe of
+    * this operator saturated an 8192-bit filter with 31k keys/file
+    * (every bit set → zero pruning, the AutoNlist lesson verbatim); at
+    * 10 bits/key the false-positive rate stays ≈1.2% per probe set
+    * regardless of corpus size.
+    */
+  def autoBits(rows: Long, nFiles: Long): Long = {
+    val want = math.max(1L << 13, 10L * rows / math.max(nFiles, 1L))
+    java.lang.Long.highestOneBit(want - 1) << 1
+  }
+
   /** Build the per-file Bloom table for `keyCol`: one distributed
-    * aggregation → (file, word_idx, word) sparse packed rows.
+    * aggregation → (file, word_idx, word) sparse packed rows. The
+    * resolved (m_bits, k) ride IN the table — a serving session probing
+    * with different constants than the build would produce silent FALSE
+    * NEGATIVES (wrong bit positions), so the parameters are part of the
+    * artifact, never a caller convention.
     */
   def buildBloomStats(spark: SparkSession, dataDir: String, keyCol: String,
-      mBits: Long = 1L << 13, k: Int = 3): DataFrame =
-    spark.read.parquet(dataDir)
+      mBits: Long = AutoBits, k: Int = 3): DataFrame = {
+    val src = spark.read.parquet(dataDir)
+    val m =
+      if (mBits == AutoBits) autoBits(src.count(), src.inputFiles.length.toLong)
+      else mBits
+    src
       .select(input_file_name().as("file"),
         explode(array((0 until k).map(i =>
-          bloomProbe(i, col(keyCol), mBits)): _*)).as("pos"))
+          bloomProbe(i, col(keyCol), m)): _*)).as("pos"))
       .groupBy(col("file"), floor(col("pos") / 32).cast("int").as("word_idx"))
       // 2^(pos mod 32) via pow — exact in double up to 2^31, the
       // operators/Bloom mask idiom (shiftleft takes only literal shifts)
       .agg(bit_or(pow(lit(2.0), pmod(col("pos"), lit(32L)).cast("double"))
         .cast("long")).as("word"))
+      .withColumn("m_bits", lit(m))
+      .withColumn("k", lit(k))
+  }
 
   /** Files that might contain ANY of `keys` — a file survives iff for at
     * least one key EVERY probe bit is set in its sparse word map. The
     * bloom table collects to the driver (one row per set word per file —
     * metadata-sized like the zone stats; the same driver residency as
-    * Spark's own file index).
+    * Spark's own file index). Probe constants come from the table
+    * itself (see [[buildBloomStats]]).
     */
-  def survivingBloom(bloom: DataFrame, keys: Seq[String],
-      mBits: Long = 1L << 13, k: Int = 3): Seq[String] = {
-    val words = bloom.select(col("file"), col("word_idx"), col("word"))
+  def survivingBloom(bloom: DataFrame, keys: Seq[String]): Seq[String] = {
+    val rows = bloom
+      .select(col("file"), col("word_idx"), col("word"),
+        col("m_bits"), col("k"))
       .collect()
-      .groupBy(_.getString(0))
+    if (rows.isEmpty) return Seq.empty
+    val mBits = rows.head.getLong(3)
+    val k = rows.head.getInt(4)
+    val words = rows.groupBy(_.getString(0))
       .map { case (f, rs) =>
         f -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap }
     val probes = keys.map(bloomPositionsLocal(_, mBits, k))
@@ -190,10 +222,10 @@ object ZoneMaps {
     * files.
     */
   def bloomPrunedRead(spark: SparkSession, dataDir: String,
-      bloom: DataFrame, keyCol: String, keys: Seq[Long],
-      mBits: Long = 1L << 13, k: Int = 3): (DataFrame, PruneReport) = {
+      bloom: DataFrame, keyCol: String, keys: Seq[Long]):
+      (DataFrame, PruneReport) = {
     val total = bloom.select(col("file")).distinct().count()
-    val files = survivingBloom(bloom, keys.map(_.toString), mBits, k)
+    val files = survivingBloom(bloom, keys.map(_.toString))
     val df =
       if (files.isEmpty)
         spark.createDataFrame(

@@ -127,6 +127,27 @@ class ZoneMapsSpec extends SparkSpec {
       s"an absent key should prune ~all files (kept ${report.filesKept})")
   }
 
+  test("bloom auto-sizing: a dense layout that saturates the fixture " +
+      "width still prunes (the AutoNlist lesson)") {
+    // 4 files x 50k keys: at the old fixed 8192 bits every bit would be
+    // set (150k probe positions into 8k slots) and nothing would prune;
+    // autoBits resolves ~2^19 and an absent key prunes everything
+    val rows = (0L until 200000L).map(i => (i, i, "t"))
+    val dir = layout(rows, parts = 4)
+    val bloom = ZoneMaps.buildBloomStats(spark, dir, "id")
+    assert(bloom.select("m_bits").head().getLong(0) >= (1L << 19),
+      "auto width must scale with keys per file")
+    val (pruned, report) = ZoneMaps.bloomPrunedRead(spark, dir, bloom,
+      "id", Seq(999999999L))
+    assert(pruned.count() == 0)
+    assert(report.filesKept <= 1,
+      s"absent key must prune a dense corpus too (kept ${report.filesKept})")
+    // present keys still never lose rows (no false negatives)
+    val (hit, _) = ZoneMaps.bloomPrunedRead(spark, dir, bloom, "id",
+      Seq(123456L))
+    assert(hit.select("id").as[Long].collect().toSeq == Seq(123456L))
+  }
+
   test("appendStats scans only the new files and equals a full rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString +
       "/data"
