@@ -154,6 +154,40 @@ object IndexStore {
       delta, id, text, shingleN, k, bands, minEstJaccard, hasher)
   }
 
+  /** Append an ingest batch INTO the persisted MinHash index — the
+    * lifecycle step [[queryMinhash]] alone leaves open: an ingest gate
+    * that only probes a frozen base never dedups a new document against
+    * EARLIER ADMITTED ones. Only the delta pays the expensive text work
+    * (shingle + minhash); the bucket table re-derives by re-banding ALL
+    * stored signatures — array slicing over the index's own rows, no
+    * corpus access — so the capped-bucket rule (buckets over
+    * `maxBucketSize` drop entirely, the stop-shingle skip) re-applies
+    * over the TRUE merged membership and the result is bit-identical to
+    * a fresh [[saveMinhash]] over base ∪ delta (IndexStoreSpec pins it;
+    * merging capped lists instead would silently resurrect dropped
+    * buckets with partial membership — false-negative city). Parameters
+    * must match the build's — same contract as [[queryMinhash]].
+    */
+  def appendMinhash(delta: DataFrame, id: String, text: String,
+      shingleN: Int, k: Int, bands: Int, maxBucketSize: Int,
+      livePath: String,
+      hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Dedup.shingleHashes): Unit = {
+    val spark = delta.sparkSession
+    val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
+    val merged = graft.operators.Pinning.pin(
+      spark.read.parquet(s"$live/sigs").unionByName(
+        Dedup.minhashSigsOf(delta, id, text, shingleN, k, hasher)))
+    try {
+      val buckets = Dedup.minhashBucketsOf(merged, bands, k / bands,
+        maxBucketSize)
+      graft.operators.CacheRefresh.publishVersioned(spark, livePath) { dir =>
+        merged.write.mode("overwrite").parquet(s"$dir/sigs")
+        buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+      }
+    } finally graft.operators.Pinning.unpin(merged)
+  }
+
   /** Cell-balance of the live IVF index: max cell size over mean cell
     * size — the retrain trigger ([[compactIvf]]'s scaladoc). 1.0 is
     * perfectly balanced; appends assigned to frozen cells drift it

@@ -529,6 +529,80 @@ object DedupQueries extends QueryModule {
     },
     Some(incrementalOracleSql))
 
+  // The persisted MinHash index GROWN BY INGEST (IndexStore.appendMinhash
+  // — the lifecycle step dedup_index_persisted's frozen base leaves
+  // open): base = doc_id % 3 == 0 builds the index, the % 3 == 1 batch
+  // APPENDS into it (delta pays only its own shingle+minhash; buckets
+  // re-band from the stored signatures, so the capped-bucket rule
+  // re-applies over the TRUE merged membership), and the % 3 == 2 batch's
+  // verdicts probe the grown index — near-dups of APPENDED docs now
+  // flag, which the frozen base would miss. The oracle replays the
+  // whole chain as one fresh build over base ∪ appended (append ≡
+  // rebuild is the operator's invariant, pinned bit-exact in
+  // IndexStoreSpec).
+  private val minhashAppendStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedAppendedMinhashStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    minhashAppendStoreCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir,
+      _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-mhapp")
+          .toString + "/mh"
+        val docs = Tables.load(s, dir, "documents")
+        graft.pipeline.IndexStore.saveMinhash(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          shingleN = 2, k = 64, bands = 16, maxBucketSize = 1000,
+          livePath = p, hasher = Dedup.portableShingleHashes)
+        graft.pipeline.IndexStore.appendMinhash(
+          docs.filter(col("doc_id") % 3 === 1), "doc_id", "text",
+          shingleN = 2, k = 64, bands = 16, maxBucketSize = 1000,
+          livePath = p, hasher = Dedup.portableShingleHashes)
+        p
+      })
+
+  private val dedupIndexAppend = Q(
+    "dedup_index_append",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val delta = docs.filter(col("doc_id") % 3 === 2)
+      graft.pipeline.IndexStore.queryMinhash(s,
+          cachedAppendedMinhashStore(s, dir),
+          delta, "doc_id", "text", shingleN = 2, k = 64, bands = 16,
+          minEstJaccard = 0.1, hasher = Dedup.portableShingleHashes)
+        .withColumn("best_est", round(col("best_est"), 4))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $minhashCtesSql,
+             cand AS (
+               SELECT DISTINCT x.doc_id AS did, y.doc_id AS bid
+               FROM banded x JOIN banded y ON x.t = y.t AND x.key = y.key
+               WHERE x.doc_id % 3 = 2 AND y.doc_id % 3 <> 2),
+             e AS (
+               SELECT c.did, c.bid,
+                      round(list_sum(list_transform(generate_series(1, 64),
+                        i -> CASE WHEN s1.sig[i] = s2.sig[i]
+                             THEN 1 ELSE 0 END)) / 64.0, 4) AS est
+               FROM cand c
+               JOIN sigs s1 ON c.did = s1.doc_id
+               JOIN sigs s2 ON c.bid = s2.doc_id),
+             hits AS (
+               SELECT did, bid, est,
+                      count(1) OVER (PARTITION BY did) AS n_matches,
+                      row_number() OVER (PARTITION BY did
+                        ORDER BY est DESC, bid) AS rn
+               FROM e WHERE est >= 0.1)
+             SELECT d.doc_id,
+                    COALESCE(v.n_matches, 0) AS n_matches,
+                    v.bid AS best_match_id,
+                    v.est AS best_est,
+                    COALESCE(v.n_matches, 0) > 0 AS is_dup
+             FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) d
+             LEFT JOIN (SELECT * FROM hits WHERE rn = 1) v
+               ON d.doc_id = v.did
+             ORDER BY d.doc_id"""))
+
   private lazy val incrementalOracleSql =
     s"""WITH $minhashCtesSql,
              cand AS (
@@ -880,7 +954,7 @@ object DedupQueries extends QueryModule {
 
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupCluster, dedupSubstring, dedupSoft, dedupIncremental,
-    dedupIndexPersisted, ingestE2e,
+    dedupIndexPersisted, dedupIndexAppend, ingestE2e,
     dedupPrefixJoin, dedupSortedNeighborhood, dedupCdc, dedupContainment,
     dedupContainmentSketch, dedupCanonicalQuality, dedupMinhashEstError)
 }

@@ -143,6 +143,48 @@ class IndexStoreSpec extends SparkSpec {
       "N-1 version must survive the refresh")
   }
 
+  test("appendMinhash: grown index == fresh build over base ∪ delta, " +
+      "and near-dups of APPENDED docs flag") {
+    import graft.pipeline.Dedup
+    val base = (0 until 40).map(i =>
+      (i.toLong, s"base document number $i with words alpha beta gamma " +
+        s"delta epsilon zeta $i")).toDF("doc_id", "text")
+    val appended = Seq(
+      (100L, "freshly ingested unique content about spark catalyst rules"),
+      (101L, "another admitted document mentioning parquet row groups"))
+      .toDF("doc_id", "text")
+    val path = live("mh_append")
+    def q(probe: org.apache.spark.sql.DataFrame, p: String) =
+      IndexStore.queryMinhash(spark, p, probe, "doc_id", "text",
+          shingleN = 2, k = 32, bands = 8, minEstJaccard = 0.3,
+          hasher = Dedup.portableShingleHashes)
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    IndexStore.saveMinhash(base, "doc_id", "text", shingleN = 2, k = 32,
+      bands = 8, maxBucketSize = 100, livePath = path,
+      hasher = Dedup.portableShingleHashes)
+    // a near-copy of an APPENDED doc: the frozen base must miss it
+    val probe = Seq((200L,
+      "freshly ingested unique content about spark optimizer rules"))
+      .toDF("doc_id", "text")
+    val beforeAppend = q(probe, path)
+    assert(beforeAppend.head(4) == false,
+      "frozen base cannot know the not-yet-appended near-dup")
+    IndexStore.appendMinhash(appended, "doc_id", "text", shingleN = 2,
+      k = 32, bands = 8, maxBucketSize = 100, livePath = path,
+      hasher = Dedup.portableShingleHashes)
+    val afterAppend = q(probe, path)
+    assert(afterAppend.head(4) == true &&
+        afterAppend.head(2) == 100L,
+      s"grown index must flag the appended near-dup: $afterAppend")
+    // append ≡ rebuild, verdicts bit-identical
+    val rebuilt = live("mh_rebuild")
+    IndexStore.saveMinhash(base.unionByName(appended), "doc_id", "text",
+      shingleN = 2, k = 32, bands = 8, maxBucketSize = 100,
+      livePath = rebuilt, hasher = Dedup.portableShingleHashes)
+    assert(q(probe, path) == q(probe, rebuilt),
+      "appended index must answer exactly like a fresh build")
+  }
+
   // ---- compaction: the lifecycle step after build + append ----
 
   /** The real degradation mechanism: the base is a NARROW SAMPLE (two
