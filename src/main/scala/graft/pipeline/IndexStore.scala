@@ -172,7 +172,8 @@ object IndexStore {
       shingleN: Int, k: Int, bands: Int, maxBucketSize: Int,
       livePath: String,
       hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        Dedup.shingleHashes): Unit = {
+        Dedup.shingleHashes,
+      marker: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
     val merged = graft.operators.Pinning.pin(
@@ -184,6 +185,15 @@ object IndexStore {
       graft.operators.CacheRefresh.publishVersioned(spark, livePath) { dir =>
         merged.write.mode("overwrite").parquet(s"$dir/sigs")
         buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+        // exactly-once batch marker (CacheStream contract): rides inside
+        // the version, so data + marker flip with the one pointer rename
+        marker.foreach { b =>
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(new org.apache.hadoop.fs.Path(
+            dir, graft.streaming.CacheStream.BatchMarker), true)
+          out.write(b.toString.getBytes("UTF-8")); out.close()
+        }
       }
     } finally graft.operators.Pinning.unpin(merged)
   }

@@ -562,19 +562,7 @@ object DedupQueries extends QueryModule {
         p
       })
 
-  private val dedupIndexAppend = Q(
-    "dedup_index_append",
-    (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val delta = docs.filter(col("doc_id") % 3 === 2)
-      graft.pipeline.IndexStore.queryMinhash(s,
-          cachedAppendedMinhashStore(s, dir),
-          delta, "doc_id", "text", shingleN = 2, k = 64, bands = 16,
-          minEstJaccard = 0.1, hasher = Dedup.portableShingleHashes)
-        .withColumn("best_est", round(col("best_est"), 4))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""WITH $minhashCtesSql,
+  private val indexAppendOracleSql = s"""WITH $minhashCtesSql,
              cand AS (
                SELECT DISTINCT x.doc_id AS did, y.doc_id AS bid
                FROM banded x JOIN banded y ON x.t = y.t AND x.key = y.key
@@ -601,7 +589,70 @@ object DedupQueries extends QueryModule {
              FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) d
              LEFT JOIN (SELECT * FROM hits WHERE rn = 1) v
                ON d.doc_id = v.did
-             ORDER BY d.doc_id"""))
+             ORDER BY d.doc_id"""
+
+  private val dedupIndexAppend = Q(
+    "dedup_index_append",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val delta = docs.filter(col("doc_id") % 3 === 2)
+      graft.pipeline.IndexStore.queryMinhash(s,
+          cachedAppendedMinhashStore(s, dir),
+          delta, "doc_id", "text", shingleN = 2, k = 64, bands = 16,
+          minEstJaccard = 0.1, hasher = Dedup.portableShingleHashes)
+        .withColumn("best_est", round(col("best_est"), 4))
+        .orderBy(col("doc_id"))
+    },
+    Some(indexAppendOracleSql))
+
+  // Streaming maintenance of the persisted MinHash index —
+  // dedup_index_append's streaming twin (IndexStream.maintainMinhash):
+  // the %3==1 admissions arrive as TWO micro-batches that each grow the
+  // signature table and re-band the buckets under the exactly-once
+  // marker. Signatures union as a set and buckets re-derive from full
+  // membership, so arrival order is irrelevant and the fold shares
+  // dedup_index_append's oracle; IndexStreamSpec pins MemoryStream ≡
+  // batch fold ≡ one-shot append.
+  private val minhashStreamStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedStreamedMinhashStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    minhashStreamStoreCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir,
+      _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-mhstream")
+          .toString + "/mh"
+        val docs = Tables.load(s, dir, "documents")
+        graft.pipeline.IndexStore.saveMinhash(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          shingleN = 2, k = 64, bands = 16, maxBucketSize = 1000,
+          livePath = p, hasher = Dedup.portableShingleHashes)
+        // %3==1 ids are ≡ 1 or 4 (mod 6) — two exact batches (integer
+        // arithmetic; col/3 would be DOUBLE division and silently drop rows)
+        Seq(1, 4).zipWithIndex.foreach { case (m, b) =>
+          graft.pipeline.IndexStore.appendMinhash(
+            docs.filter(col("doc_id") % 6 === m),
+            "doc_id", "text", shingleN = 2, k = 64, bands = 16,
+            maxBucketSize = 1000, livePath = p,
+            hasher = Dedup.portableShingleHashes, marker = Some(b.toLong))
+        }
+        p
+      })
+
+  private val streamMinhashMaintain = Q(
+    "stream_minhash_maintain",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val delta = docs.filter(col("doc_id") % 3 === 2)
+      graft.pipeline.IndexStore.queryMinhash(s,
+          cachedStreamedMinhashStore(s, dir),
+          delta, "doc_id", "text", shingleN = 2, k = 64, bands = 16,
+          minEstJaccard = 0.1, hasher = Dedup.portableShingleHashes)
+        .withColumn("best_est", round(col("best_est"), 4))
+        .orderBy(col("doc_id"))
+    },
+    Some(indexAppendOracleSql))
 
   private lazy val incrementalOracleSql =
     s"""WITH $minhashCtesSql,
@@ -954,7 +1005,8 @@ object DedupQueries extends QueryModule {
 
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupCluster, dedupSubstring, dedupSoft, dedupIncremental,
-    dedupIndexPersisted, dedupIndexAppend, ingestE2e,
+    dedupIndexPersisted, dedupIndexAppend, streamMinhashMaintain,
+    ingestE2e,
     dedupPrefixJoin, dedupSortedNeighborhood, dedupCdc, dedupContainment,
     dedupContainmentSketch, dedupCanonicalQuality, dedupMinhashEstError)
 }

@@ -57,7 +57,7 @@ object CacheStream {
     * it flips atomically WITH the data — one pointer rename covers both —
     * so the dedup check below can never observe a data/marker tear.
     */
-  private[streaming] val BatchMarker = "_applied_batch"
+  private[graft] val BatchMarker = "_applied_batch"
 
   private[streaming] def readAppliedBatch(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Long] = {

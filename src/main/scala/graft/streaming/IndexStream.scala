@@ -80,4 +80,40 @@ object IndexStream {
       }
       .start()
   }
+
+  /** Continuous maintenance of the persisted MINHASH near-dup index —
+    * the [[maintain]] twin for [[graft.pipeline.IndexStore.appendMinhash]]:
+    * each micro-batch of admitted documents grows the signature table
+    * (paying only its own shingle+minhash) and the re-banded bucket
+    * table publishes atomically with the exactly-once batch marker.
+    * Signatures union as a SET and buckets re-derive from the full
+    * membership, so arrival order is irrelevant — stream fold ≡ batch
+    * fold ≡ one-shot append ≡ fresh rebuild (IndexStreamSpec pins it;
+    * the stream_minhash_maintain CORRECTNESS row replays the fold).
+    */
+  def maintainMinhash(docs: DataFrame, id: String, text: String,
+      shingleN: Int, k: Int, bands: Int, maxBucketSize: Int,
+      livePath: String,
+      hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.pipeline.Dedup.shingleHashes,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(livePath + ".checkpoint"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
+        val alreadyApplied = live != livePath &&
+          CacheStream.readAppliedBatch(fs, live).exists(_ >= batchId)
+        if (!alreadyApplied)
+          graft.pipeline.IndexStore.appendMinhash(batch, id, text,
+            shingleN, k, bands, maxBucketSize, livePath, hasher,
+            marker = Some(batchId))
+        ()
+      }
+      .start()
+  }
 }

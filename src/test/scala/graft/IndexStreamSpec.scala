@@ -72,6 +72,69 @@ class IndexStreamSpec extends SparkSpec {
       "appended vectors must appear among neighbors")
   }
 
+  test("MemoryStream-maintained MINHASH index == batch fold == one-shot " +
+      "appendMinhash == fresh rebuild") {
+    import graft.pipeline.Dedup
+    def docsOf(ids: Seq[Long]) = ids.map(i =>
+      (i, s"document $i talks about topic ${i % 7} using words " +
+        s"w${i % 5} w${i % 3} w${i % 11} and more filler text"))
+      .toDF("doc_id", "text")
+    val base = docsOf(100L to 139L)
+    val deltaIds = 0L to 19L
+    val chunks = deltaIds.grouped(7).toSeq
+    val probe = docsOf(Seq(300L)).unionByName(Seq(
+      (301L, "document 5 talks about topic 5 using words w0 w2 w5 and " +
+        "more filler text")).toDF("doc_id", "text"))
+    def build(p: String): Unit =
+      IndexStore.saveMinhash(base, "doc_id", "text", shingleN = 2, k = 32,
+        bands = 8, maxBucketSize = 100, livePath = p,
+        hasher = Dedup.portableShingleHashes)
+    def serve(p: String) = IndexStore.queryMinhash(spark, p, probe,
+        "doc_id", "text", shingleN = 2, k = 32, bands = 8,
+        minEstJaccard = 0.3, hasher = Dedup.portableShingleHashes)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    def tmp(t: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-$t").toString + "/mh"
+
+    // streaming path
+    val liveS = tmp("mhs"); build(liveS)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = IndexStream.maintainMinhash(
+      stream.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 2, k = 32, bands = 8, maxBucketSize = 100, liveS,
+      hasher = Dedup.portableShingleHashes)
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.map(i => (i,
+          docsOf(Seq(i)).as[(Long, String)].collect().head._2)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // batch fold / one-shot / rebuild
+    val liveF = tmp("mhf"); build(liveF)
+    chunks.foreach(c => IndexStore.appendMinhash(docsOf(c), "doc_id",
+      "text", shingleN = 2, k = 32, bands = 8, maxBucketSize = 100,
+      livePath = liveF, hasher = Dedup.portableShingleHashes))
+    val liveO = tmp("mho"); build(liveO)
+    IndexStore.appendMinhash(docsOf(deltaIds), "doc_id", "text",
+      shingleN = 2, k = 32, bands = 8, maxBucketSize = 100,
+      livePath = liveO, hasher = Dedup.portableShingleHashes)
+    val liveR = tmp("mhr")
+    IndexStore.saveMinhash(base.unionByName(docsOf(deltaIds)), "doc_id",
+      "text", shingleN = 2, k = 32, bands = 8, maxBucketSize = 100,
+      livePath = liveR, hasher = Dedup.portableShingleHashes)
+
+    val streamed = serve(liveS)
+    assert(streamed == serve(liveF), "stream must equal the batch fold")
+    assert(streamed == serve(liveO), "fold must equal one-shot append")
+    assert(streamed == serve(liveR), "append must equal a fresh rebuild")
+    // the near-copy of STREAMED doc 5 must flag against the grown index
+    assert(streamed.exists(r => r.head == 301L && r(4) == true),
+      s"near-dup of a streamed admission must flag: $streamed")
+  }
+
   test("restart from the checkpoint neither re-appends nor skips") {
     val base = vecs(100L to 179L, seed = 5)
     val live = java.nio.file.Files.createTempDirectory("graft-ivfr")
