@@ -191,29 +191,38 @@ object ZoneMaps {
   }
 
   /** Files that might contain ANY of `keys` — a file survives iff for at
-    * least one key EVERY probe bit is set in its sparse word map. The
-    * bloom table collects to the driver (one row per set word per file —
-    * metadata-sized like the zone stats; the same driver residency as
-    * Spark's own file index). Probe constants come from the table
-    * itself (see [[buildBloomStats]]).
+    * least one key EVERY probe bit is set in its sparse word map.
+    * The decision runs DISTRIBUTED: the probe set (a few (key, word_idx,
+    * mask) rows, driver-computed) broadcast-joins the bloom table, a
+    * per-(file, key) match count picks full-probe hits, and only the
+    * surviving FILE NAMES collect — unlike the zone stats (one row per
+    * file), the bloom table is files × set-words rows, which at 100 TB
+    * (~800k files × ~300k words at 10 bits/key) is nowhere near
+    * driver-sized. Probe constants come from the table itself (see
+    * [[buildBloomStats]]).
     */
   def survivingBloom(bloom: DataFrame, keys: Seq[String]): Seq[String] = {
-    val rows = bloom
-      .select(col("file"), col("word_idx"), col("word"),
-        col("m_bits"), col("k"))
-      .collect()
-    if (rows.isEmpty) return Seq.empty
-    val mBits = rows.head.getLong(3)
-    val k = rows.head.getInt(4)
-    val words = rows.groupBy(_.getString(0))
-      .map { case (f, rs) =>
-        f -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap }
-    val probes = keys.map(bloomPositionsLocal(_, mBits, k))
-    words.collect { case (f, wm)
-        if probes.exists(_.forall(p =>
-          (wm.getOrElse((p >> 5).toInt, 0L) & (1L << (p & 31).toInt)) != 0L)) =>
-      f
-    }.toSeq.sorted
+    val head = bloom.select(col("m_bits"), col("k")).limit(1).collect()
+    if (head.isEmpty || keys.isEmpty) return Seq.empty
+    val mBits = head(0).getLong(0)
+    val k = head(0).getInt(1)
+    val spark = bloom.sparkSession
+    import spark.implicits._
+    val probeRows = keys.zipWithIndex.flatMap { case (key, ki) =>
+      bloomPositionsLocal(key, mBits, k).map(p =>
+        (ki, (p >> 5).toInt, 1L << (p & 31).toInt))
+    }.distinct.toDF("key_id", "word_idx", "mask")
+    bloom.join(broadcast(probeRows), Seq("word_idx"))
+      .filter(col("word").bitwiseAND(col("mask")) =!= 0L)
+      // a key's k probes can share a word_idx slot — count DISTINCT
+      // satisfied positions (mask identifies the bit), not joined rows
+      .groupBy(col("file"), col("key_id"))
+      .agg(countDistinct(col("word_idx"), col("mask")).as("hit"))
+      .join(broadcast(probeRows.groupBy(col("key_id"))
+        .agg(count(lit(1)).as("need"))), Seq("key_id"))
+      .filter(col("hit") === col("need"))
+      .select(col("file")).distinct()
+      .as[String].collect().sorted.toIndexedSeq
   }
 
   /** Read only the files whose Bloom filter might contain one of `keys`,
