@@ -247,6 +247,35 @@ class IndexStoreSpec extends SparkSpec {
       "pre-compaction version must survive the compaction publish")
   }
 
+  test("compaction recovers ANN recall at the same probe budget — the " +
+      "POINT of retraining, not just cell balance") {
+    val (base, delta) = skewedCorpus(160)
+    val path = live("ivf_recall")
+    IndexStore.saveIvf(base, "vec_id", "embedding", nlist = 8, path)
+    graft.streaming.IndexStream.appendBatch(delta, "vec_id", "embedding",
+      path)
+    val merged = base.unionByName(delta)
+    val queries = merged.filter(col("vec_id") >= 100L &&
+      col("vec_id") < 110L)
+    val truth = Similarity.bruteForceTopK(merged, queries, "vec_id",
+        "embedding", 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall() = {
+      val got = IndexStore.queryIvf(spark, path, queries, "vec_id",
+          "embedding", k = 4, nprobe = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    // skewed frozen cells waste the probe budget on the lopsided base
+    // structure (measured 0.60 on this fixture); retrained cells put the
+    // same 2 probes where the data actually is (0.875)
+    val before = recall()
+    assert(before < 0.7, s"skewed index should have degraded recall: $before")
+    IndexStore.compactIvf(spark, path, k = 8, dim = 8, iters = 2)
+    val after = recall()
+    assert(after > 0.8, s"compaction must recover recall: $before -> $after")
+  }
+
   test("compactIfSkewed: triggers on drift, no-ops under the threshold") {
     val (base, delta) = skewedCorpus(160)
     val path = live("ivf_policy")
