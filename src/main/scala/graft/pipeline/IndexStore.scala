@@ -211,7 +211,11 @@ object IndexStore {
       .agg(max(col("c")).cast("double").as("mx"),
         avg(col("c")).as("mean"))
       .head()
-    row.getDouble(0) / row.getDouble(1)
+    // empty assigned table (freshly-created index, nothing appended yet):
+    // max/avg are NULL and getDouble would throw an opaque NPE (ADVICE
+    // r12). Zero vectors are perfectly balanced — nothing to compact.
+    if (row.isNullAt(0) || row.isNullAt(1)) 1.0
+    else row.getDouble(0) / row.getDouble(1)
   }
 
   /** Compact the persisted IVF index: retrain the coarse centroids and

@@ -109,8 +109,13 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4x15-bit banding is only exact for hamming <= 3: $maxHamming")
-    val sigs = media.select(col(id).as("__mid"),
-      phash60(col("media")).as("__ph"))
+    // zero-length media carries the empty-block signature 0 — letting it
+    // band would pair every pair of empty docs at hamming 0, which is a
+    // statement about absence of content, not perceptual similarity (and
+    // the mm_phash_dedup oracle's sim CTE has no row for blockless docs —
+    // ADVICE r12). Empty media never participates in near-dup pairing.
+    val sigs = media.filter(length(col("media")) > 0)
+      .select(col(id).as("__mid"), phash60(col("media")).as("__ph"))
     val banded = sigs.select(col("__mid"), col("__ph"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

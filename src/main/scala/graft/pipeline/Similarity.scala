@@ -296,7 +296,7 @@ object Similarity {
     // rows. Bit-identity pinned by SimilaritySpec (local == forced-Spark
     // via localWorkThreshold = 0); the loop below remains the corpus-
     // scale route for shortlists that genuinely don't fit one driver.
-    if (short.count() <= localWorkThreshold) {
+    if (short.count() <= localWorkThreshold) try {
       val rows = short.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       val cands = rows.map(_._2).distinct
@@ -342,9 +342,8 @@ object Similarity {
           }
           sel.map { case (c, rel, pr) => (q, c, pr, rel) }
       }
-      graft.operators.Pinning.unpin(short)
       return out.toDF("query_id", "neighbor_id", "pick_rank", "rel")
-    }
+    } finally graft.operators.Pinning.unpin(short)
     // shortlist vectors attach once (|Q|·s rows), then per-query pairwise
     // sims (|Q|·s² rows) — the corpus never re-enters
     val cv = corpus.select(col(id).as("cand"), toDouble(col(vec)).as("__cv"))
@@ -988,20 +987,24 @@ object Similarity {
     // edge-list rows — because local memory and per-round work are both
     // O(n·k²): at the 50k default and k=5 that is ≤10k vectors resident.
     if (n * k <= localWorkThreshold) {
-      val seedDf = seed.getOrElse(ivfTopK(corpus, corpus, id, vec, k, nl,
-        nprobe))
-      val out = nnDescentLocal(
-        seedDf.select(col("query_id"), col("neighbor_id"), col("cos"))
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))),
-        v.collect()
-          .map(r => r.getLong(0) ->
-            r.getSeq[Double](1).toArray).toMap,
-        k, maxRounds, delta * n * k)
-      graft.operators.Pinning.unpin(v)
-      val spark = corpus.sparkSession
-      import spark.implicits._
-      return out.toDF("query_id", "neighbor_id", "cos", "rank")
+      // try/finally: an exception mid-collect must not leak the pinned
+      // vector blocks for the session (ADVICE r12 — the batch operators'
+      // unpin discipline applies to the local crossovers too)
+      try {
+        val seedDf = seed.getOrElse(ivfTopK(corpus, corpus, id, vec, k, nl,
+          nprobe))
+        val out = nnDescentLocal(
+          seedDf.select(col("query_id"), col("neighbor_id"), col("cos"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))),
+          v.collect()
+            .map(r => r.getLong(0) ->
+              r.getSeq[Double](1).toArray).toMap,
+          k, maxRounds, delta * n * k)
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        return out.toDF("query_id", "neighbor_id", "cos", "rank")
+      } finally graft.operators.Pinning.unpin(v)
     }
     var topk = graft.operators.Pinning.pin(seed
       .getOrElse(ivfTopK(corpus, corpus, id, vec, k, nl, nprobe))
@@ -1144,23 +1147,36 @@ object Similarity {
             }
           }
       }
-      // merge carried + scored-fresh, top-k by (cos desc, nbr asc)
+      // merge carried + scored-fresh, top-k by (cos desc, nbr asc).
+      // Scoring drops pairs whose vector is absent (vecs.get, not apply)
+      // and the merge runs over lists.keySet ++ freshByQ.keySet — the
+      // distributed step's inner-join vector attach and groupBy(query_id)
+      // respectively, so a PARTIAL caller seed (query ids appearing only
+      // as neighbors, seed ids absent from the corpus) takes the same
+      // path here as in the Spark loop (ADVICE r12-medium: the old merge
+      // rewrote only existing keys, silently dropping fresh-only query
+      // ids, and vecs(q) threw on out-of-corpus seed ids).
       val freshByQ = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Double)]]
       cand.foreach { case (q, nb) =>
-        freshByQ.getOrElseUpdate(q, mutable.ArrayBuffer.empty) +=
-          ((nb, cosLocal(vecs(q), vecs(nb))))
+        for (vq <- vecs.get(q); vn <- vecs.get(nb))
+          freshByQ.getOrElseUpdate(q, mutable.ArrayBuffer.empty) +=
+            ((nb, cosLocal(vq, vn)))
       }
       var newCount = 0L
       val freshOut = mutable.ArrayBuffer.empty[(Long, Long)]
-      lists = lists.map { case (q, carried) =>
-        val merged = carried.map { case (nb, c) => (nb, c, false) } ++
-          freshByQ.getOrElse(q, mutable.ArrayBuffer.empty)
-            .map { case (nb, c) => (nb, c, true) }
-        val top = merged.sortBy { case (nb, c, _) => (-c, nb) }.take(k)
-        top.foreach { case (nb, _, isNew) =>
-          if (isNew) { newCount += 1; freshOut += ((q, nb)) } }
-        q -> top.map { case (nb, c, _) => (nb, c) }.toIndexedSeq
-      }
+      lists = (lists.keysIterator ++ freshByQ.keysIterator)
+        .foldLeft(mutable.LinkedHashMap.empty[Long, IndexedSeq[(Long, Double)]]) {
+          case (acc, q) if acc.contains(q) => acc
+          case (acc, q) =>
+            val carried = lists.getOrElse(q, IndexedSeq.empty)
+            val merged = carried.map { case (nb, c) => (nb, c, false) } ++
+              freshByQ.getOrElse(q, mutable.ArrayBuffer.empty)
+                .map { case (nb, c) => (nb, c, true) }
+            val top = merged.sortBy { case (nb, c, _) => (-c, nb) }.take(k)
+            top.foreach { case (nb, _, isNew) =>
+              if (isNew) { newCount += 1; freshOut += ((q, nb)) } }
+            acc += (q -> top.map { case (nb, c, _) => (nb, c) }.toIndexedSeq)
+        }
       fresh = Some(freshOut.toArray)
       converged = newCount <= threshold
       r += 1

@@ -276,6 +276,20 @@ class IndexStoreSpec extends SparkSpec {
     assert(after > 0.8, s"compaction must recover recall: $before -> $after")
   }
 
+  test("ivfImbalance: empty assigned table reads as balanced (1.0), " +
+      "not an NPE") {
+    // ADVICE r12: a freshly-created (or fully-pruned) index has an empty
+    // assigned table; max/avg are NULL and the old getDouble threw an
+    // opaque NullPointerException. Zero vectors = nothing to compact.
+    val (base, _) = skewedCorpus(0)
+    val path = live("ivf_empty")
+    IndexStore.saveIvf(base.filter(col("vec_id") < 0), "vec_id",
+      "embedding", nlist = 4, path)
+    assert(IndexStore.ivfImbalance(spark, path) == 1.0)
+    assert(!IndexStore.compactIfSkewed(spark, path, maxImbalance = 1.5,
+      k = 4, dim = 8, iters = 1), "an empty index must not trigger compaction")
+  }
+
   test("compactIfSkewed: triggers on drift, no-ops under the threshold") {
     val (base, delta) = skewedCorpus(160)
     val path = live("ivf_policy")

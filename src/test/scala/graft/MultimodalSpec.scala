@@ -93,16 +93,23 @@ class MultimodalSpec extends SparkSpec {
         "catalyst optimizer rules and parquet row groups and codegen " +
         "stages repeated enough to fill several blocks of bytes here"),
       (4L, base),                                     // exact copy of 1
-      (5L, "")).toDF("doc_id", "text")                // empty media -> ph 0
+      (5L, ""),                                       // empty media -> no sig
+      (6L, "")).toDF("doc_id", "text")                // second empty doc
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val pairs = Multimodal.phashNearDupPairs(media, "doc_id", maxHamming = 3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L)), "exact copies must pair at hamming 0")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
       "unrelated media must not pair")
-    // brute-force ground truth: banding must be EXACT for hamming <= 3
-    val sigs = media.select(col("doc_id"),
-        Multimodal.phash60(col("media")).as("ph"))
+    // zero-length media has no content to be perceptually similar TO:
+    // two empty docs share the empty-block signature but must NOT pair
+    // (ADVICE r12 — the oracle's sim CTE has no row for blockless docs)
+    assert(!pairs.exists(p => p._1 >= 5L || p._2 >= 5L),
+      "empty media must not participate in near-dup pairing")
+    // brute-force ground truth over NON-EMPTY media: banding must be
+    // EXACT for hamming <= 3
+    val sigs = media.filter(length(col("media")) > 0)
+      .select(col("doc_id"), Multimodal.phash60(col("media")).as("ph"))
       .as[(Long, Long)].collect()
     val brute = (for {
       (a, pa) <- sigs; (b, pb) <- sigs if a < b

@@ -181,6 +181,42 @@ class SimilaritySpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("nnDescent crossover == forced-Spark under a PARTIAL caller seed " +
+      "(fresh-only query ids, out-of-corpus seed ids)") {
+    // ADVICE r12-medium: the advertised bit-identity contract must hold
+    // for the public `seed` parameter, not just the full self-seeds the
+    // shipped queries pass. This seed (a) drops some query ids so they
+    // appear only as neighbors (the distributed groupBy creates new
+    // groups for them mid-descent) and (b) plants a seed row whose query
+    // id has no corpus vector (the distributed inner-join attach drops
+    // its scoring pairs but carries its list).
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val fullSeed = Similarity.ivfTopK(emb, emb, "vec_id", "embedding",
+      k = 5, nlist = 32, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    val ghost = Seq((99999L, 0L, 0.5, 1L))
+      .toDF("query_id", "neighbor_id", "cos", "rank")
+    val partial = fullSeed.filter(col("query_id") % 7 =!= 0)
+      .unionByName(ghost)
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    val local = full(Similarity.nnDescent(emb, "vec_id", "embedding",
+      k = 5, nlist = 32, nprobe = 2, maxRounds = 6, delta = 0.0,
+      seed = Some(partial)))
+    val dist = full(Similarity.nnDescent(emb, "vec_id", "embedding",
+      k = 5, nlist = 32, nprobe = 2, maxRounds = 6, delta = 0.0,
+      seed = Some(partial), localWorkThreshold = 0L))
+    assert(local == dist,
+      "partial-seed local descent must replay the distributed loop")
+    // the dropped ids re-enter as fresh-only query groups in both paths
+    val qids = local.map(_._1).toSet
+    assert(qids.exists(_ % 7 == 0),
+      "descent must create lists for fresh-only query ids")
+    assert(qids.contains(99999L),
+      "out-of-corpus seed lists must carry through, not throw")
+  }
+
   test("mmrFromShortlist driver-local crossover == forced-Spark greedy, " +
       "bit-for-bit including pick order and rel") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
