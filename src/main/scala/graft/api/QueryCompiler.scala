@@ -210,10 +210,71 @@ object QueryCompiler {
     newVersionCol: Option[String] = None,
     schemeCache: Option[DataFrame] = None, schemeEntityId: String = "entity_id",
     privateRecords: Option[DataFrame] = None,
-    privateEntityId: String = "entity_id", embargoCol: String = "embargo")
+    privateEntityId: String = "entity_id", embargoCol: String = "embargo",
+    skipping: Option[graft.sources.ZoneMaps.Layout] = None)
 
   /** Compile spec → DataFrame plan (unsorted, unpaged — see `paged`). */
-  def compile(spec: QuerySpec, cat: Catalog): DataFrame = {
+  def compile(spec: QuerySpec, cat: Catalog): DataFrame =
+    compileWithPruneReport(spec, cat)._1
+
+  /** [[compile]] plus the file-skipping accounting: when the catalog
+    * registers a [[graft.sources.ZoneMaps.Layout]] and the spec's
+    * AND-combined provenance clauses include range/equality predicates
+    * on indexed columns, the entity SCAN routes through the published
+    * zone-map/Bloom stats and reads only the surviving files — the
+    * reference's expression-index discipline (sql/isolatedb.sql:984's
+    * index-backed provenance filters) at file granularity. At 100 TB
+    * (~800k files) this is the difference between scheduling a task per
+    * file and scheduling tasks only where the predicate can match.
+    *
+    * Pruning never decides: every clause is still applied by the
+    * clause-family pipeline below, so a pruned plan returns EXACTLY the
+    * unpruned plan's rows (PruneSpec pins equality and that files were
+    * skipped). Fallback is transparent — no published stats, an
+    * OR-combined provenance family, or no indexed clause all compile
+    * the plain unpruned scan and report None.
+    */
+  def compileWithPruneReport(spec: QuerySpec, cat: Catalog):
+      (DataFrame, Option[graft.sources.ZoneMaps.PruneReport]) = {
+    val routed = for {
+      layout <- cat.skipping
+      if spec.provenanceCombine == CombineAnd
+      ranges = spec.provenance.flatMap(clauseRange)
+      keys = layout.bloomCol.map(bc => spec.provenance.collect {
+        case FieldClause(f, Predicates.Eq, v, false)
+          if f == bc && parseLong(v).isDefined => v.trim.toLong
+      }).getOrElse(Nil)
+      pruned <- graft.sources.ZoneMaps.pruneForClauses(
+        cat.entities.sparkSession, layout, ranges, keys)
+    } yield pruned
+    val cat2 = routed.map(p => cat.copy(entities = p._1)).getOrElse(cat)
+    (compileFamilies(spec, cat2), routed.map(_._2))
+  }
+
+  private def parseLong(v: String): Option[Long] =
+    scala.util.Try(v.trim.toLong).toOption
+
+  /** The zone-map interval a scalar clause prunes with, if any: numeric
+    * Eq/range ops only. Gt/Lt keep their boundary file (the interval is
+    * closed) — sound, since pruning never decides and the exact clause
+    * re-applies to the surviving rows.
+    */
+  private def clauseRange(
+      c: FieldClause): Option[graft.sources.ZoneMaps.ColRange] =
+    if (c.isText) None
+    else parseLong(c.value).flatMap { v =>
+      c.op match {
+        case Predicates.Eq =>
+          Some(graft.sources.ZoneMaps.ColRange(c.field, v, v))
+        case Predicates.Ge | Predicates.Gt =>
+          Some(graft.sources.ZoneMaps.ColRange(c.field, v, Long.MaxValue))
+        case Predicates.Le | Predicates.Lt =>
+          Some(graft.sources.ZoneMaps.ColRange(c.field, Long.MinValue, v))
+        case _ => None
+      }
+    }
+
+  private def compileFamilies(spec: QuerySpec, cat: Catalog): DataFrame = {
     var df = cat.entities
 
     // 0. old-version suppression (F12): `new_version IS NULL` — the

@@ -97,10 +97,17 @@ object ZoneMaps {
   def appendStats(spark: SparkSession, dataDir: String, livePath: String,
       cols: Seq[String]): Unit = {
     val current = loadStats(spark, livePath)
-    val known = current.select(col("file"))
-      .collect().map(_.getString(0)).toSet
+    // fresh = listing ∖ published stats, as an ANTI-JOIN against the
+    // stats table: only the DELTA's names come back to the driver
+    // (bounded by the ingest batch), never the known set — the r12
+    // VERDICT #6 item. The listing itself (`inputFiles`) is already
+    // driver-resident in Spark's own InMemoryFileIndex, so shipping it
+    // out as the join's small side adds no driver state.
+    import spark.implicits._
     val all = spark.read.parquet(dataDir).inputFiles
-    val fresh = all.filterNot(known.contains)
+    val fresh = all.toIndexedSeq.toDF("file")
+      .join(current.select(col("file")), Seq("file"), "left_anti")
+      .as[String].collect()
     val merged =
       if (fresh.isEmpty) current
       else current.unionByName(
@@ -255,11 +262,94 @@ object ZoneMaps {
       ranges: Seq[ColRange]): (DataFrame, PruneReport) = {
     val total = stats.count()
     val files = surviving(stats, ranges)
-    val df =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          spark.read.parquet(dataDir).schema)
-      else spark.read.parquet(files: _*)
-    (df.filter(rangePredicate(ranges)), PruneReport(total, files.length.toLong))
+    (filesRead(spark, dataDir, files).filter(rangePredicate(ranges)),
+      PruneReport(total, files.length.toLong))
+  }
+
+  private def filesRead(spark: SparkSession, dataDir: String,
+      files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(dataDir).schema)
+    else spark.read.parquet(files: _*)
+
+  // ---- default-read-path integration (QueryCompiler routing) ----
+
+  /** Registration of a skipping-indexed parquet layout — what a
+    * [[graft.api.QueryCompiler.Catalog]] carries so compiled F1
+    * range/equality clauses prune the file LIST before Spark schedules
+    * a task. Which columns the zone maps index is read off the
+    * published stats table itself (its `min_<col>`/`max_<col>`
+    * schema), so the registration is just the artifact pointers; the
+    * Bloom artifact does not record its key column, so `bloomCol`
+    * names it here (build and registration must agree, same contract
+    * as [[buildBloomStats]]'s probe constants).
+    *
+    * Contract: `dataDir` must be the layout the catalog's entity
+    * table reads — the pruned scan REPLACES that scan, so a catalog
+    * whose entities frame is anything other than a plain read of
+    * `dataDir` must not register skipping.
+    */
+  final case class Layout(dataDir: String,
+    statsLive: Option[String] = None,
+    bloomLive: Option[String] = None,
+    bloomCol: Option[String] = None)
+
+  /** The published stats table at `livePath`, or None when nothing has
+    * been published yet — the transparent-fallback probe: a missing
+    * pointer AND missing directory mean "no skipping", never an error
+    * (the query must compile identically before the stats job has ever
+    * run).
+    */
+  def loadStatsIfPresent(spark: SparkSession,
+      livePath: String): Option[DataFrame] = {
+    val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
+    val p = new org.apache.hadoop.fs.Path(live)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(live)) else None
+  }
+
+  /** File-list pruning for a compiled conjunction of range and point
+    * predicates — the [[graft.api.QueryCompiler]] entry point. Returns
+    * None (caller falls back to the unpruned scan) when no artifact is
+    * published or no clause touches an indexed column; otherwise the
+    * pruned frame (schema of `dataDir`, exact predicates NOT applied —
+    * the compiler re-applies every clause, so pruning only ever skips
+    * files, never decides rows) plus the prune accounting.
+    *
+    * Survivor algebra: the clause families are AND'd, so the kept set
+    * is the INTERSECTION of the zone survivors (ranges, themselves
+    * AND'd inside [[surviving]]) and each point key's Bloom survivors.
+    * Ranges on columns the stats table does not index are ignored —
+    * sound under AND (pruning with a predicate subset only keeps more
+    * files).
+    */
+  def pruneForClauses(spark: SparkSession, layout: Layout,
+      ranges: Seq[ColRange], pointKeys: Seq[Long]):
+      Option[(DataFrame, PruneReport)] = {
+    val stats = layout.statsLive.flatMap(loadStatsIfPresent(spark, _))
+    val bloom =
+      if (pointKeys.nonEmpty)
+        layout.bloomLive.flatMap(loadStatsIfPresent(spark, _))
+      else None
+    val idxRanges = stats match {
+      case Some(st) => ranges.filter(r => st.columns.contains(s"min_${r.col}"))
+      case None => Nil
+    }
+    if (idxRanges.isEmpty && bloom.isEmpty) None
+    else {
+      val zoneKeep = stats.filter(_ => idxRanges.nonEmpty)
+        .map(st => surviving(st, idxRanges).toSet)
+      val bloomKeep = bloom.map(bl =>
+        pointKeys.map(k => survivingBloom(bl, Seq(k.toString)).toSet)
+          .reduce(_ intersect _))
+      val kept = (zoneKeep.toSeq ++ bloomKeep.toSeq).reduce(_ intersect _)
+        .toSeq.sorted
+      val total = stats.orElse(bloom)
+        .map(_.select(col("file")).distinct().count()).getOrElse(0L)
+      Some((filesRead(spark, layout.dataDir, kept),
+        PruneReport(total, kept.length.toLong)))
+    }
   }
 }

@@ -172,6 +172,74 @@ class ZoneMapsSpec extends SparkSpec {
       .orderBy("file").collect().toSeq == rebuilt)
   }
 
+  test("compiled routing: an F1 range clause prunes the file list, the " +
+      "plan equals the unpruned compile, and no-stats falls back") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val rows = (0L until 400L).map(i => (i, i % 97 * 10, s"t${i % 3}"))
+    val dir = layout(rows)
+    val statsPath = java.nio.file.Files.createTempDirectory("graft-zm")
+      .toString + "/stats"
+    ZoneMaps.saveStats(ZoneMaps.buildStats(spark, dir, Seq("v")), statsPath)
+    val lay = ZoneMaps.Layout(dir, statsLive = Some(statsPath))
+    val spec = QuerySpec(provenance = Seq(
+      FieldClause("v", Predicates.Ge, "200", isText = false),
+      FieldClause("v", Predicates.Le, "350", isText = false),
+      FieldClause("tag", Predicates.Eq, "t1")))
+    def catWith(sk: Option[ZoneMaps.Layout]) = Catalog(
+      entities = spark.read.parquet(dir), entityId = "id", skipping = sk)
+    val (pruned, report) = compileWithPruneReport(spec, catWith(Some(lay)))
+    assert(report.exists(r => r.filesKept < r.filesTotal && r.filesKept > 0),
+      s"compiled range clause must skip files: $report")
+    def rows3(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "tag").as[(Long, Long, String)]
+        .collect().toSeq.sorted
+    val want = rows3(compile(spec, catWith(None)))
+    assert(rows3(pruned) == want,
+      "routed plan must return exactly the unpruned plan's rows")
+    assert(want.nonEmpty)
+    // unindexed text clause alone -> no pruning, plain compile
+    val textOnly = QuerySpec(provenance =
+      Seq(FieldClause("tag", Predicates.Eq, "t1")))
+    assert(compileWithPruneReport(textOnly, catWith(Some(lay)))._2.isEmpty)
+    // OR-combined family cannot prune with the AND intersection -> fallback
+    val orSpec = spec.copy(provenanceCombine = CombineOr)
+    val (orDf, orRep) = compileWithPruneReport(orSpec, catWith(Some(lay)))
+    assert(orRep.isEmpty)
+    assert(rows3(orDf) == rows3(compile(orSpec, catWith(None))))
+    // never-published stats path -> transparent fallback, identical rows
+    val ghost = ZoneMaps.Layout(dir,
+      statsLive = Some(statsPath + ".never-published"))
+    val (fb, fbRep) = compileWithPruneReport(spec, catWith(Some(ghost)))
+    assert(fbRep.isEmpty, "missing stats must fall back, not throw")
+    assert(rows3(fb) == want)
+  }
+
+  test("compiled routing: an equality clause on the Bloom column prunes " +
+      "via the Bloom and intersects with the zone survivors") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    // v-ordered layout: id zones span every file, only the Bloom prunes
+    val rows = (0L until 400L).map(i => (i, (i * 37) % 400, s"t${i % 3}"))
+    val dir = layout(rows)
+    val base = java.nio.file.Files.createTempDirectory("graft-zm").toString
+    ZoneMaps.saveStats(ZoneMaps.buildStats(spark, dir, Seq("v")),
+      s"$base/stats")
+    ZoneMaps.saveStats(ZoneMaps.buildBloomStats(spark, dir, "id"),
+      s"$base/bloom")
+    val lay = ZoneMaps.Layout(dir, statsLive = Some(s"$base/stats"),
+      bloomLive = Some(s"$base/bloom"), bloomCol = Some("id"))
+    val cat = Catalog(entities = spark.read.parquet(dir), entityId = "id",
+      skipping = Some(lay))
+    val spec = QuerySpec(provenance = Seq(
+      FieldClause("id", Predicates.Eq, "17", isText = false),
+      FieldClause("v", Predicates.Ge, "0", isText = false)))
+    val (df, report) = compileWithPruneReport(spec, cat)
+    assert(report.exists(r => r.filesKept < r.filesTotal),
+      s"bloom-backed equality must skip files: $report")
+    assert(df.select("id").as[Long].collect().toSeq == Seq(17L))
+  }
+
   test("persisted stats serve across a publish: load equals build, and a " +
       "refresh flips atomically") {
     val rows = (0L until 100L).map(i => (i, i * 3, "t"))
