@@ -35,7 +35,8 @@ object IndexStore {
     */
   def saveIvf(corpus: DataFrame, id: String, vec: String, nlist: Int,
       livePath: String,
-      trained: Option[Seq[(Long, Seq[Double])]] = None): Unit = {
+      trained: Option[Seq[(Long, Seq[Double])]] = None,
+      marker: Option[Long] = None): Unit = {
     // pin the centroid sample before deriving the assignment: `assigned`
     // embeds the centroids (broadcast array), so unpinned the corpus-
     // scale sample scan would execute twice inside one publish (ADVICE
@@ -49,6 +50,12 @@ object IndexStore {
         centroids.repartition(1).write.mode("overwrite")
           .parquet(s"$dir/centroids")
         assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+        // a save that runs INSIDE a stream's foreachBatch (the
+        // compaction step) must carry the batch marker forward: a
+        // marker-less version after a marked append would reset the
+        // replay guard and a redelivered batch would re-append
+        marker.foreach(b => graft.streaming.CacheStream
+          .writeBatchMarker(corpus.sparkSession, dir, b))
       }
     } finally graft.operators.Pinning.unpin(centroids)
   }
@@ -187,13 +194,8 @@ object IndexStore {
         buckets.write.mode("overwrite").parquet(s"$dir/buckets")
         // exactly-once batch marker (CacheStream contract): rides inside
         // the version, so data + marker flip with the one pointer rename
-        marker.foreach { b =>
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext.hadoopConfiguration)
-          val out = fs.create(new org.apache.hadoop.fs.Path(
-            dir, graft.streaming.CacheStream.BatchMarker), true)
-          out.write(b.toString.getBytes("UTF-8")); out.close()
-        }
+        marker.foreach(b => graft.streaming.CacheStream
+          .writeBatchMarker(spark, dir, b))
       }
     } finally graft.operators.Pinning.unpin(merged)
   }
@@ -239,7 +241,8 @@ object IndexStore {
     * row shares sim_ivf_trained's oracle through.
     */
   def compactIvf(spark: SparkSession, livePath: String,
-      k: Int, dim: Int, iters: Int): Unit = {
+      k: Int, dim: Int, iters: Int,
+      marker: Option[Long] = None): Unit = {
     val (_, assigned) = loadIvf(spark, livePath)
     // pin: kmeansTrain sweeps `iters + 1` times and saveIvf re-scans for
     // the re-assignment — without the pin the parquet scan re-executes
@@ -251,7 +254,7 @@ object IndexStore {
       val retrained = Similarity.kmeansTrain(vecs, "neighbor_id", "cv",
         k, dim, iters)
       saveIvf(vecs, "neighbor_id", "cv", nlist = k, livePath,
-        trained = Some(retrained))
+        trained = Some(retrained), marker = marker)
     } finally graft.operators.Pinning.unpin(vecs)
   }
 
@@ -260,9 +263,10 @@ object IndexStore {
     * Returns whether a compaction was published.
     */
   def compactIfSkewed(spark: SparkSession, livePath: String,
-      maxImbalance: Double, k: Int, dim: Int, iters: Int): Boolean = {
+      maxImbalance: Double, k: Int, dim: Int, iters: Int,
+      marker: Option[Long] = None): Boolean = {
     val skewed = ivfImbalance(spark, livePath) > maxImbalance
-    if (skewed) compactIvf(spark, livePath, k, dim, iters)
+    if (skewed) compactIvf(spark, livePath, k, dim, iters, marker)
     skewed
   }
 }

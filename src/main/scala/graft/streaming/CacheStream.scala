@@ -59,6 +59,21 @@ object CacheStream {
     */
   private[graft] val BatchMarker = "_applied_batch"
 
+  /** Write the exactly-once batch marker INSIDE a version directory —
+    * shared by every versioned publisher that participates in a stream
+    * lineage (cache merge, IVF append/compact, MinHash append), so data
+    * and marker always flip with the one pointer rename.
+    */
+  private[graft] def writeBatchMarker(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batchId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, BatchMarker), true)
+    out.write(batchId.toString.getBytes("UTF-8")); out.close()
+  }
+
   private[streaming] def readAppliedBatch(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir, BatchMarker)

@@ -45,13 +45,43 @@ object IndexStream {
       centroids.repartition(1).write.mode("overwrite")
         .parquet(s"$dir/centroids")
       merged.write.mode("overwrite").parquet(s"$dir/assigned")
-      marker.foreach { b =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val out = fs.create(new org.apache.hadoop.fs.Path(
-          dir, CacheStream.BatchMarker), true)
-        out.write(b.toString.getBytes("UTF-8")); out.close()
-      }
+      marker.foreach(b => CacheStream.writeBatchMarker(spark, dir, b))
+    }
+  }
+
+  /** When to retrain inside the maintenance loop: compact whenever
+    * [[graft.pipeline.IndexStore.ivfImbalance]] exceeds `maxImbalance`
+    * after an append. (k, dim, iters) are the retrain's k-means
+    * parameters — k should match the base build's nlist.
+    */
+  final case class CompactionPolicy(maxImbalance: Double, k: Int,
+    dim: Int, iters: Int)
+
+  /** One maintenance step — the exact foreachBatch body, shared with
+    * the batch-fold replay (`stream_ivf_compact` runs precisely this):
+    * skip if the live version already folded `batchId` in, else append
+    * to the frozen cells and, under a [[CompactionPolicy]], retrain if
+    * the append drifted the cell balance past the threshold. BOTH
+    * publishes carry the batchId marker (a marker-less compaction
+    * version after a marked append would reset the replay guard and a
+    * redelivered batch would re-append — the exactly-once hole r12's
+    * VERDICT #3 called out as "degrades probe recall forever" when the
+    * alternative was no compaction at all).
+    */
+  def maintainStep(batch: DataFrame, batchId: Long, id: String,
+      vec: String, livePath: String,
+      compaction: Option[CompactionPolicy] = None): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
+    val alreadyApplied = live != livePath &&
+      CacheStream.readAppliedBatch(fs, live).exists(_ >= batchId)
+    if (!alreadyApplied) {
+      appendBatch(batch, id, vec, livePath, marker = Some(batchId))
+      compaction.foreach(p => graft.pipeline.IndexStore.compactIfSkewed(
+        spark, livePath, p.maxImbalance, p.k, p.dim, p.iters,
+        marker = Some(batchId)))
     }
   }
 
@@ -59,24 +89,22 @@ object IndexStream {
     * index at `livePath` (which must already hold a base index published
     * by [[graft.pipeline.IndexStore.saveIvf]] — the frozen cell
     * structure). Same batchId-lineage contract as CacheStream.maintain.
+    * With a [[CompactionPolicy]], the maintainer also closes the
+    * lifecycle loop: a long-running ingest stream whose appends skew the
+    * frozen cells retrains in-line instead of degrading probe recall
+    * forever (IndexStreamSpec pins stream-with-compaction ≡ batch
+    * compact(append(...)) bit-identically).
     */
   def maintain(vectors: DataFrame, id: String, vec: String,
       livePath: String,
-      checkpointLocation: Option[String] = None): StreamingQuery = {
-    val spark = vectors.sparkSession
+      checkpointLocation: Option[String] = None,
+      compaction: Option[CompactionPolicy] = None): StreamingQuery = {
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation",
         checkpointLocation.getOrElse(livePath + ".checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
-        val alreadyApplied = live != livePath &&
-          CacheStream.readAppliedBatch(fs, live).exists(_ >= batchId)
-        if (!alreadyApplied)
-          appendBatch(batch, id, vec, livePath, marker = Some(batchId))
-        ()
+        maintainStep(batch, batchId, id, vec, livePath, compaction)
       }
       .start()
   }

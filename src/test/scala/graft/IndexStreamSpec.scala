@@ -72,6 +72,66 @@ class IndexStreamSpec extends SparkSpec {
       "appended vectors must appear among neighbors")
   }
 
+  test("compaction-policy maintenance: stream == batch compact(append), " +
+      "bit-identically; the compaction publish carries the batch marker " +
+      "so a replayed batch is still skipped") {
+    val base = vecs(100L to 149L, seed = 7)
+    val deltaIds = (0L to 29L)
+    val chunks = deltaIds.grouped(10).toSeq
+    val queries = vecs(0L to 4L, seed = 7)
+    // 80 vectors into 6 cells can never balance exactly (80 % 6 != 0 →
+    // max/mean >= ~1.05), so the final step ALWAYS compacts — the final
+    // retrain is over the full stored vector set, so intermediate
+    // compactions cannot change the end state (kmeansTrain is a pure
+    // function of the vector set, not of the cell structure it replaces)
+    val policy = IndexStream.CompactionPolicy(maxImbalance = 1.01,
+      k = 6, dim = 8, iters = 2)
+
+    // streaming path: compaction runs IN-LINE inside the maintainer
+    val liveS = java.nio.file.Files.createTempDirectory("graft-ivfsc")
+      .toString + "/ivf"
+    IndexStore.saveIvf(base, "vec_id", "embedding", nlist = 6, liveS)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = IndexStream.maintain(
+      stream.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      liveS, compaction = Some(policy))
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.map(i => (i,
+          vecs(Seq(i), seed = 7).as[(Long, Seq[Double])].collect().head._2)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // batch path: fold the appends, compact once at the end
+    val liveB = java.nio.file.Files.createTempDirectory("graft-ivfbc")
+      .toString + "/ivf"
+    IndexStore.saveIvf(base, "vec_id", "embedding", nlist = 6, liveB)
+    chunks.foreach(c => IndexStream.appendBatch(
+      vecs(c, seed = 7), "vec_id", "embedding", liveB))
+    IndexStore.compactIvf(spark, liveB, k = 6, dim = 8, iters = 2)
+
+    def serve(p: String) = IndexStore.queryIvf(spark, p, queries,
+        "vec_id", "embedding", k = 4, nprobe = 3)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    val streamed = serve(liveS)
+    assert(streamed == serve(liveB),
+      "in-line compaction must equal batch compact(append(...)) bit-for-bit")
+    assert(streamed.nonEmpty)
+    // the stream really compacted (balance restored under the policy)
+    assert(IndexStore.ivfImbalance(spark, liveS) ==
+      IndexStore.ivfImbalance(spark, liveB))
+
+    // exactly-once across a compaction publish: the LAST published
+    // version is a compaction — its marker must still skip a replay
+    // (a marker-less compaction would reset the guard and re-append)
+    IndexStream.maintainStep(vecs(deltaIds.take(10), seed = 7), 0L,
+      "vec_id", "embedding", liveS, Some(policy))
+    assert(serve(liveS) == streamed,
+      "a replayed batchId at or below the compaction's marker must skip")
+  }
+
   test("MemoryStream-maintained MINHASH index == batch fold == one-shot " +
       "appendMinhash == fresh rebuild") {
     import graft.pipeline.Dedup
