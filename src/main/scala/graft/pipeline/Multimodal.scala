@@ -116,6 +116,16 @@ object Multimodal {
     // ADVICE r12). Empty media never participates in near-dup pairing.
     val sigs = media.filter(length(col("media")) > 0)
       .select(col(id).as("__mid"), phash60(col("media")).as("__ph"))
+    bandedSigPairs(sigs, maxHamming)
+  }
+
+  /** The 4×15-bit banded join over a (__mid, __ph) signature frame —
+    * shared by [[phashNearDupPairs]] (block-SimHash signatures) and
+    * [[phashDctPairs]] (DCT signatures): one shuffle keyed on
+    * (band, 15-bit key), candidates verified with the true
+    * bit_count(xor), exact for hamming ≤ 3 by pigeonhole.
+    */
+  private def bandedSigPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val banded = sigs.select(col("__mid"), col("__ph"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -132,6 +142,182 @@ object Multimodal {
         bit_count(col("ph1").bitwiseXOR(col("ph2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  // ---- real DCT pHash over raw rasters (r12 VERDICT #2) ----
+  //
+  // For UNCOMPRESSED raster input the perceptual feature step needs no
+  // codec — a 2-D DCT-II over a 32×32 grayscale downsample is pure
+  // integer arithmetic, so the perceptual property (robustness to
+  // brightness/small-perturbation changes, discrimination of distinct
+  // content) is genuine while the compressed-format decode stays behind
+  // the Decoder stub. Everything is INTEGER-exact and therefore
+  // oracle-replayable: the cosine basis is pre-rounded to 1e6 fixed
+  // point (embedded as literals in the oracle SQL, generated from the
+  // same array — no cross-libm trust), block means are integer
+  // divisions, and the 60 signature bits compare exact BIGINT
+  // coefficient sums against their exact lower median.
+
+  /** Fixed-point DCT-II basis: B(u)(i) = round(cos(π·(2i+1)·u/64)·10⁶)
+    * for u < 8 (the low-frequency rows pHash keeps), i < 32. Magnitude
+    * audit: |coef| = |Σ_bj B(v)(bj) · Σ_bi B(u)(bi)·P| ≤
+    * 32²·10¹²·255 ≈ 2.6·10¹⁷ < 2⁶³ — every sum stays in exact Long.
+    */
+  private[pipeline] val DctBasis: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, i) =>
+      math.round(math.cos(math.Pi * (2 * i + 1) * u / 64.0) * 1e6))
+
+  /** The basis as DuckDB VALUES literals `(u, i, b)` — oracle SQL embeds
+    * these so both engines share the identical fixed-point basis by
+    * construction rather than trusting two libm cosines to agree.
+    */
+  def dctBasisSqlValues: String =
+    (for (u <- 0 until 8; i <- 0 until 32)
+      yield s"($u,$i,${DctBasis(u)(i)})").mkString(",")
+
+  /** 60-bit DCT perceptual hash of one grayscale raster (`rowBytes`-wide
+    * rows, one byte per pixel): 32×32 block-mean downsample (integer
+    * boundary grid, floor mean) → separable integer DCT-II → the 60
+    * lowest-frequency AC coefficients (row-major (u,v) with u,v < 8,
+    * skipping DC and the last 3 to fit 4×15 banding) each compared
+    * against their lower median. None for rasters smaller than 32×32
+    * (nothing perceptual to say — the caller's pair step drops them,
+    * like empty media in [[phashNearDupPairs]]).
+    */
+  private[pipeline] def dctSig(media: Array[Byte], rowBytes: Int): Option[Long] = {
+    val w = rowBytes
+    val h = media.length / rowBytes
+    if (w < 32 || h < 32) return None
+    // 32×32 integer block means over the boundary grid (bi*h)/32 etc.
+    val p = Array.ofDim[Long](32, 32)
+    var bi = 0
+    while (bi < 32) {
+      val r0 = bi * h / 32; val r1 = (bi + 1) * h / 32
+      var bj = 0
+      while (bj < 32) {
+        val c0 = bj * w / 32; val c1 = (bj + 1) * w / 32
+        var s = 0L; var r = r0
+        while (r < r1) {
+          var c = c0
+          while (c < c1) { s += media(r * w + c) & 0xff; c += 1 }
+          r += 1
+        }
+        p(bi)(bj) = s / ((r1 - r0).toLong * (c1 - c0))
+        bj += 1
+      }
+      bi += 1
+    }
+    // separable transform: rows first (over bi), then columns (over bj)
+    val rmid = Array.ofDim[Long](8, 32) // R(u)(bj) = Σ_bi B(u)(bi)·P(bi)(bj)
+    var u = 0
+    while (u < 8) {
+      var bj = 0
+      while (bj < 32) {
+        var s = 0L; var i = 0
+        while (i < 32) { s += DctBasis(u)(i) * p(i)(bj); i += 1 }
+        rmid(u)(bj) = s
+        bj += 1
+      }
+      u += 1
+    }
+    val coeffs = new Array[Long](60) // flat (u*8+v) in 1..60
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val flat = u * 8 + v
+        if (flat >= 1 && flat <= 60) {
+          var s = 0L; var j = 0
+          while (j < 32) { s += DctBasis(v)(j) * rmid(u)(j); j += 1 }
+          coeffs(flat - 1) = s
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coeffs.clone(); java.util.Arrays.sort(sorted)
+    val med = sorted(29) // lower median of 60 — integer-exact
+    var sig = 0L; var k = 0
+    while (k < 60) {
+      if (coeffs(k) > med) sig |= 1L << k
+      k += 1
+    }
+    Some(sig)
+  }
+
+  /** DCT perceptual hashes for a (id, media) raster frame — one
+    * partition-local kernel pass, no shuffle; sub-32×32 rasters drop
+    * (no signature). Output: (id, ph).
+    */
+  def phashDct(media: DataFrame, id: String, rowBytes: Int): DataFrame = {
+    val inSchema = media.schema
+    val idIdx = inSchema.fieldIndex(id)
+    val mediaIdx = inSchema.fieldIndex("media")
+    val outSchema = StructType(Seq(inSchema(idIdx),
+      StructField("ph", LongType, nullable = false)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        dctSig(r.getAs[Array[Byte]](mediaIdx), rowBytes)
+          .map(sig => Row(r.get(idIdx), sig))
+      }
+    }(outEncoder)
+  }
+
+  /** Banded near-dup pairs over [[phashDct]] signatures — the same
+    * 4×15-bit exact-for-hamming-≤3 join as [[phashNearDupPairs]], with
+    * the feature step a REAL perceptual transform for raw rasters.
+    */
+  def phashDctPairs(media: DataFrame, id: String, rowBytes: Int,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x15-bit banding is only exact for hamming <= 3: $maxHamming")
+    bandedSigPairs(
+      phashDct(media, id, rowBytes)
+        .select(col(id).as("__mid"), col("ph").as("__ph")),
+      maxHamming)
+  }
+
+  /** Deterministic synthetic grayscale rasters, md5-portable: pixel
+    * byte k of 16-byte block `blk` = md5("graft-px-<seed>-<blk>")[k]
+    * % 128 + brightness — the %128 headroom keeps brightness
+    * perturbations clamp-free (values stay < 256), and the md5 scheme
+    * means any engine replays the exact raster
+    * (`('0x'||substr(md5(...),k*2+1,2))::BIGINT % 128 + br` in DuckDB).
+    * `seedCol` decouples content from identity so a perturbed TWIN of
+    * another row's raster can carry its own id. Output: (id, media).
+    */
+  def syntheticRaster(ids: DataFrame, id: String, seedCol: String,
+      w: Int, h: Int, brightness: Int): DataFrame = {
+    require(w * h % 16 == 0, s"raster bytes must be 16-aligned: ${w}x$h")
+    require(brightness >= 0 && brightness <= 127,
+      s"brightness must fit the %128 headroom: $brightness")
+    val inSchema = ids.schema
+    val idIdx = inSchema.fieldIndex(id)
+    val seedIdx = inSchema.fieldIndex(seedCol)
+    val outSchema = StructType(Seq(inSchema(idIdx),
+      StructField("media", BinaryType, nullable = false)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val nBlocks = w * h / 16
+    ids.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val seed = r.get(seedIdx)
+        val bytes = new Array[Byte](w * h)
+        var blk = 0
+        while (blk < nBlocks) {
+          val dig = md.digest(s"graft-px-$seed-$blk".getBytes("UTF-8"))
+          var k = 0
+          while (k < 16) {
+            bytes(blk * 16 + k) =
+              (((dig(k) & 0xff) % 128) + brightness).toByte
+            k += 1
+          }
+          blk += 1
+        }
+        Row(r.get(idIdx), bytes)
+      }
+    }(outEncoder)
   }
 
   /** Decode + feature-extract over (id, media, meta) — partition-preserving

@@ -464,6 +464,84 @@ object ScanQueries extends QueryModule {
             WHERE bit_count(xor(a.ph, b.ph)) <= 3
             ORDER BY id1, id2"""))
 
+  // REAL perceptual hash for raw rasters (r12 VERDICT #2): a 2-D integer
+  // DCT-II over a 32×32 block-mean downsample of synthetic 64×64
+  // grayscale rasters — the feature step is genuinely perceptual here
+  // (brightness-shifted twins land within hamming 3 of their base and
+  // pair through the same 4×15 banding; unrelated rasters don't), with
+  // only the compressed-format DECODE still stubbed (no codec libs).
+  // Everything is integer-exact — fixed-point basis (embedded in this
+  // oracle as literals generated from the SAME Scala array), floor
+  // block means, exact BIGINT coefficient sums, lower-median threshold
+  // — so the oracle replays the full transform and the all-pairs
+  // hamming filter proves the banding lost nothing (pigeonhole
+  // exactness, as in mm_phash_dedup). MultimodalSpec pins the
+  // perturbation-robustness property on controlled rasters.
+  private val mmPhashDct = Q(
+    "mm_phash_dct",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val baseIds = docs.filter(col("doc_id") < 96)
+        .select(col("doc_id"), col("doc_id").as("seed"))
+      val twinIds = docs.filter(col("doc_id") < 96 && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          col("doc_id").as("seed"))
+      val corpus = Multimodal
+        .syntheticRaster(baseIds, "doc_id", "seed", 64, 64, brightness = 0)
+        .unionByName(Multimodal.syntheticRaster(
+          twinIds, "doc_id", "seed", 64, 64, brightness = 3))
+      Multimodal.phashDctPairs(corpus, "doc_id", rowBytes = 64)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""WITH ids AS (
+              SELECT doc_id AS id, doc_id AS seed, 0 AS br
+              FROM documents WHERE doc_id < 96
+              UNION ALL
+              SELECT doc_id + 100000, doc_id, 3
+              FROM documents WHERE doc_id < 96 AND doc_id % 3 = 0),
+            blocks AS (
+              SELECT id, br, blk.blk AS blk,
+                     md5('graft-px-' || seed || '-' || blk.blk) AS hx
+              FROM ids, range(0, 256) blk(blk)),
+            pix AS (
+              SELECT id, blk * 16 + k.k AS idx,
+                     ('0x' || substr(hx, k.k * 2 + 1, 2))::BIGINT % 128 + br
+                       AS px
+              FROM blocks, range(0, 16) k(k)),
+            pgrid AS (
+              SELECT id, (idx // 64) // 2 AS bi, (idx % 64) // 2 AS bj,
+                     CAST(sum(px) // 4 AS BIGINT) AS p
+              FROM pix GROUP BY 1, 2, 3),
+            basis(u, i, b) AS (VALUES ${Multimodal.dctBasisSqlValues}),
+            rmid AS (
+              SELECT g.id, ba.u, g.bj, CAST(sum(ba.b * g.p) AS BIGINT) AS rv
+              FROM pgrid g JOIN basis ba ON ba.i = g.bi
+              GROUP BY 1, 2, 3),
+            co AS (
+              SELECT r.id, r.u * 8 + bv.u AS flat,
+                     CAST(sum(bv.b * r.rv) AS BIGINT) AS c
+              FROM rmid r JOIN basis bv ON bv.i = r.bj
+              GROUP BY 1, 2),
+            med AS (
+              SELECT id, c AS m FROM (
+                SELECT id, c, row_number() OVER (PARTITION BY id
+                  ORDER BY c) AS rn
+                FROM co WHERE flat BETWEEN 1 AND 60) t WHERE rn = 30),
+            sig AS (
+              SELECT co.id,
+                     CAST(SUM(CASE WHEN co.c > med.m
+                       THEN (CAST(1 AS BIGINT) << (flat - 1))
+                       ELSE 0 END) AS BIGINT) AS ph
+              FROM co JOIN med ON co.id = med.id
+              WHERE flat BETWEEN 1 AND 60
+              GROUP BY 1)
+            SELECT a.id AS id1, b.id AS id2,
+                   CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.id < b.id
+            WHERE bit_count(xor(a.ph, b.ph)) <= 3
+            ORDER BY id1, id2"""))
+
   // Multimodal document assembly (the MMC4/interleaved-pretraining shape):
   // images are assigned to the text chunk they score highest against,
   // then the document materializes as an interleaved token sequence
@@ -893,7 +971,8 @@ object ScanQueries extends QueryModule {
     q3ExemplarPrune,
     q4LongExact, q4LongSeeded,
     q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, mmTile,
-    mmInterleave, mmPhashDedup, g7SiteFreq, pcrProducts, pcrSummary,
+    mmInterleave, mmPhashDedup, mmPhashDct, g7SiteFreq, pcrProducts,
+    pcrSummary,
     q4PcrFiltered,
     q4ProbeFiltered, j12TagIntrons)
 }

@@ -117,4 +117,57 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(pairs == brute, "banded candidates must equal the brute filter")
   }
+
+  test("DCT phash: brightness and small local perturbations keep rasters " +
+      "within hamming 3; distinct rasters stay far; banding is exact") {
+    val ids = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "seed")
+    val base = Multimodal.syntheticRaster(ids, "doc_id", "seed",
+      64, 64, brightness = 0)
+    val baseBytes = base.filter(col("doc_id") === 1L)
+      .select("media").as[Array[Byte]].head()
+    // brightness twin: every pixel +3 (id 11, same content seed)
+    val bright = Multimodal.syntheticRaster(
+      Seq((11L, 1L)).toDF("doc_id", "seed"), "doc_id", "seed",
+      64, 64, brightness = 3)
+    // local twin: a dozen scattered pixels nudged by +/-2 (id 12)
+    val local = baseBytes.clone()
+    (0 until 12).foreach { k =>
+      val p = k * 337 % local.length
+      local(p) = (((local(p) & 0xff) + (if (k % 2 == 0) 2 else -2))
+        .max(0).min(255)).toByte
+    }
+    val corpus = base.unionByName(bright)
+      .unionByName(Seq((12L, local)).toDF("doc_id", "media"))
+    val sigs = Multimodal.phashDct(corpus, "doc_id", rowBytes = 64)
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) =
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 11L) <= 3,
+      s"brightness shift must stay near-identical (hamming ${ham(1L, 11L)})")
+    assert(ham(1L, 12L) <= 3,
+      s"local perturbation must stay near-identical (hamming ${ham(1L, 12L)})")
+    assert(ham(1L, 2L) > 10,
+      s"distinct rasters must stay far apart (hamming ${ham(1L, 2L)})")
+    // the banded join finds exactly the brute-force hamming-<=3 pairs
+    val pairs = Multimodal.phashDctPairs(corpus, "doc_id", rowBytes = 64)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (a, pa) <- sigs.toSeq; (b, pb) <- sigs.toSeq if a < b
+      if java.lang.Long.bitCount(pa ^ pb) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == brute, "banded DCT pairs must equal the brute filter")
+    assert(pairs.contains((1L, 11L)) && pairs.contains((1L, 12L)))
+  }
+
+  test("DCT phash: rasters smaller than 32x32 drop (no signature), and " +
+      "the kernel is deterministic across invocations") {
+    val tiny = Seq((1L, Array.fill[Byte](64 * 16)(7))) // 64 wide, 16 tall
+      .toDF("doc_id", "media")
+    assert(Multimodal.phashDct(tiny, "doc_id", rowBytes = 64).count() == 0)
+    val ids = Seq((5L, 5L)).toDF("doc_id", "seed")
+    val m = Multimodal.syntheticRaster(ids, "doc_id", "seed", 64, 64, 0)
+    val s1 = Multimodal.phashDct(m, "doc_id", 64).as[(Long, Long)].head()
+    val s2 = Multimodal.phashDct(m, "doc_id", 64).as[(Long, Long)].head()
+    assert(s1 == s2)
+  }
 }
