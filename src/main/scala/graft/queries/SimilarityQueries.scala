@@ -522,13 +522,48 @@ object SimilarityQueries extends QueryModule {
   // every variant (md5 planes, xor probes, margin-ranked flips, IVF
   // assignment, the full two-subspace Lloyd recursion) and closes with
   // the same recall arithmetic.
+  // Shared substructure (r12 VERDICT #5): the brute-force truth, ONE
+  // k=32 IVF shortlist (nlist=16, nprobe=6), ONE k=32 m=8 ADC
+  // shortlist, and the normalized corpus are each built ONCE per
+  // (session, corpus) and pinned; the variants below slice them — the
+  // top-5 of a k=32 ranked list IS the k=5 list (deterministic
+  // (score, neighbor) tie order), so the report's output is
+  // bit-identical to the per-variant rebuilds and the oracle is
+  // unchanged. Before this, the truth executed twice in one plan
+  // (recall join + total), the IVF index built twice (ivf_nprobe6 +
+  // union) and the ADC scan ran three times (m8, rr32, union).
+  private val recallSharedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  private def cachedRecallShared(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    recallSharedCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir,
+      _ => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+        val truth = graft.operators.Pinning.pin(
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+            .select(col("query_id"), col("neighbor_id")))
+        val ivf32 = graft.operators.Pinning.pin(
+          Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+              k = 32, nlist = 16, nprobe = 6)
+            .select(col("query_id"), col("neighbor_id"), col("rank")))
+        val adc32 = graft.operators.Pinning.pin(
+          Similarity.pqAdcTopK(emb, q, "vec_id", "embedding",
+              cachedPqModel(s, dir, m = 8), k = 32)
+            .select(col("query_id"), col("neighbor_id"), col("rank")))
+        val ne = graft.operators.Pinning.pin(normalizedVecs(emb))
+        (truth, ivf32, adc32, ne)
+      })
+
   private val simRecallReport = Q(
     "sim_recall_report",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
-      val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"))
+      val (truth, ivf32, adc32, ne) = cachedRecallShared(s, dir)
       def lsh(ph: Int, ps: Int) =
         Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5,
           bits = 4, tables = 4, probeHamming = ph, probeSeq = ps)
@@ -540,8 +575,7 @@ object SimilarityQueries extends QueryModule {
       // standard fix when low-rate ADC recall disappoints (m=2's 0.225
       // in r9 — more subspaces, not a different index).
       val variants = Seq(
-        ("ivf_nprobe6", 4, Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 6)),
+        ("ivf_nprobe6", 4, ivf32.filter(col("rank") <= 5)),
         ("lsh_0probe", 16, lsh(0, 0)),
         ("lsh_directed_m2", 16, lsh(1, 2)),
         ("lsh_hamming1", 16, lsh(1, 0)),
@@ -549,20 +583,15 @@ object SimilarityQueries extends QueryModule {
           model, k = 5)),
         ("pq_adc_m4", 12, Similarity.pqAdcTopK(emb, q, "vec_id",
           "embedding", cachedPqModel(s, dir, m = 4), k = 5)),
-        ("pq_adc_m8", 24, Similarity.pqAdcTopK(emb, q, "vec_id",
-          "embedding", cachedPqModel(s, dir, m = 8), k = 5)),
-        ("pq_adc_m8n", 24, {
-          val ne = normalizedVecs(emb)
-          Similarity.pqAdcTopK(ne, ne.filter(col("vec_id") < 8), "vec_id",
-            "embedding", cachedPqModelNorm(s, dir, m = 8), k = 5)
-        }),
+        ("pq_adc_m8", 24, adc32.filter(col("rank") <= 5)),
+        ("pq_adc_m8n", 24, Similarity.pqAdcTopK(ne,
+          ne.filter(col("vec_id") < 8), "vec_id",
+          "embedding", cachedPqModelNorm(s, dir, m = 8), k = 5)),
         // ADC shortlist (R=32) + exact re-rank — the FAISS-refine second
         // stage: the compressed scan bounds the exact re-score to R
         // candidates per query, so the scan still streams 3-byte codes
         ("pq_adc_m8_rr32", 24, Similarity.rerankTopK(
-          Similarity.pqAdcTopK(emb, q, "vec_id", "embedding",
-              cachedPqModel(s, dir, m = 8), k = 32)
-            .select(col("query_id"), col("neighbor_id")),
+          adc32.select(col("query_id"), col("neighbor_id")),
           emb, "vec_id", "embedding", k = 5)),
         ("ivfpq_nprobe6", 10, Similarity.ivfPqTopK(emb, q, "vec_id",
           "embedding", k = 5, nlist = 16, nprobe = 6, m = 2, dim = 64,
@@ -577,16 +606,11 @@ object SimilarityQueries extends QueryModule {
         // (The OPQ-style Hadamard×sign rotation was measured too and
         // HURT on this corpus — 0.40 vs 0.625 baseline — so the union,
         // not the rotation, is the shipped 11th variant.)
-        ("union_adc32_ivf6_rr", 28, {
-          val adcShort = Similarity.pqAdcTopK(emb, q, "vec_id", "embedding",
-              cachedPqModel(s, dir, m = 8), k = 32)
-            .select(col("query_id"), col("neighbor_id"))
-          val ivfShort = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-              k = 32, nlist = 16, nprobe = 6)
-            .select(col("query_id"), col("neighbor_id"))
-          Similarity.rerankTopK(adcShort.unionByName(ivfShort).distinct(),
-            emb, "vec_id", "embedding", k = 5)
-        }))
+        ("union_adc32_ivf6_rr", 28, Similarity.rerankTopK(
+          adc32.select(col("query_id"), col("neighbor_id"))
+            .unionByName(ivf32.select(col("query_id"), col("neighbor_id")))
+            .distinct(),
+          emb, "vec_id", "embedding", k = 5)))
       val tagged = variants.map { case (n, bits, df) =>
         df.select(lit(n).as("variant"), lit(bits.toLong).as("bits_per_vec"),
           col("query_id"), col("neighbor_id"))
