@@ -136,8 +136,89 @@ object ScaleProbeOps {
       val n = emb.count()
       s""""assigned_rows":$n,"scored_candidates":$scored"""
     }
+    // Prune-DECISION latency vs FILE COUNT (r12 VERDICT #7): the
+    // skipping layer only wins if deciding which of ~800k files survive
+    // is itself cheap — otherwise the decision eats the skipped tasks.
+    // `prune_decision_real_<N>` writes a real N-file layout from the
+    // documents corpus and times the zone + Bloom decisions end-to-end
+    // against the published artifacts; `prune_decision_synth_<N>`
+    // scales N to target-cardinality (100k/800k) by synthesizing the
+    // stats tables directly — sound because the decision consults ONLY
+    // the stats artifacts, never the files (16 keys/file keeps the
+    // synthetic Bloom's per-file word density fixed, so the measured
+    // axis is file count). Timing: min-of-2 with a GC between, both
+    // runs emitted (the BENCH_SCALE discipline).
+    def timed2[T](fn: () => T): (T, Double, Double) = {
+      val t0 = System.nanoTime()
+      val r1 = fn()
+      val s1 = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      val t1 = System.nanoTime()
+      fn()
+      val s2 = (System.nanoTime() - t1) / 1e9
+      (r1, s1, s2)
+    }
+    def decisionJson(base: String, zoneRanges: Seq[graft.sources.ZoneMaps.ColRange],
+        bloomKeys: Seq[String]): String = {
+      val (zk, z1, z2) = timed2(() => graft.sources.ZoneMaps.surviving(
+        graft.sources.ZoneMaps.loadStats(spark, s"$base/stats"),
+        zoneRanges).size)
+      val (bk, b1, b2) = timed2(() => graft.sources.ZoneMaps.survivingBloom(
+        graft.sources.ZoneMaps.loadStats(spark, s"$base/bloom"),
+        bloomKeys).size)
+      f""""zone_sec":${math.min(z1, z2)}%.3f,"zone_sec1":$z1%.3f,"zone_sec2":$z2%.3f,"zone_kept":$zk%d,"bloom_sec":${math.min(b1, b2)}%.3f,"bloom_sec1":$b1%.3f,"bloom_sec2":$b2%.3f,"bloom_kept":$bk%d,"mode":"min2-post-gc""""
+    }
+    def pruneDecisionReal(nFiles: Int): String = {
+      val base = java.nio.file.Files.createTempDirectory("graft-prunef")
+        .toString
+      Tables.load(spark, sfDir, "documents")
+        .repartitionByRange(nFiles, col("n_chars"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/data")
+      graft.sources.ZoneMaps.saveStats(graft.sources.ZoneMaps.buildStats(
+        spark, s"$base/data", Seq("n_chars")), s"$base/stats")
+      graft.sources.ZoneMaps.saveStats(graft.sources.ZoneMaps
+        .buildBloomStats(spark, s"$base/data", "doc_id"), s"$base/bloom")
+      s""""files":$nFiles,""" + decisionJson(base,
+        Seq(graft.sources.ZoneMaps.ColRange("n_chars", 150, 300)),
+        Seq("7", "123", "401"))
+    }
+    def pruneDecisionSynth(nFiles: Long): String = {
+      val base = java.nio.file.Files.createTempDirectory("graft-prunes")
+        .toString
+      val rowsPerFile = 16L
+      val stats = spark.range(nFiles).select(
+        format_string("f%09d", col("id")).as("file"),
+        lit(rowsPerFile).as("rows"),
+        (col("id") * rowsPerFile).as("min_v"),
+        (col("id") * rowsPerFile + rowsPerFile - 1).as("max_v"))
+      graft.sources.ZoneMaps.saveStats(stats, s"$base/stats")
+      val keys = spark.range(nFiles * rowsPerFile).select(
+        format_string("f%09d", (col("id") / rowsPerFile).cast("long"))
+          .as("file"),
+        col("id").cast("string").as("__key"))
+      val m = graft.sources.ZoneMaps.autoBits(nFiles * rowsPerFile, nFiles)
+      // a target-scale bloom table is tens of millions of word rows —
+      // publish it word_idx-CLUSTERED (saveBloomStats) so the probe's
+      // pre-filter prunes files/row-groups instead of scanning the
+      // whole artifact (2.7 s single-file / 1.2 s unclustered measured)
+      graft.sources.ZoneMaps.saveBloomStats(
+        graft.sources.ZoneMaps.bloomStatsOf(keys, m, 3), s"$base/bloom",
+        numFiles = 32)
+      // ~0.1% of the value domain for zones; 3 point keys for the Bloom
+      val hi = math.max(rowsPerFile, nFiles / 1000 * rowsPerFile)
+      s""""files":$nFiles,""" + decisionJson(base,
+        Seq(graft.sources.ZoneMaps.ColRange("v", 0, hi)),
+        Seq("7", (nFiles * rowsPerFile / 2).toString,
+          (nFiles * rowsPerFile - 1).toString))
+    }
     names.foreach { name =>
-      if (name.startsWith("work_")) {
+      if (name.startsWith("prune_decision_real_")) {
+        val n = name.stripPrefix("prune_decision_real_").toInt
+        println(s"""{"op":"prune_decision_real",${pruneDecisionReal(n)},"sf":"$sfDir"}""")
+      } else if (name.startsWith("prune_decision_synth_")) {
+        val n = name.stripPrefix("prune_decision_synth_").toLong
+        println(s"""{"op":"prune_decision_synth",${pruneDecisionSynth(n)},"sf":"$sfDir"}""")
+      } else if (name.startsWith("work_")) {
         val counts = name match {
           case "work_minhash_lsh" => workMinhash()
           case "work_ivfpq" => workIvfPq()

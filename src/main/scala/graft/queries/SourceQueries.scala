@@ -480,8 +480,9 @@ object SourceQueries extends QueryModule {
           s"$p/stats")
         // the point-predicate half of the skipping pair: per-file Bloom
         // over doc_id (high-cardinality, scattered under the n_chars
-        // range layout — zone maps keep every file for a doc_id probe)
-        graft.sources.ZoneMaps.saveStats(
+        // range layout — zone maps keep every file for a doc_id probe);
+        // published word_idx-clustered, the decision-latency layout
+        graft.sources.ZoneMaps.saveBloomStats(
           graft.sources.ZoneMaps.buildBloomStats(s, s"$p/data", "doc_id"),
           s"$p/bloom")
         p

@@ -51,12 +51,35 @@ object ZoneMaps {
   /** Publish the stats table under a versioned pointer — the fourth
     * build-once/serve-across-sessions artifact (IVF, MinHash, tokenizer,
     * zone maps). A serving session loads k rows instead of re-scanning
-    * the corpus.
+    * the corpus. `numFiles` bounds the artifact's own file count: one
+    * file is right for the one-row-per-file zone table, but a BLOOM
+    * table at 800k corpus files is tens of millions of word rows — as
+    * a single file every decision scan is serial (the 800k-file probe
+    * measured 2.7 s single-file vs sub-second partitioned).
     */
-  def saveStats(stats: DataFrame, livePath: String): Unit =
+  def saveStats(stats: DataFrame, livePath: String,
+      numFiles: Int = 1): Unit =
     graft.operators.CacheRefresh.publishVersioned(
       stats.sparkSession, livePath) { dir =>
-      stats.repartition(1).write.mode("overwrite").parquet(dir)
+      stats.repartition(numFiles).write.mode("overwrite").parquet(dir)
+    }
+
+  /** Publish a BLOOM table clustered by `word_idx` — the layout
+    * discipline that keeps the DECISION sub-second at 800k files: a
+    * probe touches only a few driver-known word slots, and with the
+    * artifact range-partitioned + sorted on word_idx the probe's isin
+    * pre-filter prunes at file level (per-file word_idx ranges) and
+    * row-group level (parquet stats) instead of scanning every word
+    * row. Measured at the 800k-file probe: 2.7 s single-file → 1.2 s
+    * partitioned-unclustered → sub-second clustered.
+    */
+  def saveBloomStats(bloom: DataFrame, livePath: String,
+      numFiles: Int = 1): Unit =
+    graft.operators.CacheRefresh.publishVersioned(
+      bloom.sparkSession, livePath) { dir =>
+      bloom.repartitionByRange(numFiles, col("word_idx"))
+        .sortWithinPartitions(col("word_idx"), col("file"))
+        .write.mode("overwrite").parquet(dir)
     }
 
   def loadStats(spark: SparkSession, livePath: String): DataFrame =
@@ -184,18 +207,29 @@ object ZoneMaps {
     val m =
       if (mBits == AutoBits) autoBits(src.count(), src.inputFiles.length.toLong)
       else mBits
-    src
-      .select(input_file_name().as("file"),
+    bloomStatsOf(src.select(input_file_name().as("file"),
+      col(keyCol).as("__key")), m, k)
+  }
+
+  /** The Bloom aggregation over explicit (file, __key) rows — the
+    * [[buildBloomStats]] body, also driven directly by the prune-
+    * decision scale probes (which synthesize an 800k-file stats table
+    * without writing 800k parquet files: the DECISION consults only the
+    * stats artifacts, never the files).
+    */
+  private[graft] def bloomStatsOf(rows: DataFrame, mBits: Long,
+      k: Int): DataFrame =
+    rows
+      .select(col("file"),
         explode(array((0 until k).map(i =>
-          bloomProbe(i, col(keyCol), m)): _*)).as("pos"))
+          bloomProbe(i, col("__key"), mBits)): _*)).as("pos"))
       .groupBy(col("file"), floor(col("pos") / 32).cast("int").as("word_idx"))
       // 2^(pos mod 32) via pow — exact in double up to 2^31, the
       // operators/Bloom mask idiom (shiftleft takes only literal shifts)
       .agg(bit_or(pow(lit(2.0), pmod(col("pos"), lit(32L)).cast("double"))
         .cast("long")).as("word"))
-      .withColumn("m_bits", lit(m))
+      .withColumn("m_bits", lit(mBits))
       .withColumn("k", lit(k))
-  }
 
   /** Files that might contain ANY of `keys` — a file survives iff for at
     * least one key EVERY probe bit is set in its sparse word map.
@@ -215,11 +249,20 @@ object ZoneMaps {
     val k = head(0).getInt(1)
     val spark = bloom.sparkSession
     import spark.implicits._
-    val probeRows = keys.zipWithIndex.flatMap { case (key, ki) =>
+    val probes = keys.zipWithIndex.flatMap { case (key, ki) =>
       bloomPositionsLocal(key, mBits, k).map(p =>
         (ki, (p >> 5).toInt, 1L << (p & 31).toInt))
-    }.distinct.toDF("key_id", "word_idx", "mask")
-    bloom.join(broadcast(probeRows), Seq("word_idx"))
+    }.distinct
+    val probeRows = probes.toDF("key_id", "word_idx", "mask")
+    // the probe set's word_idx values are driver-known and few (≤ keys·k
+    // of the mBits/32 slots) — pre-filtering the bloom table on them is
+    // a pushable scan predicate that drops ~(1 − |idxs|/slots) of the
+    // word rows before the join ever sees them; at 800k files this is
+    // the difference between scanning the whole tens-of-millions-row
+    // artifact and touching only the probed slots
+    val idxs = probes.map(_._2).distinct
+    bloom.filter(col("word_idx").isin(idxs: _*))
+      .join(broadcast(probeRows), Seq("word_idx"))
       .filter(col("word").bitwiseAND(col("mask")) =!= 0L)
       // a key's k probes can share a word_idx slot — count DISTINCT
       // satisfied positions (mask identifies the bit), not joined rows
