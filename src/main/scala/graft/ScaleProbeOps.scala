@@ -78,6 +78,19 @@ object ScaleProbeOps {
         .select(col("node").as("vec_id"), col("component"))
       cc
     }
+    // mm_phash_dct over the FULL documents table (the CORRECTNESS row
+    // caps at 96 base docs + twins for oracle cost): one 64×64 raster
+    // per doc, the integer DCT kernel per partition, then the 4×15
+    // banded join — measures the real per-raster transform + signature
+    // shuffle with ~zero output pairs (random rasters don't collide).
+    def phashDctScaled() = {
+      val ids = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("doc_id").as("seed"))
+      graft.pipeline.Multimodal.phashDctPairs(
+        graft.pipeline.Multimodal.syntheticRaster(
+          ids, "doc_id", "seed", 64, 64, brightness = 0),
+        "doc_id", rowBytes = 64)
+    }
     // pack_epoch_shuffle over NON-dense ids (the scale slices relabel
     // doc_id*1000+i): densify with runningBySort's two-phase numbering,
     // then the zero-shuffle Feistel projection — the realistic path for a
@@ -230,6 +243,7 @@ object ScaleProbeOps {
         if (name == "sim_dbscan_lsh") () => dbscanLsh()
         else if (name == "sim_nn_descent_scaled") () => nnDescentScaled()
         else if (name == "pack_epoch_shuffle_scaled") () => epochShuffleScaled()
+        else if (name == "mm_phash_dct_scaled") () => phashDctScaled()
         else if (name == "sim_components_scaled") () => componentsScaled()
         else () => SparkEntry.queries(name)(spark, sfDir)
       def once(): (Long, Double) = {
