@@ -244,8 +244,13 @@ object QueryCompiler {
         case FieldClause(f, Predicates.Eq, v, false)
           if f == bc && parseLong(v).isDefined => v.trim.toLong
       }).getOrElse(Nil)
+      // a pasted id list on the Bloom-indexed entity id (S7) is the
+      // archetypal point probe: the file survives if it may contain ANY
+      // listed id, and the semi join downstream still decides rows
+      listKeys = layout.bloomCol.filter(_ == cat.entityId)
+        .flatMap(_ => spec.idList)
       pruned <- graft.sources.ZoneMaps.pruneForClauses(
-        cat.entities.sparkSession, layout, ranges, keys)
+        cat.entities.sparkSession, layout, ranges, keys, listKeys)
     } yield pruned
     val cat2 = routed.map(p => cat.copy(entities = p._1)).getOrElse(cat)
     (compileFamilies(spec, cat2), routed.map(_._2))

@@ -590,9 +590,26 @@ object SourceQueries extends QueryModule {
     Some("""SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id = 123 AND n_chars >= 0 ORDER BY doc_id"""))
 
+  // S7 pasted-id-list routing: the archetypal point probe — an id list
+  // on the Bloom-indexed entity id prunes files a file-survives-if-it-
+  // may-contain-ANY-listed-id Bloom pass; the broadcast semi join
+  // downstream still decides rows (pruning never decides), so the
+  // oracle is the plain IN filter.
+  private val scanPrunedList = Q(
+    "scan_pruned_list",
+    (s, dir) => {
+      import graft.api.QueryCompiler._
+      val spec = QuerySpec(idList = Some(Seq(7L, 123L, 401L)))
+      compile(spec, zonemapCatalog(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id IN (7, 123, 401) ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(s2SchemaConfig, s5LocusDownload, s6RemoteContigs,
     s8Embl, s8Gff3, jsonlRoundtrip, curateValidate, curateRules,
     webdatasetRoundtrip,
     xlsxRoundtrip, scanZonemapPrune, scanBloomPrune,
-    scanPrunedFilter, scanPrunedPoint)
+    scanPrunedFilter, scanPrunedPoint, scanPrunedList)
 }

@@ -368,12 +368,25 @@ object ZoneMaps {
     * sound under AND (pruning with a predicate subset only keeps more
     * files).
     */
+  /** `andKeys` are AND-composed equality probes (a file must possibly
+    * contain EVERY key — per-key survivor intersection); `anyKeys` is
+    * an IN-list/pasted-id-list membership probe (a file survives if it
+    * may contain ANY of the keys — one Bloom pass, the semi-join S7
+    * shape). An over-wide ANY list stops pruning ([[MaxAnyKeys]]): at
+    * some width the probe cost exceeds the skipped tasks, and the
+    * semi join downstream is already the right plan.
+    */
   def pruneForClauses(spark: SparkSession, layout: Layout,
-      ranges: Seq[ColRange], pointKeys: Seq[Long]):
+      ranges: Seq[ColRange], andKeys: Seq[Long],
+      anyKeys: Option[Seq[Long]] = None):
       Option[(DataFrame, PruneReport)] = {
+    val anyK = anyKeys.filter(ks => ks.nonEmpty && ks.size <= MaxAnyKeys)
+    // nothing to prune WITH → fall back before touching any artifact
+    // (the common no-indexed-clause compile must not pay footer reads)
+    if (ranges.isEmpty && andKeys.isEmpty && anyK.isEmpty) return None
     val stats = layout.statsLive.flatMap(loadStatsIfPresent(spark, _))
     val bloom =
-      if (pointKeys.nonEmpty)
+      if (andKeys.nonEmpty || anyK.nonEmpty)
         layout.bloomLive.flatMap(loadStatsIfPresent(spark, _))
       else None
     val idxRanges = stats match {
@@ -384,15 +397,24 @@ object ZoneMaps {
     else {
       val zoneKeep = stats.filter(_ => idxRanges.nonEmpty)
         .map(st => surviving(st, idxRanges).toSet)
-      val bloomKeep = bloom.map(bl =>
-        pointKeys.map(k => survivingBloom(bl, Seq(k.toString)).toSet)
+      val andKeep = bloom.filter(_ => andKeys.nonEmpty).map(bl =>
+        andKeys.map(k => survivingBloom(bl, Seq(k.toString)).toSet)
           .reduce(_ intersect _))
-      val kept = (zoneKeep.toSeq ++ bloomKeep.toSeq).reduce(_ intersect _)
-        .toSeq.sorted
+      val anyKeep = for (bl <- bloom; ks <- anyK)
+        yield survivingBloom(bl, ks.map(_.toString)).toSet
+      val keeps = zoneKeep.toSeq ++ andKeep.toSeq ++ anyKeep.toSeq
+      if (keeps.isEmpty) return None
+      val kept = keeps.reduce(_ intersect _).toSeq.sorted
       val total = stats.orElse(bloom)
         .map(_.select(col("file")).distinct().count()).getOrElse(0L)
       Some((filesRead(spark, layout.dataDir, kept),
         PruneReport(total, kept.length.toLong)))
     }
   }
+
+  /** Widest IN-list the Bloom route will prune with — beyond this the
+    * probe table itself stops being broadcast-trivial and the skipped
+    * tasks no longer pay for the decision.
+    */
+  val MaxAnyKeys: Int = 256
 }

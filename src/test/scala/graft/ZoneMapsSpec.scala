@@ -238,6 +238,20 @@ class ZoneMapsSpec extends SparkSpec {
     assert(report.exists(r => r.filesKept < r.filesTotal),
       s"bloom-backed equality must skip files: $report")
     assert(df.select("id").as[Long].collect().toSeq == Seq(17L))
+
+    // S7 pasted-id-list routing: ANY-key Bloom pass — prunes, and the
+    // downstream semi join still returns exactly the listed rows
+    val listSpec = QuerySpec(idList = Some(Seq(17L, 391L)))
+    val (ldf, lrep) = compileWithPruneReport(listSpec, cat)
+    assert(lrep.exists(r => r.filesKept < r.filesTotal),
+      s"id-list must prune via the Bloom: $lrep")
+    assert(ldf.select("id").as[Long].collect().toSeq.sorted ==
+      Seq(17L, 391L))
+    // over-wide list: pruning declines (the semi join is the plan)
+    val wide = QuerySpec(idList = Some((0L until 400L).toSeq))
+    val (wdf, wrep) = compileWithPruneReport(wide, cat)
+    assert(wrep.isEmpty, "an over-wide id list must not attempt pruning")
+    assert(wdf.count() == 400L)
   }
 
   test("persisted stats serve across a publish: load equals build, and a " +
