@@ -236,22 +236,39 @@ object QueryCompiler {
     */
   def compileWithPruneReport(spec: QuerySpec, cat: Catalog):
       (DataFrame, Option[graft.sources.ZoneMaps.PruneReport]) = {
-    val routed = for {
-      layout <- cat.skipping
-      if spec.provenanceCombine == CombineAnd
-      ranges = spec.provenance.flatMap(clauseRange)
-      keys = layout.bloomCol.map(bc => spec.provenance.collect {
-        case FieldClause(f, Predicates.Eq, v, false)
-          if f == bc && parseLong(v).isDefined => v.trim.toLong
-      }).getOrElse(Nil)
+    val routed = cat.skipping.flatMap { layout =>
+      def bloomEq(c: FieldClause): Option[Long] =
+        layout.bloomCol.filter(bc =>
+            c.field == bc && c.op == Predicates.Eq && !c.isText)
+          .flatMap(_ => parseLong(c.value))
       // a pasted id list on the Bloom-indexed entity id (S7) is the
       // archetypal point probe: the file survives if it may contain ANY
       // listed id, and the semi join downstream still decides rows
-      listKeys = layout.bloomCol.filter(_ == cat.entityId)
+      val listKeys = layout.bloomCol.filter(_ == cat.entityId)
         .flatMap(_ => spec.idList)
-      pruned <- graft.sources.ZoneMaps.pruneForClauses(
-        cat.entities.sparkSession, layout, ranges, keys, listKeys)
-    } yield pruned
+      if (spec.provenanceCombine == CombineAnd ||
+          spec.provenance.size <= 1) {
+        graft.sources.ZoneMaps.pruneForClauses(
+          cat.entities.sparkSession, layout,
+          spec.provenance.flatMap(clauseRange),
+          spec.provenance.flatMap(bloomEq), listKeys)
+      } else {
+        // OR-combined family: prunable only as the survivor UNION, and
+        // only when EVERY arm is an indexed range or a Bloom equality —
+        // one unindexed arm could match any file. The id list still
+        // AND-composes with the whole family, so it prunes regardless.
+        // Bloom-col equalities prefer the Bloom (the point-predicate
+        // artifact); everything else maps to a zone range
+        val units = spec.provenance.map(c =>
+          bloomEq(c).map(Right(_): graft.sources.ZoneMaps.OrUnit)
+            .orElse(clauseRange(c)
+              .map(Left(_): graft.sources.ZoneMaps.OrUnit)))
+        graft.sources.ZoneMaps.pruneForClauses(
+          cat.entities.sparkSession, layout, Nil, Nil, listKeys,
+          orUnits = if (units.forall(_.isDefined)) Some(units.flatten)
+            else None)
+      }
+    }
     val cat2 = routed.map(p => cat.copy(entities = p._1)).getOrElse(cat)
     (compileFamilies(spec, cat2), routed.map(_._2))
   }

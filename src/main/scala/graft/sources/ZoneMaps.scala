@@ -376,34 +376,68 @@ object ZoneMaps {
     * some width the probe cost exceeds the skipped tasks, and the
     * semi join downstream is already the right plan.
     */
+  /** One prunable unit of an OR-combined clause family: a range on an
+    * indexed column, or an equality key on the Bloom column.
+    */
+  type OrUnit = Either[ColRange, Long]
+
+  /** `andKeys` are AND-composed equality probes (a file must possibly
+    * contain EVERY key — per-key survivor intersection); `anyKeys` is
+    * an IN-list/pasted-id-list membership probe (a file survives if it
+    * may contain ANY of the keys — one Bloom pass, the semi-join S7
+    * shape); `orUnits` is an OR-combined clause family — its keep set
+    * is the UNION of per-unit survivors, and it contributes NOTHING
+    * unless EVERY unit is backed by a published artifact (an
+    * unsupported OR arm could match any file, so partial OR pruning
+    * would lose rows). An over-wide ANY list stops pruning
+    * ([[MaxAnyKeys]]): at some width the probe cost exceeds the
+    * skipped tasks, and the semi join downstream is already the right
+    * plan.
+    */
   def pruneForClauses(spark: SparkSession, layout: Layout,
       ranges: Seq[ColRange], andKeys: Seq[Long],
-      anyKeys: Option[Seq[Long]] = None):
+      anyKeys: Option[Seq[Long]] = None,
+      orUnits: Option[Seq[OrUnit]] = None):
       Option[(DataFrame, PruneReport)] = {
     val anyK = anyKeys.filter(ks => ks.nonEmpty && ks.size <= MaxAnyKeys)
+    val orU = orUnits.filter(_.nonEmpty)
     // nothing to prune WITH → fall back before touching any artifact
     // (the common no-indexed-clause compile must not pay footer reads)
-    if (ranges.isEmpty && andKeys.isEmpty && anyK.isEmpty) return None
-    val stats = layout.statsLive.flatMap(loadStatsIfPresent(spark, _))
+    if (ranges.isEmpty && andKeys.isEmpty && anyK.isEmpty && orU.isEmpty)
+      return None
+    val orRanges = orU.toSeq.flatten.collect { case Left(r) => r }
+    val orKeys = orU.toSeq.flatten.collect { case Right(k) => k }
+    val stats =
+      if (ranges.nonEmpty || orRanges.nonEmpty)
+        layout.statsLive.flatMap(loadStatsIfPresent(spark, _))
+      else None
     val bloom =
-      if (andKeys.nonEmpty || anyK.nonEmpty)
+      if (andKeys.nonEmpty || anyK.nonEmpty || orKeys.nonEmpty)
         layout.bloomLive.flatMap(loadStatsIfPresent(spark, _))
       else None
-    val idxRanges = stats match {
-      case Some(st) => ranges.filter(r => st.columns.contains(s"min_${r.col}"))
-      case None => Nil
+    def indexed(r: ColRange): Boolean =
+      stats.exists(_.columns.contains(s"min_${r.col}"))
+    val idxRanges = ranges.filter(indexed)
+    val zoneKeep = stats.filter(_ => idxRanges.nonEmpty)
+      .map(st => surviving(st, idxRanges).toSet)
+    val andKeep = bloom.filter(_ => andKeys.nonEmpty).map(bl =>
+      andKeys.map(k => survivingBloom(bl, Seq(k.toString)).toSet)
+        .reduce(_ intersect _))
+    val anyKeep = for (bl <- bloom; ks <- anyK)
+      yield survivingBloom(bl, ks.map(_.toString)).toSet
+    val orKeep: Option[Set[String]] = orU.flatMap { units =>
+      val supported = orRanges.forall(indexed) &&
+        (orKeys.isEmpty || bloom.nonEmpty)
+      if (!supported) None
+      else Some(
+        orRanges.flatMap(r => surviving(stats.get, Seq(r))).toSet ++
+          (if (orKeys.isEmpty) Set.empty[String]
+           else survivingBloom(bloom.get, orKeys.map(_.toString)).toSet))
     }
-    if (idxRanges.isEmpty && bloom.isEmpty) None
+    val keeps = zoneKeep.toSeq ++ andKeep.toSeq ++ anyKeep.toSeq ++
+      orKeep.toSeq
+    if (keeps.isEmpty) None
     else {
-      val zoneKeep = stats.filter(_ => idxRanges.nonEmpty)
-        .map(st => surviving(st, idxRanges).toSet)
-      val andKeep = bloom.filter(_ => andKeys.nonEmpty).map(bl =>
-        andKeys.map(k => survivingBloom(bl, Seq(k.toString)).toSet)
-          .reduce(_ intersect _))
-      val anyKeep = for (bl <- bloom; ks <- anyK)
-        yield survivingBloom(bl, ks.map(_.toString)).toSet
-      val keeps = zoneKeep.toSeq ++ andKeep.toSeq ++ anyKeep.toSeq
-      if (keeps.isEmpty) return None
       val kept = keeps.reduce(_ intersect _).toSeq.sorted
       val total = stats.orElse(bloom)
         .map(_.select(col("file")).distinct().count()).getOrElse(0L)

@@ -202,11 +202,22 @@ class ZoneMapsSpec extends SparkSpec {
     val textOnly = QuerySpec(provenance =
       Seq(FieldClause("tag", Predicates.Eq, "t1")))
     assert(compileWithPruneReport(textOnly, catWith(Some(lay)))._2.isEmpty)
-    // OR-combined family cannot prune with the AND intersection -> fallback
+    // OR with an unindexed arm (the text clause) cannot prune: that arm
+    // could match any file -> transparent fallback
     val orSpec = spec.copy(provenanceCombine = CombineOr)
     val (orDf, orRep) = compileWithPruneReport(orSpec, catWith(Some(lay)))
     assert(orRep.isEmpty)
     assert(rows3(orDf) == rows3(compile(orSpec, catWith(None))))
+    // OR where EVERY arm is an indexed range prunes with survivor UNION
+    val orIdx = QuerySpec(provenance = Seq(
+      FieldClause("v", Predicates.Le, "50", isText = false),
+      FieldClause("v", Predicates.Ge, "900", isText = false)),
+      provenanceCombine = CombineOr)
+    val (uDf, uRep) = compileWithPruneReport(orIdx, catWith(Some(lay)))
+    assert(uRep.exists(r => r.filesKept < r.filesTotal && r.filesKept > 0),
+      s"fully-indexed OR must prune via survivor union: $uRep")
+    assert(rows3(uDf) == rows3(compile(orIdx, catWith(None))))
+    assert(rows3(uDf).nonEmpty)
     // never-published stats path -> transparent fallback, identical rows
     val ghost = ZoneMaps.Layout(dir,
       statsLive = Some(statsPath + ".never-published"))
