@@ -348,10 +348,22 @@ object ZoneMaps {
   def loadStatsIfPresent(spark: SparkSession,
       livePath: String): Option[DataFrame] = {
     val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
-    val p = new org.apache.hadoop.fs.Path(live)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(live)) else None
+    // memo keyed on the RESOLVED version dir: a compile-time consult
+    // must not pay footer reads on every query, and a republish flips
+    // the pointer to a new dir so the stale entry is simply never hit
+    // again (swept with its session, the Tables.load discipline)
+    val key = s"${graft.Tables.sessionKey(spark)}|$live"
+    statsCache.entrySet.removeIf(e =>
+      e.getValue.exists(_.sparkSession.sparkContext.isStopped))
+    statsCache.computeIfAbsent(key, _ => {
+      val p = new org.apache.hadoop.fs.Path(live)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(live)) else None
+    })
   }
+
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[DataFrame]]()
 
   /** File-list pruning for a compiled conjunction of range and point
     * predicates — the [[graft.api.QueryCompiler]] entry point. Returns
