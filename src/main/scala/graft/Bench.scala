@@ -145,10 +145,22 @@ object Bench {
       }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
     val prior = if (only.isEmpty) priorArchive() else Map.empty[String, Double]
-    // both thresholds scale by the measured drift envelope: a host
-    // running 1.4× slower than the archived round should not flag (or
-    // re-run) queries that merely rode the drift
-    val driftEnv = math.max(driftRatio, 1.0)
+    // Two drift axes, both emitted: `driftRatio` (control set, start vs
+    // end of THIS run) catches intra-run decay; `crossRatio` (median
+    // per-query ratio vs the archived round over every shared query)
+    // catches the documented cross-round host swings (r12 measured
+    // 213→264 s same-code). Flagging thresholds scale by BOTH: a host
+    // uniformly 1.35× slower than the archive window must not
+    // manufacture 46 per-query "regressions" (r13's first run did
+    // exactly that with the intra-run control alone). A REAL global
+    // regression still cannot hide: crossRatio itself is in the
+    // artifact, and a code-caused board-wide slowdown shows there.
+    val crossRatios = minOf2.toSeq
+      .flatMap { case (n, t) => prior.get(n).filter(_ > 0.05).map(t / _) }
+      .sorted
+    val crossRatio =
+      if (crossRatios.isEmpty) 1.0 else crossRatios(crossRatios.size / 2)
+    val driftEnv = math.max(1.0, math.max(driftRatio, crossRatio))
     val outliers = minOf2.toSeq.filter { case (n, t) =>
       prior.get(n).exists(p => t > 3 * driftEnv * p && t > 1.0)
     }.sortBy(-_._2).take(8).map(_._1).toSet
@@ -205,8 +217,9 @@ object Bench {
     def cmap(m: Map[String, Double]): String = controlSet
       .flatMap(n => m.get(n).map(v => "\"" + n + "\":" + f(v)))
       .mkString("{", ",", "}")
-    val driftJson = s"""{"ratio":${f(driftRatio)},"start":${
-      cmap(controlStart)},"end":${cmap(controlEnd)}}"""
+    val driftJson = s"""{"ratio":${f(driftRatio)},"cross_ratio":${
+      f(crossRatio)},"start":${cmap(controlStart)},"end":${
+      cmap(controlEnd)}}"""
     val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","mode":"steady-state-min2","n":${results.size},"failed":$failedJson,"drift":$driftJson,"regressed":$regressedJson,"rerun":$rerunJson,"queries":$fullJson,"sf":"$sfDir"}"""
     try {
