@@ -159,6 +159,26 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 11L)) && pairs.contains((1L, 12L)))
   }
 
+  test("DCT phash: non-32-multiple geometry (boundary grid) keeps the " +
+      "perceptual property") {
+    // 48 wide x 40 tall: block boundaries (bi*40)/32, (bj*48)/32 are
+    // uneven (1- and 2-pixel blocks mixed) — the integer grid must stay
+    // well-defined and the robustness property must survive it
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill[Byte](48 * 40)((rnd.nextInt(120)).toByte)
+    val bright = base.map(b => ((b & 0xff) + 4).toByte)
+    val other = Array.fill[Byte](48 * 40)((rnd.nextInt(120)).toByte)
+    val corpus = Seq((1L, base), (2L, bright), (3L, other))
+      .toDF("doc_id", "media")
+    val sigs = Multimodal.phashDct(corpus, "doc_id", rowBytes = 48)
+      .as[(Long, Long)].collect().toMap
+    assert(sigs.size == 3)
+    val near = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(near <= 3, s"brightness twin must stay near (hamming $near)")
+    assert(far > 10, s"distinct raster must stay far (hamming $far)")
+  }
+
   test("DCT phash: rasters smaller than 32x32 drop (no signature), and " +
       "the kernel is deterministic across invocations") {
     val tiny = Seq((1L, Array.fill[Byte](64 * 16)(7))) // 64 wide, 16 tall
