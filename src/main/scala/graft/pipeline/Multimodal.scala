@@ -184,7 +184,7 @@ object Multimodal {
     * (nothing perceptual to say — the caller's pair step drops them,
     * like empty media in [[phashNearDupPairs]]).
     */
-  private[pipeline] def dctSig(media: Array[Byte], rowBytes: Int): Option[Long] = {
+  private[graft] def dctSig(media: Array[Byte], rowBytes: Int): Option[Long] = {
     val w = rowBytes
     val h = media.length / rowBytes
     if (w < 32 || h < 32) return None

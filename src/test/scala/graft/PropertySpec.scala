@@ -20,6 +20,51 @@ class PropertySpec extends AnyFunSuite {
   private val dnaGen: Gen[String] =
     Gen.listOf(Gen.oneOf('A', 'C', 'G', 'T')).map(_.mkString)
 
+  test("DCT phash kernel: deterministic, exactly contrast-scale-invariant, " +
+      "brightness shifts flip at most a few bits") {
+    // rasters derive from a seed, not a 4096-element container Gen —
+    // scalacheck's big-array generation/shrinking machinery measures in
+    // minutes per property at this width, a Long shrinks instantly
+    def raster(seed: Long): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill[Byte](64 * 64)(rnd.nextInt(61).toByte)
+    }
+    check("dct-deterministic", Prop.forAll(Gen.long) { seed =>
+      val r = raster(seed)
+      graft.pipeline.Multimodal.dctSig(r, 64) ==
+        graft.pipeline.Multimodal.dctSig(r.clone(), 64)
+    })
+    // doubling every pixel doubles every integer coefficient AND the
+    // median exactly, so the sign pattern — the signature — is invariant:
+    // the hash keys on structure, not contrast. Block-CONSTANT rasters
+    // make the downsample exact (a floor mean of mixed pixels does not
+    // scale linearly — floor(2s/4) != 2*floor(s/4) — so on arbitrary
+    // rasters contrast invariance is only near-exact); pixel budget
+    // 0..60 keeps the doubled raster in byte range.
+    check("dct-contrast-invariant", Prop.forAll(Gen.long) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val v = Array.fill(32, 32)(rnd.nextInt(61))
+      val r = Array.tabulate(64 * 64)(p =>
+        v((p / 64) / 2)((p % 64) / 2).toByte)
+      graft.pipeline.Multimodal.dctSig(r.map(b => (b * 2).toByte), 64) ==
+        graft.pipeline.Multimodal.dctSig(r, 64)
+    })
+    // a uniform brightness shift only reaches the AC coefficients
+    // through the basis rounding residue (each u>0 basis row sums to
+    // ~0 ± 16 in 1e6 fixed point), so bits flip only where a
+    // coefficient sits within that sliver of the median — at most a
+    // few of 60 on any input
+    check("dct-brightness-robust", Prop.forAll(Gen.long,
+        Gen.choose(1, 7)) { (seed, b) =>
+      val r = raster(seed)
+      val shifted = r.map(x => (x + b).toByte)
+      val h = java.lang.Long.bitCount(
+        graft.pipeline.Multimodal.dctSig(r, 64).get ^
+          graft.pipeline.Multimodal.dctSig(shifted, 64).get)
+      h <= 8
+    })
+  }
+
   test("reverse complement is an involution and length-preserving") {
     check("revcomp", Prop.forAll(dnaGen) { s =>
       val rc = Bio.reverseComplementString(s)
