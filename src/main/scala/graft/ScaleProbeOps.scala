@@ -91,6 +91,15 @@ object ScaleProbeOps {
           ids, "doc_id", "seed", 64, 64, brightness = 0),
         "doc_id", rowBytes = 64)
     }
+    // dedup_substring_remove under the OPERATOR-DEFAULT xxhash64 hasher
+    // (the CORRECTNESS query ships the md5-portable hasher so DuckDB can
+    // replay it; the 100 TB path hashes 2x corpus-windows, so the
+    // codegen hash is the shipped default — this variant measures it).
+    def substringRemoveFast() = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      graft.pipeline.Dedup.substringDedup(docs, "doc_id", "text",
+        minLen = 40)
+    }
     // pack_epoch_shuffle over NON-dense ids (the scale slices relabel
     // doc_id*1000+i): densify with runningBySort's two-phase numbering,
     // then the zero-shuffle Feistel projection — the realistic path for a
@@ -244,6 +253,7 @@ object ScaleProbeOps {
         else if (name == "sim_nn_descent_scaled") () => nnDescentScaled()
         else if (name == "pack_epoch_shuffle_scaled") () => epochShuffleScaled()
         else if (name == "mm_phash_dct_scaled") () => phashDctScaled()
+        else if (name == "dedup_substring_fast") () => substringRemoveFast()
         else if (name == "sim_components_scaled") () => componentsScaled()
         else () => SparkEntry.queries(name)(spark, sfDir)
       def once(): (Long, Double) = {

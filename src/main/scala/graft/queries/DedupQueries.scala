@@ -436,6 +436,76 @@ object DedupQueries extends QueryModule {
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  // EXACT substring REMOVAL (Lee et al. 2022's ExactSubstr, the step
+  // dedup_substring's span DETECTION stops short of): every maximal
+  // span covered by a 40-char window whose content appears in >= 2
+  // distinct documents is cut, and the cleaned text is REBUILT —
+  // byte-witnessed by its md5, so the oracle proves the reconstruction,
+  // not just the span arithmetic. Windows hash md5-portably; the
+  // oracle replays windows → cross-doc dup hashes → gaps-and-islands
+  // span merge → slice reassembly, and string equality closes it.
+  private val dedupSubstringRemove = Q(
+    "dedup_substring_remove",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.substringDedup(docs, "doc_id", "text", minLen = 40,
+          hasher = Dedup.portableHash)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            w AS (SELECT doc_id, unnest(range(1, n - 40 + 2)) AS pos
+                  FROM d WHERE n >= 40),
+            wh AS (SELECT w.doc_id, pos,
+                     ('0x' || substr(md5(substr(d.text, CAST(pos AS INT),
+                        40)), 1, 15))::BIGINT AS h
+                   FROM w JOIN d ON w.doc_id = d.doc_id),
+            dup AS (SELECT h FROM wh GROUP BY h
+                    HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (SELECT doc_id, pos FROM wh
+                     WHERE h IN (SELECT h FROM dup)),
+            isl AS (SELECT doc_id, pos,
+                      CASE WHEN pos > coalesce(max(pos + 40) OVER
+                             (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0)
+                           THEN 1 ELSE 0 END AS brk
+                    FROM hits),
+            isl2 AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id
+                         ORDER BY pos) AS island
+                     FROM isl),
+            spans AS (SELECT doc_id, island, min(pos) AS s,
+                        max(pos) + 40 AS e
+                      FROM isl2 GROUP BY 1, 2),
+            slices AS (
+              SELECT doc_id,
+                     coalesce(lag(e) OVER (PARTITION BY doc_id
+                       ORDER BY s), 1) AS st,
+                     s AS en
+              FROM spans
+              UNION ALL
+              SELECT sp.doc_id, max(sp.e), max(d2.n) + 1
+              FROM spans sp JOIN d d2 ON sp.doc_id = d2.doc_id
+              GROUP BY sp.doc_id),
+            clean AS (
+              SELECT sl.doc_id,
+                     string_agg(substr(d3.text, CAST(st AS INT),
+                       CAST(en - st AS INT)), '' ORDER BY st) AS ct
+              FROM slices sl JOIN d d3 ON sl.doc_id = d3.doc_id
+              GROUP BY sl.doc_id),
+            agg AS (SELECT doc_id, count(*) AS n_spans,
+                      CAST(sum(e - s) AS BIGINT) AS removed_chars
+                    FROM spans GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(a.n_spans, 0) AS n_spans,
+                   coalesce(a.removed_chars, 0) AS removed_chars,
+                   CAST(length(coalesce(c.ct, d.text)) AS BIGINT)
+                     AS n_chars_clean,
+                   md5(coalesce(c.ct, d.text)) AS clean_md5
+            FROM d LEFT JOIN agg a USING (doc_id)
+                   LEFT JOIN clean c USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   // Soft dedup (count-preserving): keep only each cluster's canonical but
   // carry the duplicate multiplicity as a training weight, capped (the
   // up-weighting recipe — duplicates inform sampling probability instead
@@ -1004,7 +1074,8 @@ object DedupQueries extends QueryModule {
             ORDER BY a.doc_id, r.rank"""))
 
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupCluster, dedupSubstring, dedupSoft, dedupIncremental,
+    dedupCluster, dedupSubstring, dedupSubstringRemove, dedupSoft,
+    dedupIncremental,
     dedupIndexPersisted, dedupIndexAppend, streamMinhashMaintain,
     ingestE2e,
     dedupPrefixJoin, dedupSortedNeighborhood, dedupCdc, dedupContainment,

@@ -528,4 +528,35 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(10L -> 2L, 7L -> 7L))
   }
+
+  test("substringDedup: cross-doc duplicated spans are cut and the " +
+      "cleaned text reconstructs exactly; no false cuts") {
+    val shared = "0123456789" * 5 // 50 chars, well past minLen = 40
+    val a = "AAA-prefix-" + shared + "-middle-" + shared + "-tail-AAA"
+    val b = "b-starts-here " + shared + " and b ends"
+    val c = "completely original content with nothing shared at all " +
+      "padded out to be comfortably longer than the window length"
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, "short"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", minLen = 40)
+      .select("doc_id", "n_spans", "removed_chars", "n_chars_clean",
+        "clean_md5")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // every position covered by a duplicated 40-window is removed: for a
+    // shared run of length 50 embedded in unique context, that is
+    // exactly the 50 shared chars (windows extending into unique
+    // context are not cross-doc duplicates)
+    val aClean = "AAA-prefix-" + "-middle-" + "-tail-AAA"
+    val bClean = "b-starts-here " + " and b ends"
+    assert(got(1L)._2 == 2 && got(1L)._3 == 100,
+      s"doc 1 must cut both shared runs: ${got(1L)}")
+    assert(got(1L)._5 == md5(aClean), "doc 1 reconstruction")
+    assert(got(2L)._5 == md5(bClean), "doc 2 reconstruction")
+    // untouched docs pass through byte-identically, zero spans
+    assert(got(3L) == ((3L, 0L, 0L, c.length.toLong, md5(c))))
+    assert(got(4L) == ((4L, 0L, 0L, 5L, md5("short"))))
+  }
 }
