@@ -160,7 +160,16 @@ object Bench {
       .sorted
     val crossRatio =
       if (crossRatios.isEmpty) 1.0 else crossRatios(crossRatios.size / 2)
-    val driftEnv = math.max(1.0, math.max(driftRatio, crossRatio))
+    // crossRatio's contribution to the flagging envelope is CAPPED: a
+    // genuine board-wide code regression (say a uniform 2×) raises
+    // crossRatio too, and an uncapped envelope would absorb it into an
+    // EMPTY regressed list (ADVICE r13). Ambient host swings measured
+    // ≤ ~1.35× median across rounds, so up to 1.5× is treated as host;
+    // anything beyond is surfaced as an explicit `global_slowdown` flag
+    // the regressed list cannot hide.
+    val driftEnv = math.max(1.0,
+      math.max(driftRatio, math.min(crossRatio, 1.5)))
+    val globalSlowdown = crossRatio > 1.5
     val outliers = minOf2.toSeq.filter { case (n, t) =>
       prior.get(n).exists(p => t > 3 * driftEnv * p && t > 1.0)
     }.sortBy(-_._2).take(8).map(_._1).toSet
@@ -218,8 +227,8 @@ object Bench {
       .flatMap(n => m.get(n).map(v => "\"" + n + "\":" + f(v)))
       .mkString("{", ",", "}")
     val driftJson = s"""{"ratio":${f(driftRatio)},"cross_ratio":${
-      f(crossRatio)},"start":${cmap(controlStart)},"end":${
-      cmap(controlEnd)}}"""
+      f(crossRatio)},"global_slowdown":$globalSlowdown,"start":${
+      cmap(controlStart)},"end":${cmap(controlEnd)}}"""
     val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","mode":"steady-state-min2","n":${results.size},"failed":$failedJson,"drift":$driftJson,"regressed":$regressedJson,"rerun":$rerunJson,"queries":$fullJson,"sf":"$sfDir"}"""
     try {
