@@ -211,7 +211,21 @@ object QueryCompiler {
     schemeCache: Option[DataFrame] = None, schemeEntityId: String = "entity_id",
     privateRecords: Option[DataFrame] = None,
     privateEntityId: String = "entity_id", embargoCol: String = "embargo",
-    skipping: Option[graft.sources.ZoneMaps.Layout] = None)
+    skipping: Option[graft.sources.ZoneMaps.Layout] = None,
+    factSkipping: Option[graft.sources.ZoneMaps.Layout] = None)
+
+  /** Catalog over a registry-indexed entity table: the entities frame
+    * is the plain read of `dataDir` and the skipping Layout comes from
+    * the table's own [[graft.sources.SkippingRegistry]] registration
+    * (present or not — unregistered tables compile the plain scan).
+    * This is the default construction path: nothing is hand-built, so
+    * a table whose ingest refreshed its stats prunes on the next query
+    * with zero caller plumbing.
+    */
+  def registryCatalog(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, entityId: String): Catalog =
+    Catalog(entities = spark.read.parquet(dataDir), entityId = entityId,
+      skipping = graft.sources.SkippingRegistry.layoutFor(spark, dataDir))
 
   /** Compile spec → DataFrame plan (unsorted, unpaged — see `paged`). */
   def compile(spec: QuerySpec, cat: Catalog): DataFrame =
@@ -236,6 +250,35 @@ object QueryCompiler {
     */
   def compileWithPruneReport(spec: QuerySpec, cat: Catalog):
       (DataFrame, Option[graft.sources.ZoneMaps.PruneReport]) = {
+    val (df, reports) = compileWithPruneReports(spec, cat)
+    (df, reports.entities)
+  }
+
+  /** Per-scan prune accounting: the entity table's and (when a
+    * `factSkipping` Layout is registered) the designation fact's.
+    */
+  final case class PruneReports(
+    entities: Option[graft.sources.ZoneMaps.PruneReport],
+    facts: Option[graft.sources.ZoneMaps.PruneReport])
+
+  /** [[compileWithPruneReport]], extended to the designation FACT scan
+    * (the reference's `i_ad3` locus index, sql/isolatedb.sql:982, at
+    * file granularity): when the catalog registers a `factSkipping`
+    * Layout — same contract as entity skipping: `facts` must be the
+    * plain read of that Layout's dataDir — the J1/J2 designation
+    * family's fact scan routes through the survivor UNION of the
+    * queried loci's zones. Sound for AND and OR combine alike because
+    * the fused-membership pass only consumes fact rows matching SOME
+    * clause's locus (its pre-filter is the OR of all clause
+    * predicates), and entities absent from the pruned fact coalesce to
+    * the same false flags the unpruned plan gives them (LocusMissing
+    * included). Declined whenever another clause family also reads the
+    * fact (counts / variations / designation status) — those consume
+    * rows OUTSIDE the queried loci, and a shared pruned frame would be
+    * unsound for them.
+    */
+  def compileWithPruneReports(spec: QuerySpec, cat: Catalog):
+      (DataFrame, PruneReports) = {
     val routed = cat.skipping.flatMap { layout =>
       def bloomEq(c: FieldClause): Option[Long] =
         layout.bloomCol.filter(bc =>
@@ -246,7 +289,17 @@ object QueryCompiler {
       // listed id, and the semi join downstream still decides rows
       val listKeys = layout.bloomCol.filter(_ == cat.entityId)
         .flatMap(_ => spec.idList)
-      if (spec.provenanceCombine == CombineAnd ||
+      // grouped clauses fold into the SAME scalar predicate as the
+      // provenance family (step 1 below) under provenanceCombine: with
+      // CombineOr a row may satisfy ONLY a grouped clause, which no
+      // provenance-derived range/Bloom constraint covers — pruning from
+      // the provenance arms alone would silently drop it. Decline every
+      // clause-derived prune there; the id list still AND-composes with
+      // the whole scalar family, so it prunes regardless.
+      if (spec.provenanceCombine == CombineOr && spec.grouped.nonEmpty) {
+        graft.sources.ZoneMaps.pruneForClauses(
+          cat.entities.sparkSession, layout, Nil, Nil, listKeys)
+      } else if (spec.provenanceCombine == CombineAnd ||
           spec.provenance.size <= 1) {
         graft.sources.ZoneMaps.pruneForClauses(
           cat.entities.sparkSession, layout,
@@ -269,22 +322,66 @@ object QueryCompiler {
             else None)
       }
     }
-    val cat2 = routed.map(p => cat.copy(entities = p._1)).getOrElse(cat)
-    (compileFamilies(spec, cat2), routed.map(_._2))
+    val factRouted = cat.factSkipping
+      .filter(_ => spec.designations.nonEmpty && spec.counts.isEmpty &&
+        spec.variations.isEmpty && spec.designationStatus.isEmpty)
+      .flatMap { layout =>
+        val loci = spec.designations.map {
+          case HasAllele(l, _, _) => l
+          case LocusMissing(l) => l
+        }.distinct
+        graft.sources.ZoneMaps.pruneForClauses(
+          cat.entities.sparkSession, layout, Nil, Nil, None,
+          orUnits = Some(loci.map(l =>
+            Left(graft.sources.ZoneMaps.ColRange(
+              cat.locusCol, l.toLong, l.toLong)):
+              graft.sources.ZoneMaps.OrUnit)))
+      }
+    val cat2 = cat.copy(
+      entities = routed.map(_._1).getOrElse(cat.entities),
+      facts = factRouted.map(f => Option(f._1)).getOrElse(cat.facts))
+    (compileFamilies(spec, cat2),
+      PruneReports(routed.map(_._2), factRouted.map(_._2)))
   }
 
   private def parseLong(v: String): Option[Long] =
     scala.util.Try(v.trim.toLong).toOption
 
-  /** The zone-map interval a scalar clause prunes with, if any: numeric
-    * Eq/range ops only. Gt/Lt keep their boundary file (the interval is
-    * closed) — sound, since pruning never decides and the exact clause
-    * re-applies to the surviving rows.
+  /** yyyy-MM-dd → epoch days: the encoding the stats builder zones
+    * DATE columns with, so date clauses prune as day-granularity longs
+    * (the reference's BRIN-on-datestamp, sql/seqdef.sql:360, at file
+    * granularity). Gt/Lt keep the boundary DAY's files — closed
+    * intervals, and the exact clause re-applies.
+    */
+  private def parseDateDays(v: String): Option[Long] =
+    scala.util.Try(java.time.LocalDate.parse(v.trim).toEpochDay).toOption
+
+  /** The zone-map interval a scalar clause prunes with, if any.
+    * Non-text: numeric Eq/range ops, plus date values as epoch-day
+    * longs. Gt/Lt keep their boundary file (the interval is closed) —
+    * sound, since pruning never decides and the exact clause re-applies
+    * to the surviving rows. Text: ci equality is the point interval
+    * [V, V] over the upper-cased zones, `starts with` the half-open
+    * [P, succ(P)) — ASCII prefixes only ([[graft.sources.ZoneMaps
+    * .TextRange]] explains why a closed `P + '￿'` bound is unsound in
+    * UTF-8 order). The literal "null" (IS NULL semantics) never prunes:
+    * zones range over VALUES and an all-null file has null zones.
     */
   private def clauseRange(
-      c: FieldClause): Option[graft.sources.ZoneMaps.ColRange] =
-    if (c.isText) None
-    else parseLong(c.value).flatMap { v =>
+      c: FieldClause): Option[graft.sources.ZoneMaps.ZoneRange] =
+    if (c.value == null || c.value.equalsIgnoreCase("null")) None
+    else if (c.isText) {
+      val v = c.value.toUpperCase
+      c.op match {
+        case Predicates.Eq =>
+          Some(graft.sources.ZoneMaps.TextRange(c.field, v, v))
+        case Predicates.StartsWith
+            if v.nonEmpty && v.forall(ch => ch < 0x7f) =>
+          Some(graft.sources.ZoneMaps.TextRange(c.field, v,
+            v.init + (v.last + 1).toChar, hiExclusive = true))
+        case _ => None
+      }
+    } else parseLong(c.value).orElse(parseDateDays(c.value)).flatMap { v =>
       c.op match {
         case Predicates.Eq =>
           Some(graft.sources.ZoneMaps.ColRange(c.field, v, v))

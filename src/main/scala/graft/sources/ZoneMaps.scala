@@ -33,20 +33,62 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMaps {
 
-  /** One inclusive value interval per indexed column. */
+  /** One per-column pruning interval. */
+  sealed trait ZoneRange { def col: String }
+
+  /** Inclusive numeric interval (longs; DATE columns prune as
+    * epoch-day longs — the builder stores date zones that way).
+    */
   final case class ColRange(col: String, lo: Long, hi: Long)
+    extends ZoneRange
+
+  /** Case-folded text interval over upper-cased zones
+    * (`min_uc_`/`max_uc_` stats columns — the reference's
+    * UPPER-expression index, sql/isolatedb.sql:984, at file
+    * granularity). Ci equality is the point interval [V, V]
+    * (`hiExclusive = false`); a ci prefix P is the HALF-OPEN range
+    * [P, succ(P)) with succ = last-ASCII-char increment
+    * (`hiExclusive = true`) — a closed `P + '￿'` bound would be
+    * UNSOUND in UTF-8 byte order (an astral character right after the
+    * prefix encodes above EF BF BF), so prefix pruning only compiles
+    * for ASCII prefixes where the successor is exact.
+    */
+  final case class TextRange(col: String, lo: String, hi: String,
+    hiExclusive: Boolean = false) extends ZoneRange
+
+  /** The per-column stat aggregates, typed off the frame's schema:
+    * strings zone as (min, max) of UPPER(value) under `min_uc_`/
+    * `max_uc_` (self-describing in the artifact — the serving side
+    * routes text clauses only at columns published that way); DATE
+    * columns as epoch-day longs under the plain `min_`/`max_` names;
+    * everything else as raw (min, max).
+    */
+  private def statsAggs(df: DataFrame, cols: Seq[String]): Seq[Column] =
+    cols.flatMap { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => Seq(
+          min(upper(col(c))).as(s"min_uc_$c"),
+          max(upper(col(c))).as(s"max_uc_$c"))
+        case org.apache.spark.sql.types.DateType => Seq(
+          min(datediff(col(c), to_date(lit("1970-01-01"))))
+            .cast("long").as(s"min_$c"),
+          max(datediff(col(c), to_date(lit("1970-01-01"))))
+            .cast("long").as(s"max_$c"))
+        case _ => Seq(
+          min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))
+      }
+    }
 
   /** Build the per-file stats table for `cols` over a parquet layout —
     * one scan, one tiny aggregation keyed on the file path.
     */
   def buildStats(spark: SparkSession, dataDir: String,
-      cols: Seq[String]): DataFrame =
-    spark.read.parquet(dataDir)
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("rows"),
-        cols.flatMap(c => Seq(
-          min(col(c)).as(s"min_$c"),
-          max(col(c)).as(s"max_$c"))): _*)
+      cols: Seq[String]): DataFrame = {
+    val src = spark.read.parquet(dataDir)
+    src.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"), statsAggs(src, cols): _*)
+  }
 
   /** Publish the stats table under a versioned pointer — the fourth
     * build-once/serve-across-sessions artifact (IVF, MinHash, tokenizer,
@@ -91,20 +133,36 @@ object ZoneMaps {
     * [min, max] zone. Null zones (all-null file) fail the overlap and
     * prune — see the NULL contract above.
     */
-  def surviving(stats: DataFrame, ranges: Seq[ColRange]): Seq[String] = {
-    val keep = ranges
-      .map(r => col(s"max_${r.col}") >= r.lo && col(s"min_${r.col}") <= r.hi)
-      .reduce(_ && _)
+  def surviving(stats: DataFrame, ranges: Seq[ZoneRange]): Seq[String] = {
+    val keep = ranges.map(zoneOverlap).reduce(_ && _)
     stats.filter(keep).select(col("file"))
       .collect().map(_.getString(0)).sorted.toIndexedSeq
+  }
+
+  /** The stats-row overlap test for one interval. Zone columns and the
+    * probe literal compare in the SAME Spark string/long order the
+    * zones were aggregated in, so the test is ordering-consistent by
+    * construction.
+    */
+  private def zoneOverlap(r: ZoneRange): Column = r match {
+    case ColRange(c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    case TextRange(c, lo, hi, hiEx) =>
+      col(s"max_uc_$c") >= lit(lo) &&
+        (if (hiEx) col(s"min_uc_$c") < lit(hi)
+         else col(s"min_uc_$c") <= lit(hi))
   }
 
   /** Predicate column for `ranges` — re-applied to the pruned read so
     * zone maps only ever prune, never decide.
     */
-  def rangePredicate(ranges: Seq[ColRange]): Column =
-    ranges.map(r => col(r.col) >= r.lo && col(r.col) <= r.hi)
-      .reduce(_ && _)
+  def rangePredicate(ranges: Seq[ZoneRange]): Column =
+    ranges.map {
+      case ColRange(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case TextRange(c, lo, hi, hiEx) =>
+        upper(col(c)) >= lit(lo) &&
+          (if (hiEx) upper(col(c)) < lit(hi) else upper(col(c)) <= lit(hi))
+    }.reduce(_ && _)
 
   final case class PruneReport(filesTotal: Long, filesKept: Long)
 
@@ -133,14 +191,46 @@ object ZoneMaps {
       .as[String].collect()
     val merged =
       if (fresh.isEmpty) current
-      else current.unionByName(
-        spark.read.parquet(fresh.toIndexedSeq: _*)
-          .groupBy(input_file_name().as("file"))
-          .agg(count(lit(1)).as("rows"),
-            cols.flatMap(c => Seq(
-              min(col(c)).as(s"min_$c"),
-              max(col(c)).as(s"max_$c"))): _*))
+      else {
+        val freshDf = spark.read.parquet(fresh.toIndexedSeq: _*)
+        current.unionByName(
+          freshDf.groupBy(input_file_name().as("file"))
+            .agg(count(lit(1)).as("rows"), statsAggs(freshDf, cols): _*))
+      }
     saveStats(merged, livePath)
+  }
+
+  /** Incremental Bloom maintenance — the [[appendStats]] discipline for
+    * the point-predicate artifact: fresh files (listing ∖ published
+    * file set, anti-joined so only the delta's names reach the driver)
+    * get their sparse word rows built with the ARTIFACT's own (m_bits,
+    * k) — mixing constants would corrupt probe positions, so they are
+    * read off the published table, never recomputed — and the union
+    * republishes under the next versioned pointer. Per-file rows are
+    * independent, so append ≡ full rebuild at equal constants
+    * (ZoneMapsSpec pins it). A no-op delta returns without
+    * republishing.
+    */
+  def appendBloomStats(spark: SparkSession, dataDir: String,
+      livePath: String, keyCol: String): Unit = {
+    val current = loadStats(spark, livePath)
+    val head = current.select(col("m_bits"), col("k")).limit(1).collect()
+    if (head.isEmpty) {
+      saveBloomStats(buildBloomStats(spark, dataDir, keyCol), livePath)
+      return
+    }
+    import spark.implicits._
+    val all = spark.read.parquet(dataDir).inputFiles
+    val fresh = all.toIndexedSeq.toDF("file")
+      .join(current.select(col("file")).distinct(), Seq("file"), "left_anti")
+      .as[String].collect()
+    if (fresh.isEmpty) return
+    val freshRows = spark.read.parquet(fresh.toIndexedSeq: _*)
+      .select(input_file_name().as("file"), col(keyCol).as("__key"))
+    saveBloomStats(
+      current.unionByName(
+        bloomStatsOf(freshRows, head(0).getLong(0), head(0).getInt(1))),
+      livePath)
   }
 
   // ---- per-file Bloom filters: point-predicate skipping ----
@@ -302,7 +392,7 @@ object ZoneMaps {
     * layout's schema — `parquet()` with zero paths is an error.
     */
   def prunedRead(spark: SparkSession, dataDir: String, stats: DataFrame,
-      ranges: Seq[ColRange]): (DataFrame, PruneReport) = {
+      ranges: Seq[ZoneRange]): (DataFrame, PruneReport) = {
     val total = stats.count()
     val files = surviving(stats, ranges)
     (filesRead(spark, dataDir, files).filter(rangePredicate(ranges)),
@@ -353,17 +443,20 @@ object ZoneMaps {
     // the pointer to a new dir so the stale entry is simply never hit
     // again (swept with its session, the Tables.load discipline)
     val key = s"${graft.Tables.sessionKey(spark)}|$live"
+    // the owning session rides IN the value so the sweep also evicts
+    // None entries (not-yet-published probes) — keyed on the frame
+    // alone they would accumulate forever across stopped sessions
     statsCache.entrySet.removeIf(e =>
-      e.getValue.exists(_.sparkSession.sparkContext.isStopped))
+      e.getValue._1.sparkContext.isStopped)
     statsCache.computeIfAbsent(key, _ => {
       val p = new org.apache.hadoop.fs.Path(live)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) Some(spark.read.parquet(live)) else None
-    })
+      (spark, if (fs.exists(p)) Some(spark.read.parquet(live)) else None)
+    })._2
   }
 
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Option[DataFrame]]()
+    String, (SparkSession, Option[DataFrame])]()
 
   /** File-list pruning for a compiled conjunction of range and point
     * predicates — the [[graft.api.QueryCompiler]] entry point. Returns
@@ -380,18 +473,10 @@ object ZoneMaps {
     * sound under AND (pruning with a predicate subset only keeps more
     * files).
     */
-  /** `andKeys` are AND-composed equality probes (a file must possibly
-    * contain EVERY key — per-key survivor intersection); `anyKeys` is
-    * an IN-list/pasted-id-list membership probe (a file survives if it
-    * may contain ANY of the keys — one Bloom pass, the semi-join S7
-    * shape). An over-wide ANY list stops pruning ([[MaxAnyKeys]]): at
-    * some width the probe cost exceeds the skipped tasks, and the
-    * semi join downstream is already the right plan.
-    */
   /** One prunable unit of an OR-combined clause family: a range on an
     * indexed column, or an equality key on the Bloom column.
     */
-  type OrUnit = Either[ColRange, Long]
+  type OrUnit = Either[ZoneRange, Long]
 
   /** `andKeys` are AND-composed equality probes (a file must possibly
     * contain EVERY key — per-key survivor intersection); `anyKeys` is
@@ -407,7 +492,7 @@ object ZoneMaps {
     * plan.
     */
   def pruneForClauses(spark: SparkSession, layout: Layout,
-      ranges: Seq[ColRange], andKeys: Seq[Long],
+      ranges: Seq[ZoneRange], andKeys: Seq[Long],
       anyKeys: Option[Seq[Long]] = None,
       orUnits: Option[Seq[OrUnit]] = None):
       Option[(DataFrame, PruneReport)] = {
@@ -427,8 +512,12 @@ object ZoneMaps {
       if (andKeys.nonEmpty || anyK.nonEmpty || orKeys.nonEmpty)
         layout.bloomLive.flatMap(loadStatsIfPresent(spark, _))
       else None
-    def indexed(r: ColRange): Boolean =
-      stats.exists(_.columns.contains(s"min_${r.col}"))
+    def indexed(r: ZoneRange): Boolean = r match {
+      case _: ColRange =>
+        stats.exists(_.columns.contains(s"min_${r.col}"))
+      case _: TextRange =>
+        stats.exists(_.columns.contains(s"min_uc_${r.col}"))
+    }
     val idxRanges = ranges.filter(indexed)
     val zoneKeep = stats.filter(_ => idxRanges.nonEmpty)
       .map(st => surviving(st, idxRanges).toSet)

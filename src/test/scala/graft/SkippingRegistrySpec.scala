@@ -1,0 +1,165 @@
+package graft
+
+import graft.sources.{SkippingRegistry, ZoneMaps}
+import org.apache.spark.sql.functions._
+
+/** The per-table skipping registry: artifacts ride with the table under
+  * `_skipping/`, serving catalogs resolve the Layout from the table
+  * itself, write paths refresh stats inline (delta-only), and a
+  * registry-routed compile is identical to a hand-routed one.
+  */
+class SkippingRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-reg").toString + "/data"
+
+  private def writeRows(dir: String, rows: Seq[(Long, Long, String)],
+      parts: Int = 8, mode: String = "overwrite"): Unit =
+    rows.toDF("id", "v", "tag")
+      .repartitionByRange(parts, col("v"), col("id"))
+      .write.mode(mode).parquet(dir)
+
+  test("register publishes under _skipping, layoutFor resolves it, and " +
+      "unregistered tables resolve None") {
+    val dir = freshDir()
+    writeRows(dir, (0L until 200L).map(i => (i, i * 5, s"t${i % 2}")))
+    assert(SkippingRegistry.layoutFor(spark, dir).isEmpty,
+      "pre-registration probe must be None")
+    val lay = SkippingRegistry.register(spark, dir,
+      zoneCols = Seq("v"), bloomCol = Some("id"))
+    assert(lay.dataDir == dir)
+    assert(lay.statsLive.contains(SkippingRegistry.statsLivePath(dir)))
+    assert(lay.bloomCol.contains("id"))
+    // register invalidated the earlier None memo (same JVM)
+    assert(SkippingRegistry.layoutFor(spark, dir).contains(lay))
+    // the _skipping child is INVISIBLE to data reads: the table's own
+    // scan must see only its rows, not the stats artifacts
+    assert(spark.read.parquet(dir).count() == 200L)
+    assert(spark.read.parquet(dir).columns.toSeq == Seq("id", "v", "tag"))
+  }
+
+  test("registry-routed compile equals hand-routed: same survivors, " +
+      "same rows, same prune accounting") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val dir = freshDir()
+    writeRows(dir, (0L until 400L).map(i => (i, i % 97 * 10, s"t${i % 3}")))
+    SkippingRegistry.register(spark, dir,
+      zoneCols = Seq("v"), bloomCol = Some("id"))
+    val spec = QuerySpec(provenance = Seq(
+      FieldClause("v", Predicates.Ge, "200", isText = false),
+      FieldClause("v", Predicates.Le, "350", isText = false)))
+    val (regDf, regRep) = compileWithPruneReport(spec,
+      registryCatalog(spark, dir, "id"))
+    val hand = ZoneMaps.Layout(dir,
+      statsLive = Some(SkippingRegistry.statsLivePath(dir)),
+      bloomLive = Some(SkippingRegistry.bloomLivePath(dir)),
+      bloomCol = Some("id"))
+    val (handDf, handRep) = compileWithPruneReport(spec,
+      Catalog(entities = spark.read.parquet(dir), entityId = "id",
+        skipping = Some(hand)))
+    assert(regRep == handRep, "prune accounting must match")
+    assert(regRep.exists(r => r.filesKept < r.filesTotal && r.filesKept > 0))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSeq.sorted
+    assert(ids(regDf) == ids(handDf))
+    assert(ids(regDf).nonEmpty)
+  }
+
+  test("appendFiles refreshes both artifacts inline: post-ingest reads " +
+      "prune AND serve the appended rows; bloom append equals rebuild") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val dir = freshDir()
+    writeRows(dir, (0L until 200L).map(i => (i, i, "old")), parts = 4)
+    SkippingRegistry.register(spark, dir,
+      zoneCols = Seq("v"), bloomCol = Some("id"))
+    SkippingRegistry.appendFiles(
+      (200L until 300L).map(i => (i, i, "new")).toDF("id", "v", "tag")
+        .repartitionByRange(2, col("v"), col("id")),
+      dir)
+    // the range clause lands ENTIRELY in the appended files: a stale
+    // survivor list (stats nobody refreshed) would return zero rows
+    val spec = QuerySpec(provenance = Seq(
+      FieldClause("v", Predicates.Ge, "250", isText = false)))
+    val (df, rep) = compileWithPruneReport(spec,
+      registryCatalog(spark, dir, "id"))
+    assert(rep.exists(r => r.filesKept < r.filesTotal && r.filesKept > 0),
+      s"post-ingest compile must still prune: $rep")
+    assert(df.select("id").as[Long].collect().toSeq.sorted ==
+      (250L until 300L),
+      "appended rows must be served through the refreshed stats")
+    // a Bloom point probe on an APPENDED id also works (bloom refreshed
+    // with the artifact's own constants)
+    val pointSpec = QuerySpec(provenance = Seq(
+      FieldClause("id", Predicates.Eq, "275", isText = false)))
+    val (pdf, prep) = compileWithPruneReport(pointSpec,
+      registryCatalog(spark, dir, "id"))
+    assert(prep.exists(r => r.filesKept < r.filesTotal))
+    assert(pdf.select("id").as[Long].collect().toSeq == Seq(275L))
+    // incremental bloom ≡ full rebuild at the artifact's constants
+    val appended = ZoneMaps.loadStats(spark,
+      SkippingRegistry.bloomLivePath(dir))
+    val m = appended.select("m_bits").head().getLong(0)
+    val k = appended.select("k").head().getInt(0)
+    val rebuilt = ZoneMaps.buildBloomStats(spark, dir, "id", m, k)
+    assert(appended.orderBy("file", "word_idx").collect().toSeq ==
+      rebuilt.orderBy("file", "word_idx").collect().toSeq,
+      "bloom append must equal the full rebuild row-for-row")
+    // idempotent: a refresh with no new files republishes nothing
+    val liveBefore = graft.operators.CacheRefresh.resolveLive(spark,
+      SkippingRegistry.bloomLivePath(dir))
+    SkippingRegistry.refresh(spark, dir)
+    // zone stats DO republish idempotently (appendStats contract); the
+    // bloom pointer must not have moved for an empty delta
+    assert(graft.operators.CacheRefresh.resolveLive(spark,
+      SkippingRegistry.bloomLivePath(dir)) == liveBefore)
+  }
+
+  test("fact-table skipping: designation clauses prune the fact's file " +
+      "list and the plan equals the unpruned compile (AND and OR, " +
+      "LocusMissing included); other fact families decline") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val factDir = freshDir()
+    // fact: (entity, locus, allele) locus-clustered — 8 loci, 8 files
+    val facts = (0L until 800L).map(i => (i % 100, i % 8, (i % 50).toString))
+    facts.toDF("entity_id", "locus", "allele")
+      .repartitionByRange(8, col("locus"), col("entity_id"))
+      .write.parquet(factDir)
+    SkippingRegistry.register(spark, factDir, zoneCols = Seq("locus"))
+    val entities = (0L until 100L).map(i => (i, s"e$i"))
+      .toDF("id", "name")
+    def cat(sk: Option[ZoneMaps.Layout]) = Catalog(
+      entities = entities, entityId = "id",
+      facts = Some(spark.read.parquet(factDir)),
+      factEntityId = "entity_id", locusCol = "locus",
+      alleleCol = "allele", factSkipping = sk)
+    val lay = SkippingRegistry.layoutFor(spark, factDir)
+    assert(lay.nonEmpty)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSeq.sorted
+    for (combine <- Seq(CombineAnd, CombineOr)) {
+      val spec = QuerySpec(designations = Seq(
+        HasAllele(2, Predicates.Eq, "10"),
+        LocusMissing(5)),
+        designationCombine = combine)
+      val (df, reps) = compileWithPruneReports(spec, cat(lay))
+      assert(reps.facts.exists(r =>
+        r.filesKept < r.filesTotal && r.filesKept > 0),
+        s"designation compile must skip fact files ($combine): $reps")
+      assert(ids(df) == ids(compile(spec, cat(None))),
+        s"pruned fact plan must equal the unpruned plan ($combine)")
+      assert(ids(df).nonEmpty)
+    }
+    // a count clause also consumes the fact — pruning must decline
+    val withCounts = QuerySpec(
+      designations = Seq(HasAllele(2, Predicates.Eq, "10")),
+      counts = Seq(CountClause(Predicates.Ge, 1)))
+    val (cdf, creps) = compileWithPruneReports(withCounts, cat(lay))
+    assert(creps.facts.isEmpty,
+      "fact pruning must decline when counts also read the fact")
+    assert(ids(cdf) == ids(compile(withCounts, cat(None))))
+  }
+}

@@ -226,6 +226,38 @@ class ZoneMapsSpec extends SparkSpec {
     assert(rows3(fb) == want)
   }
 
+  test("compiled routing: OR with a grouped clause declines clause " +
+      "pruning — a row matching only the grouped clause survives") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val rows = (0L until 400L).map(i => (i, i % 97 * 10, s"t${i % 3}"))
+    val dir = layout(rows)
+    val statsPath = java.nio.file.Files.createTempDirectory("graft-zm")
+      .toString + "/stats"
+    ZoneMaps.saveStats(ZoneMaps.buildStats(spark, dir, Seq("v")), statsPath)
+    val cat = Catalog(entities = spark.read.parquet(dir), entityId = "id",
+      skipping = Some(ZoneMaps.Layout(dir, statsLive = Some(statsPath))))
+    // the grouped clause participates in the OR (compileFamilies folds
+    // provenance + grouped into one scalar predicate): rows with tag=t1
+    // live in EVERY file, so a provenance-derived prune to the v>=900
+    // zone survivors would silently drop the grouped-only matches
+    val spec = QuerySpec(
+      provenance = Seq(FieldClause("v", Predicates.Ge, "900",
+        isText = false)),
+      grouped = Seq(GroupClause(Seq("tag"), Predicates.Eq, "t1")),
+      provenanceCombine = CombineOr)
+    val (df, rep) = compileWithPruneReport(spec, cat)
+    assert(rep.isEmpty,
+      "OR-combined family with a grouped clause must not clause-prune")
+    val want = compile(spec, cat.copy(skipping = None))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(df.select("id").as[Long].collect().toSeq.sorted == want)
+    // the dangerous rows really exist: grouped-only matches below the
+    // provenance range (they'd have been lost to the pre-fix prune)
+    assert(want.exists(id => id % 97 * 10 < 900), "fixture must contain " +
+      "rows matching only the grouped clause")
+  }
+
   test("compiled routing: an equality clause on the Bloom column prunes " +
       "via the Bloom and intersects with the zone survivors") {
     import graft.api.QueryCompiler._
@@ -263,6 +295,102 @@ class ZoneMapsSpec extends SparkSpec {
     val (wdf, wrep) = compileWithPruneReport(wide, cat)
     assert(wrep.isEmpty, "an over-wide id list must not attempt pruning")
     assert(wdf.count() == 400L)
+  }
+
+  test("text zones are case-folded: a value whose UPPER sorts outside " +
+      "the raw min/max must not be lost, and ci equality skips files") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString +
+      "/data"
+    // two explicit files. File 1's RAW range is ["Banana", "cherry"]
+    // (uppercase sorts before lowercase in binary order), so a raw-zone
+    // probe for 'APPLE' ('apple' upper-cased) would fall OUTSIDE it and
+    // wrongly prune the file that contains apple. Upper-cased zones
+    // give ["APPLE", "CHERRY"] and keep it.
+    Seq((1L, "apple", 10L), (2L, "Banana", 20L), (3L, "cherry", 30L))
+      .toDF("id", "name", "v").coalesce(1).write.parquet(dir)
+    Seq((4L, "xenon", 40L), (5L, "Yttrium", 50L))
+      .toDF("id", "name", "v").coalesce(1).write.mode("append").parquet(dir)
+    val statsPath = java.nio.file.Files.createTempDirectory("graft-zm")
+      .toString + "/stats"
+    ZoneMaps.saveStats(ZoneMaps.buildStats(spark, dir, Seq("name")),
+      statsPath)
+    val cat = Catalog(entities = spark.read.parquet(dir), entityId = "id",
+      skipping = Some(ZoneMaps.Layout(dir, statsLive = Some(statsPath))))
+    val spec = QuerySpec(provenance =
+      Seq(FieldClause("name", Predicates.Eq, "APPLE")))
+    val (df, rep) = compileWithPruneReport(spec, cat)
+    assert(rep.exists(r => r.filesKept == 1 && r.filesTotal == 2),
+      s"ci equality must keep exactly the matching file: $rep")
+    assert(df.select("id").as[Long].collect().toSeq == Seq(1L),
+      "the case-folded zone must not lose the differently-cased match")
+  }
+
+  test("prefix pruning is half-open and ASCII-gated: an astral char " +
+      "after the prefix survives, a non-ASCII prefix declines") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString +
+      "/data"
+    val emoji = new String(Character.toChars(0x1F600))
+    // one file whose only AB-prefixed value continues with an astral
+    // character: in UTF-8 byte order "AB😀X" > "AB￿", so a CLOSED
+    // [P, P+'￿'] zone test would prune this file and lose the row
+    Seq((1L, s"ab${emoji}x"), (2L, s"ab${emoji}z"))
+      .toDF("id", "name").coalesce(1).write.parquet(dir)
+    Seq((3L, "zz1"), (4L, "zz2"))
+      .toDF("id", "name").coalesce(1).write.mode("append").parquet(dir)
+    val statsPath = java.nio.file.Files.createTempDirectory("graft-zm")
+      .toString + "/stats"
+    ZoneMaps.saveStats(ZoneMaps.buildStats(spark, dir, Seq("name")),
+      statsPath)
+    val cat = Catalog(entities = spark.read.parquet(dir), entityId = "id",
+      skipping = Some(ZoneMaps.Layout(dir, statsLive = Some(statsPath))))
+    val spec = QuerySpec(provenance =
+      Seq(FieldClause("name", Predicates.StartsWith, "ab")))
+    val (df, rep) = compileWithPruneReport(spec, cat)
+    assert(rep.exists(r => r.filesKept == 1 && r.filesTotal == 2),
+      s"the zz file must prune, the astral-suffix file must survive: $rep")
+    assert(df.select("id").as[Long].collect().toSeq.sorted == Seq(1L, 2L))
+    // a prefix that is itself non-ASCII cannot build an exact successor
+    // — pruning declines (transparent fallback), rows still correct
+    val nonAscii = QuerySpec(provenance =
+      Seq(FieldClause("name", Predicates.StartsWith, s"ab$emoji")))
+    val (ndf, nrep) = compileWithPruneReport(nonAscii, cat)
+    assert(nrep.isEmpty, "non-ASCII prefix must decline pruning")
+    assert(ndf.select("id").as[Long].collect().toSeq.sorted == Seq(1L, 2L))
+  }
+
+  test("date zones prune day intervals: a quarter's clause skips the " +
+      "other quarters' files and rows match the plain filter") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString +
+      "/data"
+    val days = (0 until 360).map(d =>
+      (d.toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.of(1995, 1, 1).plusDays(d.toLong))))
+    days.toDF("id", "day")
+      .repartitionByRange(6, col("day"), col("id"))
+      .write.parquet(dir)
+    val statsPath = java.nio.file.Files.createTempDirectory("graft-zm")
+      .toString + "/stats"
+    ZoneMaps.saveStats(ZoneMaps.buildStats(spark, dir, Seq("day")),
+      statsPath)
+    val cat = Catalog(entities = spark.read.parquet(dir), entityId = "id",
+      skipping = Some(ZoneMaps.Layout(dir, statsLive = Some(statsPath))))
+    val spec = QuerySpec(provenance = Seq(
+      FieldClause("day", Predicates.Ge, "1995-04-01", isText = false),
+      FieldClause("day", Predicates.Le, "1995-06-30", isText = false)))
+    val (df, rep) = compileWithPruneReport(spec, cat)
+    assert(rep.exists(r => r.filesKept < r.filesTotal && r.filesKept > 0),
+      s"a date range clause must skip files: $rep")
+    val want = spark.read.parquet(dir)
+      .filter(col("day").between("1995-04-01", "1995-06-30"))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(df.select("id").as[Long].collect().toSeq.sorted == want)
+    assert(want.size == 91)
   }
 
   test("persisted stats serve across a publish: load equals build, and a " +
