@@ -125,7 +125,19 @@ object Multimodal {
     * (band, 15-bit key), candidates verified with the true
     * bit_count(xor), exact for hamming ≤ 3 by pigeonhole.
     */
-  private def bandedSigPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  private def bandedSigPairs(sigs: DataFrame, maxHamming: Int): DataFrame =
+    bandCandidates(sigs)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+
+  /** Every banded CANDIDATE pair (≥ 1 shared 15-bit band) with its true
+    * hamming, unfiltered — the measurement surface the recall-vs-radius
+    * report reads (what does the banding SEE beyond its exactness
+    * radius?); the shipped pair operators are [[bandCandidates]] plus
+    * the ≤ maxHamming filter that the pigeonhole contract rides on.
+    * Input contract: (__mid, __ph) signature rows.
+    */
+  private[graft] def bandCandidates(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(col("__mid"), col("__ph"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -140,8 +152,6 @@ object Multimodal {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("ph1").bitwiseXOR(col("ph2"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   // ---- real DCT pHash over raw rasters (r12 VERDICT #2) ----
@@ -285,10 +295,16 @@ object Multimodal {
     * means any engine replays the exact raster
     * (`('0x'||substr(md5(...),k*2+1,2))::BIGINT % 128 + br` in DuckDB).
     * `seedCol` decouples content from identity so a perturbed TWIN of
-    * another row's raster can carry its own id. Output: (id, media).
+    * another row's raster can carry its own id. `mixEvery` > 0 replaces
+    * every mixEvery-th 16-byte block with content from an UNRELATED
+    * seed (`seed + 50000`) — a controlled content perturbation whose
+    * strength dials the twin's hamming distance smoothly past the
+    * brightness-shift regime (the recall-vs-radius report's knob), in
+    * the same md5 scheme (`CASE WHEN blk % m = 0 THEN seed+50000 …` in
+    * DuckDB). Output: (id, media).
     */
   def syntheticRaster(ids: DataFrame, id: String, seedCol: String,
-      w: Int, h: Int, brightness: Int): DataFrame = {
+      w: Int, h: Int, brightness: Int, mixEvery: Int = 0): DataFrame = {
     require(w * h % 16 == 0, s"raster bytes must be 16-aligned: ${w}x$h")
     require(brightness >= 0 && brightness <= 127,
       s"brightness must fit the %128 headroom: $brightness")
@@ -302,11 +318,13 @@ object Multimodal {
     ids.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val seed = r.get(seedIdx)
+        val seed = r.getAs[Number](seedIdx).longValue()
         val bytes = new Array[Byte](w * h)
         var blk = 0
         while (blk < nBlocks) {
-          val dig = md.digest(s"graft-px-$seed-$blk".getBytes("UTF-8"))
+          val s = if (mixEvery > 0 && blk % mixEvery == 0) seed + 50000L
+            else seed
+          val dig = md.digest(s"graft-px-$s-$blk".getBytes("UTF-8"))
           var k = 0
           while (k < 16) {
             bytes(blk * 16 + k) =
@@ -318,6 +336,138 @@ object Multimodal {
         Row(r.get(idIdx), bytes)
       }
     }(outEncoder)
+  }
+
+  // ---- Netpbm P5/P6 (PGM/PPM): a REAL on-disk raster format (r13 #4) ----
+  //
+  // The binary Netpbm formats are header-plus-raw-raster with no
+  // entropy coding, so a complete, standards-correct decoder is pure
+  // Scala — the DECODE step of the multimodal pipeline is genuinely
+  // real for files a user could feed any image tool, while the
+  // entropy-coded formats (JPEG/PNG) stay behind the Decoder swap
+  // point. Grammar (netpbm's pbm(5)/pgm(5)/ppm(5)): magic "P5"/"P6",
+  // then width, height, maxval as ASCII decimal tokens separated by
+  // whitespace, with '#'-to-end-of-line comments allowed anywhere in
+  // the header; ONE whitespace byte after maxval; then width×height
+  // (×3 for P6) samples, 1 byte each, or 2 bytes BIG-ENDIAN when
+  // maxval > 255.
+
+  /** A decoded raster: grayscale samples row-major, one Int per pixel
+    * (P6 RGB reduces to integer luma (299·R + 587·G + 114·B) / 1000 —
+    * the BT.601 weights in exact fixed point, oracle-replayable).
+    */
+  final case class Raster(width: Int, height: Int, maxval: Int,
+    pixels: Array[Int])
+
+  /** Binary PGM (P5) writer — the encode half the decode spec and the
+    * mm_decode_pgm roundtrip close over. Emits a comment line so every
+    * roundtrip also exercises the parser's comment rule.
+    */
+  def encodePgm(width: Int, height: Int, maxval: Int,
+      pixels: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"raster geometry mismatch: ${width}x$height vs ${pixels.length}")
+    require(maxval >= 1 && maxval <= 65535, s"bad maxval: $maxval")
+    val header =
+      s"P5\n# graft synthetic raster\n$width $height\n$maxval\n"
+        .getBytes("US-ASCII")
+    val bp = if (maxval > 255) 2 else 1
+    val out = new Array[Byte](header.length + pixels.length * bp)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < pixels.length) {
+      val v = pixels(i)
+      if (bp == 2) {
+        out(header.length + i * 2) = (v >> 8).toByte
+        out(header.length + i * 2 + 1) = v.toByte
+      } else out(header.length + i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Binary PPM (P6) writer: interleaved RGB samples, maxval 255. */
+  def encodePpm(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height * 3,
+      s"rgb geometry mismatch: ${width}x$height vs ${rgb.length}")
+    val header =
+      s"P6\n# graft synthetic raster\n$width $height\n255\n"
+        .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < rgb.length) { out(header.length + i) = rgb(i).toByte; i += 1 }
+    out
+  }
+
+  /** Parse a binary Netpbm raster (P5 grayscale / P6 RGB-to-luma).
+    * None on anything malformed — wrong magic, non-numeric or
+    * out-of-range header fields, or a raster shorter than the header
+    * promises (truncation): a corrupt file must drop, never produce a
+    * phantom raster.
+    */
+  def decodeNetpbm(bytes: Array[Byte]): Option[Raster] = {
+    def isWs(b: Byte) =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f'
+    var pos = 0
+    def nextToken(): Option[String] = {
+      while (pos < bytes.length &&
+          (isWs(bytes(pos)) || bytes(pos) == '#')) {
+        if (bytes(pos) == '#')
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      if (pos >= bytes.length) None
+      else {
+        val start = pos
+        while (pos < bytes.length && !isWs(bytes(pos)) &&
+          bytes(pos) != '#') pos += 1
+        Some(new String(bytes, start, pos - start, "US-ASCII"))
+      }
+    }
+    def nextInt(): Option[Int] =
+      nextToken().flatMap(t => scala.util.Try(t.toInt).toOption)
+    val channels = nextToken() match {
+      case Some("P5") => 1
+      case Some("P6") => 3
+      case _ => return None
+    }
+    val parsed = for {
+      w <- nextInt() if w > 0
+      h <- nextInt() if h > 0
+      mv <- nextInt() if mv >= 1 && mv <= 65535
+    } yield (w, h, mv)
+    parsed.flatMap { case (w, h, mv) =>
+      // exactly one whitespace byte separates maxval from the raster
+      if (pos >= bytes.length || !isWs(bytes(pos))) return None
+      pos += 1
+      val bp = if (mv > 255) 2 else 1
+      val need = w.toLong * h * channels * bp
+      if (need > Int.MaxValue || bytes.length - pos < need) return None
+      val px = new Array[Int](w * h)
+      var i = 0
+      if (channels == 1) {
+        while (i < px.length) {
+          px(i) =
+            if (bp == 2) ((bytes(pos + i * 2) & 0xff) << 8) |
+              (bytes(pos + i * 2 + 1) & 0xff)
+            else bytes(pos + i) & 0xff
+          i += 1
+        }
+      } else {
+        // P6: BT.601 integer luma; P6 with maxval > 255 would need the
+        // 2-byte stride too (bp folds into the offsets below)
+        while (i < px.length) {
+          def samp(k: Int): Int =
+            if (bp == 2) ((bytes(pos + (i * 3 + k) * 2) & 0xff) << 8) |
+              (bytes(pos + (i * 3 + k) * 2 + 1) & 0xff)
+            else bytes(pos + i * 3 + k) & 0xff
+          px(i) = (299 * samp(0) + 587 * samp(1) + 114 * samp(2)) / 1000
+          i += 1
+        }
+      }
+      Some(Raster(w, h, mv, px))
+    }
   }
 
   /** Decode + feature-extract over (id, media, meta) — partition-preserving

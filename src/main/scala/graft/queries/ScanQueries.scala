@@ -967,11 +967,224 @@ object ScanQueries extends QueryModule {
              FROM orient o JOIN agg a USING (id) LEFT JOIN fl f USING (id)
              ORDER BY o.id, o.ord"""))
 
+  // Recall-vs-radius report for the DCT pHash banding (r13 VERDICT #8):
+  // the 4×15 banding is EXACT only to hamming 3 — real perceptual
+  // near-dups (crops, re-encodes) land further out. Over a corpus of
+  // base rasters plus twins at three perturbation strengths (every
+  // 16th/8th/4th block replaced with unrelated content + a brightness
+  // shift — hamming dials smoothly past the exactness radius), this
+  // measures what the banding SEES at radii 3/6/10/15 against the
+  // brute-force all-pairs truth (bounded corpus: truth is the report's
+  // point, quadratic on purpose). recall_bp is integer basis points —
+  // no float crosses the oracle. The shipped pair operators keep the
+  // ≤ 3 exactness contract; this row quantifies the tail beyond it.
+  private val mmPhashRecall = Q(
+    "mm_phash_recall",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val base = docs.filter(col("doc_id") < 64)
+        .select(col("doc_id"), col("doc_id").as("seed"))
+      def twins(k: Int, mix: Int) = Multimodal.syntheticRaster(
+        base.select((col("doc_id") + k * 100000L).as("doc_id"),
+          col("seed")),
+        "doc_id", "seed", 64, 64, brightness = 1, mixEvery = mix)
+      val corpus = Multimodal
+        .syntheticRaster(base, "doc_id", "seed", 64, 64, brightness = 0)
+        .unionByName(twins(1, 16))
+        .unionByName(twins(2, 8))
+        .unionByName(twins(3, 4))
+      val sigs = graft.operators.Pinning.pin(
+        Multimodal.phashDct(corpus, "doc_id", rowBytes = 64)
+          .select(col("doc_id").as("__mid"), col("ph").as("__ph")))
+      val pairs = sigs.select(col("__mid").as("id1"), col("__ph").as("p1"))
+        .join(sigs.select(col("__mid").as("id2"), col("__ph").as("p2")),
+          col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          bit_count(col("p1").bitwiseXOR(col("p2"))).as("hamming"))
+      val cands = Multimodal.bandCandidates(sigs)
+        .select(col("id1"), col("id2")).distinct()
+        .withColumn("__cand", lit(1L))
+      pairs.join(cands, Seq("id1", "id2"), "left")
+        .select(col("hamming"),
+          coalesce(col("__cand"), lit(0L)).as("c"),
+          explode(array(lit(3L), lit(6L), lit(10L), lit(15L)))
+            .as("radius"))
+        .filter(col("hamming") <= col("radius"))
+        .groupBy(col("radius"))
+        .agg(count(lit(1)).as("true_pairs"),
+          sum(col("c")).as("banded_pairs"))
+        .withColumn("recall_bp",
+          expr("banded_pairs * 10000 div true_pairs"))
+        .orderBy(col("radius"))
+    },
+    Some(s"""WITH ids AS (
+              SELECT doc_id AS id, doc_id AS seed, 0 AS br, 0 AS mix
+              FROM documents WHERE doc_id < 64
+              UNION ALL
+              SELECT doc_id + 100000, doc_id, 1, 16
+              FROM documents WHERE doc_id < 64
+              UNION ALL
+              SELECT doc_id + 200000, doc_id, 1, 8
+              FROM documents WHERE doc_id < 64
+              UNION ALL
+              SELECT doc_id + 300000, doc_id, 1, 4
+              FROM documents WHERE doc_id < 64),
+            blocks AS (
+              SELECT id, br, blk.blk AS blk,
+                     md5('graft-px-' ||
+                       CASE WHEN mix > 0 AND blk.blk % mix = 0
+                            THEN seed + 50000 ELSE seed END ||
+                       '-' || blk.blk) AS hx
+              FROM ids, range(0, 256) blk(blk)),
+            pix AS (
+              SELECT id, blk * 16 + k.k AS idx,
+                     ('0x' || substr(hx, k.k * 2 + 1, 2))::BIGINT % 128 + br
+                       AS px
+              FROM blocks, range(0, 16) k(k)),
+            pgrid AS (
+              SELECT id, (idx // 64) // 2 AS bi, (idx % 64) // 2 AS bj,
+                     CAST(sum(px) // 4 AS BIGINT) AS p
+              FROM pix GROUP BY 1, 2, 3),
+            basis(u, i, b) AS (VALUES ${Multimodal.dctBasisSqlValues}),
+            rmid AS (
+              SELECT g.id, ba.u, g.bj, CAST(sum(ba.b * g.p) AS BIGINT) AS rv
+              FROM pgrid g JOIN basis ba ON ba.i = g.bi
+              GROUP BY 1, 2, 3),
+            co AS (
+              SELECT r.id, r.u * 8 + bv.u AS flat,
+                     CAST(sum(bv.b * r.rv) AS BIGINT) AS c
+              FROM rmid r JOIN basis bv ON bv.i = r.bj
+              GROUP BY 1, 2),
+            med AS (
+              SELECT id, c AS m FROM (
+                SELECT id, c, row_number() OVER (PARTITION BY id
+                  ORDER BY c) AS rn
+                FROM co WHERE flat BETWEEN 1 AND 60) t WHERE rn = 30),
+            sig AS MATERIALIZED (
+              SELECT co.id,
+                     CAST(SUM(CASE WHEN co.c > med.m
+                       THEN (CAST(1 AS BIGINT) << (flat - 1))
+                       ELSE 0 END) AS BIGINT) AS ph
+              FROM co JOIN med ON co.id = med.id
+              WHERE flat BETWEEN 1 AND 60
+              GROUP BY 1),
+            pairs AS (
+              SELECT a.id AS id1, b.id AS id2,
+                     bit_count(xor(a.ph, b.ph)) AS hamming,
+                     CASE WHEN ((a.ph >> 0) & 32767) = ((b.ph >> 0) & 32767)
+                            OR ((a.ph >> 15) & 32767) = ((b.ph >> 15) & 32767)
+                            OR ((a.ph >> 30) & 32767) = ((b.ph >> 30) & 32767)
+                            OR ((a.ph >> 45) & 32767) = ((b.ph >> 45) & 32767)
+                          THEN 1 ELSE 0 END AS c
+              FROM sig a JOIN sig b ON a.id < b.id)
+            SELECT CAST(r.radius AS BIGINT) AS radius,
+                   count(*) AS true_pairs,
+                   CAST(sum(c) AS BIGINT) AS banded_pairs,
+                   CAST(sum(c) * 10000 // count(*) AS BIGINT) AS recall_bp
+            FROM pairs, (VALUES (3), (6), (10), (15)) r(radius)
+            WHERE hamming <= r.radius
+            GROUP BY r.radius ORDER BY radius"""))
+
+  // Netpbm decode end-to-end (r13 VERDICT #4): the media bytes here are
+  // REAL binary PGM/PPM files — md5-derived pixels encoded by the P5/P6
+  // writers (8-bit, 16-bit big-endian when doc_id % 3 = 0, RGB when
+  // doc_id % 5 = 1; headers carry comments) — parsed back by the real
+  // decoder (Multimodal.decodeNetpbm) with per-doc aggregates computed
+  // from the DECODED samples. The oracle replays the pixel arithmetic
+  // straight from md5, never touching the bytes, so equality proves the
+  // encode→decode roundtrip preserves every sample and the header/luma
+  // arithmetic matches the netpbm spec. MultimodalSpec pins the
+  // malformed-input cases and the chain into the DCT pHash banding.
+  private val mmDecodePgm = Q(
+    "mm_decode_pgm",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      val ids = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 240).select(col("doc_id"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("width", LongType), StructField("height", LongType),
+        StructField("maxval", LongType), StructField("n_px", LongType),
+        StructField("sum_px", LongType), StructField("min_px", LongType),
+        StructField("max_px", LongType), StructField("px_md5", StringType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      ids.mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def mdBytes(docId: Long, n: Int): Array[Int] = {
+          val out = new Array[Int](n)
+          var blk = 0
+          while (blk * 16 < n) {
+            val dig = md.digest(s"graft-pgm-$docId-$blk".getBytes("UTF-8"))
+            var k = 0
+            while (k < 16 && blk * 16 + k < n) {
+              out(blk * 16 + k) = dig(k) & 0xff; k += 1
+            }
+            blk += 1
+          }
+          out
+        }
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes =
+            if (id % 5 == 1) Multimodal.encodePpm(32, 32, mdBytes(id, 3072))
+            else if (id % 3 == 0) Multimodal.encodePgm(32, 32, 4095,
+              mdBytes(id, 1024).map(_ + 3800))
+            else Multimodal.encodePgm(32, 32, 255, mdBytes(id, 1024))
+          val ras = Multimodal.decodeNetpbm(bytes).getOrElse(
+            throw new IllegalStateException(s"roundtrip parse failed: $id"))
+          val px = ras.pixels
+          val sum = px.foldLeft(0L)(_ + _)
+          val digest = md.digest(px.mkString(",").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          Row(id, ras.width.toLong, ras.height.toLong, ras.maxval.toLong,
+            px.length.toLong, sum, px.min.toLong, px.max.toLong, digest)
+        }
+      }(enc).orderBy(col("doc_id"))
+    },
+    Some("""WITH ids AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 1 THEN 2
+                          WHEN doc_id % 3 = 0 THEN 1
+                          ELSE 0 END AS kind
+              FROM documents WHERE doc_id < 240),
+            bts AS (
+              SELECT doc_id, kind, j.j AS j,
+                     ('0x' || substr(md5('graft-pgm-' || doc_id || '-' ||
+                        (j.j // 16)), (j.j % 16) * 2 + 1, 2))::BIGINT AS b
+              FROM ids, range(0, 3072) j(j)
+              WHERE kind = 2 OR j.j < 1024),
+            px AS (
+              SELECT doc_id, j AS idx, b AS px FROM bts WHERE kind = 0
+              UNION ALL
+              SELECT doc_id, j, b + 3800 FROM bts WHERE kind = 1
+              UNION ALL
+              SELECT doc_id, j // 3,
+                     CAST(sum(CASE j % 3 WHEN 0 THEN 299 * b
+                                         WHEN 1 THEN 587 * b
+                                         ELSE 114 * b END) // 1000 AS BIGINT)
+              FROM bts WHERE kind = 2 GROUP BY doc_id, j // 3),
+            agg AS (
+              SELECT doc_id, count(*) AS n_px,
+                     CAST(sum(px) AS BIGINT) AS sum_px,
+                     CAST(min(px) AS BIGINT) AS min_px,
+                     CAST(max(px) AS BIGINT) AS max_px,
+                     md5(string_agg(px::varchar, ',' ORDER BY idx)) AS px_md5
+              FROM px GROUP BY doc_id)
+            SELECT i.doc_id, CAST(32 AS BIGINT) AS width,
+                   CAST(32 AS BIGINT) AS height,
+                   CAST(CASE kind WHEN 1 THEN 4095 ELSE 255 END AS BIGINT)
+                     AS maxval,
+                   n_px, sum_px, min_px, max_px, px_md5
+            FROM agg JOIN ids i USING (doc_id) ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q4TagScan, q4MultiPattern, q4TagScanSeeded, q4AutotagIncremental,
     q3ExemplarPrune,
     q4LongExact, q4LongSeeded,
     q6MutationScan, s3FastaRoundtrip, mmDecode, mmResize, mmFrames, mmTile,
-    mmInterleave, mmPhashDedup, mmPhashDct, g7SiteFreq, pcrProducts,
+    mmInterleave, mmPhashDedup, mmPhashDct, mmPhashRecall, mmDecodePgm,
+    g7SiteFreq,
+    pcrProducts,
     pcrSummary,
     q4PcrFiltered,
     q4ProbeFiltered, j12TagIntrons)

@@ -190,4 +190,64 @@ class MultimodalSpec extends SparkSpec {
     val s2 = Multimodal.phashDct(m, "doc_id", 64).as[(Long, Long)].head()
     assert(s1 == s2)
   }
+
+  test("netpbm: P5 roundtrips exactly at 8 and 16 bits (big-endian), " +
+      "P6 reduces to the exact BT.601 integer luma") {
+    val px8 = Array.tabulate(12)(i => (i * 37) % 256)
+    val r8 = Multimodal.decodeNetpbm(Multimodal.encodePgm(4, 3, 255, px8))
+    assert(r8.contains(Multimodal.Raster(4, 3, 255, px8)) ||
+      (r8.get.width == 4 && r8.get.height == 3 && r8.get.maxval == 255 &&
+        r8.get.pixels.toSeq == px8.toSeq))
+    // 16-bit: values above 255 must survive the 2-byte big-endian path
+    val px16 = Array.tabulate(6)(i => 300 + i * 1000)
+    val r16 = Multimodal.decodeNetpbm(Multimodal.encodePgm(3, 2, 65535, px16))
+    assert(r16.get.pixels.toSeq == px16.toSeq && r16.get.maxval == 65535)
+    // P6 luma: pure colors hit the exact fixed-point weights
+    val rgb = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+    val rp = Multimodal.decodeNetpbm(Multimodal.encodePpm(2, 2, rgb))
+    assert(rp.get.pixels.toSeq == Seq(255 * 299 / 1000, 255 * 587 / 1000,
+      255 * 114 / 1000, 255))
+  }
+
+  test("netpbm parser robustness: comments and varied whitespace parse, " +
+      "malformed headers and truncated rasters return None") {
+    val px = Array.tabulate(4)(i => i * 60)
+    val body = px.map(_.toByte)
+    def parse(header: String) =
+      Multimodal.decodeNetpbm(header.getBytes("US-ASCII") ++ body)
+    // comments between ANY header tokens, tabs/CRLF as separators
+    val ok = parse("P5 # c1\n\t2 # c2\n 2\r\n# c3\n255\n")
+    assert(ok.get.pixels.toSeq == px.toSeq)
+    assert(parse("P4 2 2 255\n").isEmpty, "wrong magic must fail")
+    assert(parse("P5 2 2 0\n").isEmpty, "maxval 0 must fail")
+    assert(parse("P5 2 2 70000\n").isEmpty, "maxval > 65535 must fail")
+    assert(parse("P5 2 x 255\n").isEmpty, "non-numeric height must fail")
+    assert(parse("P5 2 2\n").isEmpty, "header cut before maxval must fail")
+    // truncated raster: header promises 4 bytes, only 3 present
+    assert(Multimodal.decodeNetpbm(
+      "P5 2 2 255\n".getBytes("US-ASCII") ++ body.take(3)).isEmpty,
+      "short raster must fail, not produce a phantom image")
+    // 16-bit truncation: enough bytes for 8-bit but not for 2-byte
+    assert(Multimodal.decodeNetpbm(
+      "P5 2 2 4095\n".getBytes("US-ASCII") ++ body).isEmpty)
+    assert(Multimodal.decodeNetpbm(Array.empty[Byte]).isEmpty)
+  }
+
+  test("netpbm chains into the DCT pHash: a raster shipped as a PGM file " +
+      "decodes to the identical signature as the raw raster") {
+    val ids = Seq((7L, 7L)).toDF("doc_id", "seed")
+    val raw = Multimodal.syntheticRaster(ids, "doc_id", "seed", 64, 64, 0)
+      .select("media").as[Array[Byte]].head()
+    val sigRaw = Multimodal.dctSig(raw, 64)
+    assert(sigRaw.nonEmpty)
+    // encode the raster as a real PGM file, decode with the real parser,
+    // and hash the DECODED samples — the full decode→feature chain
+    val pgm = Multimodal.encodePgm(64, 64, 255, raw.map(_ & 0xff))
+    val decoded = Multimodal.decodeNetpbm(pgm).get
+    assert(decoded.width == 64 && decoded.height == 64)
+    val sigDecoded = Multimodal.dctSig(
+      decoded.pixels.map(_.toByte), decoded.width)
+    assert(sigDecoded == sigRaw,
+      "the PGM roundtrip must not change a single signature bit")
+  }
 }
