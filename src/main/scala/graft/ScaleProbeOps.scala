@@ -100,6 +100,16 @@ object ScaleProbeOps {
       graft.pipeline.Dedup.substringDedup(docs, "doc_id", "text",
         minLen = 40)
     }
+    // the SAMPLED mode (robust winnowing, w = 8): detection guaranteed
+    // for dup regions >= minLen + 7, duplicate detection over ~2/8 of
+    // the positions — the documented fast path for the 100x cost of the
+    // exact stride-1 sweep (DedupSpec pins the guarantee; the
+    // CORRECTNESS row keeps the exact form).
+    def substringRemoveWinnow() = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      graft.pipeline.Dedup.substringDedup(docs, "doc_id", "text",
+        minLen = 40, winnow = 8)
+    }
     // pack_epoch_shuffle over NON-dense ids (the scale slices relabel
     // doc_id*1000+i): densify with runningBySort's two-phase numbering,
     // then the zero-shuffle Feistel projection — the realistic path for a
@@ -254,6 +264,7 @@ object ScaleProbeOps {
         else if (name == "pack_epoch_shuffle_scaled") () => epochShuffleScaled()
         else if (name == "mm_phash_dct_scaled") () => phashDctScaled()
         else if (name == "dedup_substring_fast") () => substringRemoveFast()
+        else if (name == "dedup_substring_winnow") () => substringRemoveWinnow()
         else if (name == "sim_components_scaled") () => componentsScaled()
         else () => SparkEntry.queries(name)(spark, sfDir)
       def once(): (Long, Double) = {

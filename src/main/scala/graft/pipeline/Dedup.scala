@@ -928,15 +928,41 @@ object Dedup {
     * union of the [pos, pos+minLen) windows it merges — the standard
     * "every position covered by a duplicated window" rule.
     *
+    * `winnow` > 1 is the documented FAST mode for the 100 TB path
+    * (robust winnowing, Schleimer et al. 2003 §4, over the stride-1
+    * hash stream): each window of `winnow` consecutive position-hashes
+    * selects its rightmost minimum, and duplicate detection runs over
+    * the ~2/winnow selected positions instead of all of them — the
+    * shuffled row count (the stride-1 probe's cost driver at 100×)
+    * drops by ~winnow/2 while the winnowing theorem still GUARANTEES a
+    * shared selected fingerprint for any duplicated region of length
+    * ≥ minLen + winnow − 1. What the sampled mode can honestly miss:
+    * duplicated regions SHORTER than that threshold may go undetected,
+    * and a detected region's reported span covers only its selected
+    * duplicated windows — boundaries shrink by up to winnow−1 chars
+    * per side and a long region can fragment into several spans where
+    * the two copies' selections interleave. Every reported span is
+    * still genuinely duplicated content (selected hits re-verify
+    * against the same cross-doc hash evidence as the exact mode).
+    * The default winnow = 1 IS the exact mode, bit-identical to the
+    * pre-winnowing operator.
+    *
     * Output: (id, n_spans, removed_chars, n_chars_clean, clean_md5) —
     * the md5 witnesses the RECONSTRUCTED cleaned text byte-for-byte
     * without shipping it anywhere.
     */
   def substringDedup(docs: DataFrame, id: String, text: String,
       minLen: Int, stride: Int = 1,
-      hasher: Column => Column = xxhash64(_)): DataFrame = {
+      hasher: Column => Column = xxhash64(_),
+      winnow: Int = 1): DataFrame = {
     require(minLen >= 8, s"minLen must be >= 8: $minLen")
     require(stride >= 1, s"stride must be >= 1: $stride")
+    require(winnow >= 1 && winnow <= minLen,
+      s"winnow must be in [1, minLen]: $winnow — selected positions sit " +
+        "up to winnow-1 apart, and beyond minLen the island merge would " +
+        "split single duplicated regions")
+    require(winnow == 1 || stride == 1,
+      "winnowing samples the stride-1 hash stream; compose one or the other")
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(id).as("__id"), col(text).as("__t"),
       length(col(text)).as("__n"))
@@ -953,11 +979,30 @@ object Dedup {
       .select(col("__id"), col("pos"),
         hasher(col("__t").substr(col("pos").cast("int"),
           lit(minLen))).as("__h"))
-    val dupHashes = windows.groupBy(col("__h"))
+    // winnow > 1: the rightmost-min selection runs as ONE window pass —
+    // min(struct(h, -pos)) over the trailing `winnow` rows is exactly
+    // "smallest hash, rightmost position on ties" (struct ordering is
+    // lexicographic), and the selected (h, pos) ride IN the struct so
+    // no join back to the hash stream is needed. Leading partial
+    // windows select too — a superset of the paper's selection, which
+    // only adds verified candidates, never loses the guarantee.
+    def hitSource =
+      if (winnow == 1) windows
+      else {
+        val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+          .rowsBetween(-(winnow - 1), 0)
+        windows
+          .withColumn("__m", min(struct(col("__h").as("h"),
+            (-col("pos")).as("np"))).over(w))
+          .select(col("__id"), col("__m.h").as("__h"),
+            (-col("__m.np")).as("pos"))
+          .distinct()
+      }
+    val dupHashes = hitSource.groupBy(col("__h"))
       .agg(countDistinct(col("__id")).as("__nd"))
       .filter(col("__nd") >= 2)
       .select(col("__h"))
-    val hits = windows.join(dupHashes, Seq("__h"), "left_semi")
+    val hits = hitSource.join(dupHashes, Seq("__h"), "left_semi")
       .select(col("__id"), col("pos"))
     // merge hit windows into maximal spans: classic gaps-and-islands —
     // a window opens a new span iff it starts past the running max end

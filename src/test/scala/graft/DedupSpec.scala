@@ -559,4 +559,70 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 0L, 0L, c.length.toLong, md5(c))))
     assert(got(4L) == ((4L, 0L, 0L, 5L, md5("short"))))
   }
+
+  test("substringDedup winnowing: planted spans >= minLen+w-1 are found, " +
+      "cuts match a local replay of the selection exactly, and the " +
+      "sampled removal never exceeds the exact mode's") {
+    val shared = "0123456789" * 6 // 60 chars >= 40 + 8 - 1: guaranteed
+    val a = "alpha-unique-head-" + shared + "-alpha-unique-tail"
+    val b = "beta-other-document " + shared + " beta-trailing-content"
+    val c = "a third document with no duplicated content at all, " +
+      "padded well beyond the window length for good measure"
+    val texts = Map(1L -> a, 2L -> b, 3L -> c)
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val minLen = 40
+    def run(w: Int) = Dedup.substringDedup(docs, "doc_id", "text",
+        minLen = minLen, hasher = Dedup.portableHash(_), winnow = w)
+      .select("doc_id", "n_spans", "removed_chars", "n_chars_clean",
+        "clean_md5")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val exact = run(1)
+    val sampled = run(8)
+    // detection guarantee: both dup docs cut something
+    assert(sampled(1L)._3 > 0 && sampled(2L)._3 > 0,
+      s"planted 60-char dup must be detected at w=8: $sampled")
+    // no false cuts: the unique doc is byte-identical, zero spans
+    assert(sampled(3L) == exact(3L) && sampled(3L)._3 == 0)
+    // the sampled removal is a SUBSET of what stride-1 proves duplicated
+    assert(sampled(1L)._3 <= exact(1L)._3 && sampled(2L)._3 <= exact(2L)._3)
+    // local replay of the whole sampled pipeline — same hash, same
+    // rightmost-min selection, same cross-doc evidence, same island
+    // merge, same reconstruction — pins the engine output md5-exactly
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val winN = 8
+    val selByDoc = texts.map { case (id, t) =>
+      val hs = (1 to t.length - minLen + 1).map(p =>
+        p.toLong -> graft.functions.Vectors.MinHashSig.md5Long60(
+          t.substring(p - 1, p - 1 + minLen)))
+      id -> hs.indices.map { qi =>
+        val win = (math.max(0, qi - (winN - 1)) to qi).map(hs)
+        win.minBy { case (pos, h) => (h, -pos) }
+      }.toSet
+    }
+    val dupHashes = selByDoc.toSeq
+      .flatMap { case (id, sel) => sel.map(_._2).toSeq.distinct.map(id -> _) }
+      .groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    texts.foreach { case (id, t) =>
+      val hits = selByDoc(id).collect {
+        case (pos, h) if dupHashes(h) => pos
+      }.toSeq.sorted
+      var spans = List.empty[(Long, Long)]
+      hits.foreach { p =>
+        spans match {
+          case (s0, e0) :: rest if p <= e0 =>
+            spans = (s0, math.max(e0, p + minLen)) :: rest
+          case _ => spans = (p, p + minLen) :: spans
+        }
+      }
+      val clean = spans.reverse.foldLeft(("", 1L)) {
+        case ((out, prev), (s0, e0)) =>
+          (out + t.substring(prev.toInt - 1, s0.toInt - 1), e0)
+      } match { case (out, prev) => out + t.substring(prev.toInt - 1) }
+      assert(sampled(id)._5 == md5hex(clean),
+        s"doc $id: engine reconstruction must equal the local replay")
+      assert(sampled(id)._2 == spans.size.toLong)
+    }
+  }
 }
