@@ -250,6 +250,23 @@ object ScaleProbeOps {
       } else if (name.startsWith("prune_decision_synth_")) {
         val n = name.stripPrefix("prune_decision_synth_").toLong
         println(s"""{"op":"prune_decision_synth",${pruneDecisionSynth(n)},"sf":"$sfDir"}""")
+      } else if (name.startsWith("explain_")) {
+        // plan-stability probe (r13 "what's wrong" #1): md5 of the
+        // EXECUTED plan string for a SparkEntry query, so two separate
+        // JVM windows can prove a flagged query's plan did not flap
+        // (broadcast-threshold / AQE re-plan) between them — identical
+        // hashes mean a wall-time delta is ambient, not a plan change.
+        // Node ids/exchange ids are normalized out (they differ per
+        // session without any plan difference).
+        val q = name.stripPrefix("explain_")
+        val plan = SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+          .replaceAll("#\\d+", "#N").replaceAll("\\[id=#?\\d+\\]", "[id=N]")
+          .replaceAll("plan_id=\\d+", "plan_id=N")
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(plan.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        println(s"""{"op":"$name","plan_md5":"$h","plan_lines":${
+          plan.linesIterator.size},"sf":"$sfDir"}""")
       } else if (name.startsWith("work_")) {
         val counts = name match {
           case "work_minhash_lsh" => workMinhash()
