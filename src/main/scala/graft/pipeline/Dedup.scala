@@ -979,24 +979,47 @@ object Dedup {
       .select(col("__id"), col("pos"),
         hasher(col("__t").substr(col("pos").cast("int"),
           lit(minLen))).as("__h"))
-    // winnow > 1: the rightmost-min selection runs as ONE window pass —
-    // min(struct(h, -pos)) over the trailing `winnow` rows is exactly
-    // "smallest hash, rightmost position on ties" (struct ordering is
-    // lexicographic), and the selected (h, pos) ride IN the struct so
-    // no join back to the hash stream is needed. Leading partial
-    // windows select too — a superset of the paper's selection, which
-    // only adds verified candidates, never loses the guarantee.
+    // winnow > 1: the rightmost-min selection is a ZERO-SHUFFLE
+    // monotonic-deque sweep. The window stream arrives doc-contiguous
+    // and pos-ascending within every partition by construction (each
+    // doc row explodes to its windows in generation order and nothing
+    // between the explode and this kernel exchanges rows), so the
+    // trailing-w minimum never needs the by-doc repartition+sort a SQL
+    // window function would force — that sort ran TWICE (hitSource has
+    // two consumers) and ate most of the sampling win at 100×
+    // (59 s deque-free vs 43 s with it; exact mode 81 s, same window).
+    // Leading partial windows select too — a superset of the paper's
+    // selection, which only adds verified candidates, never loses the
+    // guarantee. Selection semantics (rightmost min on ties, partial
+    // leading windows) are pinned by DedupSpec's local replay.
     def hitSource =
       if (winnow == 1) windows
       else {
-        val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
-          .rowsBetween(-(winnow - 1), 0)
-        windows
-          .withColumn("__m", min(struct(col("__h").as("h"),
-            (-col("pos")).as("np"))).over(w))
-          .select(col("__id"), col("__m.h").as("__h"),
-            (-col("__m.np")).as("pos"))
-          .distinct()
+        val src = windows
+        val enc = org.apache.spark.sql.Encoders.row(src.schema)
+        src.mapPartitions { rows =>
+          // deque of (h, pos), h strictly increasing front→back; the
+          // front is the window minimum, ties resolved rightmost by
+          // the >= pop below. Front positions only advance, so the
+          // lastPos guard deduplicates re-selections completely.
+          val deque = new java.util.ArrayDeque[(Long, Long)]()
+          var curId: Any = null
+          var lastPos = -1L
+          rows.flatMap { r =>
+            val id = r.get(0); val pos = r.getLong(1); val h = r.getLong(2)
+            if (id != curId) { deque.clear(); curId = id; lastPos = -1L }
+            while (!deque.isEmpty && deque.peekLast()._1 >= h)
+              deque.pollLast()
+            deque.addLast((h, pos))
+            while (deque.peekFirst()._2 <= pos - winnow)
+              deque.pollFirst()
+            val (mh, mp) = deque.peekFirst()
+            if (mp != lastPos) {
+              lastPos = mp
+              Some(org.apache.spark.sql.Row(curId, mp, mh))
+            } else None
+          }
+        }(enc)
       }
     val dupHashes = hitSource.groupBy(col("__h"))
       .agg(countDistinct(col("__id")).as("__nd"))
