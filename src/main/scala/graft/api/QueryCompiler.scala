@@ -280,15 +280,24 @@ object QueryCompiler {
   def compileWithPruneReports(spec: QuerySpec, cat: Catalog):
       (DataFrame, PruneReports) = {
     val routed = cat.skipping.flatMap { layout =>
-      def bloomEq(c: FieldClause): Option[Long] =
+      // equality on the Bloom column probes with the clause value in
+      // the BUILD-side representation (raw value — cast-to-string for
+      // non-text keys, case-folding applied centrally by
+      // survivingBloom per the artifact's own `folded` flag); the ci
+      // marker gates servability: a ci probe against a raw-cased
+      // artifact would be a false negative, so it only routes at
+      // case-folded Blooms
+      def bloomEq(c: FieldClause): Option[graft.sources.ZoneMaps.BloomKey] =
         layout.bloomCol.filter(bc =>
-            c.field == bc && c.op == Predicates.Eq && !c.isText)
-          .flatMap(_ => parseLong(c.value))
+            c.field == bc && c.op == Predicates.Eq && c.value != null &&
+              !c.value.equalsIgnoreCase("null"))
+          .map(_ => graft.sources.ZoneMaps.BloomKey(c.value, ci = c.isText))
       // a pasted id list on the Bloom-indexed entity id (S7) is the
       // archetypal point probe: the file survives if it may contain ANY
       // listed id, and the semi join downstream still decides rows
       val listKeys = layout.bloomCol.filter(_ == cat.entityId)
         .flatMap(_ => spec.idList)
+        .map(_.map(v => graft.sources.ZoneMaps.BloomKey(v.toString)))
       // grouped clauses fold into the SAME scalar predicate as the
       // provenance family (step 1 below) under provenanceCombine: with
       // CombineOr a row may satisfy ONLY a grouped clause, which no
@@ -364,12 +373,23 @@ object QueryCompiler {
     * [V, V] over the upper-cased zones, `starts with` the half-open
     * [P, succ(P)) — ASCII prefixes only ([[graft.sources.ZoneMaps
     * .TextRange]] explains why a closed `P + '￿'` bound is unsound in
-    * UTF-8 order). The literal "null" (IS NULL semantics) never prunes:
-    * zones range over VALUES and an all-null file has null zones.
+    * UTF-8 order). The literal "null" (IS NULL / IS NOT NULL
+    * semantics) prunes through the per-file null counts
+    * ([[graft.sources.ZoneMaps.NullRange]]) — value zones structurally
+    * cannot serve it.
     */
   private def clauseRange(
       c: FieldClause): Option[graft.sources.ZoneMaps.ZoneRange] =
-    if (c.value == null || c.value.equalsIgnoreCase("null")) None
+    if (c.value == null) None
+    else if (c.value.equalsIgnoreCase("null")) c.op match {
+      // the reference's null literal (IS NULL / IS NOT NULL) — value
+      // zones cannot serve it; the per-file NULL COUNTS can
+      case Predicates.Eq =>
+        Some(graft.sources.ZoneMaps.NullRange(c.field, wantNull = true))
+      case Predicates.NotEq =>
+        Some(graft.sources.ZoneMaps.NullRange(c.field, wantNull = false))
+      case _ => None
+    }
     else if (c.isText) {
       val v = c.value.toUpperCase
       c.op match {

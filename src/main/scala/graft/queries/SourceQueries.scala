@@ -764,6 +764,78 @@ object SourceQueries extends QueryModule {
               AND CAST(o_orderdate AS DATE) <= DATE '1995-03-31'
             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // Case-insensitive POINT pruning on text keys + IS NULL pruning —
+  // the two clause classes the r14 zone work still left unserved.
+  // One layout carries both: `doc_key` is a high-cardinality text key
+  // SCATTERED under the layout order (upper-cased zones span every
+  // file; only the case-FOLDED per-file Bloom can prune a ci equality
+  // — the artifact records its fold, probes fold centrally), and
+  // `opt_tag` is a mostly-null derived column CLUSTERED first, so the
+  // per-file null counts give IS NULL real files to skip. Oracles are
+  // the plain ci / IS NULL filters over documents with the derivations
+  // replayed inline.
+  private val pointLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedPointLayout(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    pointLayoutCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir,
+      _ => {
+        val p = tmp(dir, s"pointzones_${invocation.incrementAndGet()}")
+        Tables.load(s, dir, "documents")
+          .withColumn("doc_key", concat(lit("DOC-"), col("doc_id")))
+          .withColumn("opt_tag",
+            when(col("n_chars") % 7 === 0,
+              concat(lit("T"), upper(col("lang")))))
+          .repartitionByRange(8, col("opt_tag"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$p/data")
+        graft.sources.SkippingRegistry.register(s, s"$p/data",
+          zoneCols = Seq("opt_tag"), bloomCol = Some("doc_key"))
+        p
+      })
+
+  private val scanPrunedTextPoint = Q(
+    "scan_pruned_text_point",
+    (s, dir) => {
+      import graft.api.QueryCompiler._
+      import graft.operators.Predicates
+      val cat = registryCatalog(
+        s, s"${cachedPointLayout(s, dir)}/data", "doc_id")
+      val spec = QuerySpec(provenance = Seq(
+        FieldClause("doc_key", Predicates.Eq, "doc-123")))
+      compile(spec, cat)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+            WHERE upper('DOC-' || doc_id) = upper('doc-123')
+            ORDER BY doc_id"""))
+
+  private val scanPrunedNull = Q(
+    "scan_pruned_null",
+    (s, dir) => {
+      import graft.api.QueryCompiler._
+      import graft.operators.Predicates
+      val cat = registryCatalog(
+        s, s"${cachedPointLayout(s, dir)}/data", "doc_id")
+      // the reference's null literal: `field = 'null'` compiles to
+      // IS NULL (Predicates) and prunes via the per-file null counts
+      val spec = QuerySpec(provenance = Seq(
+        FieldClause("opt_tag", Predicates.Eq, "null")))
+      compile(spec, cat)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE (CASE WHEN n_chars % 7 = 0
+                        THEN 'T' || upper(lang) END) IS NULL
+            GROUP BY lang ORDER BY lang"""))
+
   // Fact-table file skipping (r13 VERDICT #3): the J1 designation
   // family's fact scan routes through per-file locus zones — the
   // reference's i_ad3 index on allele_designations.locus
@@ -831,5 +903,6 @@ object SourceQueries extends QueryModule {
     webdatasetRoundtrip,
     xlsxRoundtrip, scanZonemapPrune, scanBloomPrune,
     scanPrunedFilter, scanPrunedPoint, scanPrunedList,
-    ingestStatsPublish, scanPrunedText, scanPrunedDate, j1Pruned)
+    ingestStatsPublish, scanPrunedText, scanPrunedDate, j1Pruned,
+    scanPrunedTextPoint, scanPrunedNull)
 }

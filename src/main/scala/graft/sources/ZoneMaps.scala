@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   * persisted artifacts use: stats flip atomically with nothing torn.
   * NULL semantics: min/max aggregate over non-null values, so an
   * all-null file carries null stats and is pruned — correct for range
-  * predicates (NULL never satisfies BETWEEN); IS NULL predicates must
-  * not be routed through zone maps (they prune on value ranges only).
+  * predicates (NULL never satisfies BETWEEN); IS NULL / IS NOT NULL
+  * predicates must never route through VALUE zones — they prune
+  * through the per-file null counts instead ([[NullRange]]).
   */
 object ZoneMaps {
 
@@ -56,6 +57,17 @@ object ZoneMaps {
   final case class TextRange(col: String, lo: String, hi: String,
     hiExclusive: Boolean = false) extends ZoneRange
 
+  /** IS NULL / IS NOT NULL pruning unit over the per-file null counts
+    * (`nulls_<col>` in the stats table): IS NULL keeps files with at
+    * least one null, IS NOT NULL keeps files that are not all-null —
+    * the one clause class value zones structurally cannot serve (the
+    * reference's `field IS NULL` grammar, the literal "null" operand).
+    * A file whose null count is unknown (older artifact) is KEPT, per
+    * the prune-never-decide contract.
+    */
+  final case class NullRange(col: String, wantNull: Boolean)
+    extends ZoneRange
+
   /** The per-column stat aggregates, typed off the frame's schema:
     * strings zone as (min, max) of UPPER(value) under `min_uc_`/
     * `max_uc_` (self-describing in the artifact — the serving side
@@ -65,7 +77,7 @@ object ZoneMaps {
     */
   private def statsAggs(df: DataFrame, cols: Seq[String]): Seq[Column] =
     cols.flatMap { c =>
-      df.schema(c).dataType match {
+      val typed = df.schema(c).dataType match {
         case org.apache.spark.sql.types.StringType => Seq(
           min(upper(col(c))).as(s"min_uc_$c"),
           max(upper(col(c))).as(s"max_uc_$c"))
@@ -78,6 +90,10 @@ object ZoneMaps {
           min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"))
       }
+      // per-file null count for every indexed column: serves the
+      // IS NULL / IS NOT NULL clause class ([[NullRange]]) that value
+      // zones cannot — a null never overlaps a value interval
+      typed :+ count(when(col(c).isNull, lit(1))).as(s"nulls_$c")
     }
 
   /** Build the per-file stats table for `cols` over a parquet layout —
@@ -151,6 +167,13 @@ object ZoneMaps {
       col(s"max_uc_$c") >= lit(lo) &&
         (if (hiEx) col(s"min_uc_$c") < lit(hi)
          else col(s"min_uc_$c") <= lit(hi))
+    // coalesce(true): an unknown null count KEEPS the file (older
+    // artifact rows migrated without the nulls_ column) — prune never
+    // decides
+    case NullRange(c, true) =>
+      coalesce(col(s"nulls_$c") > 0, lit(true))
+    case NullRange(c, false) =>
+      coalesce(col(s"nulls_$c") < col("rows"), lit(true))
   }
 
   /** Predicate column for `ranges` — re-applied to the pruned read so
@@ -162,6 +185,8 @@ object ZoneMaps {
       case TextRange(c, lo, hi, hiEx) =>
         upper(col(c)) >= lit(lo) &&
           (if (hiEx) upper(col(c)) < lit(hi) else upper(col(c)) <= lit(hi))
+      case NullRange(c, wantNull) =>
+        if (wantNull) col(c).isNull else col(c).isNotNull
     }.reduce(_ && _)
 
   final case class PruneReport(filesTotal: Long, filesKept: Long)
@@ -225,11 +250,17 @@ object ZoneMaps {
       .join(current.select(col("file")).distinct(), Seq("file"), "left_anti")
       .as[String].collect()
     if (fresh.isEmpty) return
+    // the delta folds exactly as the artifact did — the `folded` flag
+    // is as much a build constant as (m_bits, k)
+    val folded = bloomFolded(current)
+    val keyExpr = if (folded) upper(col(keyCol)) else col(keyCol)
     val freshRows = spark.read.parquet(fresh.toIndexedSeq: _*)
-      .select(input_file_name().as("file"), col(keyCol).as("__key"))
+      .select(input_file_name().as("file"), keyExpr.as("__key"))
     saveBloomStats(
       current.unionByName(
-        bloomStatsOf(freshRows, head(0).getLong(0), head(0).getInt(1))),
+        bloomStatsOf(freshRows, head(0).getLong(0), head(0).getInt(1),
+          folded = folded),
+        allowMissingColumns = true),
       livePath)
   }
 
@@ -297,8 +328,16 @@ object ZoneMaps {
     val m =
       if (mBits == AutoBits) autoBits(src.count(), src.inputFiles.length.toLong)
       else mBits
+    // STRING key columns build CASE-FOLDED (the reference's point
+    // predicates on text are case-insensitive, Constants.pm:242 — a
+    // raw-cased Bloom probed with a ci key would be a FALSE NEGATIVE,
+    // lost rows); the fold is part of the artifact (`folded` column),
+    // never a caller convention, same contract as (m_bits, k)
+    val keyIsText =
+      src.schema(keyCol).dataType == org.apache.spark.sql.types.StringType
+    val keyExpr = if (keyIsText) upper(col(keyCol)) else col(keyCol)
     bloomStatsOf(src.select(input_file_name().as("file"),
-      col(keyCol).as("__key")), m, k)
+      keyExpr.as("__key")), m, k, folded = keyIsText)
   }
 
   /** The Bloom aggregation over explicit (file, __key) rows — the
@@ -308,7 +347,7 @@ object ZoneMaps {
     * stats artifacts, never the files).
     */
   private[graft] def bloomStatsOf(rows: DataFrame, mBits: Long,
-      k: Int): DataFrame =
+      k: Int, folded: Boolean = false): DataFrame =
     rows
       .select(col("file"),
         explode(array((0 until k).map(i =>
@@ -320,6 +359,15 @@ object ZoneMaps {
         .cast("long")).as("word"))
       .withColumn("m_bits", lit(mBits))
       .withColumn("k", lit(k))
+      .withColumn("folded", lit(folded))
+
+  /** Whether a published Bloom artifact was built over case-folded
+    * keys. Artifacts predating the column read as NOT folded.
+    */
+  def bloomFolded(bloom: DataFrame): Boolean =
+    bloom.columns.contains("folded") &&
+      bloom.select(col("folded")).limit(1).collect()
+        .headOption.exists(r => !r.isNullAt(0) && r.getBoolean(0))
 
   /** Files that might contain ANY of `keys` — a file survives iff for at
     * least one key EVERY probe bit is set in its sparse word map.
@@ -337,9 +385,12 @@ object ZoneMaps {
     if (head.isEmpty || keys.isEmpty) return Seq.empty
     val mBits = head(0).getLong(0)
     val k = head(0).getInt(1)
+    // the fold lives in the artifact: probes against a case-folded
+    // Bloom fold HERE, the single place build and probe can't diverge
+    val useKeys = if (bloomFolded(bloom)) keys.map(_.toUpperCase) else keys
     val spark = bloom.sparkSession
     import spark.implicits._
-    val probes = keys.zipWithIndex.flatMap { case (key, ki) =>
+    val probes = useKeys.zipWithIndex.flatMap { case (key, ki) =>
       bloomPositionsLocal(key, mBits, k).map(p =>
         (ki, (p >> 5).toInt, 1L << (p & 31).toInt))
     }.distinct
@@ -476,7 +527,16 @@ object ZoneMaps {
   /** One prunable unit of an OR-combined clause family: a range on an
     * indexed column, or an equality key on the Bloom column.
     */
-  type OrUnit = Either[ZoneRange, Long]
+  type OrUnit = Either[ZoneRange, BloomKey]
+
+  /** One Bloom point probe: the key string (longs in their canonical
+    * decimal form) plus whether it came from a CASE-INSENSITIVE text
+    * clause. A ci key is servable only by a case-folded artifact —
+    * probing a raw-cased Bloom with it would be a false negative
+    * (lost rows), so unservable ci keys are dropped from AND pruning
+    * and decline ANY/OR pruning entirely.
+    */
+  final case class BloomKey(key: String, ci: Boolean = false)
 
   /** `andKeys` are AND-composed equality probes (a file must possibly
     * contain EVERY key — per-key survivor intersection); `anyKeys` is
@@ -492,8 +552,8 @@ object ZoneMaps {
     * plan.
     */
   def pruneForClauses(spark: SparkSession, layout: Layout,
-      ranges: Seq[ZoneRange], andKeys: Seq[Long],
-      anyKeys: Option[Seq[Long]] = None,
+      ranges: Seq[ZoneRange], andKeys: Seq[BloomKey],
+      anyKeys: Option[Seq[BloomKey]] = None,
       orUnits: Option[Seq[OrUnit]] = None):
       Option[(DataFrame, PruneReport)] = {
     val anyK = anyKeys.filter(ks => ks.nonEmpty && ks.size <= MaxAnyKeys)
@@ -517,23 +577,32 @@ object ZoneMaps {
         stats.exists(_.columns.contains(s"min_${r.col}"))
       case _: TextRange =>
         stats.exists(_.columns.contains(s"min_uc_${r.col}"))
+      case _: NullRange =>
+        stats.exists(_.columns.contains(s"nulls_${r.col}"))
     }
+    // ci keys need the case-folded artifact (see [[BloomKey]])
+    lazy val folded = bloom.exists(bloomFolded)
+    def servable(k: BloomKey): Boolean = !k.ci || folded
     val idxRanges = ranges.filter(indexed)
     val zoneKeep = stats.filter(_ => idxRanges.nonEmpty)
       .map(st => surviving(st, idxRanges).toSet)
-    val andKeep = bloom.filter(_ => andKeys.nonEmpty).map(bl =>
-      andKeys.map(k => survivingBloom(bl, Seq(k.toString)).toSet)
+    val andServable =
+      if (bloom.isEmpty) Nil else andKeys.filter(servable)
+    val andKeep = bloom.filter(_ => andServable.nonEmpty).map(bl =>
+      andServable.map(k => survivingBloom(bl, Seq(k.key)).toSet)
         .reduce(_ intersect _))
-    val anyKeep = for (bl <- bloom; ks <- anyK)
-      yield survivingBloom(bl, ks.map(_.toString)).toSet
+    // an ANY list is ONE composite constraint: a single unservable key
+    // could match files the others would prune, so all-or-nothing
+    val anyKeep = for (bl <- bloom; ks <- anyK if ks.forall(servable))
+      yield survivingBloom(bl, ks.map(_.key)).toSet
     val orKeep: Option[Set[String]] = orU.flatMap { units =>
       val supported = orRanges.forall(indexed) &&
-        (orKeys.isEmpty || bloom.nonEmpty)
+        (orKeys.isEmpty || (bloom.nonEmpty && orKeys.forall(servable)))
       if (!supported) None
       else Some(
         orRanges.flatMap(r => surviving(stats.get, Seq(r))).toSet ++
           (if (orKeys.isEmpty) Set.empty[String]
-           else survivingBloom(bloom.get, orKeys.map(_.toString)).toSet))
+           else survivingBloom(bloom.get, orKeys.map(_.key)).toSet))
     }
     val keeps = zoneKeep.toSeq ++ andKeep.toSeq ++ anyKeep.toSeq ++
       orKeep.toSeq

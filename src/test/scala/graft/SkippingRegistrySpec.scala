@@ -117,6 +117,85 @@ class SkippingRegistrySpec extends SparkSpec {
       SkippingRegistry.bloomLivePath(dir)) == liveBefore)
   }
 
+  test("case-folded text Bloom: ci point probes skip files with no " +
+      "false negatives; a raw artifact declines ci probes transparently") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val dir = freshDir()
+    // high-cardinality MIXED-CASE text key, scattered under the v order
+    // (upper-cased zones span every file — only the Bloom can prune)
+    (0L until 400L).map(i => (i, (i * 37) % 400, s"Key$i"))
+      .toDF("id", "v", "name")
+      .repartitionByRange(8, col("v"), col("id"))
+      .write.parquet(dir)
+    SkippingRegistry.register(spark, dir,
+      zoneCols = Seq("v"), bloomCol = Some("name"))
+    val bloom = ZoneMaps.loadStats(spark,
+      SkippingRegistry.bloomLivePath(dir))
+    assert(ZoneMaps.bloomFolded(bloom),
+      "a STRING key column must build a case-folded artifact")
+    val cat = registryCatalog(spark, dir, "id")
+    // the probe is cased differently from BOTH the stored value and
+    // its upper form — the artifact-driven fold must reconcile them
+    val spec = QuerySpec(provenance =
+      Seq(FieldClause("name", Predicates.Eq, "kEy17")))
+    val (df, rep) = compileWithPruneReport(spec, cat)
+    assert(rep.exists(r => r.filesKept < r.filesTotal && r.filesKept > 0),
+      s"a ci equality on the folded Bloom column must skip files: $rep")
+    assert(df.select("id").as[Long].collect().toSeq == Seq(17L),
+      "case folding must never lose the differently-cased match")
+    // a ci probe against a RAW (numeric-keyed, unfolded) artifact is
+    // unservable — transparent fallback, identical rows
+    val rawDir = freshDir()
+    (0L until 100L).map(i => (i, i, s"t${i % 3}")).toDF("id", "v", "tag")
+      .repartitionByRange(4, col("v"), col("id")).write.parquet(rawDir)
+    SkippingRegistry.register(spark, rawDir,
+      zoneCols = Seq("v"), bloomCol = Some("id"))
+    val rawCat = registryCatalog(spark, rawDir, "id")
+    val ciOnId = QuerySpec(provenance =
+      Seq(FieldClause("id", Predicates.Eq, "17"))) // isText = true (ci)
+    val (rdf, rrep) = compileWithPruneReport(ciOnId, rawCat)
+    assert(rrep.isEmpty,
+      "a ci key must not probe a raw-cased artifact (false negatives)")
+    assert(rdf.select("id").as[Long].collect().toSeq == Seq(17L))
+    // the same clause marked non-text probes the raw artifact fine
+    val rawEq = QuerySpec(provenance =
+      Seq(FieldClause("id", Predicates.Eq, "17", isText = false)))
+    val (ndf, nrep) = compileWithPruneReport(rawEq, rawCat)
+    assert(nrep.exists(r => r.filesKept < r.filesTotal))
+    assert(ndf.select("id").as[Long].collect().toSeq == Seq(17L))
+  }
+
+  test("null-count zones: the null literal prunes — IS NULL keeps only " +
+      "null-bearing files, IS NOT NULL the complement, rows exact") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val dir = freshDir()
+    // nulls clustered first by the range partitioner: later files
+    // carry zero nulls, the first file(s) are all-null
+    (0L until 300L).map(i =>
+        (i, if (i % 3 == 0) None else Some(s"tag${i % 5}"), i))
+      .toDF("id", "opt", "v")
+      .repartitionByRange(6, col("opt"), col("id"))
+      .write.parquet(dir)
+    SkippingRegistry.register(spark, dir, zoneCols = Seq("opt"))
+    val cat = registryCatalog(spark, dir, "id")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSeq.sorted
+    val isNull = QuerySpec(provenance =
+      Seq(FieldClause("opt", Predicates.Eq, "null")))
+    val (ndf, nrep) = compileWithPruneReport(isNull, cat)
+    assert(nrep.exists(r => r.filesKept < r.filesTotal && r.filesKept > 0),
+      s"IS NULL must skip the null-free files: $nrep")
+    assert(ids(ndf) == (0L until 300L).filter(_ % 3 == 0))
+    val notNull = QuerySpec(provenance =
+      Seq(FieldClause("opt", Predicates.NotEq, "null")))
+    val (pdf, prep) = compileWithPruneReport(notNull, cat)
+    assert(prep.exists(r => r.filesKept < r.filesTotal && r.filesKept > 0),
+      s"IS NOT NULL must skip the all-null files: $prep")
+    assert(ids(pdf) == (0L until 300L).filterNot(_ % 3 == 0))
+  }
+
   test("fact-table skipping: designation clauses prune the fact's file " +
       "list and the plan equals the unpruned compile (AND and OR, " +
       "LocusMissing included); other fact families decline") {

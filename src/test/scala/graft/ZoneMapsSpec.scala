@@ -409,7 +409,8 @@ class ZoneMapsSpec extends SparkSpec {
     // survives under the N-1 pointer convention
     ZoneMaps.saveStats(ZoneMaps.buildStats(spark, dir, Seq("v", "id")),
       statsPath)
-    assert(ZoneMaps.loadStats(spark, statsPath).columns.length == 6)
+    // (file, rows) + per col: min, max, nulls
+    assert(ZoneMaps.loadStats(spark, statsPath).columns.length == 8)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(statsPath + ".v1")))
