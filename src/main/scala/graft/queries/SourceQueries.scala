@@ -764,6 +764,64 @@ object SourceQueries extends QueryModule {
               AND CAST(o_orderdate AS DATE) <= DATE '1995-03-31'
             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // STREAM-maintained skipping stats (streaming/StatsStream): rows
+  // arrive as micro-batches, each lands as one deterministically-named
+  // data file and the zone + Bloom artifacts refresh inline under the
+  // exactly-once batch marker — the trigger-maintained-stats
+  // discipline, continuous. This replays the exact foreachBatch body
+  // (maintainStep) for three batches plus a REDELIVERY of the last one
+  // (the marker skips it); the compiled range query over the grown
+  // table then shares the plain full-corpus oracle, so equality proves
+  // the stream-maintained stats serve every committed row and the
+  // replay added nothing. SkippingRegistrySpec drives the same
+  // machinery through a real MemoryStream.
+  private val streamStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedStreamStatsLayout(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    streamStatsCache.computeIfAbsent(
+      Tables.sessionKey(s) + "|" + dir,
+      _ => {
+        val p = tmp(dir, s"streamstats_${invocation.incrementAndGet()}")
+        val docs = Tables.load(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .repartitionByRange(8, col("n_chars"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$p/data")
+        graft.sources.SkippingRegistry.register(s, s"$p/data",
+          zoneCols = Seq("n_chars"), bloomCol = Some("doc_id"))
+        val odd = docs.filter(col("doc_id") % 2 === 1)
+        (0 to 2).foreach { c =>
+          graft.streaming.StatsStream.maintainStep(
+            odd.filter(col("doc_id") % 3 === c), c.toLong, s"$p/data")
+        }
+        // at-least-once redelivery of the last batch: the marker in the
+        // published stats version skips it
+        graft.streaming.StatsStream.maintainStep(
+          odd.filter(col("doc_id") % 3 === 2), 2L, s"$p/data")
+        p
+      })
+
+  private val streamStatsPublish = Q(
+    "stream_stats_publish",
+    (s, dir) => {
+      import graft.api.QueryCompiler._
+      import graft.operators.Predicates
+      val cat = registryCatalog(
+        s, s"${cachedStreamStatsLayout(s, dir)}/data", "doc_id")
+      val spec = QuerySpec(provenance = Seq(
+        FieldClause("n_chars", Predicates.Ge, "150", isText = false),
+        FieldClause("n_chars", Predicates.Le, "300", isText = false)))
+      compile(spec, cat)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    },
+    ingestStatsPublish.oracle)
+
   // Case-insensitive POINT pruning on text keys + IS NULL pruning —
   // the two clause classes the r14 zone work still left unserved.
   // One layout carries both: `doc_key` is a high-cardinality text key
@@ -904,5 +962,5 @@ object SourceQueries extends QueryModule {
     xlsxRoundtrip, scanZonemapPrune, scanBloomPrune,
     scanPrunedFilter, scanPrunedPoint, scanPrunedList,
     ingestStatsPublish, scanPrunedText, scanPrunedDate, j1Pruned,
-    scanPrunedTextPoint, scanPrunedNull)
+    scanPrunedTextPoint, scanPrunedNull, streamStatsPublish)
 }

@@ -114,14 +114,38 @@ object SkippingRegistry {
     * against the published stats; only they are scanned) and a no-op
     * when nothing changed. Unregistered tables no-op — callers can
     * refresh unconditionally on every write path.
+    *
+    * `marker` is the stream-maintenance exactly-once batch id
+    * ([[graft.streaming.StatsStream]]): it rides on the artifact
+    * [[appliedBatch]] reads — the LAST one refreshed — so the refresh
+    * order below (Bloom first, marker-carrier last) makes a crash
+    * between the two publishes replay-safe: the replay re-runs the
+    * Bloom append (idempotent — its own anti-join finds nothing new)
+    * and then completes the marker-carrying publish.
     */
-  def refresh(spark: SparkSession, dataDir: String): Unit =
+  def refresh(spark: SparkSession, dataDir: String,
+      marker: Option[Long] = None): Unit =
     readManifest(spark, dataDir).foreach { reg =>
+      reg.bloomCol.foreach(c =>
+        ZoneMaps.appendBloomStats(spark, dataDir, bloomLivePath(dataDir), c,
+          marker = marker.filter(_ => reg.zoneCols.isEmpty)))
       if (reg.zoneCols.nonEmpty)
         ZoneMaps.appendStats(spark, dataDir, statsLivePath(dataDir),
-          reg.zoneCols)
-      reg.bloomCol.foreach(c =>
-        ZoneMaps.appendBloomStats(spark, dataDir, bloomLivePath(dataDir), c))
+          reg.zoneCols, marker = marker)
+    }
+
+  /** The last stream batch id folded into the registered artifacts
+    * (None before any marked refresh) — read from the marker-carrying
+    * artifact per [[refresh]]'s ordering contract.
+    */
+  def appliedBatch(spark: SparkSession, dataDir: String): Option[Long] =
+    readManifest(spark, dataDir).flatMap { reg =>
+      val livePath = if (reg.zoneCols.nonEmpty) statsLivePath(dataDir)
+        else bloomLivePath(dataDir)
+      val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
+      if (live == livePath) None // nothing published yet
+      else graft.streaming.CacheStream.readAppliedBatchIn(
+        spark.sparkContext.hadoopConfiguration, live)
     }
 
   /** The registered WRITE path: append `df` to the table, then refresh

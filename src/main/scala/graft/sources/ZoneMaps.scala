@@ -116,10 +116,15 @@ object ZoneMaps {
     * measured 2.7 s single-file vs sub-second partitioned).
     */
   def saveStats(stats: DataFrame, livePath: String,
-      numFiles: Int = 1): Unit =
+      numFiles: Int = 1, marker: Option[Long] = None): Unit =
     graft.operators.CacheRefresh.publishVersioned(
       stats.sparkSession, livePath) { dir =>
       stats.repartition(numFiles).write.mode("overwrite").parquet(dir)
+      // exactly-once batch marker for STREAM-maintained stats
+      // (CacheStream contract): rides inside the version, flips with
+      // the one pointer rename
+      marker.foreach(b => graft.streaming.CacheStream
+        .writeBatchMarker(stats.sparkSession, dir, b))
     }
 
   /** Publish a BLOOM table clustered by `word_idx` — the layout
@@ -132,12 +137,14 @@ object ZoneMaps {
     * partitioned-unclustered → sub-second clustered.
     */
   def saveBloomStats(bloom: DataFrame, livePath: String,
-      numFiles: Int = 1): Unit =
+      numFiles: Int = 1, marker: Option[Long] = None): Unit =
     graft.operators.CacheRefresh.publishVersioned(
       bloom.sparkSession, livePath) { dir =>
       bloom.repartitionByRange(numFiles, col("word_idx"))
         .sortWithinPartitions(col("word_idx"), col("file"))
         .write.mode("overwrite").parquet(dir)
+      marker.foreach(b => graft.streaming.CacheStream
+        .writeBatchMarker(bloom.sparkSession, dir, b))
     }
 
   def loadStats(spark: SparkSession, livePath: String): DataFrame =
@@ -201,7 +208,7 @@ object ZoneMaps {
     * (ZoneMapsSpec pins row equality).
     */
   def appendStats(spark: SparkSession, dataDir: String, livePath: String,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String], marker: Option[Long] = None): Unit = {
     val current = loadStats(spark, livePath)
     // fresh = listing ∖ published stats, as an ANTI-JOIN against the
     // stats table: only the DELTA's names come back to the driver
@@ -222,7 +229,7 @@ object ZoneMaps {
           freshDf.groupBy(input_file_name().as("file"))
             .agg(count(lit(1)).as("rows"), statsAggs(freshDf, cols): _*))
       }
-    saveStats(merged, livePath)
+    saveStats(merged, livePath, marker = marker)
   }
 
   /** Incremental Bloom maintenance — the [[appendStats]] discipline for
@@ -237,11 +244,13 @@ object ZoneMaps {
     * republishing.
     */
   def appendBloomStats(spark: SparkSession, dataDir: String,
-      livePath: String, keyCol: String): Unit = {
+      livePath: String, keyCol: String,
+      marker: Option[Long] = None): Unit = {
     val current = loadStats(spark, livePath)
     val head = current.select(col("m_bits"), col("k")).limit(1).collect()
     if (head.isEmpty) {
-      saveBloomStats(buildBloomStats(spark, dataDir, keyCol), livePath)
+      saveBloomStats(buildBloomStats(spark, dataDir, keyCol), livePath,
+        marker = marker)
       return
     }
     import spark.implicits._
@@ -249,19 +258,23 @@ object ZoneMaps {
     val fresh = all.toIndexedSeq.toDF("file")
       .join(current.select(col("file")).distinct(), Seq("file"), "left_anti")
       .as[String].collect()
-    if (fresh.isEmpty) return
+    // a no-op delta skips the republish UNLESS a batch marker must be
+    // recorded (the stream-maintenance contract needs the applied id
+    // even when a replayed batch contributed no new files)
+    if (fresh.isEmpty && marker.isEmpty) return
     // the delta folds exactly as the artifact did — the `folded` flag
     // is as much a build constant as (m_bits, k)
     val folded = bloomFolded(current)
     val keyExpr = if (folded) upper(col(keyCol)) else col(keyCol)
-    val freshRows = spark.read.parquet(fresh.toIndexedSeq: _*)
-      .select(input_file_name().as("file"), keyExpr.as("__key"))
-    saveBloomStats(
-      current.unionByName(
-        bloomStatsOf(freshRows, head(0).getLong(0), head(0).getInt(1),
-          folded = folded),
-        allowMissingColumns = true),
-      livePath)
+    val merged =
+      if (fresh.isEmpty) current
+      else current.unionByName(
+        bloomStatsOf(
+          spark.read.parquet(fresh.toIndexedSeq: _*)
+            .select(input_file_name().as("file"), keyExpr.as("__key")),
+          head(0).getLong(0), head(0).getInt(1), folded = folded),
+        allowMissingColumns = true)
+    saveBloomStats(merged, livePath, marker = marker)
   }
 
   // ---- per-file Bloom filters: point-predicate skipping ----
@@ -381,13 +394,20 @@ object ZoneMaps {
     * [[buildBloomStats]]).
     */
   def survivingBloom(bloom: DataFrame, keys: Seq[String]): Seq[String] = {
-    val head = bloom.select(col("m_bits"), col("k")).limit(1).collect()
+    // ONE constants collect: the decision path is latency-sensitive at
+    // 800k files (see the prune_decision probes) — m_bits, k and the
+    // fold flag ride in the same row rather than two tiny jobs
+    val hasFold = bloom.columns.contains("folded")
+    val constCols = Seq(col("m_bits"), col("k")) ++
+      (if (hasFold) Seq(col("folded")) else Nil)
+    val head = bloom.select(constCols: _*).limit(1).collect()
     if (head.isEmpty || keys.isEmpty) return Seq.empty
     val mBits = head(0).getLong(0)
     val k = head(0).getInt(1)
+    val folded = hasFold && !head(0).isNullAt(2) && head(0).getBoolean(2)
     // the fold lives in the artifact: probes against a case-folded
     // Bloom fold HERE, the single place build and probe can't diverge
-    val useKeys = if (bloomFolded(bloom)) keys.map(_.toUpperCase) else keys
+    val useKeys = if (folded) keys.map(_.toUpperCase) else keys
     val spark = bloom.sparkSession
     import spark.implicits._
     val probes = useKeys.zipWithIndex.flatMap { case (key, ki) =>

@@ -74,6 +74,14 @@ object CacheStream {
     out.write(batchId.toString.getBytes("UTF-8")); out.close()
   }
 
+  /** [[readAppliedBatch]] for callers outside the streaming package
+    * (the skipping registry's stream-maintained stats).
+    */
+  private[graft] def readAppliedBatchIn(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: String): Option[Long] =
+    readAppliedBatch(org.apache.hadoop.fs.FileSystem.get(conf), dir)
+
   private[streaming] def readAppliedBatch(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir, BatchMarker)

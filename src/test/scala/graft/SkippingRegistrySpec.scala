@@ -117,6 +117,51 @@ class SkippingRegistrySpec extends SparkSpec {
       SkippingRegistry.bloomLivePath(dir)) == liveBefore)
   }
 
+  test("StatsStream: a MemoryStream-maintained table prunes like a " +
+      "batch-built one, and a replayed batch adds nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val dir = freshDir()
+    writeRows(dir, (0L until 100L).map(i => (i, i, "base")), parts = 4)
+    SkippingRegistry.register(spark, dir,
+      zoneCols = Seq("v"), bloomCol = Some("id"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.StatsStream.maintain(
+      stream.toDS().toDF("id", "v", "tag"), dir)
+    try {
+      (0 until 3).foreach { c =>
+        stream.addData((100L until 160L).filter(_ % 3 == c.toLong)
+          .map(i => (i, i, "streamed")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(SkippingRegistry.appliedBatch(spark, dir).contains(2L))
+    // a range clause landing ENTIRELY in streamed rows prunes AND
+    // serves them — the stats the stream maintained are live
+    val spec = QuerySpec(provenance = Seq(
+      FieldClause("v", Predicates.Ge, "130", isText = false)))
+    val (df, rep) = compileWithPruneReport(spec,
+      registryCatalog(spark, dir, "id"))
+    assert(rep.exists(r => r.filesKept < r.filesTotal && r.filesKept > 0),
+      s"stream-maintained stats must prune: $rep")
+    assert(df.select("id").as[Long].collect().toSeq.sorted ==
+      (130L until 160L))
+    // replayed batchId: maintainStep must skip — no new version, no
+    // duplicated rows
+    val statsBefore = graft.operators.CacheRefresh.resolveLive(spark,
+      SkippingRegistry.statsLivePath(dir))
+    graft.streaming.StatsStream.maintainStep(
+      (100L until 160L).filter(_ % 3 == 2).map(i => (i, i, "streamed"))
+        .toDF("id", "v", "tag"), 2L, dir)
+    assert(graft.operators.CacheRefresh.resolveLive(spark,
+      SkippingRegistry.statsLivePath(dir)) == statsBefore,
+      "a replayed batch must not republish")
+    assert(spark.read.parquet(dir).count() == 160L,
+      "a replayed batch must not duplicate data")
+  }
+
   test("case-folded text Bloom: ci point probes skip files with no " +
       "false negatives; a raw artifact declines ci probes transparently") {
     import graft.api.QueryCompiler._
