@@ -161,6 +161,56 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("prefix zone interval is sound under Spark's binary string " +
+      "order: P-prefixed strings land in [P, succ(P)), others outside " +
+      "iff they share no prefix") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def cmp(a: String, b: String): Int =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+    // arbitrary UNICODE payloads (astral chars included — the case a
+    // closed P+'￿' bound gets wrong) against ASCII prefixes, the
+    // only prefixes the compiler lets prune
+    val uni = Gen.listOf(Gen.oneOf(
+      Gen.choose(32, 126).map(_.toChar.toString),
+      Gen.oneOf("é", "Ж", "中", new String(Character.toChars(0x1F600)),
+        new String(Character.toChars(0x10FFFF)), "￿")))
+      .map(_.mkString)
+    val asciiPrefix = Gen.nonEmptyListOf(
+      Gen.choose(32, 125).map(_.toChar)).map(_.mkString)
+    check("prefix-interval", Prop.forAll(uni, asciiPrefix) { (s, p0) =>
+      val p = p0.toUpperCase
+      // non-ASCII upper forms are outside the compiler's gate
+      !p.forall(c => c < 0x7f) || {
+        val succ = p.init + (p.last + 1).toChar
+        val u = s.toUpperCase
+        // soundness is one-directional (pruning keeps a superset):
+        // every P-prefixed value MUST land inside [P, succ(P))
+        !u.startsWith(p) || (cmp(u, p) >= 0 && cmp(u, succ) < 0)
+      }
+    })
+  }
+
+  test("netpbm roundtrip: arbitrary geometry/maxval/pixels survive " +
+      "encode->decode exactly; truncation always fails") {
+    val gen = for {
+      seed <- Gen.long
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      mv <- Gen.oneOf(Gen.choose(1, 255), Gen.choose(256, 65535))
+    } yield (seed, w, h, mv)
+    check("pgm-roundtrip", Prop.forAll(gen) { case (seed, w, h, mv) =>
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(w * h)(rnd.nextInt(mv + 1))
+      val bytes = graft.pipeline.Multimodal.encodePgm(w, h, mv, px)
+      val r = graft.pipeline.Multimodal.decodeNetpbm(bytes)
+      r.exists(d => d.width == w && d.height == h && d.maxval == mv &&
+        d.pixels.toSeq == px.toSeq) &&
+        // any strict prefix of the raster must fail, never misparse
+        graft.pipeline.Multimodal.decodeNetpbm(
+          bytes.dropRight(1 + rnd.nextInt(math.min(8, w * h)))).isEmpty
+    })
+  }
+
   test("rolling seed hash matches the direct hash at every offset") {
     val gen = for {
       s <- dnaGen.suchThat(_.length >= 5)
