@@ -519,6 +519,15 @@ object ZoneMaps {
     // alone they would accumulate forever across stopped sessions
     statsCache.entrySet.removeIf(e =>
       e.getValue._1.sparkContext.isStopped)
+    // superseded-version eviction: a STREAM-maintained artifact
+    // republishes once per micro-batch, and with the memo keyed on the
+    // resolved `livePath.vN` a long-running session would hold one dead
+    // entry per version — drop this session's older versions of the
+    // SAME artifact when a newer resolution lands
+    if (live != livePath) {
+      val prefix = s"${graft.Tables.sessionKey(spark)}|$livePath.v"
+      statsCache.keySet.removeIf(k => k != key && k.startsWith(prefix))
+    }
     statsCache.computeIfAbsent(key, _ => {
       val p = new org.apache.hadoop.fs.Path(live)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -528,6 +537,19 @@ object ZoneMaps {
 
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, Option[DataFrame])]()
+
+  /** How many memoized versions of `livePath` this session holds —
+    * the superseded-version eviction's observable (ZoneMapsSpec pins
+    * it at ≤ 1; the artifact-specific prefix keeps the count immune to
+    * parallel suites sharing the JVM-wide cache).
+    */
+  private[graft] def cachedVersionsOf(spark: SparkSession,
+      livePath: String): Int = {
+    val prefix = s"${graft.Tables.sessionKey(spark)}|$livePath.v"
+    var n = 0
+    statsCache.keySet.forEach(k => if (k.startsWith(prefix)) n += 1)
+    n
+  }
 
   /** File-list pruning for a compiled conjunction of range and point
     * predicates — the [[graft.api.QueryCompiler]] entry point. Returns

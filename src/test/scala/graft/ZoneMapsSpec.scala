@@ -393,6 +393,21 @@ class ZoneMapsSpec extends SparkSpec {
     assert(want.size == 91)
   }
 
+  test("stats memo evicts superseded versions: a republish-per-batch " +
+      "stream session holds at most one live entry per artifact") {
+    val rows = (0L until 60L).map(i => (i, i, "t"))
+    val dir = layout(rows, parts = 2)
+    val statsPath = java.nio.file.Files.createTempDirectory("graft-zm")
+      .toString + "/stats"
+    (1 to 4).foreach { _ =>
+      ZoneMaps.saveStats(ZoneMaps.buildStats(spark, dir, Seq("v")),
+        statsPath)
+      assert(ZoneMaps.loadStatsIfPresent(spark, statsPath).nonEmpty)
+    }
+    assert(ZoneMaps.cachedVersionsOf(spark, statsPath) <= 1,
+      "older versions' memo entries must evict when a newer one lands")
+  }
+
   test("persisted stats serve across a publish: load equals build, and a " +
       "refresh flips atomically") {
     val rows = (0L until 100L).map(i => (i, i * 3, "t"))
