@@ -265,6 +265,10 @@ object ScaleProbeOps {
           .replaceAll("plan_id=\\d+", "plan_id=N")
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(plan.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        // SPARK_GRAFT_EXPLAIN_FULL=1: dump the normalized plan to
+        // stderr for human audit (the stdout JSON stays machine-stable)
+        if (sys.env.contains("SPARK_GRAFT_EXPLAIN_FULL"))
+          System.err.println(s"== $name ==\n$plan")
         println(s"""{"op":"$name","plan_md5":"$h","plan_lines":${
           plan.linesIterator.size},"sf":"$sfDir"}""")
       } else if (name.startsWith("work_")) {
