@@ -506,6 +506,93 @@ object DedupQueries extends QueryModule {
                    LEFT JOIN clean c USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  // WINNOWED ExactSubstr (the shipped 100 TB fast mode): same pipeline as
+  // dedup_substring_remove, but duplicate detection runs over the robust-
+  // winnowing selection (Schleimer et al. 2003 §4) of the stride-1 window
+  // hash stream — each trailing window of w=8 consecutive position-hashes
+  // selects its rightmost minimum, ~2/(w+1) of positions survive, and the
+  // ZERO-SHUFFLE monotonic-deque sweep that does it is the whole sampling
+  // win at 100× (23.5 s vs 111.7 s md5-portable exact). The oracle replays
+  // the ENTIRE sampled pipeline: stride-1 hashes → trailing-8 rightmost-min
+  // selection (window `min` over (h, -pos) struct order — min -pos = the
+  // RIGHTMOST position among tied minima, exactly the deque's `>=`-pop
+  // tie-break; partial leading frames select too, matching the kernel's
+  // from-the-first-position emission) → DISTINCT on the selected position
+  // (the deque's lastPos dedup: front positions only advance, so
+  // re-selections are the only repeats) → cross-doc dup-hash filter over
+  // SELECTED rows only → gaps-and-islands merge → slice reassembly, closed
+  // by the reconstruction md5.
+  private val dedupSubstringWinnow = Q(
+    "dedup_substring_winnow",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.substringDedup(docs, "doc_id", "text", minLen = 40,
+          hasher = Dedup.portableHash, winnow = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            w AS (SELECT doc_id, unnest(range(1, n - 40 + 2)) AS pos
+                  FROM d WHERE n >= 40),
+            wh AS (SELECT w.doc_id, pos,
+                     ('0x' || substr(md5(substr(d.text, CAST(pos AS INT),
+                        40)), 1, 15))::BIGINT AS h
+                   FROM w JOIN d ON w.doc_id = d.doc_id),
+            selw AS (SELECT doc_id,
+                       min(struct_pack(h := h, np := -pos)) OVER
+                         (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m
+                     FROM wh),
+            sel AS (SELECT DISTINCT doc_id,
+                      -struct_extract(m, 'np') AS pos,
+                      struct_extract(m, 'h') AS h
+                    FROM selw),
+            dup AS (SELECT h FROM sel GROUP BY h
+                    HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (SELECT doc_id, pos FROM sel
+                     WHERE h IN (SELECT h FROM dup)),
+            isl AS (SELECT doc_id, pos,
+                      CASE WHEN pos > coalesce(max(pos + 40) OVER
+                             (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0)
+                           THEN 1 ELSE 0 END AS brk
+                    FROM hits),
+            isl2 AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id
+                         ORDER BY pos) AS island
+                     FROM isl),
+            spans AS (SELECT doc_id, island, min(pos) AS s,
+                        max(pos) + 40 AS e
+                      FROM isl2 GROUP BY 1, 2),
+            slices AS (
+              SELECT doc_id,
+                     coalesce(lag(e) OVER (PARTITION BY doc_id
+                       ORDER BY s), 1) AS st,
+                     s AS en
+              FROM spans
+              UNION ALL
+              SELECT sp.doc_id, max(sp.e), max(d2.n) + 1
+              FROM spans sp JOIN d d2 ON sp.doc_id = d2.doc_id
+              GROUP BY sp.doc_id),
+            clean AS (
+              SELECT sl.doc_id,
+                     string_agg(substr(d3.text, CAST(st AS INT),
+                       CAST(en - st AS INT)), '' ORDER BY st) AS ct
+              FROM slices sl JOIN d d3 ON sl.doc_id = d3.doc_id
+              GROUP BY sl.doc_id),
+            agg AS (SELECT doc_id, count(*) AS n_spans,
+                      CAST(sum(e - s) AS BIGINT) AS removed_chars
+                    FROM spans GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(a.n_spans, 0) AS n_spans,
+                   coalesce(a.removed_chars, 0) AS removed_chars,
+                   CAST(length(coalesce(c.ct, d.text)) AS BIGINT)
+                     AS n_chars_clean,
+                   md5(coalesce(c.ct, d.text)) AS clean_md5
+            FROM d LEFT JOIN agg a USING (doc_id)
+                   LEFT JOIN clean c USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   // Soft dedup (count-preserving): keep only each cluster's canonical but
   // carry the duplicate multiplicity as a training weight, capped (the
   // up-weighting recipe — duplicates inform sampling probability instead
@@ -1074,7 +1161,8 @@ object DedupQueries extends QueryModule {
             ORDER BY a.doc_id, r.rank"""))
 
   val qs: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupCluster, dedupSubstring, dedupSubstringRemove, dedupSoft,
+    dedupCluster, dedupSubstring, dedupSubstringRemove,
+    dedupSubstringWinnow, dedupSoft,
     dedupIncremental,
     dedupIndexPersisted, dedupIndexAppend, streamMinhashMaintain,
     ingestE2e,
