@@ -232,15 +232,20 @@ object Bench {
     // In-artifact adjudications of flags the drift machinery could not
     // absorb on its own (r13 "what's wrong" #1): evidence strings ride
     // with every full-sweep artifact so an archived round is readable
-    // without this repo's session history.
-    val notesJson =
-      """{"a10_pub_breakdown":"r13 driver flag adjudicated ambient in """ +
-      """r14: executed plan is md5-pinned across JVM windows """ +
-      """(ScaleProbeOps explain_a10_pub_breakdown, identical hash in """ +
-      """two sessions) and same-code warm min2-post-gc brackets """ +
-      """measured 0.44-0.70s vs 1.29-1.96s in windows 30s apart with """ +
-      """the a1_breakdown control swinging 0.38->0.88s alongside - """ +
-      """host variance, not a plan or code change"}"""
+    // without this repo's session history. The prose lives in a small
+    // versioned DATA file next to the artifact (tools/bench_notes.json),
+    // not in this code path — baked-in round-specific strings would ride
+    // stale into every later round's artifact. Absent/unreadable file →
+    // empty notes.
+    val notesJson = {
+      val p = java.nio.file.Paths.get(fullPath).toAbsolutePath.getParent
+        .resolve("tools").resolve("bench_notes.json")
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(p),
+          "UTF-8").trim
+        if (s.startsWith("{")) s else "{}"
+      } catch { case _: Exception => "{}" }
+    }
     val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","mode":"steady-state-min2","n":${results.size},"failed":$failedJson,"drift":$driftJson,"regressed":$regressedJson,"rerun":$rerunJson,"notes":$notesJson,"queries":$fullJson,"sf":"$sfDir"}"""
     try {

@@ -252,15 +252,23 @@ object ScaleProbeOps {
         println(s"""{"op":"prune_decision_synth",${pruneDecisionSynth(n)},"sf":"$sfDir"}""")
       } else if (name.startsWith("explain_")) {
         // plan-stability probe (r13 "what's wrong" #1): md5 of the
-        // EXECUTED plan string for a SparkEntry query, so two separate
+        // FINAL plan string for a SparkEntry query, so two separate
         // JVM windows can prove a flagged query's plan did not flap
         // (broadcast-threshold / AQE re-plan) between them — identical
         // hashes mean a wall-time delta is ambient, not a plan change.
-        // Node ids/exchange ids are normalized out (they differ per
-        // session without any plan difference).
+        // The plan is hashed AFTER execution: under AQE the unexecuted
+        // executedPlan is only the INITIAL AdaptiveSparkPlan, and a
+        // runtime re-plan (broadcast flip on runtime stats) would be
+        // invisible to the hash — two sessions could report identical
+        // md5 while executing different final plans. Driving the same
+        // QueryExecution's RDD to completion finalizes the adaptive
+        // plan, so the hash covers what actually ran. Node ids /
+        // exchange ids are normalized out (they differ per session
+        // without any plan difference).
         val q = name.stripPrefix("explain_")
-        val plan = SparkEntry.queries(q)(spark, sfDir)
-          .queryExecution.executedPlan.toString
+        val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+        qe.executedPlan.execute().count()
+        val plan = qe.executedPlan.toString
           .replaceAll("#\\d+", "#N").replaceAll("\\[id=#?\\d+\\]", "[id=N]")
           .replaceAll("plan_id=\\d+", "plan_id=N")
         val h = java.security.MessageDigest.getInstance("MD5")

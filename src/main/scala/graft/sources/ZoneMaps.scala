@@ -225,9 +225,24 @@ object ZoneMaps {
       if (fresh.isEmpty) current
       else {
         val freshDf = spark.read.parquet(fresh.toIndexedSeq: _*)
-        current.unionByName(
-          freshDf.groupBy(input_file_name().as("file"))
-            .agg(count(lit(1)).as("rows"), statsAggs(freshDf, cols): _*))
+        val freshStats = freshDf.groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("rows"), statsAggs(freshDf, cols): _*)
+        // schema drift: an artifact published by an OLDER statsAggs
+        // (pre-`nulls_` columns, raw-cased string zones under `min_`/
+        // `max_`, DATE-typed date zones) cannot be merged row-wise —
+        // a strict union throws, and a lenient
+        // unionByName(allowMissingColumns = true) would be WORSE than
+        // the error: migrated rows would carry null `min_uc_` zones,
+        // which the TextRange overlap test reads as all-null files and
+        // silently prunes — lost rows. The per-file rows are
+        // independent, so the sound migration is a one-time full
+        // rebuild under the current schema; later appends are
+        // delta-only again.
+        def shape(df: DataFrame) =
+          df.schema.map(f => f.name -> f.dataType).toMap
+        if (shape(current) != shape(freshStats))
+          buildStats(spark, dataDir, cols)
+        else current.unionByName(freshStats)
       }
     saveStats(merged, livePath, marker = marker)
   }
@@ -650,9 +665,39 @@ object ZoneMaps {
       orKeep.toSeq
     if (keeps.isEmpty) None
     else {
-      val kept = keeps.reduce(_ intersect _).toSeq.sorted
-      val total = stats.orElse(bloom)
-        .map(_.select(col("file")).distinct().count()).getOrElse(0L)
+      // crash-window soundness: [[SkippingRegistry.appendFiles]] commits
+      // data BEFORE refreshing stats, so a reader compiling in that
+      // window — or after a crash between the write and the refresh —
+      // sees layout files no consulted artifact knows. [[surviving]] /
+      // [[survivingBloom]] can only keep files their artifact lists, so
+      // unknown files must be restored HERE or the pruned read loses
+      // their rows (prune never decides). Steady state pays the
+      // directory listing (the same driver-resident InMemoryFileIndex
+      // work the scan's own planning does) plus the per-artifact file
+      // count: under the registry discipline artifacts are built from
+      // listings of an append-only layout (artifact files ⊆ listing),
+      // so count equality proves set equality, and the anti-join runs
+      // only inside the rare mismatch window — returning just the
+      // delta's names, never the known set.
+      val listing = spark.read.parquet(layout.dataDir).inputFiles
+      val consulted =
+        (if (zoneKeep.nonEmpty || (orKeep.nonEmpty && orRanges.nonEmpty))
+          stats.toSeq else Nil) ++
+        (if (andKeep.nonEmpty || anyKeep.nonEmpty ||
+            (orKeep.nonEmpty && orKeys.nonEmpty)) bloom.toSeq else Nil)
+      val counts = consulted.map(_.select(col("file")).distinct().count())
+      val unknown: Set[String] =
+        if (counts.forall(_ == listing.length.toLong)) Set.empty
+        else {
+          import spark.implicits._
+          val listDf = listing.toIndexedSeq.toDF("file")
+          consulted.map(a =>
+            listDf.join(a.select(col("file")).distinct(),
+              Seq("file"), "left_anti").as[String].collect().toSet)
+            .reduceOption(_ union _).getOrElse(Set.empty)
+        }
+      val kept = (keeps.reduce(_ intersect _) ++ unknown).toSeq.sorted
+      val total = counts.headOption.getOrElse(0L)
       Some((filesRead(spark, layout.dataDir, kept),
         PruneReport(total, kept.length.toLong)))
     }

@@ -67,20 +67,27 @@ object CacheStream {
   private[graft] def writeBatchMarker(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       batchId: Long): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(dir, BatchMarker), true)
+    // the DIRECTORY's filesystem, not the configured default — a table
+    // on s3a/abfs under an HDFS default would otherwise write the
+    // marker to the wrong store and defeat the exactly-once skip
+    val p = new org.apache.hadoop.fs.Path(dir, BatchMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
     out.write(batchId.toString.getBytes("UTF-8")); out.close()
   }
 
   /** [[readAppliedBatch]] for callers outside the streaming package
-    * (the skipping registry's stream-maintained stats).
+    * (the skipping registry's stream-maintained stats). Resolves the
+    * filesystem from the directory itself, like every sibling caller —
+    * FileSystem.get(conf) is the DEFAULT scheme, and on a non-default
+    * store the marker would always read None, re-applying every
+    * replayed batch.
     */
   private[graft] def readAppliedBatchIn(
       conf: org.apache.hadoop.conf.Configuration,
       dir: String): Option[Long] =
-    readAppliedBatch(org.apache.hadoop.fs.FileSystem.get(conf), dir)
+    readAppliedBatch(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(conf), dir)
 
   private[streaming] def readAppliedBatch(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Long] = {

@@ -172,6 +172,82 @@ class ZoneMapsSpec extends SparkSpec {
       .orderBy("file").collect().toSeq == rebuilt)
   }
 
+  test("appendStats migrates a pre-drift artifact by full rebuild: no " +
+      "AnalysisException, no silently-pruning null zones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString +
+      "/data"
+    (0L until 100L).map(i => (i, i * 2, s"TAG${i % 7}"))
+      .toDF("id", "v", "tag")
+      .repartitionByRange(4, col("v")).write.parquet(dir)
+    val statsPath = java.nio.file.Files.createTempDirectory("graft-zm")
+      .toString + "/stats"
+    // simulate an artifact published by an OLDER statsAggs: no nulls_
+    // columns, raw-cased string zones under min_/max_ names
+    val old = ZoneMaps.buildStats(spark, dir, Seq("v", "tag"))
+      .drop("nulls_v", "nulls_tag")
+      .withColumnRenamed("min_uc_tag", "min_tag")
+      .withColumnRenamed("max_uc_tag", "max_tag")
+    ZoneMaps.saveStats(old, statsPath)
+    (100L until 150L).map(i => (i, i * 2, s"tag${i % 7}"))
+      .toDF("id", "v", "tag")
+      .coalesce(2).write.mode("append").parquet(dir)
+    // a strict union would throw; a lenient one would publish rows whose
+    // null min_uc_ zones read as all-null files and silently prune —
+    // the drift detector must rebuild instead
+    ZoneMaps.appendStats(spark, dir, statsPath, Seq("v", "tag"))
+    val migrated = ZoneMaps.loadStats(spark, statsPath)
+      .orderBy("file").collect().toSeq
+    val rebuilt = ZoneMaps.buildStats(spark, dir, Seq("v", "tag"))
+      .orderBy("file").collect().toSeq
+    assert(migrated == rebuilt,
+      "schema-drift refresh must equal the full rebuild row-for-row")
+    // and TEXT pruning over the migrated artifact keeps every live row
+    val stats = ZoneMaps.loadStats(spark, statsPath)
+    val ranges = Seq(ZoneMaps.TextRange("tag", "TAG3", "TAG3"))
+    val (pruned, _) = ZoneMaps.prunedRead(spark, dir, stats, ranges)
+    val got = pruned.select("id").as[Long].collect().toSeq.sorted
+    val want = spark.read.parquet(dir)
+      .filter(upper(col("tag")) === "TAG3")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got == want && want.nonEmpty,
+      "migrated text zones must not lose rows")
+  }
+
+  test("crash window: files appended without a stats refresh are KEPT by " +
+      "pruneForClauses — prune never decides") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString +
+      "/data"
+    (0L until 100L).map(i => (i, i * 2, "a")).toDF("id", "v", "tag")
+      .repartitionByRange(4, col("v")).write.parquet(dir)
+    val statsPath = java.nio.file.Files.createTempDirectory("graft-zm")
+      .toString + "/stats"
+    ZoneMaps.saveStats(ZoneMaps.buildStats(spark, dir, Seq("v")), statsPath)
+    // the appendFiles crash window: data committed, refresh never ran
+    (100L until 150L).map(i => (i, i * 2, "b")).toDF("id", "v", "tag")
+      .coalesce(2).write.mode("append").parquet(dir)
+    val lay = ZoneMaps.Layout(dir, statsLive = Some(statsPath))
+    // the range matches rows in BOTH known and unknown files
+    val routed = ZoneMaps.pruneForClauses(spark, lay,
+      Seq(ZoneMaps.ColRange("v", 150, 250)), Nil)
+    assert(routed.nonEmpty, "pruning must stay on through the window")
+    val (pruned, rep) = routed.get
+    val got = pruned.filter(col("v").between(150, 250))
+      .select("id").as[Long].collect().toSeq.sorted
+    val want = spark.read.parquet(dir)
+      .filter(col("v").between(150, 250))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got == want, "unknown files must be kept, not silently pruned")
+    assert(want.exists(_ >= 100L), "the probe must touch appended rows")
+    // the unknown files rode along without giving up pruning entirely:
+    // out-of-range KNOWN files are still skipped
+    assert(rep.filesKept < rep.filesTotal + 2,
+      s"kept ${rep.filesKept} of ${rep.filesTotal} known + 2 unknown")
+    val steady = ZoneMaps.pruneForClauses(spark, lay,
+      Seq(ZoneMaps.ColRange("v", 0, 10)), Nil)
+    assert(steady.get._2.filesKept <= 1 + 2,
+      "known-file pruning must still work inside the window")
+  }
+
   test("compiled routing: an F1 range clause prunes the file list, the " +
       "plan equals the unpruned compile, and no-stats falls back") {
     import graft.api.QueryCompiler._
