@@ -212,7 +212,9 @@ object QueryCompiler {
     privateRecords: Option[DataFrame] = None,
     privateEntityId: String = "entity_id", embargoCol: String = "embargo",
     skipping: Option[graft.sources.ZoneMaps.Layout] = None,
-    factSkipping: Option[graft.sources.ZoneMaps.Layout] = None)
+    factSkipping: Option[graft.sources.ZoneMaps.Layout] = None,
+    eavSkipping: Option[graft.sources.ZoneMaps.Layout] = None,
+    tagSkipping: Option[graft.sources.ZoneMaps.Layout] = None)
 
   /** Catalog over a registry-indexed entity table: the entities frame
     * is the plain read of `dataDir` and the skipping Layout comes from
@@ -226,6 +228,45 @@ object QueryCompiler {
       dataDir: String, entityId: String): Catalog =
     Catalog(entities = spark.read.parquet(dataDir), entityId = entityId,
       skipping = graft.sources.SkippingRegistry.layoutFor(spark, dataDir))
+
+  /** Attach a registry-indexed designation FACT to `cat`: the facts
+    * frame is the plain read of `factDir` and the `factSkipping` Layout
+    * comes from the table's own registration — the [[registryCatalog]]
+    * discipline applied to the fact scan, so no caller hand-builds a
+    * Layout (unregistered fact dirs attach with skipping off).
+    */
+  def withRegistryFacts(spark: org.apache.spark.sql.SparkSession,
+      cat: Catalog, factDir: String, factEntityId: String = "entity_id",
+      locusCol: String = "locus", alleleCol: String = "allele"): Catalog =
+    cat.copy(facts = Some(spark.read.parquet(factDir)),
+      factEntityId = factEntityId, locusCol = locusCol,
+      alleleCol = alleleCol,
+      factSkipping = graft.sources.SkippingRegistry.layoutFor(spark, factDir))
+
+  /** [[withRegistryFacts]] for the EAV fact (F7): the reference indexes
+    * every `eav_*` table per (isolate, field) — sql/isolatedb.sql:1707-
+    * 1812 — which at file granularity is a per-file `field` zone over a
+    * field-clustered layout.
+    */
+  def withRegistryEav(spark: org.apache.spark.sql.SparkSession,
+      cat: Catalog, eavDir: String, eavEntityId: String = "entity_id",
+      eavField: String = "field", eavValue: String = "value"): Catalog =
+    cat.copy(eav = Some(spark.read.parquet(eavDir)),
+      eavEntityId = eavEntityId, eavField = eavField, eavValue = eavValue,
+      eavSkipping = graft.sources.SkippingRegistry.layoutFor(spark, eavDir))
+
+  /** [[withRegistryFacts]] for the tag-interval fact (J12 families):
+    * the reference indexes `allele_sequences` by locus — per-file locus
+    * zones over a locus-clustered layout.
+    */
+  def withRegistryTags(spark: org.apache.spark.sql.SparkSession,
+      cat: Catalog, tagDir: String, tagEntityId: String = "entity_id",
+      tagLocusCol: String = "locus", tagCompleteCol: String = "complete",
+      tagFlagCol: String = "flag"): Catalog =
+    cat.copy(tags = Some(spark.read.parquet(tagDir)),
+      tagEntityId = tagEntityId, tagLocusCol = tagLocusCol,
+      tagCompleteCol = tagCompleteCol, tagFlagCol = tagFlagCol,
+      tagSkipping = graft.sources.SkippingRegistry.layoutFor(spark, tagDir))
 
   /** Compile spec → DataFrame plan (unsorted, unpaged — see `paged`). */
   def compile(spec: QuerySpec, cat: Catalog): DataFrame =
@@ -254,12 +295,15 @@ object QueryCompiler {
     (df, reports.entities)
   }
 
-  /** Per-scan prune accounting: the entity table's and (when a
-    * `factSkipping` Layout is registered) the designation fact's.
+  /** Per-scan prune accounting: the entity table's and (when the
+    * corresponding Layout is registered) each fact's — designation,
+    * EAV, tag.
     */
   final case class PruneReports(
     entities: Option[graft.sources.ZoneMaps.PruneReport],
-    facts: Option[graft.sources.ZoneMaps.PruneReport])
+    facts: Option[graft.sources.ZoneMaps.PruneReport],
+    eav: Option[graft.sources.ZoneMaps.PruneReport] = None,
+    tags: Option[graft.sources.ZoneMaps.PruneReport] = None)
 
   /** [[compileWithPruneReport]], extended to the designation FACT scan
     * (the reference's `i_ad3` locus index, sql/isolatedb.sql:982, at
@@ -298,37 +342,52 @@ object QueryCompiler {
       val listKeys = layout.bloomCol.filter(_ == cat.entityId)
         .flatMap(_ => spec.idList)
         .map(_.map(v => graft.sources.ZoneMaps.BloomKey(v.toString)))
-      // grouped clauses fold into the SAME scalar predicate as the
-      // provenance family (step 1 below) under provenanceCombine: with
-      // CombineOr a row may satisfy ONLY a grouped clause, which no
-      // provenance-derived range/Bloom constraint covers — pruning from
-      // the provenance arms alone would silently drop it. Decline every
-      // clause-derived prune there; the id list still AND-composes with
-      // the whole scalar family, so it prunes regardless.
-      if (spec.provenanceCombine == CombineOr && spec.grouped.nonEmpty) {
-        graft.sources.ZoneMaps.pruneForClauses(
-          cat.entities.sparkSession, layout, Nil, Nil, listKeys)
-      } else if (spec.provenanceCombine == CombineAnd ||
-          spec.provenance.size <= 1) {
+      // one OR unit per clause arm: Bloom-col equalities prefer the
+      // Bloom (the point-predicate artifact); everything else maps to
+      // a zone range
+      def unitOf(c: FieldClause): Option[graft.sources.ZoneMaps.OrUnit] =
+        bloomEq(c).map(Right(_): graft.sources.ZoneMaps.OrUnit)
+          .orElse(clauseRange(c)
+            .map(Left(_): graft.sources.ZoneMaps.OrUnit))
+      // a grouped clause is an OR over its member fields (compileGroup,
+      // text semantics), so it prunes as per-member units — all-or-
+      // nothing per clause: one uncompilable member could match any
+      // file. The negative ops (NotEq / NotContains) compile to an AND
+      // of negated member predicates, which the union algebra does not
+      // express — decline those.
+      def groupUnits(g: GroupClause):
+          Option[Seq[graft.sources.ZoneMaps.OrUnit]] = g.op match {
+        case Predicates.NotEq | Predicates.NotContains => None
+        case _ =>
+          val us = g.fields.map(f => unitOf(FieldClause(f, g.op, g.value)))
+          if (us.forall(_.isDefined)) Some(us.flatten) else None
+      }
+      if (spec.provenanceCombine == CombineAnd ||
+          spec.provenance.size + spec.grouped.size <= 1) {
+        // AND-combined scalar family: provenance clauses prune as
+        // ranges/Bloom probes; each grouped clause contributes its own
+        // survivor-union group (groups intersect — a clause whose
+        // members don't all compile just drops, sound under AND)
         graft.sources.ZoneMaps.pruneForClauses(
           cat.entities.sparkSession, layout,
           spec.provenance.flatMap(clauseRange),
-          spec.provenance.flatMap(bloomEq), listKeys)
+          spec.provenance.flatMap(bloomEq), listKeys,
+          orGroups = spec.grouped.flatMap(groupUnits(_).toSeq))
       } else {
-        // OR-combined family: prunable only as the survivor UNION, and
-        // only when EVERY arm is an indexed range or a Bloom equality —
-        // one unindexed arm could match any file. The id list still
-        // AND-composes with the whole family, so it prunes regardless.
-        // Bloom-col equalities prefer the Bloom (the point-predicate
-        // artifact); everything else maps to a zone range
-        val units = spec.provenance.map(c =>
-          bloomEq(c).map(Right(_): graft.sources.ZoneMaps.OrUnit)
-            .orElse(clauseRange(c)
-              .map(Left(_): graft.sources.ZoneMaps.OrUnit)))
+        // OR-combined family (provenance + grouped arms fold into ONE
+        // scalar predicate in compileFamilies): prunable only as the
+        // survivor UNION over every arm's units, and only when EVERY
+        // arm — including every member field of every grouped clause —
+        // is an indexed range or a Bloom equality; one unindexed arm
+        // could match any file. The id list still AND-composes with
+        // the whole family, so it prunes regardless.
+        val arms: Seq[Option[Seq[graft.sources.ZoneMaps.OrUnit]]] =
+          spec.provenance.map(c => unitOf(c).map(Seq(_))) ++
+            spec.grouped.map(groupUnits)
         graft.sources.ZoneMaps.pruneForClauses(
           cat.entities.sparkSession, layout, Nil, Nil, listKeys,
-          orUnits = if (units.forall(_.isDefined)) Some(units.flatten)
-            else None)
+          orGroups = if (arms.forall(_.isDefined))
+            Seq(arms.flatten.flatten) else Nil)
       }
     }
     val factRouted = cat.factSkipping
@@ -341,16 +400,62 @@ object QueryCompiler {
         }.distinct
         graft.sources.ZoneMaps.pruneForClauses(
           cat.entities.sparkSession, layout, Nil, Nil, None,
-          orUnits = Some(loci.map(l =>
+          orGroups = Seq(loci.map(l =>
             Left(graft.sources.ZoneMaps.ColRange(
               cat.locusCol, l.toLong, l.toLong)):
               graft.sources.ZoneMaps.OrUnit)))
       }
+    // EAV fact pruning (the reference's per-(isolate, field) eav_*
+    // indexes, sql/isolatedb.sql:1707-1812, at file granularity): the
+    // fused F7 pass only consumes rows matching SOME clause's
+    // (field, value) predicate, so the fact scan routes through the
+    // survivor UNION of the queried FIELDS' zones — sound for positive
+    // and negated clauses alike (a negated clause's flag is computed
+    // from the same matching rows; entities with none coalesce to the
+    // same false the unpruned plan gives them). Field zones are
+    // case-folded text zones; the clause's field equality is exact-
+    // case, so the folded point interval keeps a superset — pruning
+    // never decides. The EAV frame has no other consumer family.
+    val eavRouted = cat.eavSkipping
+      .filter(_ => spec.eav.nonEmpty)
+      .flatMap { layout =>
+        val fields = spec.eav.map(_.field).distinct
+        graft.sources.ZoneMaps.pruneForClauses(
+          cat.entities.sparkSession, layout, Nil, Nil, None,
+          orGroups = Seq(fields.map(f =>
+            Left(graft.sources.ZoneMaps.TextRange(
+              cat.eavField, f.toUpperCase, f.toUpperCase)):
+              graft.sources.ZoneMaps.OrUnit)))
+      }
+    // Tag fact pruning (allele_sequences' locus index at file
+    // granularity): both tag families — membership AND zero-inclusive
+    // counts — pre-filter to rows matching some clause's locus, so the
+    // locus-zone survivor union serves them; rows outside every queried
+    // locus contribute nothing to any flag or count. Declined when ANY
+    // clause is locus-unscoped (its predicate matches every fact row).
+    val tagClauses = spec.tags.nonEmpty || spec.tagCounts.nonEmpty
+    val tagRouted = cat.tagSkipping
+      .filter(_ => tagClauses &&
+        spec.tags.forall(_.locus.isDefined) &&
+        spec.tagCounts.forall(_.locus.isDefined))
+      .flatMap { layout =>
+        val loci = (spec.tags.flatMap(_.locus) ++
+          spec.tagCounts.flatMap(_.locus)).distinct
+        graft.sources.ZoneMaps.pruneForClauses(
+          cat.entities.sparkSession, layout, Nil, Nil, None,
+          orGroups = Seq(loci.map(l =>
+            Left(graft.sources.ZoneMaps.ColRange(
+              cat.tagLocusCol, l.toLong, l.toLong)):
+              graft.sources.ZoneMaps.OrUnit)))
+      }
     val cat2 = cat.copy(
       entities = routed.map(_._1).getOrElse(cat.entities),
-      facts = factRouted.map(f => Option(f._1)).getOrElse(cat.facts))
+      facts = factRouted.map(f => Option(f._1)).getOrElse(cat.facts),
+      eav = eavRouted.map(f => Option(f._1)).getOrElse(cat.eav),
+      tags = tagRouted.map(f => Option(f._1)).getOrElse(cat.tags))
     (compileFamilies(spec, cat2),
-      PruneReports(routed.map(_._2), factRouted.map(_._2)))
+      PruneReports(routed.map(_._2), factRouted.map(_._2),
+        eavRouted.map(_._2), tagRouted.map(_._2)))
   }
 
   private def parseLong(v: String): Option[Long] =

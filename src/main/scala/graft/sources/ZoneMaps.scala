@@ -599,11 +599,14 @@ object ZoneMaps {
     * contain EVERY key — per-key survivor intersection); `anyKeys` is
     * an IN-list/pasted-id-list membership probe (a file survives if it
     * may contain ANY of the keys — one Bloom pass, the semi-join S7
-    * shape); `orUnits` is an OR-combined clause family — its keep set
-    * is the UNION of per-unit survivors, and it contributes NOTHING
-    * unless EVERY unit is backed by a published artifact (an
-    * unsupported OR arm could match any file, so partial OR pruning
-    * would lose rows). An over-wide ANY list stops pruning
+    * shape); `orGroups` are OR-combined clause families, each an
+    * AND-composed constraint: a group's keep set is the UNION of its
+    * units' survivors and the groups' keep sets INTERSECT. A group
+    * contributes NOTHING unless EVERY one of its units is backed by a
+    * published artifact (an unsupported OR arm could match any file,
+    * so partial OR pruning would lose rows) — but an unsupported group
+    * only drops ITSELF: under AND a constraint subset keeps more
+    * files, never fewer. An over-wide ANY list stops pruning
     * ([[MaxAnyKeys]]): at some width the probe cost exceeds the
     * skipped tasks, and the semi join downstream is already the right
     * plan.
@@ -611,16 +614,16 @@ object ZoneMaps {
   def pruneForClauses(spark: SparkSession, layout: Layout,
       ranges: Seq[ZoneRange], andKeys: Seq[BloomKey],
       anyKeys: Option[Seq[BloomKey]] = None,
-      orUnits: Option[Seq[OrUnit]] = None):
+      orGroups: Seq[Seq[OrUnit]] = Nil):
       Option[(DataFrame, PruneReport)] = {
     val anyK = anyKeys.filter(ks => ks.nonEmpty && ks.size <= MaxAnyKeys)
-    val orU = orUnits.filter(_.nonEmpty)
+    val orGs = orGroups.filter(_.nonEmpty)
     // nothing to prune WITH → fall back before touching any artifact
     // (the common no-indexed-clause compile must not pay footer reads)
-    if (ranges.isEmpty && andKeys.isEmpty && anyK.isEmpty && orU.isEmpty)
+    if (ranges.isEmpty && andKeys.isEmpty && anyK.isEmpty && orGs.isEmpty)
       return None
-    val orRanges = orU.toSeq.flatten.collect { case Left(r) => r }
-    val orKeys = orU.toSeq.flatten.collect { case Right(k) => k }
+    val orRanges = orGs.flatten.collect { case Left(r) => r }
+    val orKeys = orGs.flatten.collect { case Right(k) => k }
     val stats =
       if (ranges.nonEmpty || orRanges.nonEmpty)
         layout.statsLive.flatMap(loadStatsIfPresent(spark, _))
@@ -652,17 +655,27 @@ object ZoneMaps {
     // could match files the others would prune, so all-or-nothing
     val anyKeep = for (bl <- bloom; ks <- anyK if ks.forall(servable))
       yield survivingBloom(bl, ks.map(_.key)).toSet
-    val orKeep: Option[Set[String]] = orU.flatMap { units =>
-      val supported = orRanges.forall(indexed) &&
-        (orKeys.isEmpty || (bloom.nonEmpty && orKeys.forall(servable)))
+    // per-group supported/used tracking feeds the crash-window check:
+    // only artifacts that actually CONTRIBUTED a keep set need their
+    // unknown files restored
+    var statsUsed = zoneKeep.nonEmpty
+    var bloomUsed = andKeep.nonEmpty || anyKeep.nonEmpty
+    val groupKeeps: Seq[Set[String]] = orGs.flatMap { units =>
+      val rs = units.collect { case Left(r) => r }
+      val ks = units.collect { case Right(k) => k }
+      val supported = rs.forall(indexed) &&
+        (ks.isEmpty || (bloom.nonEmpty && ks.forall(servable)))
       if (!supported) None
-      else Some(
-        orRanges.flatMap(r => surviving(stats.get, Seq(r))).toSet ++
-          (if (orKeys.isEmpty) Set.empty[String]
-           else survivingBloom(bloom.get, orKeys.map(_.key)).toSet))
+      else {
+        if (rs.nonEmpty) statsUsed = true
+        if (ks.nonEmpty) bloomUsed = true
+        Some(rs.flatMap(r => surviving(stats.get, Seq(r))).toSet ++
+          (if (ks.isEmpty) Set.empty[String]
+           else survivingBloom(bloom.get, ks.map(_.key)).toSet))
+      }
     }
     val keeps = zoneKeep.toSeq ++ andKeep.toSeq ++ anyKeep.toSeq ++
-      orKeep.toSeq
+      groupKeeps
     if (keeps.isEmpty) None
     else {
       // crash-window soundness: [[SkippingRegistry.appendFiles]] commits
@@ -680,11 +693,8 @@ object ZoneMaps {
       // only inside the rare mismatch window — returning just the
       // delta's names, never the known set.
       val listing = spark.read.parquet(layout.dataDir).inputFiles
-      val consulted =
-        (if (zoneKeep.nonEmpty || (orKeep.nonEmpty && orRanges.nonEmpty))
-          stats.toSeq else Nil) ++
-        (if (andKeep.nonEmpty || anyKeep.nonEmpty ||
-            (orKeep.nonEmpty && orKeys.nonEmpty)) bloom.toSeq else Nil)
+      val consulted = (if (statsUsed) stats.toSeq else Nil) ++
+        (if (bloomUsed) bloom.toSeq else Nil)
       val counts = consulted.map(_.select(col("file")).distinct().count())
       val unknown: Set[String] =
         if (counts.forall(_ == listing.length.toLong)) Set.empty

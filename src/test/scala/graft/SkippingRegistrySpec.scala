@@ -285,5 +285,92 @@ class SkippingRegistrySpec extends SparkSpec {
     assert(creps.facts.isEmpty,
       "fact pruning must decline when counts also read the fact")
     assert(ids(cdf) == ids(compile(withCounts, cat(None))))
+    // registry-resolved attachment ≡ the hand-wired catalog: same rows,
+    // same pruning — no hand-built Layout needed anywhere
+    val regSpec = QuerySpec(designations = Seq(
+      HasAllele(2, Predicates.Eq, "10"), LocusMissing(5)))
+    val regCat = withRegistryFacts(spark,
+      Catalog(entities = entities, entityId = "id"),
+      factDir, factEntityId = "entity_id")
+    val (rdf, rreps) = compileWithPruneReports(regSpec, regCat)
+    assert(rreps.facts.exists(r => r.filesKept < r.filesTotal))
+    assert(ids(rdf) == ids(compile(regSpec, cat(None))),
+      "registry-resolved fact catalog must equal the hand-wired one")
+  }
+
+  test("EAV fact skipping: F7 clauses prune the field-clustered fact " +
+      "(negation included) and the plan equals the unpruned compile") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val eavDir = freshDir()
+    // long-format sparse fields, FIELD-clustered (the reference's
+    // per-(isolate, field) eav_* indexes at file granularity)
+    val rows = (0L until 800L).map(i =>
+      (i % 100, s"f${i % 8}", s"v${i % 13}"))
+    rows.toDF("entity_id", "field", "value")
+      .repartitionByRange(8, col("field"), col("entity_id"))
+      .write.parquet(eavDir)
+    SkippingRegistry.register(spark, eavDir, zoneCols = Seq("field"))
+    val entities = (0L until 100L).map(i => (i, s"e$i")).toDF("id", "name")
+    val regCat = withRegistryEav(spark,
+      Catalog(entities = entities, entityId = "id"), eavDir)
+    val plain = regCat.copy(eavSkipping = None)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSeq.sorted
+    val spec = QuerySpec(eav = Seq(
+      EavClause("f2", Predicates.Eq, "v5"),
+      EavClause("f6", Predicates.StartsWith, "v3", negate = true)))
+    val (df, reps) = compileWithPruneReports(spec, regCat)
+    assert(reps.eav.exists(r => r.filesKept < r.filesTotal &&
+      r.filesKept > 0), s"EAV compile must skip fact files: $reps")
+    assert(ids(df) == ids(compile(spec, plain)),
+      "pruned EAV plan must equal the unpruned plan")
+    assert(ids(df).nonEmpty)
+    // negation-sensitive check: some entity is kept ONLY because its
+    // f6 rows fail the negated predicate everywhere — a lost f6 file
+    // would wrongly keep extra entities
+    val negOnly = QuerySpec(eav = Seq(
+      EavClause("f6", Predicates.Eq, "v3", negate = true)))
+    val (ndf, nreps) = compileWithPruneReports(negOnly, regCat)
+    assert(ids(ndf) == ids(compile(negOnly, plain)),
+      "negated-clause pruning must not change the kept set")
+    assert(nreps.eav.nonEmpty)
+  }
+
+  test("tag fact skipping: membership and per-locus counts prune the " +
+      "locus-clustered fact; an unscoped count declines") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    val tagDir = freshDir()
+    val rows = (0L until 800L).map(i =>
+      (i % 100, (i % 8).toInt, i % 2 == 0,
+        if (i % 5 == 0) "flagged" else null))
+    rows.toDF("entity_id", "locus", "complete", "flag")
+      .repartitionByRange(8, col("locus"), col("entity_id"))
+      .write.parquet(tagDir)
+    SkippingRegistry.register(spark, tagDir, zoneCols = Seq("locus"))
+    val entities = (0L until 100L).map(i => (i, s"e$i")).toDF("id", "name")
+    val regCat = withRegistryTags(spark,
+      Catalog(entities = entities, entityId = "id"), tagDir)
+    val plain = regCat.copy(tagSkipping = None)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSeq.sorted
+    val spec = QuerySpec(
+      tags = Seq(TagClause(Some(2), TagComplete),
+        TagClause(Some(5), Untagged)),
+      tagCounts = Seq(TagCountClause(Predicates.Ge, 1, Some(3))))
+    val (df, reps) = compileWithPruneReports(spec, regCat)
+    assert(reps.tags.exists(r => r.filesKept < r.filesTotal &&
+      r.filesKept > 0), s"tag compile must skip fact files: $reps")
+    assert(ids(df) == ids(compile(spec, plain)),
+      "pruned tag plan must equal the unpruned plan")
+    // a locus-unscoped count consumes every fact row — decline
+    val unscoped = QuerySpec(
+      tags = Seq(TagClause(Some(2), Tagged)),
+      tagCounts = Seq(TagCountClause(Predicates.Ge, 1)))
+    val (udf, ureps) = compileWithPruneReports(unscoped, regCat)
+    assert(ureps.tags.isEmpty,
+      "tag pruning must decline under an unscoped count clause")
+    assert(ids(udf) == ids(compile(unscoped, plain)))
   }
 }

@@ -303,7 +303,8 @@ class ZoneMapsSpec extends SparkSpec {
   }
 
   test("compiled routing: OR with a grouped clause declines clause " +
-      "pruning — a row matching only the grouped clause survives") {
+      "pruning when a member field is unindexed — a row matching only " +
+      "the grouped clause survives") {
     import graft.api.QueryCompiler._
     import graft.operators.Predicates
     val rows = (0L until 400L).map(i => (i, i % 97 * 10, s"t${i % 3}"))
@@ -315,8 +316,9 @@ class ZoneMapsSpec extends SparkSpec {
       skipping = Some(ZoneMaps.Layout(dir, statsLive = Some(statsPath))))
     // the grouped clause participates in the OR (compileFamilies folds
     // provenance + grouped into one scalar predicate): rows with tag=t1
-    // live in EVERY file, so a provenance-derived prune to the v>=900
-    // zone survivors would silently drop the grouped-only matches
+    // live in EVERY file, and tag carries NO zones — a provenance-
+    // derived prune to the v>=900 zone survivors would silently drop
+    // the grouped-only matches, so the family must decline
     val spec = QuerySpec(
       provenance = Seq(FieldClause("v", Predicates.Ge, "900",
         isText = false)),
@@ -324,7 +326,7 @@ class ZoneMapsSpec extends SparkSpec {
       provenanceCombine = CombineOr)
     val (df, rep) = compileWithPruneReport(spec, cat)
     assert(rep.isEmpty,
-      "OR-combined family with a grouped clause must not clause-prune")
+      "an OR family with an UNINDEXED grouped member must not clause-prune")
     val want = compile(spec, cat.copy(skipping = None))
       .select("id").as[Long].collect().toSeq.sorted
     assert(df.select("id").as[Long].collect().toSeq.sorted == want)
@@ -332,6 +334,59 @@ class ZoneMapsSpec extends SparkSpec {
     // provenance range (they'd have been lost to the pre-fix prune)
     assert(want.exists(id => id % 97 * 10 < 900), "fixture must contain " +
       "rows matching only the grouped clause")
+  }
+
+  test("compiled routing: OR with a grouped clause PRUNES when every " +
+      "member field is indexed — grouped-only rows survive and files skip") {
+    import graft.api.QueryCompiler._
+    import graft.operators.Predicates
+    // v-clustered layout where tag and alt CORRELATE with v, so all
+    // three columns carry tight per-file zones: the grouped clause
+    // (tag|alt = t1) contributes its members' units to the survivor
+    // union next to the provenance arm's
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString +
+      "/data"
+    (0L until 400L).map(i => (i, i, s"t${i / 50}", s"a${i / 80}"))
+      .toDF("id", "v", "tag", "alt")
+      .repartitionByRange(8, col("v"), col("id"))
+      .write.parquet(dir)
+    val statsPath = java.nio.file.Files.createTempDirectory("graft-zm")
+      .toString + "/stats"
+    ZoneMaps.saveStats(
+      ZoneMaps.buildStats(spark, dir, Seq("v", "tag", "alt")), statsPath)
+    val cat = Catalog(entities = spark.read.parquet(dir), entityId = "id",
+      skipping = Some(ZoneMaps.Layout(dir, statsLive = Some(statsPath))))
+    val spec = QuerySpec(
+      provenance = Seq(FieldClause("v", Predicates.Ge, "380",
+        isText = false)),
+      grouped = Seq(GroupClause(Seq("tag", "alt"), Predicates.Eq, "t1")),
+      provenanceCombine = CombineOr)
+    val (df, rep) = compileWithPruneReport(spec, cat)
+    assert(rep.exists(r => r.filesKept < r.filesTotal && r.filesKept > 0),
+      s"fully-indexed OR + grouped must prune via survivor union: $rep")
+    val want = compile(spec, cat.copy(skipping = None))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(df.select("id").as[Long].collect().toSeq.sorted == want)
+    assert(want.exists(id => id < 380),
+      "fixture must contain rows matching only the grouped clause")
+    // NotEq grouped (an AND of negated members) still declines even
+    // fully indexed — the union algebra cannot express it
+    val neg = spec.copy(grouped = Seq(
+      GroupClause(Seq("tag", "alt"), Predicates.NotEq, "t1")))
+    assert(compileWithPruneReport(neg, cat)._2.isEmpty,
+      "grouped NotEq must decline pruning")
+    // AND combine: the grouped clause prunes as its own group even
+    // alongside an unindexed provenance clause
+    val andSpec = QuerySpec(
+      grouped = Seq(GroupClause(Seq("tag", "alt"), Predicates.Eq, "t1")),
+      provenanceCombine = CombineAnd)
+    val (adf, arep) = compileWithPruneReport(andSpec, cat)
+    assert(arep.exists(r => r.filesKept < r.filesTotal && r.filesKept > 0),
+      s"grouped clause under AND must prune as its own group: $arep")
+    val awant = compile(andSpec, cat.copy(skipping = None))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(adf.select("id").as[Long].collect().toSeq.sorted == awant)
+    assert(awant.nonEmpty)
   }
 
   test("compiled routing: an equality clause on the Bloom column prunes " +
