@@ -343,9 +343,9 @@ object Multimodal {
   // The binary Netpbm formats are header-plus-raw-raster with no
   // entropy coding, so a complete, standards-correct decoder is pure
   // Scala — the DECODE step of the multimodal pipeline is genuinely
-  // real for files a user could feed any image tool, while the
-  // entropy-coded formats (JPEG/PNG) stay behind the Decoder swap
-  // point. Grammar (netpbm's pbm(5)/pgm(5)/ppm(5)): magic "P5"/"P6",
+  // real for files a user could feed any image tool. PNG decode is
+  // ALSO real (see the PNG section below); JPEG stays behind the
+  // Decoder swap point. Grammar (netpbm's pbm(5)/pgm(5)/ppm(5)): magic "P5"/"P6",
   // then width, height, maxval as ASCII decimal tokens separated by
   // whitespace, with '#'-to-end-of-line comments allowed anywhere in
   // the header; ONE whitespace byte after maxval; then width×height
@@ -467,6 +467,204 @@ object Multimodal {
         }
       }
       Some(Raster(w, h, mv, px))
+    }
+  }
+
+  // ---- PNG (r14 VERDICT Next-round #5): a REAL entropy-coded format ----
+  //
+  // Non-interlaced 8-bit grayscale (color type 0) and truecolor (color
+  // type 2) PNG is zlib (java.util.zip.Inflater/Deflater — in the JDK,
+  // no new deps) plus the five scanline filters (PNG spec §9: None,
+  // Sub, Up, Average, Paeth), so a complete decoder for files any
+  // image tool can open is pure Scala — this retires the honest
+  // entropy-coded stub for the formats that matter; JPEG stays behind
+  // the Decoder swap point (arithmetic/Huffman + DCT is a codec, not a
+  // container). Chunk CRCs verify (java.util.zip.CRC32) and anything
+  // malformed — bad signature, bad CRC, truncated IDAT, unsupported
+  // depth/interlace — returns None: a corrupt file must drop, never
+  // produce a phantom raster.
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private val PngSig: Array[Byte] =
+    Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+
+  private def crc32(parts: Array[Byte]*): Long = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(c.update)
+    c.getValue
+  }
+
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val t = tag.getBytes("US-ASCII")
+    be32(data.length.toLong) ++ t ++ data ++ be32(crc32(t, data))
+  }
+
+  /** PNG writer (8-bit, non-interlaced; `channels` 1 = grayscale,
+    * 3 = truecolor). Row `r` is filtered with type `r % 5`, so every
+    * roundtrip exercises ALL FIVE filter reconstructions on the decode
+    * side — the filters are exactly invertible, so the choice is a
+    * coverage device, not a compression one.
+    */
+  def encodePng(width: Int, height: Int, channels: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"bad channels: $channels")
+    require(width > 0 && height > 0 &&
+      samples.length == width * height * channels,
+      s"raster geometry mismatch: ${width}x${height}x$channels vs " +
+        samples.length)
+    val bpp = channels
+    val stride = width * channels
+    val raw = new Array[Byte](height * (1 + stride))
+    var r = 0
+    while (r < height) {
+      val ft = r % 5
+      raw(r * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val x = samples(r * stride + i) & 0xff
+        val a = if (i >= bpp) samples(r * stride + i - bpp) & 0xff else 0
+        val b = if (r > 0) samples((r - 1) * stride + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp)
+          samples((r - 1) * stride + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 => paeth(a, b, c)
+        }
+        raw(r * (1 + stride) + 1 + i) = (x - pred).toByte
+        i += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished())
+      out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val colorType = if (channels == 1) 0 else 2
+    val ihdr = be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Parse a non-interlaced 8-bit grayscale/truecolor PNG: signature,
+    * CRC-verified chunk walk, multi-IDAT zlib inflate, and the five
+    * scanline-filter reconstructions. Truecolor reduces to the same
+    * BT.601 integer luma as P6. None on ANY malformation — including a
+    * CRC mismatch and an IDAT stream that inflates short (truncation).
+    */
+  def decodePng(bytes: Array[Byte]): Option[Raster] = {
+    if (bytes.length < PngSig.length + 12 ||
+      !bytes.take(PngSig.length).sameElements(PngSig)) return None
+    var pos = PngSig.length
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    var ihdr: Option[(Int, Int, Int)] = None // (w, h, channels)
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended) {
+      if (pos + 8 > bytes.length) return None
+      val len = u32(pos)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > bytes.length)
+        return None
+      val tag = new String(bytes, pos + 4, 4, "US-ASCII")
+      val data = java.util.Arrays.copyOfRange(
+        bytes, pos + 8, pos + 8 + len.toInt)
+      if (u32(pos + 8 + len.toInt) !=
+        crc32(tag.getBytes("US-ASCII"), data)) return None
+      tag match {
+        case "IHDR" =>
+          if (ihdr.nonEmpty || len != 13) return None
+          val w = u32(pos + 8); val h = u32(pos + 12)
+          val depth = data(8) & 0xff; val color = data(9) & 0xff
+          val (comp, filt, inter) =
+            (data(10) & 0xff, data(11) & 0xff, data(12) & 0xff)
+          val channels = color match {
+            case 0 => 1
+            case 2 => 3
+            case _ => return None // palette/alpha out of scope
+          }
+          if (w <= 0 || h <= 0 || w * h > Int.MaxValue / 4 ||
+            depth != 8 || comp != 0 || filt != 0 || inter != 0)
+            return None
+          ihdr = Some((w.toInt, h.toInt, channels))
+        case "IDAT" =>
+          if (ihdr.isEmpty) return None
+          idat.write(data)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunks skip (CRC already verified)
+      }
+      pos += 12 + len.toInt
+    }
+    ihdr.flatMap { case (w, h, channels) =>
+      val stride = w * channels
+      val need = h * (1 + stride)
+      val raw = new Array[Byte](need)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val got = try {
+        var off = 0
+        while (off < need && !inf.finished()) {
+          val n = inf.inflate(raw, off, need - off)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return None // truncated / underful IDAT
+          off += n
+        }
+        off
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      if (got < need) return None
+      // defilter in place per scanline (PNG spec §9), then reduce
+      val px = new Array[Int](w * h)
+      val recon = new Array[Int](h * stride)
+      var r = 0
+      while (r < h) {
+        val ft = raw(r * (1 + stride)) & 0xff
+        if (ft > 4) return None
+        var i = 0
+        while (i < stride) {
+          val f = raw(r * (1 + stride) + 1 + i) & 0xff
+          val a = if (i >= channels) recon(r * stride + i - channels) else 0
+          val b = if (r > 0) recon((r - 1) * stride + i) else 0
+          val c = if (r > 0 && i >= channels)
+            recon((r - 1) * stride + i - channels) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) >> 1
+            case 4 => paeth(a, b, c)
+          }
+          recon(r * stride + i) = (f + pred) & 0xff
+          i += 1
+        }
+        r += 1
+      }
+      var i = 0
+      while (i < px.length) {
+        px(i) =
+          if (channels == 1) recon(i)
+          else (299 * recon(i * 3) + 587 * recon(i * 3 + 1) +
+            114 * recon(i * 3 + 2)) / 1000
+        i += 1
+      }
+      Some(Raster(w, h, 255, px))
     }
   }
 

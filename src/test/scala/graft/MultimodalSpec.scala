@@ -250,4 +250,103 @@ class MultimodalSpec extends SparkSpec {
     assert(sigDecoded == sigRaw,
       "the PGM roundtrip must not change a single signature bit")
   }
+
+  test("png: each of the five scanline filters reconstructs exactly, " +
+      "grayscale and truecolor") {
+    // 6 rows so filter types 0..4 each appear on at least one row (the
+    // encoder filters row r as type r % 5), including Paeth with a real
+    // up-left neighborhood
+    val w = 7; val h = 6
+    val gray = Array.tabulate(w * h)(i => (i * 53 + i * i) % 256)
+    val g = Multimodal.decodePng(Multimodal.encodePng(w, h, 1, gray))
+    assert(g.get.width == w && g.get.height == h && g.get.maxval == 255)
+    assert(g.get.pixels.toSeq == gray.toSeq,
+      "every filter type must invert to the exact samples")
+    // single-row/single-column edges: the filters' a/b/c fall back to 0
+    val one = Array.tabulate(5)(i => 250 - i * 49)
+    assert(Multimodal.decodePng(Multimodal.encodePng(5, 1, 1, one))
+      .get.pixels.toSeq == one.toSeq)
+    assert(Multimodal.decodePng(Multimodal.encodePng(1, 5, 1, one))
+      .get.pixels.toSeq == one.toSeq)
+    // truecolor reduces to the same BT.601 integer luma as P6
+    val rgb = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+    val c = Multimodal.decodePng(Multimodal.encodePng(2, 2, 3, rgb))
+    assert(c.get.pixels.toSeq == Seq(255 * 299 / 1000, 255 * 587 / 1000,
+      255 * 114 / 1000, 255))
+  }
+
+  test("png robustness: bad signature / bad CRC / truncated IDAT / " +
+      "unsupported shapes all return None, ancillary chunks skip") {
+    val px = Array.tabulate(16)(i => i * 16)
+    val good = Multimodal.encodePng(4, 4, 1, px)
+    assert(Multimodal.decodePng(good).get.pixels.toSeq == px.toSeq)
+    // bad signature
+    val badSig = good.clone(); badSig(0) = 0
+    assert(Multimodal.decodePng(badSig).isEmpty)
+    // bad CRC: flip a bit inside the IDAT payload (not its length/tag)
+    val idatAt = {
+      var i = 8; var found = -1
+      while (found < 0) {
+        val len = ((good(i) & 0xff) << 24) | ((good(i + 1) & 0xff) << 16) |
+          ((good(i + 2) & 0xff) << 8) | (good(i + 3) & 0xff)
+        if (new String(good, i + 4, 4, "US-ASCII") == "IDAT") found = i
+        else i += 12 + len
+      }
+      found
+    }
+    val badCrc = good.clone()
+    badCrc(idatAt + 8) = (badCrc(idatAt + 8) ^ 0x40).toByte
+    assert(Multimodal.decodePng(badCrc).isEmpty,
+      "a corrupted chunk must fail its CRC, never decode")
+    // truncated IDAT: a VALID zlib stream that inflates short — rebuild
+    // the file with half the raw scanline bytes deflated
+    val deflater = new java.util.zip.Deflater()
+    val short0 = new Array[Byte](8) // 8 < 4 rows x (1 + 4) bytes
+    deflater.setInput(short0); deflater.finish()
+    val buf = new Array[Byte](64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
+    val crc = new java.util.zip.CRC32()
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(bos.toByteArray)
+    def be(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val truncated = good.take(idatAt) ++
+      be(bos.size().toLong) ++ "IDAT".getBytes("US-ASCII") ++
+      bos.toByteArray ++ be(crc.getValue) ++
+      good.drop(idatAt + 12 + {
+        ((good(idatAt) & 0xff) << 24) | ((good(idatAt + 1) & 0xff) << 16) |
+          ((good(idatAt + 2) & 0xff) << 8) | (good(idatAt + 3) & 0xff)
+      })
+    assert(Multimodal.decodePng(truncated).isEmpty,
+      "an IDAT stream shorter than the raster must fail, not phantom")
+    // file cut mid-chunk
+    assert(Multimodal.decodePng(good.take(good.length - 6)).isEmpty)
+    assert(Multimodal.decodePng(Array.empty[Byte]).isEmpty)
+    // ancillary chunk between IHDR and IDAT is skipped (CRC verified)
+    val ihdrEnd = 8 + 12 + 13
+    val anc = {
+      val tag = "tEXt".getBytes("US-ASCII")
+      val data = "graft".getBytes("US-ASCII")
+      val c2 = new java.util.zip.CRC32(); c2.update(tag); c2.update(data)
+      be(data.length.toLong) ++ tag ++ data ++ be(c2.getValue)
+    }
+    val withAnc = good.take(ihdrEnd) ++ anc ++ good.drop(ihdrEnd)
+    assert(Multimodal.decodePng(withAnc).get.pixels.toSeq == px.toSeq)
+  }
+
+  test("png chains into the DCT pHash: a raster shipped as a PNG file " +
+      "decodes to the identical signature as the raw raster") {
+    val ids = Seq((11L, 11L)).toDF("doc_id", "seed")
+    val raw = Multimodal.syntheticRaster(ids, "doc_id", "seed", 64, 64, 0)
+      .select("media").as[Array[Byte]].head()
+    val sigRaw = Multimodal.dctSig(raw, 64)
+    assert(sigRaw.nonEmpty)
+    val png = Multimodal.encodePng(64, 64, 1, raw.map(_ & 0xff))
+    val decoded = Multimodal.decodePng(png).get
+    assert(decoded.width == 64 && decoded.height == 64)
+    val sigDecoded = Multimodal.dctSig(
+      decoded.pixels.map(_.toByte), decoded.width)
+    assert(sigDecoded == sigRaw,
+      "the PNG roundtrip must not change a single signature bit")
+  }
 }
