@@ -286,6 +286,91 @@ object ScaleProbeOps {
           case other => sys.error(s"unknown work probe: $other")
         }
         println(s"""{"op":"$name",$counts,"sf":"$sfDir"}""")
+      } else if (name == "sim_components_phases") {
+        // phase breakdown of the sim_components_scaled cost (r14 VERDICT
+        // Next-round #6): where does the 100x knee live — the corpus×
+        // centroid ASSIGNMENT flops (n·nlist·d, quadratic/64 under
+        // constant-cell AutoNlist), the query-side PROBE pick (same
+        // shape), the per-cell candidate SCORING join, or the
+        // mutuality/components tail? Each phase forces its frame once.
+        import graft.pipeline.Similarity
+        def f2(v: Double): String = f"$v%.3f"
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val n = emb.count()
+        val nl = Similarity.autoNlist(n)
+        def timed(f: => Long): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        // Pinning.pin (localCheckpoint) is EAGER — each phase's cost is
+        // the pin itself, so the timer wraps pin + count together
+        val (centroids, assigned0) =
+          Similarity.ivfIndexFrames(emb, "vec_id", "embedding", nl)
+        var assigned: org.apache.spark.sql.DataFrame = null
+        val (na, tAssign) = timed {
+          assigned = graft.operators.Pinning.pin(assigned0)
+          assigned.count()
+        }
+        var probes: org.apache.spark.sql.DataFrame = null
+        val (np, tProbe) = timed {
+          probes = graft.operators.Pinning.pin(
+            Similarity.probeCells(emb, "vec_id", "embedding", centroids, 3))
+          probes.count()
+        }
+        var edges: org.apache.spark.sql.DataFrame = null
+        val (ne, tScore) = timed {
+          edges = graft.operators.Pinning.pin(
+            Similarity.ivfScoreTopK(centroids, assigned, emb, "vec_id",
+              "embedding", k = 5, nprobe = 3)
+              .select(col("query_id"), col("neighbor_id"), col("cos"),
+                col("rank")))
+          edges.count()
+        }
+        var g: org.apache.spark.sql.DataFrame = null
+        val (ng, tMutual) = timed {
+          val rev = edges.select(col("neighbor_id").as("query_id"),
+            col("query_id").as("neighbor_id"), col("rank").as("rank2"))
+          g = graft.operators.Pinning.pin(
+            edges.join(rev, Seq("query_id", "neighbor_id"))
+              .filter(col("query_id") < col("neighbor_id"))
+              .select(col("query_id").as("src"),
+                col("neighbor_id").as("dst")))
+          g.count()
+        }
+        val (nc, tCc) = timed(graft.operators.Clustering
+          .connectedComponents(g).count())
+        Seq(assigned, probes, edges, g).foreach(graft.operators.Pinning.unpin)
+        println(s"""{"op":"$name","n":$n,"nlist":$nl,"assign_rows":$na,"assign_sec":${f2(tAssign)},"probe_rows":$np,"probe_sec":${f2(tProbe)},"edge_rows":$ne,"score_sec":${f2(tScore)},"mutual_rows":$ng,"mutual_sec":${f2(tMutual)},"cc_rows":$nc,"cc_sec":${f2(tCc)},"sf":"$sfDir"}""")
+      } else if (name == "dedup_substring_append") {
+        // delta-only-cost evidence for the persisted ExactSubstr index:
+        // the base build is UNTIMED (it is the one-off per corpus); the
+        // timed step is appendSubstr of a ~1% ingest batch. The append
+        // pays the DELTA's window sweep (the text-expensive part) plus
+        // a text-free per-hash stats merge that scales with the INDEX
+        // (16-byte rows), not the corpus text — the appendMinhash
+        // re-banding posture. Each timing gets a fresh-built index
+        // (append mutates the artifact; re-appending the same ids
+        // would violate the unique-id contract).
+        val docs = Tables.load(spark, sfDir, "documents")
+        val base = docs.filter(col("doc_id") % 101 =!= 0)
+        val delta = docs.filter(col("doc_id") % 101 === 0)
+        def once(): Double = {
+          val p = java.nio.file.Files.createTempDirectory("graft-sxp")
+            .toString + "/sx"
+          graft.pipeline.IndexStore.saveSubstr(base, "doc_id", "text",
+            minLen = 40, livePath = p, winnow = 8)
+          System.gc()
+          val t0 = System.nanoTime()
+          graft.pipeline.IndexStore.appendSubstr(base, delta, "doc_id",
+            "text", minLen = 40, livePath = p, winnow = 8)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val s1 = once()
+        val s2 = once()
+        val sec = math.min(s1, s2)
+        val nd = delta.count()
+        println(f"""{"op":"$name%s","rows":$nd%d,"sec":$sec%.3f,"sec1":$s1%.3f,"sec2":$s2%.3f,"mode":"min2-fresh-index","sf":"$sfDir%s"}""")
       } else {
       val fn: () => org.apache.spark.sql.DataFrame =
         if (name == "sim_dbscan_lsh") () => dbscanLsh()

@@ -381,6 +381,74 @@ object Vectors {
   def bestCellId(v: Column, cents: Column): Column =
     Bridge.column(BestCellId(Bridge.expression(v), Bridge.expression(cents)))
 
+  /** Top-`nprobe` cell ids for `v` — the probe-side sibling of
+    * [[bestCellKernel]]: identical cosine arithmetic (the
+    * CosineSimilarity loop, zero-norm → 0.0) and EXACTLY the ordering
+    * of the HOF probe form `slice(array_sort(transform(cents,
+    * struct(-cos, list_id))), 1, nprobe)` — cos DESC, list_id ASC on
+    * ties (the array arrives sorted by list_id; strict-< insertion
+    * keeps earlier entries ahead of equals) — minus the per-centroid
+    * lambda interpreter and the full nlist-struct sort: one pass,
+    * nlist·d flops plus ≤ nlist·nprobe slot compares. The HOF form
+    * measured 38.4 s of the 100× components probe's 81 s wall
+    * (200k queries × 3125 cells); the kernel prices like the
+    * assignment pass (~4 s, same flop count).
+    */
+  def topCellsKernel(v: ArrayData, cents: ArrayData,
+      nprobe: Int): ArrayData = {
+    val m = cents.numElements()
+    val k = math.min(nprobe, m)
+    val bc = new Array[Double](k)
+    val bi = new Array[Long](k)
+    var filled = 0
+    var c = 0
+    while (c < m) {
+      val row = cents.getStruct(c, 2)
+      val cv = row.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xi = v.getDouble(i); val yi = cv.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val d = na * nb
+      val cd = if (d > 0) dot / math.sqrt(d) else 0.0
+      if (filled < k || cd > bc(k - 1)) {
+        var pos = filled
+        while (pos > 0 && bc(pos - 1) < cd) pos -= 1
+        if (pos < k) {
+          var j = math.min(filled, k - 1)
+          while (j > pos) { bc(j) = bc(j - 1); bi(j) = bi(j - 1); j -= 1 }
+          bc(pos) = cd; bi(pos) = row.getLong(0)
+          if (filled < k) filled += 1
+        }
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bi, filled))
+  }
+
+  case class TopCells(left: Expression, right: Expression, nprobe: Int)
+      extends BinaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r, nprobe)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      topCellsKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        nprobe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.Vectors.topCellsKernel($a, $b, $nprobe)")
+  }
+
+  /** Top-nprobe probe cells, fused (see topCellsKernel). */
+  def topCells(v: Column, cents: Column, nprobe: Int): Column =
+    Bridge.column(TopCells(Bridge.expression(v), Bridge.expression(cents),
+      nprobe))
+
   def minhashSignature(hashes: Column, k: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSig(Bridge.expression(hashes), k, seed))
 

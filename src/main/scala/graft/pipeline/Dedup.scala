@@ -955,6 +955,33 @@ object Dedup {
       minLen: Int, stride: Int = 1,
       hasher: Column => Column = xxhash64(_),
       winnow: Int = 1): DataFrame = {
+    val base = substrPrep(docs, id, text)
+    def hitSource = substrWindows(base, minLen, stride, hasher, winnow)
+    val dupHashes = hitSource.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__h"))
+    val hits = hitSource.join(dupHashes, Seq("__h"), "left_semi")
+      .select(col("__id"), col("pos"))
+    substrReports(base, hits, minLen, id)
+  }
+
+  /** The (\_\_id, \_\_t, \_\_n) projection every ExactSubstr stage
+    * consumes. */
+  private[pipeline] def substrPrep(docs: DataFrame, id: String,
+      text: String): DataFrame =
+    docs.select(col(id).as("__id"), col(text).as("__t"),
+      length(col(text)).as("__n"))
+
+  /** The (\_\_id, pos, \_\_h) window-hash stream [[substringDedup]]'s
+    * duplicate detection runs over — stride-`stride` window hashes,
+    * winnowed down to the robust-winnowing selection when `winnow` > 1.
+    * Deliberately a `def`-style recompute for its consumers (see the
+    * [[substringDedup]] scaladoc: the stream is corpus-×-positions
+    * sized, the one frame that must never be materialized).
+    */
+  private[pipeline] def substrWindows(base: DataFrame, minLen: Int,
+      stride: Int, hasher: Column => Column, winnow: Int): DataFrame = {
     require(minLen >= 8, s"minLen must be >= 8: $minLen")
     require(stride >= 1, s"stride must be >= 1: $stride")
     require(winnow >= 1 && winnow <= minLen,
@@ -963,9 +990,6 @@ object Dedup {
         "split single duplicated regions")
     require(winnow == 1 || stride == 1,
       "winnowing samples the stride-1 hash stream; compose one or the other")
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(id).as("__id"), col(text).as("__t"),
-      length(col(text)).as("__n"))
     // hasher: codegen'd xxhash64 by default (the corpus pays two window
     // sweeps, so hash cost doubles — md5 measured 111.7 s vs 66.9 s
     // xxhash64 at the 100x probe); pass [[portableHash]] where an
@@ -992,41 +1016,42 @@ object Dedup {
     // selection, which only adds verified candidates, never loses the
     // guarantee. Selection semantics (rightmost min on ties, partial
     // leading windows) are pinned by DedupSpec's local replay.
-    def hitSource =
-      if (winnow == 1) windows
-      else {
-        val src = windows
-        val enc = org.apache.spark.sql.Encoders.row(src.schema)
-        src.mapPartitions { rows =>
-          // deque of (h, pos), h strictly increasing front→back; the
-          // front is the window minimum, ties resolved rightmost by
-          // the >= pop below. Front positions only advance, so the
-          // lastPos guard deduplicates re-selections completely.
-          val deque = new java.util.ArrayDeque[(Long, Long)]()
-          var curId: Any = null
-          var lastPos = -1L
-          rows.flatMap { r =>
-            val id = r.get(0); val pos = r.getLong(1); val h = r.getLong(2)
-            if (id != curId) { deque.clear(); curId = id; lastPos = -1L }
-            while (!deque.isEmpty && deque.peekLast()._1 >= h)
-              deque.pollLast()
-            deque.addLast((h, pos))
-            while (deque.peekFirst()._2 <= pos - winnow)
-              deque.pollFirst()
-            val (mh, mp) = deque.peekFirst()
-            if (mp != lastPos) {
-              lastPos = mp
-              Some(org.apache.spark.sql.Row(curId, mp, mh))
-            } else None
-          }
-        }(enc)
-      }
-    val dupHashes = hitSource.groupBy(col("__h"))
-      .agg(countDistinct(col("__id")).as("__nd"))
-      .filter(col("__nd") >= 2)
-      .select(col("__h"))
-    val hits = hitSource.join(dupHashes, Seq("__h"), "left_semi")
-      .select(col("__id"), col("pos"))
+    if (winnow == 1) windows
+    else {
+      val src = windows
+      val enc = org.apache.spark.sql.Encoders.row(src.schema)
+      src.mapPartitions { rows =>
+        // deque of (h, pos), h strictly increasing front→back; the
+        // front is the window minimum, ties resolved rightmost by
+        // the >= pop below. Front positions only advance, so the
+        // lastPos guard deduplicates re-selections completely.
+        val deque = new java.util.ArrayDeque[(Long, Long)]()
+        var curId: Any = null
+        var lastPos = -1L
+        rows.flatMap { r =>
+          val id = r.get(0); val pos = r.getLong(1); val h = r.getLong(2)
+          if (id != curId) { deque.clear(); curId = id; lastPos = -1L }
+          while (!deque.isEmpty && deque.peekLast()._1 >= h)
+            deque.pollLast()
+          deque.addLast((h, pos))
+          while (deque.peekFirst()._2 <= pos - winnow)
+            deque.pollFirst()
+          val (mh, mp) = deque.peekFirst()
+          if (mp != lastPos) {
+            lastPos = mp
+            Some(org.apache.spark.sql.Row(curId, mp, mh))
+          } else None
+        }
+      }(enc)
+    }
+  }
+
+  /** Hit windows (\_\_id, pos) → the per-doc report [[substringDedup]]
+    * emits: gaps-and-islands span merge, slice reassembly, md5 witness.
+    */
+  private[pipeline] def substrReports(base: DataFrame, hits: DataFrame,
+      minLen: Int, id: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // merge hit windows into maximal spans: classic gaps-and-islands —
     // a window opens a new span iff it starts past the running max end
     // of everything before it. Per-doc ordered window: document length

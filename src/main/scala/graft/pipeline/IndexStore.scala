@@ -200,6 +200,210 @@ object IndexStore {
     } finally graft.operators.Pinning.unpin(merged)
   }
 
+  /** Build and publish an ExactSubstr window-hash index — the
+    * [[saveMinhash]] lifecycle for substring dedup (r14 VERDICT
+    * Next-round #4): without it, every ingest re-hashes the WHOLE
+    * corpus; with it, a batch pays only its own windows plus
+    * index-metadata scans. Layout:
+    *
+    *   - `<livePath>.segments/seg-*` — IMMUTABLE per-batch partial
+    *     hash-stat segments: one row per distinct window hash in that
+    *     batch, (`__h`, `n_docs` CAPPED at 2, `min_id`). Docs are
+    *     unique across batches, so the TRUE stats for a hash are
+    *     `min(sum(n_docs), 2)` / `min(min_id)` over its partial rows —
+    *     the cap is exact for the only two questions asked (dup ≥ 2?
+    *     sole carrier == 1 and who?). An append WRITES only its own
+    *     segment (delta-sized) — the r15 first cut merged-and-rewrote
+    *     the whole table per append and measured SLOWER than the
+    *     one-shot winnowed rebuild at 100× (43 s vs 23.5 s); segments
+    *     took the append to delta-plus-scan cost.
+    *   - versioned dir (`publishVersioned`): `reports/` — the per-doc
+    *     [[Dedup.substringDedup]] output for the corpus so far (the
+    *     one-shot-equivalent serving table, doc-count-sized) — and
+    *     `segments.manifest` — the list of segment files this version
+    *     reads. Crash between a segment write and the publish leaves
+    *     an ORPHAN file no manifest references: harmless, and a re-run
+    *     recomputes from the last published manifest.
+    *
+    * Parameters (minLen / hasher / winnow) are part of the artifact's
+    * meaning — appends must pass the same ones, the [[queryMinhash]]
+    * contract.
+    */
+  def saveSubstr(base: DataFrame, id: String, text: String, minLen: Int,
+      livePath: String,
+      hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_),
+      winnow: Int = 1): Unit = {
+    val spark = base.sparkSession
+    val b = Dedup.substrPrep(base, id, text)
+    def stream = Dedup.substrWindows(b, minLen, 1, hasher, winnow)
+    val seg = writeSubstrSegment(spark, livePath,
+      stream.groupBy(col("__h")).agg(
+        least(countDistinct(col("__id")), lit(2L)).as("n_docs"),
+        min(col("__id")).as("min_id")))
+    val dup = spark.read.parquet(seg).filter(col("n_docs") >= 2)
+      .select(col("__h"))
+    val reports = Dedup.substrReports(b,
+      stream.join(dup, Seq("__h"), "left_semi")
+        .select(col("__id"), col("pos")),
+      minLen, id)
+    graft.operators.CacheRefresh.publishVersioned(spark, livePath) { dir =>
+      reports.write.mode("overwrite").parquet(s"$dir/reports")
+      writeSubstrManifest(spark, dir, Seq(seg))
+    }
+  }
+
+  /** Append an ingest batch INTO the persisted ExactSubstr index. The
+    * batch pays its own window sweep plus projection-narrow scans of
+    * the existing segments; the BASE corpus text is touched only for
+    * AFFECTED docs — docs that were a hash's sole carrier until this
+    * batch duplicated it (their spans grow, so their stored report is
+    * stale). Steps:
+    *
+    *   1. batch window stream → the batch's partial-stat segment
+    *      (delta-sized write — nothing existing is rewritten);
+    *   2. affected ids: existing partials restricted (semi join) to
+    *      the batch's hashes, aggregated — total == 1 names the sole
+    *      carrier (ids must be corpus-unique: a re-ingested id would
+    *      alias the distinct-doc count);
+    *   3. reports for (affected ∪ batch) recompute over just those
+    *      docs' windows against the dup set aggregated from ALL
+    *      partials restricted to those docs' hashes — batch-internal
+    *      dups fall out of the same filter; every other stored report
+    *      carries over untouched;
+    *   4. publish: reports + a manifest referencing old segments plus
+    *      the new one.
+    *
+    * The served result is bit-identical to [[saveSubstr]] over
+    * base ∪ delta — the dedup_substring_incremental CORRECTNESS row
+    * shares the one-shot oracle; IndexStoreSpec pins append ≡ rebuild
+    * and the affected-doc recompute.
+    */
+  def appendSubstr(base: DataFrame, delta: DataFrame, id: String,
+      text: String, minLen: Int, livePath: String,
+      hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_),
+      winnow: Int = 1, marker: Option[Long] = None): Unit = {
+    val spark = delta.sparkSession
+    val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
+    val oldSegs = readSubstrManifest(spark, live)
+    val oldPartials = spark.read.parquet(oldSegs: _*)
+    val oldR = spark.read.parquet(s"$live/reports")
+    val d = Dedup.substrPrep(delta, id, text)
+    def dstream = Dedup.substrWindows(d, minLen, 1, hasher, winnow)
+    val seg = writeSubstrSegment(spark, livePath,
+      dstream.groupBy(col("__h")).agg(
+        least(countDistinct(col("__id")), lit(2L)).as("n_docs"),
+        min(col("__id")).as("min_id")))
+    val dstats = spark.read.parquet(seg)
+    // affected base docs: sole carriers of a hash the batch now shares
+    // — only THEIR text is re-read from the base corpus. The aggregate
+    // runs over existing partials SEMI-FILTERED to the batch's hashes:
+    // a columnar (__h, n_docs, min_id) scan, shuffle bounded by the
+    // matching rows.
+    val affected = oldPartials
+      .join(dstats.select(col("__h")), Seq("__h"), "left_semi")
+      .groupBy(col("__h"))
+      .agg(sum(col("n_docs")).as("bn"), min(col("min_id")).as("bmin"))
+      .filter(col("bn") === 1)
+      .select(col("bmin").as("__aff")).distinct()
+    val rework = Dedup.substrPrep(base, id, text)
+      .join(affected, col("__id") === col("__aff"), "left_semi")
+      .unionByName(d)
+    def rstream = Dedup.substrWindows(rework, minLen, 1, hasher, winnow)
+    // dup set for the recompute: totals over ALL partials (new segment
+    // included), restricted to the rework docs' own hashes
+    val reworkHashes = rstream.select(col("__h")).distinct()
+    val dup = oldPartials.unionByName(dstats)
+      .join(reworkHashes, Seq("__h"), "left_semi")
+      .groupBy(col("__h")).agg(sum(col("n_docs")).as("tn"))
+      .filter(col("tn") >= 2).select(col("__h"))
+    val newReports = Dedup.substrReports(rework,
+      rstream.join(dup, Seq("__h"), "left_semi")
+        .select(col("__id"), col("pos")),
+      minLen, id)
+    val keptReports = oldR.join(
+      affected.select(col("__aff").as(id)), Seq(id), "left_anti")
+    graft.operators.CacheRefresh.publishVersioned(spark, livePath) { dir =>
+      keptReports.unionByName(newReports)
+        .write.mode("overwrite").parquet(s"$dir/reports")
+      writeSubstrManifest(spark, dir, oldSegs :+ seg)
+      marker.foreach(b => graft.streaming.CacheStream
+        .writeBatchMarker(spark, dir, b))
+    }
+  }
+
+  /** Fold the live manifest's partial segments into ONE aggregated
+    * segment — the [[compactIvf]] posture: appends stay cheap because
+    * they only add segments; compaction bounds how many partials the
+    * per-append scans and the stats view pay. Aggregated ≡ partials by
+    * the sum-cap algebra, so compaction never changes a verdict
+    * (IndexStoreSpec pins the stats view across it).
+    */
+  def compactSubstr(spark: SparkSession, livePath: String): Unit = {
+    val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
+    val segs = readSubstrManifest(spark, live)
+    if (segs.size <= 1) return
+    val folded = writeSubstrSegment(spark, livePath,
+      spark.read.parquet(segs: _*).groupBy(col("__h"))
+        .agg(least(sum(col("n_docs")), lit(2L)).as("n_docs"),
+          min(col("min_id")).as("min_id")))
+    val reports = spark.read.parquet(s"$live/reports")
+    graft.operators.CacheRefresh.publishVersioned(spark, livePath) { dir =>
+      reports.write.mode("overwrite").parquet(s"$dir/reports")
+      writeSubstrManifest(spark, dir, Seq(folded))
+    }
+  }
+
+  /** The live per-doc report table published by [[saveSubstr]] /
+    * [[appendSubstr]] — the serving read: one-shot-equivalent verdicts
+    * with zero window hashing.
+    */
+  def loadSubstrReports(spark: SparkSession, livePath: String): DataFrame =
+    spark.read.parquet(
+      graft.operators.CacheRefresh.resolveLive(spark, livePath) +
+        "/reports")
+
+  /** The aggregated per-hash stats view over the live manifest's
+    * partials — `min(sum(n_docs), 2)` / `min(min_id)`, the exact
+    * algebra the append path decides with (IndexStoreSpec compares
+    * this view between a grown index and a fresh build).
+    */
+  def loadSubstrHashStats(spark: SparkSession,
+      livePath: String): DataFrame = {
+    val live = graft.operators.CacheRefresh.resolveLive(spark, livePath)
+    spark.read.parquet(readSubstrManifest(spark, live): _*)
+      .groupBy(col("__h"))
+      .agg(least(sum(col("n_docs")), lit(2L)).as("n_docs"),
+        min(col("min_id")).as("min_id"))
+  }
+
+  private def writeSubstrSegment(spark: SparkSession, livePath: String,
+      stats: DataFrame): String = {
+    val seg = s"$livePath.segments/seg-${java.util.UUID.randomUUID()}"
+    stats.write.mode("overwrite").parquet(seg)
+    seg
+  }
+
+  private def writeSubstrManifest(spark: SparkSession, dir: String,
+      segs: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "segments.manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write((segs.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readSubstrManifest(spark: SparkSession,
+      live: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(live, "segments.manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq
+  }
+
   /** Cell-balance of the live IVF index: max cell size over mean cell
     * size — the retrain trigger ([[compactIvf]]'s scaladoc). 1.0 is
     * perfectly balanced; appends assigned to frozen cells drift it

@@ -623,14 +623,32 @@ object Similarity {
     graft.functions.Vectors.bestCellId(v, col("__cents"))
 
   /** Probe side of an IVF scan: top-nprobe lists per query as a NARROW
-    * projection — score all centroids per row, array_sort by (cos desc,
-    * list_id), slice. The windowed form shuffled the query set WITH its
+    * projection. The windowed form shuffled the query set WITH its
     * vectors by query_id; when queries are corpus-scale (the mutual-kNN
     * graph), that is a full-corpus vector shuffle for what is per-row
-    * math. Output: (query_id, qv, list_id) — one row per probed cell.
+    * math. The per-row pick is the fused [[graft.functions.Vectors
+    * .topCells]] kernel — identical selection and (cos desc, list_id)
+    * tie order to the HOF slice(array_sort(transform(...))) form
+    * ([[probeCellsHof]], kept as the executable spec BestCellSpec
+    * diffs against), minus the per-centroid lambda interpreter that
+    * measured 38.4 s of the 100× components build's 81 s wall.
+    * Output: (query_id, qv, list_id) — one row per probed cell.
     */
   private[graft] def probeCells(queries: DataFrame, id: String, vec: String,
-      centroids: DataFrame, nprobe: Int): DataFrame = {
+      centroids: DataFrame, nprobe: Int): DataFrame =
+    queries.select(col(id).as("query_id"), toDouble(col(vec)).as("qv"))
+      .crossJoin(centroidArray(centroids))
+      .select(col("query_id"), col("qv"),
+        explode(graft.functions.Vectors.topCells(
+          col("qv"), col("__cents"), nprobe)).as("list_id"))
+
+  /** The HOF probe pick [[probeCells]] replaced — score all centroids
+    * per row with a per-element lambda, array_sort the (negCd, list_id)
+    * structs, slice. Kept as the executable ORDERING SPEC: BestCellSpec
+    * pins kernel ≡ HOF on random vectors, ties included.
+    */
+  private[graft] def probeCellsHof(queries: DataFrame, id: String,
+      vec: String, centroids: DataFrame, nprobe: Int): DataFrame = {
     val cells = slice(array_sort(transform(col("__cents"), c =>
       struct((-cosine(col("qv"), c.getField("cvec"))).as("negCd"),
         c.getField("list_id").as("list_id")))), 1, nprobe)

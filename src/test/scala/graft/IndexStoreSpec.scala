@@ -307,4 +307,87 @@ class IndexStoreSpec extends SparkSpec {
       "over-threshold index must compact")
     assert(IndexStore.ivfImbalance(spark, path) < drifted)
   }
+
+  test("appendSubstr: grown index == fresh build over base ∪ delta, " +
+      "affected sole-carrier docs recompute, others carry over") {
+    import graft.pipeline.Dedup
+    // crafted corpus: the 41-char span S is UNIQUE in the base (doc 1
+    // is its sole carrier — zero spans in the base-only build); the
+    // delta's doc 10 carries S too, so the append must RECOMPUTE doc
+    // 1's report (its span appears) while doc 2's (untouched by the
+    // delta) carries over byte-identically. Docs 3+4 share span T in
+    // the base already (their reports must not change), and docs
+    // 10+11 share the intra-batch span U (batch-internal dup detection
+    // with no base involvement).
+    val S = "the quick brown fox jumps over the lazy dog S!"
+    val T = "pack my box with five dozen liquor jugs today T"
+    val U = "sphinx of black quartz judge my vow right now U!"
+    def pad(c: Char) = c.toString * 30
+    val base = Seq(
+      (1L, pad('a') + S + pad('b')),
+      (2L, pad('c') + "no duplicated content lives here at all" + pad('d')),
+      (3L, pad('e') + T + pad('f')),
+      (4L, pad('g') + T + pad('h'))).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, pad('i') + S + pad('j') + U),
+      (11L, pad('k') + U + pad('l'))).toDF("doc_id", "text")
+    val path = live("substr")
+    IndexStore.saveSubstr(base, "doc_id", "text", minLen = 40, path,
+      hasher = Dedup.portableHash)
+    def reports(p: String) =
+      IndexStore.loadSubstrReports(spark, p).orderBy("doc_id")
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val baseOnly = reports(path)
+    assert(baseOnly.find(_._1 == 1L).get._2 == 0L,
+      "S is base-unique: doc 1 must have zero spans pre-append")
+    assert(baseOnly.find(_._1 == 3L).get._2 == 1L,
+      "T is a base dup: docs 3/4 carry a span already")
+    IndexStore.appendSubstr(base, delta, "doc_id", "text", minLen = 40,
+      path, hasher = Dedup.portableHash)
+    val appended = reports(path)
+    // one-shot over the union — THE contract
+    val fresh = Dedup.substringDedup(base.unionByName(delta), "doc_id",
+        "text", minLen = 40, hasher = Dedup.portableHash)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(appended == fresh,
+      "append must equal the one-shot build over base ∪ delta")
+    assert(appended.find(_._1 == 1L).get._2 >= 1L,
+      "doc 1 (sole carrier made dup by the batch) must be recomputed")
+    assert(appended.find(_._1 == 2L).get ==
+      baseOnly.find(_._1 == 2L).get,
+      "an unaffected doc's report must carry over untouched")
+    assert(appended.find(_._1 == 10L).get._2 >= 2L &&
+      appended.find(_._1 == 11L).get._2 >= 1L,
+      "intra-batch dups (U) must be detected without base involvement")
+    // hash stats VIEW (sum-capped over partial segments): append ≡
+    // rebuild row-for-row
+    def hview(p: String) = IndexStore.loadSubstrHashStats(spark, p)
+      .orderBy("__h").collect().toSeq
+    val grownH = hview(path)
+    val path2 = live("substr2")
+    IndexStore.saveSubstr(base.unionByName(delta), "doc_id", "text",
+      minLen = 40, path2, hasher = Dedup.portableHash)
+    assert(grownH == hview(path2),
+      "merged hash stats must equal the fresh build row-for-row")
+    // compaction folds the partials into one segment without changing
+    // the view or the served reports
+    IndexStore.compactSubstr(spark, path)
+    assert(hview(path) == grownH,
+      "compaction must not change the stats view")
+    assert(reports(path) == fresh,
+      "compaction must not change the served reports")
+    // winnowed index: same append ≡ one-shot contract in sampled mode
+    val pathW = live("substrw")
+    IndexStore.saveSubstr(base, "doc_id", "text", minLen = 40, pathW,
+      hasher = Dedup.portableHash, winnow = 4)
+    IndexStore.appendSubstr(base, delta, "doc_id", "text", minLen = 40,
+      pathW, hasher = Dedup.portableHash, winnow = 4)
+    val freshW = Dedup.substringDedup(base.unionByName(delta), "doc_id",
+        "text", minLen = 40, hasher = Dedup.portableHash, winnow = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(reports(pathW) == freshW,
+      "winnowed append must equal the winnowed one-shot")
+  }
 }
