@@ -706,6 +706,44 @@ object Similarity {
       queries: DataFrame, id: String, vec: String, k: Int,
       nprobe: Int): DataFrame = {
     val probes = probeCells(queries, id, vec, centroids, nprobe)
+    // cell-BLOCK scoring (r15): the row-form join materialized one
+    // candidate row per (query, cell vector) — ~1 KB each with both
+    // 64-dim arrays aboard, 38.4M rows / 26.5 s at the 100× components
+    // build — for what is per-cell math. Grouping each inverted list
+    // into ONE (neighbor_id, cv) block row and scoring it with the
+    // fused [[graft.functions.Vectors.cellTopK]] kernel emits only the
+    // per-cell top-k entries (k per (query, probed cell)); the global
+    // bounded aggregation then merges exactly the same candidates —
+    // k-smallest of a union is the k-smallest of per-part k-smallests
+    // under the total (neg, neighbor_id) order, and the kernel's
+    // cosine is the CosineSimilarity loop bit-for-bit, so results are
+    // IDENTICAL to the row form ([[ivfScoreTopKRows]], kept as the
+    // executable spec SimilaritySpec diffs against). Block rows are
+    // cell-sized: safe under AutoNlist's ~64-vector cells, with cell
+    // drift bounded by the ivfImbalance/compact machinery.
+    val blocks = assigned.groupBy(col("list_id"))
+      .agg(collect_list(struct(col("neighbor_id"), col("cv")))
+        .as("__block"))
+    val cellTops = probes.join(blocks, Seq("list_id"))
+      .select(col("query_id"),
+        explode(graft.functions.Vectors.cellTopK(
+          col("qv"), col("__block"), col("query_id"), k)).as("__e"))
+    explodeRanked(cellTops.groupBy(col("query_id"))
+        .agg(bottomK(col("__e"), k).as("__tk")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        (-col("__t.neg")).as("cos"), col("rank"))
+  }
+
+  /** The row-form scoring chain [[ivfScoreTopK]] replaced — one
+    * materialized candidate row per (query, cell vector), cosine as a
+    * per-row column, bounded bottom-k over all candidates. Kept as the
+    * executable EQUIVALENCE SPEC: SimilaritySpec pins block ≡ rows on
+    * a corpus with ties and self-pairs.
+    */
+  private[graft] def ivfScoreTopKRows(centroids: DataFrame,
+      assigned: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val probes = probeCells(queries, id, vec, centroids, nprobe)
     val scored = assigned.join(probes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))

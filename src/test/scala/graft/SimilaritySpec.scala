@@ -791,4 +791,33 @@ class SimilaritySpec extends SparkSpec {
     assert(Set(rel0(0), rel0(1)) == Set(top1._1, 23L))
     assert(got(0L)(1) != (if (got(0L).head == top1._1) 23L else top1._1))
   }
+
+  test("block-scored ivfScoreTopK == row-form scoring, bit-for-bit — " +
+      "ties, self-pairs, duplicate vectors, small cells included") {
+    // corpus with exact DUPLICATE vectors (cosine-1.0 ties resolved by
+    // the (neg, neighbor_id) total order), zero vectors (cosine 0.0
+    // everywhere), and every id both query and corpus side (self-pair
+    // exclusion on both paths)
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 400L).map(i =>
+      (i, Seq.fill(8)(rnd.nextInt(200) / 100.0 - 1.0)))
+    val dups = (400L until 430L).map(i => (i, base((i % 16).toInt)._2))
+    val zeros = (430L until 440L).map(i => (i, Seq.fill(8)(0.0)))
+    val vecs = (base ++ dups ++ zeros).toDF("vec_id", "embedding")
+    for (nlist <- Seq(8, 32); nprobe <- Seq(2, 5); k <- Seq(3, 7)) {
+      val (cents, assigned) = Similarity.ivfIndexFrames(
+        vecs, "vec_id", "embedding", nlist)
+      def rows4(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "cos", "rank")
+          .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+      val block = rows4(Similarity.ivfScoreTopK(
+        cents, assigned, vecs, "vec_id", "embedding", k, nprobe))
+      val rowsF = rows4(Similarity.ivfScoreTopKRows(
+        cents, assigned, vecs, "vec_id", "embedding", k, nprobe))
+      assert(block == rowsF,
+        s"block scoring must equal the row form (nlist=$nlist, " +
+          s"nprobe=$nprobe, k=$k)")
+      assert(block.nonEmpty)
+    }
+  }
 }
