@@ -2,8 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-// Temporary r10 profiling main (not part of the library surface):
-// prefix-join scale anatomy. Deleted before round close.
+// Temporary r15 profiling main (not part of the library surface):
+// per-query phase anatomy. Deleted before round close.
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -11,59 +11,44 @@ object Prof {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[prof] $tag%-36s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      println(f"[prof] $tag%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    for (dir <- Seq("/root/testdata/sf0.1", "/tmp/sfx10", "/tmp/sfx100")) {
-      println(s"=== $dir")
-      val docs = Tables.load(spark, dir, "documents")
-      docs.count()
-      // mirror the dedup_prefix_join query's tokenization + t
-      val tb = 2000
-      def ceilBp(n: org.apache.spark.sql.Column) =
-        floor((n * tb + 9999) / 10000).cast("long")
-      val tok = docs.select(col("doc_id").as("__id"),
-          array_distinct(graft.pipeline.Dedup.shingles(col("text"), 3)).as("__raw"))
-        .filter(size(col("__raw")) > 0)
-      val ex = tok.select(col("__id"), explode(col("__raw")).as("__t"))
-      val freq = ex.groupBy(col("__t")).agg(count(lit(1)).as("__f"))
-      val ordered = time("ordered dim build")(
-        graft.operators.Pinning.pin(ex.join(freq, "__t")
-          .groupBy(col("__id"))
-          .agg(sort_array(collect_list(struct(col("__f"), col("__t")))).as("__st"))
-          .select(col("__id"),
-            transform(col("__st"), x => x.getField("__t")).as("__ts"))
-          .withColumn("__n", size(col("__ts")).cast("long"))
-          .withColumn("__p", (col("__n") - ceilBp(col("__n")) + 1).cast("int"))))
-      val prefix = ordered.select(col("__id"), col("__n"),
-          posexplode(slice(col("__ts"), lit(1), col("__p"))).as(Seq("__i", "__t")))
-        .select(col("__id"), col("__n"), (col("__i") + 1).cast("long").as("__pp"),
-          col("__t"))
-      println("prefix rows = " + time("prefix explode")(prefix.count()))
-      val alpha = floor((lit(tb) * (col("__n1") + col("__n2")) + (10000 + tb - 1))
-        / (10000 + tb)).cast("long")
-      val raw = prefix.select(col("__id").as("id1"), col("__n").as("__n1"),
-          col("__pp").as("__p1"), col("__t"))
-        .join(prefix.select(col("__id").as("id2"), col("__n").as("__n2"),
-          col("__pp").as("__p2"), col("__t")), "__t")
-        .filter(col("id1") < col("id2"))
-      println("raw collision rows = " + time("collision join")(raw.count()))
-      val cands = raw
-        .filter(least(col("__n1"), col("__n2")) >=
-          ceilBp(greatest(col("__n1"), col("__n2"))))
-        .filter(least(col("__p1"), col("__p2")) +
-          least(col("__n1") - col("__p1"), col("__n2") - col("__p2")) >= alpha)
-        .select(col("id1"), col("id2")).distinct()
-      println("cand pairs = " + time("cand distinct")(cands.count()))
-      val pairs = time("full prefixFilterPairs")(
-        graft.pipeline.Dedup.prefixFilterPairs(docs, "doc_id",
-          graft.pipeline.Dedup.shingles(col("text"), 3), t = 0.2))
-      println("result pairs = " + pairs.count())
-      graft.operators.Pinning.unpin(ordered)
-      graft.operators.Pinning.unpin(pairs)
-      spark.catalog.clearCache()
-    }
+    def exec(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+    val docs = Tables.load(spark, dir, "documents")
+    println("docs = " + docs.count())
+    import graft.operators.Hll
+    def lab(m: Int, l: String) = docs.filter(col("doc_id") % m === 0)
+      .select(lit(l).as("which"), md5(col("text")).as("key"))
+    val ab = lab(2, "a").union(lab(3, "b"))
+    val grk = ab.groupBy(col("key")).agg(
+      max(when(col("which") === "a", 1L).otherwise(0L)).as("ha"),
+      max(when(col("which") === "b", 1L).otherwise(0L)).as("hb"))
+    val (jc, rhoc) = Hll.regCoords(col("key"), 64)
+    val grsel = grk.select(col("key"), col("ha"), col("hb"),
+      jc.as("j"), rhoc.as("rho"))
+    exec(grsel); exec(grsel) // warm JIT
+    time("gr exec (warm)")(exec(grsel))
+    val gr = time("gr pin")(graft.operators.Pinning.pin(grsel))
+    val sparse = gr.groupBy(col("j")).agg(
+        max(when(col("ha") === 1L, col("rho"))).as("__ma"),
+        max(when(col("hb") === 1L, col("rho"))).as("__mb"),
+        max(col("rho")).as("__mu"))
+      .selectExpr("stack(3, 'a', j, __ma, 'b', j, __mb, 'union', j, __mu)" +
+        " as (which, j, m)")
+      .filter(col("m").isNotNull)
+    time("sparse exec")(exec(sparse))
+    val estL = Hll.estimate(sparse, Seq("which"), 64)
+    time("est exec lazy")(exec(estL))
+    val est = time("est pin")(graft.operators.Pinning.pin(estL))
+    time("est pin read")(exec(est))
+    val q = SparkEntry.queries("corpus_overlap_hll")
+    exec(q(spark, dir))
+    time("full corpus_overlap_hll #2")(exec(q(spark, dir)))
+    time("full corpus_overlap_hll #3")(exec(q(spark, dir)))
     spark.stop()
   }
 }

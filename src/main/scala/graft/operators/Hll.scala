@@ -39,46 +39,58 @@ object Hll {
   def hash60(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Per-row register coordinates of a key: (j, rho) — the kernel
+    * [[registers]] aggregates with a per-(group, j) max. Exposed so
+    * callers that already hold a per-key frame (e.g. a distinct-key
+    * aggregate shared with exact counts) can build registers without a
+    * second corpus pass; expressions are byte-identical to registers().
+    */
+  def regCoords(key: Column, m: Int): (Column, Column) = {
+    val p = log2(m)
+    val width = 60 - p
+    val h = hash60(key)
+    val rest = shiftright(h, p)
+    (pmod(h, lit(m.toLong)),
+      when(rest === 0L, lit(width + 1L))
+        .otherwise(lit(width + 1L) - length(bin(rest)).cast("long")))
+  }
+
   /** Sparse register maxes per group: (groupCols*, j, m) — one combinable
     * aggregation; dups collapse map-side.
     */
   def registers(df: DataFrame, groupCols: Seq[String], key: String,
       m: Int): DataFrame = {
-    val p = log2(m)
-    val width = 60 - p
-    val h = hash60(col(key))
-    val rest = shiftright(h, p)
-    df.select(
-        (groupCols.map(col) :+ pmod(h, lit(m.toLong)).as("j") :+
-          when(rest === 0L, lit(width + 1L))
-            .otherwise(lit(width + 1L) - length(bin(rest)).cast("long"))
-            .as("rho")): _*)
+    val (j, rho) = regCoords(col(key), m)
+    df.select((groupCols.map(col) :+ j.as("j") :+ rho.as("rho")): _*)
       .groupBy((groupCols :+ "j").map(col): _*)
       .agg(max(col("rho")).as("m"))
   }
 
   /** Raw HLL estimate + zero-register count per group from a sparse
-    * register table (absent registers count as zero). The m-row register
-    * dimension densifies against the group list; the ordered fold keeps
-    * the double sum engine-exact.
+    * register table (absent registers count as zero; null-j rows are
+    * ignored, matching the old dense join's null-never-matches
+    * semantics). r15 opt (guide §2.4): ONE exchange — each group's
+    * sparse registers collapse into a j→max map and densify inside the
+    * row via sequence(0, m−1), instead of the old distinct-groups ×
+    * range(m) cross join + left join chain (3 exchanges + a broadcast).
+    * The fold is unchanged arithmetic: 2^-M terms added in ascending
+    * register order (dyadic rationals, deterministic rounding), so both
+    * engines still produce the identical double.
     */
   def estimate(sparse: DataFrame, groupCols: Seq[String], m: Int): DataFrame = {
-    val spark = sparse.sparkSession
-    val groups = sparse.select(groupCols.map(col): _*).distinct()
-    val dense = groups
-      .crossJoin(spark.range(m).select(col("id").as("j")))
-      .join(sparse, groupCols :+ "j", "left")
-      .select((groupCols.map(col) :+ col("j") :+
-        coalesce(col("m"), lit(0L)).as("m")): _*)
-    dense.groupBy(groupCols.map(col): _*)
-      .agg(
-        sort_array(collect_list(struct(col("j"),
-          pow(lit(2.0), -col("m").cast("double")).as("p")))).as("__ps"),
-        sum(when(col("m") === 0L, 1L).otherwise(0L)).as("n_zero_regs"))
+    val dense = transform(
+      sequence(lit(0L), lit(m.toLong - 1L)),
+      j => coalesce(element_at(col("__rm"), j), lit(0L)))
+    sparse
+      .filter(col("j").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("j"), col("m"))))
+        .as("__rm"))
       .select((groupCols.map(col) :+
         (lit(alpha(m)) * lit(m.toDouble * m) /
-          aggregate(col("__ps"), lit(0.0),
-            (a, x) => a + x.getField("p"))).as("hll_raw") :+
-        col("n_zero_regs")): _*)
+          aggregate(dense, lit(0.0),
+            (a, x) => a + pow(lit(2.0), -x.cast("double")))).as("hll_raw") :+
+        size(filter(dense, x => x === 0L)).cast("long")
+          .as("n_zero_regs")): _*)
   }
 }

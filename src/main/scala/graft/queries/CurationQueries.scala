@@ -420,14 +420,49 @@ object CurationQueries extends QueryModule {
       def lab(m: Int, l: String) = docs.filter(col("doc_id") % m === 0)
         .select(lit(l).as("which"), md5(col("text")).as("key"))
       val ab = lab(2, "a").union(lab(3, "b"))
-      val tagged = ab.union(ab.select(lit("union").as("which"), col("key")))
-      // the register build (corpus scan + md5 + per-register max) feeds
-      // the three-row join AND the wide inclusion-exclusion agg — pin
-      // the 3-row estimate so the upstream runs once
-      val est = graft.operators.Pinning.pin(Hll.estimate(
-        Hll.registers(tagged, Seq("which"), "key", 64), Seq("which"), 64))
-      val exact = tagged.groupBy(col("which"))
-        .agg(countDistinct(col("key")).as("n_exact"))
+      // r15 opt (guide §2.3/§2.4): ONE corpus pass + ONE exchange on key.
+      // Everything downstream — a/b/union exact distinct counts, the
+      // intersection count, and all three HLL register sets — is a
+      // function of the per-distinct-key membership bits (ha, hb), so
+      // aggregate those once and derive the rest from the pinned
+      // distinct-key frame. The old form re-scanned documents ~10×
+      // (tagged = ab∪ab feeding registers AND countDistinct, plus an
+      // intersect of two more scans) through 8 exchanges; bench 2.48 s
+      // → this shape's 1 scan-pair + key exchange. Register values are
+      // byte-identical: regCoords is registers()'s own kernel, and dup
+      // keys never move a per-register max. The union group's key set IS
+      // the distinct-key frame (tagged's 'union' tag was ab re-tagged).
+      // No pin: gr is one Exchange(key) subtree referenced three times in
+      // ONE lazy plan, so ReusedExchange computes it once (pin jobs cost
+      // ~0.3 s each here and, at scale, a pin is just a worse spelling of
+      // the same single materialization).
+      val grk = ab.groupBy(col("key")).agg(
+        max(when(col("which") === "a", 1L).otherwise(0L)).as("ha"),
+        max(when(col("which") === "b", 1L).otherwise(0L)).as("hb"))
+      val (jc, rhoc) = Hll.regCoords(col("key"), 64)
+      val gr = grk.select(col("key"), col("ha"), col("hb"),
+        jc.as("j"), rhoc.as("rho"))
+      val sparse = gr
+        .groupBy(col("j")).agg(
+          max(when(col("ha") === 1L, col("rho"))).as("__ma"),
+          max(when(col("hb") === 1L, col("rho"))).as("__mb"),
+          max(col("rho")).as("__mu"))
+        .selectExpr(
+          "stack(3, 'a', j, __ma, 'b', j, __mb, 'union', j, __mu)" +
+            " as (which, j, m)")
+        .filter(col("m").isNotNull)
+      val est = Hll.estimate(sparse, Seq("which"), 64)
+      // exact distinct counts per side + intersection, all from gr; the
+      // isNotNull guards reproduce countDistinct's null-key semantics
+      val keyed = when(col("key").isNotNull, 1L).otherwise(0L)
+      val totals = gr.agg(
+        coalesce(sum(keyed * col("ha")), lit(0L)).as("__na"),
+        coalesce(sum(keyed * col("hb")), lit(0L)).as("__nb"),
+        coalesce(sum(keyed), lit(0L)).as("__nu"),
+        coalesce(sum(keyed * col("ha") * col("hb")), lit(0L)).as("__ni"))
+      val exact = totals.selectExpr(
+        "stack(3, 'a', __na, 'b', __nb, 'union', __nu)" +
+          " as (which, n_exact)")
       val three = exact.join(est, Seq("which"))
         .select(col("which"), col("n_exact"),
           round(col("hll_raw"), 4).as("hll_est"))
@@ -435,10 +470,7 @@ object CurationQueries extends QueryModule {
         max(when(col("which") === "a", col("hll_raw"))).as("ra"),
         max(when(col("which") === "b", col("hll_raw"))).as("rb"),
         max(when(col("which") === "union", col("hll_raw"))).as("ru"))
-      val interExact = lab(2, "a").select(col("key"))
-        .intersect(lab(3, "b").select(col("key")))
-        .agg(count(lit(1)).as("n_exact"))
-      val inter = interExact.crossJoin(wide)
+      val inter = totals.select(col("__ni").as("n_exact")).crossJoin(wide)
         .select(lit("inter").as("which"), col("n_exact"),
           round(col("ra") + col("rb") - col("ru"), 4).as("hll_est"))
       three.union(inter).orderBy(col("which"))
