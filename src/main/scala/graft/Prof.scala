@@ -18,37 +18,29 @@ object Prof {
     }
     def exec(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
-    val docs = Tables.load(spark, dir, "documents")
-    println("docs = " + docs.count())
-    import graft.operators.Hll
-    def lab(m: Int, l: String) = docs.filter(col("doc_id") % m === 0)
-      .select(lit(l).as("which"), md5(col("text")).as("key"))
-    val ab = lab(2, "a").union(lab(3, "b"))
-    val grk = ab.groupBy(col("key")).agg(
-      max(when(col("which") === "a", 1L).otherwise(0L)).as("ha"),
-      max(when(col("which") === "b", 1L).otherwise(0L)).as("hb"))
-    val (jc, rhoc) = Hll.regCoords(col("key"), 64)
-    val grsel = grk.select(col("key"), col("ha"), col("hb"),
-      jc.as("j"), rhoc.as("rho"))
-    exec(grsel); exec(grsel) // warm JIT
-    time("gr exec (warm)")(exec(grsel))
-    val gr = time("gr pin")(graft.operators.Pinning.pin(grsel))
-    val sparse = gr.groupBy(col("j")).agg(
-        max(when(col("ha") === 1L, col("rho"))).as("__ma"),
-        max(when(col("hb") === 1L, col("rho"))).as("__mb"),
-        max(col("rho")).as("__mu"))
-      .selectExpr("stack(3, 'a', j, __ma, 'b', j, __mb, 'union', j, __mu)" +
-        " as (which, j, m)")
-      .filter(col("m").isNotNull)
-    time("sparse exec")(exec(sparse))
-    val estL = Hll.estimate(sparse, Seq("which"), 64)
-    time("est exec lazy")(exec(estL))
-    val est = time("est pin")(graft.operators.Pinning.pin(estL))
-    time("est pin read")(exec(est))
-    val q = SparkEntry.queries("corpus_overlap_hll")
-    exec(q(spark, dir))
-    time("full corpus_overlap_hll #2")(exec(q(spark, dir)))
-    time("full corpus_overlap_hll #3")(exec(q(spark, dir)))
+    import graft.pipeline.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    println("emb = " + emb.count())
+    val q = emb.filter(col("vec_id") < 8)
+    // one full run to warm the session memos (truth/ivf32/adc32/pq models)
+    val full = SparkEntry.queries("sim_recall_report")
+    exec(full(spark, dir))
+    exec(full(spark, dir))
+    time("full sim_recall_report warm")(exec(full(spark, dir)))
+    def lsh(ph: Int, ps: Int) =
+      Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5,
+        bits = 4, tables = 4, probeHamming = ph, probeSeq = ps)
+    time("lsh_0probe")(exec(lsh(0, 0)))
+    time("lsh_0probe again")(exec(lsh(0, 0)))
+    time("lsh_directed_m2")(exec(lsh(1, 2)))
+    time("lsh_hamming1")(exec(lsh(1, 0)))
+    // planning vs execution split for the giant unioned plan
+    val df1 = full(spark, dir)
+    time("analyze+optimize+plan")(df1.queryExecution.executedPlan)
+    time("execute only")(exec(df1))
+    val df2 = full(spark, dir)
+    time("plan again (fresh df)")(df2.queryExecution.executedPlan)
+    time("execute again")(exec(df2))
     spark.stop()
   }
 }

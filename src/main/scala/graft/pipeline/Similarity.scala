@@ -1411,10 +1411,16 @@ object Similarity {
     def withSigs(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col(id).as(idAs) +: toDouble(col(vec)).as(vecAs) +:
         sigs.zipWithIndex.map { case (s, i) => s.as(s"sig$i") }: _*)
-    // per-call pins (consumed twice each: bucket explode + vector attach)
-    // — GC-freed with the result, never session-lifetime CacheManager rows
-    val c = graft.operators.Pinning.pin(withSigs(corpus, "neighbor_id", "cv"))
-    val q = graft.operators.Pinning.pin(withSigs(queries, "query_id", "qv"))
+    // No pins (r15 opt, guide §1.2): the two consumers of each side want
+    // DISJOINT column sets — the bucket explode reads (id, sigs), the
+    // vector attach reads (id, vec) — so lazy subtrees let Catalyst prune
+    // each pass to exactly its columns and the signature kernel runs ONCE
+    // (in the bucket branch only). The old per-call pins materialized
+    // id+vec+sigs for both sides (two pin jobs, ~0.6 s/call locally) and
+    // at scale forced a corpus-sized (vec+sigs) copy into block storage
+    // that column pruning never needs.
+    val c = withSigs(corpus, "neighbor_id", "cv")
+    val q = withSigs(queries, "query_id", "qv")
     // candidate generation carries IDS ONLY — the d-dim vectors are joined
     // back once per surviving pair, not dragged through union+distinct.
     // All tables join at once on the composite (table, bucket) key: one

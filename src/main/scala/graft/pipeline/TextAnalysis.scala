@@ -338,6 +338,12 @@ object TextAnalysis {
     val bits = (c: Column) => length(bin(c)).cast("long")
     val words = split(lower(trim(col(text))), "\\s+")
     val nb = greatest(size(words) - 1, lit(0))
+    // Pin kept (r15 measured): a pin-free single plan only reuses db's
+    // exchange for the FIRST consumer — column pruning gives ctxDim and
+    // vocab differently-projected subtrees, so each re-runs the corpus
+    // explode (2 extra full passes at scale, no local win either: 2.48 s
+    // pinned vs ~2.45 s unpinned same-context). The corpus-sized pin is
+    // the cheaper spelling of "tokenize once" here.
     val db = graft.operators.Pinning.pin(
       docs.select(col(id).as("__did"),
           explode(zip_with(slice(words, lit(1), nb), slice(words, lit(2), nb),
