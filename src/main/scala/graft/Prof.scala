@@ -19,28 +19,35 @@ object Prof {
     def exec(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
     import graft.pipeline.Similarity
-    val emb = Tables.load(spark, dir, "embeddings")
-    println("emb = " + emb.count())
-    val q = emb.filter(col("vec_id") < 8)
-    // one full run to warm the session memos (truth/ivf32/adc32/pq models)
-    val full = SparkEntry.queries("sim_recall_report")
-    exec(full(spark, dir))
-    exec(full(spark, dir))
-    time("full sim_recall_report warm")(exec(full(spark, dir)))
-    def lsh(ph: Int, ps: Int) =
-      Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5,
-        bits = 4, tables = 4, probeHamming = ph, probeSeq = ps)
-    time("lsh_0probe")(exec(lsh(0, 0)))
-    time("lsh_0probe again")(exec(lsh(0, 0)))
-    time("lsh_directed_m2")(exec(lsh(1, 2)))
-    time("lsh_hamming1")(exec(lsh(1, 0)))
-    // planning vs execution split for the giant unioned plan
-    val df1 = full(spark, dir)
-    time("analyze+optimize+plan")(df1.queryExecution.executedPlan)
-    time("execute only")(exec(df1))
-    val df2 = full(spark, dir)
-    time("plan again (fresh df)")(df2.queryExecution.executedPlan)
-    time("execute again")(exec(df2))
+    val emb = Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 500)
+    emb.count()
+    val full = SparkEntry.queries("sim_dbscan")
+    exec(full(spark, dir)); exec(full(spark, dir))
+    time("full sim_dbscan warm")(exec(full(spark, dir)))
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.35)
+    time("pairs exec")(exec(pairs))
+    time("pairs exec again")(exec(pairs))
+    val pairs2 = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.35)
+    time("dbscan only (pairs prebuilt)")(
+      exec(Similarity.dbscan(emb, pairs2, "vec_id", minPts = 2)))
+    // interior anatomy
+    val edges = pairs2.select(col("id1").as("n"), col("id2").as("m"))
+      .unionByName(pairs2.select(col("id2").as("n"), col("id1").as("m")))
+    val deg = edges.groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val core = deg.filter(col("degree") >= 2).select(col("n"))
+    val coreEdges = edges
+      .join(core.withColumnRenamed("n", "__cn"), col("n") === col("__cn"),
+        "left_semi")
+      .join(core.withColumnRenamed("n", "__cm"), col("m") === col("__cm"),
+        "left_semi")
+    time("coreEdges exec")(exec(coreEdges))
+    val comp = time("connectedComponents call")(
+      graft.operators.Clustering.connectedComponents(
+        coreEdges.select(col("n").as("src"), col("m").as("dst"))))
+    time("comp exec")(exec(comp))
+    val comp2 = time("cc call again")(
+      graft.operators.Clustering.connectedComponents(
+        coreEdges.select(col("n").as("src"), col("m").as("dst"))))
     spark.stop()
   }
 }

@@ -71,6 +71,57 @@ object Clustering {
       maxIter: Int = 50,
       localEdgeThreshold: Long = 5000000L): DataFrame = {
     val spark = edges.sparkSession
+    // Small-graph fast path: below the threshold, a driver-side union-find
+    // beats several distributed rounds — the same adaptive posture as
+    // broadcast-vs-shuffle join selection. Integral node ids only: the
+    // local path works on longs, and numeric min on a string id type would
+    // disagree with the distributed path's lexicographic min. The iterative
+    // path below remains the scale route and produces identical labels
+    // (component id = min member id either way).
+    //
+    // r15 opt: the probe and the collect run on the RAW edge list —
+    // union-find is direction- and duplicate-insensitive, so the local
+    // path never needs the symmetrize+distinct exchange, the pin job, or
+    // the endpoint-distinct pass the old code paid before branching
+    // (~0.7 s per call locally; the probe threshold now counts raw rather
+    // than distinct-symmetrized edges, a heuristic either way). The
+    // distributed path below builds sym exactly as before.
+    val nodeType = nodes.map(_.schema("node").dataType)
+      .getOrElse(edges.schema("src").dataType)
+    val integralNodes = nodeType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    // bounded probe = the collect itself: take(threshold+1) both answers
+    // "is the graph small?" AND delivers the edges when it is, so the
+    // local path executes the (possibly expensive) edge upstream exactly
+    // once — no pin, no second pass. A huge graph pays one capped take
+    // before falling through to the distributed path.
+    if (integralNodes) {
+      val cap = math.min(localEdgeThreshold + 1, Int.MaxValue.toLong).toInt
+      val taken = edges
+        .select(col("src").cast("long"), col("dst").cast("long")).take(cap)
+      if (taken.length <= localEdgeThreshold) {
+        import spark.implicits._
+        val ns = nodes
+          .map(_.select(col("node").cast("long")).as[Long].collect())
+          .getOrElse(Array.empty[Long])
+        val uf = new UnionFind
+        ns.foreach(uf.add)
+        taken.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          uf.add(a); uf.add(b); uf.union(a, b)
+        }
+        // root = min member id: UnionFind unions by min root
+        val out = uf.members.toSeq.sorted.map(n => (n, uf.find(n)))
+        return spark.createDataset(out).toDF("node", "component")
+          .select(col("node").cast(nodeType).as("node"),
+            col("component").cast(nodeType).as("component"))
+      }
+    }
     // pinned eagerly (Pinning strategy): every path below consumes the
     // symmetrized list at least twice, so it materializes exactly once
     // either way — the pin makes the cost deterministic and gives the
@@ -85,41 +136,6 @@ object Clustering {
     val allNodes = nodes
       .map(_.select(col("node")).unionByName(endpointNodes).distinct())
       .getOrElse(endpointNodes)
-    // Small-graph fast path: below the threshold, a driver-side union-find
-    // beats several distributed rounds — the same adaptive posture as
-    // broadcast-vs-shuffle join selection. Integral node ids only: the
-    // local path works on longs, and numeric min on a string id type would
-    // disagree with the distributed path's lexicographic min. The iterative
-    // path below remains the scale route and produces identical labels
-    // (component id = min member id either way).
-    val integralNodes = allNodes.schema("node").dataType match {
-      case _: org.apache.spark.sql.types.LongType |
-           _: org.apache.spark.sql.types.IntegerType |
-           _: org.apache.spark.sql.types.ShortType |
-           _: org.apache.spark.sql.types.ByteType => true
-      case _ => false
-    }
-    // bounded probe: limit(threshold+1).count() answers "is the graph
-    // small?" without a full pass when it is huge — the count stops as
-    // soon as threshold+1 symmetrized edges exist
-    if (integralNodes &&
-        sym.limit(math.min(localEdgeThreshold + 1, Int.MaxValue.toLong).toInt)
-          .count() <= localEdgeThreshold) {
-      import spark.implicits._
-      val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].collect()
-      val ns = allNodes.select(col("node").cast("long")).as[Long].collect()
-      val uf = new UnionFind
-      ns.foreach(uf.add)
-      es.foreach { case (a, b) => uf.add(a); uf.add(b); uf.union(a, b) }
-      // root = min member id: UnionFind unions by min root
-      val out = uf.members.toSeq.sorted.map(n => (n, uf.find(n)))
-      Pinning.unpin(sym)
-      val nodeType = allNodes.schema("node").dataType
-      return spark.createDataset(out).toDF("node", "component")
-        .select(col("node").cast(nodeType).as("node"),
-          col("component").cast(nodeType).as("component"))
-    }
     // pin each round (Pinning strategy): truncates the compounding plan
     // lineage (without it the logical plan doubles per iteration and
     // planning OOMs)

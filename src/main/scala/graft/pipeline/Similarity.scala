@@ -409,11 +409,110 @@ object Similarity {
     * shuffle. Output: (id, degree, role, cluster).
     */
   def dbscan(nodes: DataFrame, pairs: DataFrame, id: String,
-      minPts: Int): DataFrame = {
+      minPts: Int, localWorkThreshold: Long = 2000000L): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    // Driver-local crossover (the G4/MMR work-gate discipline): every
+    // labeled row is a function of the PAIR list alone — degrees, the
+    // core set, core-subgraph components, border attachment — and the
+    // node table only left-joins the result. Under the gate the take()
+    // is both the probe and the collect (one pair-upstream execution),
+    // the graph work runs on arrays, and only the label table (bounded
+    // by pair endpoints) goes back as a broadcast-sized join side; the
+    // distributed path below stays the scale route. Bit-identity local ≡
+    // distributed is pinned by SimilaritySpec (localWorkThreshold = 0).
+    val idType = nodes.schema(id).dataType
+    val integralIds = idType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralIds) {
+      val cap = math.min(localWorkThreshold + 1, Int.MaxValue.toLong).toInt
+      val pl = pairs
+        .select(col("id1").cast("long"), col("id2").cast("long")).take(cap)
+      // null endpoints take the distributed path: they contribute degree
+      // to their non-null partner there, and a LongMap can't key null
+      if (pl.length <= localWorkThreshold &&
+          !pl.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val degM = scala.collection.mutable.LongMap.empty[Long]
+        pl.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          // mirrors deg over the symmetrized union: each pair row adds 1
+          // to each endpoint (a self-pair contributes 2 to its node)
+          degM(a) = degM.getOrElse(a, 0L) + 1L
+          degM(b) = degM.getOrElse(b, 0L) + 1L
+        }
+        def isCore(n: Long) = degM.getOrElse(n, 0L) >= minPts
+        // min-root union-find over the core-core subgraph
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def ufAdd(n: Long): Unit =
+          if (!parent.contains(n)) parent(n) = n
+        def ufFind(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        def ufUnion(a: Long, b: Long): Unit = {
+          val ra = ufFind(a); val rb = ufFind(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        pl.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          if (isCore(a) && isCore(b)) { ufAdd(a); ufAdd(b); ufUnion(a, b) }
+        }
+        // core label: component min (self when no core neighbor);
+        // border label: min core-neighbor cluster over all incident pairs
+        val clusterOf = scala.collection.mutable.LongMap.empty[Long]
+        degM.keysIterator.foreach { n =>
+          if (isCore(n))
+            clusterOf(n) = if (parent.contains(n)) ufFind(n) else n
+        }
+        val borderM = scala.collection.mutable.LongMap.empty[Long]
+        def borderVisit(n: Long, m: Long): Unit =
+          if (!isCore(n) && isCore(m)) {
+            val c = clusterOf(m)
+            borderM(n) = math.min(borderM.getOrElse(n, Long.MaxValue), c)
+          }
+        pl.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          borderVisit(a, b); borderVisit(b, a)
+        }
+        val spark0 = pairs.sparkSession
+        import spark0.implicits._
+        val labeled = degM.keysIterator.map { n =>
+          val (role, cluster) =
+            if (isCore(n)) ("core", clusterOf(n))
+            else borderM.get(n) match {
+              case Some(c) => ("border", c)
+              case None => ("noise", -1L)
+            }
+          (n, degM(n), role, cluster)
+        }.toSeq.sortBy(_._1)
+        val labDf = spark0.createDataset(labeled)
+          .toDF("__n", "degree", "role", "cluster")
+          .select(col("__n").cast(idType).as("__n"), col("degree"),
+            col("role"), col("cluster").cast("long").as("cluster"))
+        return nodes.select(col(id))
+          .join(broadcast(labDf), col(id) === col("__n"), "left")
+          .select(col(id),
+            coalesce(col("degree"), lit(0L)).as("degree"),
+            coalesce(col("role"), lit("noise")).as("role"),
+            coalesce(col("cluster"), lit(-1L)).as("cluster"))
+      }
+    }
     val edges = pairs.select(col("id1").as("n"), col("id2").as("m"))
       .unionByName(pairs.select(col("id2").as("n"), col("id1").as("m")))
-    val deg = edges.groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    // deg is pinned (r15 opt): the degree aggregate feeds core, coreEdges
+    // (via two semi-joins inside connectedComponents' edge upstream), the
+    // border chain, and the final labeled join — unpinned, that whole
+    // groupBy re-executed per consumer (~4 times per run). One node-sized
+    // pin; `pairs` itself is the caller's (usually eager) frame.
+    val deg = graft.operators.Pinning.pin(
+      edges.groupBy(col("n")).agg(count(lit(1)).as("degree")))
     val core = deg.filter(col("degree") >= minPts).select(col("n"))
     val coreEdges = edges
       .join(core.withColumnRenamed("n", "__cn"), col("n") === col("__cn"),

@@ -733,8 +733,11 @@ object TextQueries extends QueryModule {
       val ann = graft.pipeline.Similarity.bruteForceTopK(
           emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", 20)
         .select(col("neighbor_id").as("doc_id"), col("rank"))
-      val fused = TextAnalysis.rrfFuse(
-        Seq("ann" -> ann, "bm25" -> lex), "doc_id", k = 10)
+      // pinned (r15 opt): fused feeds BOTH the MMR shortlist (which
+      // mmrFromShortlist pins/collects) and the final fused_rank join —
+      // unpinned, the whole BM25+ANN+RRF chain executed twice per run
+      val fused = graft.operators.Pinning.pin(TextAnalysis.rrfFuse(
+        Seq("ann" -> ann, "bm25" -> lex), "doc_id", k = 10))
       // precision stage on the 1e-4 integer grid (the embed_jl_project
       // oracle-exactness posture): rel, the MMR pairwise sims, and the
       // 3·rel − maxsim scores are all deterministic doubles in both

@@ -383,6 +383,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got(10L)._2 == "core" && got(6L)._3 == got(2L)._3)
   }
 
+  test("dbscan: driver-local crossover ≡ forced-distributed path, " +
+      "bit-for-bit (duplicate pairs, self-pairs, both-direction dups)") {
+    import spark.implicits._
+    val nodes = (0L to 40L).toDF("id")
+    // seeded pseudo-random graph + the degenerate shapes the degree
+    // arithmetic must count identically: duplicate pairs (counted twice),
+    // a self-pair (adds 2 to its own degree), and a reversed duplicate
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val pairs = (base ++ Seq((3L, 4L), (3L, 4L), (4L, 3L), (9L, 9L)))
+      .toDF("id1", "id2")
+    for (mp <- Seq(1, 2, 3)) {
+      val local = Similarity.dbscan(nodes, pairs, "id", minPts = mp)
+        .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+      val dist = Similarity.dbscan(nodes, pairs, "id", minPts = mp,
+          localWorkThreshold = 0L)
+        .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(local == dist, s"minPts=$mp: local $local vs dist $dist")
+    }
+  }
+
   test("pcaPower: recovers the dominant direction of an anisotropic cloud; " +
       "unit output; extra iterations only sharpen it") {
     import spark.implicits._
