@@ -1910,8 +1910,85 @@ object Similarity {
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Bounded-collect gate shared by the small-graph crossovers of the
+    * iterative graph loops ([[labelPropagate]], [[corenessHIndex]],
+    * [[pagerankInt]]): one take() is both the probe and the collect (the
+    * edge upstream executes once), integral ids only, null endpoints
+    * decline. Returns the RAW (id1, id2) pair list as longs — each
+    * operator symmetrizes it locally, mirroring its own distributed
+    * union — or None when the graph must take the distributed route.
+    */
+  private def localPairs(edges: DataFrame, id1: String, id2: String,
+      localWorkThreshold: Long): Option[Array[(Long, Long)]] = {
+    val integral = Seq(id1, id2).forall(c => edges.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (!integral || localWorkThreshold <= 0) return None
+    val cap = math.min(localWorkThreshold + 1, Int.MaxValue.toLong).toInt
+    val taken = edges
+      .select(col(id1).cast("long"), col(id2).cast("long")).take(cap)
+    if (taken.length > localWorkThreshold ||
+        taken.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+    else Some(taken.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** Symmetrized local adjacency: dst → srcs (both directions of every
+    * pair, multiplicity preserved) — the in-memory mirror of the loops'
+    * `sym` frame. */
+  private def localAdjacency(pl: Array[(Long, Long)])
+      : scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[Long]] = {
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    def add(dst: Long, src: Long): Unit =
+      adj.getOrElseUpdate(dst,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += src
+    pl.foreach { case (a, b) => add(b, a); add(a, b) }
+    adj
+  }
+
   def labelPropagate(edges: DataFrame, id1: String, id2: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, localWorkThreshold: Long = 2000000L): DataFrame = {
+    val idType = edges.schema(id1).dataType
+    val localOut = localPairs(edges, id1, id2, localWorkThreshold).map { pl =>
+      val adj = localAdjacency(pl)
+      // labels start as self; each round every node takes the MODE of its
+      // neighbors' labels over the ascending-sorted multiset, strict >
+      // keeping the first (smallest) label on count ties — the exact
+      // fold modeOfSorted runs below
+      var labels = scala.collection.mutable.LongMap.empty[Long]
+      adj.keysIterator.foreach(n => labels(n) = n)
+      var r = 0
+      while (r < rounds) {
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        adj.foreach { case (dst, srcs) =>
+          val ls = srcs.map(labels).toArray
+          java.util.Arrays.sort(ls)
+          var cur = -1L; var curN = 0L; var best = -1L; var bestN = 0L
+          var i = 0
+          while (i < ls.length) {
+            val x = ls(i)
+            curN = if (cur == x) curN + 1L else 1L
+            cur = x
+            if (curN > bestN) { best = x; bestN = curN }
+            i += 1
+          }
+          next(dst) = best
+        }
+        labels = next
+        r += 1
+      }
+      val spark0 = edges.sparkSession
+      import spark0.implicits._
+      val out = labels.toSeq.sortBy(_._1)
+      spark0.createDataset(out).toDF("id", "label")
+        .select(col("id").cast(idType).as("id"),
+          col("label").cast(idType).as("label"))
+    }
+    if (localOut.isDefined) return localOut.get
     val sym = graft.operators.Pinning.pin(
       edges.select(col(id1).as("src"), col(id2).as("dst"))
         .unionByName(edges.select(col(id2).as("src"), col(id1).as("dst")))
@@ -1971,8 +2048,46 @@ object Similarity {
     * Returns one row per vertex: (id, degree, coreness).
     */
   def corenessHIndex(edges: DataFrame, id1: String, id2: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, localWorkThreshold: Long = 2000000L): DataFrame = {
     require(rounds >= 1, s"corenessHIndex needs rounds >= 1, got $rounds")
+    // small-graph crossover (see localPairs): degree + h-index rounds are
+    // integer arithmetic over the bounded adjacency — bit-identical to
+    // the distributed fold by construction (SimilaritySpec pins it)
+    val localOut0 = localPairs(edges, id1, id2, localWorkThreshold).map { pl =>
+      val adj = localAdjacency(pl)
+      var vals = scala.collection.mutable.LongMap.empty[Long]
+      adj.foreach { case (n, srcs) => vals(n) = srcs.length.toLong }
+      val degL = vals.clone()
+      var r = 0
+      while (r < rounds) {
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        adj.foreach { case (dst, srcs) =>
+          val hs = srcs.map(vals).toArray
+          java.util.Arrays.sort(hs)
+          // descending h-index fold: h = max_i min(i, v_i), 1-based
+          var h = 0L; var pos = 0L
+          var i = hs.length - 1
+          while (i >= 0) {
+            pos += 1L
+            val m = math.min(pos, hs(i))
+            if (m > h) h = m
+            i -= 1
+          }
+          next(dst) = h
+        }
+        vals = next
+        r += 1
+      }
+      val spark0 = edges.sparkSession
+      import spark0.implicits._
+      val out = degL.toSeq.sortBy(_._1)
+        .map { case (n, d) => (n, d, vals(n)) }
+      val idType = edges.schema(id1).dataType
+      spark0.createDataset(out).toDF("id", "degree", "coreness")
+        .select(col("id").cast(idType).as("id"), col("degree"),
+          col("coreness"))
+    }
+    if (localOut0.isDefined) return localOut0.get
     val sym = graft.operators.Pinning.pin(
       edges.select(col(id1).as("src"), col(id2).as("dst"))
         .unionByName(edges.select(col(id2).as("src"), col(id1).as("dst")))
@@ -2038,7 +2153,39 @@ object Similarity {
     * in an undirected graph has in-degree ≥ 1, so no dangling-mass term.
     */
   def pagerankInt(edges: DataFrame, id1: String, id2: String,
-      rounds: Int, scale: Long = 1000000L): DataFrame = {
+      rounds: Int, scale: Long = 1000000L,
+      localWorkThreshold: Long = 2000000L): DataFrame = {
+    // small-graph crossover (see localPairs): the scaled-integer rounds
+    // are exact commutative sums — order-free, so the local loop is
+    // bit-identical to the distributed one (SimilaritySpec pins it)
+    val localOut = localPairs(edges, id1, id2, localWorkThreshold).map { pl =>
+      val adj = localAdjacency(pl)
+      val base = scale * 15L / 100L
+      var pr = scala.collection.mutable.LongMap.empty[Long]
+      adj.keysIterator.foreach(n => pr(n) = scale)
+      var r = 0
+      while (r < rounds) {
+        // contrib per node = (pr * 85) div (deg * 100); deg = |srcs|
+        val contrib = scala.collection.mutable.LongMap.empty[Long]
+        adj.foreach { case (n, srcs) =>
+          contrib(n) = Math.floorDiv(pr(n) * 85L, srcs.length.toLong * 100L)
+        }
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        adj.foreach { case (dst, srcs) =>
+          var s = 0L
+          srcs.foreach(src => s += contrib(src))
+          next(dst) = base + s
+        }
+        pr = next
+        r += 1
+      }
+      val spark0 = edges.sparkSession
+      import spark0.implicits._
+      val idType = edges.schema(id1).dataType
+      spark0.createDataset(pr.toSeq.sortBy(_._1)).toDF("id", "pr")
+        .select(col("id").cast(idType).as("id"), col("pr"))
+    }
+    if (localOut.isDefined) return localOut.get
     val sym = graft.operators.Pinning.pin(
       edges.select(col(id1).as("src"), col(id2).as("dst"))
         .unionByName(edges.select(col(id2).as("src"), col(id1).as("dst")))

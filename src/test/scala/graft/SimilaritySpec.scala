@@ -404,6 +404,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("graph loops: driver-local crossover ≡ forced-distributed path " +
+      "bit-for-bit (labelPropagate, corenessHIndex, pagerankInt)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(80)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    // duplicates and self-pairs: degree/multiset arithmetic must match
+    val edges = (base ++ Seq((2L, 5L), (2L, 5L), (7L, 7L)))
+      .toDF("id1", "id2")
+    val lpL = Similarity.labelPropagate(edges, "id1", "id2", rounds = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val lpD = Similarity.labelPropagate(edges, "id1", "id2", rounds = 3,
+        localWorkThreshold = 0L)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(lpL == lpD)
+    val chL = Similarity.corenessHIndex(edges, "id1", "id2", rounds = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val chD = Similarity.corenessHIndex(edges, "id1", "id2", rounds = 4,
+        localWorkThreshold = 0L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(chL == chD)
+    val prL = Similarity.pagerankInt(edges, "id1", "id2", rounds = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val prD = Similarity.pagerankInt(edges, "id1", "id2", rounds = 3,
+        localWorkThreshold = 0L)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(prL == prD)
+  }
+
   test("pcaPower: recovers the dominant direction of an anisotropic cloud; " +
       "unit output; extra iterations only sharpen it") {
     import spark.implicits._
