@@ -171,46 +171,71 @@ object Similarity {
   def kcenterCoreset(vecs: DataFrame, id: String, vec: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // r15 opt: the per-round PICK is one row — it rides the state
+    // aggregation itself (the min-struct carries the vector; vec_id is
+    // unique so the trailing __v field never influences the argmin) and
+    // the selection accumulates on the DRIVER, with the picked vector
+    // re-entering each round as a literal (the kmeansBest centroid
+    // pattern). 2 jobs/round (argmin collect + state pin) instead of the
+    // old 5 (far join, pick pin, sel pin, state pin, broadcast build);
+    // the corpus-sized distance state still updates distributed, one
+    // narrow pass per round — the scale shape is unchanged.
+    val spark = vecs.sparkSession
+    val idType = vecs.schema(id).dataType
     val v = graft.operators.Pinning.pin(
       vecs.select(col(id).as("vec_id"), toDouble(col(vec)).as("__v")))
-    val first = graft.operators.Pinning.pin(
-      v.agg(min(col("vec_id")).as("vec_id")).join(v, "vec_id"))
-    var sel = graft.operators.Pinning.pin(
-      first.select(col("vec_id"), lit(1L).as("pick_rank"),
-        lit(null).cast("double").as("far_cos")))
+    val firstRows = v.agg(min(col("vec_id")).as("vec_id")).join(v, "vec_id")
+      .select(col("vec_id"), col("__v")).collect()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pick_rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id", idType),
+      org.apache.spark.sql.types.StructField("far_cos",
+        org.apache.spark.sql.types.DoubleType)))
+    if (firstRows.isEmpty) { // empty corpus: no picks (the old join shape)
+      graft.operators.Pinning.unpin(v)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
+    val firstRow = firstRows(0)
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Any, Option[Double])]
+    picks += ((1L, firstRow.get(0), None))
+    var pickVec = firstRow.getSeq[Double](1)
     var state = graft.operators.Pinning.pin(
-      v.crossJoin(broadcast(first.select(col("__v").as("__pv"))))
-        .select(col("vec_id"), col("__v"),
-          cosine(col("__v"), col("__pv")).as("best_cos")))
-    graft.operators.Pinning.unpin(first)
+      v.select(col("vec_id"), col("__v"),
+        cosine(col("__v"), typedlit(pickVec)).as("best_cos")))
     var r = 2
     while (r <= k) {
-      val far = state
-        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .agg(min(struct(col("best_cos"), col("vec_id"))).as("__m"))
-        .select(col("__m.vec_id").as("vec_id"),
-          col("__m.best_cos").as("far_cos"))
-      val pick = graft.operators.Pinning.pin(far.join(v, "vec_id"))
-      val nextSel = graft.operators.Pinning.pin(
-        sel.unionByName(pick.select(col("vec_id"),
-          lit(r.toLong).as("pick_rank"), col("far_cos"))))
-      graft.operators.Pinning.unpin(sel)
-      sel = nextSel
+      val selIds = picks.map(_._2).toSeq
+      val m = state
+        .filter(!col("vec_id").isin(selIds: _*))
+        .agg(min(struct(col("best_cos"), col("vec_id"), col("__v")))
+          .as("__m"))
+        .select(col("__m.best_cos"), col("__m.vec_id"), col("__m.__v"))
+        .collect()(0)
+      if (m.isNullAt(1)) r = k // corpus exhausted (k > n): stop adding,
+      else {                   // the old pick-join shape produced no row
+        picks += ((r.toLong, m.get(1), Some(m.getDouble(0))))
+        pickVec = m.getSeq[Double](2)
+      }
       if (r < k) { // the last round never consumes the updated state
         val nextState = graft.operators.Pinning.pin(
-          state.crossJoin(broadcast(pick.select(col("__v").as("__pv"))))
-            .select(col("vec_id"), col("__v"),
-              greatest(col("best_cos"),
-                cosine(col("__v"), col("__pv"))).as("best_cos")))
+          state.select(col("vec_id"), col("__v"),
+            greatest(col("best_cos"),
+              cosine(col("__v"), typedlit(pickVec))).as("best_cos")))
         graft.operators.Pinning.unpin(state)
         state = nextState
       }
-      graft.operators.Pinning.unpin(pick)
       r += 1
     }
     graft.operators.Pinning.unpin(state)
     graft.operators.Pinning.unpin(v)
-    sel.select(col("pick_rank"), col("vec_id"), col("far_cos"))
+    val rows = picks.map { case (pr, vid, fc) =>
+      org.apache.spark.sql.Row(pr, vid, fc.orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), outSchema)
   }
 
   /** Hard-negative mining for contrastive training (the ANCE/DPR recipe):

@@ -1107,8 +1107,13 @@ object DedupQueries extends QueryModule {
         delta.join(surv.select("doc_id"), Seq("doc_id")),
         "doc_id", "text", shingleN = 2, k = 64, bands = 16,
         minEstJaccard = 0.1, hasher = Dedup.portableShingleHashes)
-      val admitted = verdicts.filter(!col("is_dup")).select(col("doc_id"))
-        .join(surv, Seq("doc_id"))
+      // pinned (r15 opt): admitted is consumed by BOTH sides of the IVF
+      // append (delta AND query set) and by the final report join —
+      // unpinned, the whole MinHash verdict chain re-executed per
+      // consumer (~0.5 s each here)
+      val admitted = graft.operators.Pinning.pin(
+        verdicts.filter(!col("is_dup")).select(col("doc_id"))
+          .join(surv, Seq("doc_id")))
       val admVecs = emb
         .join(admitted.select(col("doc_id").as("vec_id")), Seq("vec_id"))
         .select(col("vec_id"), col("embedding"))
