@@ -957,14 +957,17 @@ object Dedup {
       winnow: Int = 1): DataFrame = {
     val base = substrPrep(docs, id, text)
     def hitSource = substrWindows(base, minLen, stride, hasher, winnow)
-    // cross-doc test as min≠max, not countDistinct (r15 opt, guide §2.3):
-    // "appears in ≥2 distinct docs" ⟺ min(id) ≠ max(id), and min/max are
-    // plain combinable aggregates — ONE exchange on __h with map-side
-    // partial collapse, where the distinct-agg form shuffled (h, id)
-    // pairs through a two-level expansion.
+    // cross-doc test: countDistinct, NOT min≠max — measured at the 100×
+    // probe (xxhash64 default path, this host window, back-to-back A/B):
+    // countDistinct 66.3/90.1 s vs min≠max 81.6/105.0/113.2 s min2. The
+    // single-exchange min/max form loses to the distinct expansion here —
+    // its per-group min+max buffers make the partial-agg hash map heavier
+    // over the ~all-distinct window-hash space, while the (h, id) partial
+    // dedup is key-only. Kept the measured winner (guide §1: measure, not
+    // plausibility).
     val dupHashes = hitSource.groupBy(col("__h"))
-      .agg(min(col("__id")).as("__i0"), max(col("__id")).as("__i1"))
-      .filter(col("__i0") =!= col("__i1"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= 2)
       .select(col("__h"))
     val hits = hitSource.join(dupHashes, Seq("__h"), "left_semi")
       .select(col("__id"), col("pos"))
@@ -1113,12 +1116,8 @@ object Dedup {
       .select(col("__id"), explode(col("__cs")).as("__c"))
       .select(col("__id"), md5(col("__c")).as("__key"),
         length(col("__c")).cast("long").as("__len"))
-    // min≠max for the shared test (see substringDedup): consumers only
-    // compare __n_docs >= 2, so the capped 2/1 encoding is equivalent and
-    // skips the distinct-agg expansion — one combinable exchange on key
     val stats = inst.groupBy(col("__key"))
-      .agg(when(min(col("__id")) =!= max(col("__id")), 2L).otherwise(1L)
-        .as("__n_docs"))
+      .agg(countDistinct(col("__id")).as("__n_docs"))
     inst.join(stats, "__key")
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_chunks"),

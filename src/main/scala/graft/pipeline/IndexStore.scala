@@ -239,8 +239,7 @@ object IndexStore {
     def stream = Dedup.substrWindows(b, minLen, 1, hasher, winnow)
     val seg = writeSubstrSegment(spark, livePath,
       stream.groupBy(col("__h")).agg(
-        when(min(col("__id")) =!= max(col("__id")), 2L).otherwise(1L)
-          .as("n_docs"),
+        least(countDistinct(col("__id")), lit(2L)).as("n_docs"),
         min(col("__id")).as("min_id")))
     val dup = spark.read.parquet(seg).filter(col("n_docs") >= 2)
       .select(col("__h"))
@@ -294,8 +293,7 @@ object IndexStore {
     def dstream = Dedup.substrWindows(d, minLen, 1, hasher, winnow)
     val seg = writeSubstrSegment(spark, livePath,
       dstream.groupBy(col("__h")).agg(
-        when(min(col("__id")) =!= max(col("__id")), 2L).otherwise(1L)
-          .as("n_docs"),
+        least(countDistinct(col("__id")), lit(2L)).as("n_docs"),
         min(col("__id")).as("min_id")))
     val dstats = spark.read.parquet(seg)
     // affected base docs: sole carriers of a hash the batch now shares
